@@ -1,0 +1,72 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full compute, no driver
+collect, no output cost) — the same discipline as a cluster run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from kafka_streams_in_action_spark.plans.queries import QUERIES
+from kafka_streams_in_action_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the shapes that
+# dominate real workloads (scan-agg, multiway join, window, event-time,
+# dedup, text, similarity).
+HEADLINE = [
+    "c3_pricing_summary",    # scan + hash agg (TPC-H Q1)
+    "c7_multiway_join",      # 5-way join (TPC-H Q5 shape)
+    "c6_broadcast_join",     # broadcast join + agg
+    "c10_asof_join",         # as-of join rewrite
+    "c9_range_join",         # interval self-join
+    "c12_analytic_frames",   # window frames
+    "c13_topk",              # global top-k
+    "c22_tumbling_window",   # event-time tumble
+    "c24_session_window",    # session windows
+    "c26_dedup_first",       # keyed dedup
+    "c28_exact_dedup",       # hash dedup
+    "c30_word_frequency",    # explode + agg
+    "c30_fingerprints",      # higher-order fold
+    "c29_cosine_topk",       # similarity search (brute top-k)
+    "a9_wire_roundtrip",     # serde + wire format
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    sf = 0.1
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    if m:
+        sf = float(m.group(1).rstrip("."))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()  # warm (JIT, files)
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

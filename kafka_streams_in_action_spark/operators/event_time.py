@@ -1,0 +1,95 @@
+"""Event-time windowed aggregation — batch forms (SURVEY §2C C22-C27).
+
+These are the *batch oracle* semantics of the streaming operators in
+`streaming/`; the streaming tests assert availableNow-mode equivalence against
+exactly these shapes (reference precedent: the run-once mode A21,
+multi_event_avro_producer_client.go:98-103).
+
+Window state scales with (#keys × #open windows), not with data volume —
+watermarks bound the open-window set in the streaming twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .exact import dsum
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """C22: 1-hour tumble × event_type. window() start == date_trunc('hour')
+    for aligned windows, which the oracle exploits."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """C23: 1-hour window sliding every 15 min. Spark expands each row into
+    window_len/slide = 4 windows before the agg (the oracle mirrors that
+    expansion with generate_series)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+def session_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """C24: per-user session windows with a 30-min gap, via the built-in
+    session_window. The oracle is the classic lag+cumsum sessionization."""
+    return (
+        events.groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+                       "user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("value").alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n", "sum_value")
+    )
+
+
+def late_data_filtered_counts(events: DataFrame, delay_minutes: int = 60) -> DataFrame:
+    """C25 batch form: drop records older than max(ts) - delay, then tumble.
+    This is the declared batch contract for watermark semantics (SURVEY §5.3);
+    the streaming twin uses withWatermark and is equivalence-tested."""
+    bound = events.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {delay_minutes} MINUTES")).alias("cutoff"))
+    return (
+        events.join(F.broadcast(bound))
+        .filter(F.col("ts") >= F.col("cutoff"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n")
+    )
+
+
+def dedup_first_event(events: DataFrame) -> DataFrame:
+    """C26 batch form: keep the earliest event per (user_id, event_type) —
+    the batch twin of dropDuplicatesWithinWatermark. Deterministic tie-break on
+    event_id."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts"), F.col("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def running_user_state(events: DataFrame) -> DataFrame:
+    """C27 batch form: per-user running count and running sum over time — the
+    reference's offset-tracking state (A16/A17) generalized. Streaming twin:
+    transformWithStateInPandas in streaming/stateful.py."""
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts"), F.col("event_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return events.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
+            .alias("running_sum"),
+    )

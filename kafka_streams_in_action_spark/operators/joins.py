@@ -1,0 +1,123 @@
+"""Join operators (SURVEY §2C C6-C10).
+
+Strategy notes for 100 TB:
+- Dimension tables (region/nation/customer/supplier at TPC-H ratios) broadcast —
+  `F.broadcast` makes it explicit rather than trusting the threshold.
+- Fact-fact joins shuffle on the join key; AQE converts to broadcast at runtime
+  when a side turns out small post-filter, and splits skewed partitions
+  (spark.sql.adaptive.skewJoin.enabled).
+- The range join (C9) is an equi-join on the user key plus a range predicate —
+  Spark executes equi-key SMJ with the range as a post-filter, so the shuffle is
+  keyed and bounded; never a cross join.
+- The as-of join (C10) has no native Spark SQL form; the rewrite is
+  join-on-key + windowed row_number, deterministic via a full tie-break chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .exact import dsum
+
+
+def broadcast_join_revenue(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """C6: orders ⋈ customer with the small side broadcast — zero shuffle of the
+    fact table; agg by market segment afterwards."""
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum("o_totalprice").alias("revenue"))
+    )
+
+
+def multiway_join_revenue(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, nation: DataFrame,
+                          region: DataFrame) -> DataFrame:
+    """C7: TPC-H Q5 shape — lineitem⋈orders⋈customer⋈nation⋈region, revenue per
+    nation. lineitem⋈orders is the one big shuffle (both sides keyed on
+    orderkey); the dimension chain broadcasts."""
+    return (
+        lineitem
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+    )
+
+
+def left_join_order_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """C8a: LEFT OUTER — every customer with their order count (0 for none)."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def semi_join_active_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """C8b: LEFT SEMI (EXISTS) — customers having ≥1 high-value order. The semi
+    join dedups build-side keys before probing — cheaper than join+distinct."""
+    big = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def anti_join_idle_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """C8c: LEFT ANTI (NOT EXISTS) — customers with no orders at all."""
+    return (
+        customer.join(orders.select("o_custkey"),
+                      customer.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def range_join_followups(events: DataFrame) -> DataFrame:
+    """C9: interval self-join — for each event, count same-user events in the
+    following 5 minutes (exclusive of itself). Equi-key on user_id keeps the
+    shuffle bounded; the time predicate filters within each key group."""
+    e1 = events.alias("e1")
+    e2 = events.alias("e2")
+    joined = e1.join(
+        e2,
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return (
+        joined.groupBy(F.col("e1.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_followups"))
+    )
+
+
+def asof_join_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """C10: as-of join — for each event, the user's most recent order at/before
+    the event timestamp. Spark SQL has no ASOF JOIN; the rewrite is equi-join on
+    the key with the time bound as a join predicate, then row_number() == 1 over
+    (event, order recency) with a deterministic o_orderkey tie-break.
+
+    Scale note: the join output before rank is |events| × avg orders-per-user —
+    bounded by the key equi-join, and the window partitions by event_id so state
+    per task is one event's candidate list.
+    """
+    ev = events.select("event_id", "ts", "user_id")
+    od = orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cand = ev.join(
+        od,
+        (ev.user_id == od.o_custkey) & (od.o_orderdate <= ev.ts),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    )

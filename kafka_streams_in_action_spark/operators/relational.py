@@ -1,0 +1,151 @@
+"""Filters, projections, and aggregations (SURVEY §2C C1-C5; reference A6/A16/A19).
+
+All shapes are shuffle-parallel with map-side partial aggregation (Spark plans
+HashAggregate(partial) → exchange → HashAggregate(final) automatically). Nothing
+here collects to the driver; every query survives a 100× scale-up unchanged —
+the only shuffle is on the grouping keys, and grouping keys in these shapes are
+low-cardinality (flags, dates, types) so the final exchange is tiny.
+
+Monetary aggregates are rounded to 2 decimals *inside* the query: at sf0.1 a
+revenue sum is ~1e9 and float64 partial-sum ordering across partitions makes the
+last ~1e-6 digits nondeterministic; rounding pins the oracle hash without
+changing semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .exact import davg, dsum
+
+
+def filter_lineitem(lineitem: DataFrame) -> DataFrame:
+    """C1: predicate pushdown shape — both filters reach the parquet scan
+    (PushedFilters in .explain) so at 100 TB only matching row groups are read."""
+    return (
+        lineitem
+        .filter((F.col("l_shipdate") < F.lit("1998-09-02").cast("timestamp"))
+                & F.col("l_discount").between(0.05, 0.07))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate")
+    )
+
+
+def project_scalar(lineitem: DataFrame) -> DataFrame:
+    """C2: TPC-H Q1 scalar expressions as a pure projection (no shuffle at all)."""
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+         * (1 + F.col("l_tax"))).alias("charge"),
+    )
+
+
+def agg_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """C3: TPC-H Q1 — the flagship hash aggregate.
+
+    Grouping cardinality is ~6 whatever the scale factor, so the plan is a full
+    scan + partial agg per partition + one tiny exchange: the ideal 100 TB shape.
+    """
+    return (
+        lineitem
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("sum_disc_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                 * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def distinct_customers(orders: DataFrame) -> DataFrame:
+    """C4 (exact): distinct is a two-phase hash agg — partial distinct per
+    partition, then exchange on the key. No driver materialization."""
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def approx_distinct_customers(orders: DataFrame) -> DataFrame:
+    """C4 (approx): HLL++ sketch — constant memory per partition, merges in the
+    reduce; the only way distinct-count scales to 100 TB. Tolerance-checked
+    (≤2% rel err), not hash-matched."""
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def rollup_priority(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """C5: ROLLUP(n_name, o_orderpriority) over orders⋈customer⋈nation.
+
+    nation (25 rows) and customer (1.5M at sf1) broadcast; the rollup itself is
+    Expand + hash agg — one shuffle on the expanded grouping id."""
+    joined = (
+        orders
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum("o_totalprice").alias("total_price"))
+    )
+
+
+def derive_total(lineitem: DataFrame) -> DataFrame:
+    """A6 (sales_consumer_client.go:89-96 batchified): per-record derived column
+    total = quantity × price, projected with its keys. Stateless map — no shuffle."""
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") * F.col("l_extendedprice")).alias("total"),
+    )
+
+
+def commit_offsets(events: DataFrame) -> DataFrame:
+    """A16 (concurrent_record_processor.go:87-88): per-group max(offset)+1.
+
+    The reference computes the commit offset per (topic, partition); over the
+    events table the group key is user_id and the offset is event_id."""
+    return (
+        events.groupBy("user_id")
+        .agg((F.max("event_id") + 1).alias("commit_offset"),
+             F.count(F.lit(1)).alias("n_records"))
+    )
+
+
+def route_events(events: DataFrame) -> DataFrame:
+    """A19 (multi_event_proto_consumer_client.go:100-126): type-dispatch counts —
+    the batch oracle form of routing one topic's mixed events to per-type sinks."""
+    return (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value").alias("sum_value"))
+    )
+
+
+def key_fallback(events: DataFrame) -> DataFrame:
+    """A20 (multi_event_avro_producer_client.go:91-96): extractKey with fallback —
+    key = value's own key field if present, else a default. Here: the JSON props
+    field "k", falling back to user_id, falling back to ''."""
+    return events.select(
+        "event_id",
+        F.coalesce(F.get_json_object("props", "$.k"),
+                   F.col("user_id").cast("string"),
+                   F.lit("")).alias("record_key"),
+    )

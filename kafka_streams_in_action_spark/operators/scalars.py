@@ -1,0 +1,99 @@
+"""Scalar function sweeps (SURVEY §2C C15-C19) — string, date/time, math, array,
+map/JSON. All built-in `pyspark.sql.functions` (JVM-side, whole-stage codegen);
+no Python touches these rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def string_functions(part: DataFrame) -> DataFrame:
+    """C15 over part.p_name."""
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("upper_name"),
+        F.lower("p_brand").alias("lower_brand"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%green%").alias("is_green"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+    )
+
+
+def date_functions(orders: DataFrame) -> DataFrame:
+    """C16 over o_orderdate."""
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate"))
+            .alias("days_to_eoy"),
+        F.to_date("o_orderdate").cast("timestamp").alias("order_day"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+def math_functions(lineitem: DataFrame) -> DataFrame:
+    """C17 over lineitem numerics."""
+    return lineitem.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice"), 1).alias("rounded"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_delta"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+    )
+
+
+def array_functions(embeddings: DataFrame) -> DataFrame:
+    """C18 over embeddings.embedding (array<float>, 64-dim) with higher-order fns.
+
+    Arithmetic is done after casting to double so DuckDB (which promotes) and
+    Spark agree bit-for-bit at 6-decimal rounding.
+    """
+    emb = F.col("embedding").cast("array<double>")
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(emb, 1), 6).alias("first_val"),
+        F.round(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x), 6)
+            .alias("vec_sum"),
+        F.round(F.aggregate(F.slice(emb, 1, 8), F.lit(0.0),
+                            lambda acc, x: acc + x * x), 6).alias("head_sq_norm"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.element_at(F.sort_array(emb), 1), 6).alias("min_val"),
+        F.round(F.element_at(F.sort_array(emb, asc=False), 1), 6).alias("max_val"),
+    )
+
+
+def explode_tokens(documents: DataFrame) -> DataFrame:
+    """C18b: explode/posexplode — token stream with positions from documents."""
+    return (
+        documents
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(F.split(F.trim("text"), " "))
+                .alias("pos", "token"))
+    )
+
+
+def json_functions(events: DataFrame) -> DataFrame:
+    """C19 over events.props (JSON string, e.g. {"k": 69})."""
+    parsed = F.from_json("props", "k INT")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        parsed.getField("k").alias("k_struct"),
+        F.to_json(F.struct(F.col("event_type"), F.col("user_id"))).alias("as_json"),
+        F.map_keys(F.from_json("props", "map<string,int>")).alias("keys"),
+        F.map_values(F.from_json("props", "map<string,int>")).alias("vals"),
+    )

@@ -1,0 +1,134 @@
+"""Text analysis for the training-data pipeline (SURVEY §2C C30).
+
+Everything except the mapInPandas tokenizer (deliberately exercising the UDTF
+surface, C21) is built-in column algebra: split/explode/aggregate are codegen'd
+and shuffle only on the explicit group keys (word, doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_MOD = 2147483647
+
+# Tiny stopword inventories for the language-ID heuristic. The testdata's lang
+# labels are synthetic (all docs share one vocabulary), so the operator contract
+# is the *heuristic itself*, mirrored exactly in the oracle SQL — not label
+# recovery.
+EN_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _words(text_col):
+    return F.split(F.trim(text_col), " ")
+
+
+def word_frequency(documents: DataFrame, min_count: int = 10) -> DataFrame:
+    """C30a: corpus word frequency — explode + count, shuffled on the word."""
+    return (
+        documents
+        .select(F.explode(_words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_count)
+    )
+
+
+def doc_stats(documents: DataFrame) -> DataFrame:
+    """C30b: per-document stats — token count, distinct tokens, avg token length,
+    char count. One pass, no shuffle (per-row higher-order fns)."""
+    words = _words(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        F.round(F.aggregate(words, F.lit(0).cast("long"),
+                            lambda acc, w: acc + F.length(w)).cast("double")
+                / F.size(words), 6).alias("avg_token_len"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """C30c: stopword-ratio language heuristic. ratio = |stopword tokens| /
+    |tokens|; guess 'en' above 2%, else 'unknown'."""
+    words = _words(F.col("text"))
+    stop_hits = F.size(F.filter(
+        words, lambda w: F.lower(w).isin(*EN_STOPWORDS)))
+    ratio = F.round(stop_hits.cast("double") / F.size(words), 6)
+    return documents.select(
+        "doc_id", "lang",
+        ratio.alias("stopword_ratio"),
+        F.when(ratio > 0.02, F.lit("en")).otherwise(F.lit("unknown"))
+            .alias("lang_guess"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """C30d: heuristic quality score — length, mean token length, and
+    distinct-token diversity folded into [0,1]."""
+    words = _words(F.col("text"))
+    n_tokens = F.size(words)
+    diversity = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    length_score = F.least(n_tokens.cast("double") / F.lit(200.0), F.lit(1.0))
+    return documents.select(
+        "doc_id",
+        F.round(diversity, 6).alias("diversity"),
+        F.round(length_score, 6).alias("length_score"),
+        F.round((diversity + length_score) / 2, 6).alias("quality"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """C30e: token counting — whitespace tokens and a BPE-ish proxy
+    ceil(n_chars / 4) (the common chars-per-token heuristic)."""
+    return documents.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("ws_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("bpe_est"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """C30f: rolling polynomial fingerprint over the token stream —
+    fold(31·acc + code(w)) mod (2^31-1) with code(w) = 7·len(w) + ord(w[0]).
+    Order-sensitive (a permuted doc fingerprints differently), cheap, and
+    expressible in both engines as a sequential fold."""
+    words = _words(F.col("text"))
+    codes = F.transform(
+        words, lambda w: F.length(w) * 7 + F.ascii(F.substring(w, 1, 1)))
+    fp = F.aggregate(codes, F.lit(0).cast("long"),
+                     lambda acc, c: (acc * 31 + c) % HASH_MOD)
+    return documents.select("doc_id", fp.alias("fingerprint"))
+
+
+def tokenize_udtf(documents: DataFrame) -> DataFrame:
+    """C21 (UDTF surface): text → token rows via mapInPandas — the engine's
+    table-function extension point (reference analog: the RecordProcessor
+    interface, pipelining_consumer_client.go:13-16). Arrow-batched; never
+    row-at-a-time."""
+    import pandas as pd  # noqa: F401 — local import keeps executors lean
+
+    def tokenize(batches):
+        for pdf in batches:
+            toks = pdf["text"].str.strip().str.split(" ")
+            out = pdf[["doc_id"]].copy()
+            out["tokens"] = toks
+            exploded = out.explode("tokens").rename(columns={"tokens": "token"})
+            exploded = exploded[exploded["token"].astype(bool)]
+            yield exploded[["doc_id", "token"]]
+
+    return documents.select("doc_id", "text").mapInPandas(
+        tokenize, schema="doc_id long, token string")
+
+
+def tokenize_wordfreq(documents: DataFrame, min_count: int = 10) -> DataFrame:
+    """C21 end-to-end: UDTF tokenizer feeding a frequency agg (oracle-matched
+    against the pure-SQL split/unnest form)."""
+    return (
+        tokenize_udtf(documents)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_count)
+    )

@@ -1,0 +1,731 @@
+"""The declared query contract: every operator from SURVEY.md §2 as a
+(name → Spark callable, DuckDB oracle SQL) pair.
+
+Conventions that make the hash-match deterministic (SURVEY §7 "hard parts" #4):
+- Every computed column is aliased identically on both sides.
+- Large float64 sums go through DECIMAL(27,6) so partial-agg order can't
+  perturb low bits, then back to DOUBLE and round.
+- Sequential folds (array sums, fingerprints, cosine) use the same left-to-
+  right order in both engines, so they agree bitwise.
+- Counts are BIGINT on both sides; DuckDB len()/year()/row_number() are cast
+  to INTEGER where Spark returns int.
+- Oracle queries never emit array columns (scalars only).
+
+Queries without an oracle entry (approx sketches, LSH/ANN, stub decode fan-out)
+get the driver's rows-only check and are additionally pinned by pytest
+(tolerance / recall / equivalence tests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.serde import (
+    fnv1a_32, fnv1a_partition, wire_wrap, wire_wrap_proto, wire_is_valid,
+    wire_schema_id, wire_payload, wire_payload_proto,
+)
+from ..operators import (
+    dedup, event_time, joins, multimodal, relational, scalars, setops,
+    similarity, text, udx, windows,
+)
+from ..sources.parquet import load_table
+
+
+@dataclass
+class QuerySpec:
+    """One declared operator: Spark implementation + optional DuckDB oracle."""
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+
+
+def _t(name):
+    """tables accessor factory: build a query from named testdata tables."""
+    def deco(build):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tables = [load_table(spark, t, sf_dir) for t in name.split()]
+            return build(*tables)
+        return run
+    return deco
+
+
+# Exact-decimal sum: immune to partial-aggregation order (see module docstring).
+DSUM = "sum(CAST({x} AS DECIMAL(27,6)))::DOUBLE"
+
+
+def _wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/A10/C31: Confluent wire-format encode → validity filter → decode.
+    Rows with doc_id % 7 == 0 get a corrupted magic byte and must be skipped
+    (the reference's permissive-skip semantic, cmd/consumer/main.go:43-46)."""
+    docs = load_table(spark, "documents", sf_dir)
+    payload = F.encode("text", "UTF-8")
+    sid = (F.col("doc_id") % 100 + 1).cast("long")
+    wrapped = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(bytes([1])), payload))   # corrupt magic byte
+        .otherwise(wire_wrap(sid, payload)).alias("value"),
+    )
+    return (
+        wrapped.filter(wire_is_valid(F.col("value")))
+        .select(
+            "doc_id",
+            wire_schema_id(F.col("value")).alias("schema_id"),
+            F.decode(wire_payload(F.col("value")), "UTF-8").alias("payload_text"),
+        )
+    )
+
+
+def _wire_roundtrip_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 proto flavor: header + uvarint message-index (always 0 in the
+    reference, proto/consumer/main.go:57-59)."""
+    docs = load_table(spark, "documents", sf_dir)
+    payload = F.encode("text", "UTF-8")
+    sid = (F.col("doc_id") % 100 + 1).cast("long")
+    wrapped = docs.select(
+        "doc_id", wire_wrap_proto(sid, payload).alias("value"))
+    return wrapped.select(
+        "doc_id",
+        wire_schema_id(F.col("value")).alias("schema_id"),
+        F.decode(wire_payload_proto(F.col("value")), "UTF-8").alias("payload_text"),
+    )
+
+
+def _fnv_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/F1: the reference's custom partitioner over customer names, plus the
+    literal "CUSTOM" override row (custom_order_partitioner.go:22-31)."""
+    cust = load_table(spark, "customer", sf_dir).select("c_name")
+    with_override = cust.union(
+        spark.range(1).select(F.lit("CUSTOM").alias("c_name")))
+    return with_override.select(
+        "c_name",
+        fnv1a_32(F.col("c_name")).alias("fnv32"),
+        fnv1a_partition(F.col("c_name"), 8).alias("partition"),
+    )
+
+
+# FNV-1a 32-bit as a DuckDB fold — byte-for-byte the Go hash/fnv algorithm.
+_FNV_SQL = ("list_reduce(list_prepend(2166136261::BIGINT, "
+            "list_transform(range(1, length({col})+1), i -> ord({col}[i]))), "
+            "(a,b) -> (xor(a,b) * 16777619) % 4294967296)")
+
+# Sequential left-to-right fold of a double list (matches Spark F.aggregate).
+_FOLD = "list_reduce(list_prepend(0.0::DOUBLE, {lst}), (a,b) -> a + b)"
+
+_COSINE_SQL = (
+    f"round({_FOLD.format(lst='list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i])')}"
+    f" / (sqrt({_FOLD.format(lst='list_transform({a}, x -> x*x)')})"
+    f" * sqrt({_FOLD.format(lst='list_transform({b}, x -> x*x)')})), 6)"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return _COSINE_SQL.replace("{a}", a).replace("{b}", b)
+
+
+_SHINGLE_CTE = """
+words AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w,
+           generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+    FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           w || ' ' || lead(w, 1) OVER wd || ' ' || lead(w, 2) OVER wd AS shingle
+    FROM words WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY lead(w, 2) OVER wd IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    # ------------------------------------------------------------------
+    # Reference operators (SURVEY §2A)
+    # ------------------------------------------------------------------
+    "a5_fnv_partitioner": QuerySpec(
+        _fnv_partitions,
+        f"""
+        WITH names AS (SELECT c_name FROM customer UNION ALL SELECT 'CUSTOM')
+        SELECT c_name, {_FNV_SQL.format(col='c_name')} AS fnv32,
+               CASE WHEN c_name = 'CUSTOM' THEN 0
+                    ELSE ({_FNV_SQL.format(col='c_name')} % 8)::INTEGER END::INTEGER
+                   AS "partition"
+        FROM names
+        """),
+    "a6_derive_total": QuerySpec(
+        _t("lineitem")(relational.derive_total),
+        """
+        SELECT l_orderkey, l_linenumber,
+               l_quantity * l_extendedprice AS total
+        FROM lineitem
+        """),
+    "a9_wire_roundtrip": QuerySpec(
+        _wire_roundtrip,
+        """
+        SELECT doc_id, (doc_id % 100 + 1)::BIGINT AS schema_id, text AS payload_text
+        FROM documents WHERE doc_id % 7 <> 0
+        """),
+    "a9_wire_roundtrip_proto": QuerySpec(
+        _wire_roundtrip_proto,
+        """
+        SELECT doc_id, (doc_id % 100 + 1)::BIGINT AS schema_id, text AS payload_text
+        FROM documents
+        """),
+    "a15_partition_ordered": QuerySpec(
+        _t("events")(windows.partition_ordered_records),
+        """
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::INTEGER AS seq
+        FROM events
+        """),
+    "a16_commit_offsets": QuerySpec(
+        _t("events")(relational.commit_offsets),
+        """
+        SELECT user_id, max(event_id) + 1 AS commit_offset, count(*) AS n_records
+        FROM events GROUP BY user_id
+        """),
+    "a19_route_events": QuerySpec(
+        _t("events")(relational.route_events),
+        f"""
+        SELECT event_type, count(*) AS n_events,
+               {DSUM.format(x='value')} AS sum_value
+        FROM events GROUP BY event_type
+        """),
+    "a20_key_fallback": QuerySpec(
+        _t("events")(relational.key_fallback),
+        """
+        SELECT event_id,
+               coalesce(json_extract_string(props, '$.k'), user_id::VARCHAR, '')
+                   AS record_key
+        FROM events
+        """),
+
+    # ------------------------------------------------------------------
+    # Relational core (SURVEY §2C C1-C5)
+    # ------------------------------------------------------------------
+    "c1_filter": QuerySpec(
+        _t("lineitem")(relational.filter_lineitem),
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1998-09-02'
+          AND l_discount BETWEEN 0.05 AND 0.07
+        """),
+    "c2_project_scalar": QuerySpec(
+        _t("lineitem")(relational.project_scalar),
+        """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS disc_price,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        FROM lineitem
+        """),
+    "c3_pricing_summary": QuerySpec(
+        _t("lineitem")(relational.agg_pricing_summary),
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {DSUM.format(x='l_quantity')} AS sum_qty,
+               {DSUM.format(x='l_extendedprice')} AS sum_base_price,
+               {DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {DSUM.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {DSUM.format(x='l_quantity')} / count(*) AS avg_qty,
+               {DSUM.format(x='l_extendedprice')} / count(*) AS avg_price,
+               {DSUM.format(x='l_discount')} / count(*) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """),
+    "c4_distinct": QuerySpec(
+        _t("orders")(relational.distinct_customers),
+        """
+        SELECT count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
+        FROM orders
+        """),
+    "c4_approx_distinct": QuerySpec(
+        _t("orders")(relational.approx_distinct_customers),
+        None),  # HLL++ sketch — tolerance-checked in tests, rows-only here
+    "c5_rollup": QuerySpec(
+        _t("orders customer nation")(relational.rollup_priority),
+        f"""
+        SELECT n_name, o_orderpriority, count(*) AS n_orders,
+               {DSUM.format(x='o_totalprice')} AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, o_orderpriority)
+        """),
+
+    # ------------------------------------------------------------------
+    # Joins (C6-C10)
+    # ------------------------------------------------------------------
+    "c6_broadcast_join": QuerySpec(
+        _t("orders customer")(joins.broadcast_join_revenue),
+        f"""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               {DSUM.format(x='o_totalprice')} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """),
+    "c7_multiway_join": QuerySpec(
+        _t("lineitem orders customer nation region")(joins.multiway_join_revenue),
+        f"""
+        SELECT n_name,
+               {DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        """),
+    "c8_left_join": QuerySpec(
+        _t("customer orders")(joins.left_join_order_counts),
+        """
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+        """),
+    "c8_semi_join": QuerySpec(
+        _t("customer orders")(joins.semi_join_active_customers),
+        """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        """),
+    "c8_anti_join": QuerySpec(
+        _t("customer orders")(joins.anti_join_idle_customers),
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """),
+    "c9_range_join": QuerySpec(
+        _t("events")(joins.range_join_followups),
+        """
+        SELECT e1.event_id AS event_id, count(*) AS n_followups
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        GROUP BY e1.event_id
+        """),
+    "c10_asof_join": QuerySpec(
+        _t("events orders")(joins.asof_join_latest_order),
+        """
+        WITH cand AS (
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (PARTITION BY e.event_id
+                                      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM events e LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        SELECT event_id, user_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
+        """),
+
+    # ------------------------------------------------------------------
+    # Window functions, sort/limit (C11-C13; A15 above)
+    # ------------------------------------------------------------------
+    "c11_rank": QuerySpec(
+        _t("orders")(windows.rank_orders_per_customer),
+        """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w::INTEGER AS rn,
+               rank() OVER w::INTEGER AS rnk,
+               dense_rank() OVER w::INTEGER AS drnk
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """),
+    "c12_analytic_frames": QuerySpec(
+        _t("orders")(windows.analytic_frames),
+        """
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               (sum(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+                   AS running_total,
+               (sum(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))::DOUBLE
+                   / (count(*) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS sliding_avg
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """),
+    "c13_topk": QuerySpec(
+        _t("orders")(windows.top_orders),
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """),
+    "c13_topk_per_group": QuerySpec(
+        _t("orders")(windows.top_orders_per_customer),
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)::INTEGER AS rn
+            FROM orders) WHERE rn <= 3
+        """),
+
+    # ------------------------------------------------------------------
+    # Set operations (C14)
+    # ------------------------------------------------------------------
+    "c14_union_all": QuerySpec(
+        _t("orders")(setops.union_all_counts),
+        """
+        SELECT count(*) AS n_rows FROM (
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            UNION ALL
+            SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 150000)
+        """),
+    "c14_union_distinct": QuerySpec(
+        _t("orders")(setops.union_distinct),
+        """
+        SELECT count(*) AS n_rows FROM (
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            UNION
+            SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 150000)
+        """),
+    "c14_intersect": QuerySpec(
+        _t("orders")(setops.intersect_rows),
+        """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        INTERSECT
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 150000
+        """),
+    "c14_except": QuerySpec(
+        _t("orders")(setops.except_rows),
+        """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        EXCEPT ALL
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 150000
+        """),
+
+    # ------------------------------------------------------------------
+    # Scalar function sweeps (C15-C19)
+    # ------------------------------------------------------------------
+    "c15_string_fns": QuerySpec(
+        _t("part")(scalars.string_functions),
+        """
+        SELECT p_partkey,
+               upper(p_name) AS upper_name,
+               lower(p_brand) AS lower_brand,
+               substring(p_name, 1, 5) AS name5,
+               concat_ws('/', p_brand, p_type) AS brand_type,
+               p_name LIKE '%green%' AS is_green,
+               regexp_extract(p_name, '(\\w+)$', 1) AS last_word,
+               len(string_split(p_name, ' '))::INTEGER AS n_words,
+               length(p_name)::INTEGER AS name_len,
+               trim('  pad  ') AS trimmed
+        FROM part
+        """),
+    "c16_date_fns": QuerySpec(
+        _t("orders")(scalars.date_functions),
+        """
+        SELECT o_orderkey,
+               year(o_orderdate)::INTEGER AS yr,
+               month(o_orderdate)::INTEGER AS mo,
+               day(o_orderdate)::INTEGER AS dom,
+               date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+               date_diff('day', o_orderdate::DATE, DATE '1998-12-31')::INTEGER
+                   AS days_to_eoy,
+               date_trunc('day', o_orderdate)::TIMESTAMP AS order_day,
+               epoch(o_orderdate)::BIGINT AS epoch_s
+        FROM orders
+        """),
+    "c17_math_fns": QuerySpec(
+        _t("lineitem")(scalars.math_functions),
+        """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice, 1) AS rounded,
+               abs(l_discount - 0.05) AS abs_delta,
+               ceil(l_quantity)::BIGINT AS qty_ceil,
+               floor(l_quantity)::BIGINT AS qty_floor,
+               round(pow(l_discount, 2), 6) AS disc_sq,
+               round(sqrt(l_extendedprice), 6) AS price_sqrt,
+               l_orderkey % 7 AS key_mod,
+               round(ln(l_extendedprice + 1), 6) AS price_ln
+        FROM lineitem
+        """),
+    "c18_array_fns": QuerySpec(
+        _t("embeddings")(scalars.array_functions),
+        f"""
+        SELECT vec_id,
+               len(embedding)::INTEGER AS dim,
+               round((embedding::DOUBLE[])[1], 6) AS first_val,
+               round({_FOLD.format(lst='embedding::DOUBLE[]')}, 6) AS vec_sum,
+               round({_FOLD.format(lst="list_transform((embedding::DOUBLE[])[1:8], x -> x*x)")}, 6)
+                   AS head_sq_norm,
+               len(list_filter(embedding::DOUBLE[], x -> x > 0))::INTEGER AS n_positive,
+               round(list_aggregate(embedding::DOUBLE[], 'min'), 6) AS min_val,
+               round(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS max_val
+        FROM embeddings
+        """),
+    "c18_explode": QuerySpec(
+        _t("documents")(scalars.explode_tokens),
+        """
+        SELECT doc_id,
+               (generate_subscripts(string_split(trim(text), ' '), 1) - 1)::INTEGER AS pos,
+               unnest(string_split(trim(text), ' ')) AS token
+        FROM documents WHERE doc_id < 50
+        """),
+    "c19_json_fns": QuerySpec(
+        _t("events")(scalars.json_functions),
+        None),  # JSON fn sweep has array/struct outputs → pinned by pytest instead
+
+    # ------------------------------------------------------------------
+    # Event-time batch forms (C22-C27)
+    # ------------------------------------------------------------------
+    "c22_tumbling_window": QuerySpec(
+        _t("events")(event_time.tumbling_counts),
+        f"""
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               count(*) AS n, {DSUM.format(x='value')} AS sum_value
+        FROM events GROUP BY 1, 2
+        """),
+    "c23_sliding_window": QuerySpec(
+        _t("events")(event_time.sliding_counts),
+        f"""
+        SELECT (to_timestamp(floor(epoch(ts) / 900) * 900 - k * 900))::TIMESTAMP
+                   AS win_start,
+               count(*) AS n, {DSUM.format(x='value')} AS sum_value
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) expand
+        GROUP BY 1
+        """),
+    "c24_session_window": QuerySpec(
+        _t("events")(event_time.session_counts),
+        f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessioned AS (
+            SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n,
+               {DSUM.format(x='value')} AS sum_value
+        FROM sessioned GROUP BY user_id, sid
+        """),
+    "c25_late_data": QuerySpec(
+        _t("events")(event_time.late_data_filtered_counts),
+        """
+        WITH cutoff AS (SELECT max(ts) - INTERVAL 60 MINUTE AS c FROM events)
+        SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+        FROM events, cutoff WHERE ts >= c GROUP BY 1, 2
+        """),
+    "c26_dedup_first": QuerySpec(
+        _t("events")(event_time.dedup_first_event),
+        """
+        SELECT user_id, event_type, event_id, ts FROM (
+            SELECT user_id, event_type, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events) WHERE rn = 1
+        """),
+    "c27_running_state": QuerySpec(
+        _t("events")(event_time.running_user_state),
+        """
+        SELECT user_id, event_id,
+               count(*) OVER w AS running_n,
+               (sum(CAST(value AS DECIMAL(27,6))) OVER w)::DOUBLE AS running_sum
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """),
+
+    # ------------------------------------------------------------------
+    # UDAF surface (C21) — scalar UDFs (C20) are a5/a9 above
+    # ------------------------------------------------------------------
+    "c21_weighted_avg_udaf": QuerySpec(
+        _t("events")(udx.weighted_avg_by_type),
+        """
+        SELECT event_type,
+               round(sum(value * ((user_id % 5) + 1)) / sum((user_id % 5) + 1), 6)
+                   AS weighted_avg,
+               count(*) AS n
+        FROM events GROUP BY event_type
+        """),
+    "c21_tokenize_udtf": QuerySpec(
+        _t("documents")(text.tokenize_wordfreq),
+        """
+        SELECT w AS token, count(*) AS freq FROM (
+            SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w HAVING count(*) >= 10
+        """),
+
+    # ------------------------------------------------------------------
+    # Dedup (C28-C29) + similarity
+    # ------------------------------------------------------------------
+    "c28_exact_dedup": QuerySpec(
+        _t("documents")(dedup.exact_dedup),
+        """
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+        """),
+    "c28_kept_documents": QuerySpec(
+        _t("documents")(dedup.dedup_kept_documents),
+        """
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        """),
+    "c29_ngram_jaccard": QuerySpec(
+        _t("documents")(lambda d: dedup.ngram_jaccard_pairs(d, threshold=0.1)),
+        f"""
+        WITH {_SHINGLE_CTE},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.1
+        """),
+    "c29_minhash_lsh": QuerySpec(
+        _t("documents")(lambda d: dedup.minhash_lsh_pairs(d, threshold=0.1)),
+        None),  # LSH candidates — recall pinned against c29_ngram_jaccard in pytest
+    "c29_simhash": QuerySpec(
+        _t("documents")(lambda d: dedup.simhash_near_pairs(d, max_hamming=10)),
+        None),  # xxhash64-based fingerprint — self-consistency pinned in pytest
+    "c29_cosine_topk": QuerySpec(
+        _t("embeddings")(similarity.brute_force_topk),
+        f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+        scored AS (
+            SELECT query_id, e.vec_id AS neighbor_id,
+                   {_cosine_sql('qv', 'e.v')} AS cosine_sim
+            FROM emb e, q WHERE e.vec_id <> query_id)
+        SELECT query_id, neighbor_id, cosine_sim, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id)::INTEGER AS rn
+            FROM scored) WHERE rn <= 5
+        """),
+    "c29_cosine_near_dup": QuerySpec(
+        _t("embeddings")(similarity.cosine_near_dup_pairs),
+        f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cosine_sql('a.v', 'b.v')} AS cosine_sim
+        FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        WHERE {_cosine_sql('a.v', 'b.v')} >= 0.35
+        """),
+    "c29_lsh_ann": QuerySpec(
+        _t("embeddings")(similarity.lsh_topk),
+        None),  # approximate ANN — recall vs c29_cosine_topk pinned in pytest
+
+    # ------------------------------------------------------------------
+    # Text analysis (C30) + multimodal (C31)
+    # ------------------------------------------------------------------
+    "c30_word_frequency": QuerySpec(
+        _t("documents")(text.word_frequency),
+        """
+        SELECT w AS word, count(*) AS freq FROM (
+            SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w HAVING count(*) >= 10
+        """),
+    "c30_doc_stats": QuerySpec(
+        _t("documents")(text.doc_stats),
+        f"""
+        WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS words
+                   FROM documents)
+        SELECT doc_id,
+               len(words)::INTEGER AS n_tokens,
+               len(list_distinct(words))::INTEGER AS n_distinct_tokens,
+               round(list_reduce(list_prepend(0::BIGINT,
+                         list_transform(words, w -> length(w)::BIGINT)),
+                     (a,b) -> a + b)::DOUBLE / len(words), 6) AS avg_token_len,
+               length(text)::INTEGER AS n_chars_actual
+        FROM t
+        """),
+    "c30_language_id": QuerySpec(
+        _t("documents")(text.language_id),
+        """
+        WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS words
+                   FROM documents),
+        scored AS (
+            SELECT doc_id, lang,
+                   round(len(list_filter(words, w -> list_contains(
+                             ['the','a','of','and','to'], lower(w))))::DOUBLE
+                         / len(words), 6) AS stopword_ratio
+            FROM t)
+        SELECT doc_id, lang, stopword_ratio,
+               CASE WHEN stopword_ratio > 0.02 THEN 'en' ELSE 'unknown' END
+                   AS lang_guess
+        FROM scored
+        """),
+    "c30_quality_score": QuerySpec(
+        _t("documents")(text.quality_score),
+        """
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS words
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     len(list_distinct(words))::DOUBLE / len(words) AS diversity,
+                     least(len(words)::DOUBLE / 200.0, 1.0) AS length_score
+              FROM t)
+        SELECT doc_id, round(diversity, 6) AS diversity,
+               round(length_score, 6) AS length_score,
+               round((diversity + length_score) / 2, 6) AS quality
+        FROM s
+        """),
+    "c30_token_counts": QuerySpec(
+        _t("documents")(text.token_counts),
+        """
+        SELECT doc_id,
+               len(string_split(trim(text), ' '))::INTEGER AS ws_tokens,
+               ceil(length(text) / 4.0)::BIGINT AS bpe_est
+        FROM documents
+        """),
+    "c30_fingerprints": QuerySpec(
+        _t("documents")(text.fingerprints),
+        """
+        SELECT doc_id,
+               list_reduce(list_prepend(0::BIGINT,
+                   list_transform(string_split(trim(text), ' '),
+                                  w -> (length(w) * 7 + ord(w[1]))::BIGINT)),
+                   (a,b) -> (a * 31 + b) % 2147483647) AS fingerprint
+        FROM documents
+        """),
+    "c31_media_metadata": QuerySpec(
+        _t("documents")(multimodal.media_metadata),
+        """
+        SELECT doc_id, 'text/plain' AS format,
+               octet_length(encode(text))::INTEGER AS n_bytes, source
+        FROM documents
+        """),
+    "c31_decode_image_stub": QuerySpec(
+        lambda spark, sf_dir: multimodal.decode_image_stub(
+            multimodal.to_media_table(load_table(spark, "documents", sf_dir))),
+        """
+        WITH m AS (SELECT doc_id, length(text) AS n, text FROM documents),
+        d AS (SELECT doc_id, n, greatest(1, floor(sqrt(n))::BIGINT) AS side, text
+              FROM m)
+        SELECT doc_id,
+               side::INTEGER AS width,
+               greatest(1, n // side)::INTEGER AS height,
+               list_reduce(list_prepend(0::BIGINT,
+                         list_transform(range(1, least(n, 256) + 1),
+                                        i -> ord(text[i])::BIGINT)),
+                     (a,b) -> a + b)::DOUBLE / least(n, 256) AS mean_intensity
+        FROM d
+        """),
+    "c31_frame_sample": QuerySpec(
+        lambda spark, sf_dir: multimodal.frame_sample_stub(
+            multimodal.to_media_table(load_table(spark, "documents", sf_dir))),
+        None),  # binary fan-out — shape pinned in pytest
+}
+
+
+def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    return QUERIES[name].fn(spark, sf_dir)

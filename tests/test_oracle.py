@@ -1,0 +1,30 @@
+"""DuckDB-oracle golden tests (SURVEY §5.1): every declared query with an
+oracle runs on sf0.001 and must match row-count, column names, and canonical
+values. This is the local twin of the driver's CORRECTNESS gate at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_streams_in_action_spark.plans.queries import QUERIES
+
+from .conftest import SF_DIR, assert_frames_match
+
+ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, duck, name):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, SF_DIR)
+    rel = duck.execute(spec.oracle)
+    assert_frames_match(sdf, rel, context=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    """Oracle-less queries must at least execute and return a stable schema."""
+    df = QUERIES[name].fn(spark, SF_DIR)
+    assert df.columns, name
+    df.limit(5).collect()

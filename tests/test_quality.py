@@ -1,0 +1,107 @@
+"""Tolerance / recall / shape checks for the oracle-less queries (approx
+sketches, LSH/ANN, simhash, multimodal stubs, JSON fn sweep)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_in_action_spark.operators import (
+    dedup, multimodal, scalars, similarity,
+)
+from kafka_streams_in_action_spark.sources.parquet import load_table
+
+from .conftest import SF_DIR
+
+
+def test_approx_count_distinct_within_2pct(spark, duck):
+    exact = duck.execute("SELECT count(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    approx = (
+        load_table(spark, "orders", SF_DIR)
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("a"))
+        .collect()[0]["a"]
+    )
+    assert abs(approx - exact) / exact <= 0.02
+
+
+def test_minhash_lsh_recall_against_exact_jaccard(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    lsh = {(r["doc_a"], r["doc_b"])
+           for r in dedup.minhash_lsh_pairs(docs, threshold=0.1).collect()}
+    # LSH verifies candidates with exact Jaccard → no false positives
+    assert lsh <= exact
+    # banding (8 bands × 4 rows) at j≥0.1 gives modest recall; just require
+    # it finds a nonempty, correct subset when exact pairs exist
+    if exact:
+        assert len(lsh) >= max(1, int(0.3 * len(exact)))
+
+
+def test_simhash_detects_near_duplicate(spark):
+    docs = load_table(spark, "documents", SF_DIR).limit(20)
+    # append a near-duplicate of doc 0 (one token changed)
+    base = docs.filter(F.col("doc_id") == 0).collect()[0]
+    words = base["text"].split()
+    words[len(words) // 2] = "PERTURBED"
+    near = spark.createDataFrame(
+        [(100000, " ".join(words), base["lang"], base["source"], base["n_chars"])],
+        schema=docs.schema)
+    aug = docs.union(near)
+    pairs = dedup.simhash_near_pairs(aug, max_hamming=10).collect()
+    assert any({r["doc_a"], r["doc_b"]} == {0, 100000} for r in pairs)
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(emb).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.lsh_topk(emb).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.2  # 4 planes / 16 buckets on random data — sanity bound
+    # every ANN answer must be a real corpus vector scored correctly (subset of
+    # per-query candidates ranked by true cosine) — spot-check determinism
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.lsh_topk(emb).collect()}
+    assert approx == again
+
+
+def test_json_fn_sweep_values(spark):
+    out = scalars.json_functions(load_table(spark, "events", SF_DIR)) \
+        .filter(F.col("event_id") == 0).collect()[0]
+    assert out["k_value"] == out["k_struct"]
+    assert out["keys"] == ["k"]
+    assert out["vals"] == [out["k_value"]]
+    assert '"event_type"' in out["as_json"]
+
+
+def test_decode_image_stub_shape(spark):
+    media = multimodal.to_media_table(load_table(spark, "documents", SF_DIR))
+    feats = multimodal.decode_image_stub(media)
+    rows = feats.limit(10).collect()
+    assert rows
+    for r in rows:
+        assert r["width"] >= 1 and r["height"] >= 1
+        assert 0 <= r["mean_intensity"] <= 255
+
+
+def test_frame_sample_stub_fanout(spark):
+    media = multimodal.to_media_table(
+        load_table(spark, "documents", SF_DIR).limit(5))
+    frames = multimodal.frame_sample_stub(media, every_nth=2)
+    rows = frames.collect()
+    assert rows
+    for r in rows:
+        assert len(bytes(r["frame"])) == 16
+        assert r["frame_no"] % 2 == 0
+
+
+def test_frame_decode_swappable_kernel(spark):
+    """The stub decoder is a seam: a real decoder drops in without touching
+    the Spark plumbing."""
+    media = multimodal.to_media_table(
+        load_table(spark, "documents", SF_DIR).limit(3))
+    feats = multimodal.decode_image_stub(
+        media, real_decoder=lambda b: (640, 480, 0.5))
+    for r in feats.collect():
+        assert (r["width"], r["height"], r["mean_intensity"]) == (640, 480, 0.5)
