@@ -86,6 +86,22 @@ def explode_tokens(documents: DataFrame) -> DataFrame:
     )
 
 
+def json_scalar_functions(events: DataFrame) -> DataFrame:
+    """C19a (oracle-matched): scalar-only JSON sweep — extraction via path,
+    json_tuple-style field pull, struct re-encode, key/value flattening."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.from_json("props", "k INT").getField("k").alias("k_struct"),
+        F.to_json(F.struct(F.col("event_type").alias("t"),
+                           F.col("user_id").alias("u"))).alias("as_json"),
+        F.array_join(F.map_keys(F.from_json("props", "map<string,int>")), ",")
+            .alias("keys_csv"),
+        F.array_join(F.map_values(F.from_json("props", "map<string,int>"))
+                     .cast("array<string>"), ",").alias("vals_csv"),
+    )
+
+
 def json_functions(events: DataFrame) -> DataFrame:
     """C19 over events.props (JSON string, e.g. {"k": 69})."""
     parsed = F.from_json("props", "k INT")

@@ -24,6 +24,9 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.binary_codecs import (
+    from_avro_avenger, from_proto_avenger, to_avro_avenger, to_proto_avenger,
+)
 from ..functions.serde import (
     fnv1a_32, fnv1a_partition, wire_wrap, wire_wrap_proto, wire_is_valid,
     wire_schema_id, wire_payload, wire_payload_proto,
@@ -92,6 +95,61 @@ def _wire_roundtrip_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
         wire_schema_id(F.col("value")).alias("schema_id"),
         F.decode(wire_payload_proto(F.col("value")), "UTF-8").alias("payload_text"),
     )
+
+
+def _avenger_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avenger-shaped rows (name, real_name, movies) synthesized from `part`
+    so the serde queries run on driver testdata (schema from avenger.avsc:6-15)."""
+    part = load_table(spark, "part", sf_dir)
+    return part.select(
+        "p_partkey",
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("real_name"),
+        F.split("p_type", " ").alias("movies"),
+    )
+
+
+def _avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/A12: struct → Avro binary → wire wrap → unwrap → struct. Output is
+    scalar-only (movies re-joined) so the oracle can hash-match it."""
+    av = _avenger_rows(spark, sf_dir)
+    encoded = av.select(
+        "p_partkey",
+        wire_wrap(100, to_avro_avenger("name", "real_name", "movies"))
+        .alias("value"))
+    decoded = encoded.filter(wire_is_valid(F.col("value"))).select(
+        "p_partkey", from_avro_avenger(wire_payload(F.col("value"))).alias("a"))
+    return decoded.select(
+        "p_partkey", F.col("a.name").alias("name"),
+        F.col("a.real_name").alias("real_name"),
+        F.array_join("a.movies", ",").alias("movies_csv"),
+        F.size("a.movies").alias("n_movies"))
+
+
+def _proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: struct → Protobuf binary → wire wrap (with uvarint message-index)
+    → unwrap → struct (avenegers.proto:7-11, util/index.go:16-36)."""
+    av = _avenger_rows(spark, sf_dir)
+    encoded = av.select(
+        "p_partkey",
+        wire_wrap_proto(100, to_proto_avenger("name", "real_name", "movies"))
+        .alias("value"))
+    decoded = encoded.filter(wire_is_valid(F.col("value"))).select(
+        "p_partkey",
+        from_proto_avenger(wire_payload_proto(F.col("value"))).alias("a"))
+    return decoded.select(
+        "p_partkey", F.col("a.name").alias("name"),
+        F.col("a.real_name").alias("real_name"),
+        F.array_join("a.movies", ",").alias("movies_csv"),
+        F.size("a.movies").alias("n_movies"))
+
+
+_AVENGER_ORACLE = """
+SELECT p_partkey, p_name AS name, p_brand AS real_name,
+       array_to_string(string_split(p_type, ' '), ',') AS movies_csv,
+       len(string_split(p_type, ' '))::INTEGER AS n_movies
+FROM part
+"""
 
 
 def _fnv_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,6 +231,8 @@ QUERIES: dict[str, QuerySpec] = {
         SELECT doc_id, (doc_id % 100 + 1)::BIGINT AS schema_id, text AS payload_text
         FROM documents
         """),
+    "a11_avro_roundtrip": QuerySpec(_avro_roundtrip, _AVENGER_ORACLE),
+    "a13_proto_roundtrip": QuerySpec(_proto_roundtrip, _AVENGER_ORACLE),
     "a15_partition_ordered": QuerySpec(
         _t("events")(windows.partition_ordered_records),
         """
@@ -478,6 +538,17 @@ QUERIES: dict[str, QuerySpec] = {
     "c19_json_fns": QuerySpec(
         _t("events")(scalars.json_functions),
         None),  # JSON fn sweep has array/struct outputs → pinned by pytest instead
+    "c19_json_scalars": QuerySpec(
+        _t("events")(scalars.json_scalar_functions),
+        """
+        SELECT event_id,
+               json_extract_string(props, '$.k')::INTEGER AS k_value,
+               json_extract_string(props, '$.k')::INTEGER AS k_struct,
+               '{"t":"' || event_type || '","u":' || user_id || '}' AS as_json,
+               'k' AS keys_csv,
+               json_extract_string(props, '$.k') AS vals_csv
+        FROM events
+        """),
 
     # ------------------------------------------------------------------
     # Event-time batch forms (C22-C27)

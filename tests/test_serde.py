@@ -123,6 +123,105 @@ def test_schema_registry_shim(tmp_path):
     assert reg2.subjects() == ["avro-avengers-value"]
 
 
+def test_avro_binary_byte_layout():
+    """A12: byte-for-byte the generated Go writer's output
+    (avenger_avro.go:64-83): zigzag-varint string lengths, block-coded array."""
+    from kafka_streams_in_action_spark.functions.binary_codecs import (
+        avro_decode_avenger_py, avro_encode_avenger_py)
+    # "Hulk"(4→zigzag 8), "Bruce"(5→10), 2 movies block, terminator
+    b = avro_encode_avenger_py("Hulk", "Bruce", ["Avengers", "Endgame"])
+    assert b[0] == 8 and b[1:5] == b"Hulk"
+    assert b[5] == 10 and b[6:11] == b"Bruce"
+    assert b[11] == 4  # zigzag(2) — array block count
+    assert b[12] == 16 and b[13:21] == b"Avengers"
+    assert b[-1] == 0  # block terminator
+    assert avro_decode_avenger_py(b) == ("Hulk", "Bruce", ["Avengers", "Endgame"])
+    # empty array: bare terminator (array_string.go:16-18)
+    e = avro_encode_avenger_py("X", "", [])
+    assert e.endswith(b"\x00\x00")  # empty real_name (len 0) + terminator
+    assert avro_decode_avenger_py(e) == ("X", "", [])
+
+
+def test_proto_binary_byte_layout():
+    """A13: proto3 TLV layout for avenegers.proto fields 1/2/3."""
+    from kafka_streams_in_action_spark.functions.binary_codecs import (
+        proto_decode_avenger_py, proto_encode_avenger_py)
+    b = proto_encode_avenger_py("Hulk", "Bruce", ["Avengers"])
+    assert b[0] == 0x0A and b[1] == 4 and b[2:6] == b"Hulk"
+    assert b[6] == 0x12 and b[7] == 5 and b[8:13] == b"Bruce"
+    assert b[13] == 0x1A and b[14] == 8 and b[15:23] == b"Avengers"
+    assert proto_decode_avenger_py(b) == ("Hulk", "Bruce", ["Avengers"])
+    # proto3 zero values omitted → empty message
+    assert proto_encode_avenger_py("", "", []) == b""
+    assert proto_decode_avenger_py(b"") == ("", "", [])
+
+
+def test_binary_codec_roundtrip_property():
+    """Round-trip identity over generated inputs (SURVEY §5.2), incl. unicode,
+    long strings (multi-byte varints), and many-element arrays."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_streams_in_action_spark.functions.binary_codecs import (
+        avro_decode_avenger_py, avro_encode_avenger_py,
+        proto_decode_avenger_py, proto_encode_avenger_py)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=300), st.text(max_size=300),
+           st.lists(st.text(max_size=50), max_size=20))
+    def check(name, real_name, movies):
+        assert avro_decode_avenger_py(
+            avro_encode_avenger_py(name, real_name, movies)
+        ) == (name, real_name, movies)
+        # proto3 can't distinguish absent from empty-string/empty-list
+        pn, pr, pm = proto_decode_avenger_py(
+            proto_encode_avenger_py(name, real_name, movies))
+        assert (pn, pr, pm) == (name, real_name, movies)
+
+    check()
+
+
+def test_binary_codec_spark_roundtrip(spark):
+    """A11-A13 through the Spark column API with wire-format framing."""
+    from pyspark.sql import functions as SF
+
+    from kafka_streams_in_action_spark.functions.binary_codecs import (
+        from_avro_avenger, from_proto_avenger, to_avro_avenger,
+        to_proto_avenger)
+    df = spark.createDataFrame(
+        [("Hulk", "Bruce Banner", ["Avengers", "Endgame"]),
+         ("Thor", "Thor", [])],
+        ["name", "real_name", "movies"])
+    for enc, dec in [(to_avro_avenger, from_avro_avenger),
+                     (to_proto_avenger, from_proto_avenger)]:
+        wrapped = df.select(
+            "name", "real_name", "movies",
+            wire_wrap(7, enc("name", "real_name", "movies")).alias("v"))
+        out = wrapped.select(
+            "name", "real_name", "movies",
+            dec(wire_payload(SF.col("v"))).alias("a")).collect()
+        for r in out:
+            assert r["a"]["name"] == r["name"]
+            assert r["a"]["real_name"] == r["real_name"]
+            assert list(r["a"]["movies"]) == list(r["movies"])
+
+
+def test_binary_decode_permissive_on_malformed(spark):
+    """Truncated/garbage payloads decode to null fields, not job failure —
+    the reference's skip-with-log semantic (cmd/consumer/main.go:43-46)."""
+    from pyspark.sql import functions as SF
+
+    from kafka_streams_in_action_spark.functions.binary_codecs import (
+        from_avro_avenger, from_proto_avenger)
+    df = spark.createDataFrame(
+        [(b"\x08Hulk\x0aBru",), (b"\xff\xff\xff",), (None,)], "v binary")
+    for dec in (from_avro_avenger, from_proto_avenger):
+        rows = df.select(dec(SF.col("v")).alias("a")).collect()
+        assert len(rows) == 3  # no task failure
+        garbage = rows[1]["a"]
+        assert garbage is None or garbage["name"] in (None, "")
+
+
 @pytest.mark.parametrize("codec", ["avro", "protobuf"])
 def test_binary_codecs_available_or_gated(spark, codec):
     """A11-A13: from_avro/to_avro need the spark-avro module, from_protobuf
