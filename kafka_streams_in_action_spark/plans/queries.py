@@ -3,8 +3,9 @@
 
 Conventions that make the hash-match deterministic (SURVEY §7 "hard parts" #4):
 - Every computed column is aliased identically on both sides.
-- Large float64 sums go through DECIMAL(27,6) so partial-agg order can't
-  perturb low bits, then back to DOUBLE and round.
+- Large float64 sums are quantized per-row (DECIMAL(18,6) cast) and summed
+  as exact integer micro-units so partial-agg order can't perturb low bits
+  (operators/exact.py has the full contract).
 - Sequential folds (array sums, fingerprints, cosine) use the same left-to-
   right order in both engines, so they agree bitwise.
 - Counts are BIGINT on both sides; DuckDB len()/year()/row_number() are cast
@@ -55,8 +56,11 @@ def _t(name):
     return deco
 
 
-# Exact-decimal sum: immune to partial-aggregation order (see module docstring).
-DSUM = "sum(CAST({x} AS DECIMAL(27,6)))::DOUBLE"
+# Exact fixed-point sum: per-value 6-decimal quantization (DECIMAL cast), then
+# an exact integer sum — immune to partial-aggregation order and identical to
+# the Spark side's long-micro-unit fast path (operators/exact.py).
+DSUM = ("(sum((CAST({x} AS DECIMAL(18,6)) * 1000000)::BIGINT)::DOUBLE"
+        " / 1000000)")
 
 
 def _wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
