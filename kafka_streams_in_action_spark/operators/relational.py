@@ -107,6 +107,29 @@ def rollup_priority(orders: DataFrame, customer: DataFrame, nation: DataFrame) -
     )
 
 
+def cube_priority(orders: DataFrame) -> DataFrame:
+    """C5b: CUBE(o_orderstatus, o_orderpriority) — all 4 grouping combinations
+    in one Expand + hash agg."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum("o_totalprice").alias("total_price"))
+    )
+
+
+def grouping_sets_priority(orders: DataFrame) -> DataFrame:
+    """C5c: explicit GROUPING SETS ((status), (priority)) with grouping-id
+    disambiguation — the general form rollup/cube compile to."""
+    orders.createOrReplaceTempView("_gs_orders")
+    return orders.sparkSession.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               grouping(o_orderstatus) AS g_status
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+
+
 def derive_total(lineitem: DataFrame) -> DataFrame:
     """A6 (sales_consumer_client.go:89-96 batchified): per-record derived column
     total = quantity × price, projected with its keys. Stateless map — no shuffle."""

@@ -87,6 +87,67 @@ def _fixed_planes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+    """C29 scale path #2: IVF (inverted-file) ANN. The corpus partitions into
+    `n_cells` Voronoi cells around centroid vectors; a query scores only the
+    `n_probe` cells whose centroids are nearest, so the scored fraction is
+    ~n_probe/n_cells of the corpus regardless of corpus size.
+
+    Centroids here are the first `n_cells` corpus vectors (deterministic seed
+    pick — a production build would run k-means refinement; the partition/
+    probe/score plumbing is identical). Cell assignment is JVM-side column
+    algebra: an array of centroid cosines → argmax. The centroid list is tiny
+    (n_cells × dim floats) and ships as plan literals, the Spark analog of a
+    broadcast dictionary; the corpus shuffles once on cell id at index-build
+    time, and queries touch n_probe buckets.
+    """
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    cents = [(r["vec_id"], list(r["vec"])) for r in
+             emb.filter(F.col("vec_id") < n_cells).collect()]
+
+    def cell_sims(vec):
+        return F.array(*[
+            _cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))
+            for _, cvec in cents])
+
+    # index build: corpus → (cell, vec); at scale this materializes bucketed
+    sims = cell_sims(F.col("vec"))
+    corpus = emb.select(
+        "vec_id", "vec",
+        (F.array_position(sims, F.array_max(sims)) - 1).alias("cell"))
+
+    # query side: top n_probe cells each, exploded to (query, probe_cell)
+    qsims = cell_sims(F.col("vec"))
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
+                qsims.alias("sims"))
+        .select("query_id", "qvec", F.explode(F.slice(
+            F.reverse(F.array_sort(F.zip_with(
+                F.col("sims"),
+                F.sequence(F.lit(0), F.lit(len(cents) - 1)).cast("array<double>"),
+                lambda s, i: F.struct(s.alias("s"), i.alias("i"))))),
+            1, n_probe)).alias("probe"))
+        .select("query_id", "qvec", F.col("probe.i").cast("long").alias("qcell"))
+    )
+
+    pairs = corpus.join(F.broadcast(q),
+                        (F.col("cell") == F.col("qcell"))
+                        & (F.col("vec_id") != F.col("query_id")))
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+    )
+
+
 def lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
              n_planes: int = 4, dim: int = 64) -> DataFrame:
     """C29 scale path: random-hyperplane LSH. Corpus and queries bucket by sign

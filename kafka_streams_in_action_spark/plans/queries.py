@@ -156,6 +156,33 @@ FROM part
 """
 
 
+# Spark-SQL spelling of the same exact fixed-point sum (ANSI CAST syntax).
+SPARK_DSUM = ("(CAST(sum(CAST(CAST({x} AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+              " AS DOUBLE) / 1000000)")
+
+
+def _sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface (SURVEY §2B: 'Spark SQL *is* the parser'): TPC-H Q3 shape
+    expressed as a SQL string over registered views — same Catalyst plan as
+    the DataFrame form, proving the parser/analyzer path end-to-end."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(f"""
+        SELECT l_orderkey,
+               {SPARK_DSUM.format(x='l_extendedprice * (1 - l_discount)')}
+                   AS revenue,
+               o_orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """)
+
+
 def _fnv_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/F1: the reference's custom partitioner over customer names, plus the
     literal "CUSTOM" override row (custom_order_partitioner.go:22-31)."""
@@ -311,6 +338,36 @@ QUERIES: dict[str, QuerySpec] = {
     "c4_approx_distinct": QuerySpec(
         _t("orders")(relational.approx_distinct_customers),
         None),  # HLL++ sketch — tolerance-checked in tests, rows-only here
+    "sql_q3_top_revenue": QuerySpec(
+        _sql_q3,
+        f"""
+        SELECT l_orderkey,
+               {DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+               o_orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """),
+    "c5_cube": QuerySpec(
+        _t("orders")(relational.cube_priority),
+        f"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               {DSUM.format(x='o_totalprice')} AS total_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """),
+    "c5_grouping_sets": QuerySpec(
+        _t("orders")(relational.grouping_sets_priority),
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               (CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::INTEGER
+                   AS g_status
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """),
     "c5_rollup": QuerySpec(
         _t("orders customer nation")(relational.rollup_priority),
         f"""
@@ -699,6 +756,9 @@ QUERIES: dict[str, QuerySpec] = {
     "c29_lsh_ann": QuerySpec(
         _t("embeddings")(similarity.lsh_topk),
         None),  # approximate ANN — recall vs c29_cosine_topk pinned in pytest
+    "c29_ivf_ann": QuerySpec(
+        _t("embeddings")(similarity.ivf_topk),
+        None),  # IVF ANN — recall vs c29_cosine_topk pinned in pytest
 
     # ------------------------------------------------------------------
     # Text analysis (C30) + multimodal (C31)

@@ -52,6 +52,11 @@ def get_spark(app_name: str = "kafka_streams_in_action_spark",
         # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark can't read
         # natively; read the raw int64 and convert (sources/parquet.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # transformWithState requires RocksDB; it's also the state store that
+        # scales (incremental checkpoints, off-heap, changelog) — engine-wide.
+        .config("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -63,6 +63,59 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def running_user_state_tws(events: DataFrame) -> DataFrame:
+    """C27 on the Spark 4 arbitrary-state API (transformWithStateInPandas):
+    the same per-user running count/sum as running_user_state_stream, with
+    state declared through a StatefulProcessor handle (ValueState) instead of
+    the applyInPandasWithState callback. This is the engine's forward path —
+    typed state, explicit init/close lifecycle, per-key timers when needed.
+
+    Requires the `protobuf` python package (the TWS state-server protocol) and
+    the RocksDB state store provider (set in session.py); in environments
+    without protobuf, running_user_state_stream is the supported path.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    class RunningState(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType([
+                StructField("n", LongType()),
+                StructField("total", DoubleType()),
+            ])
+            self._state = handle.getValueState("running", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (0, 0.0)
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "running_n": [n],
+                "running_sum": [round(total, 2)],
+            })
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningState(),
+            outputStructType="user_id long, running_n long, running_sum double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def running_user_state_stream(events: DataFrame) -> DataFrame:
     """C27: arbitrary stateful op — per-user running count/sum via
     applyInPandasWithState (the generalization of the reference's offset

@@ -66,6 +66,22 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     assert approx == again
 
 
+def test_ivf_ann_recall_vs_brute_force(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(emb).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.ivf_topk(emb).collect()}
+    recall = len(brute & approx) / len(brute)
+    # probing 4/16 cells scores ~25% of the corpus; near-random embeddings
+    # make this a structural sanity bound, not a quality promise
+    assert recall >= 0.2
+    # deterministic: same centroids, same cells, same answer
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.ivf_topk(emb).collect()}
+    assert approx == again
+
+
 def test_json_fn_sweep_values(spark):
     out = scalars.json_functions(load_table(spark, "events", SF_DIR)) \
         .filter(F.col("event_id") == 0).collect()[0]

@@ -100,6 +100,21 @@ def test_running_state_stream_final_state_matches_batch(spark, events_dir):
     assert {u: v[0] for u, v in final.items()} == batch_n
 
 
+def test_running_state_tws_matches_batch(spark, events_dir):
+    """C27 via the Spark 4 transformWithStateInPandas API — same contract as
+    the applyInPandasWithState twin. The TWS state protocol needs the
+    `protobuf` python package (not shipped in this container), so this runs
+    wherever that dependency exists and documents the forward path here."""
+    pytest.importorskip("google.protobuf")
+    stream = stateful.running_user_state_tws(_read_stream(spark, events_dir))
+    out = _run_to_memory(spark, stream, "stream_state_tws", "update")
+    final = {r["user_id"]: r["running_n"] for r in out.collect()}
+    batch = event_time.running_user_state(load_table(spark, "events", SF_DIR))
+    batch_n = {r["user_id"]: r["n"] for r in
+               batch.groupBy("user_id").agg(F.max("running_n").alias("n")).collect()}
+    assert final == batch_n
+
+
 def test_sales_pipeline_end_to_end(spark, tmp_path):
     """§3.1 smoke (t1): produce (rate → JSON → FNV partition → parquet topic)
     then consume (decode → total) — the reference's hello-world lifecycle."""
