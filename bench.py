@@ -37,6 +37,8 @@ HEADLINE = [
     "c30_word_frequency",    # explode + agg
     "c30_fingerprints",      # higher-order fold
     "c29_cosine_topk",       # similarity search (brute top-k)
+    "c29_ivf_ann",           # similarity search (IVF scale path)
+    "sql_q3_top_revenue",    # SQL-surface 3-way join + agg + top-k
     "a9_wire_roundtrip",     # serde + wire format
 ]
 

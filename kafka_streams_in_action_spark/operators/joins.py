@@ -97,6 +97,45 @@ def range_join_followups(events: DataFrame) -> DataFrame:
     )
 
 
+def salted_join(big: DataFrame, small: DataFrame, big_key: str, small_key: str,
+                salt_on: str, n_salts: int = 8) -> DataFrame:
+    """Skew-salting equi-join: the big side's hot keys are split across
+    `n_salts` sub-keys (deterministic salt = xxhash64 of a unique column, so
+    retries and the oracle agree); the small side replicates once per salt.
+    Join output is exactly the plain equi-join's.
+
+    AQE's skew-join split handles most skew at runtime; explicit salting is
+    the tool when a single key exceeds what one task can hold even after AQE
+    splitting (e.g. a null-key flood or a power-law head key), because it
+    also spreads the *build* side. Cost: small side × n_salts replication.
+    """
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts)))
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))
+                           .cast("array<bigint>")))
+    return (
+        salted_big.join(salted_small,
+                        (F.col(big_key) == F.col(small_key))
+                        & (salted_big["_salt"] == salted_small["_salt"]))
+        .drop("_salt")
+    )
+
+
+def salted_join_revenue(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """C6 under salting: same revenue-by-segment result as
+    broadcast_join_revenue, through the skew-spread join path — the oracle
+    equality *is* the correctness proof that salting changes distribution,
+    not semantics."""
+    joined = salted_join(orders, customer.select("c_custkey", "c_mktsegment"),
+                         "o_custkey", "c_custkey", salt_on="o_orderkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum("o_totalprice").alias("revenue"))
+    )
+
+
 def asof_join_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
     """C10: as-of join — for each event, the user's most recent order at/before
     the event timestamp. Spark SQL has no ASOF JOIN; the rewrite is equi-join on

@@ -12,6 +12,8 @@ DuckDB and Spark agree to well below the 6-decimal oracle rounding.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -96,49 +98,57 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
 
     Centroids here are the first `n_cells` corpus vectors (deterministic seed
     pick — a production build would run k-means refinement; the partition/
-    probe/score plumbing is identical). Cell assignment is JVM-side column
-    algebra: an array of centroid cosines → argmax. The centroid list is tiny
-    (n_cells × dim floats) and ships as plan literals, the Spark analog of a
-    broadcast dictionary; the corpus shuffles once on cell id at index-build
-    time, and queries touch n_probe buckets.
+    probe/score plumbing is identical). Cell assignment is dense linear
+    algebra — exactly the case where an Arrow-batched numpy matmul beats
+    per-element column expressions — so it runs as a vectorized pandas UDF:
+    one (batch × dim) @ (dim × n_cells) product per Arrow batch, centroids
+    closure-captured (the Spark analog of a broadcast dictionary). The
+    corpus shuffles once on cell id at index-build time; queries touch
+    n_probe buckets.
     """
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
-    cents = [(r["vec_id"], list(r["vec"])) for r in
-             emb.filter(F.col("vec_id") < n_cells).collect()]
+    cents = np.array(
+        [r["vec"] for r in
+         emb.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()])
+    # argmax of cosine == argmax of dot with L2-normalized centroids
+    cnorm_t = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
 
-    def cell_sims(vec):
-        return F.array(*[
-            _cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))
-            for _, cvec in cents])
+    @F.pandas_udf("long")
+    def best_cell(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        return pd.Series(np.argmax(m @ cnorm_t, axis=1))
+
+    @F.pandas_udf("array<long>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        order = np.argsort(-(m @ cnorm_t), axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe]))
 
     # index build: corpus → (cell, vec); at scale this materializes bucketed
-    sims = cell_sims(F.col("vec"))
-    corpus = emb.select(
-        "vec_id", "vec",
-        (F.array_position(sims, F.array_max(sims)) - 1).alias("cell"))
+    corpus = emb.select("vec_id", "vec", best_cell(F.col("vec")).alias("cell"))
 
     # query side: top n_probe cells each, exploded to (query, probe_cell)
-    qsims = cell_sims(F.col("vec"))
     q = (
         emb.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
-                qsims.alias("sims"))
-        .select("query_id", "qvec", F.explode(F.slice(
-            F.reverse(F.array_sort(F.zip_with(
-                F.col("sims"),
-                F.sequence(F.lit(0), F.lit(len(cents) - 1)).cast("array<double>"),
-                lambda s, i: F.struct(s.alias("s"), i.alias("i"))))),
-            1, n_probe)).alias("probe"))
-        .select("query_id", "qvec", F.col("probe.i").cast("long").alias("qcell"))
+                F.explode(probe_cells(F.col("vec"))).alias("qcell"))
     )
+
+    @F.pandas_udf("double")
+    def pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma, mb = np.vstack(a.to_numpy()), np.vstack(b.to_numpy())
+        dots = np.einsum("ij,ij->i", ma, mb)
+        return pd.Series(np.round(
+            dots / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)),
+            6))
 
     pairs = corpus.join(F.broadcast(q),
                         (F.col("cell") == F.col("qcell"))
                         & (F.col("vec_id") != F.col("query_id")))
     scored = pairs.select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
-        F.round(_cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine_sim"))
+        pair_cosine(F.col("qvec"), F.col("vec")).alias("cosine_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (

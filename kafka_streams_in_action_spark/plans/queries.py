@@ -390,6 +390,14 @@ QUERIES: dict[str, QuerySpec] = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         """),
+    "c6_salted_join": QuerySpec(
+        _t("orders customer")(joins.salted_join_revenue),
+        f"""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               {DSUM.format(x='o_totalprice')} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """),
     "c7_multiway_join": QuerySpec(
         _t("lineitem orders customer nation region")(joins.multiway_join_revenue),
         f"""

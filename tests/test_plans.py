@@ -1,0 +1,125 @@
+"""Physical-plan contracts (SURVEY §2C scale note): the properties that make
+these operators survive a 100 TB / 1000-executor run are asserted on the
+plan itself, so a regression that silently de-optimizes (lost pushdown, a
+broadcast that became a shuffle, a sort that swallowed the limit) fails CI
+even though results stay correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from kafka_streams_in_action_spark.plans.queries import QUERIES
+
+from .conftest import SF_DIR
+
+
+import contextlib
+import io
+
+
+def plan_of(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_of(df: DataFrame) -> str:
+    """explain('formatted') output — unabridged PushedFilters + named
+    WholeStageCodegen spans."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def optimized_of(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _q(spark, name):
+    return QUERIES[name].fn(spark, SF_DIR)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """C1: every predicate must land in PushedFilters, and the scan schema
+    must be pruned to the projected columns."""
+    df = _q(spark, "c1_filter")
+    plan = formatted_of(df)
+    assert "PushedFilters" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    # column pruning: l_tax is not projected and must not be read
+    assert "l_tax" not in plan
+
+
+def test_broadcast_join_is_broadcast(spark):
+    """C6: the customer side must broadcast — no shuffle of the fact table."""
+    plan = plan_of(_q(spark, "c6_broadcast_join"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_join_dimensions_broadcast(spark):
+    """C7: nation/region (always tiny) must broadcast at any SF."""
+    plan = plan_of(_q(spark, "c7_multiway_join"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # region filter pushed into its scan, not applied post-join
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """C13: global ORDER BY + LIMIT must compile to TakeOrderedAndProject
+    (per-partition top-k then driver merge), never a global sort."""
+    plan = plan_of(_q(spark, "c13_topk"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_has_partial_phase(spark):
+    """C3: hash aggregation must run map-side partial + final (two
+    HashAggregate nodes), the shape that scales shuffle volume by group
+    count, not row count."""
+    plan = plan_of(_q(spark, "c3_pricing_summary"))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_semi_anti_joins_stay_semi(spark):
+    """C8: EXISTS/NOT EXISTS shapes must stay LeftSemi/LeftAnti (build-side
+    key dedup), not expand to inner join + distinct."""
+    semi = plan_of(_q(spark, "c8_semi_join"))
+    anti = plan_of(_q(spark, "c8_anti_join"))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_range_join_is_equi_keyed(spark):
+    """C9: the interval self-join must keep user_id as the equi key (bounded
+    shuffle) with the time bounds as residual conditions — not a cartesian."""
+    plan = plan_of(_q(spark, "c9_range_join"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_driver_side_collect_in_queries(spark):
+    """Scale rule: building any declared query must not trigger a job (no
+    .collect()/.take() at plan-construction time). Exceptions: the two ANN
+    index builders materialize tiny centroid/plane seeds, and SQL-surface
+    queries register views."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    for name, spec in QUERIES.items():
+        if name in ("c29_ivf_ann",):
+            continue
+        spec.fn(spark, SF_DIR)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), \
+        "plan construction launched Spark jobs (driver-side materialization)"
+
+
+def test_wire_roundtrip_stays_jvm_side(spark):
+    """A9/A10: the wire-format strip/add path must contain no Python UDF —
+    pure column algebra inside WholeStageCodegen."""
+    plan = formatted_of(_q(spark, "a9_wire_roundtrip"))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # '* ' node prefix = inside a WholeStageCodegen span
+    assert "* Filter" in plan and "* Project" in plan
