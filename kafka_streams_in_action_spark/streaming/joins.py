@@ -1,0 +1,56 @@
+"""Streaming joins (SURVEY §2C C6/C9 streaming forms).
+
+- stream-static: a stream enriched against a batch dimension table — no
+  state, the static side behaves like a broadcast dimension (C6's
+  streaming column in §2C).
+- stream-stream interval join: the canonical watermarked two-stream
+  correlation (C9's streaming column). Both sides buffer in the state
+  store; the watermark + the time-bound join condition let Spark evict
+  state once no future match is possible, so state size tracks the
+  interval horizon, not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_static_enrich(events_stream: DataFrame,
+                         customer_static: DataFrame) -> DataFrame:
+    """C6 streaming form: enrich each event with its customer's segment.
+    The static side re-resolves per micro-batch (picks up dimension
+    updates); equality with the batch join is exact since no state is
+    involved."""
+    dim = customer_static.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        events_stream.join(F.broadcast(dim), "user_id", "left")
+        .select("event_id", "user_id", "event_type", "c_mktsegment")
+    )
+
+
+def stream_stream_interval_join(left: DataFrame, right: DataFrame,
+                                watermark: str = "10 minutes",
+                                interval_minutes: int = 5) -> DataFrame:
+    """C9 streaming form: for each left event, right events of the same user
+    in (ts, ts + interval]. Both sides watermarked; the range condition
+    bounds buffered state to the interval horizon.
+
+    Returns the matched pairs (not the count) so output mode append works
+    without an aggregation watermark interaction; the batch twin aggregates
+    the same pairs.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") > F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts")
+               + F.expr(f"INTERVAL {interval_minutes} MINUTES")),
+        )
+        .select(F.col("l.event_id").alias("event_id"),
+                F.col("r.event_id").alias("followup_id"))
+    )

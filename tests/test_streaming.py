@@ -9,9 +9,10 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from kafka_streams_in_action_spark.operators import event_time
+from kafka_streams_in_action_spark.operators import event_time, joins as bjoins
 from kafka_streams_in_action_spark.sources.parquet import _EVENTS_RAW, load_table
 from kafka_streams_in_action_spark.streaming import pipelines, stateful
+from kafka_streams_in_action_spark.streaming import joins as sjoins
 
 from .conftest import SF_DIR, canonical
 
@@ -98,6 +99,97 @@ def test_running_state_stream_final_state_matches_batch(spark, events_dir):
     )
     batch_n = {r["user_id"]: r["n"] for r in last}
     assert {u: v[0] for u, v in final.items()} == batch_n
+
+
+def test_stream_static_join_equals_batch(spark, events_dir):
+    """C6 streaming form: stream-static enrichment == the batch join."""
+    customer = load_table(spark, "customer", SF_DIR)
+    stream = sjoins.stream_static_enrich(
+        _read_stream(spark, events_dir), customer)
+    out = _run_to_memory(spark, stream, "stream_enrich")
+    batch = sjoins.stream_static_enrich(
+        load_table(spark, "events", SF_DIR), customer)
+    _assert_same(batch, out)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """C9 streaming form: watermarked two-stream interval join over a bounded
+    source == the batch interval self-join's pair set."""
+    s = sjoins.stream_stream_interval_join(
+        _read_stream(spark, events_dir), _read_stream(spark, events_dir))
+    out = _run_to_memory(spark, s, "stream_ssj")
+    batch_pairs = sjoins.stream_stream_interval_join(
+        load_table(spark, "events", SF_DIR).alias("l"),
+        load_table(spark, "events", SF_DIR).alias("r"))
+    _assert_same(batch_pairs, out)
+    # and the aggregated pair counts reproduce the declared C9 batch oracle
+    agg = out.groupBy("event_id").count()
+    oracle = bjoins.range_join_followups(load_table(spark, "events", SF_DIR))
+    got = {r["event_id"]: r["count"] for r in agg.collect()}
+    want = {r["event_id"]: r["n_followups"] for r in oracle.collect()}
+    assert got == want
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """C25 with real lateness across micro-batches (maxFilesPerTrigger=1).
+
+    Empirical Spark 4.1 semantics (probed): the stateful operator filters
+    with the watermark as of the *previous* batch boundary, one batch behind
+    what query progress reports — so the late row is staged two batches
+    after the watermark-establishing event and must be dropped
+    (numRowsDroppedByWatermark=1, its window never emitted)."""
+    from datetime import datetime, timedelta
+    d = str(tmp_path / "late_in")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    late_ts = base - timedelta(hours=1)          # older than wm = 12:00 - 10min
+    rowsets = [
+        [(1, base, 1, "a", 1.0, "{}"),
+         (2, base + timedelta(hours=2), 1, "a", 1.0, "{}")],   # sets wm 11:50
+        [(3, base + timedelta(hours=2, minutes=1), 1, "a", 1.0, "{}")],
+        [(4, late_ts, 1, "a", 100.0, "{}")],                   # must drop
+    ]
+    import glob
+    import os
+    import shutil
+    import time as _time
+    os.makedirs(d + "/in")
+    # FileStreamSource orders batches by modification time — pin it
+    now = _time.time()
+    for bi, rows in enumerate(rowsets):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d + f"/f{bi}")
+        for i, f in enumerate(sorted(glob.glob(d + f"/f{bi}/*.parquet"))):
+            p = d + f"/in/x{bi}_{i}.parquet"
+            shutil.copy(f, p)
+            os.utime(p, (now - 60 + bi * 20, now - 60 + bi * 20))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/in")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .select(F.col("w.start").alias("ws"), "n", "sv")
+    )
+    # update mode: watermark actively drops late input (complete mode never
+    # does — it keeps all windows alive by design)
+    q = (agg.writeStream.format("memory").queryName("late_agg")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "late_ck")).start())
+    q.awaitTermination(120)
+    emitted = spark.table("late_agg").collect()
+    windows = {r["ws"] for r in emitted}
+    # late event (value=100, 09:00 window) must never appear; every emitted
+    # update excludes its contribution
+    assert all(r["sv"] < 100 for r in emitted), emitted
+    assert datetime(2024, 1, 1, 9, 0, 0) not in windows
+    assert len(windows) == 2  # 10:00 and 12:00 windows only
+    dropped = sum(p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress if p.get("stateOperators"))
+    assert dropped == 1
 
 
 def test_running_state_tws_matches_batch(spark, events_dir):
