@@ -3,9 +3,9 @@
 
 Conventions that make the hash-match deterministic (SURVEY §7 "hard parts" #4):
 - Every computed column is aliased identically on both sides.
-- Large float64 sums are quantized per-row (DECIMAL(18,6) cast) and summed
-  as exact integer micro-units so partial-agg order can't perturb low bits
-  (operators/exact.py has the full contract).
+- Large float64 sums are quantized per-row (floor(x*1e6+0.5), pure IEEE
+  ops) and summed as exact integer micro-units so partial-agg order can't
+  perturb low bits (operators/exact.py has the full contract).
 - Sequential folds (array sums, fingerprints, cosine) use the same left-to-
   right order in both engines, so they agree bitwise.
 - Counts are BIGINT on both sides; DuckDB len()/year()/row_number() are cast
@@ -56,10 +56,11 @@ def _t(name):
     return deco
 
 
-# Exact fixed-point sum: per-value 6-decimal quantization (DECIMAL cast), then
-# an exact integer sum — immune to partial-aggregation order and identical to
+# Exact fixed-point sum: per-value half-up quantization in pure IEEE double
+# ops (multiply, add, floor — both engines execute these identically), then an
+# exact integer sum — immune to partial-aggregation order and bit-identical to
 # the Spark side's long-micro-unit fast path (operators/exact.py).
-DSUM = ("(sum((CAST({x} AS DECIMAL(18,6)) * 1000000)::BIGINT)::DOUBLE"
+DSUM = ("(sum(floor({x} * 1000000.0 + 0.5)::BIGINT)::DOUBLE"
         " / 1000000)")
 
 
@@ -157,7 +158,7 @@ FROM part
 
 
 # Spark-SQL spelling of the same exact fixed-point sum (ANSI CAST syntax).
-SPARK_DSUM = ("(CAST(sum(CAST(CAST({x} AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+SPARK_DSUM = ("(CAST(sum(CAST(floor({x} * 1000000.0 + 0.5) AS BIGINT))"
               " AS DOUBLE) / 1000000)")
 
 
