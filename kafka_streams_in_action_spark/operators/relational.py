@@ -107,6 +107,22 @@ def rollup_priority(orders: DataFrame, customer: DataFrame, nation: DataFrame) -
     )
 
 
+def forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """C1+C3 composed (TPC-H Q6 shape): fully-pushed-down filter into a
+    single global sum — the minimal scan-agg; at scale the whole query is
+    one pass with a 1-row shuffle."""
+    return (
+        lineitem
+        .filter((F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01")
+                & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"))
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def cube_priority(orders: DataFrame) -> DataFrame:
     """C5b: CUBE(o_orderstatus, o_orderpriority) — all 4 grouping combinations
     in one Expand + hash agg."""

@@ -330,6 +330,17 @@ QUERIES: dict[str, QuerySpec] = {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
         """),
+    "c3_q6_revenue": QuerySpec(
+        _t("lineitem")(relational.forecast_revenue),
+        f"""
+        SELECT {DSUM.format(x='l_extendedprice * l_discount')} AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """),
     "c4_distinct": QuerySpec(
         _t("orders")(relational.distinct_customers),
         """
