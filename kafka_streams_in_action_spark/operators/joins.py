@@ -70,11 +70,15 @@ def semi_join_active_customers(customer: DataFrame, orders: DataFrame) -> DataFr
     )
 
 
-def anti_join_idle_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """C8c: LEFT ANTI (NOT EXISTS) — customers with no orders at all."""
+def anti_join_idle_customers(customer: DataFrame, orders: DataFrame,
+                             min_total: float = 400000.0) -> DataFrame:
+    """C8c: LEFT ANTI (NOT EXISTS) — customers with no order above
+    `min_total`. (A plain no-orders-at-all anti join is vacuous on the
+    testdata — every customer has orders — and a 0-row oracle match proves
+    nothing; the threshold makes the result a real ~13% subset.)"""
+    big = orders.filter(F.col("o_totalprice") > min_total).select("o_custkey")
     return (
-        customer.join(orders.select("o_custkey"),
-                      customer.c_custkey == F.col("o_custkey"), "left_anti")
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
 

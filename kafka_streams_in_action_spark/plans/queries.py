@@ -441,7 +441,9 @@ QUERIES: dict[str, QuerySpec] = {
         _t("customer orders")(joins.anti_join_idle_customers),
         """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 400000)
         """),
     "c9_range_join": QuerySpec(
         _t("events")(joins.range_join_followups),
