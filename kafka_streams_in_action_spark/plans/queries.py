@@ -184,6 +184,62 @@ def _sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery with HAVING — Catalyst rewrites the
+    IN (GROUP BY ... HAVING) subquery to a left-semi join (RewritePredicate
+    Subquery), so orders is probed once, never per-row. Threshold 250 keeps
+    the result a real subset at every testdata SF (qty-sum p99 ≈ 262)."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+               sum(l_quantity) AS total_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """)
+
+
+def _sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg quantity) —
+    Catalyst decorrelates it into an aggregate + join, not a per-row probe.
+    Deterministic because l_quantity is integer-valued: double sums of
+    integers < 2^53 are exact in any order, so the 0.2*avg threshold can't
+    flip between engines; the revenue sum uses the exact fixed-point path."""
+    for t in ("part", "lineitem"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(f"""
+        SELECT {SPARK_DSUM.format(x='l_extendedprice')} / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < 0.2 * (
+              SELECT avg(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = part.p_partkey)
+    """)
+
+
+def _sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + two-level aggregation — the
+    customer-order-count distribution. Counts only, so hashing is exact."""
+    for t in ("customer", "orders"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '3-MEDIUM'
+            GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """)
+
+
 def _fnv_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/F1: the reference's custom partitioner over customer names, plus the
     literal "CUSTOM" override row (custom_order_partitioner.go:22-31)."""
@@ -364,6 +420,42 @@ QUERIES: dict[str, QuerySpec] = {
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
+        """),
+    "sql_q18_top_quantity": QuerySpec(
+        _sql_q18,
+        """
+        SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+               sum(l_quantity) AS total_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+        """),
+    "sql_q17_small_qty_revenue": QuerySpec(
+        _sql_q17,
+        f"""
+        SELECT {DSUM.format(x='l_extendedprice')} / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < 0.2 * (
+              SELECT avg(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = part.p_partkey)
+        """),
+    "sql_q13_order_distribution": QuerySpec(
+        _sql_q13,
+        """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '3-MEDIUM'
+            GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
         """),
     "c5_cube": QuerySpec(
         _t("orders")(relational.cube_priority),
