@@ -115,6 +115,42 @@ def test_no_driver_side_collect_in_queries(spark):
         "plan construction launched Spark jobs (driver-side materialization)"
 
 
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Scale posture: two tables co-bucketed on the join key must join with
+    ZERO Exchange nodes (and zero Sort nodes, since buckets are written
+    sorted, one file per bucket) — the layout that makes the dominant
+    fact-fact shuffle a one-time ingest cost at 100 TB."""
+    from kafka_streams_in_action_spark.sources.bucketed import (
+        bucketed_join, write_bucketed)
+    from kafka_streams_in_action_spark.sources.parquet import load_table
+
+    li = load_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_quantity").withColumnRenamed("l_orderkey", "okey")
+    od = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_totalprice").withColumnRenamed("o_orderkey", "okey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the merge-join path: broadcast would hide the bucket layout
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # trust per-bucket sort order (one file per bucket): elides the Sorts
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        write_bucketed(li, "bk_lineitem", "okey", 4)
+        write_bucketed(od, "bk_orders", "okey", 4)
+        joined = bucketed_join(spark, "bk_lineitem", "bk_orders", "okey")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "+- Sort [" not in plan and ":- Sort [" not in plan, plan
+        # layout changes nothing semantically
+        assert joined.count() == li.join(od, "okey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+
+
 def test_wire_roundtrip_stays_jvm_side(spark):
     """A9/A10: the wire-format strip/add path must contain no Python UDF —
     pure column algebra inside WholeStageCodegen."""
