@@ -30,6 +30,32 @@ def stream_static_enrich(events_stream: DataFrame,
     )
 
 
+def stream_stream_left_outer_join(left: DataFrame, right: DataFrame,
+                                  watermark: str = "10 minutes",
+                                  interval_minutes: int = 5) -> DataFrame:
+    """C8 streaming form: left-outer two-stream join. Outer joins require
+    watermarks on BOTH sides plus the time-bound condition — an unmatched
+    left row emits its null match only once the watermark passes
+    left.ts + interval (state eviction proves no future right row can
+    match). Rows younger than that at query end stay buffered in the state
+    store for the next run; the equivalence test computes the expected
+    emission set from the query's own final watermark."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") > F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts")
+               + F.expr(f"INTERVAL {interval_minutes} MINUTES")),
+            "leftOuter",
+        )
+        .select(F.col("l.event_id").alias("event_id"),
+                F.col("r.event_id").alias("followup_id"))
+    )
+
+
 def stream_stream_interval_join(left: DataFrame, right: DataFrame,
                                 watermark: str = "10 minutes",
                                 interval_minutes: int = 5) -> DataFrame:

@@ -130,6 +130,40 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
     assert got == want
 
 
+def test_stream_stream_outer_join_emits_on_eviction(spark, events_dir):
+    """C8 streaming form: left-outer two-stream join. Matched pairs emit
+    immediately; an unmatched left emits (event_id, null) only when the
+    watermark passes ts + interval (state eviction). availableNow runs a
+    final no-data batch that advances the watermark to max(ts) - delay and
+    flushes evictable state — so expected output = batch inner pairs ∪
+    unmatched lefts older than wm - interval, computed from the query's own
+    reported watermark."""
+    from datetime import datetime, timedelta
+
+    s = sjoins.stream_stream_left_outer_join(
+        _read_stream(spark, events_dir), _read_stream(spark, events_dir))
+    q = (s.writeStream.format("memory").queryName("stream_oj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    wm = datetime.strptime(q.lastProgress["eventTime"]["watermark"],
+                           "%Y-%m-%dT%H:%M:%S.%fZ")
+    out = spark.table("stream_oj")
+
+    ev = load_table(spark, "events", SF_DIR)
+    inner = sjoins.stream_stream_interval_join(ev.alias("l"), ev.alias("r"))
+    matched = {(r["event_id"], r["followup_id"]) for r in inner.collect()}
+    evictable = wm - timedelta(minutes=5)
+    unmatched_old = {
+        (r["event_id"], None)
+        for r in ev.join(inner.select("event_id").distinct(), "event_id",
+                         "left_anti")
+        .filter(F.col("ts") < F.lit(evictable)).collect()
+    }
+    got = {(r["event_id"], r["followup_id"]) for r in out.collect()}
+    assert got == matched | unmatched_old
+    assert len(got) > len(matched)  # outer emission actually happened
+
+
 def test_late_data_dropped_by_watermark(spark, tmp_path):
     """C25 with real lateness across micro-batches (maxFilesPerTrigger=1).
 
