@@ -81,6 +81,39 @@ def decode_image_stub(media: DataFrame, real_decoder=None) -> DataFrame:
         decode, schema="doc_id long, width int, height int, mean_intensity double")
 
 
+def resize_stub(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Aspect-preserving resize stub: stub-decode (width, height) from the
+    payload, downscale so the longer side is ≤ max_side, report output dims
+    and byte budget. The kernel is a real mapInPandas pipeline (decode →
+    transform per Arrow batch); the arithmetic is pure integer/IEEE-double
+    ops (sqrt, floor-div, multiply, truncate) that a SQL engine executes
+    identically — so unlike most UDF kernels this one is fully
+    oracle-checkable, pinning the Python-side plumbing against a SQL twin."""
+    def resize(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "out_width": [], "out_height": [], "out_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(bytes(payload))
+                w = max(1, int(n ** 0.5))
+                h = max(1, n // w)
+                scale = min(1.0, float(max_side) / max(w, h))
+                nw = max(1, int(w * scale))
+                nh = max(1, int(h * scale))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_width"].append(nw)
+                out["out_height"].append(nh)
+                out["out_bytes"].append(nw * nh)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        resize, schema=("doc_id long, width long, height long, "
+                        "out_width long, out_height long, out_bytes long"))
+
+
 def frame_sample_stub(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Video-style frame sampling stub: payload → every-nth 'frame' (16-byte
     chunk) as its own row. Demonstrates the 1→N decode fan-out shape

@@ -980,6 +980,23 @@ QUERIES: dict[str, QuerySpec] = {
                      (a,b) -> a + b)::DOUBLE / least(n, 256) AS mean_intensity
         FROM d
         """),
+    "c31_resize_stub": QuerySpec(
+        lambda spark, sf_dir: multimodal.resize_stub(
+            multimodal.to_media_table(load_table(spark, "documents", sf_dir))),
+        """
+        WITH m AS (SELECT doc_id, length(text) AS n FROM documents),
+        d AS (SELECT doc_id, n, greatest(1, floor(sqrt(n))::BIGINT) AS w
+              FROM m),
+        e AS (SELECT doc_id, w, greatest(1, n // w) AS h FROM d),
+        s AS (SELECT doc_id, w, h,
+                     least(1.0, 64.0 / greatest(w, h)) AS scale FROM e)
+        SELECT doc_id, w AS width, h AS height,
+               greatest(1, floor(w * scale)::BIGINT) AS out_width,
+               greatest(1, floor(h * scale)::BIGINT) AS out_height,
+               greatest(1, floor(w * scale)::BIGINT)
+                 * greatest(1, floor(h * scale)::BIGINT) AS out_bytes
+        FROM s
+        """),
     "c31_frame_sample": QuerySpec(
         lambda spark, sf_dir: multimodal.frame_sample_stub(
             multimodal.to_media_table(load_table(spark, "documents", sf_dir))),

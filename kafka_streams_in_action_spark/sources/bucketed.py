@@ -41,6 +41,14 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
     writer.mode("overwrite").saveAsTable(table)
 
 
+def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+    """Directory-partitioned parquet layout: equality/range predicates on
+    `partition_col` prune whole directories before any file is opened
+    (PartitionFilters in the scan; plan-pinned in tests). The layout that
+    turns a 100 TB history into a per-day read."""
+    df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+
+
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
                   key: str, how: str = "inner") -> DataFrame:
     """Equi-join two co-bucketed tables on their bucket key. Plain df.join —

@@ -8,6 +8,7 @@ even though results stay correct.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kafka_streams_in_action_spark.plans.queries import QUERIES
 
@@ -149,6 +150,36 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
         spark.sql("DROP TABLE IF EXISTS bk_lineitem")
         spark.sql("DROP TABLE IF EXISTS bk_orders")
+
+
+def test_partition_pruning_skips_directories(spark, tmp_path):
+    """Scale posture: a date-partitioned layout must prune at the directory
+    level — the filter lands in PartitionFilters and the scan touches only
+    the selected partitions, the mechanism that turns a 100 TB table into a
+    per-day read."""
+    from kafka_streams_in_action_spark.sources.bucketed import (
+        write_partitioned)
+    from kafka_streams_in_action_spark.sources.parquet import load_table
+
+    d = str(tmp_path / "orders_by_year")
+    od = load_table(spark, "orders", SF_DIR).withColumn(
+        "o_year", F.year("o_orderdate"))
+    write_partitioned(od, d, "o_year")
+
+    df = (spark.read.parquet(d)
+          .filter(F.col("o_year") == 1995)
+          .select("o_orderkey", "o_totalprice"))
+    plan = formatted_of(df)
+    assert "PartitionFilters: [isnotnull(o_year" in plan.replace("#", " #") \
+        or "(o_year" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # the predicate is partition-level only: no row-level filtering remains
+    # (no data filter in the scan, no Filter node above it)
+    exec_plan = plan_of(df)
+    assert "DataFilters: []" in exec_plan, exec_plan
+    assert "* Filter" not in exec_plan and "+- Filter" not in exec_plan
+    n_years = od.select("o_year").distinct().count()
+    assert n_years > 1  # pruning had something to prune
+    assert df.count() == od.filter(F.col("o_year") == 1995).count()
 
 
 def test_wire_roundtrip_stays_jvm_side(spark):
