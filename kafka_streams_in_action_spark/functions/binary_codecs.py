@@ -129,6 +129,68 @@ def avro_decode_avenger_py(buf: bytes) -> tuple[str, str, list[str]]:
     return name, real_name, movies
 
 
+def _avro_read_string_array(buf: bytes, pos: int) -> tuple[list[str], int]:
+    """Block-decoding array reader (array_string.go:45-59)."""
+    items: list[str] = []
+    while True:
+        zz, pos = _read_uvarint(buf, pos)
+        count = _unzigzag(zz)
+        if count == 0:
+            return items, pos
+        if count < 0:
+            _, pos = _read_uvarint(buf, pos)  # skip block byte-size
+            count = -count
+        for _ in range(count):
+            s, pos = _avro_read_string(buf, pos)
+            items.append(s)
+
+
+def avro_encode_fields_py(vals: dict, writer_fields: tuple) -> bytes:
+    """Encode `vals` under an arbitrary writer schema — the test-side twin
+    of avro_decode_resolved_py for producing evolved payloads."""
+    out = bytearray()
+    for fname, ftype in writer_fields:
+        v = vals[fname]
+        if ftype == "string":
+            out += _avro_write_string(v)
+        elif ftype == "array<string>":
+            if v:
+                out += _uvarint(_zigzag(len(v)))
+                for s in v:
+                    out += _avro_write_string(s)
+            out += b"\x00"
+        else:
+            raise ValueError(f"unsupported writer type {ftype}")
+    return bytes(out)
+
+
+#: Reader-schema defaults (avenger.avsc:6-15 — movies defaults to []).
+_AVENGER_DEFAULTS = {"name": "", "real_name": "", "movies": []}
+
+
+def avro_decode_resolved_py(buf: bytes,
+                            writer_fields: tuple) -> tuple[str, str, list[str]]:
+    """Resolving reader (avenger_avro.go:41-62 DeserializeAvengerAvroFromSchema):
+    decode in WRITER field order, then resolve into the reader schema by
+    field NAME — reordered writer fields land correctly, writer-only fields
+    are read-and-discarded, reader-only fields take their schema default.
+    `writer_fields` = ((name, type), ...) with type 'string'|'array<string>'.
+    """
+    vals = {}
+    pos = 0
+    for fname, ftype in writer_fields:
+        if ftype == "string":
+            v, pos = _avro_read_string(buf, pos)
+        elif ftype == "array<string>":
+            v, pos = _avro_read_string_array(buf, pos)
+        else:
+            raise ValueError(f"unsupported writer type {ftype}")
+        vals[fname] = v
+    return (vals.get("name", _AVENGER_DEFAULTS["name"]),
+            vals.get("real_name", _AVENGER_DEFAULTS["real_name"]),
+            vals.get("movies", list(_AVENGER_DEFAULTS["movies"])))
+
+
 # ---------------------------------------------------------------------------
 # Protobuf binary (avenegers.proto:7-11 field numbers)
 # ---------------------------------------------------------------------------
@@ -244,6 +306,23 @@ def to_avro_avenger(name: Column, real_name: Column, movies: Column) -> Column:
 def from_avro_avenger(value: Column) -> Column:
     """A11: Avro binary → struct<name,real_name,movies>."""
     return _avro_decode_udf(value)
+
+
+def from_avro_avenger_resolved(value: Column, writer_fields) -> Column:
+    """A11 with schema evolution: decode bytes written under `writer_fields`
+    (((name, type), ...)) into the reader schema — the engine twin of
+    from_avro's avroSchema option. One UDF per writer schema; the schema is
+    plan-baked (closure-captured), mirroring how the reference compiles one
+    resolving program per (writer, reader) pair (avenger_avro.go:47-52)."""
+    wf = tuple((str(n), str(t)) for n, t in writer_fields)
+
+    @F.pandas_udf(AVENGER)
+    def _decode_resolved(v: pd.Series) -> pd.DataFrame:
+        rows = [_permissive(lambda b: avro_decode_resolved_py(b, wf), x)
+                for x in v]
+        return pd.DataFrame(rows, columns=["name", "real_name", "movies"])
+
+    return _decode_resolved(value)
 
 
 def to_proto_avenger(name: Column, real_name: Column, movies: Column) -> Column:

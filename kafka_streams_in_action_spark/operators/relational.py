@@ -88,6 +88,19 @@ def approx_distinct_customers(orders: DataFrame) -> DataFrame:
     )
 
 
+def approx_price_quantiles(lineitem: DataFrame) -> DataFrame:
+    """C4 (approx): per-group percentile sketch (Greenwald-Khanna) — bounded
+    memory per partition, mergeable partials, the distributed substitute for
+    an exact sort-based percentile at 100 TB. Tolerance-checked against
+    DuckDB's exact quantile_cont, not hash-matched."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+             F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def rollup_priority(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
     """C5: ROLLUP(n_name, o_orderpriority) over orders⋈customer⋈nation.
 

@@ -406,6 +406,9 @@ QUERIES: dict[str, QuerySpec] = {
     "c4_approx_distinct": QuerySpec(
         _t("orders")(relational.approx_distinct_customers),
         None),  # HLL++ sketch — tolerance-checked in tests, rows-only here
+    "c4_approx_quantiles": QuerySpec(
+        _t("lineitem")(relational.approx_price_quantiles),
+        None),  # GK sketch — tolerance-checked in tests, rows-only here
     "sql_q3_top_revenue": QuerySpec(
         _sql_q3,
         f"""

@@ -23,6 +23,25 @@ def test_approx_count_distinct_within_2pct(spark, duck):
     assert abs(approx - exact) / exact <= 0.02
 
 
+def test_approx_quantiles_within_tolerance(spark, duck):
+    """C4 approx percentiles: each per-group GK-sketch estimate must sit
+    within 1% relative error of DuckDB's exact quantile_cont."""
+    from kafka_streams_in_action_spark.plans.queries import QUERIES
+    from .conftest import SF_DIR
+
+    got = {r["l_returnflag"]: (r["p50"], r["p95"])
+           for r in QUERIES["c4_approx_quantiles"].fn(spark, SF_DIR).collect()}
+    exact = {r[0]: (r[1], r[2]) for r in duck.execute("""
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5),
+               quantile_cont(l_extendedprice, 0.95)
+        FROM lineitem GROUP BY l_returnflag""").fetchall()}
+    assert got.keys() == exact.keys()
+    for flag in exact:
+        for a, e in zip(got[flag], exact[flag]):
+            assert abs(a - e) / e <= 0.01, (flag, a, e)
+
+
 def test_minhash_lsh_recall_against_exact_jaccard(spark):
     docs = load_table(spark, "documents", SF_DIR)
     exact = {(r["doc_a"], r["doc_b"])

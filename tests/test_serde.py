@@ -142,6 +142,43 @@ def test_avro_binary_byte_layout():
     assert avro_decode_avenger_py(e) == ("X", "", [])
 
 
+def test_avro_schema_evolution_resolves_by_name(spark):
+    """A11 resolving-reader semantics (avenger_avro.go:41-62): data written
+    under older / reordered / wider writer schemas decodes into the current
+    reader schema by field name — missing reader fields take their avsc
+    default (movies → []), writer-only fields are read-and-discarded."""
+    from kafka_streams_in_action_spark.functions.binary_codecs import (
+        avro_decode_resolved_py, avro_encode_fields_py,
+        from_avro_avenger_resolved)
+
+    full = {"name": "Hulk", "real_name": "Bruce",
+            "movies": ["Avengers"], "era": "MCU"}
+
+    # v1 writer: no movies field yet → reader default []
+    v1 = (("name", "string"), ("real_name", "string"))
+    b1 = avro_encode_fields_py(full, v1)
+    assert avro_decode_resolved_py(b1, v1) == ("Hulk", "Bruce", [])
+
+    # reordered writer: fields resolve by name, not position
+    v2 = (("real_name", "string"), ("movies", "array<string>"),
+          ("name", "string"))
+    b2 = avro_encode_fields_py(full, v2)
+    assert avro_decode_resolved_py(b2, v2) == ("Hulk", "Bruce", ["Avengers"])
+
+    # wider writer: unknown trailing field is consumed and dropped
+    v3 = (("name", "string"), ("real_name", "string"),
+          ("movies", "array<string>"), ("era", "string"))
+    b3 = avro_encode_fields_py(full, v3)
+    assert avro_decode_resolved_py(b3, v3) == ("Hulk", "Bruce", ["Avengers"])
+
+    # and through the Spark column API
+    df = spark.createDataFrame([(b1,)], "value binary").select(
+        from_avro_avenger_resolved(F.col("value"), v1).alias("r")).select("r.*")
+    row = df.collect()[0]
+    assert (row["name"], row["real_name"], row["movies"]) == \
+        ("Hulk", "Bruce", [])
+
+
 def test_proto_binary_byte_layout():
     """A13: proto3 TLV layout for avenegers.proto fields 1/2/3."""
     from kafka_streams_in_action_spark.functions.binary_codecs import (
