@@ -146,6 +146,27 @@ def cube_priority(orders: DataFrame) -> DataFrame:
     )
 
 
+def pivot_priority_counts(orders: DataFrame) -> DataFrame:
+    """C5c: pivot — order counts per status with one column per priority.
+    Spark compiles groupBy().pivot() to a single hash agg over conditional
+    aggregates (no extra shuffle vs the plain groupBy); the explicit value
+    list keeps the plan static — at scale never let pivot() infer distinct
+    values with a hidden collect."""
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"p{p[0]}" for p in priorities}
+    for old, new in renames.items():
+        pivoted = pivoted.withColumnRenamed(old, new)
+    # unmatched (status, priority) cells are NULL from pivot; counts mean 0
+    return pivoted.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(n), F.lit(0)).alias(n) for n in renames.values()])
+
+
 def grouping_sets_priority(orders: DataFrame) -> DataFrame:
     """C5c: explicit GROUPING SETS ((status), (priority)) with grouping-id
     disambiguation — the general form rollup/cube compile to."""

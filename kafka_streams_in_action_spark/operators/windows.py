@@ -26,6 +26,22 @@ def rank_orders_per_customer(orders: DataFrame) -> DataFrame:
     )
 
 
+def distribution_ranks(orders: DataFrame) -> DataFrame:
+    """C11b: the distribution ranking family — percent_rank, cume_dist,
+    ntile(4). Same partitioning discipline as C11 (keyed by customer, no
+    global window). percent_rank/cume_dist are pure functions of (rank,
+    partition size); ntile's remainder rule (first `size % n` tiles get the
+    extra row) is identical in Spark and DuckDB."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey"))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def analytic_frames(orders: DataFrame) -> DataFrame:
     """C12: lag/lead + running sum (unboundedPreceding) + sliding 4-row avg."""
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))

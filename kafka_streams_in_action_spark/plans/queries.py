@@ -467,6 +467,17 @@ QUERIES: dict[str, QuerySpec] = {
                {DSUM.format(x='o_totalprice')} AS total_price
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """),
+    "c5_pivot": QuerySpec(
+        _t("orders")(relational.pivot_priority_counts),
+        """
+        SELECT o_orderstatus,
+               count(*) FILTER (o_orderpriority = '1-URGENT') AS "p1",
+               count(*) FILTER (o_orderpriority = '2-HIGH') AS "p2",
+               count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "p3",
+               count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "p4",
+               count(*) FILTER (o_orderpriority = '5-LOW') AS "p5"
+        FROM orders GROUP BY o_orderstatus
+        """),
     "c5_grouping_sets": QuerySpec(
         _t("orders")(relational.grouping_sets_priority),
         """
@@ -582,6 +593,15 @@ QUERIES: dict[str, QuerySpec] = {
                row_number() OVER w::INTEGER AS rn,
                rank() OVER w::INTEGER AS rnk,
                dense_rank() OVER w::INTEGER AS drnk
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """),
+    "c11_distribution_ranks": QuerySpec(
+        _t("orders")(windows.distribution_ranks),
+        """
+        SELECT o_custkey, o_orderkey,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               ntile(4) OVER w::INTEGER AS quartile
         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """),
     "c12_analytic_frames": QuerySpec(
