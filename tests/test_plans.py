@@ -182,6 +182,42 @@ def test_partition_pruning_skips_directories(spark, tmp_path):
     assert df.count() == od.filter(F.col("o_year") == 1995).count()
 
 
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Scale posture: AQE must detect a hot join key at runtime and split
+    its shuffle partition (SortMergeJoin(skew=true) + 'AQEShuffleRead ...
+    skewed' in the final adaptive plan). This is the mechanism §SCALE
+    relies on for power-law keys before reaching for explicit salting;
+    thresholds are lowered so ~300k skewed rows trip it at test scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(0, 300000).select(
+            (F.col("id") * 0).alias("k"), F.col("id").alias("v"))
+        tail = spark.range(1, 2000).select(
+            F.col("id").alias("k"), (F.col("id") + 7).alias("v"))
+        right = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("p"))
+        agg = (hot.union(tail).join(right, "k")
+               .select(F.sum(F.col("v") + F.col("p")).alias("s")))
+        [row] = agg.collect()  # execute so AQE replans with real sizes
+        plan = plan_of(agg)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+        # and the result is the plain join's answer — replanning is invisible
+        assert row["s"] == 45005860993
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_wire_roundtrip_stays_jvm_side(spark):
     """A9/A10: the wire-format strip/add path must contain no Python UDF —
     pure column algebra inside WholeStageCodegen."""
