@@ -274,6 +274,37 @@ def test_pipelining_lifecycle_commits_offsets(spark, tmp_path, events_dir):
     assert got == expect
 
 
+def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
+    """A17 progress durability: a second run against the same checkpoint must
+    process only files that arrived after the first run — every input row is
+    counted exactly once across both runs (the reference's process-then-
+    commit MarkOffset semantics, upgraded to effectively-once by the offset
+    WAL + idempotent-append sink)."""
+    in_dir = str(tmp_path / "topic")
+    out_dir = str(tmp_path / "commits")
+    cp = str(tmp_path / "cp")
+    events = load_table(spark, "events", SF_DIR)
+    first = events.filter(F.col("event_id") < 500)
+    second = events.filter((F.col("event_id") >= 500)
+                           & (F.col("event_id") < 800))
+    n_first, n_second = first.count(), second.count()
+
+    first.write.mode("overwrite").parquet(in_dir)
+    q1 = pipelines.pipelining_run(spark, in_dir, out_dir, cp)
+    q1.awaitTermination(120)
+    got_first = spark.read.parquet(out_dir).agg(
+        F.sum("n_records")).collect()[0][0]
+    assert got_first == n_first
+
+    second.write.mode("append").parquet(in_dir)
+    q2 = pipelines.pipelining_run(spark, in_dir, out_dir, cp)
+    q2.awaitTermination(120)
+    total = spark.read.parquet(out_dir).agg(
+        F.sum("n_records")).collect()[0][0]
+    # exactly once across the restart: nothing lost, nothing re-counted
+    assert total == n_first + n_second
+
+
 def test_multi_event_fanout(spark, tmp_path, events_dir):
     """A19 smoke: mixed-type stream fans out to per-type partitions."""
     out = str(tmp_path / "fanout")
