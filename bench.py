@@ -27,7 +27,8 @@ HEADLINE = [
     "c7_multiway_join",      # 5-way join (TPC-H Q5 shape)
     "c6_broadcast_join",     # broadcast join + agg
     "c10_asof_join",         # as-of join rewrite
-    "c9_range_join",         # interval self-join
+    "c9_range_window",       # interval semantics via range-frame window
+                             # (optimized rewrite of c9_range_join, same oracle)
     "c12_analytic_frames",   # window frames
     "c13_topk",              # global top-k
     "c22_tumbling_window",   # event-time tumble

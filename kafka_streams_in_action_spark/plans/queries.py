@@ -560,6 +560,15 @@ QUERIES: dict[str, QuerySpec] = {
          AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
         GROUP BY e1.event_id
         """),
+    "c9_range_window": QuerySpec(
+        _t("events")(joins.range_followups_window),
+        """
+        SELECT e1.event_id AS event_id, count(*) AS n_followups
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        GROUP BY e1.event_id
+        """),
     "c10_asof_join": QuerySpec(
         _t("events orders")(joins.asof_join_latest_order),
         """
