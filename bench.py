@@ -26,7 +26,8 @@ HEADLINE = [
     "c3_pricing_summary",    # scan + hash agg (TPC-H Q1)
     "c7_multiway_join",      # 5-way join (TPC-H Q5 shape)
     "c6_broadcast_join",     # broadcast join + agg
-    "c10_asof_join",         # as-of join rewrite
+    "c10_asof_union",        # as-of join, linear union+last form
+                             # (optimized rewrite of c10_asof_join, same oracle)
     "c9_range_window",       # interval semantics via range-frame window
                              # (optimized rewrite of c9_range_join, same oracle)
     "c12_analytic_frames",   # window frames

@@ -193,6 +193,51 @@ def asof_join_latest_order_maxby(events: DataFrame,
     )
 
 
+def asof_join_latest_order_union(events: DataFrame,
+                                 orders: DataFrame) -> DataFrame:
+    """C10 optimized form: as-of via union + last(ignorenulls) — the
+    linear-cost rewrite. Tag both sides, union, sort each user's timeline
+    once, and carry the latest order payload forward with a running
+    last(non-null) frame; event rows then read their answer in place.
+
+    vs the join+rank form: ONE shuffle total (no join, no second
+    per-event-id exchange) and no candidate blowup — the join form
+    materializes |events| × avg-orders-per-user intermediates, this form
+    is |events| + |orders|, period. At 100 TB that's the difference
+    between a timeline sort and an quadratic-in-hot-keys join.
+
+    Ordering makes the tie-breaks exact: (ts, is_event, o_orderkey) —
+    orders sort before events at equal timestamps (o_orderdate <= ts is
+    inclusive), and among same-date orders the largest o_orderkey lands
+    last, which is what last() picks — the same (date DESC, key DESC)
+    winner as the rank form. Events with no preceding order read a null
+    payload, preserving the left-join row."""
+    pay_t = "struct<o_orderkey:bigint,o_totalprice:double>"
+    ev = events.select(
+        "user_id", "ts", F.lit(1).alias("is_event"), "event_id",
+        F.lit(None).cast(pay_t).alias("pay"))
+    od = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct("o_orderkey", "o_totalprice").alias("pay"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_event"),
+                 F.col("pay.o_orderkey").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.unionByName(od)
+        .withColumn("b", F.last("pay", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "user_id",
+                F.col("b.o_orderkey").alias("o_orderkey"),
+                F.col("b.o_totalprice").alias("o_totalprice"))
+    )
+
+
 def asof_join_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
     """C10: as-of join — for each event, the user's most recent order at/before
     the event timestamp. Spark SQL has no ASOF JOIN; the rewrite is equi-join on

@@ -580,6 +580,17 @@ QUERIES: dict[str, QuerySpec] = {
               ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         SELECT event_id, user_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
         """),
+    "c10_asof_union": QuerySpec(
+        _t("events orders")(joins.asof_join_latest_order_union),
+        """
+        WITH cand AS (
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (PARTITION BY e.event_id
+                                      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM events e LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        SELECT event_id, user_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
+        """),
     "c10_asof_maxby": QuerySpec(
         _t("events orders")(joins.asof_join_latest_order_maxby),
         """
