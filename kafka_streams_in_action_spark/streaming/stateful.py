@@ -116,6 +116,78 @@ def running_user_state_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def asof_enrich_stream(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """C10 streaming column: keyed latest-state as-of enrichment. Two
+    streams tag-union into one keyed stateful op; per user the state is the
+    latest order seen (its (date, orderkey, price) — the streaming analog of
+    the batch union+last timeline walk, with state standing in for the
+    running frame across micro-batches.
+
+    Within a batch the per-key walk sorts (ts, is_event, ord_key) exactly
+    like the batch form, so availableNow over a bounded source equals
+    asof_join_latest_order. Across batches the state keeps only the newest
+    order version: an event arriving AFTER a newer order was processed
+    (late event) matches only if that order is still at/before its
+    timestamp — the processing-time-bounded semantic every latest-value
+    cache has; a full event-time as-of under lateness needs versioned state
+    + watermark GC (Flink-style temporal join), deliberately out of scope.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events.select(
+        "user_id", F.unix_micros("ts").alias("t"),
+        F.lit(1).alias("is_event"), "event_id",
+        F.lit(None).cast("long").alias("ord_key"),
+        F.lit(None).cast("double").alias("ord_price"))
+    od = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("ord_key"),
+        F.col("o_totalprice").alias("ord_price"))
+
+    def enrich(key, pdfs, state):
+        import pandas as pd
+        lt, lk, lp = state.get() if state.exists else (None, None, None)
+        out = {"event_id": [], "user_id": [], "o_orderkey": [],
+               "o_totalprice": []}
+        batch = pd.concat(list(pdfs))
+        batch = batch.sort_values(["t", "is_event", "ord_key"],
+                                  na_position="first")
+        for r in batch.itertuples():
+            if r.is_event == 0:
+                if lt is None or (r.t, r.ord_key) > (lt, lk):
+                    lt, lk, lp = int(r.t), int(r.ord_key), float(r.ord_price)
+            else:
+                hit = lt is not None and lt <= r.t
+                out["event_id"].append(int(r.event_id))
+                out["user_id"].append(key[0])
+                out["o_orderkey"].append(lk if hit else None)
+                out["o_totalprice"].append(lp if hit else None)
+        if lt is not None:
+            state.update((lt, lk, lp))
+        yield pd.DataFrame({
+            "event_id": pd.array(out["event_id"], dtype="Int64"),
+            "user_id": pd.array(out["user_id"], dtype="Int64"),
+            "o_orderkey": pd.array(out["o_orderkey"], dtype="Int64"),
+            "o_totalprice": out["o_totalprice"],
+        })
+
+    return (
+        ev.unionByName(od)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            enrich,
+            outputStructType=("event_id long, user_id long, "
+                              "o_orderkey long, o_totalprice double"),
+            stateStructType="t long, k long, p double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_user_state_stream(events: DataFrame) -> DataFrame:
     """C27: arbitrary stateful op — per-user running count/sum via
     applyInPandasWithState (the generalization of the reference's offset

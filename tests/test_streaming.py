@@ -274,6 +274,24 @@ def test_pipelining_lifecycle_commits_offsets(spark, tmp_path, events_dir):
     assert got == expect
 
 
+def test_asof_enrich_stream_equals_batch(spark, events_dir, tmp_path):
+    """C10 streaming column: the keyed latest-state as-of enrichment over
+    bounded sources (availableNow, one batch) must equal the batch as-of
+    join — including null matches for events with no prior order."""
+    orders_dir = str(tmp_path / "orders_stream")
+    orders = load_table(spark, "orders", SF_DIR)
+    orders.write.mode("overwrite").parquet(orders_dir)
+
+    s = stateful.asof_enrich_stream(
+        _read_stream(spark, events_dir),
+        spark.readStream.schema(orders.schema).parquet(orders_dir))
+    out = _run_to_memory(spark, s, "stream_asof", output_mode="update")
+
+    batch = bjoins.asof_join_latest_order(
+        load_table(spark, "events", SF_DIR), orders)
+    _assert_same(batch, out)
+
+
 def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
     """A17 progress durability: a second run against the same checkpoint must
     process only files that arrived after the first run — every input row is
