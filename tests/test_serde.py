@@ -218,6 +218,45 @@ def test_binary_codec_roundtrip_property():
     check()
 
 
+def test_avro_resolving_reader_property():
+    """Schema-resolution identity over random writer layouts: any permutation
+    of known fields plus interleaved unknown string/array fields decodes to
+    the same (name, real_name, movies) — unknowns dropped, missing fields
+    defaulted."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_streams_in_action_spark.functions.binary_codecs import (
+        avro_decode_resolved_py, avro_encode_fields_py)
+
+    known = st.sampled_from(["name", "real_name", "movies"])
+    extra = st.sampled_from(["f_str", "f_arr"])
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.permutations(["name", "real_name", "movies"]),
+           st.lists(extra, max_size=2, unique=True),
+           st.integers(0, 3),  # how many known fields the writer has
+           st.text(max_size=80), st.text(max_size=80),
+           st.lists(st.text(max_size=30), max_size=8),
+           st.text(max_size=40), st.lists(st.text(max_size=20), max_size=4))
+    def check(perm, extras, n_known, name, real_name, movies, xs, xa):
+        types = {"name": "string", "real_name": "string",
+                 "movies": "array<string>", "f_str": "string",
+                 "f_arr": "array<string>"}
+        fields = perm[:n_known] + extras
+        writer = tuple((f, types[f]) for f in fields)
+        vals = {"name": name, "real_name": real_name, "movies": movies,
+                "f_str": xs, "f_arr": xa}
+        got = avro_decode_resolved_py(
+            avro_encode_fields_py(vals, writer), writer)
+        want = (name if "name" in fields else "",
+                real_name if "real_name" in fields else "",
+                movies if "movies" in fields else [])
+        assert got == want
+
+    check()
+
+
 def test_binary_codec_spark_roundtrip(spark):
     """A11-A13 through the Spark column API with wire-format framing."""
     from pyspark.sql import functions as SF
