@@ -241,6 +241,33 @@ def test_running_state_tws_matches_batch(spark, events_dir):
     assert final == batch_n
 
 
+def test_foreachbatch_topk_per_microbatch(spark, events_dir):
+    """C11/C13 streaming caveat made concrete: ranking/top-k don't exist in
+    pure streaming — the declared path is foreachBatch, computing the
+    batch-form top-k per micro-batch. With availableNow over a bounded
+    source the (single) micro-batch result equals the batch query."""
+    from pyspark.sql import Window
+
+    def topk(df, k=5):
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("value").desc(), F.col("event_id"))
+        return (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k)
+                .select("event_type", "event_id", "value", "rn"))
+
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(topk(batch_df).collect())
+
+    q = (_read_stream(spark, events_dir).writeStream.foreachBatch(sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    want = topk(load_table(spark, "events", SF_DIR)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_sales_pipeline_end_to_end(spark, tmp_path):
     """§3.1 smoke (t1): produce (rate → JSON → FNV partition → parquet topic)
     then consume (decode → total) — the reference's hello-world lifecycle."""
