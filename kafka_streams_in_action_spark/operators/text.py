@@ -132,3 +132,34 @@ def tokenize_wordfreq(documents: DataFrame, min_count: int = 10) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= min_count)
     )
+
+
+def curate_documents(documents: DataFrame, jaccard_threshold: float = 0.1,
+                     min_quality: float = 0.38) -> DataFrame:
+    """C28/C29/C30 composed: the end-to-end curation pass a training-data
+    pipeline actually runs — near-dup removal (drop the higher doc_id of
+    every n-gram-Jaccard pair, keeping each cluster's canonical low id),
+    then a quality floor, then per-doc token stats for the survivors.
+
+    One declared query proving the operators compose: the only shuffles are
+    the shingle inverted-index join (from ngram_jaccard_pairs) and the
+    anti-join on the drop set; the quality/token math stays in per-row
+    codegen. At 100 TB the drop set is small relative to the corpus (it's
+    the duplicates), so the anti-join broadcasts."""
+    from .dedup import ngram_jaccard_pairs
+
+    drop = (ngram_jaccard_pairs(documents, threshold=jaccard_threshold)
+            .select(F.col("doc_b").alias("doc_id")).distinct())
+    kept = documents.join(drop, "doc_id", "left_anti")
+    words = _words(F.col("text"))
+    n_tokens = F.size(words)
+    diversity = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    length_score = F.least(n_tokens.cast("double") / F.lit(200.0), F.lit(1.0))
+    quality = F.round((diversity + length_score) / 2, 6)
+    return (
+        kept.select(
+            "doc_id", "source", quality.alias("quality"),
+            n_tokens.alias("ws_tokens"),
+            F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("bpe_est"))
+        .filter(F.col("quality") >= min_quality)
+    )

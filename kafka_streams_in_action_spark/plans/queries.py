@@ -1019,6 +1019,36 @@ QUERIES: dict[str, QuerySpec] = {
                    (a,b) -> (a * 31 + b) % 2147483647) AS fingerprint
         FROM documents
         """),
+    "c30_curate_pipeline": QuerySpec(
+        _t("documents")(text.curate_documents),
+        f"""
+        WITH {_SHINGLE_CTE},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        drop_ids AS (
+            SELECT DISTINCT doc_b AS doc_id FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6)
+                  >= 0.1),
+        kept AS (
+            SELECT * FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)),
+        q AS (
+            SELECT doc_id, source, text,
+                   string_split(trim(text), ' ') AS words FROM kept),
+        s AS (
+            SELECT doc_id, source,
+                   round((len(list_distinct(words))::DOUBLE / len(words)
+                          + least(len(words)::DOUBLE / 200.0, 1.0)) / 2, 6)
+                       AS quality,
+                   len(words)::INTEGER AS ws_tokens,
+                   ceil(length(text) / 4.0)::BIGINT AS bpe_est
+            FROM q)
+        SELECT * FROM s WHERE quality >= 0.38
+        """),
     "c31_media_metadata": QuerySpec(
         _t("documents")(multimodal.media_metadata),
         """
