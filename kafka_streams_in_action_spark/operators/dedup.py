@@ -44,9 +44,18 @@ def dedup_kept_documents(documents: DataFrame) -> DataFrame:
 
 
 def _shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles of a text column (JVM higher-order fns)."""
+    """Distinct word n-gram shingles of a text column (JVM higher-order fns).
+
+    Documents with fewer than `n` words yield an empty set (matching the
+    oracle's QUALIFY lead(w, n-1) IS NOT NULL): the index range is guarded
+    because F.sequence(1, upper) with upper < 1 produces a DESCENDING
+    sequence — [1, 0] — and element_at(words, 0) throws, not skips.
+    """
     words = F.split(F.trim(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(words) >= n,
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]))
     return F.array_distinct(grams)
@@ -136,9 +145,32 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(documents, threshold=0.0, n=n)
+    # Exact-Jaccard verification on the CANDIDATES ONLY: semi-join the corpus
+    # down to docs that appear in some candidate pair, then score each pair by
+    # array_intersect on the two (distinct) shingle sets. Cost is O(candidates),
+    # never the full inverted-index self-join — at 100 TB that global join is
+    # exactly what LSH exists to avoid. Values match the exact path bitwise:
+    # same |∩| / (|A|+|B|-|∩|) double division, same round(…, 6).
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        documents.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", _shingles(F.col("text"), n).alias("sh"))
+    )
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        candidates
+        .join(sets.select(F.col("doc_id").alias("doc_a"),
+                          F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard",
+                    F.round(F.col("n_common")
+                            / (F.size("sh_a") + F.size("sh_b")
+                               - F.col("n_common")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -160,15 +192,22 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 64) -> DataFrame:
         for i in range(bits)
     ]
     per_doc = hashed.groupBy("doc_id").agg(*votes)
-    fp = per_doc.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
-             * F.lit(1 << i) for i in range(bits - 1)),  # top bit left 0: stay positive
-            start=F.lit(0).cast("long"),
-        ).alias("simhash"),
+    # Bits 0..62 compose as positive powers of two; bit 63 (the long sign bit)
+    # is added as -2^63 — in two's complement that is exactly "only bit 63
+    # set" — so all 64 majority votes land in the fingerprint and Hamming /
+    # banding see the full 64 bits.
+    low = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+         * F.lit(1 << i) for i in range(min(bits, 63))),
+        start=F.lit(0).cast("long"),
     )
-    return fp
+    if bits >= 64:
+        top = F.when(F.col("b63") > 0,
+                     F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = low + top
+    else:
+        fingerprint = low
+    return per_doc.select("doc_id", fingerprint.alias("simhash"))
 
 
 def near_dup_clusters(embeddings: DataFrame, threshold: float = 0.35,
@@ -191,6 +230,12 @@ def near_dup_clusters(embeddings: DataFrame, threshold: float = 0.35,
     Spark jobs (exempt from the no-collect plan contract, like the ANN
     index builds); the oracle is a DuckDB recursive CTE over the same
     pair graph.
+
+    Edge generation routes through the blocked-matmul pair scorer
+    (similarity.cosine_near_dup_pairs) — shuffle-keyed cogroup tiles, no
+    BroadcastNestedLoopJoin over the corpus — so the clustering path keeps
+    the exact edge set (hash-matching the recursive-CTE oracle) with a plan
+    that survives scale-up.
     """
     from .similarity import cosine_near_dup_pairs
 

@@ -49,17 +49,113 @@ def brute_force_topk(embeddings: DataFrame, n_queries: int = 10,
     )
 
 
-def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """C29c: all pairs above a cosine threshold. Exact form for the oracle —
-    the corpus self-join is acceptable at test scale; `lsh_topk` is the
-    production path."""
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35,
+                          n_blocks: int = 8) -> DataFrame:
+    """C29c: ALL pairs above a cosine threshold, as a blocked distributed
+    matmul (exact — every pair is scored).
+
+    For a permissive threshold like 0.35 there is no sublinear exact method —
+    the O(n²) *compute* is intrinsic — but the plan shape matters at scale:
+    the corpus splits into `n_blocks` hash blocks, each of the
+    n_blocks·(n_blocks+1)/2 block PAIRS becomes one cogroup task, and each
+    task scores its |Bi|×|Bj| tile as ONE numpy matmul (BLAS over Arrow
+    batches). Replication is ~n_blocks/2 × the embedding table, moved by
+    shuffle — no BroadcastNestedLoopJoin over the full corpus, no per-row
+    Python. Tune n_blocks ≈ √(desired tasks) as the corpus grows.
+
+    Candidate tiles use an epsilon-padded threshold; survivors (a tiny set)
+    are re-scored JVM-side with the engine's sequential fold so the reported
+    cosine stays bitwise-deterministic across engines — matmul only decides
+    candidacy, where the threshold margin dwarfs summation-order noise.
+
+    For realistic near-dup thresholds (≥0.8) use `cosine_near_dup_lsh`,
+    which prunes candidates sub-quadratically at bounded recall.
+    """
+    spark = embeddings.sparkSession
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
-    a, b = emb.alias("a"), emb.alias("b")
+    blocked = emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
+    tiles = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ba int, bb int")
+    left = blocked.join(F.broadcast(tiles), F.col("blk") == F.col("ba")) \
+        .select("ba", "bb", "vec_id", "vec")
+    # distinct column names on the right side — the two cogroup inputs share
+    # lineage, and identically-named columns are ambiguous to the analyzer
+    right = blocked.join(F.broadcast(tiles), F.col("blk") == F.col("bb")) \
+        .select(F.col("ba").alias("rba"), F.col("bb").alias("rbb"),
+                F.col("vec_id").alias("rvec_id"), F.col("vec").alias("rvec"))
+
+    def score_tile(key, l, r):
+        import numpy as np
+        import pandas as pd
+        if l.empty or r.empty:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64")})
+        A = np.vstack(l["vec"].to_numpy())
+        B = np.vstack(r["rvec"].to_numpy())
+        A = A / np.linalg.norm(A, axis=1, keepdims=True)
+        B = B / np.linalg.norm(B, axis=1, keepdims=True)
+        ia, ib = np.nonzero(A @ B.T >= threshold - 1e-9)
+        va = l["vec_id"].to_numpy()[ia]
+        vb = r["rvec_id"].to_numpy()[ib]
+        if key[0] == key[1]:          # same-block tile: S is symmetric
+            keep = va < vb
+            va, vb = va[keep], vb[keep]
+        return pd.DataFrame({"vec_a": np.minimum(va, vb),
+                             "vec_b": np.maximum(va, vb)})
+
+    cand = (
+        left.groupBy("ba", "bb").cogroup(right.groupBy("rba", "rbb"))
+        .applyInPandas(score_tile, "vec_a long, vec_b long")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va_vec"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb_vec"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-                F.round(_cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine_sim"))
+        cand.join(a, "vec_a").join(b, "vec_b")
+        .select("vec_a", "vec_b",
+                F.round(_cosine(F.col("va_vec"), F.col("vb_vec")), 6)
+                .alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def cosine_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.35,
+                        n_planes: int = 4, n_tables: int = 8,
+                        dim: int = 64) -> DataFrame:
+    """C29c scale path: near-dup pairs with LSH-pruned candidate generation —
+    `n_tables` independent hyperplane sets; a pair is a candidate if it
+    collides in ANY table; candidates are verified with the exact JVM-fold
+    cosine. Sub-quadratic (per-bucket posting lists only), recall < 1 —
+    pinned against the exact blocked form in pytest. The false-negative rate
+    falls as (1 - p^b)^L; raise n_tables for higher recall."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    tables = []
+    for t in range(n_tables):
+        planes = _fixed_planes(n_planes, dim, seed=42 + 101 * t)
+        tables.append(F.struct(
+            F.lit(t).alias("tbl"),
+            _lsh_bucket(F.col("vec"), planes).alias("bucket")))
+    bucketed = emb.select(
+        "vec_id", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va_vec"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb_vec"))
+    return (
+        cand.join(va, "vec_a").join(vb, "vec_b")
+        .select("vec_a", "vec_b",
+                F.round(_cosine(F.col("va_vec"), F.col("vb_vec")), 6)
+                .alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -75,10 +171,10 @@ def _lsh_bucket(vec, planes: list[list[float]]):
     return bucket
 
 
-def _fixed_planes(n_planes: int, dim: int) -> list[list[float]]:
+def _fixed_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG — no numpy dependency in the
     executor path; generated once on the driver and baked into the plan)."""
-    state = 42
+    state = seed
     planes = []
     for _ in range(n_planes):
         row = []

@@ -226,3 +226,25 @@ def test_wire_roundtrip_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan
     # '* ' node prefix = inside a WholeStageCodegen span
     assert "* Filter" in plan and "* Project" in plan
+
+
+def test_minhash_lsh_jaccard_scores_candidates_only(spark):
+    """C29b: the exact-Jaccard verify step must restrict the corpus to
+    candidate doc_ids (LeftSemi) and score pairs via array_intersect — never
+    re-run the full shingle inverted-index self-join it exists to avoid."""
+    plan = plan_of(_q(spark, "c29_minhash_lsh"))
+    assert "LeftSemi" in plan
+    assert "array_intersect" in plan
+    # exactly one exploded-shingle aggregation subtree (the minhash
+    # signatures); a second one would be the full-corpus exact join creeping
+    # back in. xxhash64 appears only in the signature/banding computation.
+    assert plan.count("posexplode") == 0
+
+
+def test_cosine_near_dup_has_no_full_corpus_bnlj(spark):
+    """C29c: all-pairs scoring must run as blocked cogroup tiles (Arrow
+    matmul), not a BroadcastNestedLoopJoin over the corpus."""
+    plan = plan_of(_q(spark, "c29_cosine_near_dup"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
