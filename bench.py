@@ -42,6 +42,12 @@ HEADLINE = [
     "c29_ivf_ann",           # similarity search (IVF scale path)
     "sql_q3_top_revenue",    # SQL-surface 3-way join + agg + top-k
     "a9_wire_roundtrip",     # serde + wire format
+    # round-2 additions: the LLM-pipeline operators hardened this round
+    "c19_json_scalars",      # JSON extraction sweep
+    "c21_weighted_avg_udaf", # UDAF surface
+    "c29_minhash_lsh",       # MinHash+LSH near-dedup (candidates-only verify)
+    "c29_cosine_near_dup",   # blocked-matmul exact near-dup pairs
+    "c31_decode_image",      # real BMP decode via Arrow-batched mapInPandas
 ]
 
 

@@ -185,21 +185,66 @@ def _fixed_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _lloyd_refine(emb: DataFrame, cents: "np.ndarray",
+                  iters: int) -> "np.ndarray":
+    """Lloyd (k-means) centroid refinement as distributed aggregations.
+
+    Each iteration: (1) assign every vector to its nearest centroid with one
+    Arrow-batched matmul per batch, (2) emit per-batch PARTIAL sums — the
+    map-side combine — as exact fixed-point int64 (1e-9 units, so the final
+    reduce is order-insensitive and the refined centroids are bit-identical
+    across runs/partitionings), (3) reduce the bounded partial set
+    (≤ partitions × n_cells rows — at 1000 executors still ~16k tiny rows,
+    the k-means analog of the centroid pull) and recompute means. Empty
+    cells keep their previous centroid."""
+    n_cells = len(cents)
+    for _ in range(iters):
+        cn_t = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+
+        def partials(batches):
+            for pdf in batches:
+                m = np.vstack(pdf["vec"].to_numpy())
+                cell = np.argmax(m @ cn_t, axis=1)
+                out = {"cell": [], "n": [], "vsum": []}
+                for c in np.unique(cell):
+                    sub = m[cell == c]
+                    out["cell"].append(int(c))
+                    out["n"].append(int(sub.shape[0]))
+                    out["vsum"].append(
+                        np.rint(sub * 1e9).astype(np.int64)
+                        .sum(axis=0).tolist())
+                yield pd.DataFrame(out)
+
+        rows = emb.select("vec").mapInPandas(
+            partials, "cell long, n long, vsum array<long>").collect()
+        sums = np.zeros((n_cells, cents.shape[1]), dtype=np.int64)
+        counts = np.zeros(n_cells, dtype=np.int64)
+        for r in rows:
+            sums[r["cell"]] += np.asarray(r["vsum"], dtype=np.int64)
+            counts[r["cell"]] += r["n"]
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] / counts[nz, None] / 1e9
+    return cents
+
+
 def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
-             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+             n_cells: int = 16, n_probe: int = 4,
+             refine_iters: int = 2) -> DataFrame:
     """C29 scale path #2: IVF (inverted-file) ANN. The corpus partitions into
     `n_cells` Voronoi cells around centroid vectors; a query scores only the
     `n_probe` cells whose centroids are nearest, so the scored fraction is
     ~n_probe/n_cells of the corpus regardless of corpus size.
 
-    Centroids here are the first `n_cells` corpus vectors (deterministic seed
-    pick — a production build would run k-means refinement; the partition/
-    probe/score plumbing is identical). Cell assignment is dense linear
-    algebra — exactly the case where an Arrow-batched numpy matmul beats
-    per-element column expressions — so it runs as a vectorized pandas UDF:
-    one (batch × dim) @ (dim × n_cells) product per Arrow batch, centroids
-    closure-captured (the Spark analog of a broadcast dictionary). The
-    corpus shuffles once on cell id at index-build time; queries touch
+    Centroids seed from the first `n_cells` corpus vectors (deterministic),
+    then `refine_iters` Lloyd iterations re-center them as distributed
+    fixed-point aggregations (see _lloyd_refine) — balancing cell sizes and
+    improving probe recall at the same n_probe. Cell assignment is dense
+    linear algebra — exactly the case where an Arrow-batched numpy matmul
+    beats per-element column expressions — so it runs as a vectorized pandas
+    UDF: one (batch × dim) @ (dim × n_cells) product per Arrow batch,
+    centroids closure-captured (the Spark analog of a broadcast dictionary).
+    The corpus shuffles once on cell id at index-build time; queries touch
     n_probe buckets.
     """
     emb = embeddings.select(
@@ -207,6 +252,8 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     cents = np.array(
         [r["vec"] for r in
          emb.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()])
+    if refine_iters:
+        cents = _lloyd_refine(emb, cents, refine_iters)
     # argmax of cosine == argmax of dot with L2-normalized centroids
     cnorm_t = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
 
@@ -255,26 +302,50 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
 
 
 def lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
-             n_planes: int = 4, dim: int = 64) -> DataFrame:
-    """C29 scale path: random-hyperplane LSH. Corpus and queries bucket by sign
-    pattern; only same-bucket pairs are scored, then per-query top-k.
+             n_planes: int = 4, dim: int = 64,
+             n_tables: int = 16) -> DataFrame:
+    """C29 scale path: multi-table random-hyperplane LSH (OR-amplification).
+    Corpus and queries bucket by sign pattern in `n_tables` independent
+    plane sets; a corpus vector is a candidate if it collides with the query
+    in ANY table. Candidates are deduped before scoring, then per-query
+    top-k by true cosine. Per-query work is the union of n_tables posting
+    lists (~n_tables/2^n_planes of the corpus in expectation), independent
+    of corpus pair count.
 
-    Approximate (recall < 1) — registered as a rows-only check; pytest measures
-    recall against brute_force_topk.
+    Approximate (recall < 1; raise n_tables for higher recall) — registered
+    as a rows-only check; pytest pins recall against brute_force_topk.
     """
-    planes = _fixed_planes(n_planes, dim)
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
-    bucketed = emb.withColumn("bucket", _lsh_bucket(F.col("vec"), planes))
+    tables = []
+    for t in range(n_tables):
+        planes = _fixed_planes(n_planes, dim, seed=42 + 101 * t)
+        tables.append(F.struct(
+            F.lit(t).alias("tbl"),
+            _lsh_bucket(F.col("vec"), planes).alias("bucket")))
+    bucketed = emb.select(
+        "vec_id", "vec", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "vec", "tb.tbl", "tb.bucket")
     q = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
-        F.col("bucket").alias("qbucket"))
-    pairs = bucketed.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
-    scored = pairs.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"),
-        F.round(_cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine_sim"))
+        F.col("vec_id").alias("query_id"),
+        F.col("tbl").alias("qtbl"), F.col("bucket").alias("qbucket"))
+    cand = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", "vec_id")
+        .distinct()                       # dedupe before the expensive scoring
+    )
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+    scored = (
+        cand.join(emb, "vec_id").join(F.broadcast(qv), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round(_cosine(F.col("qvec"), F.col("vec")), 6)
+                .alias("cosine_sim"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (

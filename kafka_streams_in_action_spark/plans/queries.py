@@ -286,7 +286,7 @@ sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id)
 """
 
 
-QUERIES: dict[str, QuerySpec] = {
+_QUERY_DEFS: dict[str, QuerySpec] = {
     # ------------------------------------------------------------------
     # Reference operators (SURVEY §2A)
     # ------------------------------------------------------------------
@@ -948,6 +948,9 @@ QUERIES: dict[str, QuerySpec] = {
         SELECT node AS vec_id, min(r) AS cluster_id
         FROM reach GROUP BY node
         """),
+    "c29_cosine_near_dup_lsh": QuerySpec(
+        _t("embeddings")(similarity.cosine_near_dup_lsh),
+        None),  # LSH-pruned candidates + exact verify — recall pinned in pytest
     "c29_lsh_ann": QuerySpec(
         _t("embeddings")(similarity.lsh_topk),
         None),  # approximate ANN — recall vs c29_cosine_topk pinned in pytest
@@ -1148,6 +1151,47 @@ QUERIES: dict[str, QuerySpec] = {
         FROM a
         """),
 }
+
+
+# ---------------------------------------------------------------------------
+# Declared ordering. The driver records correctness rows for the FIRST 50
+# queries() entries (dict insertion order) — round 1 truncated exactly there,
+# leaving c19-c31 with no driver-side signal. So: every query WITHOUT a green
+# CORRECTNESS_r01.json row comes first (the whole r1-unverified tail, the two
+# formerly-no_oracle sketches, and everything new this round), then a
+# representative slice of the already-green rows fills the window; the
+# remaining greens (verified in r1) close the dict.
+# ---------------------------------------------------------------------------
+_ROUND2_PRIORITY = [
+    # r1-unverified: JSON fns, UDX, event-time, dedup, similarity, text,
+    # multimodal
+    "c19_json_scalars", "c19_json_fns",
+    "c21_weighted_avg_udaf", "c21_tokenize_udtf",
+    "c22_tumbling_window", "c23_sliding_window", "c24_session_window",
+    "c25_late_data", "c26_dedup_first", "c27_running_state",
+    "c28_exact_dedup", "c28_kept_documents",
+    "c29_ngram_jaccard", "c29_minhash_lsh", "c29_simhash",
+    "c29_cosine_topk", "c29_cosine_near_dup", "c29_dup_clusters",
+    "c29_cosine_near_dup_lsh", "c29_lsh_ann", "c29_ivf_ann",
+    "c30_word_frequency", "c30_doc_stats", "c30_language_id",
+    "c30_quality_score", "c30_token_counts", "c30_fingerprints",
+    "c30_curate_pipeline",
+    "c31_media_metadata", "c31_decode_image", "c31_resize_image",
+    "c31_frame_stats", "c31_audio_stats",
+    # r1 rows that read as err (no_oracle) — now oracle-checkable
+    "c4_approx_distinct", "c4_approx_quantiles",
+    # representative r1-green rows re-earned inside the window
+    "a5_fnv_partitioner", "a9_wire_roundtrip", "a9_wire_roundtrip_proto",
+    "a11_avro_roundtrip", "a13_proto_roundtrip", "a15_partition_ordered",
+    "c3_pricing_summary", "c3_q6_revenue", "sql_q3_top_revenue",
+    "sql_q13_order_distribution", "c7_multiway_join", "c10_asof_join",
+    "c9_range_join", "c5_rollup", "c6_broadcast_join",
+]
+
+QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND2_PRIORITY}
+QUERIES.update(
+    {n: s for n, s in _QUERY_DEFS.items() if n not in QUERIES})
+assert len(QUERIES) == len(_QUERY_DEFS)
 
 
 def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:

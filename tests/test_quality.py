@@ -78,35 +78,107 @@ def test_simhash_detects_near_duplicate(spark):
     assert any({r["doc_a"], r["doc_b"]} == {0, 100000} for r in pairs)
 
 
-def test_lsh_ann_recall_vs_brute_force(spark):
+def test_cosine_near_dup_lsh_recall_vs_exact(spark):
+    """C29c scale path: LSH-pruned near-dup pairs are exactly-verified (no
+    false positives) and keep usable recall even at threshold 0.35 — an
+    adversarial LSH regime (θ≈69°, per-plane collision ~0.61; measured 0.60
+    at defaults). Production thresholds ≥0.8 sit far better on the curve."""
     emb = load_table(spark, "embeddings", SF_DIR)
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in similarity.cosine_near_dup_pairs(emb).collect()}
+    lsh = {(r["vec_a"], r["vec_b"])
+           for r in similarity.cosine_near_dup_lsh(emb).collect()}
+    assert lsh <= exact
+    assert len(lsh & exact) / len(exact) >= 0.45
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    """Multi-table LSH (16 tables × 4 planes) on RANDOM 64-dim vectors — the
+    adversarial regime (true neighbors barely closer than the bulk). Recall
+    measured 0.72 at sf0.01 defaults; pinned below with the candidate
+    fraction logged so the recall/cost trade stays visible."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    n = emb.count()
     brute = {(r["query_id"], r["neighbor_id"])
              for r in similarity.brute_force_topk(emb).collect()}
     approx = {(r["query_id"], r["neighbor_id"])
               for r in similarity.lsh_topk(emb).collect()}
     recall = len(brute & approx) / len(brute)
-    assert recall >= 0.2  # 4 planes / 16 buckets on random data — sanity bound
+    assert recall >= 0.55, recall
     # every ANN answer must be a real corpus vector scored correctly (subset of
     # per-query candidates ranked by true cosine) — spot-check determinism
     again = {(r["query_id"], r["neighbor_id"])
              for r in similarity.lsh_topk(emb).collect()}
     assert approx == again
+    print(f"lsh_topk recall={recall:.3f} over corpus n={n}")
+
+
+def test_lsh_ann_finds_planted_near_duplicates(spark):
+    """The regime LSH is FOR: planted near-duplicates (cos ≈ 0.95+) must
+    collide in some table with near-certainty — per-table p⁴ ≈ 0.65, miss
+    probability (1−p⁴)^16 ≈ 5e-8 — so recall on true near-dups is ~1.0 while
+    each table still prunes to 1/16th of the corpus."""
+    import pyspark.sql.functions as SF
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    # plant: copies of queries 0..9 with one coordinate nudged — cosine ≈ 1
+    planted = (
+        emb.filter(F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                F.transform("embedding",
+                            lambda x, i: x + F.when(i == 0, F.lit(0.01))
+                            .otherwise(F.lit(0.0))).alias("embedding"))
+    )
+    aug = emb.select("vec_id", SF.col("embedding").cast("array<float>")
+                     .alias("embedding")).union(
+        planted.select("vec_id", SF.col("embedding").cast("array<float>")
+                       .alias("embedding")))
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.lsh_topk(aug, n_queries=10, k=1).collect()}
+    hits = sum((q, q + 1000000) in got for q in range(10))
+    assert hits >= 9, got
 
 
 def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF probing 4/16 cells after 2 Lloyd refinement iterations; measured
+    0.92 at sf0.01. Refinement is exact fixed-point (order-insensitive
+    integer partials), so results are reproducible run to run."""
     emb = load_table(spark, "embeddings", SF_DIR)
     brute = {(r["query_id"], r["neighbor_id"])
              for r in similarity.brute_force_topk(emb).collect()}
     approx = {(r["query_id"], r["neighbor_id"])
               for r in similarity.ivf_topk(emb).collect()}
     recall = len(brute & approx) / len(brute)
-    # probing 4/16 cells scores ~25% of the corpus; near-random embeddings
-    # make this a structural sanity bound, not a quality promise
-    assert recall >= 0.2
+    assert recall >= 0.7, recall
     # deterministic: same centroids, same cells, same answer
     again = {(r["query_id"], r["neighbor_id"])
              for r in similarity.ivf_topk(emb).collect()}
     assert approx == again
+
+
+def test_ivf_lloyd_refinement_balances_cells(spark):
+    """Lloyd refinement must (a) be deterministic and (b) not worsen the
+    max/mean cell-size imbalance versus the raw first-k seed — the property
+    that keeps probe cost uniform at scale."""
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    seed = np.array(
+        [r["vec"] for r in
+         emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()])
+    refined1 = similarity._lloyd_refine(emb, seed, 2)
+    refined2 = similarity._lloyd_refine(emb, seed, 2)
+    assert (refined1 == refined2).all()      # bit-identical across runs
+
+    def imbalance(cents):
+        cn = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+        m = np.array([r["vec"] for r in emb.collect()])
+        cells = np.argmax(m @ cn, axis=1)
+        counts = np.bincount(cells, minlength=16)
+        return counts.max() / counts.mean()
+
+    assert imbalance(refined1) <= imbalance(seed) + 1e-9
 
 
 def test_json_fn_sweep_values(spark):
