@@ -48,6 +48,9 @@ HEADLINE = [
     "c29_minhash_lsh",       # MinHash+LSH near-dedup (candidates-only verify)
     "c29_cosine_near_dup",   # blocked-matmul exact near-dup pairs
     "c31_decode_image",      # real BMP decode via Arrow-batched mapInPandas
+    # round-2 TPC-H widening representatives
+    "sql_q8_market_share",   # 7-table join, conditional exact-sum ratio
+    "sql_q21_waiting_supplier",  # correlated EXISTS + NOT EXISTS anti pattern
 ]
 
 

@@ -240,6 +240,254 @@ def _sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# ---------------------------------------------------------------------------
+# TPC-H widening (SURVEY §2B SQL surface, round 2): the remaining classic
+# query shapes, adapted to the testdata's column subset (no partsupp /
+# shipmode / commitdate / phone). Each is ONE shared ANSI-SQL string that
+# both engines parse identically — determinism comes from the exact
+# fixed-point sum spelling (CAST(floor(x*1e6+0.5) AS BIGINT) per row, exact
+# integer aggregation, CAST AS DOUBLE only at the end; identical bits in
+# Spark and DuckDB) and from total ORDER BY tiebreaks before every LIMIT.
+# ---------------------------------------------------------------------------
+
+def _micro(x: str) -> str:
+    """Per-row half-up micro-unit quantization, pure IEEE double ops."""
+    return f"CAST(floor({x} * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _xsum(x: str) -> str:
+    """Exact fixed-point sum (ANSI spelling valid in Spark AND DuckDB)."""
+    return f"(CAST(sum({_micro(x)}) AS DOUBLE) / 1000000)"
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+_TPCH_SHARED: dict[str, tuple[str, str]] = {
+    # Q2 shape: correlated MIN subquery → decorrelated agg-join (no
+    # partsupp: min account balance per region stands in for min supplycost).
+    "sql_q2_min_acctbal": ("supplier nation region", f"""
+        SELECT s_acctbal, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND s_acctbal = (
+              SELECT min(s2.s_acctbal)
+              FROM supplier s2 JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+              WHERE n2.n_regionkey = region.r_regionkey)
+        ORDER BY s_name
+    """),
+    # Q4 shape: EXISTS → left-semi join; counts are exact.
+    # (l_shipdate > o_orderdate stands in for commitdate < receiptdate.)
+    "sql_q4_order_priority": ("orders lineitem", """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """),
+    # Q7 shape: two-nation volume by year — six-table join, disjunctive
+    # nation-pair predicate, year() bucketing.
+    "sql_q7_nation_volume": ("supplier lineitem orders customer nation", f"""
+        SELECT supp_nation, cust_nation, l_year,
+               {_xsum('volume')} AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   {_REV} AS volume
+            FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                                 AND TIMESTAMP '1996-12-31') shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """),
+    # Q8 shape: market share — ratio of two exact integer sums; the CASE
+    # keeps quantization per-row so partial-agg order can't perturb bits.
+    "sql_q8_market_share": (
+        "part lineitem supplier orders customer nation region", f"""
+        SELECT o_year,
+               CAST(nation_micro AS DOUBLE) / CAST(total_micro AS DOUBLE)
+                   AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   sum(CASE WHEN n2.n_name = 'NATION_3'
+                            THEN {_micro(_REV)} ELSE 0 END) AS nation_micro,
+                   sum({_micro(_REV)}) AS total_micro
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+              AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                  AND TIMESTAMP '1996-12-31'
+            GROUP BY CAST(year(o_orderdate) AS INTEGER)) all_nations
+        ORDER BY o_year
+    """),
+    # Q9 shape: profit by nation-year (0.1*retailprice*qty stands in for
+    # ps_supplycost); the whole amount is one per-row IEEE expression.
+    "sql_q9_profit": ("part lineitem supplier orders nation", f"""
+        SELECT nation, o_year, {_xsum('amount')} AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   {_REV} - p_retailprice * l_quantity * 0.1 AS amount
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%') profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """),
+    # Q10 shape: returned-item revenue, top 20 customers; total order via
+    # (revenue DESC, c_custkey) before the LIMIT.
+    "sql_q10_returned_items": ("customer orders lineitem nation", f"""
+        SELECT c_custkey, c_name, {_xsum(_REV)} AS revenue,
+               c_acctbal, n_name
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """),
+    # Q12 shape: conditional counts per line status (stands in for shipmode).
+    "sql_q12_priority_lines": ("orders lineitem", """
+        SELECT l_linestatus,
+               count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                   AS high_line_count,
+               count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                   AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """),
+    # Q14 shape: promo revenue share — ratio of exact integer sums.
+    "sql_q14_promo_share": ("lineitem part", f"""
+        SELECT CAST(promo_micro AS DOUBLE) * 100.0
+                   / CAST(total_micro AS DOUBLE) AS promo_revenue
+        FROM (
+            SELECT sum(CASE WHEN p_type = 'PROMO'
+                            THEN {_micro(_REV)} ELSE 0 END) AS promo_micro,
+                   sum({_micro(_REV)}) AS total_micro
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01') promo
+    """),
+    # Q15 shape: CTE + scalar MAX subquery over it — the top supplier(s).
+    # Equality on total_revenue is safe: both engines derive it from the
+    # same exact integer, so the doubles are bit-identical.
+    "sql_q15_top_supplier": ("supplier lineitem", f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {_xsum(_REV)} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """),
+    # Q16 shape: distinct-supplier counts by part attrs + NOT IN anti-join.
+    "sql_q16_supplier_parts": ("lineitem part supplier", """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """),
+    # Q19 shape: disjunctive brand/size/quantity predicate over an equi-join —
+    # Catalyst must keep the hash join and evaluate the OR as a post-filter.
+    "sql_q19_disjunctive_rev": ("lineitem part", f"""
+        SELECT {_xsum(_REV)} AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """),
+    # Q21 shape: EXISTS + NOT EXISTS correlated anti pattern — suppliers who
+    # shipped last among multi-supplier 'F' orders.
+    "sql_q21_waiting_supplier": ("supplier lineitem orders", """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """),
+    # Q22 shape: scalar avg subquery (exact fixed-point avg) + NOT EXISTS —
+    # well-funded customers with no URGENT orders (every testdata customer
+    # has some order, so the anti-join carries a predicate), bucketed by
+    # nation-key suffix (stands in for the phone country code).
+    "sql_q22_prospects": ("customer orders", f"""
+        SELECT cntry, count(*) AS numcust, {_xsum('c_acctbal')} AS totacctbal
+        FROM (
+            SELECT CAST(c_nationkey % 10 AS INTEGER) AS cntry, c_acctbal
+            FROM customer
+            WHERE c_acctbal > (
+                SELECT (CAST(sum({_micro('c2.c_acctbal')}) AS DOUBLE)
+                        / 1000000) / count(*)
+                FROM customer c2 WHERE c2.c_acctbal > 0.0)
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')) prospects
+        GROUP BY cntry
+        ORDER BY cntry
+    """),
+}
+
+
+def _tpch_spec(name: str) -> QuerySpec:
+    """Build the Spark fn + oracle from one shared ANSI string."""
+    tables, sql = _TPCH_SHARED[name]
+
+    def run(spark: SparkSession, sf_dir: str,
+            _tables: str = tables, _sql: str = sql) -> DataFrame:
+        for t in _tables.split():
+            load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+        return spark.sql(_sql)
+
+    run.__name__ = f"_shared_{name}"
+    run.__doc__ = f"TPC-H shape (shared ANSI SQL, see _TPCH_SHARED['{name}'])."
+    return QuerySpec(run, sql)
+
+
 def _fnv_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/F1: the reference's custom partitioner over customer names, plus the
     literal "CUSTOM" override row (custom_order_partitioner.go:22-31)."""
@@ -1152,6 +1400,8 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),
 }
 
+_QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
+
 
 # ---------------------------------------------------------------------------
 # Declared ordering. The driver records correctness rows for the FIRST 50
@@ -1180,12 +1430,14 @@ _ROUND2_PRIORITY = [
     "c31_frame_stats", "c31_audio_stats",
     # r1 rows that read as err (no_oracle) — now oracle-checkable
     "c4_approx_distinct", "c4_approx_quantiles",
+    # new this round: the TPC-H widening (no prior correctness rows)
+    "sql_q2_min_acctbal", "sql_q4_order_priority", "sql_q7_nation_volume",
+    "sql_q8_market_share", "sql_q9_profit", "sql_q10_returned_items",
+    "sql_q12_priority_lines", "sql_q14_promo_share", "sql_q15_top_supplier",
+    "sql_q16_supplier_parts", "sql_q19_disjunctive_rev",
+    "sql_q21_waiting_supplier", "sql_q22_prospects",
     # representative r1-green rows re-earned inside the window
-    "a5_fnv_partitioner", "a9_wire_roundtrip", "a9_wire_roundtrip_proto",
-    "a11_avro_roundtrip", "a13_proto_roundtrip", "a15_partition_ordered",
-    "c3_pricing_summary", "c3_q6_revenue", "sql_q3_top_revenue",
-    "sql_q13_order_distribution", "c7_multiway_join", "c10_asof_join",
-    "c9_range_join", "c5_rollup", "c6_broadcast_join",
+    "c3_pricing_summary", "c7_multiway_join",
 ]
 
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND2_PRIORITY}

@@ -248,3 +248,28 @@ def test_cosine_near_dup_has_no_full_corpus_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_tpch_exists_subqueries_decorrelate(spark):
+    """Round-2 TPC-H widening: correlated EXISTS must rewrite to a left-semi
+    join (q4), and q21's EXISTS + NOT EXISTS must become semi + anti joins on
+    l_orderkey — never a per-row re-probe or a nested-loop over the fact."""
+    q4 = plan_of(_q(spark, "sql_q4_order_priority"))
+    assert "LeftSemi" in q4
+    q21 = plan_of(_q(spark, "sql_q21_waiting_supplier"))
+    assert "LeftSemi" in q21
+    assert "LeftAnti" in q21
+    assert "CartesianProduct" not in q21
+
+
+def test_tpch_multiway_joins_stay_hash_keyed(spark):
+    """q7/q8: six- and seven-table chains must resolve to hash joins on equi
+    keys (broadcast at test scale, shuffle-hash/SMJ at 100 TB) with no
+    nested-loop fallback from the disjunctive filters."""
+    for name in ("sql_q7_nation_volume", "sql_q8_market_share",
+                 "sql_q19_disjunctive_rev"):
+        plan = plan_of(_q(spark, name))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan), name
