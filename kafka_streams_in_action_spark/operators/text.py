@@ -134,6 +134,62 @@ def tokenize_wordfreq(documents: DataFrame, min_count: int = 10) -> DataFrame:
     )
 
 
+def repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
+    """C30g: Gopher-style repetition filter input — per-doc n-gram repetition.
+
+    top_gram_frac = count(most frequent n-gram) / total n-grams: the signal
+    the Gopher/MassiveText quality rules threshold on (docs dominated by one
+    repeated phrase are boilerplate). Two keyed shuffles — (doc_id, gram)
+    counts then per-doc agg — both on small keys, text never shuffled.
+    The fraction is a raw IEEE division of two exact counts (bit-identical
+    across engines; never rounded per-row).
+    """
+    toks = documents.select("doc_id", _words(F.col("text")).alias("w"))
+    idx = F.when(
+        F.size("w") >= n,
+        F.sequence(F.lit(1), F.size("w") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(F.col("w"), i + j)
+                                     for j in range(n)]))
+    counts = (
+        toks.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.sum("c").alias("n_grams"),
+             F.count(F.lit(1)).alias("n_distinct_grams"),
+             F.max("c").alias("top_gram_count"))
+        .select(
+            "doc_id", "n_grams", "n_distinct_grams",
+            (F.col("top_gram_count").cast("double")
+             / F.col("n_grams").cast("double")).alias("top_gram_frac"))
+    )
+
+
+REDACT_PATTERN = r"\b(customer|vector)\b"  # stand-in lexicon; ASCII \b is
+#   identical in Java regex (Spark) and RE2 (DuckDB), so both engines scrub
+#   the same spans — real deployments swap in their badwords/PII lexicon.
+
+
+def lexicon_redact(documents: DataFrame) -> DataFrame:
+    """C30h: lexicon-based redaction (the badwords/PII-scrub shape): count the
+    hits, replace each with a mask token, and emit the scrubbed text's length
+    + md5 so the oracle proves byte-identical scrubbing without shipping the
+    text. Pure per-row regex in codegen — no shuffle, no UDF."""
+    scrubbed = F.regexp_replace(F.col("text"), REDACT_PATTERN, "[X]")
+    n_hits = F.size(F.regexp_extract_all("text", F.lit(REDACT_PATTERN), 0))
+    return documents.select(
+        "doc_id",
+        n_hits.alias("n_redacted"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"),
+    )
+
+
 def curate_documents(documents: DataFrame, jaccard_threshold: float = 0.1,
                      min_quality: float = 0.38) -> DataFrame:
     """C28/C29/C30 composed: the end-to-end curation pass a training-data

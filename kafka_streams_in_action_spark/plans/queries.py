@@ -1308,6 +1308,36 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
             FROM q)
         SELECT * FROM s WHERE quality >= 0.38
         """),
+    "c30_repetition": QuerySpec(
+        _t("documents")(text.repetition_stats),
+        """
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        flat AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i+1])) AS g
+            FROM toks WHERE len(w) >= 2),
+        counts AS (
+            SELECT doc_id, g, count(*) AS c FROM flat GROUP BY doc_id, g)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+               count(*) AS n_distinct_grams,
+               CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                   AS top_gram_frac
+        FROM counts GROUP BY doc_id
+        """),
+    "c30_redact": QuerySpec(
+        _t("documents")(text.lexicon_redact),
+        r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\b(customer|vector)\b'))::INTEGER
+                   AS n_redacted,
+               length(regexp_replace(text, '\b(customer|vector)\b', '[X]',
+                                     'g'))::INTEGER AS scrubbed_len,
+               md5(regexp_replace(text, '\b(customer|vector)\b', '[X]', 'g'))
+                   AS scrubbed_md5
+        FROM documents
+        """),
     "c31_media_metadata": QuerySpec(
         _t("documents")(multimodal.media_metadata),
         """
@@ -1436,8 +1466,8 @@ _ROUND2_PRIORITY = [
     "sql_q12_priority_lines", "sql_q14_promo_share", "sql_q15_top_supplier",
     "sql_q16_supplier_parts", "sql_q19_disjunctive_rev",
     "sql_q21_waiting_supplier", "sql_q22_prospects",
-    # representative r1-green rows re-earned inside the window
-    "c3_pricing_summary", "c7_multiway_join",
+    # new this round: repetition filter + lexicon redaction (C30g/h)
+    "c30_repetition", "c30_redact",
 ]
 
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND2_PRIORITY}
