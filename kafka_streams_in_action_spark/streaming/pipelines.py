@@ -100,6 +100,80 @@ def pipelining_run(spark: SparkSession, in_dir: str, out_dir: str,
     )
 
 
+def curation_ingest(spark: SparkSession, in_dir: str, out_dir: str,
+                    checkpoint_dir: str, min_quality: float = 0.38,
+                    max_files_per_trigger: int = 25):
+    """Streaming training-data ingest — the C28/C30 curation operators composed
+    onto the §3.2 micro-batch lifecycle: file-stream source → in-batch exact
+    dedup → cross-batch dedup → quality floor → token stats → partitioned sink.
+
+    Cross-batch dedup is an anti-join against the sink's own hash index
+    (`<out>/hashes`), not unbounded `dropDuplicates` state: the index is the
+    16-byte md5 + doc_id only, so at 100 TB it is ~0.1% of the corpus.
+
+    Exactly-once on top of the at-least-once WAL (the same upgrade the
+    reference gets from process-then-MarkOffset ordering,
+    pipelining_consumer_client.go:98-108): both sink writes are keyed by
+    `ingest_batch` = the micro-batch id and use DYNAMIC PARTITION OVERWRITE,
+    so a replayed batch — whatever it managed to write before crashing —
+    overwrites its own partitions instead of appending duplicates. Two
+    non-atomic writes + deterministic batch content + per-batch overwrite =
+    idempotent replay with no cross-write ordering hazard.
+    """
+    from ..schemas import DOCUMENTS
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_dir)
+    )
+    hash_dir = f"{out_dir}/hashes"
+    data_dir = f"{out_dir}/data"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.withColumn("text_hash", F.md5("text"))
+        # in-batch exact dedup: keep the lowest doc_id per hash (C28 contract)
+        w_min = batch_df.groupBy("text_hash").agg(
+            F.min("doc_id").alias("doc_id"))
+        fresh = batch_df.join(w_min, ["text_hash", "doc_id"], "left_semi")
+        # cross-batch dedup: anti-join the sink's hash index
+        try:
+            seen = spark.read.parquet(hash_dir).select("text_hash")
+            fresh = fresh.join(seen, "text_hash", "left_anti")
+        except Exception:
+            pass  # first batch: no index yet
+        # C30 quality floor + token stats on the survivors
+        words = F.split(F.trim("text"), " ")
+        n_tokens = F.size(words)
+        diversity = F.size(F.array_distinct(words)).cast("double") / n_tokens
+        length_score = F.least(n_tokens.cast("double") / F.lit(200.0),
+                               F.lit(1.0))
+        curated = (
+            fresh.select(
+                "doc_id", "source", "text_hash",
+                F.round((diversity + length_score) / 2, 6).alias("quality"),
+                n_tokens.alias("ws_tokens"),
+                F.ceil(F.length("text") / F.lit(4.0)).cast("long")
+                .alias("bpe_est"))
+            .filter(F.col("quality") >= min_quality)
+            .withColumn("ingest_batch", F.lit(batch_id))
+        ).localCheckpoint(eager=True)  # score once; two writes below
+        (curated.drop("text_hash").write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch", "source").parquet(data_dir))
+        (curated.select("text_hash", "doc_id", "ingest_batch")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(hash_dir))
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def multi_event_run(spark: SparkSession, in_dir: str, out_dir: str,
                     checkpoint_dir: str):
     """§3.3 / A19: one stream carrying mixed event types, fanned out to

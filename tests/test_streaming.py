@@ -363,3 +363,59 @@ def test_multi_event_fanout(spark, tmp_path, events_dir):
     expect_types = {f"event_type={r['event_type']}"
                     for r in batch.select("event_type").distinct().collect()}
     assert types_on_disk == expect_types
+
+
+def test_curation_ingest_dedups_across_batches_and_restarts(spark, tmp_path):
+    """Composed streaming curation (C28+C30 on the §3.2 lifecycle): docs
+    arriving across micro-batches AND across a restart are exact-deduped
+    via the sink's hash index, quality-filtered, and never ingested twice —
+    including re-sent duplicates of already-ingested texts."""
+    in_dir = str(tmp_path / "arrivals")
+    out_dir = str(tmp_path / "curated")
+    cp = str(tmp_path / "cp")
+    docs = load_table(spark, "documents", SF_DIR)
+
+    first = docs.filter(F.col("doc_id") < 30)
+    # second wave: new docs PLUS re-sends of first-wave texts (new doc_ids,
+    # same text → must be dropped by the cross-batch hash anti-join)
+    resend = (docs.filter(F.col("doc_id") < 10)
+              .withColumn("doc_id", F.col("doc_id") + 1000))
+    second = docs.filter((F.col("doc_id") >= 30)
+                         & (F.col("doc_id") < 50)).union(resend)
+
+    first.write.mode("overwrite").parquet(in_dir)
+    q1 = pipelines.curation_ingest(spark, in_dir, out_dir, cp)
+    q1.awaitTermination(120)
+    got1 = spark.read.parquet(f"{out_dir}/data")
+    # every ingested doc is a first-wave keeper passing the quality floor
+    expected1 = _expected_curated(spark, first)
+    assert sorted(r.doc_id for r in got1.select("doc_id").collect()) \
+        == sorted(r.doc_id for r in expected1.collect())
+
+    second.write.mode("append").parquet(in_dir)
+    q2 = pipelines.curation_ingest(spark, in_dir, out_dir, cp)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(f"{out_dir}/data")
+    ids = [r.doc_id for r in got2.select("doc_id").collect()]
+    # no doc ingested twice, no re-sent text re-ingested
+    assert len(ids) == len(set(ids))
+    assert not any(i >= 1000 for i in ids), "re-sent duplicate text ingested"
+    expected_all = _expected_curated(spark, first.union(
+        docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 50))))
+    assert sorted(ids) == sorted(r.doc_id for r in expected_all.collect())
+
+
+def _expected_curated(spark, documents):
+    """Batch twin of curation_ingest's keep-set: exact dedup (min doc_id per
+    md5) then the same quality floor."""
+    hashed = documents.withColumn("text_hash", F.md5("text"))
+    keep = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    kept = hashed.join(keep, ["text_hash", "doc_id"], "left_semi")
+    words = F.split(F.trim("text"), " ")
+    n_tokens = F.size(words)
+    diversity = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    length_score = F.least(n_tokens.cast("double") / F.lit(200.0), F.lit(1.0))
+    return (kept
+            .withColumn("quality", F.round((diversity + length_score) / 2, 6))
+            .filter(F.col("quality") >= 0.38)
+            .select("doc_id"))
