@@ -1,0 +1,122 @@
+"""Scale probe: synthesize N× testdata (key-shifted copies, multi-row-group
+parquet) in /tmp, run a headline-query slice, and print per-query timings as
+one JSON line.
+
+Why this exists: the shipped sf0.1 parquet is single-row-group, so every scan
+is one task and local[32] measures per-query *overhead*, not *scaling*. The
+probe's files are written in many row groups, so scans fan out across cores —
+the closest a single machine gets to the 1000-executor question: does wall
+time grow ~linearly in data while the plan stays shuffle-parallel?
+
+Usage: python scripts/scale_probe.py [factor] [base_sf_dir]
+  factor      data multiplier (default 10 → ~sf1 from sf0.1)
+  base_sf_dir default /root/testdata/sf0.1
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kafka_streams_in_action_spark.plans.queries import QUERIES
+from kafka_streams_in_action_spark.session import get_spark
+from kafka_streams_in_action_spark.sources.parquet import load_table
+
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+BASE = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+OUT = f"/tmp/spark_graft_scale_x{FACTOR}"
+
+# Key columns to shift per copy so join/group cardinalities scale with the
+# data instead of multiplying duplicate keys (dims stay fixed, facts grow —
+# the same shape a real 100 TB TPC-H has).
+SHIFT = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_ONLY = ["region", "nation", "supplier", "part"]
+
+PROBE_QUERIES = [
+    "c3_pricing_summary",   # scan + hash agg
+    "c7_multiway_join",     # broadcast-dim chain + fact shuffle
+    "sql_q3_top_revenue",   # 3-way join + top-k
+    "sql_q21_waiting_supplier",  # fact-fact semi/anti self-joins
+    "c13_topk_per_group",   # window rank
+    "c28_exact_dedup",      # hash dedup
+    "c30_repetition",       # per-doc n-gram repetition
+    "c29_minhash_lsh",      # LSH near-dedup end-to-end
+    "c9_range_window",      # event-time range frame over events
+    "c29_ivf_ann",          # IVF ANN incl. index build over embeddings
+]
+
+
+def build(spark) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    shift_mod = 10_000_000
+    for t in COPY_ONLY:
+        shutil.copy(f"{BASE}/{t}.parquet", f"{OUT}/{t}.parquet")
+    for t, keys in SHIFT.items():
+        df = load_table(spark, t, BASE)
+        if t == "events":
+            # load_table reads events.ts as raw int64 nanos (the source files
+            # are TIMESTAMP(NANOS)); write the copy back in the same layout
+            # so the round-trip through load_table stays schema-correct.
+            df = df.withColumn(
+                "ts", (F.unix_micros("ts") * F.lit(1000)).cast("long"))
+        copies = []
+        for i in range(FACTOR):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * shift_mod))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.union(c)
+        # many row groups → many scan tasks (the point of the probe);
+        # file count ≈ cores so every executor thread gets real work.
+        (out.repartition(32).write.mode("overwrite")
+            .option("parquet.block.size", 4 * 1024 * 1024)
+            .parquet(f"{OUT}/_{t}"))
+        # load_table expects <table>.parquet as a path; a directory works.
+        target = f"{OUT}/{t}.parquet"
+        if os.path.exists(target):
+            shutil.rmtree(target, ignore_errors=True)
+        os.rename(f"{OUT}/_{t}", target)
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    t0 = time.time()
+    if not os.path.exists(f"{OUT}/lineitem.parquet"):
+        build(spark)
+        print(f"# built {OUT} in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    timings = {}
+    for name in PROBE_QUERIES:
+        fn = QUERIES[name].fn
+        fn(spark, OUT).write.format("noop").mode("overwrite").save()  # warm
+        best = None
+        for _ in range(2):
+            s = time.time()
+            fn(spark, OUT).write.format("noop").mode("overwrite").save()
+            best = min(best or 1e9, time.time() - s)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    print(json.dumps({"metric": "scale_probe_total",
+                      "value": round(sum(timings.values()), 3),
+                      "unit": "sec", "factor": FACTOR, "base": BASE,
+                      "queries": timings}))
+
+
+if __name__ == "__main__":
+    main()
