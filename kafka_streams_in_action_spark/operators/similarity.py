@@ -160,6 +160,29 @@ def cosine_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.35,
     )
 
 
+def reingest_dup_pairs(embeddings: DataFrame, n_planted: int = 50,
+                       id_offset: int = 100000,
+                       threshold: float = 0.99) -> DataFrame:
+    """C29c in LSH's FAVORABLE regime: duplicate-reingest detection.
+
+    The scenario a 100 TB pipeline actually LSH-dedups: a batch of documents
+    is re-ingested under new ids and must be caught against the corpus. Here
+    the first `n_planted` vectors re-enter with shifted ids; near-dup =
+    cosine ≥ 0.99. At that threshold hyperplane LSH is decisive (identical
+    vectors produce identical sign patterns, so every true duplicate
+    collides in EVERY table — recall is deterministically 1.0 — while
+    random pairs collide in a 256-bucket table ~0.4% of the time), which is
+    why this registration carries a full DuckDB oracle, unlike the
+    permissive-threshold regime where `cosine_near_dup_pairs`' blocked
+    matmul is the right tool (measured at 10×: exact 11 s vs LSH 52 s at
+    threshold 0.35 — see SCALE.md)."""
+    planted = (embeddings.filter(F.col("vec_id") < n_planted)
+               .withColumn("vec_id", F.col("vec_id") + F.lit(id_offset)))
+    return cosine_near_dup_lsh(embeddings.union(planted),
+                               threshold=threshold,
+                               n_planes=8, n_tables=4)
+
+
 def _lsh_bucket(vec, planes: list[list[float]]):
     """Sign-pattern bucket id from fixed hyperplanes (deterministic)."""
     bucket = F.lit(0)

