@@ -33,8 +33,8 @@ from ..functions.serde import (
     wire_schema_id, wire_payload, wire_payload_proto,
 )
 from ..operators import (
-    dedup, event_time, joins, multimodal, relational, scalars, setops,
-    similarity, text, udx, windows,
+    dedup, event_time, joins, multimodal, relational, sampling, scalars,
+    setops, similarity, text, udx, windows,
 )
 from ..sources.parquet import load_table
 
@@ -1351,6 +1351,43 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                    AS scrubbed_md5
         FROM documents
         """),
+    "c32_sample": QuerySpec(
+        _t("documents")(lambda d: sampling.deterministic_sample(d, "doc_id", 10)
+                        .select("doc_id", "source", "n_chars")),
+        f"""
+        WITH k AS (SELECT *, doc_id::VARCHAR || ':sample' AS kk
+                   FROM documents)
+        SELECT doc_id, source, n_chars FROM k
+        WHERE ({_FNV_SQL.format(col='kk')} % 100) < 10
+        """),
+    "c32_split": QuerySpec(
+        _t("documents")(sampling.train_val_test_split),
+        f"""
+        WITH k AS (SELECT doc_id, doc_id::VARCHAR || ':split' AS kk
+                   FROM documents),
+        h AS (SELECT doc_id,
+                     ({_FNV_SQL.format(col='kk')} % 100)::INTEGER AS bucket
+              FROM k)
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+        """),
+    "c32_split_summary": QuerySpec(
+        _t("documents")(sampling.split_summary),
+        f"""
+        WITH k AS (SELECT doc_id, doc_id::VARCHAR || ':split' AS kk
+                   FROM documents),
+        h AS (SELECT ({_FNV_SQL.format(col='kk')} % 100)::INTEGER AS bucket
+              FROM k),
+        s AS (SELECT CASE WHEN bucket < 90 THEN 'train'
+                          WHEN bucket < 95 THEN 'val'
+                          ELSE 'test' END AS split FROM h)
+        SELECT split, count(*) AS n_docs,
+               count(*)::DOUBLE / (sum(count(*)) OVER ())::DOUBLE AS share
+        FROM s GROUP BY split ORDER BY split
+        """),
     "c31_media_metadata": QuerySpec(
         _t("documents")(multimodal.media_metadata),
         """
@@ -1481,6 +1518,9 @@ _ROUND2_PRIORITY = [
     "sql_q21_waiting_supplier", "sql_q22_prospects",
     # new this round: repetition filter + lexicon redaction (C30g/h)
     "c30_repetition", "c30_redact",
+    # new this round, just past the 50-row window (driver rows next round):
+    # deterministic hash-mod sampling + train/val/test split
+    "c32_sample", "c32_split", "c32_split_summary",
 ]
 
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND2_PRIORITY}

@@ -309,3 +309,20 @@ def test_binary_codecs_available_or_gated(spark, codec):
         from pyspark.sql.avro.functions import from_avro, to_avro  # noqa: F401
     else:
         from pyspark.sql.protobuf.functions import from_protobuf, to_protobuf  # noqa: F401
+
+
+def test_fnv32_column_algebra_matches_udf(spark):
+    """sampling.fnv32_column (pure column fold, the sampling/split hot path)
+    must agree with functions.serde.fnv1a_32 (byte-level pandas UDF, vector-
+    tested against Go hash/fnv) on every testdata key."""
+    from kafka_streams_in_action_spark.operators.sampling import fnv32_column
+    from kafka_streams_in_action_spark.sources.parquet import load_table
+    from .conftest import SF_DIR
+
+    keys = load_table(spark, "documents", SF_DIR).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":split")).alias("k"))
+    diff = keys.select(
+        fnv32_column(F.col("k")).alias("a"),
+        fnv1a_32(F.col("k")).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    assert diff.count() == 0
