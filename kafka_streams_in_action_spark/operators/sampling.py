@@ -69,6 +69,50 @@ def train_val_test_split(documents: DataFrame, train_pct: int = 90,
     )
 
 
+def pack_documents(documents: DataFrame, ctx_tokens: int = 4096,
+                   bucket_width: int = 1000) -> DataFrame:
+    """Sequence packing — the GPT-style pretraining layout: documents in
+    doc_id order concatenate into one token stream, which is chunked into
+    fixed `ctx_tokens` contexts; each document reports its stream offset and
+    the pack (context index) it starts in.
+
+    The global running sum is the scale trap here: a naive
+    `Window.orderBy(doc_id)` has no partition key, so Spark moves the WHOLE
+    corpus through one task. Instead: two-level distributed prefix sum —
+    (1) cumsum *within* fixed doc_id-range buckets (parallel window per
+    bucket), (2) bucket totals → prefix offsets over the tiny bucket list
+    (bounded rows — the only unpartitioned window), (3) broadcast-join the
+    offsets back. Deterministic: integer token counts, fixed bucket
+    boundaries (doc_id div width — no sampled range partitioner), total
+    order by doc_id."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id",
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("n_tok"),
+        F.floor(F.col("doc_id") / F.lit(bucket_width)).cast("long")
+            .alias("bkt"))
+    w_in = (Window.partitionBy("bkt").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    in_bucket = toks.withColumn(
+        "start_in_bucket", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)))
+    totals = toks.groupBy("bkt").agg(F.sum("n_tok").alias("tot"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "bkt", F.coalesce(F.sum("tot").over(w_b), F.lit(0))
+        .alias("bucket_prefix"))
+    start = F.col("bucket_prefix") + F.col("start_in_bucket")
+    return (
+        in_bucket.join(F.broadcast(prefix), "bkt")
+        .select(
+            "doc_id", "n_tok",
+            start.alias("start_offset"),
+            F.floor(start / F.lit(ctx_tokens)).cast("long").alias("pack_id"),
+            F.pmod(start, F.lit(ctx_tokens)).cast("long")
+            .alias("offset_in_pack"))
+    )
+
+
 def split_summary(documents: DataFrame, train_pct: int = 90,
                   val_pct: int = 5) -> DataFrame:
     """Per-split counts + share — the sanity check a pipeline runs after

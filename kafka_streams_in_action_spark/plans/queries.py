@@ -1388,6 +1388,23 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                count(*)::DOUBLE / (sum(count(*)) OVER ())::DOUBLE AS share
         FROM s GROUP BY split ORDER BY split
         """),
+    "c32_pack": QuerySpec(
+        _t("documents")(sampling.pack_documents),
+        """
+        WITH toks AS (
+            SELECT doc_id, ceil(length(text) / 4.0)::BIGINT AS n_tok
+            FROM documents),
+        s AS (
+            SELECT doc_id, n_tok,
+                   coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS start_offset
+            FROM toks)
+        SELECT doc_id, n_tok, start_offset,
+               (start_offset // 4096)::BIGINT AS pack_id,
+               (start_offset % 4096)::BIGINT AS offset_in_pack
+        FROM s
+        """),
     "c31_media_metadata": QuerySpec(
         _t("documents")(multimodal.media_metadata),
         """
@@ -1519,8 +1536,8 @@ _ROUND2_PRIORITY = [
     # new this round: repetition filter + lexicon redaction (C30g/h)
     "c30_repetition", "c30_redact",
     # new this round, just past the 50-row window (driver rows next round):
-    # deterministic hash-mod sampling + train/val/test split
-    "c32_sample", "c32_split", "c32_split_summary",
+    # deterministic hash-mod sampling + train/val/test split + packing
+    "c32_sample", "c32_split", "c32_split_summary", "c32_pack",
 ]
 
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND2_PRIORITY}

@@ -273,3 +273,17 @@ def test_tpch_multiway_joins_stay_hash_keyed(spark):
         assert "CartesianProduct" not in plan, name
         assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
                 or "ShuffledHashJoin" in plan), name
+
+
+def test_pack_prefix_sum_is_two_level(spark):
+    """c32_pack: the corpus-wide running sum must be windowed PER BUCKET
+    (parallel), with only the bounded bucket-totals window unpartitioned —
+    never a global-order window over the full corpus."""
+    plan = plan_of(_q(spark, "c32_pack"))
+    corpus_windows = [
+        l for l in plan.splitlines()
+        if "Window" in l and "n_tok" in l and "windowspecdefinition" in l]
+    assert corpus_windows, "corpus window missing from plan"
+    for line in corpus_windows:
+        assert "bkt" in line.split("windowspecdefinition")[1][:80], \
+            "corpus running sum lost its bucket partitioning"
