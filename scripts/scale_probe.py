@@ -28,8 +28,15 @@ from kafka_streams_in_action_spark.plans.queries import QUERIES
 from kafka_streams_in_action_spark.session import get_spark
 from kafka_streams_in_action_spark.sources.parquet import load_table
 
-FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-BASE = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+# CLI args are parsed only when run as a script (the module is also imported
+# by tests, which pass base/out/factor to build() explicitly).
+FACTOR = 10
+BASE = "/root/testdata/sf0.1"
+if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        FACTOR = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        BASE = sys.argv[2]
 OUT = f"/tmp/spark_graft_scale_x{FACTOR}"
 
 # Key columns to shift per copy so join/group cardinalities scale with the
@@ -59,13 +66,16 @@ PROBE_QUERIES = [
 ]
 
 
-def build(spark) -> None:
-    os.makedirs(OUT, exist_ok=True)
+def build(spark, base: str = None, out: str = None,
+          factor: int = None) -> None:
+    base, out = base or BASE, out or OUT
+    factor = factor or FACTOR
+    os.makedirs(out, exist_ok=True)
     shift_mod = 10_000_000
     for t in COPY_ONLY:
-        shutil.copy(f"{BASE}/{t}.parquet", f"{OUT}/{t}.parquet")
+        shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     for t, keys in SHIFT.items():
-        df = load_table(spark, t, BASE)
+        df = load_table(spark, t, base)
         if t == "events":
             # load_table reads events.ts as raw int64 nanos (the source files
             # are TIMESTAMP(NANOS)); write the copy back in the same layout
@@ -73,24 +83,24 @@ def build(spark) -> None:
             df = df.withColumn(
                 "ts", (F.unix_micros("ts") * F.lit(1000)).cast("long"))
         copies = []
-        for i in range(FACTOR):
+        for i in range(factor):
             c = df
             for k in keys:
                 c = c.withColumn(k, F.col(k) + F.lit(i * shift_mod))
             copies.append(c)
-        out = copies[0]
+        merged = copies[0]
         for c in copies[1:]:
-            out = out.union(c)
+            merged = merged.union(c)
         # many row groups → many scan tasks (the point of the probe);
         # file count ≈ cores so every executor thread gets real work.
-        (out.repartition(32).write.mode("overwrite")
+        (merged.repartition(32).write.mode("overwrite")
             .option("parquet.block.size", 4 * 1024 * 1024)
-            .parquet(f"{OUT}/_{t}"))
+            .parquet(f"{out}/_{t}"))
         # load_table expects <table>.parquet as a path; a directory works.
-        target = f"{OUT}/{t}.parquet"
+        target = f"{out}/{t}.parquet"
         if os.path.exists(target):
             shutil.rmtree(target, ignore_errors=True)
-        os.rename(f"{OUT}/_{t}", target)
+        os.rename(f"{out}/_{t}", target)
 
 
 def main() -> None:

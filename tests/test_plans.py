@@ -287,3 +287,27 @@ def test_pack_prefix_sum_is_two_level(spark):
     for line in corpus_windows:
         assert "bkt" in line.split("windowspecdefinition")[1][:80], \
             "corpus running sum lost its bucket partitioning"
+
+
+def test_scale_probe_build_roundtrips_all_tables(spark, tmp_path):
+    """scripts/scale_probe.py build: a 2x key-shifted copy of sf0.001 must
+    round-trip through load_table with correct types (events' TIMESTAMP(NANOS)
+    layout included) and exactly doubled fact row counts."""
+    import importlib.util as iu
+    spec = iu.spec_from_file_location(
+        "scale_probe", "scripts/scale_probe.py")
+    mod = iu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "x2")
+    mod.build(spark, base=SF_DIR, out=out, factor=2)
+    from kafka_streams_in_action_spark.sources.parquet import load_table
+    for t in ("lineitem", "events", "documents"):
+        base_n = load_table(spark, t, SF_DIR).count()
+        got = load_table(spark, t, out)
+        assert got.count() == 2 * base_n, t
+    ev = load_table(spark, "events", out)
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # shifted copies stay key-disjoint
+    docs = load_table(spark, "documents", out)
+    assert docs.select("doc_id").distinct().count() == docs.count()
