@@ -51,6 +51,7 @@ HEADLINE = [
     # round-2 TPC-H widening representatives
     "sql_q8_market_share",   # 7-table join, conditional exact-sum ratio
     "sql_q21_waiting_supplier",  # correlated EXISTS + NOT EXISTS anti pattern
+    "c32_pack",              # two-level distributed prefix sum (packing)
 ]
 
 
