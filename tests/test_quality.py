@@ -237,3 +237,25 @@ def test_wav_chunk_walk_stats(spark):
         assert 50 <= r["n_samples"] < 450
         assert math.isclose(r["duration_s"], r["n_samples"] / 8000)
         assert 0 < r["rms"] < 1024
+
+
+def test_sampling_and_packing_invariant_under_repartitioning(spark):
+    """The c32 ops' core contract: hash-mod splits and packed offsets must be
+    IDENTICAL regardless of input partitioning (a cluster re-layout must not
+    move any document between train/val/test or shift any pack offset)."""
+    from kafka_streams_in_action_spark.operators import sampling
+
+    docs = load_table(spark, "documents", SF_DIR)
+    shuffled = docs.repartition(7, F.col("source"))
+
+    base_split = {(r["doc_id"], r["split"])
+                  for r in sampling.train_val_test_split(docs).collect()}
+    got_split = {(r["doc_id"], r["split"])
+                 for r in sampling.train_val_test_split(shuffled).collect()}
+    assert base_split == got_split
+
+    base_pack = {(r["doc_id"], r["start_offset"], r["pack_id"])
+                 for r in sampling.pack_documents(docs).collect()}
+    got_pack = {(r["doc_id"], r["start_offset"], r["pack_id"])
+                for r in sampling.pack_documents(shuffled).collect()}
+    assert base_pack == got_pack
