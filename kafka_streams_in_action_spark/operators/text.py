@@ -190,6 +190,33 @@ def lexicon_redact(documents: DataFrame) -> DataFrame:
     )
 
 
+def decontaminate(documents: DataFrame, benchmark_max_id: int = 20,
+                  min_common: int = 3, n: int = 3) -> DataFrame:
+    """C30i: benchmark decontamination — find corpus documents that overlap
+    an evaluation set by ≥ `min_common` distinct word n-grams (docs with
+    doc_id < `benchmark_max_id` stand in for the eval suite).
+
+    The scale shape is what matters: the benchmark's shingle set is tiny
+    relative to the corpus, so it BROADCASTS and contamination detection is
+    ONE pass over the corpus shingle stream — no corpus self-join, no
+    shuffle of corpus text, exactly how a 100 TB pre-training run screens
+    against eval suites. Pairs (corpus doc, benchmark doc, overlap count)
+    let the pipeline drop or audit."""
+    from .dedup import _shingles, _tokenized
+
+    sets = _tokenized(documents).select(
+        "doc_id", F.explode(_shingles(F.col("words"), n)).alias("shingle"))
+    bench = (sets.filter(F.col("doc_id") < benchmark_max_id)
+             .select(F.col("doc_id").alias("bench_id"), "shingle"))
+    corpus = sets.filter(F.col("doc_id") >= benchmark_max_id)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def curate_documents(documents: DataFrame, jaccard_threshold: float = 0.1,
                      min_quality: float = 0.38) -> DataFrame:
     """C28/C29/C30 composed: the end-to-end curation pass a training-data

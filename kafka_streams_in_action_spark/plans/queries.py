@@ -1351,6 +1351,15 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                    AS scrubbed_md5
         FROM documents
         """),
+    "c30_decontaminate": QuerySpec(
+        _t("documents")(text.decontaminate),
+        f"""
+        WITH {_SHINGLE_CTE}
+        SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_common
+        FROM sh c JOIN sh b ON c.shingle = b.shingle
+        WHERE b.doc_id < 20 AND c.doc_id >= 20
+        GROUP BY 1, 2 HAVING count(*) >= 3
+        """),
     "c32_sample": QuerySpec(
         _t("documents")(lambda d: sampling.deterministic_sample(d, "doc_id", 10)
                         .select("doc_id", "source", "n_chars")),
@@ -1536,8 +1545,10 @@ _ROUND2_PRIORITY = [
     # new this round: repetition filter + lexicon redaction (C30g/h)
     "c30_repetition", "c30_redact",
     # new this round, just past the 50-row window (driver rows next round):
-    # deterministic hash-mod sampling + train/val/test split + packing
+    # deterministic hash-mod sampling + train/val/test split + packing +
+    # benchmark decontamination
     "c32_sample", "c32_split", "c32_split_summary", "c32_pack",
+    "c30_decontaminate",
 ]
 
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND2_PRIORITY}

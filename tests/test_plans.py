@@ -311,3 +311,12 @@ def test_scale_probe_build_roundtrips_all_tables(spark, tmp_path):
     # shifted copies stay key-disjoint
     docs = load_table(spark, "documents", out)
     assert docs.select("doc_id").distinct().count() == docs.count()
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """c30_decontaminate: the benchmark shingle set must broadcast so
+    contamination detection is one pass over the corpus shingle stream —
+    no corpus self-join, no sort-merge over corpus text."""
+    plan = plan_of(_q(spark, "c30_decontaminate"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
