@@ -240,3 +240,49 @@ def key_fallback(events: DataFrame) -> DataFrame:
                    F.col("user_id").cast("string"),
                    F.lit("")).alias("record_key"),
     )
+
+
+def group_statistics(lineitem: DataFrame) -> DataFrame:
+    """C33 (extras): per-group descriptive statistics — mean, stddev, and
+    Pearson correlation — computed from EXACT fixed-point integer sums so
+    both engines agree bitwise (the built-in corr()/stddev() aggregate
+    partials in engine-specific order, which perturbs low float bits and
+    breaks hash-matching; here every aggregate is an exact integer, and
+    doubles appear only in the final per-group formula).
+
+    Per row: x = price, y = quantity quantized to 1e-3 units (exact longs;
+    x·x, x·y stay below 2^63). Sums run as DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — both exact. The closed forms then use only
+    correctly-rounded int→double conversions, identical in both engines:
+      mean = Σx / n
+      var  = (n·Σx² − (Σx)²) / (n·(n−1))   [sample]
+      corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))
+    """
+    dec = "decimal(38,0)"
+    xq = F.floor(F.col("l_extendedprice") * 1000.0 + 0.5).cast("long")
+    yq = F.floor(F.col("l_quantity") * 1000.0 + 0.5).cast("long")
+    agg = (
+        lineitem.select(
+            "l_returnflag", xq.alias("x"), yq.alias("y"),
+            (xq * xq).alias("xx"), (yq * yq).alias("yy"),
+            (xq * yq).alias("xy"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast(dec).alias("n"),
+             F.sum(F.col("x").cast(dec)).alias("sx"),
+             F.sum(F.col("y").cast(dec)).alias("sy"),
+             F.sum(F.col("xx").cast(dec)).alias("sxx"),
+             F.sum(F.col("yy").cast(dec)).alias("syy"),
+             F.sum(F.col("xy").cast(dec)).alias("sxy"))
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    dx = (n * F.col("sxx") - sx * sx).cast("double")
+    dy = (n * F.col("syy") - sy * sy).cast("double")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    nd = n.cast("double")
+    return agg.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        (sx.cast("double") / 1000.0 / nd).alias("mean_price"),
+        (F.sqrt(dx / (nd * (nd - 1))) / 1000.0).alias("std_price"),
+        (num / (F.sqrt(dx) * F.sqrt(dy))).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

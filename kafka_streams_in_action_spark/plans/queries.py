@@ -1351,6 +1351,28 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                    AS scrubbed_md5
         FROM documents
         """),
+    "c33_group_stats": QuerySpec(
+        _t("lineitem")(relational.group_statistics),
+        """
+        WITH q AS (
+            SELECT l_returnflag,
+                   CAST(floor(l_extendedprice * 1000.0 + 0.5) AS BIGINT) AS x,
+                   CAST(floor(l_quantity * 1000.0 + 0.5) AS BIGINT) AS y
+            FROM lineitem),
+        a AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+            FROM q GROUP BY l_returnflag)
+        SELECT l_returnflag, n::BIGINT AS n_rows,
+               sx::DOUBLE / 1000.0 / n::DOUBLE AS mean_price,
+               sqrt((n*sxx - sx*sx)::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1)))
+                   / 1000.0 AS std_price,
+               (n*sxy - sx*sy)::DOUBLE
+                   / (sqrt((n*sxx - sx*sx)::DOUBLE)
+                      * sqrt((n*syy - sy*sy)::DOUBLE)) AS corr_qty_price
+        FROM a ORDER BY l_returnflag
+        """),
     "c30_decontaminate": QuerySpec(
         _t("documents")(text.decontaminate),
         f"""
@@ -1548,7 +1570,7 @@ _ROUND2_PRIORITY = [
     # deterministic hash-mod sampling + train/val/test split + packing +
     # benchmark decontamination
     "c32_sample", "c32_split", "c32_split_summary", "c32_pack",
-    "c30_decontaminate",
+    "c30_decontaminate", "c33_group_stats",
 ]
 
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND2_PRIORITY}
