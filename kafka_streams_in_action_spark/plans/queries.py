@@ -12,9 +12,12 @@ Conventions that make the hash-match deterministic (SURVEY §7 "hard parts" #4):
   to INTEGER where Spark returns int.
 - Oracle queries never emit array columns (scalars only).
 
-Queries without an oracle entry (approx sketches, LSH/ANN, stub decode fan-out)
-get the driver's rows-only check and are additionally pinned by pytest
-(tolerance / recall / equivalence tests).
+Five queries carry no oracle entry (the array-output JSON fn sweep, the
+xxhash64-banded MinHash-LSH and SimHash pair sets, and the two ANN top-k
+approximations — all of whose candidate sets depend on engine-side hashing
+DuckDB can't replicate); they get the driver's rows-only check and are
+pinned by pytest (recall / tolerance / equivalence). The other 99 —
+including the LSH reingest-dedup regime — hash-match a DuckDB twin.
 """
 
 from __future__ import annotations
