@@ -204,6 +204,23 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
     )
 
 
+def minhash_reingest_pairs(documents: DataFrame, n_planted: int = 20,
+                           id_offset: int = 100000,
+                           threshold: float = 0.99) -> DataFrame:
+    """C29b in MinHash-LSH's DETERMINISTIC regime: re-sent duplicate
+    detection. The first `n_planted` documents re-enter under new ids;
+    identical texts produce identical shingle sets, hence identical MinHash
+    signatures, hence collide in EVERY band — recall is exactly 1.0, not a
+    banding-curve probability, which is why this registration carries a
+    full DuckDB oracle while the general near-dup form (`minhash_lsh_pairs`
+    at permissive thresholds) is recall-pinned by pytest instead. Jaccard
+    ≥ 0.99 on ~50-shingle sets forces set equality, so no sub-identical
+    pair can slip in."""
+    planted = (documents.filter(F.col("doc_id") < n_planted)
+               .withColumn("doc_id", F.col("doc_id") + F.lit(id_offset)))
+    return minhash_lsh_pairs(documents.union(planted), threshold=threshold)
+
+
 def simhash_fingerprints(documents: DataFrame, bits: int = 64) -> DataFrame:
     """SimHash: per-token 64-bit xxhash64, bit-majority vote → one fingerprint
     per doc. Expressed entirely in higher-order functions (no UDF): for each bit

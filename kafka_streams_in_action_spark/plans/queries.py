@@ -1354,6 +1354,38 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                    AS scrubbed_md5
         FROM documents
         """),
+    "c29_minhash_reingest": QuerySpec(
+        _t("documents")(dedup.minhash_reingest_pairs),
+        """
+        WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+        words AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w,
+                   generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+            FROM aug),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w || ' ' || lead(w, 1) OVER wd || ' '
+                     || lead(w, 2) OVER wd AS shingle
+            FROM words WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w, 2) OVER wd IS NOT NULL),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.set_size + sb.set_size - n_common), 6)
+                   AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6)
+              >= 0.99
+        """),
     "c33_group_stats": QuerySpec(
         _t("lineitem")(relational.group_statistics),
         """
@@ -1573,7 +1605,7 @@ _ROUND2_PRIORITY = [
     # deterministic hash-mod sampling + train/val/test split + packing +
     # benchmark decontamination
     "c32_sample", "c32_split", "c32_split_summary", "c32_pack",
-    "c30_decontaminate", "c33_group_stats",
+    "c30_decontaminate", "c33_group_stats", "c29_minhash_reingest",
 ]
 
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND2_PRIORITY}
