@@ -69,6 +69,20 @@ def train_val_test_split(documents: DataFrame, train_pct: int = 90,
     )
 
 
+def stratified_sample(df: DataFrame, key: str, strata_col: str,
+                      rates: dict[str, int], default_pct: int = 10,
+                      salt: str = "stratified") -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (downsample over-represented sources, keep rare ones): each stratum gets
+    its own keep percentage, applied through the same stable hash-mod
+    filter. Still a pure per-row predicate: no shuffle, pushdown-friendly,
+    reproducible across engines and layouts."""
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter(_bucket(F.col(key), salt) < rate)
+
+
 def pack_documents(documents: DataFrame, ctx_tokens: int = 4096,
                    bucket_width: int = 1000) -> DataFrame:
     """Sequence packing — the GPT-style pretraining layout: documents in

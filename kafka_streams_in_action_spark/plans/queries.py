@@ -1426,6 +1426,20 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         SELECT doc_id, source, n_chars FROM k
         WHERE ({_FNV_SQL.format(col='kk')} % 100) < 10
         """),
+    "c32_stratified": QuerySpec(
+        _t("documents")(lambda d: sampling.stratified_sample(
+            d, "doc_id", "source", {"src0": 50, "src1": 20})
+            .select("doc_id", "source")),
+        f"""
+        WITH k AS (SELECT doc_id, source,
+                          doc_id::VARCHAR || ':stratified' AS kk
+                   FROM documents)
+        SELECT doc_id, source FROM k
+        WHERE ({_FNV_SQL.format(col='kk')} % 100) <
+              CASE WHEN source = 'src0' THEN 50
+                   WHEN source = 'src1' THEN 20
+                   ELSE 10 END
+        """),
     "c32_split": QuerySpec(
         _t("documents")(sampling.train_val_test_split),
         f"""
@@ -1606,6 +1620,7 @@ _ROUND2_PRIORITY = [
     # benchmark decontamination
     "c32_sample", "c32_split", "c32_split_summary", "c32_pack",
     "c30_decontaminate", "c33_group_stats", "c29_minhash_reingest",
+    "c32_stratified",
 ]
 
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND2_PRIORITY}
