@@ -96,7 +96,12 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35,
         B = np.vstack(r["rvec"].to_numpy())
         A = A / np.linalg.norm(A, axis=1, keepdims=True)
         B = B / np.linalg.norm(B, axis=1, keepdims=True)
-        ia, ib = np.nonzero(A @ B.T >= threshold - 1e-9)
+        # Candidate pad must exceed the final filter's round-to-6 quantum
+        # (5e-7) plus matmul summation noise: a pair with true cosine in
+        # [threshold - 5e-7, threshold) still rounds UP into the kept set,
+        # so excluding it at candidacy would diverge from the oracle. The
+        # exact JVM-side rescore prunes the extra false positives.
+        ia, ib = np.nonzero(A @ B.T >= threshold - 1e-6)
         va = l["vec_id"].to_numpy()[ia]
         vb = r["rvec_id"].to_numpy()[ib]
         if key[0] == key[1]:          # same-block tile: S is symmetric

@@ -12,12 +12,14 @@ Conventions that make the hash-match deterministic (SURVEY §7 "hard parts" #4):
   to INTEGER where Spark returns int.
 - Oracle queries never emit array columns (scalars only).
 
-Five queries carry no oracle entry (the array-output JSON fn sweep, the
-xxhash64-banded MinHash-LSH and SimHash pair sets, and the two ANN top-k
-approximations — all of whose candidate sets depend on engine-side hashing
-DuckDB can't replicate); they get the driver's rows-only check and are
-pinned by pytest (recall / tolerance / equivalence). The other 99 —
-including the LSH reingest-dedup regime — hash-match a DuckDB twin.
+Every registered query carries a DuckDB oracle. Operators whose raw
+candidate sets depend on engine-side hashing DuckDB can't replicate
+(MinHash-LSH, SimHash, the two ANN top-k approximations) register in
+VERDICT form instead: the query computes an in-query exact reference
+(brute-force top-k / exact-dup pair set / all-pairs Hamming) alongside the
+approximate path and emits oracle-checkable verdict columns — the same
+pattern that made c4_approx_* hash-match. Their raw-pair/recall behavior
+stays additionally pinned by pytest.
 """
 
 from __future__ import annotations

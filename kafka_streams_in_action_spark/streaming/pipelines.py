@@ -136,12 +136,15 @@ def curation_ingest(spark: SparkSession, in_dir: str, out_dir: str,
         w_min = batch_df.groupBy("text_hash").agg(
             F.min("doc_id").alias("doc_id"))
         fresh = batch_df.join(w_min, ["text_hash", "doc_id"], "left_semi")
-        # cross-batch dedup: anti-join the sink's hash index
-        try:
+        # cross-batch dedup: anti-join the sink's hash index. The index's
+        # absence is probed EXPLICITLY (first batch only) — a transient read
+        # failure must fail the batch so the WAL retries it, not silently
+        # skip dedup and ingest duplicates.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(hash_dir)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
             seen = spark.read.parquet(hash_dir).select("text_hash")
             fresh = fresh.join(seen, "text_hash", "left_anti")
-        except Exception:
-            pass  # first batch: no index yet
         # C30 quality floor + token stats on the survivors
         words = F.split(F.trim("text"), " ")
         n_tokens = F.size(words)

@@ -181,6 +181,29 @@ def test_ivf_lloyd_refinement_balances_cells(spark):
     assert imbalance(refined1) <= imbalance(seed) + 1e-9
 
 
+def test_reingest_shingle_bound_across_scales(spark):
+    """minhash_reingest_pairs' full-oracle parity rests on every document
+    having at most 99 distinct 3-gram shingles: two UNEQUAL sets of size
+    ≤ 99 have Jaccard ≤ 98/99 < 0.99, so threshold 0.99 forces set
+    equality → identical signatures → collision in every band → recall is
+    deterministically 1.0. Pin that bound at every testdata scale the
+    driver or bench touches, so a future corpus with longer documents
+    fails HERE instead of as a silent oracle mismatch."""
+    import os
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        docs = load_table(spark, "documents", sf_dir)
+        mx = (
+            dedup._tokenized(docs)
+            .select(F.size(dedup._shingles(F.col("words"))).alias("n"))
+            .agg(F.max("n").alias("mx")).collect()[0]["mx"]
+        )
+        assert mx <= 99, (sf, mx)
+
+
 def test_json_fn_sweep_values(spark):
     out = scalars.json_functions(load_table(spark, "events", SF_DIR)) \
         .filter(F.col("event_id") == 0).collect()[0]
