@@ -103,13 +103,34 @@ def json_scalar_functions(events: DataFrame) -> DataFrame:
 
 
 def json_functions(events: DataFrame) -> DataFrame:
-    """C19 over events.props (JSON string, e.g. {"k": 69})."""
-    parsed = F.from_json("props", "k INT")
+    """C19 over events.props (JSON string, e.g. {"k": 69}). props parses ONCE
+    to map<string,int>; every map-shaped fn reads that single parse (the
+    path-extraction fn intentionally keeps the raw-string API surface)."""
+    m = F.from_json("props", "map<string,int>")
     return events.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_value"),
-        parsed.getField("k").alias("k_struct"),
+        F.element_at(m, "k").alias("k_struct"),
         F.to_json(F.struct(F.col("event_type"), F.col("user_id"))).alias("as_json"),
-        F.map_keys(F.from_json("props", "map<string,int>")).alias("keys"),
-        F.map_values(F.from_json("props", "map<string,int>")).alias("vals"),
+        F.map_keys(m).alias("keys"),
+        F.map_values(m).alias("vals"),
+    )
+
+
+def json_functions_canonical(events: DataFrame) -> DataFrame:
+    """C19 (driver-canonicalizable form): the same JSON-fn sweep as
+    `json_functions`, with the array outputs flattened through `array_join`
+    to CSV strings — the driver's canonicalizer sorts pandas columns, which
+    throws `unhashable type: 'list'` on array cells, so the oracle-matched
+    registration must emit scalars only. The array-shaped form stays pinned
+    by pytest (test_json_fn_sweep_values)."""
+    m = F.from_json("props", "map<string,int>")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.element_at(m, "k").alias("k_struct"),
+        F.to_json(F.struct(F.col("event_type"), F.col("user_id"))).alias("as_json"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.array_join(F.map_values(m).cast("array<string>"), ",").alias("vals_csv"),
+        F.size(F.map_keys(m)).alias("n_keys"),
     )

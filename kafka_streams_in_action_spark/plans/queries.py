@@ -1026,8 +1026,18 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM documents WHERE doc_id < 50
         """),
     "c19_json_fns": QuerySpec(
-        _t("events")(scalars.json_functions),
-        None),  # JSON fn sweep has array/struct outputs → pinned by pytest instead
+        _t("events")(scalars.json_functions_canonical),
+        """
+        SELECT event_id,
+               json_extract_string(props, '$.k')::INTEGER AS k_value,
+               json_extract_string(props, '$.k')::INTEGER AS k_struct,
+               '{"event_type":"' || event_type || '","user_id":' || user_id
+                   || '}' AS as_json,
+               'k' AS keys_csv,
+               json_extract_string(props, '$.k') AS vals_csv,
+               1 AS n_keys
+        FROM events
+        """),
     "c19_json_scalars": QuerySpec(
         _t("events")(scalars.json_scalar_functions),
         """
