@@ -204,6 +204,45 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
     )
 
 
+def minhash_lsh_verdict(documents: DataFrame, threshold: float = 0.1,
+                        min_recall: float = 0.3, n: int = 3) -> DataFrame:
+    """c29_minhash_lsh in oracle-checkable verdict form (the c4_approx_*
+    pattern): run the banded-LSH near-dup path AND the exact inverted-index
+    Jaccard over the same corpus, and reduce to one row the driver can
+    hash-match:
+
+    - n_exact_pairs — the exact near-dup pair count, recomputed
+      independently by the DuckDB oracle's shingle CTE (real cross-engine
+      signal);
+    - precision_ok — every LSH pair exists in the exact set with a BITWISE
+      identical jaccard (the candidates-only verification already scores
+      with the same |∩|/(|A|+|B|-|∩|) double division, so any drift here is
+      a bug, not noise);
+    - recall_ok — the banding curve's recall stays above the pytest-pinned
+      floor.
+
+    The exact reference doubles the query's cost, which is why the BENCH
+    headline times the raw scale path (`minhash_lsh_pairs`) and this form
+    exists for the correctness gate."""
+    lsh = minhash_lsh_pairs(documents, threshold=threshold, n=n)
+    exact = ngram_jaccard_pairs(documents, threshold=threshold, n=n) \
+        .withColumnRenamed("jaccard", "j_exact")
+    m = (lsh.withColumnRenamed("jaccard", "j_lsh")
+         .join(exact, ["doc_a", "doc_b"], "left"))
+    stats = m.agg(
+        F.count(F.lit(1)).alias("n_lsh"),
+        F.sum(F.when(F.col("j_exact").isNotNull()
+                     & (F.col("j_exact") == F.col("j_lsh")), 1)
+              .otherwise(0)).alias("n_valid"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    return stats.crossJoin(n_exact).select(
+        "n_exact_pairs",
+        (F.col("n_valid") == F.col("n_lsh")).alias("precision_ok"),
+        (F.col("n_lsh") >= F.lit(min_recall) * F.col("n_exact_pairs"))
+        .alias("recall_ok"),
+    )
+
+
 def minhash_reingest_pairs(documents: DataFrame, n_planted: int = 20,
                            id_offset: int = 100000,
                            threshold: float = 0.99) -> DataFrame:
@@ -320,19 +359,43 @@ def near_dup_clusters(embeddings: DataFrame, threshold: float = 0.35,
     return labels
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def _simhash_band_structs(simhash, scheme: str):
+    """4 × 16-bit band chunks from a 64-bit fingerprint. Both schemes are
+    pigeonhole-complete at hamming ≤ 3 (4 disjoint bands, ≤ 3 differing bits
+    → some band is identical), but they partition the bits DIFFERENTLY:
+    - contiguous: band i = bits [16i, 16i+16)  (one shift+mask per band)
+    - interleaved: band i = bits {j : j mod 4 == i}
+    Any bug in fingerprint construction, bit extraction, or the bucket join
+    shows up as a pair-set disagreement between the two (simhash_verdict)."""
+    if scheme == "contiguous":
+        return [
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned(simhash, i * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+            for i in range(4)
+        ]
+    assert scheme == "interleaved", scheme
+    out = []
+    for i in range(4):
+        chunk = F.lit(0).cast("long")
+        for r in range(16):
+            chunk = chunk + (
+                F.shiftrightunsigned(simhash, 4 * r + i)
+                .bitwiseAND(F.lit(1)) * F.lit(1 << r))
+        out.append(F.struct(F.lit(i).alias("band"), chunk.alias("chunk")))
+    return out
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
+                       scheme: str = "contiguous") -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ t between simhashes. Candidate
     generation by 4-band prefix blocking (pigeonhole: ≤3 differing bits over 4
     bands leaves ≥1 identical band), then exact popcount check."""
     fp = simhash_fingerprints(documents)
     bands = fp.select(
         "doc_id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"),
-                     F.shiftrightunsigned(F.col("simhash"), i * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
-            for i in range(4)
-        ])).alias("bb"),
+        F.explode(F.array(
+            *_simhash_band_structs(F.col("simhash"), scheme))).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.chunk")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -347,4 +410,43 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_verdict(documents: DataFrame, max_hamming: int = 3,
+                    n_planted: int = 20,
+                    id_offset: int = 100000) -> DataFrame:
+    """c29_simhash in oracle-checkable verdict form. The fingerprints are
+    xxhash64-derived, so DuckDB can't replicate the raw pair set; what IS
+    checkable:
+
+    - n_planted_found — `n_planted` exact duplicates are planted under
+      shifted ids; identical text → identical fingerprint → hamming 0, so
+      EVERY planted pair must surface (deterministic count the oracle emits
+      as a literal);
+    - blockings_agree — the pair set from contiguous 16-bit bands equals
+      the pair set from bit-interleaved bands. Both schemes are pigeonhole-
+      complete at hamming ≤ 3, so the sets must be IDENTICAL; they share no
+      extraction code, making this a real self-consistency check on the
+      fingerprint + banding pipeline;
+    - hamming_ok — no emitted pair exceeds the declared distance bound."""
+    planted = (documents.filter(F.col("doc_id") < n_planted)
+               .withColumn("doc_id", F.col("doc_id") + F.lit(id_offset)))
+    aug = documents.union(planted)
+    p1 = simhash_near_pairs(aug, max_hamming, scheme="contiguous") \
+        .withColumn("in_a", F.lit(1))
+    p2 = simhash_near_pairs(aug, max_hamming, scheme="interleaved") \
+        .withColumn("in_b", F.lit(1))
+    merged = p1.join(p2, ["doc_a", "doc_b", "hamming"], "full_outer")
+    stats = merged.agg(
+        F.sum(F.when(F.col("in_a").isNull() | F.col("in_b").isNull(), 1)
+              .otherwise(0)).alias("n_disagree"),
+        F.max("hamming").alias("max_h"),
+        F.sum(F.when((F.col("doc_b") == F.col("doc_a") + id_offset)
+                     & (F.col("doc_a") < n_planted), 1)
+              .otherwise(0)).alias("n_planted_found"))
+    return stats.select(
+        "n_planted_found",
+        (F.col("n_disagree") == 0).alias("blockings_agree"),
+        (F.col("max_h") <= max_hamming).alias("hamming_ok"),
     )

@@ -49,6 +49,56 @@ def brute_force_topk(embeddings: DataFrame, n_queries: int = 10,
     )
 
 
+def ann_recall_verdict(approx: DataFrame, exact: DataFrame,
+                       min_recall: float) -> DataFrame:
+    """Oracle-checkable verdict for an approximate top-k path (the
+    c4_approx_* pattern): the approximate answer set joins the in-query
+    exact reference, and the single output row carries (a) the exact result
+    count — which DuckDB recomputes independently with its own brute-force
+    top-k, a real cross-engine check — and (b) verdict booleans the oracle
+    emits as literal TRUE: the approximate path returned a full answer set,
+    and its recall against exact is above the pinned bound. The exact
+    reference is cheap — `n_queries` broadcast vectors against the corpus,
+    linear in corpus size — so the verdict adds one corpus pass, never an
+    all-pairs structure."""
+    hit = exact.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    stats = (
+        approx.select("query_id", "neighbor_id")
+        .join(hit, ["query_id", "neighbor_id"], "left")
+        .agg(F.count(F.lit(1)).alias("n_results"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return stats.crossJoin(n_exact).select(
+        "n_exact",
+        (F.col("n_results") == F.col("n_exact")).alias("count_ok"),
+        (F.col("n_hits") >= F.lit(min_recall) * F.col("n_exact"))
+        .alias("recall_ok"),
+    )
+
+
+def lsh_topk_verdict(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+                     min_recall: float = 0.55) -> DataFrame:
+    """c29_lsh_ann in verdict form: multi-table LSH top-k vs brute force on
+    the same queries. min_recall matches the pytest pin (measured 0.72 at
+    sf0.01 defaults)."""
+    return ann_recall_verdict(
+        lsh_topk(embeddings, n_queries=n_queries, k=k),
+        brute_force_topk(embeddings, n_queries=n_queries, k=k),
+        min_recall)
+
+
+def ivf_topk_verdict(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+                     min_recall: float = 0.7) -> DataFrame:
+    """c29_ivf_ann in verdict form: IVF (4-of-16 probes, Lloyd-refined)
+    top-k vs brute force. min_recall matches the pytest pin (measured 0.92
+    at sf0.01 defaults)."""
+    return ann_recall_verdict(
+        ivf_topk(embeddings, n_queries=n_queries, k=k),
+        brute_force_topk(embeddings, n_queries=n_queries, k=k),
+        min_recall)
+
+
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35,
                           n_blocks: int = 8) -> DataFrame:
     """C29c: ALL pairs above a cosine threshold, as a blocked distributed
@@ -256,9 +306,27 @@ def _lloyd_refine(emb: DataFrame, cents: "np.ndarray",
     return cents
 
 
+def build_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
+                        refine_iters: int = 2) -> "np.ndarray":
+    """IVF index build, separated from the probe path: seed centroids from
+    the first `n_cells` corpus vectors (deterministic), then `refine_iters`
+    Lloyd iterations (see _lloyd_refine). On a cluster this runs ONCE when
+    the corpus is (re)indexed and its cost amortizes over every query batch
+    — which is why the bench times build and probe separately."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    cents = np.array(
+        [r["vec"] for r in
+         emb.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()])
+    if refine_iters:
+        cents = _lloyd_refine(emb, cents, refine_iters)
+    return cents
+
+
 def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
              n_cells: int = 16, n_probe: int = 4,
-             refine_iters: int = 2) -> DataFrame:
+             refine_iters: int = 2,
+             centroids: "np.ndarray | None" = None) -> DataFrame:
     """C29 scale path #2: IVF (inverted-file) ANN. The corpus partitions into
     `n_cells` Voronoi cells around centroid vectors; a query scores only the
     `n_probe` cells whose centroids are nearest, so the scored fraction is
@@ -277,11 +345,8 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     """
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
-    cents = np.array(
-        [r["vec"] for r in
-         emb.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()])
-    if refine_iters:
-        cents = _lloyd_refine(emb, cents, refine_iters)
+    cents = centroids if centroids is not None else build_ivf_centroids(
+        embeddings, n_cells, refine_iters)
     # argmax of cosine == argmax of dot with L2-normalized centroids
     cnorm_t = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
 

@@ -538,6 +538,22 @@ sh AS (
 sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id)
 """
 
+# Exact brute-force cosine top-k (10 queries × top 5) — the reference side of
+# c29_cosine_topk and of both ANN verdict forms.
+_BRUTE_TOPK_CTE = f"""
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id,
+           {_cosine_sql('qv', 'e.v')} AS cosine_sim
+    FROM emb e, q WHERE e.vec_id <> query_id),
+topk AS (
+    SELECT query_id, neighbor_id, cosine_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id)::INTEGER AS rn
+        FROM scored) WHERE rn <= 5)
+"""
+
 
 _QUERY_DEFS: dict[str, QuerySpec] = {
     # ------------------------------------------------------------------
@@ -1164,28 +1180,41 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.1
         """),
     "c29_minhash_lsh": QuerySpec(
-        _t("documents")(lambda d: dedup.minhash_lsh_pairs(d, threshold=0.1)),
-        None),  # LSH candidates — recall pinned against c29_ngram_jaccard in pytest
+        # Verdict form (the c4_approx_* pattern): LSH pairs vs the in-query
+        # exact inverted-index Jaccard; the oracle recomputes the exact pair
+        # count with its own shingle CTE and emits the verdicts as TRUE. Raw
+        # pair-set recall stays pinned in pytest; BENCH times the raw path.
+        _t("documents")(lambda d: dedup.minhash_lsh_verdict(d, threshold=0.1)),
+        f"""
+        WITH {_SHINGLE_CTE},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT count(*) AS n_exact_pairs,
+               TRUE AS precision_ok, TRUE AS recall_ok
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.1
+        """),
     "c29_simhash": QuerySpec(
         # max_hamming=3 is the textbook 64-bit setting (the regime the 4-band
         # pigeonhole makes recall-complete); at permissive distances on a
         # self-similar corpus the ANSWER goes quadratic — measured 102M pairs
-        # at hamming≤10 on 50k docs (see SCALE.md).
-        _t("documents")(lambda d: dedup.simhash_near_pairs(d, max_hamming=3)),
-        None),  # xxhash64-based fingerprint — self-consistency pinned in pytest
+        # at hamming≤10 on 50k docs (see SCALE.md). Verdict form: planted
+        # exact duplicates must all surface (hamming 0), and two independent
+        # pigeonhole-complete band schemes must emit identical pair sets.
+        _t("documents")(lambda d: dedup.simhash_verdict(d, max_hamming=3)),
+        """
+        SELECT 20::BIGINT AS n_planted_found,
+               TRUE AS blockings_agree, TRUE AS hamming_ok
+        """),
     "c29_cosine_topk": QuerySpec(
         _t("embeddings")(similarity.brute_force_topk),
         f"""
-        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
-        scored AS (
-            SELECT query_id, e.vec_id AS neighbor_id,
-                   {_cosine_sql('qv', 'e.v')} AS cosine_sim
-            FROM emb e, q WHERE e.vec_id <> query_id)
-        SELECT query_id, neighbor_id, cosine_sim, rn FROM (
-            SELECT *, row_number() OVER (PARTITION BY query_id
-                       ORDER BY cosine_sim DESC, neighbor_id)::INTEGER AS rn
-            FROM scored) WHERE rn <= 5
+        WITH {_BRUTE_TOPK_CTE}
+        SELECT query_id, neighbor_id, cosine_sim, rn FROM topk
         """),
     "c29_cosine_near_dup": QuerySpec(
         _t("embeddings")(similarity.cosine_near_dup_pairs),
@@ -1227,12 +1256,25 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         WHERE {_cosine_sql('a.v', 'b.v')} >= 0.99
         """),  # duplicate-reingest regime: LSH recall deterministically 1.0
+    # ANN verdict forms: DuckDB independently recomputes the exact top-k
+    # COUNT with its own brute force (a real cross-engine check on the
+    # reference side), and the count/recall verdicts arrive as literal TRUE.
+    # The raw ANN answer sets stay recall-pinned in pytest; BENCH times the
+    # raw probe paths.
     "c29_lsh_ann": QuerySpec(
-        _t("embeddings")(similarity.lsh_topk),
-        None),  # approximate ANN — recall vs c29_cosine_topk pinned in pytest
+        _t("embeddings")(similarity.lsh_topk_verdict),
+        f"""
+        WITH {_BRUTE_TOPK_CTE}
+        SELECT count(*) AS n_exact, TRUE AS count_ok, TRUE AS recall_ok
+        FROM topk
+        """),
     "c29_ivf_ann": QuerySpec(
-        _t("embeddings")(similarity.ivf_topk),
-        None),  # IVF ANN — recall vs c29_cosine_topk pinned in pytest
+        _t("embeddings")(similarity.ivf_topk_verdict),
+        f"""
+        WITH {_BRUTE_TOPK_CTE}
+        SELECT count(*) AS n_exact, TRUE AS count_ok, TRUE AS recall_ok
+        FROM topk
+        """),
 
     # ------------------------------------------------------------------
     # Text analysis (C30) + multimodal (C31)
