@@ -84,7 +84,8 @@ def stratified_sample(df: DataFrame, key: str, strata_col: str,
 
 
 def pack_documents(documents: DataFrame, ctx_tokens: int = 4096,
-                   bucket_width: int = 1000) -> DataFrame:
+                   bucket_width: int = 1000,
+                   super_width: int = 4096) -> DataFrame:
     """Sequence packing — the GPT-style pretraining layout: documents in
     doc_id order concatenate into one token stream, which is chunked into
     fixed `ctx_tokens` contexts; each document reports its stream offset and
@@ -92,13 +93,18 @@ def pack_documents(documents: DataFrame, ctx_tokens: int = 4096,
 
     The global running sum is the scale trap here: a naive
     `Window.orderBy(doc_id)` has no partition key, so Spark moves the WHOLE
-    corpus through one task. Instead: two-level distributed prefix sum —
+    corpus through one task. Three-level distributed prefix sum instead —
     (1) cumsum *within* fixed doc_id-range buckets (parallel window per
-    bucket), (2) bucket totals → prefix offsets over the tiny bucket list
-    (bounded rows — the only unpartitioned window), (3) broadcast-join the
-    offsets back. Deterministic: integer token counts, fixed bucket
-    boundaries (doc_id div width — no sampled range partitioner), total
-    order by doc_id."""
+    bucket), (2) bucket totals → cumsum within SUPER-buckets of
+    `super_width` buckets each (still partitioned, ≤ super_width rows per
+    task), (3) super-bucket totals → prefix over the top-level list, the
+    only unpartitioned window, which sees n_docs/(bucket_width·super_width)
+    rows — ~2.4k rows at 10^10 docs, bounded no matter the corpus. The
+    per-bucket offsets join back on bkt, reusing the window's hash
+    partitioning (a skinny n/bucket_width-row table — NOT broadcast, which
+    would stop fitting on the driver at ~10^10 docs). Deterministic:
+    integer token counts, fixed bucket boundaries (doc_id div width — no
+    sampled range partitioner), total order by doc_id."""
     from pyspark.sql import Window
 
     toks = documents.select(
@@ -110,14 +116,29 @@ def pack_documents(documents: DataFrame, ctx_tokens: int = 4096,
             .rowsBetween(Window.unboundedPreceding, -1))
     in_bucket = toks.withColumn(
         "start_in_bucket", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)))
-    totals = toks.groupBy("bkt").agg(F.sum("n_tok").alias("tot"))
-    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    prefix = totals.select(
-        "bkt", F.coalesce(F.sum("tot").over(w_b), F.lit(0))
-        .alias("bucket_prefix"))
+
+    totals = toks.groupBy("bkt").agg(F.sum("n_tok").alias("tot")) \
+        .withColumn("sbkt", F.floor(F.col("bkt") / F.lit(super_width))
+                    .cast("long"))
+    w_sb = (Window.partitionBy("sbkt").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    in_super = totals.withColumn(
+        "prefix_in_sb", F.coalesce(F.sum("tot").over(w_sb), F.lit(0)))
+
+    sb_totals = totals.groupBy("sbkt").agg(F.sum("tot").alias("sb_tot"))
+    w_top = Window.orderBy("sbkt").rowsBetween(Window.unboundedPreceding, -1)
+    sb_prefix = sb_totals.select(
+        "sbkt", F.coalesce(F.sum("sb_tot").over(w_top), F.lit(0))
+        .alias("sb_prefix"))
+
+    prefix = (
+        in_super.join(F.broadcast(sb_prefix), "sbkt")
+        .select("bkt", (F.col("sb_prefix") + F.col("prefix_in_sb"))
+                .alias("bucket_prefix"))
+    )
     start = F.col("bucket_prefix") + F.col("start_in_bucket")
     return (
-        in_bucket.join(F.broadcast(prefix), "bkt")
+        in_bucket.join(prefix, "bkt")
         .select(
             "doc_id", "n_tok",
             start.alias("start_offset"),

@@ -275,18 +275,28 @@ def test_tpch_multiway_joins_stay_hash_keyed(spark):
                 or "ShuffledHashJoin" in plan), name
 
 
-def test_pack_prefix_sum_is_two_level(spark):
+def test_pack_prefix_sum_is_three_level(spark):
     """c32_pack: the corpus-wide running sum must be windowed PER BUCKET
-    (parallel), with only the bounded bucket-totals window unpartitioned —
-    never a global-order window over the full corpus."""
+    (parallel); bucket totals cumsum within SUPER-buckets (still
+    partitioned); ONLY the super-bucket-totals window — whose input is
+    n_docs/(bucket_width*super_width) rows, bounded at any corpus size —
+    may be unpartitioned. A partition column in a windowspecdefinition
+    appears before the ordering spec without ASC/DESC; an unpartitioned
+    window's first element is the ordering column itself."""
     plan = plan_of(_q(spark, "c32_pack"))
-    corpus_windows = [
-        l for l in plan.splitlines()
-        if "Window" in l and "n_tok" in l and "windowspecdefinition" in l]
-    assert corpus_windows, "corpus window missing from plan"
-    for line in corpus_windows:
-        assert "bkt" in line.split("windowspecdefinition")[1][:80], \
-            "corpus running sum lost its bucket partitioning"
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines, "window nodes missing from plan"
+    saw_top = False
+    for line in win_lines:
+        first = line.split("windowspecdefinition", 1)[1].split(",", 1)[0]
+        if "sum(n_tok" in line:           # level 1: corpus running sum
+            assert "bkt#" in first and "ASC" not in first, line
+        elif "sum(tot" in line:           # level 2: bucket totals
+            assert "sbkt#" in first and "ASC" not in first, line
+        else:                             # level 3: super-bucket totals only
+            assert "sum(sb_tot" in line, f"unexpected window: {line}"
+            saw_top = True
+    assert saw_top, "top-level prefix window missing"
 
 
 def test_scale_probe_build_roundtrips_all_tables(spark, tmp_path):
