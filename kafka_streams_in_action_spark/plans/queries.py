@@ -1636,48 +1636,43 @@ _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
 
 # ---------------------------------------------------------------------------
 # Declared ordering. The driver records correctness rows for the FIRST 50
-# queries() entries (dict insertion order) — round 1 truncated exactly there,
-# leaving c19-c31 with no driver-side signal. So: every query WITHOUT a green
-# CORRECTNESS_r01.json row comes first (the whole r1-unverified tail, the two
-# formerly-no_oracle sketches, and everything new this round), then a
-# representative slice of the already-green rows fills the window; the
-# remaining greens (verified in r1) close the dict.
+# queries() entries (dict insertion order). Round-3 window: (1) the 8
+# queries that landed past round 2's window and have never had a driver
+# row; (2) the 5 registrations changed this round (the fixed c19_json_fns
+# and the 4 new verdict forms); (3) 37 round-1 greens not re-checked since,
+# chosen for family breadth, as regression coverage. The 11 deferred
+# round-1 greens are same-family twins of queries inside the window (e.g.
+# c13_topk_per_group next to c13_topk) and rotate in next round; with 93
+# distinct queries green across r1+r2, this window closes the never-checked
+# set completely.
 # ---------------------------------------------------------------------------
-_ROUND2_PRIORITY = [
-    # r1-unverified: JSON fns, UDX, event-time, dedup, similarity, text,
-    # multimodal
-    "c19_json_scalars", "c19_json_fns",
-    "c21_weighted_avg_udaf", "c21_tokenize_udtf",
-    "c22_tumbling_window", "c23_sliding_window", "c24_session_window",
-    "c25_late_data", "c26_dedup_first", "c27_running_state",
-    "c28_exact_dedup", "c28_kept_documents",
-    "c29_ngram_jaccard", "c29_minhash_lsh", "c29_simhash",
-    "c29_cosine_topk", "c29_cosine_near_dup", "c29_dup_clusters",
-    "c29_cosine_near_dup_lsh", "c29_lsh_ann", "c29_ivf_ann",
-    "c30_word_frequency", "c30_doc_stats", "c30_language_id",
-    "c30_quality_score", "c30_token_counts", "c30_fingerprints",
-    "c30_curate_pipeline",
-    "c31_media_metadata", "c31_decode_image", "c31_resize_image",
-    "c31_frame_stats", "c31_audio_stats",
-    # r1 rows that read as err (no_oracle) — now oracle-checkable
-    "c4_approx_distinct", "c4_approx_quantiles",
-    # new this round: the TPC-H widening (no prior correctness rows)
-    "sql_q2_min_acctbal", "sql_q4_order_priority", "sql_q7_nation_volume",
-    "sql_q8_market_share", "sql_q9_profit", "sql_q10_returned_items",
-    "sql_q12_priority_lines", "sql_q14_promo_share", "sql_q15_top_supplier",
-    "sql_q16_supplier_parts", "sql_q19_disjunctive_rev",
-    "sql_q21_waiting_supplier", "sql_q22_prospects",
-    # new this round: repetition filter + lexicon redaction (C30g/h)
-    "c30_repetition", "c30_redact",
-    # new this round, just past the 50-row window (driver rows next round):
-    # deterministic hash-mod sampling + train/val/test split + packing +
-    # benchmark decontamination
+_ROUND3_PRIORITY = [
+    # (1) never driver-checked: sampling/split/packing, group stats,
+    # decontamination, MinHash reingest
     "c32_sample", "c32_split", "c32_split_summary", "c32_pack",
-    "c30_decontaminate", "c33_group_stats", "c29_minhash_reingest",
-    "c32_stratified",
+    "c32_stratified", "c30_decontaminate", "c33_group_stats",
+    "c29_minhash_reingest",
+    # (2) changed this round: canonicalizable JSON sweep + verdict forms
+    "c19_json_fns",
+    "c29_minhash_lsh", "c29_simhash", "c29_lsh_ann", "c29_ivf_ann",
+    # (3) r1-green regression slice (not re-checked since round 1)
+    "a5_fnv_partitioner", "a6_derive_total", "a9_wire_roundtrip",
+    "a11_avro_roundtrip", "a13_proto_roundtrip", "a15_partition_ordered",
+    "a16_commit_offsets", "a19_route_events", "a20_key_fallback",
+    "c1_filter", "c2_project_scalar", "c3_pricing_summary",
+    "sql_q3_top_revenue", "sql_q18_top_quantity", "sql_q17_small_qty_revenue",
+    "sql_q13_order_distribution",
+    "c5_cube", "c5_pivot", "c5_rollup",
+    "c6_broadcast_join", "c7_multiway_join",
+    "c8_left_join", "c8_anti_join",
+    "c9_range_join", "c10_asof_join", "c10_asof_union",
+    "c11_rank", "c12_analytic_frames", "c13_topk",
+    "c14_union_all", "c14_intersect", "c14_except",
+    "c15_string_fns", "c16_date_fns", "c17_math_fns",
+    "c18_array_fns", "c18_explode",
 ]
 
-QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND2_PRIORITY}
+QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND3_PRIORITY}
 QUERIES.update(
     {n: s for n, s in _QUERY_DEFS.items() if n not in QUERIES})
 assert len(QUERIES) == len(_QUERY_DEFS)
