@@ -24,9 +24,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from kafka_streams_in_action_spark.operators import dedup, similarity
 from kafka_streams_in_action_spark.plans.queries import QUERIES
 from kafka_streams_in_action_spark.session import get_spark
 from kafka_streams_in_action_spark.sources.parquet import load_table
+
+# The registered c29_minhash_lsh / c29_ivf_ann are verdict forms (they run
+# an in-query exact reference for the correctness gate); the probe times
+# the raw scale paths, same as bench.py, so growth factors measure the
+# production operators. IVF here INCLUDES the index build (the SCALE.md
+# table row is "incl. index build").
+RAW_PATHS = {
+    "c29_minhash_lsh": lambda spark, sf_dir: dedup.minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.1),
+    "c29_ivf_ann": lambda spark, sf_dir: similarity.ivf_topk(
+        load_table(spark, "embeddings", sf_dir)),
+}
 
 # CLI args are parsed only when run as a script (the module is also imported
 # by tests, which pass base/out/factor to build() explicitly).
@@ -103,29 +116,47 @@ def build(spark, base: str = None, out: str = None,
         os.rename(f"{out}/_{t}", target)
 
 
+def _time(fn, spark, sf_dir: str) -> float:
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    best = None
+    for _ in range(2):
+        s = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best or 1e9, time.time() - s)
+    return round(best, 3)
+
+
 def main() -> None:
+    """Emit a standing SCALE artifact: each probe query timed at the base SF
+    AND at FACTOR×, with the growth factor — so a scaling regression (a plan
+    that silently went quadratic) fails loudly round over round, not just an
+    absolute-time regression at sf0.1. Redirect stdout to SCALE_r{N}.json."""
     spark = get_spark("scale-probe")
     t0 = time.time()
     if not os.path.exists(f"{OUT}/lineitem.parquet"):
         build(spark)
         print(f"# built {OUT} in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    timings = {}
+    queries = {}
     for name in PROBE_QUERIES:
-        fn = QUERIES[name].fn
-        fn(spark, OUT).write.format("noop").mode("overwrite").save()  # warm
-        best = None
-        for _ in range(2):
-            s = time.time()
-            fn(spark, OUT).write.format("noop").mode("overwrite").save()
-            best = min(best or 1e9, time.time() - s)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        fn = RAW_PATHS.get(name) or QUERIES[name].fn
+        base_s = _time(fn, spark, BASE)
+        big_s = _time(fn, spark, OUT)
+        queries[name] = {
+            "base": base_s, "scaled": big_s,
+            "growth": round(big_s / base_s, 2) if base_s else None,
+        }
+        print(f"# {name}: base {base_s}s, x{FACTOR} {big_s}s "
+              f"(growth {queries[name]['growth']}x)",
+              file=sys.stderr, flush=True)
 
-    print(json.dumps({"metric": "scale_probe_total",
-                      "value": round(sum(timings.values()), 3),
-                      "unit": "sec", "factor": FACTOR, "base": BASE,
-                      "queries": timings}))
+    print(json.dumps({
+        "metric": "scale_probe_growth",
+        "value": round(sum(q["scaled"] for q in queries.values()), 3),
+        "unit": "sec", "factor": FACTOR, "base": BASE,
+        "max_growth": max(q["growth"] for q in queries.values()),
+        "queries": queries,
+    }))
 
 
 if __name__ == "__main__":

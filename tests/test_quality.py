@@ -1,5 +1,6 @@
-"""Tolerance / recall / shape checks for the oracle-less queries (approx
-sketches, LSH/ANN, simhash, multimodal stubs, JSON fn sweep)."""
+"""Tolerance / recall / shape checks for the approximate operators (approx
+sketches, LSH/ANN, simhash, multimodal codecs, JSON fn sweep) — the raw
+behaviors behind the registered verdict-form queries."""
 
 from __future__ import annotations
 
@@ -202,6 +203,43 @@ def test_reingest_shingle_bound_across_scales(spark):
             .agg(F.max("n").alias("mx")).collect()[0]["mx"]
         )
         assert mx <= 99, (sf, mx)
+
+
+def test_simhash_band_schemes_bit_math(spark):
+    """The two pigeonhole-complete band schemes must each extract exactly
+    their declared bits — verified against a pure-python reconstruction on a
+    value that exercises the long sign bit."""
+    val = -0x123456789ABCDEF0
+    u = val & ((1 << 64) - 1)
+    df = spark.range(1).select(F.lit(val).cast("long").alias("h"))
+    cont = df.select(*[
+        s.alias(f"c{i}") for i, s in enumerate(
+            dedup._simhash_band_structs(F.col("h"), "contiguous"))
+    ]).collect()[0]
+    inter = df.select(*[
+        s.alias(f"i{i}") for i, s in enumerate(
+            dedup._simhash_band_structs(F.col("h"), "interleaved"))
+    ]).collect()[0]
+    for i in range(4):
+        assert cont[f"c{i}"]["chunk"] == (u >> (16 * i)) & 0xFFFF
+        expected = sum(((u >> (4 * r + i)) & 1) << r for r in range(16))
+        assert inter[f"i{i}"]["chunk"] == expected
+
+
+def test_verdict_forms_hold(spark):
+    """The four verdict-form registrations must emit all-true verdicts on
+    the pytest corpus (the driver checks sf0.01; this pins sf0.001)."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    docs = load_table(spark, "documents", SF_DIR)
+    row = similarity.lsh_topk_verdict(emb).collect()[0]
+    assert row["n_exact"] > 0 and row["count_ok"] and row["recall_ok"], row
+    row = similarity.ivf_topk_verdict(emb).collect()[0]
+    assert row["count_ok"] and row["recall_ok"], row
+    row = dedup.minhash_lsh_verdict(docs).collect()[0]
+    assert row["precision_ok"] and row["recall_ok"], row
+    row = dedup.simhash_verdict(docs).collect()[0]
+    assert row["n_planted_found"] == 20, row
+    assert row["blockings_agree"] and row["hamming_ok"], row
 
 
 def test_json_fn_sweep_values(spark):
