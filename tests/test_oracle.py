@@ -22,9 +22,9 @@ def test_oracle_match(spark, duck, name):
     assert_frames_match(sdf, rel, context=name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_runs(spark, name):
-    """Oracle-less queries must at least execute and return a stable schema."""
-    df = QUERIES[name].fn(spark, SF_DIR)
-    assert df.columns, name
-    df.limit(5).collect()
+def test_every_query_has_an_oracle():
+    """Since round 3 every registered query is oracle-checkable (the former
+    rows-only registrations re-landed in verdict form) — keep it that way:
+    a new oracle-less registration must be a deliberate, documented choice,
+    not a silent regression of the correctness gate."""
+    assert ROWS_ONLY_QUERIES == [], ROWS_ONLY_QUERIES
