@@ -148,6 +148,55 @@ def pack_documents(documents: DataFrame, ctx_tokens: int = 4096,
     )
 
 
+def sharded_shuffle(documents: DataFrame, n_shards: int = 64,
+                    salt: str = "shuffle") -> DataFrame:
+    """Deterministic global shuffle — the training-batch-order primitive.
+
+    A corpus-wide random order at 100 TB cannot be one global sort (single
+    task) or `orderBy(rand())` (changes under re-partitioning). The
+    standard layout is SHARDED: each row hashes to one of `n_shards` output
+    shards via the stable FNV fold, and rows order WITHIN their shard by
+    (hash, doc_id). A reader streaming shards in index order sees one
+    deterministic pseudo-random permutation — identical across runs,
+    engines, partitionings, and cluster sizes, and resumable mid-epoch by
+    (shard, pos). Plan shape: a pure projection plus one window PER SHARD
+    (partitioned — never a global-order window); shard sizes are ~n/64 so
+    no task sees more than one shard's rows."""
+    hkey = fnv32_column(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return (
+        documents.select("doc_id", hkey.alias("sort_key"))
+        .withColumn("shard",
+                    F.pmod(F.col("sort_key"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos_in_shard", F.row_number().over(w))
+    )
+
+
+def mixing_report(documents: DataFrame) -> DataFrame:
+    """Per-source corpus mixing report — the sanity check behind every
+    stratified-rate decision (which sources dominate the token budget?).
+    One groupBy on source; shares via a window over the grouped result
+    (rows = #sources, bounded), token counts from the same whitespace
+    tokenizer as C30 so the report matches what packing/token-stats see."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "source",
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tok"))
+    w = Window.partitionBy()
+    return (
+        toks.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens"))
+        .select("source", "n_docs", "n_tokens",
+                (F.col("n_tokens").cast("double")
+                 / F.sum("n_tokens").over(w).cast("double"))
+                .alias("token_share"))
+    )
+
+
 def split_summary(documents: DataFrame, train_pct: int = 90,
                   val_pct: int = 5) -> DataFrame:
     """Per-split counts + share — the sanity check a pipeline runs after

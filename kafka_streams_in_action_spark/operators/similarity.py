@@ -238,6 +238,41 @@ def reingest_dup_pairs(embeddings: DataFrame, n_planted: int = 50,
                                n_planes=8, n_tables=4)
 
 
+def quantize_embeddings_int8(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage
+    layout large ANN corpora actually keep vectors in (4× smaller than
+    float32, int8-SIMD dot products; the IVF/LSH paths above probe it
+    unchanged because argmax survives per-vector scaling).
+
+    Per vector: scale = max|x|/127; q_i = floor(x_i/scale + 0.5) — explicit
+    half-up rounding in pure IEEE ops (divide, add, floor), which DuckDB
+    executes bitwise-identically, unlike the engines' differing round()
+    tie-breaks. Emitted per vector and hash-matched cross-engine: the
+    rounded scale, the exact integer checksum of the codes (order-
+    insensitive), the max |code|, and a range verdict |q| ≤ 127 (floor of
+    127.5 is exactly 127, so a violation means broken scale math). All
+    column algebra — one projection, no shuffle, no Python."""
+    v = F.col("embedding").cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    base = embeddings.select("vec_id", v.alias("v"), amax.alias("amax"))
+    scale = F.col("amax") / F.lit(127.0)
+    q = F.when(
+        F.col("amax") == 0,
+        F.transform(F.col("v"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(F.col("v"),
+                    lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")))
+    qabs_max = F.array_max(F.transform(q, lambda x: F.abs(x)))
+    return base.select(
+        "vec_id",
+        F.round(scale, 6).alias("q_scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("q_checksum"),
+        qabs_max.alias("q_max"),
+        (qabs_max <= 127).alias("range_ok"),
+    )
+
+
 def _lsh_bucket(vec, planes: list[list[float]]):
     """Sign-pattern bucket id from fixed hyperplanes (deterministic)."""
     bucket = F.lit(0)

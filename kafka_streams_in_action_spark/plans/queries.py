@@ -1522,6 +1522,52 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                count(*)::DOUBLE / (sum(count(*)) OVER ())::DOUBLE AS share
         FROM s GROUP BY split ORDER BY split
         """),
+    "c32_shard_shuffle": QuerySpec(
+        _t("documents")(sampling.sharded_shuffle),
+        f"""
+        WITH k AS (SELECT doc_id, doc_id::VARCHAR || ':shuffle' AS kk
+                   FROM documents),
+        h AS (SELECT doc_id, {_FNV_SQL.format(col='kk')} AS sort_key FROM k)
+        SELECT doc_id, sort_key, (sort_key % 64)::INTEGER AS shard,
+               row_number() OVER (PARTITION BY sort_key % 64
+                                  ORDER BY sort_key, doc_id)::INTEGER
+                   AS pos_in_shard
+        FROM h
+        """),
+    "c32_mix_report": QuerySpec(
+        _t("documents")(sampling.mixing_report),
+        """
+        WITH t AS (SELECT source,
+                          len(string_split(trim(text), ' '))::BIGINT AS n_tok
+                   FROM documents)
+        SELECT source, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+               sum(n_tok)::DOUBLE / (sum(sum(n_tok)) OVER ())::DOUBLE
+                   AS token_share
+        FROM t GROUP BY source
+        """),
+    "c29_quantize_int8": QuerySpec(
+        _t("embeddings")(similarity.quantize_embeddings_int8),
+        """
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT vec_id, v,
+                     list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                         AS amax
+              FROM emb),
+        qq AS (SELECT vec_id, amax,
+                      CASE WHEN amax = 0
+                           THEN list_transform(v, x -> 0::BIGINT)
+                           ELSE list_transform(
+                               v, x -> floor(x / (amax/127.0) + 0.5)::BIGINT)
+                      END AS q
+               FROM s)
+        SELECT vec_id, round(amax / 127.0, 6) AS q_scale,
+               list_reduce(list_prepend(0::BIGINT, q), (a,b) -> a + b)
+                   AS q_checksum,
+               list_aggregate(list_transform(q, x -> abs(x)), 'max') AS q_max,
+               (list_aggregate(list_transform(q, x -> abs(x)), 'max') <= 127)
+                   AS range_ok
+        FROM qq
+        """),
     "c32_pack": QuerySpec(
         _t("documents")(sampling.pack_documents),
         """
@@ -1638,10 +1684,11 @@ _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
 # Declared ordering. The driver records correctness rows for the FIRST 50
 # queries() entries (dict insertion order). Round-3 window: (1) the 8
 # queries that landed past round 2's window and have never had a driver
-# row; (2) the 5 registrations changed this round (the fixed c19_json_fns
-# and the 4 new verdict forms); (3) 37 round-1 greens not re-checked since,
-# chosen for family breadth, as regression coverage. The 11 deferred
-# round-1 greens are same-family twins of queries inside the window (e.g.
+# row; (2) the 8 registrations changed or added this round (the fixed
+# c19_json_fns, the 4 verdict forms, sharded shuffle / mixing report /
+# int8 quantization); (3) 34 round-1 greens not re-checked since, chosen
+# for family breadth, as regression coverage. The 14 deferred round-1
+# greens are same-family twins of queries inside the window (e.g.
 # c13_topk_per_group next to c13_topk) and rotate in next round; with 93
 # distinct queries green across r1+r2, this window closes the never-checked
 # set completely.
@@ -1652,9 +1699,11 @@ _ROUND3_PRIORITY = [
     "c32_sample", "c32_split", "c32_split_summary", "c32_pack",
     "c32_stratified", "c30_decontaminate", "c33_group_stats",
     "c29_minhash_reingest",
-    # (2) changed this round: canonicalizable JSON sweep + verdict forms
+    # (2) changed or NEW this round: canonicalizable JSON sweep, verdict
+    # forms, sharded shuffle / mixing report / int8 quantization
     "c19_json_fns",
     "c29_minhash_lsh", "c29_simhash", "c29_lsh_ann", "c29_ivf_ann",
+    "c32_shard_shuffle", "c32_mix_report", "c29_quantize_int8",
     # (3) r1-green regression slice (not re-checked since round 1)
     "a5_fnv_partitioner", "a6_derive_total", "a9_wire_roundtrip",
     "a11_avro_roundtrip", "a13_proto_roundtrip", "a15_partition_ordered",
@@ -1662,12 +1711,12 @@ _ROUND3_PRIORITY = [
     "c1_filter", "c2_project_scalar", "c3_pricing_summary",
     "sql_q3_top_revenue", "sql_q18_top_quantity", "sql_q17_small_qty_revenue",
     "sql_q13_order_distribution",
-    "c5_cube", "c5_pivot", "c5_rollup",
+    "c5_cube", "c5_rollup",
     "c6_broadcast_join", "c7_multiway_join",
     "c8_left_join", "c8_anti_join",
-    "c9_range_join", "c10_asof_join", "c10_asof_union",
+    "c9_range_join", "c10_asof_join",
     "c11_rank", "c12_analytic_frames", "c13_topk",
-    "c14_union_all", "c14_intersect", "c14_except",
+    "c14_union_all", "c14_except",
     "c15_string_fns", "c16_date_fns", "c17_math_fns",
     "c18_array_fns", "c18_explode",
 ]

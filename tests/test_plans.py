@@ -299,6 +299,29 @@ def test_pack_prefix_sum_is_three_level(spark):
     assert saw_top, "top-level prefix window missing"
 
 
+def test_shard_shuffle_has_no_global_window(spark):
+    """c32_shard_shuffle: the whole point is replacing a global sort with
+    per-shard windows — every windowspecdefinition must carry a partition
+    column (a first element without ASC/DESC), never a bare global order."""
+    plan = plan_of(_q(spark, "c32_shard_shuffle"))
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines, "shard window missing"
+    for line in win_lines:
+        first = line.split("windowspecdefinition", 1)[1].split(",", 1)[0]
+        assert "ASC" not in first and "DESC" not in first, line
+
+
+def test_quantize_is_shuffle_free_jvm_projection(spark):
+    """c29_quantize_int8: per-vector column algebra — no Exchange, no
+    Python eval node; the scan's ReadSchema prunes to the two used
+    columns."""
+    plan = plan_of(_q(spark, "c29_quantize_int8"))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    fmt = formatted_of(_q(spark, "c29_quantize_int8"))
+    assert "vec_id" in fmt and "embedding" in fmt
+
+
 def test_scale_probe_build_roundtrips_all_tables(spark, tmp_path):
     """scripts/scale_probe.py build: a 2x key-shifted copy of sf0.001 must
     round-trip through load_table with correct types (events' TIMESTAMP(NANOS)
