@@ -9,7 +9,9 @@ alone is a real cost.
 
 from __future__ import annotations
 
+import glob
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,19 +21,41 @@ from ..schemas import TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# events.ts is parquet TIMESTAMP(NANOS,false) — Spark has no nanosecond
-# timestamp type, so we read the raw int64 (nanosAsLong, set in session.py) and
-# truncate to microseconds, exactly what DuckDB's TIMESTAMP does on read.
+# Nanos layout: Spark has no nanosecond timestamp type, so TIMESTAMP(NANOS)
+# must be read as the raw int64 (nanosAsLong, set in session.py) and truncated
+# to microseconds — exactly what DuckDB's TIMESTAMP does on read.
 _EVENTS_RAW = T.StructType(
     [f if f.name != "ts" else T.StructField("ts", T.LongType(), True)
      for f in TABLES["events"].fields])
+
+
+@lru_cache(maxsize=None)
+def _events_ts_is_nanos(path: str) -> bool:
+    """The testdata has shipped events.ts both as parquet TIMESTAMP(NANOS)
+    and TIMESTAMP(MICROS) across driver rounds, so the physical unit must be
+    probed from a footer, never assumed: decoding micros through the nanos
+    path divides every timestamp by 1000, silently compressing a 30-day range
+    into ~43 minutes (the r3 c9/c10 correctness regression). One footer read
+    per (path, process) — cached, negligible even on object stores."""
+    p = path
+    if os.path.isdir(p):
+        inner = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        if not inner:
+            return False
+        p = inner[0]
+    try:
+        import pyarrow.parquet as pq
+        typ = pq.read_schema(p).field("ts").type
+        return getattr(typ, "unit", None) == "ns"
+    except Exception:
+        return False
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(path):
         raw = spark.read.schema(_EVENTS_RAW).parquet(path)
         # integer div — double division loses precision on int64 nanos
         return raw.withColumn(
