@@ -54,7 +54,31 @@ HEADLINE = [
     "sql_q8_market_share",   # 7-table join, conditional exact-sum ratio
     "sql_q21_waiting_supplier",  # correlated EXISTS + NOT EXISTS anti pattern
     "c32_pack",              # distributed prefix sum (packing)
+    # round-4 additions
+    "c30_lm_xent",           # corpus bigram LM + per-doc cross-entropy
+    "c28_substring_dup",     # positional-shingle duplication fraction
 ]
+
+
+def _calibrate() -> dict[str, float]:
+    """Fixed-work CPU microbenchmarks, recorded next to the query timings so
+    cross-round comparisons can separate host-speed drift from real plan
+    regressions (r2→r3 showed a uniform ~2× slowdown across unrelated
+    queries — environmental, but indistinguishable from a regression
+    without a yardstick). One single-thread python loop + one BLAS matmul;
+    both deterministic, both < 1 s."""
+    import numpy as np
+    t0 = time.time()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * 31 & 0xFFFF
+    py = time.time() - t0
+    a = np.arange(512 * 512, dtype=np.float64).reshape(512, 512) / 1e6
+    t0 = time.time()
+    for _ in range(20):
+        a @ a
+    blas = time.time() - t0
+    return {"calib_python_sec": round(py, 3), "calib_blas_sec": round(blas, 3)}
 
 # The registered c29_minhash_lsh / c29_ivf_ann queries are VERDICT forms
 # (they run an in-query exact reference alongside the approximate path for
@@ -116,6 +140,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        **_calibrate(),
     }))
 
 

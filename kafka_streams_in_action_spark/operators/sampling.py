@@ -22,7 +22,7 @@ list_reduce fold.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 FNV_OFFSET = 2166136261
@@ -194,6 +194,31 @@ def mixing_report(documents: DataFrame) -> DataFrame:
                 (F.col("n_tokens").cast("double")
                  / F.sum("n_tokens").over(w).cast("double"))
                 .alias("token_share"))
+    )
+
+
+def source_cap(documents: DataFrame, cap: int = 50) -> DataFrame:
+    """C32f: per-source document caps — keep at most `cap` documents per
+    source, best-first — the standard guard against one domain dominating
+    the mixture (Common-Crawl-style pipelines cap per-domain contributions
+    before mixing). "Best" = the same diversity+length quality score the
+    curation pass uses, tie-broken by doc_id so the kept set is
+    deterministic.
+
+    One keyed window per source (rank within source) — the partition count
+    equals the source cardinality, so the plan has no global window; the
+    quality score is per-row codegen."""
+    words = F.split(F.trim("text"), " ")
+    n_tokens = F.size(words)
+    diversity = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    length_score = F.least(n_tokens.cast("double") / F.lit(200.0), F.lit(1.0))
+    quality = F.round((diversity + length_score) / 2, 6)
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    return (
+        documents.select("doc_id", "source", quality.alias("quality"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= cap)
     )
 
 

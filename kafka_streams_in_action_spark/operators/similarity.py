@@ -238,6 +238,256 @@ def reingest_dup_pairs(embeddings: DataFrame, n_planted: int = 50,
                                n_planes=8, n_tables=4)
 
 
+def semdedup_pairs(embeddings: DataFrame, threshold: float = 0.35,
+                   n_cells: int = 8, n_assign: int = 2,
+                   refine_iters: int = 2) -> DataFrame:
+    """C29f: SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    k-means-cluster the embedding space, then find near-duplicate pairs ONLY
+    within each cluster — the approximation that makes semantic dedup
+    tractable at corpus scale, because the quadratic term shrinks from n² to
+    Σ|cluster|² and each cluster's tile is one BLAS matmul in one task.
+
+    Each vector lands in its `n_assign` nearest cells (multi-assignment —
+    the same trade as IVF's n_probe): pairs split by the single-best-cell
+    boundary still meet in a shared second-choice cell. Cost is an
+    n_assign× larger index; measured recall at the 0.35 threshold rises
+    from ~0.4 (n_assign=1) to ~0.8 (n_assign=2) on the sf0.01 corpus.
+
+    Reuses the IVF index build (deterministic seeds + Lloyd refinement) for
+    the clustering, so an engine that maintains an ANN index gets semantic
+    dedup almost for free. Same bitwise-determinism contract as
+    cosine_near_dup_pairs: the matmul only nominates candidates (epsilon-
+    padded), survivors re-score with the JVM sequential fold; pairs that
+    co-occur in two shared cells dedupe at candidate granularity (distinct
+    on the id pair) before the exact rescore.
+    """
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    cents = build_ivf_centroids(embeddings, n_cells, refine_iters)
+    cnorm_t = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+
+    @F.pandas_udf("array<long>")
+    def assign_cells(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        order = np.argsort(-(m @ cnorm_t), axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_assign]))
+
+    corpus = emb.select(
+        "vec_id", "vec", F.explode(assign_cells(F.col("vec"))).alias("cell"))
+
+    def cell_pairs(pdf):
+        M = np.vstack(pdf["vec"].to_numpy())
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        ia, ib = np.nonzero(M @ M.T >= threshold - 1e-6)
+        va = pdf["vec_id"].to_numpy()[ia]
+        vb = pdf["vec_id"].to_numpy()[ib]
+        keep = va < vb
+        return pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep]})
+
+    cand = corpus.groupBy("cell").applyInPandas(
+        cell_pairs, "vec_a long, vec_b long").distinct()
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va_vec"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb_vec"))
+    return (
+        cand.join(a, "vec_a").join(b, "vec_b")
+        .select("vec_a", "vec_b",
+                F.round(_cosine(F.col("va_vec"), F.col("vb_vec")), 6)
+                .alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semdedup_verdict(embeddings: DataFrame, threshold: float = 0.35,
+                     n_cells: int = 8, min_recall: float = 0.5) -> DataFrame:
+    """c29_semdedup in oracle-checkable verdict form (the c4_approx_*
+    pattern): run the within-cluster path AND the exact all-pairs reference
+    over the same corpus, reduce to one hash-matched row.
+
+    - n_exact_pairs — DuckDB recomputes it independently with its own
+      all-pairs cosine CTE (real cross-engine signal);
+    - precision_ok — every within-cluster pair exists in the exact set with
+      an identical rounded cosine (cluster restriction can only DROP pairs,
+      never invent them, and both paths end in the same JVM rescore);
+    - recall_ok — the cluster restriction retains at least `min_recall` of
+      the exact pairs (pytest pins the measured value; the SemDeDup
+      trade-off made explicit instead of silent).
+    """
+    sem = semdedup_pairs(embeddings, threshold=threshold, n_cells=n_cells) \
+        .withColumnRenamed("cosine_sim", "c_sem")
+    exact = cosine_near_dup_pairs(embeddings, threshold=threshold) \
+        .withColumnRenamed("cosine_sim", "c_exact")
+    m = sem.join(exact, ["vec_a", "vec_b"], "left")
+    stats = m.agg(
+        F.count(F.lit(1)).alias("n_sem"),
+        F.sum(F.when(F.col("c_exact").isNotNull()
+                     & (F.col("c_exact") == F.col("c_sem")), 1)
+              .otherwise(0)).alias("n_valid"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    return stats.crossJoin(n_exact).select(
+        "n_exact_pairs",
+        (F.col("n_valid") == F.col("n_sem")).alias("precision_ok"),
+        (F.col("n_sem") >= F.lit(min_recall) * F.col("n_exact_pairs"))
+        .alias("recall_ok"),
+    )
+
+
+def random_projection(embeddings: DataFrame, out_dim: int = 8,
+                      in_dim: int = 64, seed: int = 1042) -> DataFrame:
+    """C29h: Johnson-Lindenstrauss random projection — reduce the embedding
+    dimension with a fixed pseudo-random matrix so downstream ANN / dedup
+    passes pay out_dim/in_dim of the compute at a bounded distance
+    distortion. The standard first stage before clustering or IVF at
+    corpus scale (and the cheap alternative to PCA when a data-dependent
+    basis isn't worth a training pass).
+
+    The projection matrix comes from the same driver-side LCG as the LSH
+    planes (seeded, engine-independent) and is baked into the plan as
+    literals — the oracle regenerates the identical matrix from the same
+    formula, so this is a FULL-oracle operator, not a verdict form. Each
+    output coordinate is a sequential left-to-right fold over zip_with
+    (JVM codegen, deterministic order), scaled by 1/sqrt(out_dim); both
+    engines run the same IEEE ops in the same order, so values match
+    bitwise before the final 6-decimal round. Shuffle-free row-local
+    projection: the plan is a scan + project, nothing else.
+    """
+    planes = _fixed_planes(out_dim, in_dim, seed=seed)
+    vec = F.col("embedding").cast("array<double>")
+    inv = 1.0 / float(out_dim) ** 0.5
+    cols = [
+        F.round(F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(w) for w in row]),
+                       lambda x, r: x * r),
+            F.lit(0.0), lambda acc, x: acc + x) * F.lit(inv), 6)
+        .alias(f"p{j}")
+        for j, row in enumerate(planes)]
+    return embeddings.select("vec_id", *cols)
+
+
+def random_projection_sql(out_dim: int = 8, in_dim: int = 64,
+                          seed: int = 1042) -> str:
+    """DuckDB twin of random_projection: the same LCG matrix inlined as list
+    literals, the same sequential fold (list_reduce over a seeded prepend,
+    matching _cosine_sql's fold shape), the same final scale + round."""
+    planes = _fixed_planes(out_dim, in_dim, seed=seed)
+    inv = 1.0 / float(out_dim) ** 0.5
+    cols = []
+    for j, row in enumerate(planes):
+        lits = "[" + ", ".join(repr(w) for w in row) + "]"
+        fold = (f"list_reduce(list_prepend(0.0, "
+                f"list_transform(range(1, {in_dim} + 1), "
+                f"i -> v[i] * ({lits})[i])), (acc, x) -> acc + x)")
+        cols.append(f"round({fold} * {inv!r}, 6) AS p{j}")
+    sel = ",\n               ".join(cols)
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_id,
+               {sel}
+        FROM emb
+        """
+
+
+def pca_train(embeddings: DataFrame, n_components: int = 8
+              ) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """C29i index build: distributed PCA via one Gramian pull.
+
+    A single mapInPandas pass emits per-batch partials (count, Σx, Σxxᵀ) as
+    exact fixed-point int64 (the _lloyd_refine contract — order-insensitive
+    reduce, bit-identical across runs and partitionings); the driver
+    reduces the bounded partial set (≤ partitions rows of dim+dim² longs),
+    forms the covariance C = Σxxᵀ/n − μμᵀ, and eigendecomposes dim×dim —
+    the classic "covariance pull" that scales to any corpus size because
+    nothing quadratic in n ever materializes. Components are
+    sign-normalized (largest-|coefficient| coordinate positive) so the
+    basis is deterministic under eigenvector sign ambiguity.
+
+    Returns (mean, components[k × dim], explained_variance_ratio[k]).
+    """
+    emb = embeddings.select(F.col("embedding").cast("array<double>").alias("vec"))
+    dim = len(emb.first()["vec"])
+
+    def partials(batches):
+        for pdf in batches:
+            m = np.vstack(pdf["vec"].to_numpy())
+            yield pd.DataFrame({
+                "n": [m.shape[0]],
+                "vsum": [np.rint(m.sum(axis=0) * 1e9)
+                         .astype(np.int64).tolist()],
+                # Σxxᵀ quantized per-batch: batch sums are exact in float64
+                # well below 2^53, and the int64 reduce is associative
+                "osum": [np.rint((m.T @ m).ravel() * 1e6)
+                         .astype(np.int64).tolist()],
+            })
+
+    rows = emb.mapInPandas(
+        partials, "n long, vsum array<long>, osum array<long>").collect()
+    n = sum(r["n"] for r in rows)
+    vsum = np.sum([np.asarray(r["vsum"], dtype=np.int64) for r in rows],
+                  axis=0) / 1e9
+    osum = np.sum([np.asarray(r["osum"], dtype=np.int64) for r in rows],
+                  axis=0).reshape(dim, dim) / 1e6
+    mu = vsum / n
+    cov = osum / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(len(order)),
+                         np.argmax(np.abs(comps), axis=1)])
+    comps = comps * flip[:, None]
+    ratio = evals[order] / evals.sum()
+    return mu, comps, ratio
+
+
+def pca_project_verdict(embeddings: DataFrame, n_components: int = 8,
+                        min_var: float = 0.1) -> DataFrame:
+    """c29_pca in oracle-checkable verdict form. The eigenbasis is
+    data-dependent (no closed form DuckDB could replicate), so the verdict
+    row carries the checks that pin the math:
+
+    - n_components / n_rows — structural facts DuckDB re-asserts;
+    - orthonormal_ok — WᵀW = I to 1e-9 (driver-side, deterministic);
+    - var_ok — the retained eigenvalues capture ≥ min_var of total
+      variance (the reason to run PCA at all);
+    - recon_ok — a DISTRIBUTED residual pass verifies, on the actual
+      corpus, that mean reconstruction error / mean centered norm equals
+      1 − captured variance to quantization tolerance — the Pythagorean
+      identity the projection must satisfy; this is the check that would
+      catch a broken projection, not just a broken eigensolve.
+
+    The numeric components themselves are pinned against numpy PCA in
+    pytest (tests/test_quality.py) — same data, exact comparison to
+    fixed-point tolerance.
+    """
+    mu, comps, ratio = pca_train(embeddings, n_components)
+    orthonormal_ok = bool(
+        np.abs(comps @ comps.T - np.eye(len(comps))).max() < 1e-9)
+    captured = float(ratio.sum())
+    mu_b, w_b = mu, comps
+
+    @F.pandas_udf("struct<res: double, cen: double>")
+    def residuals(vecs: pd.Series) -> pd.DataFrame:
+        m = np.vstack(vecs.to_numpy()) - mu_b
+        proj = m @ w_b.T
+        res = ((m - proj @ w_b) ** 2).sum(axis=1)
+        cen = (m ** 2).sum(axis=1)
+        return pd.DataFrame({"res": res, "cen": cen})
+
+    emb = embeddings.select(F.col("embedding").cast("array<double>").alias("vec"))
+    agg = (emb.select(residuals(F.col("vec")).alias("r"))
+           .select(F.floor(F.col("r.res") * 1e6 + 0.5).cast("long").alias("res"),
+                   F.floor(F.col("r.cen") * 1e6 + 0.5).cast("long").alias("cen"))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum("res").alias("res_sum"), F.sum("cen").alias("cen_sum")))
+    return agg.select(
+        F.lit(n_components).cast("long").alias("n_components"),
+        F.col("n_rows"),
+        F.lit(orthonormal_ok).alias("orthonormal_ok"),
+        F.lit(captured >= min_var).alias("var_ok"),
+        (F.abs(F.lit(1.0) - F.col("res_sum").cast("double")
+               / F.col("cen_sum").cast("double") - F.lit(captured))
+         < F.lit(1e-3)).alias("recon_ok"),
+    )
+
+
 def quantize_embeddings_int8(embeddings: DataFrame) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the storage
     layout large ANN corpora actually keep vectors in (4× smaller than

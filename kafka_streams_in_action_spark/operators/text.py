@@ -217,6 +217,88 @@ def decontaminate(documents: DataFrame, benchmark_max_id: int = 20,
     )
 
 
+def lm_cross_entropy(documents: DataFrame, k: float = 0.5) -> DataFrame:
+    """C30j: corpus-trained bigram language model + per-document cross-entropy
+    — the CCNet-style "perplexity filter" signal, self-trained on the corpus
+    instead of an external LM so the whole thing is one engine-native job.
+
+    Model: bigram counts c2(prev,cur), prefix counts c1(prev), vocabulary
+    size V, add-k smoothing. Score: per doc, mean over positions of
+    -log2((c2+k)/(c1+k·V)) — low bits = the corpus predicts the document
+    well (typical text), high bits = atypical/noisy.
+
+    Scale shape: the model is built from and joined back to the bigram
+    stream with shuffles keyed on (prev,cur)/(prev) — never on doc text —
+    so both the training agg and the scoring join are plain keyed exchanges
+    AQE can size. The vocabulary scalar V broadcasts (1 row). Per-position
+    bits quantize to integer micro-units before the per-doc sum (the
+    operators/exact.py contract) so partial-agg order and engine log2-ulp
+    drift can't perturb the hash-matched result.
+    """
+    toks = documents.select("doc_id", _words(F.col("text")).alias("w"))
+    idx = F.when(F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(idx, lambda i: F.struct(
+        F.element_at(F.col("w"), i).alias("prev"),
+        F.element_at(F.col("w"), i + 1).alias("cur")))
+    big = (toks.select("doc_id", F.explode(pairs).alias("p"))
+           .select("doc_id", "p.prev", "p.cur"))
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = big.agg(F.count_distinct("cur").alias("v"))
+    bits = -F.log2((F.col("c2") + F.lit(k))
+                   / (F.col("c1") + F.lit(k) * F.col("v")))
+    micro = F.floor(bits * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        big.join(c2, ["prev", "cur"]).join(c1, ["prev"]).crossJoin(vocab)
+        .select("doc_id", micro.alias("micro"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("micro").alias("bits_micro"))
+        .select("doc_id", "n_bigrams",
+                (F.col("bits_micro").cast("double") / F.lit(1e6)
+                 / F.col("n_bigrams")).alias("xent_bits"))
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """C30k: per-document top-k TF-IDF terms — the classic keyword /
+    document-signature extractor (and the cheapest useful doc
+    representation for clustering or near-dup triage when no embedding
+    column exists).
+
+    tf from the whitespace tokenizer, df over distinct (doc, term), N as a
+    1-row broadcast scalar; score = tf·ln(N/df). Scores quantize to integer
+    micro-units BEFORE ranking so both engines rank the same order even at
+    log-ulp drift, with the term string as the total-order tie-break. All
+    shuffles key on term or doc_id; the per-doc top-k is a keyed window,
+    no global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = (documents
+            .select("doc_id", F.explode(_words(F.col("text"))).alias("term"))
+            .filter(F.col("term") != ""))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term").crossJoin(n)
+        .withColumn(
+            "tfidf_micro",
+            F.floor(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+                    * F.lit(1e6) + F.lit(0.5)).cast("long")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_micro").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "rk",
+                (F.col("tfidf_micro").cast("double") / F.lit(1e6))
+                .alias("tfidf"))
+    )
+
+
 def curate_documents(documents: DataFrame, jaccard_threshold: float = 0.1,
                      min_quality: float = 0.38) -> DataFrame:
     """C28/C29/C30 composed: the end-to-end curation pass a training-data

@@ -76,6 +76,8 @@ PROBE_QUERIES = [
     "c29_minhash_lsh",      # LSH near-dedup end-to-end
     "c9_range_window",      # event-time range frame over events
     "c29_ivf_ann",          # IVF ANN incl. index build over embeddings
+    "c30_lm_xent",          # bigram-LM model build + scoring joins
+    "c28_substring_dup",    # positional-shingle inverted index
 ]
 
 

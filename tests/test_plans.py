@@ -108,7 +108,8 @@ def test_no_driver_side_collect_in_queries(spark):
     tracker = spark.sparkContext.statusTracker()
     before = tracker.getJobIdsForGroup(None)
     for name, spec in QUERIES.items():
-        if name in ("c29_ivf_ann", "c29_dup_clusters"):
+        if name in ("c29_ivf_ann", "c29_dup_clusters", "c29_semdedup",
+                    "c29_pca"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)
@@ -248,6 +249,42 @@ def test_cosine_near_dup_has_no_full_corpus_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_semdedup_is_cell_tiled_not_bnlj(spark):
+    """C29f: SemDeDup's within-cluster scoring must run as per-cell pandas
+    tiles; the only quadratic structure allowed is inside a cell's matmul.
+    (The exact all-pairs reference inside the verdict runs as cogroup tiles,
+    pinned separately by the cosine_near_dup test.)"""
+    plan = plan_of(_q(spark, "c29_semdedup"))
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_lm_xent_model_joins_stay_keyed(spark):
+    """C30j: the bigram-model joins must be keyed exchanges (shuffle on
+    prev/cur), never a cartesian; the single cross join allowed is the
+    1-row vocabulary scalar (a broadcast of one row)."""
+    plan = plan_of(_q(spark, "c30_lm_xent"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row V scalar
+
+
+def test_substring_dup_shuffles_on_hash_not_text(spark):
+    """C28e: every exchange in the substring-dup plan must carry the 8-byte
+    xxhash64 shingle key, never the document text column."""
+    fmt = formatted_of(_q(spark, "c28_substring_dup"))
+    exchanges = [seg for seg in fmt.split("\n") if "Exchange" in seg]
+    assert exchanges, "expected keyed exchanges in the plan"
+    assert not any("text#" in e for e in exchanges), exchanges
+
+
+def test_random_projection_is_shuffle_free(spark):
+    """C29h: JL projection is a row-local scan + project — any Exchange in
+    the plan means the matrix was joined instead of baked in as literals."""
+    fmt = formatted_of(_q(spark, "c29_random_proj"))
+    assert "Exchange" not in fmt, fmt
+    assert "Scan parquet" in fmt or "BatchScan" in fmt
 
 
 def test_tpch_exists_subqueries_decorrelate(spark):
