@@ -185,6 +185,25 @@ def pivot_priority_counts(orders: DataFrame) -> DataFrame:
         *[F.coalesce(F.col(n), F.lit(0)).alias(n) for n in renames.values()])
 
 
+def unpivot_lineitem_measures(lineitem: DataFrame) -> DataFrame:
+    """C5d: unpivot/melt — wide measure columns to (measure, value) rows,
+    the inverse of pivot and the standard shape for metric stores. Spark's
+    unpivot (SQL `stack`) is a row-local Generate — no shuffle, output is
+    3× the rows with 2 columns, so the exchange-free plan matters at scale.
+    Values quantize per-row (micro-units) before the downstream agg so the
+    per-measure sums hash-match the oracle exactly."""
+    unp = lineitem.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure", valueColumnName="val")
+    return (
+        unp.groupBy("measure")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             (F.sum(F.floor(F.col("val") * 1e6 + F.lit(0.5)).cast("long"))
+              .cast("double") / F.lit(1e6)).alias("total"))
+    )
+
+
 def grouping_sets_priority(orders: DataFrame) -> DataFrame:
     """C5c: explicit GROUPING SETS ((status), (priority)) with grouping-id
     disambiguation — the general form rollup/cube compile to."""

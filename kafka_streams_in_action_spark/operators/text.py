@@ -261,6 +261,58 @@ def lm_cross_entropy(documents: DataFrame, k: float = 0.5) -> DataFrame:
     )
 
 
+def curate_documents_v2(documents: DataFrame, max_dup_frac: float = 0.5,
+                        min_xent: float = 4.75, max_xent: float = 5.0,
+                        cap: int = 40) -> DataFrame:
+    """C30l: second-generation curation pipeline composing the round-4
+    signals end-to-end, the way a production pre-training corpus pass
+    chains them:
+
+    1. keep-best normalized dedup (C28d) — one survivor per normalized
+       text, longest copy wins;
+    2. substring-duplication filter (C28e) — drop documents whose
+       duplicated-span fraction exceeds `max_dup_frac` (boilerplate);
+    3. LM cross-entropy band (C30j) — drop documents the corpus bigram LM
+       finds too predictable (template spam, low xent) or too surprising
+       (noise, high xent);
+    4. per-source caps (C32f) — quality-best `cap` docs per source.
+
+    Scale shape: every stage is a keyed join/window on doc_id / source /
+    shingle-hash; the LM model is trained on the FULL corpus (before
+    filtering) so stage order can't perturb the scores; survivors carry
+    their diagnostic columns so downstream audits don't recompute them.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import dedup_keep_best, substring_dup_stats
+
+    keep = dedup_keep_best(documents).select(
+        F.col("keep_doc_id").alias("doc_id"))
+    survivors = documents.join(keep, "doc_id", "left_semi")
+    dup = substring_dup_stats(documents).select("doc_id", "dup_frac")
+    xent = lm_cross_entropy(documents).select("doc_id", "xent_bits")
+    joined = (
+        survivors.join(dup, "doc_id", "left").join(xent, "doc_id", "left")
+        .filter(F.coalesce(F.col("dup_frac"), F.lit(0.0)) <= max_dup_frac)
+        .filter(F.col("xent_bits").between(min_xent, max_xent))
+    )
+    words = _words(F.col("text"))
+    n_tokens = F.size(words)
+    diversity = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    length_score = F.least(n_tokens.cast("double") / F.lit(200.0), F.lit(1.0))
+    quality = F.round((diversity + length_score) / 2, 6)
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    return (
+        joined.select("doc_id", "source", quality.alias("quality"),
+                      F.coalesce(F.col("dup_frac"), F.lit(0.0))
+                      .alias("dup_frac"), "xent_bits")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= cap)
+        .drop("rk")
+    )
+
+
 def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     """C30k: per-document top-k TF-IDF terms — the classic keyword /
     document-signature extractor (and the cheapest useful doc

@@ -755,6 +755,19 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                count(*) FILTER (o_orderpriority = '5-LOW') AS "p5"
         FROM orders GROUP BY o_orderstatus
         """),
+    "c5_unpivot": QuerySpec(
+        _t("lineitem")(relational.unpivot_lineitem_measures),
+        """
+        WITH unp AS (
+            SELECT l_orderkey, l_linenumber, measure, val
+            FROM lineitem
+            UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice,
+                                         l_discount)))
+        SELECT measure, count(*) AS n_rows,
+               CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e6 AS total
+        FROM unp GROUP BY measure
+        """),
     "c5_grouping_sets": QuerySpec(
         _t("orders")(relational.grouping_sets_priority),
         """
@@ -1530,6 +1543,78 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
             FROM q)
         WHERE rk <= 50
         """),
+    "c30_curate_v2": QuerySpec(
+        _t("documents")(text.curate_documents_v2),
+        """
+        WITH h AS (
+            SELECT doc_id, n_chars,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS th
+            FROM documents),
+        keep AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (PARTITION BY th
+                       ORDER BY n_chars DESC, doc_id) AS rn FROM h)
+            WHERE rn = 1),
+        words AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w,
+                   generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+            FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   w || ' ' || lead(w, 1) OVER wd || ' ' ||
+                       lead(w, 2) OVER wd || ' ' || lead(w, 3) OVER wd || ' ' ||
+                       lead(w, 4) OVER wd AS g
+            FROM words WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w, 4) OVER wd IS NOT NULL),
+        nd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+        dup AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS dup_frac
+            FROM grams JOIN nd USING (g) GROUP BY doc_id),
+        toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        posn AS (
+            SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks),
+        big AS (
+            SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+            FROM posn WHERE i < len(w)),
+        c2 AS (SELECT prev, cur, count(*) AS c2 FROM big GROUP BY prev, cur),
+        c1 AS (SELECT prev, count(*) AS c1 FROM big GROUP BY prev),
+        v AS (SELECT count(DISTINCT cur) AS v FROM big),
+        scored AS (
+            SELECT doc_id,
+                   CAST(floor(-log2((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))
+                              * 1e6 + 0.5) AS BIGINT) AS micro
+            FROM big JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+            CROSS JOIN v),
+        xent AS (
+            SELECT doc_id, CAST(sum(micro) AS DOUBLE) / 1e6 / count(*)
+                       AS xent_bits
+            FROM scored GROUP BY doc_id),
+        q AS (
+            SELECT doc_id, source,
+                   round((len(list_distinct(string_split(trim(text), ' ')))
+                          / len(string_split(trim(text), ' '))
+                          + least(len(string_split(trim(text), ' ')) / 200.0,
+                                  1.0)) / 2, 6) AS quality
+            FROM documents),
+        j AS (
+            SELECT d.doc_id, d.source, q.quality,
+                   coalesce(dup.dup_frac, 0.0) AS dup_frac, xent.xent_bits
+            FROM documents d
+            JOIN keep USING (doc_id)
+            JOIN q ON q.doc_id = d.doc_id
+            LEFT JOIN dup ON dup.doc_id = d.doc_id
+            LEFT JOIN xent ON xent.doc_id = d.doc_id
+            WHERE coalesce(dup.dup_frac, 0.0) <= 0.5
+              AND xent.xent_bits BETWEEN 4.75 AND 5.0)
+        SELECT doc_id, source, quality, dup_frac, xent_bits FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+                      ORDER BY quality DESC, doc_id) AS rk FROM j)
+        WHERE rk <= 40
+        """),
     "c29_minhash_reingest": QuerySpec(
         _t("documents")(dedup.minhash_reingest_pairs),
         """
@@ -1822,6 +1907,7 @@ _ROUND4_PRIORITY = [
     # (2) new this round
     "c28_keep_best", "c28_substring_dup", "c30_lm_xent", "c29_semdedup",
     "c29_random_proj", "c29_pca", "c30_tfidf", "c32_source_cap",
+    "c5_unpivot", "c30_curate_v2",
     # (3) last green in round 1
     "a9_wire_roundtrip_proto", "c10_asof_maxby", "c10_asof_union",
     "c11_distribution_ranks", "c13_topk_per_group", "c14_intersect",
@@ -1836,9 +1922,9 @@ _ROUND4_PRIORITY = [
     # (4b) last green in round 2, family breadth
     "c21_tokenize_udtf", "c21_weighted_avg_udaf",
     "c28_exact_dedup", "c28_kept_documents",
-    "c29_cosine_near_dup", "c29_cosine_near_dup_lsh", "c29_cosine_topk",
+    "c29_cosine_near_dup", "c29_cosine_near_dup_lsh",
     "c29_dup_clusters", "c29_ngram_jaccard",
-    "c30_curate_pipeline", "c30_doc_stats", "c30_fingerprints",
+    "c30_curate_pipeline", "c30_doc_stats",
     "c30_quality_score", "c30_redact", "c30_repetition",
     "c30_word_frequency",
     "c31_decode_image", "c31_frame_stats", "c31_resize_image",

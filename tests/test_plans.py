@@ -287,6 +287,35 @@ def test_random_projection_is_shuffle_free(spark):
     assert "Scan parquet" in fmt or "BatchScan" in fmt
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """100 TB posture: when the dimension side is too big to broadcast but
+    carries a selective filter, Catalyst must inject a runtime bloom filter
+    on the fact side's join key (might_contain over a bloom agg of the dim
+    keys) so the fact scan drops non-joining rows BEFORE the shuffle — the
+    row-group-level analog of a semi-join pushdown. Broadcast is disabled
+    here to force the shuffle-join regime where the bloom path matters."""
+    from kafka_streams_in_action_spark.sources.parquet import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                       "applicationSideScanSizeThreshold", "0")
+        li = load_table(spark, "lineitem", SF_DIR)
+        od = load_table(spark, "orders", SF_DIR) \
+            .filter(F.col("o_totalprice") > 400000)
+        j = (li.join(od, li.l_orderkey == od.o_orderkey)
+             .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                       "applicationSideScanSizeThreshold", old_scan)
+
+
 def test_tpch_exists_subqueries_decorrelate(spark):
     """Round-2 TPC-H widening: correlated EXISTS must rewrite to a left-semi
     join (q4), and q21's EXISTS + NOT EXISTS must become semi + anti joins on
