@@ -261,6 +261,27 @@ def key_fallback(events: DataFrame) -> DataFrame:
     )
 
 
+def char_histogram(documents: DataFrame, width: int = 200) -> DataFrame:
+    """C33b: corpus length histogram — fixed-width n_chars buckets with
+    count and share, the one-glance length-distribution report every
+    corpus audit starts with. One keyed groupBy on the bucket id; shares
+    via a window over the grouped result (rows = #buckets, bounded by
+    max_chars/width regardless of corpus size); the share is one IEEE
+    division of exact counts."""
+    from pyspark.sql import Window
+
+    b = F.floor(F.col("n_chars") / F.lit(width)).cast("long")
+    w = Window.partitionBy()
+    return (
+        documents.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("bucket", "n_docs",
+                (F.col("n_docs").cast("double")
+                 / F.sum("n_docs").over(w).cast("double")).alias("share"))
+    )
+
+
 def group_statistics(lineitem: DataFrame) -> DataFrame:
     """C33 (extras): per-group descriptive statistics — mean, stddev, and
     Pearson correlation — computed from EXACT fixed-point integer sums so

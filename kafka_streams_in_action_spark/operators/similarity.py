@@ -523,6 +523,45 @@ def quantize_embeddings_int8(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def quantized_dedup_reingest(embeddings: DataFrame,
+                             n_planted: int = 50) -> DataFrame:
+    """C29j: exact dedup in the quantized domain — group vectors by their
+    int8 code sequence (the same symmetric quantization as
+    quantize_embeddings_int8). Re-ingested duplicate vectors quantize to
+    byte-identical codes, so matching on the code string is the cheap
+    first dedup pass an int8-serving ANN corpus gets for free: one keyed
+    shuffle on a 32-char hash of the codes, no distance computation at
+    all. (Near-duplicates that differ below quantization resolution can
+    also collide — at int8 that's the desired "same vector for retrieval
+    purposes" equivalence.)
+
+    Reingest regime (same as the LSH/MinHash reingest twins): the first
+    `n_planted` vectors re-enter with shifted ids; every planted pair must
+    land in a ≥2-member group, deterministically — which makes the
+    full-oracle group structure non-vacuous on the synthetic corpus."""
+    aug = embeddings.select("vec_id", "embedding").unionAll(
+        embeddings.filter(F.col("vec_id") < n_planted)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    v = F.col("embedding").cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    base = aug.select("vec_id", v.alias("v"), amax.alias("amax"))
+    scale = F.col("amax") / F.lit(127.0)
+    q = F.when(
+        F.col("amax") == 0,
+        F.transform(F.col("v"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(F.col("v"),
+                    lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")))
+    code = F.md5(F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))))
+    return (
+        base.select("vec_id", code.alias("code_hash"))
+        .groupBy("code_hash")
+        .agg(F.min("vec_id").alias("keep_vec_id"),
+             F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+
 def _lsh_bucket(vec, planes: list[list[float]]):
     """Sign-pattern bucket id from fixed hyperplanes (deterministic)."""
     bucket = F.lit(0)

@@ -1669,6 +1669,46 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                       * sqrt((n*syy - sy*sy)::DOUBLE)) AS corr_qty_price
         FROM a ORDER BY l_returnflag
         """),
+    "c33_histogram": QuerySpec(
+        _t("documents")(relational.char_histogram),
+        """
+        WITH b AS (
+            SELECT CAST(floor(n_chars / 200) AS BIGINT) AS bucket
+            FROM documents),
+        g AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket)
+        SELECT bucket, n_docs,
+               CAST(n_docs AS DOUBLE)
+                   / CAST(sum(n_docs) OVER () AS DOUBLE) AS share
+        FROM g
+        """),
+    "c29_quantized_dedup": QuerySpec(
+        _t("embeddings")(similarity.quantized_dedup_reingest),
+        """
+        WITH aug AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding FROM embeddings
+            WHERE vec_id < 50),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM aug),
+        s AS (SELECT vec_id, v,
+                     list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                         AS amax
+              FROM e),
+        q AS (SELECT vec_id,
+                     CASE WHEN amax = 0
+                          THEN list_transform(v, x -> 0::BIGINT)
+                          ELSE list_transform(v, x -> CAST(floor(
+                               x / (amax / 127.0) + 0.5) AS BIGINT))
+                     END AS codes
+              FROM s),
+        h AS (SELECT vec_id,
+                     md5(array_to_string(list_transform(codes,
+                         x -> CAST(x AS VARCHAR)), ',')) AS code_hash
+              FROM q)
+        SELECT code_hash, min(vec_id) AS keep_vec_id,
+               count(*) AS n_members
+        FROM h GROUP BY code_hash HAVING count(*) >= 2
+        """),
     "c30_decontaminate": QuerySpec(
         _t("documents")(text.decontaminate),
         f"""
@@ -1907,7 +1947,7 @@ _ROUND4_PRIORITY = [
     # (2) new this round
     "c28_keep_best", "c28_substring_dup", "c30_lm_xent", "c29_semdedup",
     "c29_random_proj", "c29_pca", "c30_tfidf", "c32_source_cap",
-    "c5_unpivot", "c30_curate_v2",
+    "c5_unpivot", "c30_curate_v2", "c33_histogram", "c29_quantized_dedup",
     # (3) last green in round 1
     "a9_wire_roundtrip_proto", "c10_asof_maxby", "c10_asof_union",
     "c11_distribution_ranks", "c13_topk_per_group", "c14_intersect",
@@ -1922,9 +1962,9 @@ _ROUND4_PRIORITY = [
     # (4b) last green in round 2, family breadth
     "c21_tokenize_udtf", "c21_weighted_avg_udaf",
     "c28_exact_dedup", "c28_kept_documents",
-    "c29_cosine_near_dup", "c29_cosine_near_dup_lsh",
+    "c29_cosine_near_dup",
     "c29_dup_clusters", "c29_ngram_jaccard",
-    "c30_curate_pipeline", "c30_doc_stats",
+    "c30_curate_pipeline",
     "c30_quality_score", "c30_redact", "c30_repetition",
     "c30_word_frequency",
     "c31_decode_image", "c31_frame_stats", "c31_resize_image",
