@@ -93,3 +93,53 @@ def running_user_state(events: DataFrame) -> DataFrame:
         F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
             .alias("running_sum"),
     )
+
+def funnel_analysis(events: DataFrame) -> DataFrame:
+    """C34: event funnel — per user, the earliest view → first click after
+    that view → first purchase after that click, then one corpus row per
+    funnel stage with user counts and conversion share. The standard
+    product-analytics sequence query, expressed as conditional MIN
+    aggregates per user (one keyed shuffle on user_id, no self-joins, no
+    window over the event stream) + a bounded 3-row final reduce.
+
+    Stage times are exact timestamps; the strictly-after comparisons make
+    the stage chain order-sensitive, which conditional aggregation handles
+    in two passes over the per-user group (min view, then min click >
+    that, then min purchase > that) — each pass a first-class aggregate,
+    so partial aggregation still applies map-side.
+    """
+    per_user = (
+        events.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+             .alias("t_view"))
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .join(per_user, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.first("t_view").alias("t_view"))
+    )
+    # F.first on t_view is deterministic: t_view is functionally dependent
+    # on user_id (one value per group)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(clicks.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_view = per_user.filter(F.col("t_view").isNotNull()) \
+        .agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("1_view").alias("stage"), "n")
+    n_click = clicks.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("2_click").alias("stage"), "n")
+    n_buy = purchases.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("3_purchase").alias("stage"), "n")
+    funnel = n_view.unionAll(n_click).unionAll(n_buy)
+    from pyspark.sql import Window
+    w = Window.partitionBy()
+    return funnel.select(
+        "stage", "n",
+        F.round(F.col("n").cast("double")
+                / F.max("n").over(w).cast("double"), 6).alias("share"))

@@ -562,6 +562,59 @@ def quantized_dedup_reingest(embeddings: DataFrame,
     )
 
 
+def embedding_outliers(embeddings: DataFrame,
+                       z_threshold: float = 2.0) -> DataFrame:
+    """C29k: embedding-space outlier filter — flag vectors whose distance
+    from the corpus centroid is more than `z_threshold` standard deviations
+    above the mean distance. The cheap screen for corrupt/degenerate
+    samples (zero vectors, encoding failures, off-manifold junk) a
+    training pipeline runs before clustering or dedup.
+
+    Everything is exact and engine-replicable, so this is a FULL-oracle
+    operator: the corpus mean comes from micro-quantized integer sums
+    (order-insensitive), per-vector distance is the engine's sequential
+    fold, and the distance moments quantize the same way. Two scans + two
+    1-row reduces — no shuffle wider than a scalar, any corpus size.
+    """
+    dec = "decimal(38,0)"
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dim = 64  # declared schema dim (FIXTURES.md); no plan-time job
+    # corpus mean per coordinate, exact: Σ floor(x·1e6 + .5) / n
+    sums = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.floor(F.element_at("v", i + 1) * 1e6 + F.lit(0.5))
+                .cast("long")).alias(f"s{i}") for i in range(dim)])
+    mu = sums.select(
+        F.array(*[(F.col(f"s{i}").cast("double") / 1e6
+                   / F.col("n")) for i in range(dim)]).alias("mu"))
+    with_mu = emb.crossJoin(F.broadcast(mu))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(F.col("v"), F.col("mu"), lambda x, m: (x - m) * (x - m)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    dmicro = F.floor(dist * 1e6 + F.lit(0.5)).cast("long")
+    scored = with_mu.select("vec_id", dmicro.alias("dmicro"))
+    # distance moments as exact decimal sums (the group_statistics
+    # contract: doubles only in the final closed forms)
+    mom = scored.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("dmicro").cast(dec)).alias("sd"),
+        F.sum((F.col("dmicro") * F.col("dmicro")).cast(dec)).alias("sdd"))
+    n, sd = F.col("n"), F.col("sd")
+    stats = mom.select(
+        (sd.cast("double") / n.cast("double") / 1e6).alias("mean_d"),
+        (F.sqrt((n * F.col("sdd") - sd * sd).cast("double"))
+         / n.cast("double") / 1e6).alias("std_d"))
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select("vec_id",
+                (F.col("dmicro").cast("double") / 1e6).alias("dist"),
+                F.round((F.col("dmicro").cast("double") / 1e6
+                         - F.col("mean_d")) / F.col("std_d"), 6).alias("z"))
+        .filter(F.col("z") > z_threshold)
+    )
+
+
 def _lsh_bucket(vec, planes: list[list[float]]):
     """Sign-pattern bucket id from fixed hyperplanes (deterministic)."""
     bucket = F.lit(0)

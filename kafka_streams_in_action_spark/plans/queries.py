@@ -1669,6 +1669,63 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                       * sqrt((n*syy - sy*sy)::DOUBLE)) AS corr_qty_price
         FROM a ORDER BY l_returnflag
         """),
+    "c34_funnel": QuerySpec(
+        _t("events")(event_time.funnel_analysis),
+        """
+        WITH pu AS (
+            SELECT user_id, min(ts) FILTER (event_type = 'view') AS t_view
+            FROM events GROUP BY user_id),
+        ck AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN pu ON e.user_id = pu.user_id
+            WHERE e.event_type = 'click' AND e.ts > pu.t_view
+            GROUP BY e.user_id),
+        py AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN ck ON e.user_id = ck.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > ck.t_click
+            GROUP BY e.user_id),
+        f AS (
+            SELECT '1_view' AS stage, count(*) AS n FROM pu
+            WHERE t_view IS NOT NULL
+            UNION ALL SELECT '2_click', count(*) FROM ck
+            UNION ALL SELECT '3_purchase', count(*) FROM py)
+        SELECT stage, n, round(CAST(n AS DOUBLE)
+               / CAST(max(n) OVER () AS DOUBLE), 6) AS share
+        FROM f
+        """),
+    "c29_outliers": QuerySpec(
+        _t("embeddings")(similarity.embedding_outliers),
+        """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        coords AS (
+            SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+        msum AS (
+            SELECT i, sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS s,
+                   count(*) AS n
+            FROM coords GROUP BY i),
+        mu AS (SELECT list(CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                           ORDER BY i) AS mu
+               FROM msum),
+        d AS (
+            SELECT vec_id,
+                   CAST(floor(sqrt(list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 65),
+                           i -> (v[i] - mu.mu[i]) * (v[i] - mu.mu[i]))),
+                       (acc, x) -> acc + x)) * 1e6 + 0.5) AS BIGINT)
+                       AS dmicro
+            FROM e CROSS JOIN mu),
+        mom AS (SELECT count(*) AS n, sum(dmicro) AS sd,
+                       sum(dmicro * dmicro) AS sdd FROM d),
+        st AS (SELECT CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mean_d,
+                      sqrt(CAST(n * sdd - sd * sd AS DOUBLE))
+                          / CAST(n AS DOUBLE) / 1e6 AS std_d
+               FROM mom)
+        SELECT vec_id, CAST(dmicro AS DOUBLE) / 1e6 AS dist,
+               round((CAST(dmicro AS DOUBLE) / 1e6 - mean_d) / std_d, 6) AS z
+        FROM d CROSS JOIN st
+        WHERE round((CAST(dmicro AS DOUBLE) / 1e6 - mean_d) / std_d, 6) > 2.0
+        """),
     "c33_histogram": QuerySpec(
         _t("documents")(relational.char_histogram),
         """
@@ -1948,6 +2005,7 @@ _ROUND4_PRIORITY = [
     "c28_keep_best", "c28_substring_dup", "c30_lm_xent", "c29_semdedup",
     "c29_random_proj", "c29_pca", "c30_tfidf", "c32_source_cap",
     "c5_unpivot", "c30_curate_v2", "c33_histogram", "c29_quantized_dedup",
+    "c34_funnel", "c29_outliers",
     # (3) last green in round 1
     "a9_wire_roundtrip_proto", "c10_asof_maxby", "c10_asof_union",
     "c11_distribution_ranks", "c13_topk_per_group", "c14_intersect",
@@ -1960,10 +2018,10 @@ _ROUND4_PRIORITY = [
     "c24_session_window", "c25_late_data", "c26_dedup_first",
     "c27_running_state",
     # (4b) last green in round 2, family breadth
-    "c21_tokenize_udtf", "c21_weighted_avg_udaf",
+    "c21_weighted_avg_udaf",
     "c28_exact_dedup", "c28_kept_documents",
     "c29_cosine_near_dup",
-    "c29_dup_clusters", "c29_ngram_jaccard",
+    "c29_dup_clusters",
     "c30_curate_pipeline",
     "c30_quality_score", "c30_redact", "c30_repetition",
     "c30_word_frequency",

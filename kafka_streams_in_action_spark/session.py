@@ -49,9 +49,14 @@ def get_spark(app_name: str = "kafka_streams_in_action_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark can't read
-        # natively; read the raw int64 and convert (sources/parquet.py)
+        # testdata events.ts has shipped as parquet TIMESTAMP(NANOS), which
+        # Spark can't read natively; sources/parquet.py probes the footer and
+        # reads that layout as raw int64 via this flag (micros/INT96 layouts
+        # read natively)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write timestamps as INT64 micros, not deprecated INT96 — keeps
+        # everything we write round-trippable through the same footer probe
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # transformWithState requires RocksDB; it's also the state store that
         # scales (incremental checkpoints, off-heap, changelog) — engine-wide.
         .config("spark.sql.streaming.stateStore.providerClass",

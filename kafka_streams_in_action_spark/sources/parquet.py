@@ -36,7 +36,12 @@ def _events_ts_is_nanos(path: str) -> bool:
     probed from a footer, never assumed: decoding micros through the nanos
     path divides every timestamp by 1000, silently compressing a 30-day range
     into ~43 minutes (the r3 c9/c10 correctness regression). One footer read
-    per (path, process) — cached, negligible even on object stores."""
+    per (path, process) — cached, negligible even on object stores.
+
+    The probe reads the parquet PHYSICAL type, not pyarrow's arrow mapping:
+    pyarrow surfaces legacy INT96 timestamps as timestamp[ns] too, but
+    INT96 is natively readable by Spark and must NOT take the raw-int64
+    path. Only INT64 + LogicalType Timestamp(nanoseconds) needs it."""
     p = path
     if os.path.isdir(p):
         inner = sorted(glob.glob(os.path.join(p, "*.parquet")))
@@ -45,8 +50,10 @@ def _events_ts_is_nanos(path: str) -> bool:
         p = inner[0]
     try:
         import pyarrow.parquet as pq
-        typ = pq.read_schema(p).field("ts").type
-        return getattr(typ, "unit", None) == "ns"
+        sch = pq.ParquetFile(p).schema
+        col = sch.column(sch.names.index("ts"))
+        return (col.physical_type == "INT64"
+                and "nanoseconds" in str(col.logical_type))
     except Exception:
         return False
 

@@ -116,6 +116,58 @@ def running_user_state_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def funnel_state_stream(events: DataFrame) -> DataFrame:
+    """C34 streaming twin: the per-user funnel (view → click → purchase) as
+    an arbitrary keyed state machine over applyInPandasWithState — the
+    streaming analog of funnel_analysis's conditional MIN aggregates. State
+    per user = the three stage timestamps; each micro-batch replays its
+    rows in event-time order through the monotone transition rules (first
+    view, first click strictly after that view, first purchase strictly
+    after that click) and emits the user's current stage.
+
+    State is three timestamps per user — bounded by user cardinality, not
+    stream length. Cross-batch ordering caveat (same as any stateful
+    funnel): a stage event arriving in an EARLIER batch than its
+    predecessor stage is not retroactively matched; with availableNow
+    replay of a time-ordered log (the reference's run-once pattern A21)
+    the result equals the batch funnel exactly."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        t_view, t_click, t_buy = \
+            state.get() if state.exists else (None, None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        for _, r in rows.iterrows():
+            et, ts = r["event_type"], r["ts"]
+            if et == "view" and t_view is None:
+                t_view = ts
+            elif (et == "click" and t_view is not None and t_click is None
+                  and ts > t_view):
+                t_click = ts
+            elif (et == "purchase" and t_click is not None and t_buy is None
+                  and ts > t_click):
+                t_buy = ts
+        state.update((t_view, t_click, t_buy))
+        stage = (3 if t_buy is not None else
+                 2 if t_click is not None else
+                 1 if t_view is not None else 0)
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return (
+        events.select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, stage int",
+            stateStructType=("t_view timestamp, t_click timestamp, "
+                             "t_purchase timestamp"),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def asof_enrich_stream(events: DataFrame, orders: DataFrame) -> DataFrame:
     """C10 streaming column: keyed latest-state as-of enrichment. Two
     streams tag-union into one keyed stateful op; per user the state is the

@@ -91,12 +91,10 @@ def build(spark, base: str = None, out: str = None,
         shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     for t, keys in SHIFT.items():
         df = load_table(spark, t, base)
-        if t == "events":
-            # load_table reads events.ts as raw int64 nanos (the source files
-            # are TIMESTAMP(NANOS)); write the copy back in the same layout
-            # so the round-trip through load_table stays schema-correct.
-            df = df.withColumn(
-                "ts", (F.unix_micros("ts") * F.lit(1000)).cast("long"))
+        # events.ts: load_table normalizes whatever physical unit the source
+        # files carry (nanos-as-int64 or native micros) to TimestampType;
+        # writing that back produces a parquet TIMESTAMP column the
+        # footer-probing loader reads directly — no manual unit juggling.
         copies = []
         for i in range(factor):
             c = df

@@ -287,6 +287,30 @@ def test_random_projection_is_shuffle_free(spark):
     assert "Scan parquet" in fmt or "BatchScan" in fmt
 
 
+def _plan_nodes(plan: str, node: str) -> int:
+    import re
+    return len(re.findall(rf"\b{node} \[", plan))
+
+
+def test_funnel_has_no_stream_window(spark):
+    """C34: the funnel must compile to conditional aggregates over keyed
+    groups — never a window function over the raw event stream (the
+    per-row-sorted form that collapses at scale). The only Window node
+    allowed is the bounded 3-row share reduce."""
+    plan = plan_of(_q(spark, "c34_funnel"))
+    assert _plan_nodes(plan, "Window") <= 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_outliers_broadcasts_only_scalars(spark):
+    """C29k: every nested-loop join must be a 1-row scalar broadcast (mean
+    vector, distance moments) — the corpus side itself never replicates;
+    no CartesianProduct anywhere."""
+    plan = plan_of(_q(spark, "c29_outliers"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
     """100 TB posture: when the dimension side is too big to broadcast but
     carries a selective filter, Catalyst must inject a runtime bloom filter

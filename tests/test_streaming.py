@@ -101,6 +101,38 @@ def test_running_state_stream_final_state_matches_batch(spark, events_dir):
     assert {u: v[0] for u, v in final.items()} == batch_n
 
 
+def test_funnel_stream_stages_match_batch(spark, events_dir):
+    """C34 streaming twin: final per-user funnel stage from the keyed state
+    machine equals the batch funnel's stage membership (availableNow replay
+    of the time-ordered log — the equivalence the operator contract
+    declares)."""
+    stream = stateful.funnel_state_stream(_read_stream(spark, events_dir))
+    out = _run_to_memory(spark, stream, "stream_funnel", "update")
+    # last emitted row per user = final state
+    s_stage = {r["user_id"]: r["stage"] for r in out.collect()}
+    ev = load_table(spark, "events", SF_DIR)
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min(F.when(F.col("event_type") == "view",
+                                  F.col("ts"))).alias("t_view")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .join(per_user, "user_id")
+              .filter(F.col("ts") > F.col("t_view"))
+              .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .join(clicks, "user_id")
+            .filter(F.col("ts") > F.col("t_click"))
+            .groupBy("user_id").agg(F.min("ts").alias("t_buy")))
+    viewers = {r["user_id"] for r in
+               per_user.filter(F.col("t_view").isNotNull()).collect()}
+    clickers = {r["user_id"] for r in clicks.collect()}
+    buyers = {r["user_id"] for r in buys.collect()}
+    b_stage = {u: (3 if u in buyers else 2 if u in clickers else 1)
+               for u in viewers}
+    for u in set(s_stage) - set(b_stage):
+        assert s_stage[u] == 0, (u, s_stage[u])
+    assert {u: s for u, s in s_stage.items() if s > 0} == b_stage
+
+
 def test_stream_static_join_equals_batch(spark, events_dir):
     """C6 streaming form: stream-static enrichment == the batch join."""
     customer = load_table(spark, "customer", SF_DIR)
