@@ -143,3 +143,37 @@ def funnel_analysis(events: DataFrame) -> DataFrame:
         "stage", "n",
         F.round(F.col("n").cast("double")
                 / F.max("n").over(w).cast("double"), 6).alias("share"))
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """C34b: weekly cohort retention — users cohorted by the week of their
+    first event; for each (cohort_week, week_offset) the distinct active
+    users and the retention share of the cohort. The companion report to
+    the funnel: funnel measures conversion depth, retention measures
+    return breadth.
+
+    Two keyed aggs (first-activity per user, distinct user-weeks) and one
+    join on user_id — every shuffle keyed on user_id or the tiny
+    (cohort, offset) pair; output is O(weeks²) rows regardless of corpus
+    size. Week offsets are exact integers ((epoch - epoch)/604800 on
+    week-truncated timestamps), so the only double is the final share
+    division of exact counts."""
+    from pyspark.sql import Window
+
+    first = (events.groupBy("user_id")
+             .agg(F.date_trunc("week", F.min("ts")).alias("cohort")))
+    weeks = (events
+             .select("user_id", F.date_trunc("week", "ts").alias("wk"))
+             .distinct())
+    offset = ((F.unix_timestamp("wk") - F.unix_timestamp("cohort"))
+              / 604800).cast("int")
+    act = (weeks.join(first, "user_id")
+           .groupBy("cohort", offset.alias("week_offset"))
+           .agg(F.count(F.lit(1)).alias("n_active")))
+    size = Window.partitionBy("cohort")
+    return act.select(
+        F.to_date("cohort").alias("cohort"), "week_offset", "n_active",
+        F.round(F.col("n_active").cast("double")
+                / F.max(F.when(F.col("week_offset") == 0,
+                               F.col("n_active"))).over(size)
+                .cast("double"), 6).alias("retention"))
+

@@ -282,6 +282,31 @@ def char_histogram(documents: DataFrame, width: int = 200) -> DataFrame:
     )
 
 
+def profile_columns(orders: DataFrame) -> DataFrame:
+    """C33c: column profiling — per-column null count and distinct count
+    over a declared column list, the data-quality report a pipeline runs
+    on every new ingest. One aggregation pass; the multiple DISTINCT
+    aggregates compile to one Expand (rows × #profiled columns) + a keyed
+    agg — linear in data, no per-column rescans. Output is one row per
+    column via posexplode of the aggregated struct array (bounded by the
+    column list, not the data)."""
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+          .cast("long").alias(f"null_{c}") for c in cols],
+        *[F.count_distinct(F.col(c)).alias(f"dist_{c}") for c in cols])
+    entries = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"null_{c}").alias("n_nulls"),
+                 F.col(f"dist_{c}").alias("n_distinct"))
+        for c in cols])
+    return (agg.select("n_rows", F.explode(entries).alias("e"))
+            .select(F.col("e.column").alias("column"), "n_rows",
+                    F.col("e.n_nulls").alias("n_nulls"),
+                    F.col("e.n_distinct").alias("n_distinct")))
+
+
 def group_statistics(lineitem: DataFrame) -> DataFrame:
     """C33 (extras): per-group descriptive statistics — mean, stddev, and
     Pearson correlation — computed from EXACT fixed-point integer sums so

@@ -1694,6 +1694,57 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                / CAST(max(n) OVER () AS DOUBLE), 6) AS share
         FROM f
         """),
+    "c34_retention": QuerySpec(
+        _t("events")(event_time.cohort_retention),
+        """
+        WITH f AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort
+            FROM events GROUP BY user_id),
+        w AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+            FROM events),
+        act AS (
+            SELECT cohort,
+                   CAST((epoch(wk) - epoch(cohort)) / 604800 AS INTEGER)
+                       AS week_offset,
+                   count(*) AS n_active
+            FROM w JOIN f USING (user_id)
+            GROUP BY 1, 2)
+        SELECT CAST(cohort AS DATE) AS cohort, week_offset, n_active,
+               round(CAST(n_active AS DOUBLE)
+                     / CAST(max(CASE WHEN week_offset = 0 THEN n_active END)
+                            OVER (PARTITION BY cohort) AS DOUBLE), 6)
+                   AS retention
+        FROM act
+        """),
+    "c33_profile": QuerySpec(
+        _t("orders")(relational.profile_columns),
+        """
+        WITH n AS (SELECT count(*) AS n_rows FROM orders)
+        SELECT 'o_orderstatus' AS "column", n_rows,
+               (SELECT count(*) FILTER (o_orderstatus IS NULL)
+                FROM orders)::BIGINT AS n_nulls,
+               (SELECT count(DISTINCT o_orderstatus) FROM orders) AS n_distinct
+        FROM n
+        UNION ALL
+        SELECT 'o_orderpriority', n_rows,
+               (SELECT count(*) FILTER (o_orderpriority IS NULL)
+                FROM orders)::BIGINT,
+               (SELECT count(DISTINCT o_orderpriority) FROM orders)
+        FROM n
+        UNION ALL
+        SELECT 'o_custkey', n_rows,
+               (SELECT count(*) FILTER (o_custkey IS NULL)
+                FROM orders)::BIGINT,
+               (SELECT count(DISTINCT o_custkey) FROM orders)
+        FROM n
+        UNION ALL
+        SELECT 'o_totalprice', n_rows,
+               (SELECT count(*) FILTER (o_totalprice IS NULL)
+                FROM orders)::BIGINT,
+               (SELECT count(DISTINCT o_totalprice) FROM orders)
+        FROM n
+        """),
     "c29_outliers": QuerySpec(
         _t("embeddings")(similarity.embedding_outliers),
         """
@@ -2005,7 +2056,7 @@ _ROUND4_PRIORITY = [
     "c28_keep_best", "c28_substring_dup", "c30_lm_xent", "c29_semdedup",
     "c29_random_proj", "c29_pca", "c30_tfidf", "c32_source_cap",
     "c5_unpivot", "c30_curate_v2", "c33_histogram", "c29_quantized_dedup",
-    "c34_funnel", "c29_outliers",
+    "c34_funnel", "c29_outliers", "c34_retention", "c33_profile",
     # (3) last green in round 1
     "a9_wire_roundtrip_proto", "c10_asof_maxby", "c10_asof_union",
     "c11_distribution_ranks", "c13_topk_per_group", "c14_intersect",
@@ -2023,9 +2074,9 @@ _ROUND4_PRIORITY = [
     "c29_cosine_near_dup",
     "c29_dup_clusters",
     "c30_curate_pipeline",
-    "c30_quality_score", "c30_redact", "c30_repetition",
+    "c30_redact", "c30_repetition",
     "c30_word_frequency",
-    "c31_decode_image", "c31_frame_stats", "c31_resize_image",
+    "c31_decode_image", "c31_resize_image",
 ]
 
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND4_PRIORITY}
