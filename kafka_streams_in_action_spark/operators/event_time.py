@@ -177,3 +177,30 @@ def cohort_retention(events: DataFrame) -> DataFrame:
                                F.col("n_active"))).over(size)
                 .cast("double"), 6).alias("retention"))
 
+def transition_matrix(events: DataFrame) -> DataFrame:
+    """C34c: per-user event-type transition counts (the Markov-chain view
+    of the event stream — the input to next-action prediction and to
+    anomalous-session detection). For each user the event sequence is
+    ordered by (ts, event_id); each adjacent pair contributes one
+    (from_type, to_type) count, and the share normalizes per from_type.
+
+    One keyed window over user_id (lead within the user's own ordered
+    stream — partitions bounded by per-user event counts), then a tiny
+    (type × type) aggregation; output is O(|event_types|²) regardless of
+    corpus size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (events
+             .select("user_id", "ts", "event_id", "event_type",
+                     F.lead("event_type").over(w).alias("next_type"))
+             .filter(F.col("next_type").isNotNull()))
+    counts = (pairs.groupBy(F.col("event_type").alias("from_type"),
+                            F.col("next_type").alias("to_type"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n").cast("double")
+                / F.sum("n").over(tot).cast("double"), 6).alias("share"))
+

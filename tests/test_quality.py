@@ -245,6 +245,16 @@ def test_verdict_forms_hold(spark):
     assert row["precision_ok"] and row["recall_ok"], row
 
 
+def test_pq_ann_recall_with_rerank(spark):
+    """C29l: PQ ADC shortlist + exact re-rank must stay above the verdict
+    floor with margin (measured ≥0.8 at sf0.001, ≥0.7 at sf0.01 with
+    m=8, k=16, rerank=50); ADC-only ranking measured <0.5 on this
+    unstructured corpus, which is why the re-rank stage exists."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    row = similarity.pq_topk_verdict(emb).collect()[0]
+    assert row["n_exact"] > 0 and row["count_ok"] and row["recall_ok"], row
+
+
 def test_pca_matches_numpy(spark):
     """C29i: the distributed Gramian-pull PCA must agree with a single-node
     numpy PCA on the same corpus — mean, captured-variance ratio, and the
