@@ -261,6 +261,37 @@ def lm_cross_entropy(documents: DataFrame, k: float = 0.5) -> DataFrame:
     )
 
 
+def hashed_doc_vectors(documents: DataFrame, k: int = 16) -> DataFrame:
+    """C30m: feature-hashing ("hashing trick") document vectors — each word
+    hashes to one of `k` signed feature slots, giving every document a
+    fixed-width dense vector with NO vocabulary table to build, broadcast,
+    or keep consistent across engines/runs. The standard featurizer when
+    no neural embedding column exists; its output feeds the corpus's
+    embedding operators (cosine near-dup, ANN, clustering) unchanged.
+
+    Both the slot index and the sign come from the engine-portable FNV-1a
+    column fold (sampling.fnv32_column), so the vectors are bit-identical
+    across engines — a FULL-oracle operator. One explode + one keyed agg on
+    (doc_id, slot), then a bounded pivot to the k wide columns (static
+    value list — no hidden distinct-collect)."""
+    from .sampling import fnv32_column
+
+    toks = (documents
+            .select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+            .filter(F.col("w") != ""))
+    idx = F.pmod(fnv32_column(F.col("w")), F.lit(k)).cast("int")
+    sgn = F.when(
+        F.pmod(fnv32_column(F.concat(F.col("w"), F.lit(":sgn"))), F.lit(2))
+        == 0, F.lit(1)).otherwise(F.lit(-1))
+    g = (toks.select("doc_id", idx.alias("idx"), sgn.alias("sgn"))
+         .groupBy("doc_id", "idx").agg(F.sum("sgn").alias("v")))
+    wide = (g.groupBy("doc_id").pivot("idx", list(range(k))).agg(F.sum("v")))
+    return wide.select(
+        "doc_id",
+        *[F.coalesce(F.col(str(i)), F.lit(0)).cast("long").alias(f"f{i}")
+          for i in range(k)])
+
+
 def curate_documents_v2(documents: DataFrame, max_dup_frac: float = 0.5,
                         min_xent: float = 4.75, max_xent: float = 5.0,
                         cap: int = 40) -> DataFrame:

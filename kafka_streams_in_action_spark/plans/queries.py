@@ -1514,6 +1514,40 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                CAST(sum(micro) AS DOUBLE) / 1e6 / count(*) AS xent_bits
         FROM scored GROUP BY doc_id
         """),
+    "c30_hashed_vectors": QuerySpec(
+        _t("documents")(text.hashed_doc_vectors),
+        f"""
+        WITH toks0 AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+            FROM documents),
+        toks AS (
+            SELECT doc_id, w, w || ':sgn' AS ws FROM toks0 WHERE w <> ''),
+        f AS (
+            SELECT doc_id,
+                   ({_FNV_SQL.format(col='w')} % 16)::INTEGER AS idx,
+                   CASE WHEN ({_FNV_SQL.format(col='ws')} % 2) = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM toks),
+        g AS (SELECT doc_id, idx, sum(sgn) AS v FROM f GROUP BY 1, 2)
+        SELECT doc_id,
+               coalesce(sum(CASE WHEN idx = 0 THEN v END), 0)::BIGINT AS f0,
+               coalesce(sum(CASE WHEN idx = 1 THEN v END), 0)::BIGINT AS f1,
+               coalesce(sum(CASE WHEN idx = 2 THEN v END), 0)::BIGINT AS f2,
+               coalesce(sum(CASE WHEN idx = 3 THEN v END), 0)::BIGINT AS f3,
+               coalesce(sum(CASE WHEN idx = 4 THEN v END), 0)::BIGINT AS f4,
+               coalesce(sum(CASE WHEN idx = 5 THEN v END), 0)::BIGINT AS f5,
+               coalesce(sum(CASE WHEN idx = 6 THEN v END), 0)::BIGINT AS f6,
+               coalesce(sum(CASE WHEN idx = 7 THEN v END), 0)::BIGINT AS f7,
+               coalesce(sum(CASE WHEN idx = 8 THEN v END), 0)::BIGINT AS f8,
+               coalesce(sum(CASE WHEN idx = 9 THEN v END), 0)::BIGINT AS f9,
+               coalesce(sum(CASE WHEN idx = 10 THEN v END), 0)::BIGINT AS f10,
+               coalesce(sum(CASE WHEN idx = 11 THEN v END), 0)::BIGINT AS f11,
+               coalesce(sum(CASE WHEN idx = 12 THEN v END), 0)::BIGINT AS f12,
+               coalesce(sum(CASE WHEN idx = 13 THEN v END), 0)::BIGINT AS f13,
+               coalesce(sum(CASE WHEN idx = 14 THEN v END), 0)::BIGINT AS f14,
+               coalesce(sum(CASE WHEN idx = 15 THEN v END), 0)::BIGINT AS f15
+        FROM g GROUP BY doc_id
+        """),
     "c30_tfidf": QuerySpec(
         _t("documents")(text.tfidf_top_terms),
         """
@@ -2106,7 +2140,7 @@ _ROUND4_PRIORITY = [
     "c29_random_proj", "c29_pca", "c30_tfidf", "c32_source_cap",
     "c5_unpivot", "c30_curate_v2", "c33_histogram", "c29_quantized_dedup",
     "c34_funnel", "c29_outliers", "c34_retention", "c33_profile",
-    "c29_pq_ann", "c34_transitions", "c32_weighted",
+    "c29_pq_ann", "c34_transitions", "c32_weighted", "c30_hashed_vectors",
     # (3) last green in round 1
     "a9_wire_roundtrip_proto", "c10_asof_maxby", "c10_asof_union",
     "c11_distribution_ranks", "c13_topk_per_group", "c14_intersect",
@@ -2124,7 +2158,6 @@ _ROUND4_PRIORITY = [
     "c29_cosine_near_dup",
     "c29_dup_clusters",
     "c30_curate_pipeline", "c30_repetition",
-    "c31_decode_image",
 ]
 
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND4_PRIORITY}
