@@ -113,6 +113,45 @@ def substring_dup_stats(documents: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
+def ngram_containment_pairs(documents: DataFrame, threshold: float = 0.6,
+                            n: int = 3) -> DataFrame:
+    """C28f: asymmetric n-gram CONTAINMENT — |A∩B| / |A| — the signal
+    Jaccard misses: a short document wholly embedded in a long one scores
+    near 1.0 on containment but low on Jaccard (the union is dominated by
+    the long doc), so subset-duplicate detection needs this denominator.
+    Emits ordered (contained, container) pairs above `threshold`.
+
+    Same inverted-index plan as the exact Jaccard path (one shuffle keyed
+    on the shingle, pair agg on the id pair) — only the final scoring
+    formula differs, and it stays one IEEE division of exact counts.
+    """
+    sets = (
+        _tokenized(documents)
+        .select("doc_id",
+                F.explode(_shingles(F.col("words"), n)).alias("shingle"))
+    )
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sets.alias("a")
+    b = sets.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("set_size").alias("size_a"))
+    return (
+        common.join(sa, "doc_a")
+        .withColumn("containment",
+                    F.round(F.col("n_common")
+                            / F.col("size_a").cast("double"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "containment")
+    )
+
+
 def _tokenized(documents: DataFrame) -> DataFrame:
     """Materialize the token array ONCE per row before any shingle lambda.
 

@@ -204,3 +204,21 @@ def transition_matrix(events: DataFrame) -> DataFrame:
         F.round(F.col("n").cast("double")
                 / F.sum("n").over(tot).cast("double"), 6).alias("share"))
 
+def rolling_user_activity(events: DataFrame, days: int = 7) -> DataFrame:
+    """C34d: per-user rolling activity — for every event, the count and
+    value-sum of the same user's events in the trailing `days` window
+    (inclusive). The feature a streaming anomaly detector or engagement
+    model reads. One keyed window per user ordered by event-time seconds
+    with a RANGE frame — no self-join, shuffle keyed on user_id only.
+    Value sums quantize per-row to micro-units inside the frame so the
+    rolling sum is order-insensitive and hash-matches the oracle."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"))
+         .rangeBetween(-days * 86400, 0))
+    micro = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    return events.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        (F.sum(micro).over(w).cast("double") / 1e6).alias("sum_trailing"))
+

@@ -1868,6 +1868,32 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         WHERE b.doc_id < 20 AND c.doc_id >= 20
         GROUP BY 1, 2 HAVING count(*) >= 3
         """),
+    "c28_containment": QuerySpec(
+        _t("documents")(dedup.ngram_containment_pairs),
+        f"""
+        WITH {_SHINGLE_CTE},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               round(n_common / CAST(sa.set_size AS DOUBLE), 6)
+                   AS containment
+        FROM common JOIN sizes sa ON sa.doc_id = doc_a
+        WHERE round(n_common / CAST(sa.set_size AS DOUBLE), 6) >= 0.6
+        """),
+    "c34_rolling": QuerySpec(
+        _t("events")(event_time.rolling_user_activity),
+        """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_trailing,
+               CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER w
+                    AS DOUBLE) / 1e6 AS sum_trailing
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        """),
     "c34_transitions": QuerySpec(
         _t("events")(event_time.transition_matrix),
         """
@@ -2124,13 +2150,18 @@ _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
 # red in r3 — c9_range_join / c10_asof_join broke when the driver regenerated
 # events.ts as TIMESTAMP(MICROS) and the loader still decoded nanos
 # (sources/parquet.py now probes the footer; the whole ts-dependent family
-# re-verifies this round); (2) the 4 queries new this round (keep-best
-# dedup, substring-dup fraction, bigram-LM cross-entropy, SemDeDup);
+# re-verifies this round); (2) the 22 queries NEW this round — the round-4
+# operator additions (keep-best / substring / semantic / quantized /
+# containment dedup, bigram-LM scoring, TF-IDF, hashed vectors, JL / PCA /
+# PQ embedding ops, outliers, unpivot, curate-v2, histogram / profile,
+# funnel / retention / transitions / rolling, source caps, weighted
+# sampling) — never driver-checked, so they outrank re-verification;
 # (3) everything whose last green predates round 2 (14 rows); (4) the
 # last-green-r2 slice, ts-dependent members first since their greens predate
 # the data regeneration, then family breadth. Deferred to round 5: the 14
-# TPC-H SQL rows + 2 approx-agg rows last green in r2 — pure-SQL paths
-# whose inputs (lineitem/orders) did not change physical layout.
+# TPC-H SQL rows, 2 approx-agg rows, and the c30/c31 family twins last
+# green in r2 — pure-SQL / stable paths whose inputs did not change
+# physical layout.
 # ---------------------------------------------------------------------------
 _ROUND4_PRIORITY = [
     # (1) red in r3, fixed by the footer-probing loader
@@ -2141,6 +2172,7 @@ _ROUND4_PRIORITY = [
     "c5_unpivot", "c30_curate_v2", "c33_histogram", "c29_quantized_dedup",
     "c34_funnel", "c29_outliers", "c34_retention", "c33_profile",
     "c29_pq_ann", "c34_transitions", "c32_weighted", "c30_hashed_vectors",
+    "c28_containment", "c34_rolling",
     # (3) last green in round 1
     "a9_wire_roundtrip_proto", "c10_asof_maxby", "c10_asof_union",
     "c11_distribution_ranks", "c13_topk_per_group", "c14_intersect",
@@ -2157,7 +2189,6 @@ _ROUND4_PRIORITY = [
     "c28_exact_dedup", "c28_kept_documents",
     "c29_cosine_near_dup",
     "c29_dup_clusters",
-    "c30_curate_pipeline", "c30_repetition",
 ]
 
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND4_PRIORITY}
