@@ -144,6 +144,55 @@ def funnel_analysis(events: DataFrame) -> DataFrame:
         F.round(F.col("n").cast("double")
                 / F.max("n").over(w).cast("double"), 6).alias("share"))
 
+def funnel_analysis_windowed(events: DataFrame,
+                             max_hours: int = 48) -> DataFrame:
+    """C34 windowed variant: the same view → click → purchase funnel, but
+    each stage must follow its predecessor within `max_hours` — the form
+    product analytics actually ships (unbounded funnels inflate conversion
+    with coincidental far-future events). Identical plan shape to
+    funnel_analysis: conditional MIN aggregates per user, keyed shuffles
+    only, bounded 3-row reduce."""
+    from pyspark.sql import Window
+
+    bound = max_hours * 3600
+    per_user = (
+        events.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+             .alias("t_view"))
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .join(per_user, "user_id")
+        .filter((F.col("ts") > F.col("t_view"))
+                & (F.unix_timestamp("ts")
+                   <= F.unix_timestamp("t_view") + bound))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(clicks.select("user_id", "t_click"), "user_id")
+        .filter((F.col("ts") > F.col("t_click"))
+                & (F.unix_timestamp("ts")
+                   <= F.unix_timestamp("t_click") + bound))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_view = per_user.filter(F.col("t_view").isNotNull()) \
+        .agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("1_view").alias("stage"), "n")
+    n_click = clicks.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("2_click").alias("stage"), "n")
+    n_buy = purchases.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("3_purchase").alias("stage"), "n")
+    funnel = n_view.unionAll(n_click).unionAll(n_buy)
+    w = Window.partitionBy()
+    return funnel.select(
+        "stage", "n",
+        F.round(F.col("n").cast("double")
+                / F.max("n").over(w).cast("double"), 6).alias("share"))
+
+
 def cohort_retention(events: DataFrame) -> DataFrame:
     """C34b: weekly cohort retention — users cohorted by the week of their
     first event; for each (cohort_week, week_offset) the distinct active

@@ -282,6 +282,48 @@ def char_histogram(documents: DataFrame, width: int = 200) -> DataFrame:
     )
 
 
+def upsert_orders(orders: DataFrame) -> DataFrame:
+    """C35: keyed upsert/merge — reconcile a base table with a batch of
+    updates (the CDC/compaction primitive: MERGE INTO without a table
+    format). Updates win per key; base rows without an update pass
+    through; update-only keys insert. Expressed as a full outer join +
+    coalesce, which Spark executes as one keyed shuffle join — the exact
+    plan a Delta/Iceberg MERGE compiles to for the matched/not-matched
+    cases, minus the transaction log.
+
+    The update batch here is derived deterministically from the base
+    (every 7th order re-priced +10%, plus synthetic new keys above the max
+    id) so both engines build identical inputs and the merge result
+    carries a full oracle."""
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice",
+                         "o_orderstatus")
+    # explicit half-up floor — engines' round() tie-breaks differ at the
+    # .005 boundary (operators/exact.py contract)
+    reprice = F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100
+    updates = (orders.filter(F.col("o_orderkey") % 7 == 0)
+               .select("o_orderkey", "o_custkey",
+                       reprice.alias("o_totalprice"),
+                       F.lit("U").alias("o_orderstatus"))
+               .unionAll(orders.filter(F.col("o_orderkey") % 1000 == 1)
+                         .select((F.col("o_orderkey") + 10000000)
+                                 .alias("o_orderkey"),
+                                 "o_custkey", "o_totalprice",
+                                 F.lit("N").alias("o_orderstatus"))))
+    b = base.alias("b")
+    u = updates.alias("u")
+    joined = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"),
+                    "full_outer")
+    return joined.select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey"))
+        .alias("o_orderkey"),
+        F.coalesce(F.col("u.o_custkey"), F.col("b.o_custkey"))
+        .alias("o_custkey"),
+        F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice"))
+        .alias("o_totalprice"),
+        F.coalesce(F.col("u.o_orderstatus"), F.col("b.o_orderstatus"))
+        .alias("o_orderstatus"))
+
+
 def profile_columns(orders: DataFrame) -> DataFrame:
     """C33c: column profiling — per-column null count and distinct count
     over a declared column list, the data-quality report a pipeline runs

@@ -1868,6 +1868,54 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         WHERE b.doc_id < 20 AND c.doc_id >= 20
         GROUP BY 1, 2 HAVING count(*) >= 3
         """),
+    "c34_funnel_windowed": QuerySpec(
+        _t("events")(event_time.funnel_analysis_windowed),
+        """
+        WITH pu AS (
+            SELECT user_id, min(ts) FILTER (event_type = 'view') AS t_view
+            FROM events GROUP BY user_id),
+        ck AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN pu ON e.user_id = pu.user_id
+            WHERE e.event_type = 'click' AND e.ts > pu.t_view
+              AND epoch(e.ts) <= epoch(pu.t_view) + 172800
+            GROUP BY e.user_id),
+        py AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN ck ON e.user_id = ck.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > ck.t_click
+              AND epoch(e.ts) <= epoch(ck.t_click) + 172800
+            GROUP BY e.user_id),
+        f AS (
+            SELECT '1_view' AS stage, count(*) AS n FROM pu
+            WHERE t_view IS NOT NULL
+            UNION ALL SELECT '2_click', count(*) FROM ck
+            UNION ALL SELECT '3_purchase', count(*) FROM py)
+        SELECT stage, n, round(CAST(n AS DOUBLE)
+               / CAST(max(n) OVER () AS DOUBLE), 6) AS share
+        FROM f
+        """),
+    "c35_upsert": QuerySpec(
+        _t("orders")(relational.upsert_orders),
+        """
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM orders),
+        updates AS (
+            SELECT o_orderkey, o_custkey,
+                   floor(o_totalprice * 1.1 * 100 + 0.5) / 100
+                       AS o_totalprice,
+                   'U' AS o_orderstatus
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, o_totalprice, 'N'
+            FROM orders WHERE o_orderkey % 1000 = 1)
+        SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
+               coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+               coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+        FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+        """),
     "c28_containment": QuerySpec(
         _t("documents")(dedup.ngram_containment_pairs),
         f"""
@@ -2172,7 +2220,7 @@ _ROUND4_PRIORITY = [
     "c5_unpivot", "c30_curate_v2", "c33_histogram", "c29_quantized_dedup",
     "c34_funnel", "c29_outliers", "c34_retention", "c33_profile",
     "c29_pq_ann", "c34_transitions", "c32_weighted", "c30_hashed_vectors",
-    "c28_containment", "c34_rolling",
+    "c28_containment", "c34_rolling", "c35_upsert", "c34_funnel_windowed",
     # (3) last green in round 1
     "a9_wire_roundtrip_proto", "c10_asof_maxby", "c10_asof_union",
     "c11_distribution_ranks", "c13_topk_per_group", "c14_intersect",
@@ -2186,9 +2234,8 @@ _ROUND4_PRIORITY = [
     "c27_running_state",
     # (4b) last green in round 2, family breadth
     "c21_weighted_avg_udaf",
-    "c28_exact_dedup", "c28_kept_documents",
+    "c28_exact_dedup",
     "c29_cosine_near_dup",
-    "c29_dup_clusters",
 ]
 
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND4_PRIORITY}
