@@ -100,6 +100,42 @@ def test_range_join_is_equi_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+#: Queries whose physical plan legitimately contains a
+#: BroadcastNestedLoopJoin. Every entry is a BOUNDED broadcast — a 1-row
+#: scalar (corpus count, vocabulary size, watermark bound, distance
+#: moments) or the ≤10-row ANN query set joined under a non-equi
+#: condition (vec_id != query_id) — never a corpus-sized side. A new
+#: query joining this list needs the same justification.
+_BNLJ_ALLOWED = {
+    "c25_late_data",        # 1-row max-event-time watermark scalar
+    "c29_cosine_topk",      # 10-row query set, non-equi self-exclusion
+    "c29_lsh_ann", "c29_ivf_ann", "c29_pq_ann",  # same + 1-row verdict agg
+    "c29_minhash_lsh",      # 1-row exact-pair-count verdict scalar
+    "c29_semdedup",         # 1-row exact-pair-count verdict scalar
+    "c29_outliers",         # 1-row mean vector + 1-row moment scalars
+    "c30_lm_xent",          # 1-row vocabulary-size scalar
+    "c30_tfidf",            # 1-row corpus-count scalar
+    "c30_curate_v2",        # inherits lm_xent's vocabulary scalar
+}
+
+
+def test_global_plan_hygiene_no_unbounded_nested_loops(spark):
+    """Standing scale contract over EVERY registered query: no
+    CartesianProduct anywhere, and BroadcastNestedLoopJoin only for the
+    allowlisted bounded-broadcast shapes above. This is the sweep that
+    catches a future registration accidentally compiling to an
+    all-pairs plan."""
+    offenders_cart, offenders_bnlj = [], []
+    for name, spec in QUERIES.items():
+        plan = plan_of(spec.fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders_bnlj.append(name)
+    assert not offenders_cart, offenders_cart
+    assert not offenders_bnlj, offenders_bnlj
+
+
 def test_no_driver_side_collect_in_queries(spark):
     """Scale rule: building any declared query must not trigger a job (no
     .collect()/.take() at plan-construction time). Exceptions: the two ANN
