@@ -386,6 +386,23 @@ def random_projection_sql(out_dim: int = 8, in_dim: int = 64,
         """
 
 
+def projection_select_sql(out_dim: int = 8, in_dim: int = 64,
+                          seed: int = 1042) -> str:
+    """The projection column list alone (same LCG matrix / fold / scale as
+    random_projection_sql), for embedding into a larger oracle query whose
+    source CTE provides (vec_id, v)."""
+    planes = _fixed_planes(out_dim, in_dim, seed=seed)
+    inv = 1.0 / float(out_dim) ** 0.5
+    cols = []
+    for j, row in enumerate(planes):
+        lits = "[" + ", ".join(repr(w) for w in row) + "]"
+        fold = (f"list_reduce(list_prepend(0.0, "
+                f"list_transform(range(1, {in_dim} + 1), "
+                f"i -> v[i] * ({lits})[i])), (acc, x) -> acc + x)")
+        cols.append(f"round({fold} * {inv!r}, 6) AS p{j}")
+    return ",\n               ".join(cols)
+
+
 def pca_train(embeddings: DataFrame, n_components: int = 8
               ) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
     """C29i index build: distributed PCA via one Gramian pull.
@@ -768,6 +785,53 @@ def embedding_outliers(embeddings: DataFrame,
                          - F.col("mean_d")) / F.col("std_d"), 6).alias("z"))
         .filter(F.col("z") > z_threshold)
     )
+
+
+def curate_embeddings(embeddings: DataFrame, n_planted: int = 50,
+                      z_threshold: float = 2.0,
+                      out_dim: int = 8) -> DataFrame:
+    """C29m: composed embedding-curation pipeline — the vector-side twin of
+    the text curation pass (C30l), chaining three round-4 operators the
+    way an embedding corpus is actually prepared for indexing:
+
+    1. quantized-domain exact dedup (C29j) on the reingest-augmented
+       corpus — re-sent duplicates collide on their int8 code string and
+       only the lowest vec_id survives;
+    2. outlier drop (C29k) — distance-to-centroid z-score over the
+       DEDUPED corpus (moments recomputed post-dedup, since duplicates
+       bias the centroid);
+    3. JL random projection (C29h) of the survivors to `out_dim` dims —
+       the compact representation downstream ANN/clustering reads.
+
+    Every stage is engine-replicable arithmetic, so the COMPOSITION
+    carries a full oracle — the strongest correctness form a multi-stage
+    pipeline can have. Scale shape: stage 1 is one keyed shuffle on a
+    32-char hash, stage 2 two scalar-broadcast scans, stage 3 a
+    shuffle-free projection."""
+    aug = embeddings.select("vec_id", "embedding").unionAll(
+        embeddings.filter(F.col("vec_id") < n_planted)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    v = F.col("embedding").cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    base = aug.select("vec_id", "embedding", v.alias("v"),
+                      amax.alias("amax"))
+    scale = F.col("amax") / F.lit(127.0)
+    q = F.when(
+        F.col("amax") == 0,
+        F.transform(F.col("v"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(F.col("v"),
+                    lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")))
+    code = F.md5(F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))))
+    hashed = base.select("vec_id", "embedding", code.alias("code_hash"))
+    keep = (hashed.groupBy("code_hash")
+            .agg(F.min("vec_id").alias("vec_id")))
+    deduped = hashed.join(keep, ["code_hash", "vec_id"], "left_semi") \
+        .select("vec_id", "embedding")
+    survivors = deduped.join(
+        embedding_outliers(deduped, z_threshold=z_threshold)
+        .select("vec_id"), "vec_id", "left_anti")
+    return random_projection(survivors, out_dim=out_dim)
 
 
 def _lsh_bucket(vec, planes: list[list[float]]):

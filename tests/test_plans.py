@@ -113,6 +113,7 @@ _BNLJ_ALLOWED = {
     "c29_minhash_lsh",      # 1-row exact-pair-count verdict scalar
     "c29_semdedup",         # 1-row exact-pair-count verdict scalar
     "c29_outliers",         # 1-row mean vector + 1-row moment scalars
+    "c29_curate_emb",       # inherits c29_outliers' scalar broadcasts
     "c30_lm_xent",          # 1-row vocabulary-size scalar
     "c30_tfidf",            # 1-row corpus-count scalar
     "c30_curate_v2",        # inherits lm_xent's vocabulary scalar
