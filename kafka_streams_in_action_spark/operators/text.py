@@ -261,6 +261,29 @@ def lm_cross_entropy(documents: DataFrame, k: float = 0.5) -> DataFrame:
     )
 
 
+def source_lang_crosstab(documents: DataFrame) -> DataFrame:
+    """C30n: source × language crosstab — docs and token counts per
+    (source, lang) cell with the cell's share of its source — the
+    composition report a multilingual corpus audit starts with. One keyed
+    groupBy; shares via a window over the grouped result (rows bounded by
+    |sources| × |langs|, never the corpus)."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "source", "lang",
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tok"))
+    w = Window.partitionBy("source")
+    return (
+        toks.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens"))
+        .select("source", "lang", "n_docs", "n_tokens",
+                (F.col("n_docs").cast("double")
+                 / F.sum("n_docs").over(w).cast("double"))
+                .alias("source_share"))
+    )
+
+
 def hashed_doc_vectors(documents: DataFrame, k: int = 16) -> DataFrame:
     """C30m: feature-hashing ("hashing trick") document vectors — each word
     hashes to one of `k` signed feature slots, giving every document a

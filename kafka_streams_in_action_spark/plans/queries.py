@@ -1548,6 +1548,23 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                coalesce(sum(CASE WHEN idx = 15 THEN v END), 0)::BIGINT AS f15
         FROM g GROUP BY doc_id
         """),
+    "c30_crosstab": QuerySpec(
+        _t("documents")(text.source_lang_crosstab),
+        """
+        WITH t AS (
+            SELECT source, lang,
+                   len(string_split(trim(text), ' '))::BIGINT AS n_tok
+            FROM documents),
+        g AS (
+            SELECT source, lang, count(*) AS n_docs,
+                   sum(n_tok)::BIGINT AS n_tokens
+            FROM t GROUP BY source, lang)
+        SELECT source, lang, n_docs, n_tokens,
+               CAST(n_docs AS DOUBLE)
+                   / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+                   AS source_share
+        FROM g
+        """),
     "c30_tfidf": QuerySpec(
         _t("documents")(text.tfidf_top_terms),
         """
@@ -2286,7 +2303,7 @@ _ROUND4_PRIORITY = [
     "c34_funnel", "c29_outliers", "c34_retention", "c33_profile",
     "c29_pq_ann", "c34_transitions", "c32_weighted", "c30_hashed_vectors",
     "c28_containment", "c34_rolling", "c35_upsert", "c34_funnel_windowed",
-    "c29_curate_emb",
+    "c29_curate_emb", "c30_crosstab",
     # (3) last green in round 1
     "a9_wire_roundtrip_proto", "c10_asof_maxby", "c10_asof_union",
     "c11_distribution_ranks", "c13_topk_per_group", "c14_intersect",
@@ -2299,7 +2316,6 @@ _ROUND4_PRIORITY = [
     "c24_session_window", "c25_late_data", "c26_dedup_first",
     "c27_running_state",
     # (4b) last green in round 2, family breadth
-    "c28_exact_dedup",
     "c29_cosine_near_dup",
 ]
 
