@@ -151,10 +151,14 @@ def funnel_analysis_windowed(events: DataFrame,
     product analytics actually ships (unbounded funnels inflate conversion
     with coincidental far-future events). Identical plan shape to
     funnel_analysis: conditional MIN aggregates per user, keyed shuffles
-    only, bounded 3-row reduce."""
+    only, bounded 3-row reduce. The within-bound comparisons run on
+    unix_micros (integer microseconds) — unix_timestamp truncates to
+    whole seconds, which flips membership for events whose sub-second
+    offsets straddle the bound; the oracle compares epoch_us the same
+    way."""
     from pyspark.sql import Window
 
-    bound = max_hours * 3600
+    bound_us = max_hours * 3600 * 1_000_000
     per_user = (
         events.groupBy("user_id")
         .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
@@ -164,8 +168,8 @@ def funnel_analysis_windowed(events: DataFrame,
         events.filter(F.col("event_type") == "click")
         .join(per_user, "user_id")
         .filter((F.col("ts") > F.col("t_view"))
-                & (F.unix_timestamp("ts")
-                   <= F.unix_timestamp("t_view") + bound))
+                & (F.unix_micros("ts")
+                   <= F.unix_micros("t_view") + bound_us))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
@@ -173,8 +177,8 @@ def funnel_analysis_windowed(events: DataFrame,
         events.filter(F.col("event_type") == "purchase")
         .join(clicks.select("user_id", "t_click"), "user_id")
         .filter((F.col("ts") > F.col("t_click"))
-                & (F.unix_timestamp("ts")
-                   <= F.unix_timestamp("t_click") + bound))
+                & (F.unix_micros("ts")
+                   <= F.unix_micros("t_click") + bound_us))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
@@ -257,14 +261,18 @@ def rolling_user_activity(events: DataFrame, days: int = 7) -> DataFrame:
     """C34d: per-user rolling activity — for every event, the count and
     value-sum of the same user's events in the trailing `days` window
     (inclusive). The feature a streaming anomaly detector or engagement
-    model reads. One keyed window per user ordered by event-time seconds
-    with a RANGE frame — no self-join, shuffle keyed on user_id only.
-    Value sums quantize per-row to micro-units inside the frame so the
-    rolling sum is order-insensitive and hash-matches the oracle."""
+    model reads. One keyed window per user ordered by event-time
+    MICROSECONDS with a RANGE frame — no self-join, shuffle keyed on
+    user_id only. Ordering by unix_micros (not unix_timestamp, which
+    truncates to whole seconds) keeps window membership exact at the
+    trailing boundary for sub-second timestamps; the oracle orders by
+    epoch_us(ts) with the same integer-microsecond frame. Value sums
+    quantize per-row to micro-units inside the frame so the rolling sum
+    is order-insensitive and hash-matches the oracle."""
     from pyspark.sql import Window
 
-    w = (Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"))
-         .rangeBetween(-days * 86400, 0))
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-days * 86400 * 1_000_000, 0))
     micro = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
     return events.select(
         "event_id", "user_id",

@@ -352,7 +352,9 @@ def random_projection(embeddings: DataFrame, out_dim: int = 8,
     """
     planes = _fixed_planes(out_dim, in_dim, seed=seed)
     vec = F.col("embedding").cast("array<double>")
-    inv = 1.0 / float(out_dim) ** 0.5
+    # uniform(-1,1) weights have variance 1/3, so sqrt(3/k) (not 1/sqrt(k),
+    # which is the unit-variance-Gaussian scale) makes E‖y‖² = ‖x‖²
+    inv = (3.0 / float(out_dim)) ** 0.5
     cols = [
         F.round(F.aggregate(
             F.zip_with(vec, F.array(*[F.lit(w) for w in row]),
@@ -369,7 +371,7 @@ def random_projection_sql(out_dim: int = 8, in_dim: int = 64,
     literals, the same sequential fold (list_reduce over a seeded prepend,
     matching _cosine_sql's fold shape), the same final scale + round."""
     planes = _fixed_planes(out_dim, in_dim, seed=seed)
-    inv = 1.0 / float(out_dim) ** 0.5
+    inv = (3.0 / float(out_dim)) ** 0.5
     cols = []
     for j, row in enumerate(planes):
         lits = "[" + ", ".join(repr(w) for w in row) + "]"
@@ -392,7 +394,7 @@ def projection_select_sql(out_dim: int = 8, in_dim: int = 64,
     random_projection_sql), for embedding into a larger oracle query whose
     source CTE provides (vec_id, v)."""
     planes = _fixed_planes(out_dim, in_dim, seed=seed)
-    inv = 1.0 / float(out_dim) ** 0.5
+    inv = (3.0 / float(out_dim)) ** 0.5
     cols = []
     for j, row in enumerate(planes):
         lits = "[" + ", ".join(repr(w) for w in row) + "]"
@@ -408,8 +410,13 @@ def pca_train(embeddings: DataFrame, n_components: int = 8
     """C29i index build: distributed PCA via one Gramian pull.
 
     A single mapInPandas pass emits per-batch partials (count, Σx, Σxxᵀ) as
-    exact fixed-point int64 (the _lloyd_refine contract — order-insensitive
-    reduce, bit-identical across runs and partitionings); the driver
+    fixed-point int64, so the cross-batch reduce is order-insensitive.
+    Note the quantization happens on the float64 BATCH sums (m.sum, m.T@m),
+    so the rounded partials — and hence mean/covariance — can shift at the
+    last-ulp level if Arrow batch boundaries change; determinism holds
+    within the 1e-9/1e-6 quantization tolerance, not bit-exactly under
+    repartitioning (per-element pre-quantization would buy that, at the
+    cost of an extra pass over every batch); the driver
     reduces the bounded partial set (≤ partitions rows of dim+dim² longs),
     forms the covariance C = Σxxᵀ/n − μμᵀ, and eigendecomposes dim×dim —
     the classic "covariance pull" that scales to any corpus size because
@@ -847,14 +854,22 @@ def _lsh_bucket(vec, planes: list[list[float]]):
 
 def _fixed_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG — no numpy dependency in the
-    executor path; generated once on the driver and baked into the plan)."""
+    executor path; generated once on the driver and baked into the plan).
+
+    Weights span (-1, 1) ZERO-MEAN: the high 32 LCG bits map to [0, 1) and
+    then stretch to [-1, 1). An earlier mapping landed every weight in
+    [-1, 0), which made the rows strongly correlated (each dominated by a
+    -sum(x) component) — fine for the sign-only LSH bucketer but NOT a
+    Johnson-Lindenstrauss projection; random_projection shares this matrix,
+    so the mapping must be zero-mean for its distance-preservation claim to
+    hold."""
     state = seed
     planes = []
     for _ in range(n_planes):
         row = []
         for _ in range(dim):
             state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            row.append(((state >> 33) / float(1 << 31)) - 1.0)
+            row.append(((state >> 32) / float(1 << 32)) * 2.0 - 1.0)
         planes.append(row)
     return planes
 

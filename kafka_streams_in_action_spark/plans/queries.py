@@ -1806,7 +1806,7 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),
     "c29_curate_emb": QuerySpec(
         _t("embeddings")(similarity.curate_embeddings),
-        """
+        f"""
         WITH aug AS (
             SELECT vec_id, embedding FROM embeddings
             UNION ALL
@@ -1859,14 +1859,7 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
             WHERE round((CAST(dmicro AS DOUBLE) / 1e6 - mean_d) / std_d, 6)
                   <= 2.0)
         SELECT vec_id,
-               round(list_reduce(list_prepend(0.0, list_transform(range(1, 64 + 1), i -> v[i] * ([-0.43125367909669876, -0.06585398456081748, -0.5510903433896601, -0.7224151375703514, -0.4978995593264699, -0.32212162856012583, -0.15322841657325625, -0.40764909237623215, -0.5934846140444279, -0.1127793868072331, -0.18017035396769643, -0.9066727794706821, -0.035949081648141146, -0.930363739375025, -0.6601791060529649, -0.3908177684061229, -0.899587114341557, -0.49255624087527394, -0.8441103957593441, -0.5057903644628823, -0.28796591609716415, -0.08524136524647474, -0.012824246659874916, -0.3870109850540757, -0.1264426438137889, -0.43579602241516113, -0.2080668774433434, -0.2786760558374226, -0.5430291215889156, -0.28646981809288263, -0.5997981345281005, -0.25352409621700644, -0.8021830888465047, -0.1316001540981233, -0.43361729569733143, -0.816310758702457, -0.9917954779230058, -0.273928249720484, -0.9269543425180018, -0.25519957253709435, -0.2740904144011438, -0.7404535529203713, -0.6595317637547851, -0.4519723583944142, -0.13900586776435375, -0.026168016251176596, -0.2996279154904187, -0.9119543577544391, -0.5680671855807304, -0.06259995186701417, -0.9518396216444671, -0.8470364650711417, -0.6211270238272846, -0.7468890105374157, -0.9103099349886179, -0.6121952049434185, -0.41363094793632627, -0.30347742047160864, -0.1164401238784194, -0.2876306064426899, -0.20299557875841856, -0.20307208830490708, -0.025318271946161985, -0.040788539219647646])[i])), (acc, x) -> acc + x) * 0.35355339059327373, 6) AS p0,
-               round(list_reduce(list_prepend(0.0, list_transform(range(1, 64 + 1), i -> v[i] * ([-0.3520858772099018, -0.5031907404772937, -0.7620985237881541, -0.1560424016788602, -0.6046459078788757, -0.800339006818831, -0.8080990896560252, -0.014703265856951475, -0.10338601469993591, -0.8376671303994954, -0.41456511337310076, -0.5353939235210419, -0.5289613492786884, -0.5638335687108338, -0.014443485997617245, -0.33261774480342865, -0.740577639080584, -0.9698264161124825, -0.9029731568880379, -0.6416667113080621, -0.40318529307842255, -0.688673154450953, -0.9331734301522374, -0.36527142208069563, -0.4659263729117811, -0.8436601310968399, -0.34227947890758514, -0.8988821469247341, -0.7781276213936508, -0.42006129771471024, -0.8143984545022249, -0.7233953243121505, -0.7455852539278567, -0.8324165372177958, -0.6898003481328487, -0.01838733348995447, -0.6826092884875834, -0.33866586443036795, -0.477938714902848, -0.23744900384917855, -0.40936165442690253, -0.7268614247441292, -0.7335560051724315, -0.7630093176849186, -0.8952276217751205, -0.30984868621453643, -0.6000070716254413, -0.05330222053453326, -0.28631731402128935, -0.1733052423223853, -0.06243474455550313, -0.7584023792296648, -0.6966143869794905, -0.8794597899541259, -0.8905605096369982, -0.534882586915046, -0.5455912090837955, -0.6228541233576834, -0.18333611218258739, -0.0020208964124321938, -0.05088292434811592, -0.3604198358952999, -0.690823967102915, -0.9442729013971984])[i])), (acc, x) -> acc + x) * 0.35355339059327373, 6) AS p1,
-               round(list_reduce(list_prepend(0.0, list_transform(range(1, 64 + 1), i -> v[i] * ([-0.6918292152695358, -0.7457503108307719, -0.2309909649193287, -0.4391906186938286, -0.8893478140234947, -0.768878779374063, -0.13382370257750154, -0.7204186054877937, -0.9340277463197708, -0.5906820492818952, -0.6463215332478285, -0.951575465966016, -0.47819664096459746, -0.8683365234173834, -0.9726955485530198, -0.05303367832675576, -0.20914646703749895, -0.44877598946914077, -0.11430912604555488, -0.08513649366796017, -0.16523757111281157, -0.6099053416401148, -0.7626704592257738, -0.7487866887822747, -0.5311939008533955, -0.8099694335833192, -0.24814180424436927, -0.9268605676479638, -0.6994455559179187, -0.2721057189628482, -0.13123694993555546, -0.6313743237406015, -0.5506709259934723, -0.8909243196249008, -0.348504607565701, -0.08359454572200775, -0.025134131778031588, -0.7663721186108887, -0.6723004542291164, -0.21514151757583022, -0.4450328527018428, -0.9517897507175803, -0.10003520036116242, -0.7727171652950346, -0.8229568023234606, -0.4507667855359614, -0.6358530335128307, -0.41538168396800756, -0.6480685374699533, -0.10189132811501622, -0.12455699453130364, -0.2644160739146173, -0.06815290357917547, -0.1509053586050868, -0.7921447893604636, -0.5135212196037173, -0.7621428710408509, -0.281390767544508, -0.12402777001261711, -0.013026986736804247, -0.5652264556847513, -0.18799377977848053, -0.381158959120512, -0.19438542984426022])[i])), (acc, x) -> acc + x) * 0.35355339059327373, 6) AS p2,
-               round(list_reduce(list_prepend(0.0, list_transform(range(1, 64 + 1), i -> v[i] * ([-0.4813104346394539, -0.06518163159489632, -0.6538368347100914, -0.4288411857560277, -0.44185470696538687, -0.6178011787123978, -0.5413959412835538, -0.4060117406770587, -0.8208171427249908, -0.5902009727433324, -0.22447924502193928, -0.3970666569657624, -0.15345566114410758, -0.7412963286042213, -0.9075140948407352, -0.9002762287855148, -0.6055026850663126, -0.2836227430962026, -0.5181371495127678, -0.6706471452489495, -0.9239836414344609, -0.7956874906085432, -0.1284654038026929, -0.7569642239250243, -0.32711944449692965, -0.04185867356136441, -0.9431608314625919, -0.19202714832499623, -0.023319672793149948, -0.7969174263998866, -0.2932471469976008, -0.6305303983390331, -0.2889687088318169, -0.8497236450202763, -0.3955445643514395, -0.9214141392149031, -0.6712728226557374, -0.48640084406360984, -0.3791233263909817, -0.7088711806572974, -0.6396281714551151, -0.7491942406632006, -0.36811324022710323, -0.6153115876950324, -0.980321385897696, -0.7198831541463733, -0.24739533942192793, -0.5955875935032964, -0.4881173041649163, -0.2713160184212029, -0.5247274246066809, -0.9445971539244056, -0.5092035601846874, -0.48436314053833485, -0.3255254845134914, -0.6893421611748636, -0.8653109255246818, -0.6730331969447434, -0.8907787599600852, -0.509433900937438, -0.9748886651359499, -0.9722327790223062, -0.7427813145332038, -0.48505420377478004])[i])), (acc, x) -> acc + x) * 0.35355339059327373, 6) AS p3,
-               round(list_reduce(list_prepend(0.0, list_transform(range(1, 64 + 1), i -> v[i] * ([-0.7023134138435125, -0.39655589824542403, -0.637310414109379, -0.17165270913392305, -0.19543762784451246, -0.38175312569364905, -0.8902272931300104, -0.7639057547785342, -0.0986242569051683, -0.5462481155991554, -0.7806837451644242, -0.9082201421260834, -0.5858289645984769, -0.9176229415461421, -0.8243830986320972, -0.09941995376721025, -0.5596431540325284, -0.9880634373985231, -0.8103219335898757, -0.9896366316825151, -0.6033103242516518, -0.1658068709075451, -0.2649973062798381, -0.4089770019054413, -0.18274333560839295, -0.2745456243865192, -0.8316425513476133, -0.6974386442452669, -0.44823040207847953, -0.004131691064685583, -0.11659002024680376, -0.21645369520410895, -0.266504286788404, -0.610613938421011, -0.6276168352924287, -0.025338929146528244, -0.4746490935795009, -0.7325250022113323, -0.6231487542390823, -0.19514275807887316, -0.7601891825906932, -0.9459061687812209, -0.8874357501044869, -0.3078293218277395, -0.934770627412945, -0.5660619763657451, -0.14445587433874607, -0.4760615252889693, -0.2947331788018346, -0.3172393157146871, -0.050068086478859186, -0.29802911542356014, -0.517643469851464, -0.38278732914477587, -0.22558211721479893, -0.5648071696050465, -0.09441173868253827, -0.4902735990472138, -0.23755932739004493, -0.46564160753041506, -0.13803845457732677, -0.2567348387092352, -0.987834885250777, -0.49602119252085686])[i])), (acc, x) -> acc + x) * 0.35355339059327373, 6) AS p4,
-               round(list_reduce(list_prepend(0.0, list_transform(range(1, 64 + 1), i -> v[i] * ([-0.36387441121041775, -0.9417307218536735, -0.33856148971244693, -0.5031250580213964, -0.40991215547546744, -0.47925267135724425, -0.3941495534963906, -0.28208019817247987, -0.1684803725220263, -0.4668941139243543, -0.044322576373815536, -0.6370995324105024, -0.34026337834075093, -0.4645449975505471, -0.11269113980233669, -0.39552626432850957, -0.3875845423899591, -0.4282251759432256, -0.1107927830889821, -0.8144455454312265, -0.9436670150607824, -0.2723281551152468, -0.8406881759874523, -0.6484591132029891, -0.8863045428879559, -0.7155045941472054, -0.4806655119173229, -0.11056645587086678, -0.4301596819423139, -0.020800757221877575, -0.5802831496112049, -0.32575669698417187, -0.07641211804002523, -0.34768668422475457, -0.0019312184303998947, -0.12503634998574853, -0.3533367719501257, -0.9978030174970627, -0.06549871154129505, -0.6372209801338613, -0.8001311374828219, -0.9862439124844968, -0.4829468373209238, -0.8354558264836669, -0.8687999784015119, -0.12696119071915746, -0.3317170301452279, -0.40861428575590253, -0.8086868175305426, -0.3635305520147085, -0.29975312016904354, -0.25774652464315295, -0.030560136307030916, -0.2543319989927113, -0.5845439545810223, -0.12438850058242679, -0.6498165726661682, -0.45858240919187665, -0.3139958386309445, -0.35200318275019526, -0.5519125740975142, -0.7576913936063647, -0.9919094918295741, -0.5881969998590648])[i])), (acc, x) -> acc + x) * 0.35355339059327373, 6) AS p5,
-               round(list_reduce(list_prepend(0.0, list_transform(range(1, 64 + 1), i -> v[i] * ([-0.681356692686677, -0.711263325996697, -0.19623793382197618, -0.0386510812677443, -0.591464068274945, -0.9326977715827525, -0.21958270529285073, -0.8065270236693323, -0.10892602195963264, -0.5686093694530427, -0.8483010032214224, -0.5727533451281488, -0.9991231458261609, -0.8815562310628593, -0.7426803968846798, -0.22641039406880736, -0.8177087306976318, -0.5466951113194227, -0.7992328940890729, -0.9109430345706642, -0.850982797332108, -0.13755549443885684, -0.19921447150409222, -0.6173521988093853, -0.4744441802613437, -0.08356103301048279, -0.9926997176371515, -0.9869003999046981, -0.4558087419718504, -0.7300394135527313, -0.3888790444470942, -0.746202141046524, -0.5233694864436984, -0.09090083790943027, -0.639005659148097, -0.6459270170889795, -0.913022153545171, -0.16304054344072938, -0.9807632020674646, -0.9080505715683103, -0.5951667162589729, -0.18938740529119968, -0.301712051499635, -0.2243216703645885, -0.45477619068697095, -0.08478297339752316, -0.8935136352665722, -0.16513226926326752, -0.2301842854358256, -0.654537457972765, -0.9446921064518392, -0.3531133704818785, -0.5379066485911608, -0.20307769207283854, -0.12244964577257633, -0.7622143970802426, -0.09305406594648957, -0.7883199276402593, -0.9961023982614279, -0.009145361836999655, -0.8872924810275435, -0.18936721934005618, -0.4971744930371642, -0.8902318882755935])[i])), (acc, x) -> acc + x) * 0.35355339059327373, 6) AS p6,
-               round(list_reduce(list_prepend(0.0, list_transform(range(1, 64 + 1), i -> v[i] * ([-0.8338904902338982, -0.6562399710528553, -0.3141839150339365, -0.0750106805935502, -0.43413866590708494, -0.642341585829854, -0.8217666153796017, -0.9972421382553875, -0.8763444479554892, -0.5356889027170837, -0.6057306178845465, -0.5248600132763386, -0.4104567267931998, -0.47246807161718607, -0.1729936278425157, -0.584232066757977, -0.5003075269050896, -0.45649567525833845, -0.41726263193413615, -0.44592125667259097, -0.3744249548763037, -0.03145916387438774, -0.498754502274096, -0.0818324196152389, -0.05741594498977065, -0.6755244480445981, -0.6926443199627101, -0.27618721360340714, -0.8048867783509195, -0.8407122874632478, -0.7103410656563938, -0.18513706605881453, -0.7704388457350433, -0.006508062593638897, -0.9151485646143556, -0.8697329782880843, -0.2905605095438659, -0.7470898386090994, -0.6513507775962353, -0.7956767454743385, -0.6566331866197288, -0.7596326833590865, -0.9270410016179085, -0.8390723285265267, -0.42757354909554124, -0.9088764935731888, -0.27779709827154875, -0.18764736084267497, -0.3217936558648944, -0.7579843532294035, -0.7094691311940551, -0.10124729061499238, -0.9924787445925176, -0.4208436692133546, -0.7535320003516972, -0.39450995810329914, -0.8800876126624644, -0.15174482390284538, -0.5465679750777781, -0.6110761687159538, -0.9139075647108257, -0.22911815345287323, -0.9980341736227274, -0.9979827669449151])[i])), (acc, x) -> acc + x) * 0.35355339059327373, 6) AS p7
+               {similarity.projection_select_sql()}
         FROM surv
         """),
     "c29_outliers": QuerySpec(
@@ -1960,13 +1953,13 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
             SELECT e.user_id, min(e.ts) AS t_click
             FROM events e JOIN pu ON e.user_id = pu.user_id
             WHERE e.event_type = 'click' AND e.ts > pu.t_view
-              AND epoch(e.ts) <= epoch(pu.t_view) + 172800
+              AND epoch_us(e.ts) <= epoch_us(pu.t_view) + 172800000000
             GROUP BY e.user_id),
         py AS (
             SELECT e.user_id, min(e.ts) AS t_purchase
             FROM events e JOIN ck ON e.user_id = ck.user_id
             WHERE e.event_type = 'purchase' AND e.ts > ck.t_click
-              AND epoch(e.ts) <= epoch(ck.t_click) + 172800
+              AND epoch_us(e.ts) <= epoch_us(ck.t_click) + 172800000000
             GROUP BY e.user_id),
         f AS (
             SELECT '1_view' AS stage, count(*) AS n FROM pu
@@ -2021,8 +2014,8 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER w
                     AS DOUBLE) / 1e6 AS sum_trailing
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
         """),
     "c34_transitions": QuerySpec(
         _t("events")(event_time.transition_matrix),

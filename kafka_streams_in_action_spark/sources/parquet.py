@@ -41,21 +41,27 @@ def _events_ts_is_nanos(path: str) -> bool:
     The probe reads the parquet PHYSICAL type, not pyarrow's arrow mapping:
     pyarrow surfaces legacy INT96 timestamps as timestamp[ns] too, but
     INT96 is natively readable by Spark and must NOT take the raw-int64
-    path. Only INT64 + LogicalType Timestamp(nanoseconds) needs it."""
+    path. Only INT64 + LogicalType Timestamp(nanoseconds) needs it.
+
+    A probe failure RAISES instead of defaulting: silently returning False
+    on a TIMESTAMP(NANOS) file would hand Spark a LongType `ts` (via
+    nanosAsLong) and break every ts-dependent query with a schema error far
+    from the cause. pyarrow is a hard dependency of the pandas-UDF
+    operators, so the import cannot legitimately fail here; a missing file
+    surfaces at the subsequent spark.read anyway."""
     p = path
     if os.path.isdir(p):
         inner = sorted(glob.glob(os.path.join(p, "*.parquet")))
         if not inner:
             return False
         p = inner[0]
-    try:
-        import pyarrow.parquet as pq
-        sch = pq.ParquetFile(p).schema
-        col = sch.column(sch.names.index("ts"))
-        return (col.physical_type == "INT64"
-                and "nanoseconds" in str(col.logical_type))
-    except Exception:
-        return False
+    if not os.path.exists(p):
+        return False  # let spark.read report the missing path itself
+    import pyarrow.parquet as pq
+    sch = pq.ParquetFile(p).schema
+    col = sch.column(sch.names.index("ts"))
+    return (col.physical_type == "INT64"
+            and "nanoseconds" in str(col.logical_type))
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

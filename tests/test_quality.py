@@ -365,3 +365,32 @@ def test_sampling_and_packing_invariant_under_repartitioning(spark):
     got_pack = {(r["doc_id"], r["start_offset"], r["pack_id"])
                 for r in sampling.pack_documents(shuffled).collect()}
     assert base_pack == got_pack
+
+
+def test_fixed_planes_are_zero_mean_jl_quality():
+    """Regression pin for the r4→r5 JL fix: the LCG plane weights must span
+    (-1, 1) roughly zero-mean. An earlier mapping produced all-negative
+    weights — rows correlated through a shared -sum(x) component — which
+    silently broke random_projection's distance-preservation claim while
+    every oracle still matched (the matrix was deterministic on both
+    sides). Also checks the money property directly: pairwise distances
+    after an 8→64-dim projection stay within a loose JL distortion band."""
+    import numpy as np
+
+    planes = np.array(similarity._fixed_planes(8, 64, seed=1042))
+    assert planes.min() < -0.5 and planes.max() > 0.5
+    assert abs(planes.mean()) < 0.1
+    # per-row means individually near zero (the old bug: every row ≈ -0.5)
+    assert np.abs(planes.mean(axis=1)).max() < 0.25
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(40, 64)
+    y = (x @ planes.T) * np.sqrt(3.0 / 8)  # the operator's scale
+    dx = np.linalg.norm(x[:, None] - x[None, :], axis=2)
+    dy = np.linalg.norm(y[:, None] - y[None, :], axis=2)
+    iu = np.triu_indices(40, 1)
+    ratio = dy[iu] / dx[iu]
+    # k=8 gives loose concentration; the broken matrix fails this wildly
+    # (rank-1-dominated rows push the median far off 1 and blow the spread)
+    assert 0.7 < np.median(ratio) < 1.3, np.median(ratio)
+    assert ratio.std() / ratio.mean() < 0.5, (ratio.mean(), ratio.std())
