@@ -403,6 +403,89 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 64) -> DataFrame:
     return per_doc.select("doc_id", fingerprint.alias("simhash"))
 
 
+def _min_label_components(ids: DataFrame, pairs: DataFrame, id_name: str,
+                          max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation (the
+    GraphX/Pregel algorithm on plain DataFrames), shared by the embedding-
+    and text-side cluster operators. `ids` is one column named `id_name`;
+    `pairs` has columns (src, dst) with ids from the same domain. Every node
+    starts as its own label; each round takes the min of its own and its
+    neighbors' labels; converged when a round changes nothing. Rounds needed
+    = graph diameter (near-dup components are near-cliques, so small); each
+    round is one keyed shuffle. localCheckpoint truncates per-round lineage
+    so the plan doesn't grow superlinearly — construction runs Spark jobs
+    (the declared iterative-algorithm surface, exempt from the no-collect
+    plan contract like the ANN index builds)."""
+    edges = (
+        pairs.select("src", "dst")
+        .union(pairs.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)  # score pairs once, not per round
+    )
+    labels = ids.select(
+        id_name, F.col(id_name).alias("cluster_id")).localCheckpoint(True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels[id_name])
+            .groupBy(F.col("dst").alias(id_name))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, id_name, "left")
+            .select(id_name,
+                    F.least(F.col("cluster_id"),
+                            F.coalesce("nbr_min", F.col("cluster_id")))
+                    .alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("cluster_id", "old")
+            .join(new_labels, id_name)
+            .filter(F.col("old") != F.col("cluster_id")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_clusters(documents: DataFrame, threshold: float = 0.1,
+                     n: int = 3, max_iter: int = 20,
+                     edge_source: str = "exact") -> DataFrame:
+    """C29n: TEXT-side dedup clusters — connected components of the n-gram
+    Jaccard near-dup graph, every document labeled with the smallest doc_id
+    in its component. Completes the dedup story to parity with the
+    embedding side (near_dup_clusters): the pair list alone can't collapse
+    A~B, B~C into one cluster when A~C is below threshold, and a training
+    pipeline keeps exactly one representative per component.
+
+    Two edge sources behind the same signature:
+    - "exact": the inverted-index exact-Jaccard pair graph
+      (ngram_jaccard_pairs) — engine-replicable arithmetic, so the
+      registered query carries a FULL oracle (DuckDB recursive CTE over
+      its own shingle-join pair graph);
+    - "lsh": MinHash-LSH candidate pairs (minhash_lsh_pairs) — the 100 TB
+      path, linear outside banded posting-list joins. LSH edges are a
+      subset of exact edges (candidates are exact-verified), so its
+      components REFINE the exact components; pytest pins that refinement
+      plus a coverage floor, the same split as the pair-level operators
+      (full oracle on the replicable regime, pinned recall on the banded
+      one).
+    """
+    if edge_source == "exact":
+        pairs = ngram_jaccard_pairs(documents, threshold=threshold, n=n)
+    elif edge_source == "lsh":
+        pairs = minhash_lsh_pairs(documents, threshold=threshold, n=n)
+    else:
+        raise ValueError(f"unknown edge_source {edge_source!r}")
+    return _min_label_components(
+        documents.select("doc_id"),
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")),
+        "doc_id", max_iter)
+
+
 def near_dup_clusters(embeddings: DataFrame, threshold: float = 0.35,
                       max_iter: int = 20) -> DataFrame:
     """C29d: dedup *clusters* — connected components of the near-dup pair
@@ -432,40 +515,12 @@ def near_dup_clusters(embeddings: DataFrame, threshold: float = 0.35,
     """
     from .similarity import cosine_near_dup_pairs
 
-    pairs = cosine_near_dup_pairs(embeddings, threshold) \
-        .select("vec_a", "vec_b")
-    edges = (
-        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
-        .union(pairs.select(F.col("vec_b").alias("src"),
-                            F.col("vec_a").alias("dst")))
-        .localCheckpoint(eager=True)  # score pairs once, not per round
-    )
-    labels = embeddings.select(
-        "vec_id", F.col("vec_id").alias("cluster_id")).localCheckpoint(True)
-
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.vec_id)
-            .groupBy(F.col("dst").alias("vec_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "vec_id", "left")
-            .select("vec_id",
-                    F.least(F.col("cluster_id"),
-                            F.coalesce("nbr_min", F.col("cluster_id")))
-                    .alias("cluster_id"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            labels.withColumnRenamed("cluster_id", "old")
-            .join(new_labels, "vec_id")
-            .filter(F.col("old") != F.col("cluster_id")).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    pairs = cosine_near_dup_pairs(embeddings, threshold)
+    return _min_label_components(
+        embeddings.select("vec_id"),
+        pairs.select(F.col("vec_a").alias("src"),
+                     F.col("vec_b").alias("dst")),
+        "vec_id", max_iter)
 
 
 def _simhash_band_structs(simhash, scheme: str):

@@ -145,8 +145,8 @@ def test_no_driver_side_collect_in_queries(spark):
     tracker = spark.sparkContext.statusTracker()
     before = tracker.getJobIdsForGroup(None)
     for name, spec in QUERIES.items():
-        if name in ("c29_ivf_ann", "c29_dup_clusters", "c29_semdedup",
-                    "c29_pca", "c29_pq_ann"):
+        if name in ("c29_ivf_ann", "c29_dup_clusters", "c29_minhash_clusters",
+                    "c29_semdedup", "c29_pca", "c29_pq_ann"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)

@@ -394,3 +394,37 @@ def test_fixed_planes_are_zero_mean_jl_quality():
     # (rank-1-dominated rows push the median far off 1 and blow the spread)
     assert 0.7 < np.median(ratio) < 1.3, np.median(ratio)
     assert ratio.std() / ratio.mean() < 0.5, (ratio.mean(), ratio.std())
+
+
+def test_minhash_clusters_lsh_refines_exact(spark):
+    """c29_minhash_clusters' banded regime: LSH candidate edges are a subset
+    of exact-Jaccard edges (candidates are exact-verified), so LSH components
+    must REFINE the exact components — never merge across them — and must
+    still group a pinned floor of the docs the exact graph groups."""
+    from collections import defaultdict
+
+    docs = load_table(spark, "documents", SF_DIR)
+    exact = {r["doc_id"]: r["cluster_id"]
+             for r in dedup.minhash_clusters(docs).collect()}
+    lsh = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.minhash_clusters(docs, edge_source="lsh").collect()}
+    assert set(exact) == set(lsh)
+
+    members = defaultdict(set)
+    for d, c in lsh.items():
+        members[c].add(d)
+    for c, ms in members.items():
+        assert len({exact[m] for m in ms}) == 1, (c, ms)
+
+    def grouped(labels):
+        sizes = defaultdict(int)
+        for c in labels.values():
+            sizes[c] += 1
+        return {d for d, c in labels.items() if sizes[c] > 1}
+
+    g_exact, g_lsh = grouped(exact), grouped(lsh)
+    if g_exact:
+        cov = len(g_exact & g_lsh) / len(g_exact)
+        print(f"minhash_clusters lsh coverage={cov:.3f} "
+              f"({len(g_exact)} exact-grouped docs)")
+        assert cov >= 0.3, cov
