@@ -554,6 +554,95 @@ topk AS (
         FROM scored) WHERE rn <= 5)
 """
 
+# The 3-row view → click → purchase funnel with conversion shares — shared
+# verbatim by the batch form (c34_funnel) and its streaming state-machine
+# twin (c34_funnel_stream), which must agree with it exactly under
+# availableNow replay (A21 run-once semantics).
+_FUNNEL_ORACLE = """
+WITH pu AS (
+    SELECT user_id, min(ts) FILTER (event_type = 'view') AS t_view
+    FROM events GROUP BY user_id),
+ck AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN pu ON e.user_id = pu.user_id
+    WHERE e.event_type = 'click' AND e.ts > pu.t_view
+    GROUP BY e.user_id),
+py AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN ck ON e.user_id = ck.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > ck.t_click
+    GROUP BY e.user_id),
+f AS (
+    SELECT '1_view' AS stage, count(*) AS n FROM pu
+    WHERE t_view IS NOT NULL
+    UNION ALL SELECT '2_click', count(*) FROM ck
+    UNION ALL SELECT '3_purchase', count(*) FROM py)
+SELECT stage, n, round(CAST(n AS DOUBLE)
+       / CAST(max(n) OVER () AS DOUBLE), 6) AS share
+FROM f
+"""
+
+
+def _funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34 streaming twin, driver-visible: run the keyed funnel state
+    machine (streaming/stateful.py:funnel_state_stream,
+    applyInPandasWithState) over the events table as a bounded streaming
+    source in availableNow mode, then reduce the final per-user stages to
+    the same 3-row funnel c34_funnel emits — so the streaming operator's
+    correctness is checked by the FULL batch oracle, not just pytest.
+
+    The source is written as a single parquet file so availableNow replays
+    the whole log in one micro-batch; within a batch the state machine
+    sorts by event time, which together with the strict > stage
+    comparisons makes the result equal to the batch funnel exactly (ties
+    are order-insensitive under strict comparisons). Executing the stream
+    happens here, at query-build time — the returned DataFrame is the
+    bounded 3-row reduction over the memory sink.
+    """
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import funnel_state_stream
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts")
+    src = tempfile.mkdtemp(prefix="c34_funnel_stream_src_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    sink = f"c34_funnel_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        funnel_state_stream(spark.readStream.schema(ev.schema).parquet(src))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # final state per user = max emitted stage (stages are monotone);
+    # stage 0 rows are users who never completed stage 1 (e.g. clicks with
+    # no prior view) — excluded from the funnel, same as the batch form.
+    final = (
+        spark.table(sink)
+        .groupBy("user_id").agg(F.max("stage").alias("stage"))
+    )
+    counts = final.agg(
+        F.sum((F.col("stage") >= 1).cast("long")).alias("n1"),
+        F.sum((F.col("stage") >= 2).cast("long")).alias("n2"),
+        F.sum((F.col("stage") >= 3).cast("long")).alias("n3"),
+    )
+    funnel = (
+        counts.select(F.explode(F.array(
+            F.struct(F.lit("1_view").alias("stage"), F.col("n1").alias("n")),
+            F.struct(F.lit("2_click").alias("stage"), F.col("n2").alias("n")),
+            F.struct(F.lit("3_purchase").alias("stage"),
+                     F.col("n3").alias("n")),
+        )).alias("s")).select("s.stage", "s.n")
+    )
+    w = Window.partitionBy()
+    return funnel.select(
+        "stage", "n",
+        F.round(F.col("n").cast("double")
+                / F.max("n").over(w).cast("double"), 6).alias("share"))
+
 
 _QUERY_DEFS: dict[str, QuerySpec] = {
     # ------------------------------------------------------------------
@@ -1759,30 +1848,8 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM a ORDER BY l_returnflag
         """),
     "c34_funnel": QuerySpec(
-        _t("events")(event_time.funnel_analysis),
-        """
-        WITH pu AS (
-            SELECT user_id, min(ts) FILTER (event_type = 'view') AS t_view
-            FROM events GROUP BY user_id),
-        ck AS (
-            SELECT e.user_id, min(e.ts) AS t_click
-            FROM events e JOIN pu ON e.user_id = pu.user_id
-            WHERE e.event_type = 'click' AND e.ts > pu.t_view
-            GROUP BY e.user_id),
-        py AS (
-            SELECT e.user_id, min(e.ts) AS t_purchase
-            FROM events e JOIN ck ON e.user_id = ck.user_id
-            WHERE e.event_type = 'purchase' AND e.ts > ck.t_click
-            GROUP BY e.user_id),
-        f AS (
-            SELECT '1_view' AS stage, count(*) AS n FROM pu
-            WHERE t_view IS NOT NULL
-            UNION ALL SELECT '2_click', count(*) FROM ck
-            UNION ALL SELECT '3_purchase', count(*) FROM py)
-        SELECT stage, n, round(CAST(n AS DOUBLE)
-               / CAST(max(n) OVER () AS DOUBLE), 6) AS share
-        FROM f
-        """),
+        _t("events")(event_time.funnel_analysis), _FUNNEL_ORACLE),
+    "c34_funnel_stream": QuerySpec(_funnel_stream, _FUNNEL_ORACLE),
     "c34_retention": QuerySpec(
         _t("events")(event_time.cohort_retention),
         """
@@ -2314,7 +2381,7 @@ _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
 # ---------------------------------------------------------------------------
 _ROUND5_PRIORITY = [
     # (1) new this round
-    "c29_minhash_clusters",
+    "c29_minhash_clusters", "c34_funnel_stream",
     # (2) outputs changed this round
     "c34_rolling", "c34_funnel_windowed", "c29_random_proj",
     "c29_curate_emb",

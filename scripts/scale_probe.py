@@ -39,6 +39,10 @@ RAW_PATHS = {
         load_table(spark, "documents", sf_dir), threshold=0.1),
     "c29_ivf_ann": lambda spark, sf_dir: similarity.ivf_topk(
         load_table(spark, "embeddings", sf_dir)),
+    # PQ timed end-to-end (codebook build + encode + ADC scan + re-rank),
+    # same "incl. index build" accounting as the IVF row above.
+    "c29_pq_ann": lambda spark, sf_dir: similarity.pq_topk(
+        load_table(spark, "embeddings", sf_dir)),
 }
 
 # CLI args are parsed only when run as a script (the module is also imported
@@ -78,6 +82,16 @@ PROBE_QUERIES = [
     "c29_ivf_ann",          # IVF ANN incl. index build over embeddings
     "c30_lm_xent",          # bigram-LM model build + scoring joins
     "c28_substring_dup",    # positional-shingle inverted index
+    # round-5 widening: the operator families the r4 probe didn't touch
+    "c31_decode_image",     # BMP decode fan-out (Arrow-batched mapInPandas)
+    "c34_funnel",           # conditional-MIN funnel, keyed shuffles only
+    "c34_retention",        # weekly cohort retention (distinct user-weeks)
+    "c34_rolling",          # trailing 7-day per-user RANGE window
+    "c35_upsert",           # keyed merge (full-outer coalesce)
+    "c30_tfidf",            # TF-IDF: doc-freq join + per-doc top terms
+    "c29_pq_ann",           # PQ ANN incl. codebook build + ADC + re-rank
+    "c22_tumbling_window",  # event-time tumbling aggregation
+    "c32_pack",             # 3-level distributed prefix sum (packing)
 ]
 
 
