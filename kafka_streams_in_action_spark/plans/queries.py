@@ -170,11 +170,21 @@ SPARK_DSUM = ("(CAST(sum(CAST(floor({x} * 1000000.0 + 0.5) AS BIGINT))"
 def _sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL surface (SURVEY §2B: 'Spark SQL *is* the parser'): TPC-H Q3 shape
     expressed as a SQL string over registered views — same Catalyst plan as
-    the DataFrame form, proving the parser/analyzer path end-to-end."""
+    the DataFrame form, proving the parser/analyzer path end-to-end.
+
+    Join strategy is pinned: BROADCAST(customer) — the filtered dim is tiny
+    at every SF — and SHUFFLE_MERGE(lineitem) so the orders⋈lineitem
+    fact-fact join shuffles on the orderkey instead of broadcasting the
+    filtered fact. Without the pin, Catalyst's size estimate (file bytes ×
+    pruned-column fraction, no filter-selectivity correction) puts filtered
+    lineitem under the 10 MB broadcast threshold even at 10× sf0.1, and the
+    single-threaded hashed-relation build of ~3 M rows dominates: 4.9 s vs
+    0.74 s at the 10× probe (growth 6.1× → 1.3×). At 100 TB a lineitem
+    broadcast is not survivable at all; the pinned plan is the scale plan."""
     for t in ("customer", "orders", "lineitem"):
         load_table(spark, t, sf_dir).createOrReplaceTempView(t)
     return spark.sql(f"""
-        SELECT l_orderkey,
+        SELECT /*+ BROADCAST(customer), SHUFFLE_MERGE(lineitem) */ l_orderkey,
                {SPARK_DSUM.format(x='l_extendedprice * (1 - l_discount)')}
                    AS revenue,
                o_orderdate

@@ -482,3 +482,17 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     plan = plan_of(_q(spark, "c30_decontaminate"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q3_fact_fact_join_never_broadcasts_lineitem(spark):
+    """sql_q3: the orders⋈lineitem fact-fact join must be a shuffle join on
+    the orderkey (pinned via SHUFFLE_MERGE(lineitem)); only the filtered
+    customer dim may broadcast. Catalyst's uncorrected size estimate would
+    otherwise broadcast filtered lineitem, whose single-threaded hashed-
+    relation build grew 6.1x at the 10x probe and is unrunnable at 100 TB."""
+    plan = formatted_of(_q(spark, "sql_q3_top_revenue"))
+    tree = plan.split("\n\n")[0]  # node tree only; details repeat node names
+    assert "SortMergeJoin" in tree
+    # exactly one broadcast: the customer build side
+    assert tree.count("BroadcastExchange") == 1
+    assert "lineitem.parquet" in plan, "lineitem scan missing from plan"
