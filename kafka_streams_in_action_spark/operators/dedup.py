@@ -152,6 +152,74 @@ def ngram_containment_pairs(documents: DataFrame, threshold: float = 0.6,
     )
 
 
+def boilerplate_removal(documents: DataFrame, n: int = 5,
+                        min_df: int = 3) -> DataFrame:
+    """C28g: corpus-level boilerplate SPAN REMOVAL — the C4 cleaning rule
+    (Raffel et al., arXiv:1910.10683 §2.2 drop repeated content) applied
+    positionally: any word position covered by an n-gram that occurs in
+    ≥ min_df distinct documents is cut, and the surviving tokens are
+    re-joined into `clean_text` in original order. Unlike the pure
+    *signal* operators (substring_dup_stats scores documents; this one
+    rewrites them), the output is the cleaned corpus itself — the step a
+    training pipeline actually materializes.
+
+    Scale shape: the document text NEVER shuffles. Gram keys are
+    xxhash64 over the token columns (fixed 8 bytes); the gram→doc-freq
+    aggregation and the covered-position expansion shuffle only
+    (hash | doc_id, int) pairs. The per-doc covered-position sets are
+    aggregated to one small array row per AFFECTED doc and joined back to
+    the full corpus — a build side that is both column-narrow and
+    row-sparse, so AQE broadcasts it at every realistic SF and the
+    rebuild is a zero-shuffle map over the resident token array
+    (two-arg `F.filter` lambda: position index against the covered set).
+    A hash collision would fold two distinct grams' doc-freqs together;
+    the oracle recomputes over raw gram strings, so any collision
+    surfaces as a driver hash-mismatch (same argument as
+    substring_dup_stats; ~2^-64 per pair).
+    """
+    base = (
+        _tokenized(documents)
+        .select("doc_id", "words", F.size("words").alias("n_tokens"))
+    )
+    idx = F.when(
+        F.col("n_tokens") >= n,
+        F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram_keys = F.transform(
+        idx, lambda i: F.xxhash64(
+            *[F.element_at(F.col("words"), i + j) for j in range(n)]))
+    starts = (
+        base.select("doc_id", F.posexplode(gram_keys).alias("i", "g"))
+        .select("doc_id", (F.col("i") + 1).alias("pos"), "g")
+    )
+    boiler = (
+        starts.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_df)
+        .select("g")
+    )
+    covered = (
+        starts.join(boiler, "g")
+        .select("doc_id",
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + (n - 1))).alias("cpos"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("cpos").alias("cov"))
+    )
+    keep = F.filter(
+        "words",
+        lambda w, i: ~F.coalesce(F.array_contains("cov", i + 1),
+                                 F.lit(False)))
+    return (
+        base.join(covered, "doc_id", "left")
+        .select("doc_id",
+                F.concat_ws(" ", keep).alias("clean_text"),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.coalesce(F.size("cov"), F.lit(0))
+                .cast("long").alias("n_removed"))
+    )
+
+
 def _tokenized(documents: DataFrame) -> DataFrame:
     """Materialize the token array ONCE per row before any shingle lambda.
 

@@ -1316,6 +1316,40 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM grams JOIN nd USING (g)
         GROUP BY doc_id
         """),
+    "c28_boilerplate": QuerySpec(
+        # Full-composition oracle: the DuckDB side recomputes covered
+        # positions over RAW gram strings and rebuilds clean_text with an
+        # ordered string_agg, so a Spark-side xxhash64 collision or any
+        # off-by-one in span coverage hash-mismatches.
+        _t("documents")(dedup.boilerplate_removal),
+        """
+        WITH docs AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w
+            FROM documents),
+        toks AS (
+            SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w
+            FROM docs),
+        grams AS (
+            SELECT doc_id, pos, array_to_string(w[pos:pos+4], ' ') AS g
+            FROM toks WHERE pos + 4 <= len(w)),
+        boiler AS (
+            SELECT g FROM grams GROUP BY g
+            HAVING count(DISTINCT doc_id) >= 3),
+        covered AS (
+            SELECT DISTINCT b.doc_id, b.pos + s.d AS cpos
+            FROM (SELECT gr.doc_id, gr.pos
+                  FROM grams gr JOIN boiler USING (g)) b,
+                 (SELECT unnest(generate_series(0, 4)) AS d) s),
+        tok2 AS (SELECT doc_id, pos, w[pos] AS word FROM toks)
+        SELECT t.doc_id,
+               coalesce(string_agg(CASE WHEN c.cpos IS NULL THEN t.word END,
+                                   ' ' ORDER BY t.pos), '') AS clean_text,
+               count(*) AS n_tokens,
+               count(c.cpos) AS n_removed
+        FROM tok2 t LEFT JOIN covered c
+          ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        GROUP BY t.doc_id
+        """),
     "c29_ngram_jaccard": QuerySpec(
         _t("documents")(lambda d: dedup.ngram_jaccard_pairs(d, threshold=0.1)),
         f"""
@@ -2391,6 +2425,7 @@ _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
 # ---------------------------------------------------------------------------
 _ROUND5_PRIORITY = [
     # (1) new this round
+    "c28_boilerplate",
     "c29_minhash_clusters", "c34_funnel_stream",
     # (2) outputs changed this round
     "c34_rolling", "c34_funnel_windowed", "c29_random_proj",

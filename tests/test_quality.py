@@ -428,3 +428,35 @@ def test_minhash_clusters_lsh_refines_exact(spark):
         print(f"minhash_clusters lsh coverage={cov:.3f} "
               f"({len(g_exact)} exact-grouped docs)")
         assert cov >= 0.3, cov
+
+
+def test_boilerplate_removal_cuts_exact_spans(spark):
+    """C28g: a 5-gram shared by >= min_df docs is cut from every doc at
+    every covering position; everything else survives in original order;
+    docs shorter than n are untouched."""
+    rows = [
+        (1, "x1 x2 AA BB CC DD EE y1 y2"),
+        (2, "AA BB CC DD EE z1 z2 z3"),
+        (3, "w1 AA BB CC DD EE"),
+        (4, "AA BB CC DD unrelated tail words here"),  # 4-gram only: kept
+        (5, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           dedup.boilerplate_removal(docs, n=5, min_df=3).collect()}
+    assert got[1]["clean_text"] == "x1 x2 y1 y2"
+    assert got[2]["clean_text"] == "z1 z2 z3"
+    assert got[3]["clean_text"] == "w1"
+    assert got[4]["clean_text"] == rows[3][1]
+    assert got[5]["clean_text"] == "tiny doc" and got[5]["n_removed"] == 0
+    assert got[1]["n_tokens"] == 9 and got[1]["n_removed"] == 5
+
+
+def test_boilerplate_rebuild_never_shuffles_text(spark):
+    """C28g plan: the covered-position build side must broadcast into the
+    corpus join so document text stays resident — no sort-merge exchange
+    of the token payload."""
+    df = dedup.boilerplate_removal(load_table(spark, "documents", SF_DIR))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
