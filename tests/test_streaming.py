@@ -451,3 +451,48 @@ def _expected_curated(spark, documents):
             .withColumn("quality", F.round((diversity + length_score) / 2, 6))
             .filter(F.col("quality") >= 0.38)
             .select("doc_id"))
+
+
+def test_attribution_join_stream_equals_batch(spark, events_dir):
+    """C36: the typed click→purchase attribution join over a bounded
+    stream == the same predicate evaluated in batch, including exact
+    microsecond lags."""
+    s = sjoins.click_purchase_attribution_stream(
+        _read_stream(spark, events_dir))
+    out = _run_to_memory(spark, s, "stream_attr")
+    ev = load_table(spark, "events", SF_DIR)
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    batch = (
+        c.join(p, (F.col("c.user_id") == F.col("p.user_id"))
+               & (F.col("p.ts") > F.col("c.ts"))
+               & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")))
+        .select(F.col("c.user_id").alias("user_id"),
+                F.col("c.event_id").alias("click_id"),
+                F.col("p.event_id").alias("purchase_id"),
+                (F.unix_micros("p.ts") - F.unix_micros("c.ts"))
+                .alias("lag_us")))
+    _assert_same(batch, out)
+
+
+def test_mv_maintenance_invariant_to_batch_split(spark, tmp_path):
+    """C35 streaming twin: the materialized view must be bit-identical
+    whether the log replays as one micro-batch or four (dsum fixed-point
+    state is order-insensitive), and must equal the plain batch GROUP BY."""
+    ev = load_table(spark, "events", SF_DIR).select("user_id", "value")
+    from kafka_streams_in_action_spark.operators.exact import dsum
+
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+
+    results = []
+    for n_files, tag in [(1, "one"), (4, "four")]:
+        base = tmp_path / f"mv_{tag}"
+        ev.repartition(n_files).write.mode("overwrite") \
+            .parquet(str(base / "src"))
+        got = pipelines.user_activity_mv(
+            spark, str(base / "src"), ev.schema,
+            str(base / "out"), str(base / "ckpt"))
+        results.append(got)
+        _assert_same(batch, got)
+    _assert_same(results[0], results[1])
