@@ -58,6 +58,12 @@ HEADLINE = [
     "c30_lm_xent",           # corpus bigram LM + per-doc cross-entropy
     "c28_substring_dup",     # positional-shingle duplication fraction
     "c29_pq_ann",            # PQ ADC scan + exact re-rank (compressed ANN)
+    # round-5 additions
+    "c28_boilerplate",       # shared-span removal + broadcast text rebuild
+    "c29_ivfpq_ann",         # composed IVF-PQ (cell-pruned ADC scan)
+    "c29_knn_label",         # kNN majority-vote labeling (exact form)
+    "c36_interval_join",     # stream-stream interval join, availableNow
+    "c35_upsert_stream",     # incremental MV maintenance, 4 micro-batches
 ]
 
 
@@ -97,6 +103,10 @@ OVERRIDES = {
         centroids=_IVF_CENTROIDS[sf_dir]),
     "c29_pq_ann": lambda spark, sf_dir: similarity.pq_topk(
         load_table(spark, "embeddings", sf_dir),
+        codebooks=_PQ_CODEBOOKS[sf_dir]),
+    "c29_ivfpq_ann": lambda spark, sf_dir: similarity.ivfpq_topk(
+        load_table(spark, "embeddings", sf_dir),
+        centroids=_IVF_CENTROIDS[sf_dir],
         codebooks=_PQ_CODEBOOKS[sf_dir]),
 }
 

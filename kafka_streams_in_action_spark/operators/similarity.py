@@ -1162,3 +1162,39 @@ def lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rn")
     )
+
+
+def knn_classify(embeddings: DataFrame, n_queries: int = 10,
+                 k: int = 5, ann: bool = False) -> DataFrame:
+    """C29o: k-NN majority-vote label assignment — the weak-supervision /
+    label-propagation primitive a curation pipeline uses to tag unlabeled
+    items from a labeled neighborhood (and, inverted, to flag items whose
+    own label disagrees with their neighborhood — label-noise detection).
+
+    The neighbor search is pluggable: exact brute force by default (what
+    the full oracle replays), `ann=True` swaps in the composed IVF-PQ
+    scan for cluster-scale corpora — same downstream vote, which is the
+    point: classification quality degrades only by ANN recall. The vote
+    is a keyed count + one row_number window with a DETERMINISTIC
+    tie-break (vote count desc, then smallest label), so the result is a
+    pure function of the neighbor set and both engines agree exactly.
+    """
+    topk = (ivfpq_topk(embeddings, n_queries=n_queries, k_nn=k) if ann
+            else brute_force_topk(embeddings, n_queries=n_queries, k=k))
+    labels = embeddings.select("vec_id", "label")
+    votes = (
+        topk.join(labels.withColumnRenamed("vec_id", "neighbor_id"),
+                  "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label"))
+    pred = (votes.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("query_id", F.col("label").alias("predicted_label"),
+                    "n_votes"))
+    truth = labels.select(F.col("vec_id").alias("query_id"),
+                          F.col("label").alias("true_label"))
+    return (pred.join(truth, "query_id")
+            .select("query_id", "true_label", "predicted_label", "n_votes"))

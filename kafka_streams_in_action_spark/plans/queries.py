@@ -1577,6 +1577,24 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM topk
         """),  # composed IVF-PQ: cell-pruned ADC scan over PQ codes +
     #   exact re-rank; measured recall 0.82 at sf0.01, floor 0.6
+    "c29_knn_label": QuerySpec(
+        _t("embeddings")(similarity.knn_classify),
+        f"""
+        WITH {_BRUTE_TOPK_CTE},
+        votes AS (
+            SELECT t.query_id, e.label, count(*) AS n_votes
+            FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+            GROUP BY 1, 2),
+        pred AS (
+            SELECT query_id, label AS predicted_label, n_votes FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY n_votes DESC, label) AS r
+                FROM votes) WHERE r = 1)
+        SELECT p.query_id, q.label AS true_label, p.predicted_label,
+               p.n_votes
+        FROM pred p JOIN embeddings q ON p.query_id = q.vec_id
+        """),  # exact-kNN majority vote, deterministic tie-break; the
+    #   ann=True form swaps in IVF-PQ for the at-scale neighbor search
 
     # ------------------------------------------------------------------
     # Text analysis (C30) + multimodal (C31)
@@ -2498,7 +2516,7 @@ _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
 _ROUND5_PRIORITY = [
     # (1) new this round
     "c28_boilerplate", "c29_ivfpq_ann", "c36_interval_join",
-    "c35_upsert_stream",
+    "c35_upsert_stream", "c29_knn_label",
     "c29_minhash_clusters", "c34_funnel_stream",
     # (2) outputs changed this round
     "c34_rolling", "c34_funnel_windowed", "c29_random_proj",

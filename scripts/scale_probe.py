@@ -92,6 +92,11 @@ PROBE_QUERIES = [
     "c29_pq_ann",           # PQ ANN incl. codebook build + ADC + re-rank
     "c22_tumbling_window",  # event-time tumbling aggregation
     "c32_pack",             # 3-level distributed prefix sum (packing)
+    # round-5 additions
+    "c28_boilerplate",      # shared-span removal, broadcast rebuild
+    "c29_ivfpq_ann",        # composed IVF-PQ incl. both index builds
+    "c36_interval_join",    # stream-stream interval join (availableNow)
+    "c35_upsert_stream",    # incremental MV maintenance (4 micro-batches)
 ]
 
 

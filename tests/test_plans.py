@@ -110,6 +110,8 @@ _BNLJ_ALLOWED = {
     "c25_late_data",        # 1-row max-event-time watermark scalar
     "c29_cosine_topk",      # 10-row query set, non-equi self-exclusion
     "c29_lsh_ann", "c29_ivf_ann", "c29_pq_ann",  # same + 1-row verdict agg
+    "c29_ivfpq_ann",        # same 10-row query set + 1-row verdict agg
+    "c29_knn_label",        # brute-force reference: 10-row query broadcast
     "c29_minhash_lsh",      # 1-row exact-pair-count verdict scalar
     "c29_semdedup",         # 1-row exact-pair-count verdict scalar
     "c29_outliers",         # 1-row mean vector + 1-row moment scalars
@@ -147,8 +149,11 @@ def test_no_driver_side_collect_in_queries(spark):
     for name, spec in QUERIES.items():
         if name in ("c29_ivf_ann", "c29_dup_clusters", "c29_minhash_clusters",
                     "c29_semdedup", "c29_pca", "c29_pq_ann",
-                    # executes the availableNow stream at build time by design
-                    "c34_funnel_stream"):
+                    # composed IVF-PQ builds both bounded index artifacts
+                    "c29_ivfpq_ann",
+                    # execute the availableNow stream at build time by design
+                    "c34_funnel_stream", "c36_interval_join",
+                    "c35_upsert_stream"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)

@@ -489,3 +489,17 @@ def test_boilerplate_rebuild_never_shuffles_text(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_knn_classify_ann_form_agrees_with_exact(spark):
+    """C29o: the IVF-PQ-backed kNN classifier must produce one prediction
+    per query and agree with the exact-kNN form on most queries (ANN
+    recall 0.8+ ⇒ vote flips are rare)."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    exact = {r["query_id"]: r["predicted_label"]
+             for r in similarity.knn_classify(emb).collect()}
+    ann = {r["query_id"]: r["predicted_label"]
+           for r in similarity.knn_classify(emb, ann=True).collect()}
+    assert len(ann) == 10 and len(exact) == 10
+    agree = sum(ann[q] == exact[q] for q in exact)
+    assert agree >= 6, (agree, exact, ann)
