@@ -64,6 +64,10 @@ HEADLINE = [
     "c29_knn_label",         # kNN majority-vote labeling (exact form)
     "c36_interval_join",     # stream-stream interval join, availableNow
     "c35_upsert_stream",     # incremental MV maintenance, 4 micro-batches
+    "c37_skipping",          # Z-order vs linear min/max skipping report
+    "c28_edit_verify",       # blocked candidates + Levenshtein verify
+    "c4_hll_rollup",         # mergeable HLL sketch objects + union rollup
+    "c33_expectations",      # declarative data-quality gate (Deequ-style)
 ]
 
 

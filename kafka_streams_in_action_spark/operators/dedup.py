@@ -682,3 +682,39 @@ def simhash_verdict(documents: DataFrame, max_hamming: int = 3,
         (F.col("n_disagree") == 0).alias("blockings_agree"),
         (F.col("max_h") <= max_hamming).alias("hamming_ok"),
     )
+
+
+def edit_verified_pairs(documents: DataFrame, threshold: float = 0.6,
+                        n: int = 3) -> DataFrame:
+    """C28h: edit-distance VERIFICATION of candidate duplicate pairs — the
+    second stage of the classic block-then-verify fuzzy-dedup pipeline.
+    Shingle containment (stage 1, ngram_containment_pairs) is a set
+    signal: it ignores token order and multiplicity, so a containment hit
+    can still be a very different document. Character-level Levenshtein
+    is the order-sensitive ground truth, but it is O(len²) per pair — at
+    100 TB it can only ever run on a blocked candidate set, never all
+    pairs. This operator is exactly that discipline: candidates from the
+    inverted-index containment join (shuffles only shingle keys and id
+    pairs), then ONE keyed join per side pulls the two texts together and
+    a single JVM `levenshtein` call scores each surviving pair.
+
+    `edit_sim` = 1 − lev / max(len_a, len_b) ∈ [0, 1]: the normalized
+    similarity a keep/drop rule thresholds on. Both the distance and the
+    normalization replay exactly in DuckDB (FULL oracle) — both engines
+    implement classic unit-cost Levenshtein.
+    """
+    pairs = ngram_containment_pairs(documents, threshold=threshold, n=n)
+    ta = documents.select(F.col("doc_id").alias("doc_a"),
+                          F.col("text").alias("text_a"))
+    tb = documents.select(F.col("doc_id").alias("doc_b"),
+                          F.col("text").alias("text_b"))
+    return (
+        pairs.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("lev_dist", F.levenshtein("text_a", "text_b"))
+        .withColumn(
+            "edit_sim",
+            F.round(1.0 - F.col("lev_dist").cast("double")
+                    / F.greatest(F.length("text_a"), F.length("text_b"))
+                      .cast("double"), 6))
+        .select("doc_a", "doc_b", "containment", "lev_dist", "edit_sim")
+    )

@@ -393,3 +393,101 @@ def group_statistics(lineitem: DataFrame) -> DataFrame:
         (F.sqrt(dx / (nd * (nd - 1))) / 1000.0).alias("std_price"),
         (num / (F.sqrt(dx) * F.sqrt(dy))).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+def hll_sketch_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
+    """C4 (sketch objects): Apache DataSketches HLL as a FIRST-CLASS,
+    mergeable column — the architectural upgrade over a one-shot
+    approx_count_distinct. `hll_sketch_agg` materializes one bounded
+    (≈ 2^lg_k bytes) binary sketch per group; `hll_union_agg` merges
+    sketches WITHOUT the raw data. That split is what makes distinct
+    counts rollup-able at 100 TB: sketch once per partition/day at
+    ingest, answer every later cube cell by unioning stored sketches —
+    no rescan, and the same shape the reference's per-partition commit
+    aggregation pins state to a partition (A16).
+
+    Oracle-checkable form (the approx_distinct_customers convention):
+    per-event-type rows carry the EXACT distinct user count plus a
+    sketch-estimate tolerance verdict, and the 'ALL' row additionally
+    asserts the deterministic merge identity — estimating the UNION of
+    the per-type sketches must equal sketching the whole table directly
+    (same lg_k ⇒ identical register state), the property that makes the
+    stored-sketch rollup trustworthy rather than merely plausible.
+    """
+    est = "CAST(hll_sketch_estimate({sk}) AS DOUBLE)"
+    per = events.groupBy("event_type").agg(
+        F.expr(f"hll_sketch_agg(user_id, {lg_k})").alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+        F.count(F.lit(1)).alias("n_events"))
+    per_rows = per.select(
+        "event_type", "n_exact", "n_events",
+        (F.abs(F.expr(est.format(sk="sk")) - F.col("n_exact"))
+         <= 0.05 * F.col("n_exact")).alias("sketch_ok"))
+    merged = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+         .alias("est_merged"))
+    direct = events.agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(est.format(sk=f"hll_sketch_agg(user_id, {lg_k})"))
+         .alias("est_direct"))
+    all_row = (
+        direct.crossJoin(F.broadcast(merged))
+        .select(F.lit("ALL").alias("event_type"), "n_exact", "n_events",
+                ((F.abs(F.col("est_merged") - F.col("n_exact"))
+                  <= 0.05 * F.col("n_exact"))
+                 & (F.col("est_merged") == F.col("est_direct")))
+                .alias("sketch_ok")))
+    return per_rows.unionAll(all_row)
+
+
+def expectation_report(orders: DataFrame) -> DataFrame:
+    """C33d: declarative data-quality EXPECTATIONS — the Deequ-style
+    validation gate a pipeline runs before letting a batch into the
+    training set (the assertion layer on top of C33c's descriptive
+    profile: the profile tells you what the data looks like, this tells
+    you whether it is ALLOWED in). Six canonical check shapes over
+    orders — not-null, key uniqueness, positive range, closed value set,
+    date bounds, regex format — one row per check with violation count,
+    pass rate, and the boolean a scheduler would gate on.
+
+    Scale shape: every per-row predicate folds into ONE map-side
+    aggregation pass (conditional sums — no per-check scan, no shuffle
+    beyond the final 1-row combine); the uniqueness check rides the same
+    pass as a count(distinct) expand. The 1-row aggregate then unpivots
+    to per-check rows with `stack` — driver never materializes anything.
+    FULL oracle."""
+    viol = [
+        ("orderkey_not_null",
+         F.sum(F.col("o_orderkey").isNull().cast("long"))),
+        ("orderkey_unique",
+         F.count(F.lit(1)) - F.countDistinct("o_orderkey")),
+        ("totalprice_positive",
+         F.sum((~(F.col("o_totalprice") > 0)).cast("long"))),
+        ("status_in_set",
+         F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long"))),
+        ("orderdate_in_range",
+         # deliberately the classic TPC-H bound: the synthetic data runs
+         # to 2001, so this check REPORTS violations — proving the gate
+         # detects, not just rubber-stamps
+         F.sum((~F.col("o_orderdate").between("1992-01-01", "1998-12-31"))
+               .cast("long"))),
+        ("priority_format",
+         F.sum((~F.col("o_orderpriority").rlike("^[1-5]-[A-Z]"))
+               .cast("long"))),
+    ]
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[expr.alias(f"v{i}") for i, (_, expr) in enumerate(viol)])
+    stack_args = ", ".join(
+        f"'{name}', v{i}" for i, (name, _) in enumerate(viol))
+    return (
+        agg.selectExpr(
+            "n_rows",
+            f"stack({len(viol)}, {stack_args}) AS (check, n_violations)")
+        .select(
+            "check", "n_rows", "n_violations",
+            F.round(1.0 - F.col("n_violations").cast("double")
+                    / F.col("n_rows"), 6).alias("pass_rate"),
+            (F.col("n_violations") == 0).alias("passed"))
+    )

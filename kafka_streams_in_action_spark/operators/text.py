@@ -376,9 +376,16 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     tf from the whitespace tokenizer, df over distinct (doc, term), N as a
     1-row broadcast scalar; score = tf·ln(N/df). Scores quantize to integer
     micro-units BEFORE ranking so both engines rank the same order even at
-    log-ulp drift, with the term string as the total-order tie-break. All
-    shuffles key on term or doc_id; the per-doc top-k is a keyed window,
-    no global sort.
+    log-ulp drift, with the term string as the total-order tie-break.
+
+    Scale shape: the df(term) table is |vocab| rows of (string, long) —
+    orders of magnitude smaller than the (doc, term) tf table — and term
+    frequencies are Zipfian, so hash-joining tf on term would both
+    re-shuffle the big side AND skew it onto the hot-term reducers. The
+    explicit broadcast removes that shuffle entirely (measured: the 10×
+    probe's worst text-family growth came from exactly this exchange);
+    the only remaining tf-sized exchanges are the tf aggregation itself
+    and the per-doc top-k window, both keyed on doc_id-bearing keys.
     """
     from pyspark.sql import Window
 
@@ -389,7 +396,7 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(df_, "term").crossJoin(n)
+        tf.join(F.broadcast(df_), "term").crossJoin(n)
         .withColumn(
             "tfidf_micro",
             F.floor(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))

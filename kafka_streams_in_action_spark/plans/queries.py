@@ -38,8 +38,8 @@ from ..functions.serde import (
     wire_schema_id, wire_payload, wire_payload_proto,
 )
 from ..operators import (
-    dedup, event_time, joins, multimodal, relational, sampling, scalars,
-    setops, similarity, text, udx, windows,
+    dedup, event_time, joins, layout, multimodal, relational, sampling,
+    scalars, setops, similarity, text, udx, windows,
 )
 from ..sources.parquet import load_table
 
@@ -564,6 +564,42 @@ topk AS (
         FROM scored) WHERE rn <= 5)
 """
 
+# C37 Z-order layout: the bounds/quantize/interleave arithmetic, generated
+# by the SAME helpers the Spark side compiles (operators/layout.py) so both
+# engines evaluate identical expressions. epoch_ms is DuckDB's spelling of
+# Spark's unix_millis (both truncate micros toward zero).
+_ZORDER_CTE = f"""
+b AS (SELECT min(user_id) AS u_min, max(user_id) AS u_max,
+             min(epoch_ms(ts)) AS t_min, max(epoch_ms(ts)) AS t_max
+      FROM events),
+ec AS (SELECT event_id, user_id, epoch_ms(ts) AS t_ms FROM events),
+bk AS (SELECT event_id,
+              {layout.quant_sql('user_id', 'u_min', 'u_max')} AS bu,
+              {layout.quant_sql('t_ms', 't_min', 't_max')} AS bt
+       FROM ec CROSS JOIN b),
+z AS (SELECT event_id, bu, bt,
+             {layout.interleave_sql('bu', 'bt')} AS zval
+      FROM bk)
+"""
+
+# Per-file zone-map stats + the box-overlap rollup shared by both layouts
+# of c37_skipping.
+_ZONE_STATS = """count(*) AS n_rows,
+   min(bu) AS bu_min, max(bu) AS bu_max,
+   min(bt) AS bt_min, max(bt) AS bt_max,
+   sum(CASE WHEN m THEN 1 ELSE 0 END) AS n_matched"""
+
+_ZONE_OVERLAP = (f"bu_max >= {layout.PRED_LO} AND bu_min <= {layout.PRED_HI}"
+                 f" AND bt_max >= {layout.PRED_LO}"
+                 f" AND bt_min <= {layout.PRED_HI}")
+
+_ZONE_ROLLUP = f"""count(*)::BIGINT AS n_files,
+   sum(CASE WHEN {_ZONE_OVERLAP} THEN 1 ELSE 0 END)::BIGINT
+       AS files_scanned,
+   sum(CASE WHEN {_ZONE_OVERLAP} THEN n_rows ELSE 0 END)::BIGINT
+       AS rows_scanned,
+   sum(n_matched)::BIGINT AS rows_matched"""
+
 # The 3-row view → click → purchase funnel with conversion shares — shared
 # verbatim by the batch form (c34_funnel) and its streaming state-machine
 # twin (c34_funnel_stream), which must agree with it exactly under
@@ -674,6 +710,39 @@ def _interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"c36_interval_join_{uuid.uuid4().hex[:8]}"
     q = (
         click_purchase_attribution_stream(
+            spark.readStream.schema(ev.schema).parquet(src))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "user_id", "click_id", "purchase_id", "lag_us")
+
+
+def _outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C36b driver-visible run: the LEFT-OUTER attribution interval join
+    (streaming/joins.py:click_attribution_outer_stream) in availableNow
+    mode. Matched pairs are exact as in c36_interval_join; the NULL rows
+    are eviction events, emitted by the final no-data batch for every
+    unmatched click the advanced watermark proves unmatchable. The
+    oracle replays the emission rule arithmetically: wm_ms =
+    floor_ms(min(max click ts, max purchase ts)) − horizon (Spark's
+    min-of-watermarks policy + ms truncation), null row iff
+    click_ms + horizon < wm_ms — verified empirically to match the
+    operator's own reported watermark at sf0.001/0.01/0.1."""
+    import tempfile
+    import uuid
+
+    from ..streaming.joins import click_attribution_outer_stream
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts")
+    src = tempfile.mkdtemp(prefix="c36_outer_join_src_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    sink = f"c36_outer_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        click_attribution_outer_stream(
             spark.readStream.schema(ev.schema).parquet(src))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(availableNow=True)
@@ -1977,6 +2046,29 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         """),
+    "c36_outer_join": QuerySpec(
+        _outer_join_stream,
+        """
+        WITH c AS (SELECT event_id AS click_id, user_id, ts
+                   FROM events WHERE event_type = 'click'),
+        p AS (SELECT event_id AS purchase_id, user_id, ts
+              FROM events WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT epoch_us(max(ts)) // 1000 FROM c),
+                            (SELECT epoch_us(max(ts)) // 1000 FROM p))
+                      - 3600000 AS wm_ms),
+        matched AS (
+            SELECT c.user_id, c.click_id, p.purchase_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+            FROM c JOIN p ON c.user_id = p.user_id
+                AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        SELECT user_id, click_id, purchase_id, lag_us FROM matched
+        UNION ALL
+        SELECT user_id, click_id, NULL AS purchase_id, NULL AS lag_us
+        FROM c, wm
+        WHERE click_id NOT IN (SELECT click_id FROM matched)
+          AND (epoch_us(ts) // 1000) + 3600000 < wm_ms
+        """),  # null rows are watermark-eviction events; wm replays
+    #   Spark's min-of-watermarks + ms truncation (empirically exact)
     "c34_retention": QuerySpec(
         _t("events")(event_time.cohort_retention),
         """
@@ -2237,6 +2329,73 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM common JOIN sizes sa ON sa.doc_id = doc_a
         WHERE round(n_common / CAST(sa.set_size AS DOUBLE), 6) >= 0.6
         """),
+    "c28_edit_verify": QuerySpec(
+        _t("documents")(dedup.edit_verified_pairs),
+        f"""
+        WITH {_SHINGLE_CTE},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2),
+        cand AS (
+            SELECT doc_a, doc_b,
+                   round(n_common / CAST(sa.set_size AS DOUBLE), 6)
+                       AS containment
+            FROM common JOIN sizes sa ON sa.doc_id = doc_a
+            WHERE round(n_common / CAST(sa.set_size AS DOUBLE), 6) >= 0.6)
+        SELECT doc_a, doc_b, containment,
+               levenshtein(da.text, db.text)::INTEGER AS lev_dist,
+               round(1.0 - levenshtein(da.text, db.text)::DOUBLE
+                     / greatest(length(da.text), length(db.text)), 6)
+                   AS edit_sim
+        FROM cand JOIN documents da ON da.doc_id = doc_a
+                  JOIN documents db ON db.doc_id = doc_b
+        """),  # block-then-verify: Levenshtein only ever on the blocked
+    #   candidate set; both engines implement classic unit-cost edit dist
+    "c33_expectations": QuerySpec(
+        _t("orders")(relational.expectation_report),
+        """
+        WITH v AS (
+            SELECT count(*) AS n_rows,
+                sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+                count(*) - count(DISTINCT o_orderkey) AS v1,
+                sum(CASE WHEN NOT (o_totalprice > 0)
+                         THEN 1 ELSE 0 END) AS v2,
+                sum(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P'))
+                         THEN 1 ELSE 0 END) AS v3,
+                sum(CASE WHEN NOT (o_orderdate BETWEEN '1992-01-01'
+                                   AND '1998-12-31')
+                         THEN 1 ELSE 0 END) AS v4,
+                sum(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                                 '^[1-5]-[A-Z]')
+                         THEN 1 ELSE 0 END) AS v5
+            FROM orders),
+        checks AS (
+            SELECT 'orderkey_not_null' AS ck, n_rows, v0 AS nv FROM v
+            UNION ALL SELECT 'orderkey_unique', n_rows, v1 FROM v
+            UNION ALL SELECT 'totalprice_positive', n_rows, v2 FROM v
+            UNION ALL SELECT 'status_in_set', n_rows, v3 FROM v
+            UNION ALL SELECT 'orderdate_in_range', n_rows, v4 FROM v
+            UNION ALL SELECT 'priority_format', n_rows, v5 FROM v)
+        SELECT ck AS "check", n_rows, nv AS n_violations,
+               round(1.0 - nv::DOUBLE / n_rows, 6) AS pass_rate,
+               nv = 0 AS passed
+        FROM checks
+        """),  # the date-range check deliberately uses the classic TPC-H
+    #   bound against 1995-2001 data: the gate must DETECT violations
+    "c4_hll_rollup": QuerySpec(
+        _t("events")(relational.hll_sketch_rollup),
+        """
+        SELECT event_type, count(DISTINCT user_id) AS n_exact,
+               count(*) AS n_events, true AS sketch_ok
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS n_exact,
+               count(*) AS n_events, true AS sketch_ok
+        FROM events
+        """),  # exact counts hash-matched; the sketch verdicts (5% bound
+    #   AND merged-union == direct-sketch identity) verified in-query
     "c34_rolling": QuerySpec(
         _t("events")(event_time.rolling_user_activity),
         """
@@ -2493,6 +2652,41 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                    (a,b) -> a + b)::DOUBLE / n) AS rms
         FROM a
         """),
+
+    # ------------------------------------------------------------------
+    # Data layout (C37): Z-order clustering + min/max skipping. The
+    # quantization/interleave SQL text comes from the SAME generators the
+    # Spark side compiles (operators/layout.py) — both engines run
+    # literally identical arithmetic; the only per-engine token is the
+    # epoch-millis accessor (unix_millis vs epoch_ms).
+    # ------------------------------------------------------------------
+    "c37_zorder": QuerySpec(
+        _t("events")(layout.zorder_key),
+        f"""
+        WITH {_ZORDER_CTE}
+        SELECT event_id, bu, bt, zval,
+               zval >> {2 * layout.BITS - layout.FILE_BITS} AS zfile
+        FROM z
+        """),
+    "c37_skipping": QuerySpec(
+        _t("events")(layout.skipping_report),
+        f"""
+        WITH {_ZORDER_CTE},
+        tagged AS (
+            SELECT *, (bu BETWEEN {layout.PRED_LO} AND {layout.PRED_HI}
+                       AND bt BETWEEN {layout.PRED_LO} AND {layout.PRED_HI})
+                      AS m
+            FROM z),
+        lin AS (SELECT bt >> {layout.BITS - layout.FILE_BITS} AS file_id,
+                       {_ZONE_STATS} FROM tagged GROUP BY 1),
+        zf AS (SELECT zval >> {2 * layout.BITS - layout.FILE_BITS} AS file_id,
+                      {_ZONE_STATS} FROM tagged GROUP BY 1)
+        SELECT 'linear_ts' AS layout, {_ZONE_ROLLUP} FROM lin
+        UNION ALL
+        SELECT 'zorder' AS layout, {_ZONE_ROLLUP} FROM zf
+        """),  # the operator's own benchmark: z-order scans the 16 tiles
+    #   under the 2-D predicate box (= exactly the matched rows); the
+    #   time-linear layout must read all 64 slices the time range touches
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -2518,6 +2712,7 @@ _ROUND5_PRIORITY = [
     "c28_boilerplate", "c29_ivfpq_ann", "c36_interval_join",
     "c35_upsert_stream", "c29_knn_label",
     "c29_minhash_clusters", "c34_funnel_stream",
+    "c37_zorder", "c37_skipping",
     # (2) outputs changed this round
     "c34_rolling", "c34_funnel_windowed", "c29_random_proj",
     "c29_curate_emb",

@@ -122,3 +122,48 @@ def click_purchase_attribution_stream(events: DataFrame,
                 (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
                 .alias("lag_us"))
     )
+
+
+def click_attribution_outer_stream(events: DataFrame,
+                                   horizon: str = "1 hour") -> DataFrame:
+    """C36b: the LEFT-OUTER form of the attribution interval join — every
+    click emits exactly once: either with its attributed purchases (same
+    semantics as click_purchase_attribution_stream) or, once the
+    watermark proves no purchase can still arrive inside the horizon,
+    with NULL purchase columns. This is the streaming operator batch
+    can't imitate with a plain LEFT JOIN: the null row is an *eviction
+    event* — it exists because state GC proved a negative.
+
+    Determinism contract (what the driver oracle replays): under
+    availableNow the final no-data batch advances the watermark to
+    wm = floor_ms(min(max click ts, max purchase ts)) − horizon (Spark's
+    min-of-watermarks policy across the two sides, millisecond
+    truncation), then flushes every unmatched click with
+    click_ts + horizon < wm. Unmatched clicks younger than that stay
+    buffered for the next run (exactly-once across restarts, A17/A21) —
+    the oracle counts them out with the same arithmetic."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", horizon)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", horizon)
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+            "leftOuter")
+        .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+                (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+                .alias("lag_us"))
+    )

@@ -97,6 +97,9 @@ PROBE_QUERIES = [
     "c29_ivfpq_ann",        # composed IVF-PQ incl. both index builds
     "c36_interval_join",    # stream-stream interval join (availableNow)
     "c35_upsert_stream",    # incremental MV maintenance (4 micro-batches)
+    "c37_skipping",         # Z-order vs linear min/max skipping report
+    "c28_edit_verify",      # blocked candidates + Levenshtein verify
+    "c36_outer_join",       # left-outer interval join (eviction events)
 ]
 
 

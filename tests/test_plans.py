@@ -114,6 +114,8 @@ _BNLJ_ALLOWED = {
     "c29_knn_label",        # brute-force reference: 10-row query broadcast
     "c29_minhash_lsh",      # 1-row exact-pair-count verdict scalar
     "c29_semdedup",         # 1-row exact-pair-count verdict scalar
+    "c37_zorder", "c37_skipping",  # 1-row min/max bounds broadcast
+    "c4_hll_rollup",        # 1-row merged-sketch estimate broadcast
     "c29_outliers",         # 1-row mean vector + 1-row moment scalars
     "c29_curate_emb",       # inherits c29_outliers' scalar broadcasts
     "c30_lm_xent",          # 1-row vocabulary-size scalar
@@ -153,7 +155,7 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c29_ivfpq_ann",
                     # execute the availableNow stream at build time by design
                     "c34_funnel_stream", "c36_interval_join",
-                    "c35_upsert_stream"):
+                    "c36_outer_join", "c35_upsert_stream"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)

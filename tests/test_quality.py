@@ -503,3 +503,52 @@ def test_knn_classify_ann_form_agrees_with_exact(spark):
     assert len(ann) == 10 and len(exact) == 10
     agree = sum(ann[q] == exact[q] for q in exact)
     assert agree >= 6, (agree, exact, ann)
+
+
+def test_zorder_skipping_payoff(spark):
+    """C37: the operator's own benchmark claim — under the 2-D quarter-box
+    predicate the Z-order layout scans exactly the matching rows (every
+    scanned tile lies inside the box), while the time-linear layout must
+    read every time slice the box touches (> 2x the rows). rows_matched
+    is layout-invariant."""
+    from kafka_streams_in_action_spark.operators import layout
+
+    ev = load_table(spark, "events", SF_DIR)
+    rep = {r["layout"]: r for r in layout.skipping_report(ev).collect()}
+    lin, z = rep["linear_ts"], rep["zorder"]
+    assert lin["rows_matched"] == z["rows_matched"] > 0
+    assert z["rows_scanned"] == z["rows_matched"]  # tiles nest in the box
+    assert lin["rows_scanned"] > 2 * z["rows_scanned"]
+    assert z["files_scanned"] < lin["files_scanned"]
+
+
+def test_zorder_key_is_shuffle_free(spark):
+    """C37 plan: computing Z-values is scan + 1-row bounds broadcast +
+    codegen'd integer expressions — no hash shuffle anywhere (the thing
+    the top-bits file assignment buys over rank-based assignment)."""
+    from kafka_streams_in_action_spark.operators import layout
+
+    df = layout.zorder_key(load_table(spark, "events", SF_DIR))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_write_zordered_files_are_disjoint_zval_ranges(spark, tmp_path):
+    """C37 materialization: repartitionByRange(zval) + in-file sort gives
+    parquet files whose zval ranges DON'T overlap — the property that
+    lets footer min/max stats prune whole files for any zval interval."""
+    from pyspark.sql import functions as F
+    from kafka_streams_in_action_spark.operators import layout
+
+    ev = load_table(spark, "events", SF_DIR)
+    path = str(tmp_path / "zordered")
+    layout.write_zordered(ev, path, n_files=8)
+    back = (spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("zval").alias("lo"), F.max("zval").alias("hi"),
+                 F.count(F.lit(1)).alias("n")))
+    spans = sorted((r["lo"], r["hi"]) for r in back.collect())
+    assert sum(1 for _ in spans) >= 2
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans
