@@ -68,6 +68,7 @@ HEADLINE = [
     "c28_edit_verify",       # blocked candidates + Levenshtein verify
     "c4_hll_rollup",         # mergeable HLL sketch objects + union rollup
     "c33_expectations",      # declarative data-quality gate (Deequ-style)
+    "c29_ivf_ingest",        # incremental IVF maintenance (frozen cells)
 ]
 
 

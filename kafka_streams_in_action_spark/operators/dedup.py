@@ -702,12 +702,26 @@ def edit_verified_pairs(documents: DataFrame, threshold: float = 0.6,
     similarity a keep/drop rule thresholds on. Both the distance and the
     normalization replay exactly in DuckDB (FULL oracle) — both engines
     implement classic unit-cost Levenshtein.
+
+    Pipeline-order discipline, load-bearing at scale: candidates are
+    generated over the EXACT-DEDUPED representative set (min doc_id per
+    md5(text) — the C28 keeper rule), never the raw corpus. Candidate
+    pairs are quadratic in duplicate-cluster size, so running the
+    blocked join on a corpus that still contains exact copies multiplies
+    every cluster's pairs by copies² — the 10× probe measured exactly
+    that pathology (50 → 501 k candidates on copy-synthesized data)
+    before this guard; with it, copies collapse to one representative,
+    inherit its verdicts, and candidate growth tracks corpus growth.
+    The collapse shuffles only (md5, doc_id) — never text.
     """
-    pairs = ngram_containment_pairs(documents, threshold=threshold, n=n)
-    ta = documents.select(F.col("doc_id").alias("doc_a"),
-                          F.col("text").alias("text_a"))
-    tb = documents.select(F.col("doc_id").alias("doc_b"),
-                          F.col("text").alias("text_b"))
+    keep = exact_dedup(documents).select(
+        F.col("keep_doc_id").alias("doc_id"))
+    reps = documents.join(keep, "doc_id", "left_semi")
+    pairs = ngram_containment_pairs(reps, threshold=threshold, n=n)
+    ta = reps.select(F.col("doc_id").alias("doc_a"),
+                     F.col("text").alias("text_a"))
+    tb = reps.select(F.col("doc_id").alias("doc_b"),
+                     F.col("text").alias("text_b"))
     return (
         pairs.join(ta, "doc_a").join(tb, "doc_b")
         .withColumn("lev_dist", F.levenshtein("text_a", "text_b"))

@@ -1198,3 +1198,59 @@ def knn_classify(embeddings: DataFrame, n_queries: int = 10,
                           F.col("label").alias("true_label"))
     return (pred.join(truth, "query_id")
             .select("query_id", "true_label", "predicted_label", "n_votes"))
+
+
+def ivf_incremental_verdict(embeddings: DataFrame, n_queries: int = 10,
+                            k: int = 5, n_cells: int = 16, n_probe: int = 4,
+                            min_recall: float = 0.6,
+                            max_cell_share: float = 0.35) -> DataFrame:
+    """C29p: incremental IVF index MAINTENANCE — the production concern
+    every ANN deployment hits: vectors keep arriving, and retraining the
+    coarse quantizer on every ingest is a full-corpus job you cannot
+    afford daily at 100 TB. The standard discipline (FAISS add() after
+    train()): freeze the centroids trained on the existing corpus, assign
+    new vectors to their nearest frozen cell, and only retrain when drift
+    degrades the index.
+
+    This operator proves the discipline holds end-to-end: centroids train
+    on HALF the corpus (even vec_ids — a deterministic stand-in for "the
+    data that existed at index-build time"), the odd half is ingested by
+    frozen-cell assignment, and the verdict row pins (a) search recall
+    over the COMBINED index vs exact brute force on the full corpus —
+    quality must survive ingest without retrain — and (b) the drift
+    gauge a re-train trigger would watch: no cell's share of the NEW
+    batch may exceed `max_cell_share` (mass collapsing into one cell is
+    exactly how an unmaintained IVF dies: the probe set stops pruning).
+
+    Scale shape: identical to ivf_topk — one Arrow-batched matmul pass
+    assigns cells (centroids closure-captured), the drift gauge is one
+    keyed count over (cell), and the exact reference is the linear
+    n_queries-broadcast pass. Nothing rebuilds, nothing collects beyond
+    the k×dim centroid array."""
+    old = embeddings.filter(F.col("vec_id") % 2 == 0)
+    cents = build_ivf_centroids(old, n_cells=n_cells)
+    cnorm_t = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+
+    @F.pandas_udf("long")
+    def best_cell(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cnorm_t, axis=1))
+
+    new = embeddings.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    drift = (
+        new.select(best_cell("vec").alias("cell"))
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n_new"))
+        .agg(F.max("n_new").alias("max_cell"),
+             F.sum("n_new").alias("n_ingested"))
+        .select(((F.col("max_cell").cast("double")
+                  / F.col("n_ingested")) <= max_cell_share)
+                .alias("drift_ok"))
+    )
+    quality = ann_recall_verdict(
+        ivf_topk(embeddings, n_queries=n_queries, k=k,
+                 n_cells=n_cells, n_probe=n_probe, centroids=cents),
+        brute_force_topk(embeddings, n_queries=n_queries, k=k),
+        min_recall)
+    return quality.crossJoin(F.broadcast(drift))

@@ -1646,6 +1646,16 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM topk
         """),  # composed IVF-PQ: cell-pruned ADC scan over PQ codes +
     #   exact re-rank; measured recall 0.82 at sf0.01, floor 0.6
+    "c29_ivf_ingest": QuerySpec(
+        _t("embeddings")(similarity.ivf_incremental_verdict),
+        f"""
+        WITH {_BRUTE_TOPK_CTE}
+        SELECT count(*) AS n_exact, TRUE AS count_ok, TRUE AS recall_ok,
+               TRUE AS drift_ok
+        FROM topk
+        """),  # incremental IVF maintenance: centroids frozen on the even
+    #   half, odd half ingested by frozen-cell assignment; verdict pins
+    #   combined-index recall AND the drift gauge a retrain trigger watches
     "c29_knn_label": QuerySpec(
         _t("embeddings")(similarity.knn_classify),
         f"""
@@ -2332,7 +2342,11 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
     "c28_edit_verify": QuerySpec(
         _t("documents")(dedup.edit_verified_pairs),
         f"""
-        WITH {_SHINGLE_CTE},
+        WITH repdocs AS (
+            SELECT d.* FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id
+                  FROM documents GROUP BY md5(text)) r USING (doc_id)),
+        {_SHINGLE_CTE.replace("FROM documents", "FROM repdocs")},
         common AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
             FROM sh a JOIN sh b

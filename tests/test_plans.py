@@ -112,6 +112,7 @@ _BNLJ_ALLOWED = {
     "c29_lsh_ann", "c29_ivf_ann", "c29_pq_ann",  # same + 1-row verdict agg
     "c29_ivfpq_ann",        # same 10-row query set + 1-row verdict agg
     "c29_knn_label",        # brute-force reference: 10-row query broadcast
+    "c29_ivf_ingest",       # same + 1-row drift-gauge broadcast
     "c29_minhash_lsh",      # 1-row exact-pair-count verdict scalar
     "c29_semdedup",         # 1-row exact-pair-count verdict scalar
     "c37_zorder", "c37_skipping",  # 1-row min/max bounds broadcast
@@ -150,7 +151,7 @@ def test_no_driver_side_collect_in_queries(spark):
     before = tracker.getJobIdsForGroup(None)
     for name, spec in QUERIES.items():
         if name in ("c29_ivf_ann", "c29_dup_clusters", "c29_minhash_clusters",
-                    "c29_semdedup", "c29_pca", "c29_pq_ann",
+                    "c29_semdedup", "c29_pca", "c29_pq_ann", "c29_ivf_ingest",
                     # composed IVF-PQ builds both bounded index artifacts
                     "c29_ivfpq_ann",
                     # execute the availableNow stream at build time by design

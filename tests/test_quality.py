@@ -552,3 +552,16 @@ def test_write_zordered_files_are_disjoint_zval_ranges(spark, tmp_path):
     assert sum(1 for _ in spans) >= 2
     for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 <= lo2, spans
+
+
+def test_ivf_incremental_drift_gauge_detects(spark):
+    """C29p: the drift gauge must be a real detector — with an absurdly
+    tight share bound it reports drift, with the default it passes, and
+    the combined-index recall verdict holds with half-trained frozen
+    centroids."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    ok = similarity.ivf_incremental_verdict(emb).collect()[0]
+    assert ok["recall_ok"] and ok["count_ok"] and ok["drift_ok"]
+    tight = similarity.ivf_incremental_verdict(
+        emb, max_cell_share=0.01).collect()[0]
+    assert not tight["drift_ok"]

@@ -496,3 +496,42 @@ def test_mv_maintenance_invariant_to_batch_split(spark, tmp_path):
         results.append(got)
         _assert_same(batch, got)
     _assert_same(results[0], results[1])
+
+
+def test_interval_join_state_is_bounded_by_horizon(spark, tmp_path):
+    """C36 state-GC evidence: with the events log split into many
+    micro-batches (maxFilesPerTrigger=1 over time-ordered files), the
+    interval join's state store must hold ~horizon × arrival-rate rows at
+    any moment — NOT the whole history. This is the property that lets
+    the join run forever at 100 TB/day: the final-batch state row count
+    stays a small fraction of total input, because every batch's
+    watermark advance evicts the rows older than (wm − horizon)."""
+    from pyspark.sql import Window
+
+    ev = (load_table(spark, "events", SF_DIR)
+          .select("event_id", "user_id", "event_type", "ts")
+          .orderBy("ts"))
+    n_total = ev.count()
+    src = str(tmp_path / "src")
+    # 8 time-ordered files → 8 real micro-batches, watermark advances 7×
+    ev.withColumn("b", F.ntile(8).over(Window.orderBy("ts")))\
+      .repartition(1).sortWithinPartitions("ts")\
+      .write.partitionBy("b").mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, event_type string, "
+                      "ts timestamp, b int")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/b=*"))
+    from kafka_streams_in_action_spark.streaming.joins import (
+        click_purchase_attribution_stream)
+    q = (click_purchase_attribution_stream(
+            stream.drop("b"), horizon="1 hour")
+         .writeStream.format("memory").queryName("state_bound_probe")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    prog = q.lastProgress
+    state_rows = sum(op["numRowsTotal"] for op in prog["stateOperators"])
+    # clicks+purchases ≈ 40% of events over 30 days; 1h horizon ⇒ the
+    # buffered tail is ≲ a couple of batch spans, far below the full log
+    assert state_rows < 0.25 * n_total, (state_rows, n_total)
+    assert state_rows > 0
