@@ -69,6 +69,7 @@ HEADLINE = [
     "c4_hll_rollup",         # mergeable HLL sketch objects + union rollup
     "c33_expectations",      # declarative data-quality gate (Deequ-style)
     "c29_ivf_ingest",        # incremental IVF maintenance (frozen cells)
+    "c34_sessionize",        # per-event gap sessionization (lag+cumsum)
 ]
 
 

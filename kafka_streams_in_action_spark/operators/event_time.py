@@ -279,3 +279,34 @@ def rolling_user_activity(events: DataFrame, days: int = 7) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing"),
         (F.sum(micro).over(w).cast("double") / 1e6).alias("sum_trailing"))
 
+
+
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """C34f: per-EVENT sessionization — assign every event its session
+    ordinal, the enrichment form of C24's session_window aggregate (the
+    aggregate tells you sessions exist; this labels each raw event with
+    one, which is what funnel/journey analysis joins against). The
+    classic lag + cumulative-sum: an event opens a new session when its
+    gap from the user's previous event exceeds `gap_minutes`; the running
+    count of openings IS the session ordinal.
+
+    Precision: the gap compares exact integer microseconds (unix_micros —
+    the joins.py contract; second-truncation at the gap boundary is the
+    c34_rolling bug class ADVICE r4 flagged). Both window passes key on
+    user_id — no unpartitioned window, state bounded per user. FULL
+    oracle (lag/cumsum replay identically in DuckDB)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev = F.lag(us).over(w)
+    opens = (prev.isNull()
+             | ((us - prev) > gap_minutes * 60 * 1_000_000)).cast("long")
+    return (
+        events.select(
+            "event_id", "user_id", "event_type",
+            opens.alias("opens_session"),
+            F.sum(opens).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+             .alias("session_seq"))
+        .select("event_id", "user_id", "event_type", "session_seq",
+                (F.col("opens_session") == 1).alias("is_session_start"))
+    )

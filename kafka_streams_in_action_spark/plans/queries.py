@@ -2079,6 +2079,26 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
           AND (epoch_us(ts) // 1000) + 3600000 < wm_ms
         """),  # null rows are watermark-eviction events; wm replays
     #   Spark's min-of-watermarks + ms truncation (empirically exact)
+    "c34_sessionize": QuerySpec(
+        _t("events")(event_time.sessionize_events),
+        """
+        WITH s AS (
+            SELECT event_id, user_id, event_type, ts,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS opens
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT event_id, user_id, event_type,
+               sum(opens) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_seq,
+               opens = 1 AS is_session_start
+        FROM s
+        """),  # per-event gap sessionization; gap compared in exact
+    #   integer microseconds on both sides (the joins.py precision rule)
     "c34_retention": QuerySpec(
         _t("events")(event_time.cohort_retention),
         """
@@ -2722,6 +2742,11 @@ _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
 # recent driver check is r3+ against current-layout testdata.
 # ---------------------------------------------------------------------------
 _ROUND5_PRIORITY = [
+    # NOTE for round 6: six queries landed AFTER this 50-row window
+    # filled (pytest-oracle-green at sf0.001, focused-checked green at
+    # sf0.01, but not yet driver-recorded): c28_edit_verify,
+    # c4_hll_rollup, c36_outer_join, c33_expectations, c29_ivf_ingest,
+    # c34_sessionize. Put them at the head of _ROUND6_PRIORITY.
     # (1) new this round
     "c28_boilerplate", "c29_ivfpq_ann", "c36_interval_join",
     "c35_upsert_stream", "c29_knn_label",
