@@ -55,3 +55,37 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     the exchange-free plan comes from the storage layout, not hints."""
     lt, rt = spark.table(left_table), spark.table(right_table)
     return lt.join(rt, on=key, how=how)
+
+
+def compact_parquet(spark: SparkSession, src: str, dst: str,
+                    target_rows_per_file: int,
+                    order_col: str | None = None) -> dict:
+    """Small-file compaction — the OPTIMIZE half of the layout toolkit
+    (write_zordered in operators/layout.py is the CLUSTER half). A
+    streaming ingest or an over-parallel writer leaves thousands of tiny
+    files; at 100 TB that means a task (plus an open/footer-read) per
+    file, and the NameNode/listing cost dominates the scan. Compaction
+    rewrites the directory into ~n_rows/target files — paid once, like
+    every other layout decision in this module.
+
+    `order_col` preserves (or imposes) an ordering during the rewrite via
+    repartitionByRange + in-file sort, so compaction COMPOSES with the
+    Z-order/bucket layouts instead of destroying their min/max stats;
+    without it the rewrite is a pure coalesce-shaped repartition (one
+    round-robin exchange, no sort). Returns a before/after report dict —
+    the numbers an operator dashboard would alert on."""
+    df = spark.read.parquet(src)
+    n_rows = df.count()
+    n_before = df.rdd.getNumPartitions()
+    import glob as _glob
+    files_before = len(_glob.glob(f"{src}/*.parquet"))
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    if order_col is not None:
+        out = (df.repartitionByRange(n_files, order_col)
+               .sortWithinPartitions(order_col))
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    files_after = len(_glob.glob(f"{dst}/*.parquet"))
+    return {"n_rows": n_rows, "files_before": files_before,
+            "files_after": files_after, "scan_partitions_before": n_before}

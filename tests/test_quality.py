@@ -565,3 +565,52 @@ def test_ivf_incremental_drift_gauge_detects(spark):
     tight = similarity.ivf_incremental_verdict(
         emb, max_cell_share=0.01).collect()[0]
     assert not tight["drift_ok"]
+
+
+def test_interleave_sql_n_three_dims_roundtrips(spark):
+    """C37: the N-D Morton generator must be invertible — bit i of input
+    j sits at bit 3i+j of the z-value — and the 2-D wrapper must emit
+    byte-identical SQL to the original two-column form."""
+    from kafka_streams_in_action_spark.operators import layout
+
+    assert layout.interleave_sql("a", "b") == layout.interleave_sql_n(
+        ["a", "b"])
+    df = spark.range(64).selectExpr(
+        "id % 4 AS a", "(id DIV 4) % 4 AS b", "(id DIV 16) % 4 AS c")
+    z = df.selectExpr(
+        "a", "b", "c",
+        layout.interleave_sql_n(["a", "b", "c"], bits=2) + " AS z")
+    decode = [f"((z >> {3 * i + j}) & 1) << {i}"
+              for j in range(3) for i in range(2)]
+    back = z.selectExpr(
+        "a", "b", "c",
+        f"({decode[0]}) | ({decode[1]}) AS a2",
+        f"({decode[2]}) | ({decode[3]}) AS b2",
+        f"({decode[4]}) | ({decode[5]}) AS c2")
+    for r in back.collect():
+        assert (r["a"], r["b"], r["c"]) == (r["a2"], r["b2"], r["c2"]), r
+
+
+def test_compact_parquet_reduces_files_and_preserves_data(spark, tmp_path):
+    """Layout ops compose: a fragmented 64-file write compacts to the
+    target file count, row-for-row identical, and with order_col the
+    rewritten files have disjoint ranges (stats survive compaction)."""
+    from pyspark.sql import functions as F
+    from kafka_streams_in_action_spark.sources.bucketed import (
+        compact_parquet)
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    ev = load_table(spark, "events", SF_DIR).select("event_id", "user_id")
+    ev.repartition(64).write.parquet(src)
+    rep = compact_parquet(spark, src, dst, target_rows_per_file=300,
+                          order_col="event_id")
+    assert rep["files_before"] >= 32
+    assert rep["files_after"] < rep["files_before"] / 4
+    back = spark.read.parquet(dst)
+    assert back.count() == rep["n_rows"] == ev.count()
+    assert back.exceptAll(ev).count() == 0
+    spans = sorted((r["lo"], r["hi"]) for r in back.groupBy(
+        F.input_file_name()).agg(F.min("event_id").alias("lo"),
+                                 F.max("event_id").alias("hi")).collect())
+    for (l1, h1), (l2, _) in zip(spans, spans[1:]):
+        assert h1 <= l2
