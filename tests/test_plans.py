@@ -504,3 +504,17 @@ def test_q3_fact_fact_join_never_broadcasts_lineitem(spark):
     # exactly one broadcast: the customer build side
     assert tree.count("BroadcastExchange") == 1
     assert "lineitem.parquet" in plan, "lineitem scan missing from plan"
+
+
+def test_tfidf_df_join_broadcasts(spark):
+    """c30_tfidf scale fix (r5): the df(term) side must broadcast into the
+    tf join — hash-joining the big (doc, term) table on a Zipf-skewed
+    low-cardinality term domain was the worst text-family growth in the
+    10x probe (5.26x -> 2.05x with the broadcast)."""
+    from kafka_streams_in_action_spark.operators import text
+    from kafka_streams_in_action_spark.sources.parquet import load_table
+
+    df = text.tfidf_top_terms(load_table(spark, "documents", SF_DIR))
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
