@@ -688,7 +688,8 @@ def pq_topk(embeddings: DataFrame, n_queries: int = 10, k_nn: int = 5,
     @F.pandas_udf("double")
     def adc(qvecs: pd.Series, codes: pd.Series) -> pd.Series:
         qx = np.vstack(qvecs.to_numpy())
-        qx = qx / np.linalg.norm(qx, axis=1, keepdims=True)
+        qx = qx / np.maximum(
+            np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
         cx = np.vstack(codes.to_numpy()).astype(np.int64)
         out = np.zeros(len(qx))
         for j in range(m):
@@ -765,13 +766,18 @@ def ivfpq_topk(embeddings: DataFrame, n_queries: int = 10, k_nn: int = 5,
     books = codebooks if codebooks is not None \
         else build_pq_codebooks(embeddings, m=m, k=k)
     sub = books.shape[2]
-    cnorm_t = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+    # epsilon-guarded norms throughout (a zero vector must yield cell 0 /
+    # code 0 / distance 0, never NaN) — same guard as ivf_incremental's
+    # best_cell UDF.
+    cnorm_t = (cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)).T
 
     @F.pandas_udf("struct<cell:long, codes:array<long>>")
     def cell_and_codes(vecs: pd.Series) -> pd.DataFrame:
         x = np.vstack(vecs.to_numpy())
         cell = np.argmax(x @ cnorm_t, axis=1)
-        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        xn = x / np.maximum(
+            np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         codes = np.empty((x.shape[0], m), dtype=np.int64)
         for j in range(m):
             xs = xn[:, j * sub:(j + 1) * sub]
@@ -797,7 +803,8 @@ def ivfpq_topk(embeddings: DataFrame, n_queries: int = 10, k_nn: int = 5,
     @F.pandas_udf("double")
     def adc(qvecs: pd.Series, codes: pd.Series) -> pd.Series:
         qx = np.vstack(qvecs.to_numpy())
-        qx = qx / np.linalg.norm(qx, axis=1, keepdims=True)
+        qx = qx / np.maximum(
+            np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
         cx = np.vstack(codes.to_numpy()).astype(np.int64)
         out = np.zeros(len(qx))
         for j in range(m):

@@ -629,6 +629,18 @@ FROM f
 """
 
 
+def _await_bounded(q, timeout_sec: int = 300) -> None:
+    """Wait for an availableNow query to finish; on timeout, stop it and
+    raise. Without this check a hung stream would fall through to reading
+    a PARTIAL sink and surface as a confusing driver hash mismatch
+    instead of the real error."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow stream {q.name or q.id} did not finish "
+            f"within {timeout_sec}s; sink is partial")
+
+
 def _funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C34 streaming twin, driver-visible: run the keyed funnel state
     machine (streaming/stateful.py:funnel_state_stream,
@@ -662,7 +674,7 @@ def _funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("update").trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_bounded(q)
     # final state per user = max emitted stage (stages are monotone);
     # stage 0 rows are users who never completed stage 1 (e.g. clicks with
     # no prior view) — excluded from the funnel, same as the batch form.
@@ -715,7 +727,7 @@ def _interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("append").trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_bounded(q)
     return spark.table(sink).select(
         "user_id", "click_id", "purchase_id", "lag_us")
 
@@ -748,7 +760,7 @@ def _outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("append").trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_bounded(q)
     return spark.table(sink).select(
         "user_id", "click_id", "purchase_id", "lag_us")
 
@@ -2078,7 +2090,13 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         WHERE click_id NOT IN (SELECT click_id FROM matched)
           AND (epoch_us(ts) // 1000) + 3600000 < wm_ms
         """),  # null rows are watermark-eviction events; wm replays
-    #   Spark's min-of-watermarks + ms truncation (empirically exact)
+    #   Spark's min-of-watermarks + ms truncation (empirically exact).
+    #   BOUNDARY ASSUMPTION: eviction is STRICT — a click with
+    #   click_ms + horizon == wm_ms stays buffered; only strictly older
+    #   state flushes. Pinned by a synthetic boundary-collision test
+    #   (tests/test_streaming.py::
+    #   test_outer_attribution_eviction_boundary_is_strict), so a Spark
+    #   upgrade flipping the inequality fails pytest, not the driver.
     "c34_sessionize": QuerySpec(
         _t("events")(event_time.sessionize_events),
         """

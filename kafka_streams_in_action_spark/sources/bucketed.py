@@ -76,9 +76,10 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
     the numbers an operator dashboard would alert on."""
     df = spark.read.parquet(src)
     n_rows = df.count()
-    n_before = df.rdd.getNumPartitions()
-    import glob as _glob
-    files_before = len(_glob.glob(f"{src}/*.parquet"))
+    # inputFiles() goes through the Hadoop FileSystem abstraction, so the
+    # counts are correct for hdfs://, s3a://, file:// alike (a local glob
+    # would silently report 0 off-box), and no RDD conversion is forced.
+    files_before = len(df.inputFiles())
     n_files = max(1, -(-n_rows // target_rows_per_file))
     if order_col is not None:
         out = (df.repartitionByRange(n_files, order_col)
@@ -86,6 +87,6 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
     else:
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(dst)
-    files_after = len(_glob.glob(f"{dst}/*.parquet"))
+    files_after = len(spark.read.parquet(dst).inputFiles())
     return {"n_rows": n_rows, "files_before": files_before,
-            "files_after": files_after, "scan_partitions_before": n_before}
+            "files_after": files_after}

@@ -244,7 +244,11 @@ def user_activity_mv(spark: SparkSession, src_dir: str, schema,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "user_activity_mv availableNow stream did not finish in 300s; "
+            "parquet sink is partial")
 
     mv = spark.read.parquet(out_dir)
     w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())

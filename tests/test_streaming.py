@@ -535,3 +535,43 @@ def test_interval_join_state_is_bounded_by_horizon(spark, tmp_path):
     # buffered tail is ≲ a couple of batch spans, far below the full log
     assert state_rows < 0.25 * n_total, (state_rows, n_total)
     assert state_rows > 0
+
+
+def test_outer_attribution_eviction_boundary_is_strict(spark, tmp_path):
+    """C36b eviction-inequality pin (r5 advice item 5): a click whose
+    click_ts + horizon == watermark is NOT evicted — Spark's outer-join
+    state flush removes only strictly-older rows — while a click 1 ms
+    older IS evicted with a NULL row. This is exactly the strict '<' the
+    c36_outer_join oracle replays; if a Spark upgrade ever flips the
+    boundary to '<=', this test fails before the driver mismatch does."""
+    t_ms = 1_704_110_400_000  # 2024-01-01 12:00:00 UTC, whole seconds
+    h_ms = 3_600_000          # 1 hour horizon
+    wm_ms = t_ms - h_ms       # floor_ms(min per-side max ts) − delay
+    rows = [
+        # anchors pin both per-side max event times to T; the anchor
+        # click stays young+unmatched (p_ts > c_ts is strict)
+        (1, 999, "click", t_ms),
+        (2, 999, "purchase", t_ms),
+        # boundary: c_ms + horizon == wm exactly → buffered, no NULL row
+        (3, 1, "click", wm_ms - h_ms),
+        # 1 ms older → c_ms + horizon < wm → evicted, NULL row
+        (4, 2, "click", wm_ms - h_ms - 1),
+    ]
+    src = str(tmp_path / "src")
+    (spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ms long")
+        .select("event_id", "user_id", "event_type",
+                F.timestamp_millis("ms").alias("ts"))
+        .coalesce(1).write.parquet(src))
+    out = _run_to_memory(
+        spark,
+        sjoins.click_attribution_outer_stream(
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, "
+                "ts timestamp").parquet(src)),
+        "outer_boundary")
+    nulls = {r["click_id"] for r in
+             out.filter(F.col("purchase_id").isNull()).collect()}
+    assert 4 in nulls, nulls      # strictly past the boundary: evicted
+    assert 3 not in nulls, nulls  # exactly at the boundary: buffered
+    assert 1 not in nulls, nulls  # young unmatched click: buffered
