@@ -521,7 +521,7 @@ def _min_label_components(ids: DataFrame, pairs: DataFrame, id_name: str,
 def minhash_clusters(documents: DataFrame, threshold: float = 0.1,
                      n: int = 3, max_iter: int = 20,
                      edge_source: str = "exact") -> DataFrame:
-    """C29n: TEXT-side dedup clusters — connected components of the n-gram
+    """C29q: TEXT-side dedup clusters — connected components of the n-gram
     Jaccard near-dup graph, every document labeled with the smallest doc_id
     in its component. Completes the dedup story to parity with the
     embedding side (near_dup_clusters): the pair list alone can't collapse
@@ -552,6 +552,54 @@ def minhash_clusters(documents: DataFrame, threshold: float = 0.1,
         pairs.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst")),
         "doc_id", max_iter)
+
+
+def minhash_clusters_lsh_verdict(documents: DataFrame,
+                                 threshold: float = 0.1, n: int = 3,
+                                 min_coverage: float = 0.3) -> DataFrame:
+    """C29q driver row for the 100 TB edge source of minhash_clusters:
+    run BOTH labelings — exact inverted-index edges and banded MinHash-LSH
+    edges — and reduce them to a 1-row verdict the oracle can replay from
+    the exact graph alone:
+
+    - n_docs / n_exact_grouped: exact values DuckDB recomputes from its
+      own shingle-join recursive-CTE components;
+    - refines_ok: every LSH component maps into exactly ONE exact
+      component (LSH candidate edges are exact-verified, hence a subset —
+      components can only split, never merge across);
+    - coverage_ok: of the docs the exact graph groups (non-singleton
+      component), at least `min_coverage` are also grouped by the LSH
+      labeling — the banded regime's recall floor, same split as the
+      pair-level operators.
+
+    All reductions are keyed aggregates over the two label frames plus
+    1-row broadcast scalars; nothing is collected. The same per-doc
+    refinement/coverage structure is pinned row-by-row in pytest
+    (test_minhash_clusters_lsh_refines_exact); this row makes the scale
+    path's invariants driver-visible at sf0.01."""
+    exact = minhash_clusters(documents, threshold=threshold, n=n)
+    lsh = (minhash_clusters(documents, threshold=threshold, n=n,
+                            edge_source="lsh")
+           .withColumnRenamed("cluster_id", "lsh_cluster"))
+    both = exact.join(lsh, "doc_id")
+    ex_sz = both.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("ex_sz"))
+    lsh_sz = (both.groupBy("lsh_cluster")
+              .agg(F.count(F.lit(1)).alias("lsh_sz")))
+    flagged = both.join(ex_sz, "cluster_id").join(lsh_sz, "lsh_cluster")
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("ex_sz") > 1).cast("long")).alias("n_exact_grouped"),
+        F.sum(((F.col("ex_sz") > 1) & (F.col("lsh_sz") > 1)).cast("long"))
+         .alias("n_both_grouped"))
+    refmax = (both.groupBy("lsh_cluster")
+              .agg(F.countDistinct("cluster_id").alias("ne"))
+              .agg(F.max("ne").alias("max_exact_per_lsh")))
+    return stats.crossJoin(F.broadcast(refmax)).select(
+        "n_docs", "n_exact_grouped",
+        (F.col("max_exact_per_lsh") <= 1).alias("refines_ok"),
+        (F.col("n_both_grouped").cast("double")
+         >= F.lit(min_coverage) * F.col("n_exact_grouped").cast("double"))
+        .alias("coverage_ok"))
 
 
 def near_dup_clusters(embeddings: DataFrame, threshold: float = 0.35,

@@ -42,6 +42,10 @@ def norm(v):
 
 fails = []
 sample = sorted(oracles)  # all of them — this IS the gate
+only = os.environ.get("SPARK_GRAFT_ONLY")  # focused re-check, not the gate
+if only:
+    import re as _re
+    sample = [n for n in sample if _re.search(only, n)]
 for name in sample:
     try:
         sdf = qs[name](spark, SF)

@@ -116,6 +116,8 @@ _BNLJ_ALLOWED = {
     "c29_minhash_lsh",      # 1-row exact-pair-count verdict scalar
     "c29_semdedup",         # 1-row exact-pair-count verdict scalar
     "c37_zorder", "c37_skipping",  # 1-row min/max bounds broadcast
+    "c37_zorder_files",     # 1-row per-file-span + count verdict scalars
+    "c29_clusters_lsh",     # 1-row refinement-max + stats broadcasts
     "c4_hll_rollup",        # 1-row merged-sketch estimate broadcast
     "c29_outliers",         # 1-row mean vector + 1-row moment scalars
     "c29_curate_emb",       # inherits c29_outliers' scalar broadcasts
@@ -156,7 +158,11 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c29_ivfpq_ann",
                     # execute the availableNow stream at build time by design
                     "c34_funnel_stream", "c36_interval_join",
-                    "c36_outer_join", "c35_upsert_stream"):
+                    "c36_outer_join", "c35_upsert_stream",
+                    # both labelings run CC iterations at build time
+                    "c29_clusters_lsh",
+                    # writes + reads back the clustered copy by design
+                    "c37_zorder_files"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)
