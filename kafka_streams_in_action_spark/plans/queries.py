@@ -199,6 +199,44 @@ def _sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape with the join strategy pinned for scale (the
+    sql_q3 discipline, r5 verdict item 4): BROADCAST(supplier) — the one
+    true dimension — and MERGE on every fact side. Unpinned, Catalyst's
+    unfiltered size estimate broadcasts the ENTIRE lineitem table twice
+    (the EXISTS/NOT-EXISTS self-join build sides) plus filtered orders:
+    three hashed relations whose build cost grows linearly with the fact
+    (measured 3.5 s vs 2.0 s at the 10× probe, growth 3.67×), and at
+    100 TB a whole-fact broadcast is not runnable at all. Pinned, the
+    semi/anti self-joins sort-merge on l_orderkey and all three lineitem
+    branches share one hashpartitioning(l_orderkey) exchange layout —
+    the co-partitioned plan a 1000-executor cluster needs. The MERGE
+    hints ride inside the EXISTS blocks and survive Catalyst's
+    RewritePredicateSubquery into the semi/anti joins (plan-pinned in
+    tests/test_plans.py)."""
+    for t in ("supplier", "lineitem", "orders"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT /*+ BROADCAST(supplier), MERGE(l1), MERGE(orders) */
+               s_name, count(*) AS numwait
+        FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (
+              SELECT /*+ MERGE(l2) */ 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT /*+ MERGE(l3) */ 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """)
+
+
 def _sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: IN-subquery with HAVING — Catalyst rewrites the
     IN (GROUP BY ... HAVING) subquery to a left-semi join (RewritePredicate
@@ -448,24 +486,9 @@ _TPCH_SHARED: dict[str, tuple[str, str]] = {
     """),
     # Q21 shape: EXISTS + NOT EXISTS correlated anti pattern — suppliers who
     # shipped last among multi-supplier 'F' orders.
-    "sql_q21_waiting_supplier": ("supplier lineitem orders", """
-        SELECT s_name, count(*) AS numwait
-        FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        JOIN orders ON o_orderkey = l1.l_orderkey
-        WHERE o_orderstatus = 'F'
-          AND EXISTS (
-              SELECT 1 FROM lineitem l2
-              WHERE l2.l_orderkey = l1.l_orderkey
-                AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (
-              SELECT 1 FROM lineitem l3
-              WHERE l3.l_orderkey = l1.l_orderkey
-                AND l3.l_suppkey <> l1.l_suppkey
-                AND l3.l_shipdate > l1.l_shipdate)
-        GROUP BY s_name
-        ORDER BY numwait DESC, s_name
-        LIMIT 100
-    """),
+    # q21 moved out of the shared dict: its Spark side is the pinned
+    # _sql_q21 (BROADCAST(supplier) + MERGE on every lineitem/orders
+    # fact side); the oracle keeps the plain unhinted SQL inline.
     # Q22 shape: scalar avg subquery (exact fixed-point avg) + NOT EXISTS —
     # well-funded customers with no URGENT orders (every testdata customer
     # has some order, so the anti-join carries a predicate), bucketed by
@@ -965,6 +988,26 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
           AND l_quantity < 0.2 * (
               SELECT avg(l_quantity) FROM lineitem l2
               WHERE l2.l_partkey = part.p_partkey)
+        """),
+    "sql_q21_waiting_supplier": QuerySpec(
+        _sql_q21,
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
         """),
     "sql_q13_order_distribution": QuerySpec(
         _sql_q13,

@@ -512,6 +512,22 @@ def test_q3_fact_fact_join_never_broadcasts_lineitem(spark):
     assert "lineitem.parquet" in plan, "lineitem scan missing from plan"
 
 
+def test_q21_self_joins_never_broadcast_lineitem(spark):
+    """sql_q21 (r5 verdict item 4): the EXISTS/NOT-EXISTS lineitem
+    self-joins must stay SortMergeJoin keyed on l_orderkey, and the
+    orders join a merge join too — pinned via MERGE hints that survive
+    RewritePredicateSubquery. Unpinned, Catalyst broadcasts the ENTIRE
+    lineitem table twice (semi + anti build sides) plus filtered orders:
+    linearly-growing hashed-relation builds, unrunnable at 100 TB. Only
+    the supplier dim may broadcast."""
+    plan = formatted_of(_q(spark, "sql_q21_waiting_supplier"))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("SortMergeJoin") >= 3  # semi, anti, orders
+    # exactly one broadcast: the supplier dim build side
+    assert tree.count("BroadcastExchange") == 1
+    assert "lineitem.parquet" in plan, "lineitem scan missing from plan"
+
+
 def test_tfidf_df_join_broadcasts(spark):
     """c30_tfidf scale fix (r5): the df(term) side must broadcast into the
     tf join — hash-joining the big (doc, term) table on a Zipf-skewed
