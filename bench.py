@@ -70,6 +70,10 @@ HEADLINE = [
     "c33_expectations",      # declarative data-quality gate (Deequ-style)
     "c29_ivf_ingest",        # incremental IVF maintenance (frozen cells)
     "c34_sessionize",        # per-event gap sessionization (lag+cumsum)
+    # round-6 additions
+    "c4_cms_topk",           # Count-Min sketch build + heavy-hitter probe
+    "c30_chunk",             # token-window chunking (zero-shuffle explode)
+    "c29_clusters_lsh",      # CC refinement verdict over LSH edges
 ]
 
 

@@ -441,6 +441,80 @@ def hll_sketch_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
     return per_rows.unionAll(all_row)
 
 
+def cms_heavy_hitters(documents: DataFrame, depth: int = 4,
+                      width: int = 512, candidate_docs: int = 64,
+                      k: int = 50) -> DataFrame:
+    """C4c: Count-Min Sketch heavy hitters — the mergeable FREQUENCY
+    sketch next to C4s's mergeable cardinality sketch (HLL). The CMS is
+    a depth×width grid of counters; each word increments one cell per
+    row via a pairwise-independent hash h_i(x) = ((a_i·x + b_i) mod p)
+    mod width over the engine-portable FNV-1a fold x (ONE fold per word,
+    rows derived arithmetically — not d independent folds). Cells are
+    plain sums, so shard sketches merge by cell-wise addition with no
+    raw-data rescan (pinned in pytest), and the whole sketch is
+    depth×width counters regardless of corpus size — the fixed-memory
+    property that makes frequency estimation possible at 100 TB where an
+    exact word count table is itself a large join table.
+
+    Estimate(w) = min over rows of the cell counts: never an
+    underestimate (deterministic CMS guarantee, asserted per word), and
+    ≤ true + (e/width)·N with high probability (asserted per word; the
+    arithmetic is engine-identical so the oracle replays the booleans
+    bit-for-bit — FULL oracle, no verdict weakening). Candidates come
+    from a deterministic document prefix (doc_id < candidate_docs) —
+    the engine-replicable stand-in for the sampled candidate pass a
+    production heavy-hitter pipeline runs; the sketch itself is built
+    over the FULL corpus. Top-k by (estimate desc, word) over the
+    bounded candidate set (the ranking window covers only candidates,
+    not the corpus). The CMS grid (≤ depth×width rows) broadcasts into
+    the estimate join."""
+    from pyspark.sql import Window
+
+    from .sampling import fnv32_column
+
+    P = 2147483647  # Mersenne prime 2^31 − 1; a·x + b < 2^63 for x < 2^32
+    A = [1103515245, 998244353, 747796405, 1664525][:depth]
+    B = [12345, 1013904223, 2531011, 69069][:depth]
+
+    def cells_of(df_w: DataFrame) -> DataFrame:
+        wx = df_w.select("w", fnv32_column(F.col("w")).alias("x"))
+        rc = F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.pmod(F.lit(A[i]) * F.col("x") + F.lit(B[i]),
+                              F.lit(P)), F.lit(width)).alias("cell"))
+            for i in range(depth)])
+        return wx.select("w", F.explode(rc).alias("rc")).select(
+            "w", F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+
+    words = (documents
+             .select(F.explode(F.split(F.trim("text"), " ")).alias("w"))
+             .filter(F.col("w") != ""))
+    cms = cells_of(words).groupBy("row", "cell").agg(
+        F.count(F.lit(1)).alias("n"))
+    cand = (documents.filter(F.col("doc_id") < candidate_docs)
+            .select(F.explode(F.split(F.trim("text"), " ")).alias("w"))
+            .filter(F.col("w") != "").distinct())
+    est = (cells_of(cand).join(F.broadcast(cms), ["row", "cell"])
+           .groupBy("w").agg(F.min("n").alias("est")))
+    exact = (words.join(F.broadcast(cand), "w", "left_semi")
+             .groupBy("w").agg(F.count(F.lit(1)).alias("exact_n")))
+    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    eps = 2.718281828459045 / width
+    ranked = (est.join(exact, "w")
+              .crossJoin(F.broadcast(total))
+              .withColumn("rn", F.row_number().over(
+                  Window.orderBy(F.col("est").desc(), F.col("w"))))
+              .filter(F.col("rn") <= k))
+    return ranked.select(
+        F.col("w").alias("word"), "est", "exact_n",
+        (F.col("est") >= F.col("exact_n")).alias("no_underestimate"),
+        (F.col("est").cast("double")
+         <= F.col("exact_n").cast("double")
+         + F.ceil(F.lit(eps) * F.col("n_total")).cast("double"))
+        .alias("within_bound"))
+
+
 def expectation_report(orders: DataFrame) -> DataFrame:
     """C33d: declarative data-quality EXPECTATIONS — the Deequ-style
     validation gate a pipeline runs before letting a batch into the

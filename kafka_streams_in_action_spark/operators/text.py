@@ -284,6 +284,37 @@ def source_lang_crosstab(documents: DataFrame) -> DataFrame:
     )
 
 
+def chunk_documents(documents: DataFrame, size: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """C30n: overlapping token-window chunking — the context-windowing
+    pass that turns variable-length documents into fixed-budget training
+    sequences (the sliding-window regime HF tokenizers call
+    stride/return_overflowing_tokens; overlap = size − stride tokens
+    preserves cross-boundary context). One chunk per window start
+    0, stride, 2·stride, … < n_tokens; the tail window is shorter, never
+    dropped — every token lands in ≥1 chunk.
+
+    Scale shape: split → sequence → explode → slice, all JVM built-ins
+    on the resident token array — NO shuffle, no UDF, perfectly
+    data-parallel (the per-row fan-out is n/stride chunks). Pairs with
+    c32_pack, which then bin-packs these chunks into context budgets.
+    FULL oracle: DuckDB replays the same windows with generate_series +
+    1-based inclusive list slicing."""
+    toks = F.split(F.trim("text"), " ")
+    base = documents.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+    return (base.select("doc_id", "n", "toks",
+                        F.explode(starts).alias("start"))
+            .select("doc_id",
+                    (F.col("start") / stride).cast("long").alias("chunk_id"),
+                    F.least(F.lit(size), F.col("n") - F.col("start"))
+                     .cast("long").alias("n_tokens"),
+                    F.array_join(
+                        F.slice("toks", F.col("start") + 1, size), " ")
+                     .alias("chunk")))
+
+
 def hashed_doc_vectors(documents: DataFrame, k: int = 16) -> DataFrame:
     """C30m: feature-hashing ("hashing trick") document vectors — each word
     hashes to one of `k` signed feature slots, giving every document a

@@ -2504,6 +2504,73 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM events
         """),  # exact counts hash-matched; the sketch verdicts (5% bound
     #   AND merged-union == direct-sketch identity) verified in-query
+    "c4_cms_topk": QuerySpec(
+        # C4c: Count-Min Sketch heavy hitters — FULL oracle: both engines
+        # compute literally the same universal-hash arithmetic over the
+        # same FNV-1a fold, so even the no-underestimate / error-bound
+        # booleans are replayed bit-for-bit, not asserted TRUE.
+        _t("documents")(relational.cms_heavy_hitters),
+        f"""
+        WITH words AS (
+            SELECT unnest(string_split(trim(text), ' ')) AS w
+            FROM documents),
+        wnz AS (SELECT w FROM words WHERE w <> ''),
+        wx AS (SELECT w, {_FNV_SQL.format(col='w')} AS x FROM wnz),
+        cells AS (
+            SELECT row, ((a * x + b) % 2147483647) % 512 AS cell,
+                   count(*) AS n
+            FROM wx, (VALUES (0, 1103515245, 12345),
+                             (1, 998244353, 1013904223),
+                             (2, 747796405, 2531011),
+                             (3, 1664525, 69069)) h(row, a, b)
+            GROUP BY 1, 2),
+        cand AS (
+            SELECT DISTINCT w FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS w
+                FROM documents WHERE doc_id < 64) c
+            WHERE w <> ''),
+        cx AS (SELECT w, {_FNV_SQL.format(col='w')} AS x FROM cand),
+        ccells AS (
+            SELECT w, row, ((a * x + b) % 2147483647) % 512 AS cell
+            FROM cx, (VALUES (0, 1103515245, 12345),
+                             (1, 998244353, 1013904223),
+                             (2, 747796405, 2531011),
+                             (3, 1664525, 69069)) h(row, a, b)),
+        est AS (
+            SELECT w, min(n) AS est
+            FROM ccells JOIN cells USING (row, cell) GROUP BY w),
+        exact AS (
+            SELECT w, count(*) AS exact_n FROM wnz
+            WHERE w IN (SELECT w FROM cand) GROUP BY w),
+        tot AS (SELECT count(*) AS n_total FROM wnz),
+        ranked AS (
+            SELECT w, est, exact_n, n_total,
+                   row_number() OVER (ORDER BY est DESC, w) AS rn
+            FROM est JOIN exact USING (w), tot)
+        SELECT w AS word, est, exact_n,
+               est >= exact_n AS no_underestimate,
+               CAST(est AS DOUBLE) <= CAST(exact_n AS DOUBLE)
+                   + ceil((2.718281828459045 / 512) * n_total)
+                   AS within_bound
+        FROM ranked WHERE rn <= 50
+        """),
+    "c30_chunk": QuerySpec(
+        # C30n: overlapping token-window chunking (context windowing);
+        # FULL oracle via generate_series + 1-based inclusive slicing.
+        _t("documents")(text.chunk_documents),
+        """
+        WITH t AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM documents),
+        s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (SELECT doc_id, n, toks,
+                     unnest(generate_series(0, n - 1, 48)) AS start
+              FROM s)
+        SELECT doc_id, start // 48 AS chunk_id,
+               least(64, n - start) AS n_tokens,
+               array_to_string(toks[start + 1 : start + 64], ' ') AS chunk
+        FROM c
+        """),
     "c34_rolling": QuerySpec(
         _t("events")(event_time.rolling_user_activity),
         """
@@ -2870,15 +2937,16 @@ _ROUND6_PRIORITY = [
     "c28_edit_verify", "c4_hll_rollup", "c36_outer_join",
     "c33_expectations", "c29_ivf_ingest", "c34_sessionize",
     # (2) new this round: the LSH edge source of the text dedup clusters
-    # (verdict item 6) and the end-to-end materialized Z-order check
-    # (verdict item 7)
-    "c29_clusters_lsh", "c37_zorder_files",
-    # (3) oldest-checked cohort (last green r3; 42 of the 48 — verdict
-    # item 2). The 6 deferred to round 7 are rows whose FAMILY has fresh
+    # (verdict item 6), the end-to-end materialized Z-order check
+    # (verdict item 7), CMS heavy hitters, and token-window chunking
+    "c29_clusters_lsh", "c37_zorder_files", "c4_cms_topk", "c30_chunk",
+    # (3) oldest-checked cohort (last green r3; 40 of the 48 — verdict
+    # item 2). The 8 deferred to round 7 are rows whose FAMILY has fresh
     # r5/r6 coverage: c29_minhash_lsh (its pair graph is re-verified
     # through c29_clusters_lsh this round), c29_lsh_ann / c29_ivf_ann
     # (ANN verdict family re-checked r5 via ivfpq/pq/ivf_ingest),
-    # c29_minhash_reingest, and the two derived composites
+    # c29_minhash_reingest, c29_simhash / c29_quantize_int8 (dedup
+    # family re-checked r5 ×6), and the two derived composites
     # c32_split_summary / c32_mix_report (their bases c32_split /
     # c32_sample are in-window).
     "c1_filter", "c2_project_scalar", "c3_pricing_summary",
@@ -2892,7 +2960,6 @@ _ROUND6_PRIORITY = [
     "c13_topk", "c14_union_all", "c14_except",
     "c15_string_fns", "c16_date_fns", "c17_math_fns",
     "c18_array_fns", "c18_explode", "c19_json_fns",
-    "c29_simhash", "c29_quantize_int8",
     "c33_group_stats", "c30_decontaminate",
     "c32_sample", "c32_stratified", "c32_split", "c32_shard_shuffle",
     "c32_pack",

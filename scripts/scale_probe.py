@@ -100,6 +100,15 @@ PROBE_QUERIES = [
     "c37_skipping",         # Z-order vs linear min/max skipping report
     "c28_edit_verify",      # blocked candidates + Levenshtein verify
     "c36_outer_join",       # left-outer interval join (eviction events)
+    # round-6 widening (r5 verdict item 8): previously-unprobed rows
+    "c29_knn_label",        # kNN majority vote (exact neighbor search)
+    "c33_expectations",     # one-pass data-quality gate + stack unpivot
+    "c4_hll_rollup",        # mergeable sketch column + union rollup
+    "c31_resize_image",     # multimodal write path (decode→resize→encode)
+    "c34_sessionize",       # per-event gap sessionization (lag+cumsum)
+    "c29_clusters_lsh",     # CC over LSH candidate edges + refinement
+    "c4_cms_topk",          # CMS build (fixed grid) + candidate probe
+    "c30_chunk",            # token-window chunking (zero-shuffle)
 ]
 
 

@@ -119,6 +119,7 @@ _BNLJ_ALLOWED = {
     "c37_zorder_files",     # 1-row per-file-span + count verdict scalars
     "c29_clusters_lsh",     # 1-row refinement-max + stats broadcasts
     "c4_hll_rollup",        # 1-row merged-sketch estimate broadcast
+    "c4_cms_topk",          # 1-row total-count scalar broadcast
     "c29_outliers",         # 1-row mean vector + 1-row moment scalars
     "c29_curate_emb",       # inherits c29_outliers' scalar broadcasts
     "c30_lm_xent",          # 1-row vocabulary-size scalar

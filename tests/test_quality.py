@@ -614,3 +614,84 @@ def test_compact_parquet_reduces_files_and_preserves_data(spark, tmp_path):
                                  F.max("event_id").alias("hi")).collect())
     for (l1, h1), (l2, _) in zip(spans, spans[1:]):
         assert h1 <= l2
+
+
+def test_cms_sketch_merges_and_bounds(spark):
+    """C4c: the Count-Min sketch must be (a) mergeable — cell-wise SUM of
+    per-shard sketches equals the whole-corpus sketch (the property that
+    lets 100 TB shard independently and roll up without rescan), and
+    (b) sound — every candidate estimate >= its exact count, and within
+    the e/width * N error budget on this corpus."""
+    from kafka_streams_in_action_spark.operators import relational
+
+    docs = load_table(spark, "documents", SF_DIR)
+    out = relational.cms_heavy_hitters(docs).collect()
+    assert len(out) > 0
+    assert all(r["no_underestimate"] for r in out)
+    assert all(r["within_bound"] for r in out)
+    assert any(r["est"] > 0 for r in out)
+
+    # mergeability: shard by doc_id parity, sum cells, compare grids
+    def grid(d):
+        words = (d.select(F.explode(F.split(F.trim("text"), " ")).alias("w"))
+                 .filter(F.col("w") != ""))
+        from kafka_streams_in_action_spark.operators.sampling import (
+            fnv32_column)
+        P, W = 2147483647, 512
+        A = [1103515245, 998244353, 747796405, 1664525]
+        B = [12345, 1013904223, 2531011, 69069]
+        wx = words.select(fnv32_column(F.col("w")).alias("x"))
+        rc = F.array(*[F.struct(
+            F.lit(i).alias("row"),
+            F.pmod(F.pmod(F.lit(A[i]) * F.col("x") + F.lit(B[i]),
+                          F.lit(P)), F.lit(W)).alias("cell"))
+            for i in range(4)])
+        return {(r["row"], r["cell"]): r["n"] for r in
+                wx.select(F.explode(rc).alias("rc"))
+                .groupBy("rc.row", "rc.cell")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    whole = grid(docs)
+    even = grid(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = grid(docs.filter(F.col("doc_id") % 2 == 1))
+    merged: dict = {}
+    for g in (even, odd):
+        for k, v in g.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+
+
+def test_chunking_covers_and_reconstructs(spark):
+    """C30n: every document's chunks cover all its tokens (count =
+    floor((n-1)/stride)+1), and stitching the non-overlapping prefixes
+    (first `stride` tokens of each chunk, the whole tail chunk)
+    reconstructs the original text exactly."""
+    from kafka_streams_in_action_spark.operators import text as text_ops
+
+    SIZE, STRIDE = 64, 48
+    docs = load_table(spark, "documents", SF_DIR)
+    chunks = text_ops.chunk_documents(docs, size=SIZE, stride=STRIDE)
+    per_doc = {r["doc_id"]: r["n_chunks"] for r in
+               chunks.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_chunks")).collect()}
+    truth = {r["doc_id"]: (len(r["text"].strip().split(" ")) - 1) // STRIDE + 1
+             for r in docs.select("doc_id", "text").collect()}
+    assert per_doc == truth
+
+    rows = chunks.orderBy("doc_id", "chunk_id").collect()
+    rebuilt: dict = {}
+    last_id: dict = {}
+    for r in rows:
+        last_id[r["doc_id"]] = r["chunk_id"]
+    for r in rows:
+        toks = r["chunk"].split(" ")
+        keep = toks if r["chunk_id"] == last_id[r["doc_id"]] \
+            else toks[:STRIDE]
+        rebuilt.setdefault(r["doc_id"], []).extend(keep)
+    # chunks 0..last-1 contribute tokens [i*stride, (i+1)*stride); the
+    # tail chunk starts at last*stride and, because its length
+    # n - last*stride <= stride <= size, contributes exactly the rest —
+    # so the stitch equals the original token list verbatim.
+    orig = {r["doc_id"]: r["text"].strip().split(" ")
+            for r in docs.select("doc_id", "text").collect()}
+    assert rebuilt == orig

@@ -575,3 +575,54 @@ def test_outer_attribution_eviction_boundary_is_strict(spark, tmp_path):
     assert 4 in nulls, nulls      # strictly past the boundary: evicted
     assert 3 not in nulls, nulls  # exactly at the boundary: buffered
     assert 1 not in nulls, nulls  # young unmatched click: buffered
+
+
+@pytest.mark.parametrize("wm,interval_min,tag", [
+    ("12 hours", 5, "delay_gg_interval"),   # lateness tolerance ≫ range
+    ("5 minutes", 120, "interval_gg_delay"),  # range ≫ lateness tolerance
+])
+def test_interval_join_asymmetric_watermark_configs(spark, tmp_path, wm,
+                                                    interval_min, tag):
+    """C9/C36 sensitivity (r5 verdict item 8): the interval join's two
+    time knobs — watermark delay (lateness tolerance) and the join range
+    horizon — need not be equal. Under BOTH asymmetric extremes, with an
+    in-order multi-batch replay: (1) the inner-join output is exactly the
+    batch answer (watermarks bound state GC, never filter inner output),
+    and (2) the final state-store row count stays a small fraction of the
+    log — bounded by ~max(delay, range) × arrival rate, never the whole
+    history."""
+    from pyspark.sql import Window
+
+    ev = (load_table(spark, "events", SF_DIR)
+          .select("event_id", "user_id", "event_type", "ts")
+          .orderBy("ts"))
+    n_total = ev.count()
+    src = str(tmp_path / f"src_{tag}")
+    ev.withColumn("b", F.ntile(8).over(Window.orderBy("ts")))\
+      .repartition(1).sortWithinPartitions("ts")\
+      .write.partitionBy("b").mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, event_type string, "
+                      "ts timestamp, b int")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/b=*").drop("b"))
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    q = (sjoins.stream_stream_interval_join(
+            clicks, purchases, watermark=wm, interval_minutes=interval_min)
+         .writeStream.format("memory").queryName(f"asym_{tag}")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    state_rows = sum(op["numRowsTotal"]
+                     for op in q.lastProgress["stateOperators"])
+
+    bc = ev.filter(F.col("event_type") == "click").alias("l")
+    bp = ev.filter(F.col("event_type") == "purchase").alias("r")
+    batch = (bc.join(bp, (F.col("l.user_id") == F.col("r.user_id"))
+                     & (F.col("r.ts") > F.col("l.ts"))
+                     & (F.col("r.ts") <= F.col("l.ts")
+                        + F.expr(f"INTERVAL {interval_min} MINUTES")))
+             .select(F.col("l.event_id").alias("event_id"),
+                     F.col("r.event_id").alias("followup_id")))
+    _assert_same(batch, spark.table(f"asym_{tag}"))
+    assert 0 < state_rows < 0.25 * n_total, (tag, state_rows, n_total)
