@@ -74,6 +74,7 @@ HEADLINE = [
     "c4_cms_topk",           # Count-Min sketch build + heavy-hitter probe
     "c30_chunk",             # token-window chunking (zero-shuffle explode)
     "c29_clusters_lsh",      # CC refinement verdict over LSH edges
+    "c33_ndv_sketch",        # one-pass multi-column HLL NDV profile
 ]
 
 

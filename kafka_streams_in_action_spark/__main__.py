@@ -29,7 +29,9 @@ def _sales(spark, workdir: str) -> int:
     from .streaming import pipelines
     out, ckpt = f"{workdir}/topic", f"{workdir}/ckpt"
     q = pipelines.sales_produce(spark, out, ckpt, rows_per_batch=10)
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("demo stream did not finish within 120s")
     result = pipelines.sales_consume(spark, out)
     rows = result.collect()
     for r in rows:
@@ -46,7 +48,9 @@ def _pipelining(spark, workdir: str) -> int:
         .write.mode("overwrite").parquet(events_dir)
     out, ckpt = f"{workdir}/commits", f"{workdir}/ckpt"
     q = pipelines.pipelining_run(spark, events_dir, out, ckpt)
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("demo stream did not finish within 120s")
     commits = spark.read.parquet(out).orderBy("user_id")
     for r in commits.limit(10).collect():
         print(f"commit user={r['user_id']} offset={r['commit_offset']} "
@@ -63,7 +67,9 @@ def _multi_event(spark, workdir: str) -> int:
         .write.mode("overwrite").parquet(events_dir)
     out, ckpt = f"{workdir}/fanout", f"{workdir}/ckpt"
     q = pipelines.multi_event_run(spark, events_dir, out, ckpt)
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("demo stream did not finish within 120s")
     written = spark.read.parquet(out)
     for r in written.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n")).orderBy("event_type").collect():

@@ -441,6 +441,40 @@ def hll_sketch_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
     return per_rows.unionAll(all_row)
 
 
+def ndv_sketch_profile(orders: DataFrame, lg_k: int = 12,
+                       tol: float = 0.05) -> DataFrame:
+    """C33e: approximate-NDV column profile in ONE aggregation pass — the
+    form of C33c's profiler that actually runs at 100 TB. Exact
+    countDistinct over k columns costs a k-way Expand (k× the input rows
+    through the shuffle) or k separate scans; here every column gets an
+    `hll_sketch_agg` in the SAME single-pass agg, so the profile costs
+    one scan + a fixed k×2^lg_k bytes of sketch state regardless of data
+    volume — and the per-column sketches are the C4s mergeable objects,
+    so per-partition profiles roll up without rescan.
+
+    Verdict form (the c4_approx_* convention): each column's row carries
+    the EXACT distinct count (DuckDB recomputes it independently — at
+    these SFs the exact side is the cheap verification harness; at scale
+    you'd run only the sketch side) plus a 5%-tolerance boolean. The
+    wide 1-row agg is unpivoted with `stack` — no per-column jobs."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority"]
+    aggs = [F.expr(
+        f"hll_sketch_estimate(hll_sketch_agg(CAST({c} AS STRING), {lg_k}))")
+        .alias(f"e_{i}") for i, c in enumerate(cols)]
+    aggs += [F.countDistinct(c).alias(f"x_{i}")
+             for i, c in enumerate(cols)]
+    one = orders.agg(*aggs)
+    pairs = ", ".join(f"'{c}', e_{i}, x_{i}" for i, c in enumerate(cols))
+    un = one.select(F.expr(
+        f"stack({len(cols)}, {pairs}) AS (col_name, est, n_exact)"))
+    return un.select(
+        "col_name", "n_exact",
+        (F.abs(F.col("est") - F.col("n_exact").cast("double"))
+         <= F.lit(tol) * F.col("n_exact").cast("double"))
+        .alias("sketch_ok"))
+
+
 def cms_heavy_hitters(documents: DataFrame, depth: int = 4,
                       width: int = 512, candidate_docs: int = 64,
                       k: int = 50) -> DataFrame:

@@ -144,8 +144,8 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35,
                                  "vec_b": pd.Series(dtype="int64")})
         A = np.vstack(l["vec"].to_numpy())
         B = np.vstack(r["rvec"].to_numpy())
-        A = A / np.linalg.norm(A, axis=1, keepdims=True)
-        B = B / np.linalg.norm(B, axis=1, keepdims=True)
+        A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
         # Candidate pad must exceed the final filter's round-to-6 quantum
         # (5e-7) plus matmul summation noise: a pair with true cosine in
         # [threshold - 5e-7, threshold) still rounds UP into the kept set,
@@ -264,7 +264,8 @@ def semdedup_pairs(embeddings: DataFrame, threshold: float = 0.35,
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
     cents = build_ivf_centroids(embeddings, n_cells, refine_iters)
-    cnorm_t = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+    cnorm_t = (cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)).T
 
     @F.pandas_udf("array<long>")
     def assign_cells(vecs: pd.Series) -> pd.Series:
@@ -277,7 +278,7 @@ def semdedup_pairs(embeddings: DataFrame, threshold: float = 0.35,
 
     def cell_pairs(pdf):
         M = np.vstack(pdf["vec"].to_numpy())
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         ia, ib = np.nonzero(M @ M.T >= threshold - 1e-6)
         va = pdf["vec_id"].to_numpy()[ia]
         vb = pdf["vec_id"].to_numpy()[ib]
@@ -610,7 +611,8 @@ def build_pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
     seeds = np.array([r["vec"] for r in seed_rows])  # k × dim
     # train/encode/scan all operate on L2-normalized vectors so the PQ L2
     # ordering equals the cosine ordering the exact reference uses
-    seeds = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+    seeds = seeds / np.maximum(
+        np.linalg.norm(seeds, axis=1, keepdims=True), 1e-12)
     books = np.stack([seeds[:, j * sub:(j + 1) * sub] for j in range(m)])
 
     for _ in range(refine_iters):
@@ -619,7 +621,8 @@ def build_pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
         def partials(batches):
             for pdf in batches:
                 x = np.vstack(pdf["vec"].to_numpy())          # b × dim
-                x = x / np.linalg.norm(x, axis=1, keepdims=True)
+                x = x / np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
                 out = {"sp": [], "cent": [], "n": [], "vsum": []}
                 for j in range(m):
                     xs = x[:, j * sub:(j + 1) * sub]          # b × sub
@@ -672,7 +675,7 @@ def pq_topk(embeddings: DataFrame, n_queries: int = 10, k_nn: int = 5,
     @F.pandas_udf("array<long>")
     def encode(vecs: pd.Series) -> pd.Series:
         x = np.vstack(vecs.to_numpy())
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         codes = np.empty((x.shape[0], m), dtype=np.int64)
         for j in range(m):
             xs = x[:, j * sub:(j + 1) * sub]
@@ -1000,7 +1003,8 @@ def _lloyd_refine(emb: DataFrame, cents: "np.ndarray",
     cells keep their previous centroid."""
     n_cells = len(cents)
     for _ in range(iters):
-        cn_t = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+        cn_t = (cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)).T
 
         def partials(batches):
             for pdf in batches:
@@ -1071,7 +1075,8 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     cents = centroids if centroids is not None else build_ivf_centroids(
         embeddings, n_cells, refine_iters)
     # argmax of cosine == argmax of dot with L2-normalized centroids
-    cnorm_t = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+    cnorm_t = (cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)).T
 
     @F.pandas_udf("long")
     def best_cell(vecs: pd.Series) -> pd.Series:
@@ -1099,7 +1104,9 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
         ma, mb = np.vstack(a.to_numpy()), np.vstack(b.to_numpy())
         dots = np.einsum("ij,ij->i", ma, mb)
         return pd.Series(np.round(
-            dots / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)),
+            dots / np.maximum(
+                np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1),
+                1e-12),
             6))
 
     pairs = corpus.join(F.broadcast(q),
@@ -1236,7 +1243,8 @@ def ivf_incremental_verdict(embeddings: DataFrame, n_queries: int = 10,
     the k×dim centroid array."""
     old = embeddings.filter(F.col("vec_id") % 2 == 0)
     cents = build_ivf_centroids(old, n_cells=n_cells)
-    cnorm_t = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+    cnorm_t = (cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)).T
 
     @F.pandas_udf("long")
     def best_cell(vecs: pd.Series) -> pd.Series:

@@ -2504,6 +2504,23 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM events
         """),  # exact counts hash-matched; the sketch verdicts (5% bound
     #   AND merged-union == direct-sketch identity) verified in-query
+    "c33_ndv_sketch": QuerySpec(
+        # C33e: one-pass multi-column HLL NDV profile; exact counts
+        # replayed by DuckDB, tolerance verdicts in-query.
+        _t("orders")(relational.ndv_sketch_profile),
+        """
+        SELECT 'o_orderkey' AS col_name,
+               count(DISTINCT o_orderkey) AS n_exact, TRUE AS sketch_ok
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(DISTINCT o_custkey), TRUE FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(DISTINCT o_orderstatus), TRUE
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(DISTINCT o_orderpriority), TRUE
+        FROM orders
+        """),
     "c4_cms_topk": QuerySpec(
         # C4c: Count-Min Sketch heavy hitters — FULL oracle: both engines
         # compute literally the same universal-hash arithmetic over the
@@ -2940,15 +2957,16 @@ _ROUND6_PRIORITY = [
     # (verdict item 6), the end-to-end materialized Z-order check
     # (verdict item 7), CMS heavy hitters, and token-window chunking
     "c29_clusters_lsh", "c37_zorder_files", "c4_cms_topk", "c30_chunk",
-    # (3) oldest-checked cohort (last green r3; 40 of the 48 — verdict
-    # item 2). The 8 deferred to round 7 are rows whose FAMILY has fresh
+    "c33_ndv_sketch",
+    # (3) oldest-checked cohort (last green r3; 39 of the 48 — verdict
+    # item 2). The 9 deferred to round 7 are rows whose FAMILY has fresh
     # r5/r6 coverage: c29_minhash_lsh (its pair graph is re-verified
     # through c29_clusters_lsh this round), c29_lsh_ann / c29_ivf_ann
     # (ANN verdict family re-checked r5 via ivfpq/pq/ivf_ingest),
     # c29_minhash_reingest, c29_simhash / c29_quantize_int8 (dedup
     # family re-checked r5 ×6), and the two derived composites
     # c32_split_summary / c32_mix_report (their bases c32_split /
-    # c32_sample are in-window).
+    # c32_sample are in-window), and c14_union_all (c14_except stays).
     "c1_filter", "c2_project_scalar", "c3_pricing_summary",
     "sql_q3_top_revenue", "sql_q18_top_quantity", "sql_q17_small_qty_revenue",
     "sql_q13_order_distribution",
@@ -2957,7 +2975,7 @@ _ROUND6_PRIORITY = [
     "a16_commit_offsets", "a19_route_events", "a20_key_fallback",
     "c5_cube", "c5_rollup", "c6_broadcast_join", "c7_multiway_join",
     "c8_left_join", "c8_anti_join", "c11_rank", "c12_analytic_frames",
-    "c13_topk", "c14_union_all", "c14_except",
+    "c13_topk", "c14_except",
     "c15_string_fns", "c16_date_fns", "c17_math_fns",
     "c18_array_fns", "c18_explode", "c19_json_fns",
     "c33_group_stats", "c30_decontaminate",
