@@ -456,15 +456,22 @@ def ndv_sketch_profile(orders: DataFrame, lg_k: int = 12,
     the EXACT distinct count (DuckDB recomputes it independently — at
     these SFs the exact side is the cheap verification harness; at scale
     you'd run only the sketch side) plus a 5%-tolerance boolean. The
-    wide 1-row agg is unpivoted with `stack` — no per-column jobs."""
+    sketch pass and the exact pass are DELIBERATELY separate aggregations
+    joined as 1-row broadcast scalars: mixing countDistinct with
+    hll_sketch_agg in one agg makes Catalyst route the sketches through
+    the multi-distinct Expand and key them on the near-unique distinct
+    tuples — the exact pathology the sketch exists to avoid (measured 2×
+    slower). Split, the sketch side is one clean global
+    ObjectHashAggregate pass. The wide 1-row result is unpivoted with
+    `stack` — no per-column jobs."""
     cols = ["o_orderkey", "o_custkey", "o_orderstatus",
             "o_orderpriority"]
-    aggs = [F.expr(
+    est = orders.agg(*[F.expr(
         f"hll_sketch_estimate(hll_sketch_agg(CAST({c} AS STRING), {lg_k}))")
-        .alias(f"e_{i}") for i, c in enumerate(cols)]
-    aggs += [F.countDistinct(c).alias(f"x_{i}")
-             for i, c in enumerate(cols)]
-    one = orders.agg(*aggs)
+        .alias(f"e_{i}") for i, c in enumerate(cols)])
+    exact = orders.agg(*[F.countDistinct(c).alias(f"x_{i}")
+                         for i, c in enumerate(cols)])
+    one = est.crossJoin(F.broadcast(exact))
     pairs = ", ".join(f"'{c}', e_{i}, x_{i}" for i, c in enumerate(cols))
     un = one.select(F.expr(
         f"stack({len(cols)}, {pairs}) AS (col_name, est, n_exact)"))

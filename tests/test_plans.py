@@ -120,6 +120,7 @@ _BNLJ_ALLOWED = {
     "c29_clusters_lsh",     # 1-row refinement-max + stats broadcasts
     "c4_hll_rollup",        # 1-row merged-sketch estimate broadcast
     "c4_cms_topk",          # 1-row total-count scalar broadcast
+    "c33_ndv_sketch",       # 1-row exact-count verification broadcast
     "c29_outliers",         # 1-row mean vector + 1-row moment scalars
     "c29_curate_emb",       # inherits c29_outliers' scalar broadcasts
     "c30_lm_xent",          # 1-row vocabulary-size scalar
