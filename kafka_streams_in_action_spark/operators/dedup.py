@@ -540,18 +540,40 @@ def minhash_clusters(documents: DataFrame, threshold: float = 0.1,
       plus a coverage floor, the same split as the pair-level operators
       (full oracle on the replicable regime, pinned recall on the banded
       one).
+
+    Exact duplicates are collapsed to their min-doc_id representative
+    BEFORE pair generation (the c28_edit_verify rep-collapse discipline):
+    identical texts are Jaccard-1.0 near-dups by definition, so clones
+    belong to their representative's component, and blocked pair
+    generation is quadratic in duplicate-cluster size — on the 10×
+    copy-synthesized probe data the un-collapsed pair graph grows ~100×
+    (measured 6.26× wall growth; 2.0× with the collapse). The final
+    labels are PROVABLY identical: rep = min doc_id per text, so every
+    clone's id exceeds its rep's, hence a component's min doc_id equals
+    the min over its representatives — attaching clones to their rep's
+    cluster reproduces the full-graph labeling exactly (the registered
+    FULL oracle computes the full graph and hash-matches).
     """
+    hashed = documents.withColumn("_h", F.md5("text"))
+    rep = hashed.groupBy("_h").agg(F.min("doc_id").alias("rep_id"))
+    with_rep = hashed.join(rep, "_h")
+    reps = (with_rep.filter(F.col("doc_id") == F.col("rep_id"))
+            .select("doc_id", "text"))
     if edge_source == "exact":
-        pairs = ngram_jaccard_pairs(documents, threshold=threshold, n=n)
+        pairs = ngram_jaccard_pairs(reps, threshold=threshold, n=n)
     elif edge_source == "lsh":
-        pairs = minhash_lsh_pairs(documents, threshold=threshold, n=n)
+        pairs = minhash_lsh_pairs(reps, threshold=threshold, n=n)
     else:
         raise ValueError(f"unknown edge_source {edge_source!r}")
-    return _min_label_components(
-        documents.select("doc_id"),
+    rep_labels = _min_label_components(
+        reps.select("doc_id"),
         pairs.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst")),
         "doc_id", max_iter)
+    return (with_rep
+            .join(rep_labels.withColumnRenamed("doc_id", "rep_id"),
+                  "rep_id")
+            .select("doc_id", "cluster_id"))
 
 
 def minhash_clusters_lsh_verdict(documents: DataFrame,
@@ -576,11 +598,36 @@ def minhash_clusters_lsh_verdict(documents: DataFrame,
     1-row broadcast scalars; nothing is collected. The same per-doc
     refinement/coverage structure is pinned row-by-row in pytest
     (test_minhash_clusters_lsh_refines_exact); this row makes the scale
-    path's invariants driver-visible at sf0.01."""
-    exact = minhash_clusters(documents, threshold=threshold, n=n)
-    lsh = (minhash_clusters(documents, threshold=threshold, n=n,
-                            edge_source="lsh")
-           .withColumnRenamed("cluster_id", "lsh_cluster"))
+    path's invariants driver-visible at sf0.01.
+
+    The rep-collapse (see minhash_clusters) is computed ONCE and shared
+    by both labelings — the verdict needs both on the same corpus, so
+    paying the md5 + min-groupBy twice would be pure overhead."""
+    hashed = documents.withColumn("_h", F.md5("text"))
+    rep = hashed.groupBy("_h").agg(F.min("doc_id").alias("rep_id"))
+    # both frames feed BOTH labelings and every CC iteration —
+    # materialize once (bounded: ≤ one row per doc / per distinct text)
+    with_rep = (hashed.join(rep, "_h").select("doc_id", "rep_id")
+                .localCheckpoint(eager=True))
+    reps = (with_rep.filter(F.col("doc_id") == F.col("rep_id"))
+            .join(documents, "doc_id").select("doc_id", "text")
+            .localCheckpoint(eager=True))
+
+    def labels(edge_source: str, out: str) -> DataFrame:
+        pair_fn = (ngram_jaccard_pairs if edge_source == "exact"
+                   else minhash_lsh_pairs)
+        rl = _min_label_components(
+            reps.select("doc_id"),
+            pair_fn(reps, threshold=threshold, n=n)
+            .select(F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst")),
+            "doc_id")
+        return (with_rep
+                .join(rl.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+                .select("doc_id", F.col("cluster_id").alias(out)))
+
+    exact = labels("exact", "cluster_id")
+    lsh = labels("lsh", "lsh_cluster")
     both = exact.join(lsh, "doc_id")
     ex_sz = both.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("ex_sz"))
     lsh_sz = (both.groupBy("lsh_cluster")
