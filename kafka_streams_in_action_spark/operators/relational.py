@@ -509,34 +509,66 @@ def cms_heavy_hitters(documents: DataFrame, depth: int = 4,
     bounded candidate set (the ranking window covers only candidates,
     not the corpus). The CMS grid (≤ depth×width rows) broadcasts into
     the estimate join."""
-    from pyspark.sql import Window
+    words = doc_words(documents)
+    cms = cms_grid(words, depth, width)
+    return cms_estimate_topk(cms, documents, depth, width,
+                             candidate_docs, k)
 
+
+# CMS building blocks, shared by the batch operator above and the
+# streaming-MV twin (streaming/pipelines.py:cms_stream_mv).
+_CMS_P = 2147483647  # Mersenne prime 2^31 − 1; a·x + b < 2^63 for x < 2^32
+_CMS_A = [1103515245, 998244353, 747796405, 1664525]
+_CMS_B = [12345, 1013904223, 2531011, 69069]
+
+
+def doc_words(documents: DataFrame) -> DataFrame:
+    """Non-empty whitespace tokens of the corpus, one row per occurrence."""
+    return (documents
+            .select(F.explode(F.split(F.trim("text"), " ")).alias("w"))
+            .filter(F.col("w") != ""))
+
+
+def _cms_cells(df_w: DataFrame, depth: int, width: int) -> DataFrame:
+    """(w, row, cell) per word occurrence: one FNV-1a fold, `depth`
+    universal-hash rows derived arithmetically."""
     from .sampling import fnv32_column
 
-    P = 2147483647  # Mersenne prime 2^31 − 1; a·x + b < 2^63 for x < 2^32
-    A = [1103515245, 998244353, 747796405, 1664525][:depth]
-    B = [12345, 1013904223, 2531011, 69069][:depth]
+    wx = df_w.select("w", fnv32_column(F.col("w")).alias("x"))
+    rc = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            F.pmod(F.pmod(F.lit(_CMS_A[i]) * F.col("x") + F.lit(_CMS_B[i]),
+                          F.lit(_CMS_P)), F.lit(width)).alias("cell"))
+        for i in range(depth)])
+    return wx.select("w", F.explode(rc).alias("rc")).select(
+        "w", F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
 
-    def cells_of(df_w: DataFrame) -> DataFrame:
-        wx = df_w.select("w", fnv32_column(F.col("w")).alias("x"))
-        rc = F.array(*[
-            F.struct(
-                F.lit(i).alias("row"),
-                F.pmod(F.pmod(F.lit(A[i]) * F.col("x") + F.lit(B[i]),
-                              F.lit(P)), F.lit(width)).alias("cell"))
-            for i in range(depth)])
-        return wx.select("w", F.explode(rc).alias("rc")).select(
-            "w", F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
 
-    words = (documents
-             .select(F.explode(F.split(F.trim("text"), " ")).alias("w"))
-             .filter(F.col("w") != ""))
-    cms = cells_of(words).groupBy("row", "cell").agg(
+def cms_grid(words: DataFrame, depth: int = 4, width: int = 512) -> DataFrame:
+    """The sketch itself: (row, cell, n) counter grid over a words frame.
+    Cells are plain sums, so grids over disjoint shards/batches merge by
+    cell-wise addition — the property both the pytest merge pin and the
+    streaming MV rely on."""
+    return _cms_cells(words, depth, width).groupBy("row", "cell").agg(
         F.count(F.lit(1)).alias("n"))
+
+
+def cms_estimate_topk(cms: DataFrame, documents: DataFrame,
+                      depth: int = 4, width: int = 512,
+                      candidate_docs: int = 64, k: int = 50) -> DataFrame:
+    """The query side: estimate candidate words against a (possibly
+    stored/merged) CMS grid and rank the top k. Split from the build so
+    the streaming MV and the batch build share it verbatim — identical
+    estimates from an identical grid, whatever maintained it."""
+    from pyspark.sql import Window
+
+    words = doc_words(documents)
     cand = (documents.filter(F.col("doc_id") < candidate_docs)
             .select(F.explode(F.split(F.trim("text"), " ")).alias("w"))
             .filter(F.col("w") != "").distinct())
-    est = (cells_of(cand).join(F.broadcast(cms), ["row", "cell"])
+    est = (_cms_cells(cand, depth, width)
+           .join(F.broadcast(cms), ["row", "cell"])
            .groupBy("w").agg(F.min("n").alias("est")))
     exact = (words.join(F.broadcast(cand), "w", "left_semi")
              .groupBy("w").agg(F.count(F.lit(1)).alias("exact_n")))

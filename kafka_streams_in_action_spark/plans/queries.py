@@ -558,6 +558,51 @@ def _cosine_sql(a: str, b: str) -> str:
     return _COSINE_SQL.replace("{a}", a).replace("{b}", b)
 
 
+_CMS_ORACLE = f"""
+        WITH words AS (
+            SELECT unnest(string_split(trim(text), ' ')) AS w
+            FROM documents),
+        wnz AS (SELECT w FROM words WHERE w <> ''),
+        wx AS (SELECT w, {_FNV_SQL.format(col='w')} AS x FROM wnz),
+        cells AS (
+            SELECT row, ((a * x + b) % 2147483647) % 512 AS cell,
+                   count(*) AS n
+            FROM wx, (VALUES (0, 1103515245, 12345),
+                             (1, 998244353, 1013904223),
+                             (2, 747796405, 2531011),
+                             (3, 1664525, 69069)) h(row, a, b)
+            GROUP BY 1, 2),
+        cand AS (
+            SELECT DISTINCT w FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS w
+                FROM documents WHERE doc_id < 64) c
+            WHERE w <> ''),
+        cx AS (SELECT w, {_FNV_SQL.format(col='w')} AS x FROM cand),
+        ccells AS (
+            SELECT w, row, ((a * x + b) % 2147483647) % 512 AS cell
+            FROM cx, (VALUES (0, 1103515245, 12345),
+                             (1, 998244353, 1013904223),
+                             (2, 747796405, 2531011),
+                             (3, 1664525, 69069)) h(row, a, b)),
+        est AS (
+            SELECT w, min(n) AS est
+            FROM ccells JOIN cells USING (row, cell) GROUP BY w),
+        exact AS (
+            SELECT w, count(*) AS exact_n FROM wnz
+            WHERE w IN (SELECT w FROM cand) GROUP BY w),
+        tot AS (SELECT count(*) AS n_total FROM wnz),
+        ranked AS (
+            SELECT w, est, exact_n, n_total,
+                   row_number() OVER (ORDER BY est DESC, w) AS rn
+            FROM est JOIN exact USING (w), tot)
+        SELECT w AS word, est, exact_n,
+               est >= exact_n AS no_underestimate,
+               CAST(est AS DOUBLE) <= CAST(exact_n AS DOUBLE)
+                   + ceil((2.718281828459045 / 512) * n_total)
+                   AS within_bound
+        FROM ranked WHERE rn <= 50
+        """
+
 _SHINGLE_CTE = """
 words AS (
     SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w,
@@ -650,6 +695,32 @@ SELECT stage, n, round(CAST(n AS DOUBLE)
        / CAST(max(n) OVER () AS DOUBLE), 6) AS share
 FROM f
 """
+
+
+def _cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4c streaming twin, driver-visible: documents split into 4 source
+    files → 4 real micro-batches → per-batch CMS delta grids appended
+    under batch_id partitions (streaming/pipelines.py:cms_stream_mv) →
+    cell-wise SUM = the maintained sketch. The estimate tail
+    (relational.cms_estimate_topk) then runs against the STREAMED grid,
+    so the driver oracle — literally c4_cms_topk's batch SQL — passes
+    iff sum-of-deltas is bit-identical to the batch-built sketch: the
+    mergeability property, asserted end-to-end through a real
+    incremental-maintenance topology."""
+    import tempfile
+
+    from ..operators.relational import cms_estimate_topk
+    from ..streaming.pipelines import cms_stream_mv
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = tempfile.mkdtemp(prefix="c4_cms_stream_")
+    src = f"{base}/src"
+    docs.select("doc_id", "text").repartition(4) \
+        .write.mode("overwrite").parquet(src)
+    cms = cms_stream_mv(
+        spark, src, "doc_id long, text string",
+        f"{base}/grids", f"{base}/ckpt")
+    return cms_estimate_topk(cms, docs)
 
 
 def _zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2527,50 +2598,13 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # same FNV-1a fold, so even the no-underestimate / error-bound
         # booleans are replayed bit-for-bit, not asserted TRUE.
         _t("documents")(relational.cms_heavy_hitters),
-        f"""
-        WITH words AS (
-            SELECT unnest(string_split(trim(text), ' ')) AS w
-            FROM documents),
-        wnz AS (SELECT w FROM words WHERE w <> ''),
-        wx AS (SELECT w, {_FNV_SQL.format(col='w')} AS x FROM wnz),
-        cells AS (
-            SELECT row, ((a * x + b) % 2147483647) % 512 AS cell,
-                   count(*) AS n
-            FROM wx, (VALUES (0, 1103515245, 12345),
-                             (1, 998244353, 1013904223),
-                             (2, 747796405, 2531011),
-                             (3, 1664525, 69069)) h(row, a, b)
-            GROUP BY 1, 2),
-        cand AS (
-            SELECT DISTINCT w FROM (
-                SELECT unnest(string_split(trim(text), ' ')) AS w
-                FROM documents WHERE doc_id < 64) c
-            WHERE w <> ''),
-        cx AS (SELECT w, {_FNV_SQL.format(col='w')} AS x FROM cand),
-        ccells AS (
-            SELECT w, row, ((a * x + b) % 2147483647) % 512 AS cell
-            FROM cx, (VALUES (0, 1103515245, 12345),
-                             (1, 998244353, 1013904223),
-                             (2, 747796405, 2531011),
-                             (3, 1664525, 69069)) h(row, a, b)),
-        est AS (
-            SELECT w, min(n) AS est
-            FROM ccells JOIN cells USING (row, cell) GROUP BY w),
-        exact AS (
-            SELECT w, count(*) AS exact_n FROM wnz
-            WHERE w IN (SELECT w FROM cand) GROUP BY w),
-        tot AS (SELECT count(*) AS n_total FROM wnz),
-        ranked AS (
-            SELECT w, est, exact_n, n_total,
-                   row_number() OVER (ORDER BY est DESC, w) AS rn
-            FROM est JOIN exact USING (w), tot)
-        SELECT w AS word, est, exact_n,
-               est >= exact_n AS no_underestimate,
-               CAST(est AS DOUBLE) <= CAST(exact_n AS DOUBLE)
-                   + ceil((2.718281828459045 / 512) * n_total)
-                   AS within_bound
-        FROM ranked WHERE rn <= 50
-        """),
+        _CMS_ORACLE),
+    "c4_cms_stream": QuerySpec(
+        # C4c streaming twin: the SAME batch oracle — it matches iff the
+        # streamed sum-of-delta-grids sketch is bit-identical to the
+        # batch-built sketch (mergeability, end-to-end).
+        _cms_stream,
+        _CMS_ORACLE),
     "c30_chunk": QuerySpec(
         # C30n: overlapping token-window chunking (context windowing);
         # FULL oracle via generate_series + 1-based inclusive slicing.
@@ -2957,16 +2991,17 @@ _ROUND6_PRIORITY = [
     # (verdict item 6), the end-to-end materialized Z-order check
     # (verdict item 7), CMS heavy hitters, and token-window chunking
     "c29_clusters_lsh", "c37_zorder_files", "c4_cms_topk", "c30_chunk",
-    "c33_ndv_sketch",
-    # (3) oldest-checked cohort (last green r3; 39 of the 48 — verdict
-    # item 2). The 9 deferred to round 7 are rows whose FAMILY has fresh
+    "c33_ndv_sketch", "c4_cms_stream",
+    # (3) oldest-checked cohort (last green r3; 38 of the 48 — verdict
+    # item 2). The 10 deferred to round 7 are rows whose FAMILY has fresh
     # r5/r6 coverage: c29_minhash_lsh (its pair graph is re-verified
     # through c29_clusters_lsh this round), c29_lsh_ann / c29_ivf_ann
     # (ANN verdict family re-checked r5 via ivfpq/pq/ivf_ingest),
     # c29_minhash_reingest, c29_simhash / c29_quantize_int8 (dedup
     # family re-checked r5 ×6), and the two derived composites
     # c32_split_summary / c32_mix_report (their bases c32_split /
-    # c32_sample are in-window), and c14_union_all (c14_except stays).
+    # c32_sample are in-window), c14_union_all (c14_except stays), and
+    # c33_group_stats (c33 has three fresh r6 rows).
     "c1_filter", "c2_project_scalar", "c3_pricing_summary",
     "sql_q3_top_revenue", "sql_q18_top_quantity", "sql_q17_small_qty_revenue",
     "sql_q13_order_distribution",
@@ -2978,7 +3013,7 @@ _ROUND6_PRIORITY = [
     "c13_topk", "c14_except",
     "c15_string_fns", "c16_date_fns", "c17_math_fns",
     "c18_array_fns", "c18_explode", "c19_json_fns",
-    "c33_group_stats", "c30_decontaminate",
+    "c30_decontaminate",
     "c32_sample", "c32_stratified", "c32_split", "c32_shard_shuffle",
     "c32_pack",
 ]

@@ -257,3 +257,52 @@ def user_activity_mv(spark: SparkSession, src_dir: str, schema,
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+def cms_stream_mv(spark: SparkSession, src_dir: str, schema,
+                  out_dir: str, checkpoint_dir: str,
+                  depth: int = 4, width: int = 512,
+                  files_per_trigger: int = 1) -> DataFrame:
+    """C4c streaming twin: the Count-Min sketch as an incrementally
+    maintained MATERIALIZED VIEW — the sketch-maintenance job a 100 TB
+    ingest actually runs. Each micro-batch builds the batch's own DELTA
+    grid (operators/relational.py:cms_grid over just that batch's words)
+    and APPENDS it under its batch_id partition; because CMS cells are
+    plain sums, the current sketch is one cell-wise SUM over all stored
+    deltas — no raw-data rescan, no read-modify-write race, and a
+    replayed batch overwrites its own partition (dynamic partition
+    overwrite = the curation_ingest idempotency posture, A17/A21).
+
+    Mergeability is the load-bearing property: sum-of-delta-grids is
+    BIT-identical to the grid a batch build computes over the whole log
+    (pytest pins grid equality; the driver row's oracle is literally
+    c4_cms_topk's batch SQL). Returns the merged (row, cell, n) grid."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src_dir)
+    )
+    from ..operators.relational import cms_grid, doc_words
+
+    def append_delta(batch_df: DataFrame, batch_id: int) -> None:
+        (cms_grid(doc_words(batch_df), depth, width)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out_dir))
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(append_delta)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "cms_stream_mv availableNow stream did not finish in 300s; "
+            "delta grids are partial")
+    return (spark.read.parquet(out_dir)
+            .groupBy("row", "cell").agg(F.sum("n").alias("n")))

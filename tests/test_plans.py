@@ -121,6 +121,7 @@ _BNLJ_ALLOWED = {
     "c4_hll_rollup",        # 1-row merged-sketch estimate broadcast
     "c4_cms_topk",          # 1-row total-count scalar broadcast
     "c33_ndv_sketch",       # 1-row exact-count verification broadcast
+    "c4_cms_stream",        # same estimate tail as c4_cms_topk
     "c29_outliers",         # 1-row mean vector + 1-row moment scalars
     "c29_curate_emb",       # inherits c29_outliers' scalar broadcasts
     "c30_lm_xent",          # 1-row vocabulary-size scalar
@@ -164,7 +165,9 @@ def test_no_driver_side_collect_in_queries(spark):
                     # both labelings run CC iterations at build time
                     "c29_clusters_lsh",
                     # writes + reads back the clustered copy by design
-                    "c37_zorder_files"):
+                    "c37_zorder_files",
+                    # runs the delta-grid stream at build by design
+                    "c4_cms_stream"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)

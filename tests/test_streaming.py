@@ -626,3 +626,25 @@ def test_interval_join_asymmetric_watermark_configs(spark, tmp_path, wm,
                      F.col("r.event_id").alias("followup_id")))
     _assert_same(batch, spark.table(f"asym_{tag}"))
     assert 0 < state_rows < 0.25 * n_total, (tag, state_rows, n_total)
+
+
+def test_cms_stream_grid_equals_batch_grid(spark, tmp_path):
+    """C4c streaming twin: the sketch maintained as sum-of-per-batch
+    delta grids must be BIT-identical to the grid a batch build computes
+    over the whole log — CMS mergeability through a real 4-micro-batch
+    incremental-maintenance topology (and the reason the driver row can
+    reuse c4_cms_topk's batch oracle verbatim)."""
+    from kafka_streams_in_action_spark.operators.relational import (
+        cms_grid, doc_words)
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+    streamed = pipelines.cms_stream_mv(
+        spark, src, "doc_id long, text string",
+        str(tmp_path / "grids"), str(tmp_path / "ckpt"))
+    batch = cms_grid(doc_words(docs))
+    s = {(r["row"], r["cell"]): r["n"] for r in streamed.collect()}
+    b = {(r["row"], r["cell"]): r["n"] for r in batch.collect()}
+    assert s == b
+    assert len(s) > 100
