@@ -75,6 +75,7 @@ HEADLINE = [
     "c30_chunk",             # token-window chunking (zero-shuffle explode)
     "c29_clusters_lsh",      # CC refinement verdict over LSH edges
     "c33_ndv_sketch",        # one-pass multi-column HLL NDV profile
+    "c4_hist_quantiles",     # mergeable histogram quantile sketch
 ]
 
 

@@ -441,6 +441,70 @@ def hll_sketch_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
     return per_rows.unionAll(all_row)
 
 
+def histogram_quantiles(lineitem: DataFrame, bins: int = 256,
+                        tol: float = 0.02) -> DataFrame:
+    """C4q: mergeable QUANTILE estimation — the third leg of the sketch
+    family (C4s HLL = cardinality, C4c CMS = frequency, this = order
+    statistics). A fixed-width histogram is the simplest mergeable
+    quantile sketch: bin counts are plain sums, so per-shard/per-day
+    histograms roll up by cell-wise addition exactly like the CMS grid,
+    and the whole state is `bins` counters regardless of data volume —
+    where an exact percentile needs a global sort and approx_percentile's
+    GK state is opaque/unmergeable across engines.
+
+    Estimate: range-quantize each value into [0, bins) with the
+    layout.py bounds arithmetic (1-row min/max broadcast — the
+    allowlisted scalar pattern), one keyed count per bin, then a
+    cumulative walk over the ≤`bins`-row frame finds the bin straddling
+    rank q·n and interpolates inside it. Every step is deterministic
+    IEEE double math, so the DuckDB oracle replays est_hist bit-for-bit
+    (FULL oracle); the tolerance verdict against the engine's exact
+    interpolated percentile is asserted per quantile (bin width ≈
+    range/bins keeps the estimate well inside 2% at every SF)."""
+    from pyspark.sql import Window
+
+    x = F.col("l_extendedprice")
+    bounds = lineitem.agg(
+        F.min(x).alias("lo"), F.max(x).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("ex50"),
+        F.expr("percentile(l_extendedprice, 0.95D)").alias("ex95"))
+    binned = (lineitem.crossJoin(F.broadcast(bounds))
+              .select(F.least(
+                  F.lit(bins - 1),
+                  F.floor((x - F.col("lo")) * bins
+                          / (F.col("hi") - F.col("lo") + 1))
+                  .cast("long")).alias("bin"))
+              .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy("bin")  # bounded: ≤ `bins` rows
+    cum = (binned
+           .withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("prev",
+                       F.coalesce(F.lag("cum").over(w), F.lit(0))))
+    parts = []
+    for q, exq in ((0.5, "ex50"), (0.95, "ex95")):
+        t = F.lit(q) * F.col("n").cast("double")
+        est = (F.col("lo")
+               + (F.col("bin").cast("double")
+                  + (t - F.col("prev").cast("double"))
+                  / F.col("cnt").cast("double"))
+               * (F.col("hi") - F.col("lo") + 1) / F.lit(float(bins)))
+        parts.append(
+            cum.crossJoin(F.broadcast(bounds))
+            .filter((F.col("prev").cast("double") < t)
+                    & (t <= F.col("cum").cast("double")))
+            .select(F.lit(q).alias("q"),
+                    F.round(est, 6).alias("est_hist"),
+                    F.col("n").alias("n_total"),
+                    (F.abs(est - F.col(exq))
+                     <= F.lit(tol) * F.abs(F.col(exq)))
+                    .alias("within_tol")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def ndv_sketch_profile(orders: DataFrame, lg_k: int = 12,
                        tol: float = 0.05) -> DataFrame:
     """C33e: approximate-NDV column profile in ONE aggregation pass — the

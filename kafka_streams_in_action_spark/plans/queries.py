@@ -2599,6 +2599,49 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # booleans are replayed bit-for-bit, not asserted TRUE.
         _t("documents")(relational.cms_heavy_hitters),
         _CMS_ORACLE),
+    "c4_hist_quantiles": QuerySpec(
+        # C4q: mergeable fixed-width-histogram quantile estimation —
+        # FULL oracle for est_hist (identical IEEE double walk on both
+        # engines); within_tol verdict vs the engine's own exact
+        # interpolated percentile.
+        _t("lineitem")(relational.histogram_quantiles),
+        """
+        WITH b AS (
+            SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+                   count(*) AS n,
+                   quantile_cont(l_extendedprice, 0.5) AS ex50,
+                   quantile_cont(l_extendedprice, 0.95) AS ex95
+            FROM lineitem),
+        binned AS (
+            SELECT CAST(least(255, floor((l_extendedprice - lo) * 256
+                                         / (hi - lo + 1))) AS BIGINT) AS bin,
+                   count(*) AS cnt
+            FROM lineitem, b GROUP BY 1),
+        cum AS (
+            SELECT bin, cnt,
+                   sum(cnt) OVER (ORDER BY bin) AS cum,
+                   coalesce(sum(cnt) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS prev
+            FROM binned),
+        qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE)))
+        SELECT q,
+               round(lo + (CAST(bin AS DOUBLE)
+                           + (q * CAST(n AS DOUBLE) - CAST(prev AS DOUBLE))
+                             / CAST(cnt AS DOUBLE))
+                        * (hi - lo + 1) / 256.0, 6) AS est_hist,
+               n AS n_total,
+               abs((lo + (CAST(bin AS DOUBLE)
+                          + (q * CAST(n AS DOUBLE) - CAST(prev AS DOUBLE))
+                            / CAST(cnt AS DOUBLE))
+                       * (hi - lo + 1) / 256.0)
+                   - CASE WHEN q = 0.5 THEN ex50 ELSE ex95 END)
+                 <= 0.02 * abs(CASE WHEN q = 0.5 THEN ex50 ELSE ex95 END)
+                   AS within_tol
+        FROM cum, b, qs
+        WHERE CAST(prev AS DOUBLE) < q * CAST(n AS DOUBLE)
+          AND q * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE)
+        """),
     "c4_cms_stream": QuerySpec(
         # C4c streaming twin: the SAME batch oracle — it matches iff the
         # streamed sum-of-delta-grids sketch is bit-identical to the
@@ -2991,9 +3034,9 @@ _ROUND6_PRIORITY = [
     # (verdict item 6), the end-to-end materialized Z-order check
     # (verdict item 7), CMS heavy hitters, and token-window chunking
     "c29_clusters_lsh", "c37_zorder_files", "c4_cms_topk", "c30_chunk",
-    "c33_ndv_sketch", "c4_cms_stream",
-    # (3) oldest-checked cohort (last green r3; 38 of the 48 — verdict
-    # item 2). The 10 deferred to round 7 are rows whose FAMILY has fresh
+    "c33_ndv_sketch", "c4_cms_stream", "c4_hist_quantiles",
+    # (3) oldest-checked cohort (last green r3; 37 of the 48 — verdict
+    # item 2). The 11 deferred to round 7 are rows whose FAMILY has fresh
     # r5/r6 coverage: c29_minhash_lsh (its pair graph is re-verified
     # through c29_clusters_lsh this round), c29_lsh_ann / c29_ivf_ann
     # (ANN verdict family re-checked r5 via ivfpq/pq/ivf_ingest),
@@ -3001,7 +3044,8 @@ _ROUND6_PRIORITY = [
     # family re-checked r5 ×6), and the two derived composites
     # c32_split_summary / c32_mix_report (their bases c32_split /
     # c32_sample are in-window), c14_union_all (c14_except stays), and
-    # c33_group_stats (c33 has three fresh r6 rows).
+    # c33_group_stats (c33 has three fresh r6 rows), and
+    # c32_shard_shuffle (c32 keeps sample/stratified/split/pack).
     "c1_filter", "c2_project_scalar", "c3_pricing_summary",
     "sql_q3_top_revenue", "sql_q18_top_quantity", "sql_q17_small_qty_revenue",
     "sql_q13_order_distribution",
@@ -3014,8 +3058,7 @@ _ROUND6_PRIORITY = [
     "c15_string_fns", "c16_date_fns", "c17_math_fns",
     "c18_array_fns", "c18_explode", "c19_json_fns",
     "c30_decontaminate",
-    "c32_sample", "c32_stratified", "c32_split", "c32_shard_shuffle",
-    "c32_pack",
+    "c32_sample", "c32_stratified", "c32_split", "c32_pack",
 ]
 
 assert len(_ROUND6_PRIORITY) == 50, len(_ROUND6_PRIORITY)

@@ -695,3 +695,39 @@ def test_chunking_covers_and_reconstructs(spark):
     orig = {r["doc_id"]: r["text"].strip().split(" ")
             for r in docs.select("doc_id", "text").collect()}
     assert rebuilt == orig
+
+
+def test_histogram_quantile_sketch_merges(spark):
+    """C4q: the fixed-width histogram is mergeable exactly like the CMS
+    grid — per-shard bin counts summed cell-wise equal the whole-corpus
+    histogram (bins are computed against GLOBAL min/max, as a rollup
+    pipeline would fix them once per epoch) — and both estimates sit
+    within tolerance of the exact percentiles."""
+    from kafka_streams_in_action_spark.operators import relational
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    out = {r["q"]: r for r in relational.histogram_quantiles(li).collect()}
+    assert set(out) == {0.5, 0.95}
+    assert all(r["within_tol"] for r in out.values())
+
+    x = F.col("l_extendedprice")
+    b = li.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+
+    def grid(d):
+        binned = d.select(
+            F.least(F.lit(255),
+                    F.floor((x - F.lit(lo)) * 256 / F.lit(hi - lo + 1))
+                    .cast("long")).alias("bin"))
+        return {r["bin"]: r["n"] for r in
+                binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+
+    whole = grid(li)
+    even = grid(li.filter(F.col("l_orderkey") % 2 == 0))
+    odd = grid(li.filter(F.col("l_orderkey") % 2 == 1))
+    merged: dict = {}
+    for g in (even, odd):
+        for k, v in g.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
