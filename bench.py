@@ -76,6 +76,7 @@ HEADLINE = [
     "c29_clusters_lsh",      # CC refinement verdict over LSH edges
     "c33_ndv_sketch",        # one-pass multi-column HLL NDV profile
     "c4_hist_quantiles",     # mergeable histogram quantile sketch
+    "c29_triplets",          # contrastive triplet mining (FNV negative)
 ]
 
 

@@ -49,6 +49,59 @@ def brute_force_topk(embeddings: DataFrame, n_queries: int = 10,
     )
 
 
+def contrastive_triplets(embeddings: DataFrame,
+                         n_anchors: int = 20) -> DataFrame:
+    """C29r: contrastive TRIPLET mining — the (anchor, positive, negative)
+    generator a contrastive-embedding trainer (SimCSE/InfoNCE-style)
+    consumes. For each anchor: the positive is its exact top-1 cosine
+    neighbor (broadcast anchors against the corpus — linear, one pass; at
+    100 TB the ANN index substitutes via the shared ranking tail), and
+    the negative is a DETERMINISTIC pseudo-random corpus pick: h =
+    FNV-1a(anchor_id || ':neg') mod n, linear-probed (+1, +2 mod n) past
+    collisions with the anchor or positive — two ids can collide with at
+    most two of three candidates, so the probe always lands. Every step
+    is the engine-portable fold + integer arithmetic, so anchor, positive,
+    negative AND both cosines replay bit-for-bit in DuckDB (FULL oracle);
+    margin_ok = pos_sim > neg_sim is the trainability property a
+    data-quality gate would alert on. vec_ids are contiguous 0..n-1 in
+    this corpus (asserted by the oracle join reproducing every row)."""
+    from .sampling import fnv32_column
+
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    n_df = emb.agg(F.count(F.lit(1)).alias("n"))
+    top1 = (brute_force_topk(embeddings, n_queries=n_anchors, k=1)
+            .select(F.col("query_id").alias("anchor_id"),
+                    F.col("neighbor_id").alias("pos_id"),
+                    F.col("cosine_sim").alias("pos_sim")))
+    h = F.pmod(fnv32_column(
+        F.concat(F.col("anchor_id").cast("string"), F.lit(":neg"))),
+        F.col("n"))
+    cand = [F.pmod(h + F.lit(j), F.col("n")) for j in range(3)]
+    neg = (F.when((cand[0] != F.col("anchor_id"))
+                  & (cand[0] != F.col("pos_id")), cand[0])
+           .when((cand[1] != F.col("anchor_id"))
+                 & (cand[1] != F.col("pos_id")), cand[1])
+           .otherwise(cand[2]))
+    t = (top1.crossJoin(F.broadcast(n_df))
+         .select("anchor_id", "pos_id", "pos_sim", neg.alias("neg_id")))
+    with_vecs = (
+        emb.select(F.col("vec_id").alias("anchor_id"),
+                   F.col("vec").alias("avec"))
+        .join(F.broadcast(t), "anchor_id")
+        .join(F.broadcast(
+            emb.select(F.col("vec_id").alias("neg_id"),
+                       F.col("vec").alias("nvec"))
+            .join(F.broadcast(t.select("neg_id").distinct()), "neg_id")),
+            "neg_id"))
+    return with_vecs.select(
+        "anchor_id", "pos_id", "pos_sim", "neg_id",
+        F.round(_cosine(F.col("avec"), F.col("nvec")), 6).alias("neg_sim"),
+        (F.col("pos_sim")
+         > F.round(_cosine(F.col("avec"), F.col("nvec")), 6))
+        .alias("margin_ok"))
+
+
 def ann_recall_verdict(approx: DataFrame, exact: DataFrame,
                        min_recall: float) -> DataFrame:
     """Oracle-checkable verdict for an approximate top-k path (the

@@ -2969,6 +2969,44 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                TRUE AS ranges_disjoint, TRUE AS files_ok
         FROM events
         """),
+    "c29_triplets": QuerySpec(
+        # C29r: contrastive triplet mining — FULL oracle: top-1 positive,
+        # FNV-probed deterministic negative, both cosines and the margin
+        # flag all bit-replayed.
+        _t("embeddings")(similarity.contrastive_triplets),
+        f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+        nn AS (SELECT count(*) AS n FROM emb),
+        scored AS (
+            SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,
+                   {_cosine_sql('a.v', 'b.v')} AS cs
+            FROM emb a JOIN emb b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < 20),
+        top1 AS (
+            SELECT anchor_id, neighbor_id AS pos_id, cs AS pos_sim
+            FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY cs DESC, neighbor_id) AS rn FROM scored)
+            WHERE rn = 1),
+        hsh AS (
+            SELECT anchor_id, pos_id, pos_sim, n,
+                   ({_FNV_SQL.format(
+                       col="(CAST(anchor_id AS VARCHAR) || ':neg')")})
+                   % n AS h
+            FROM top1, nn),
+        neg AS (
+            SELECT anchor_id, pos_id, pos_sim,
+                   CASE WHEN h <> anchor_id AND h <> pos_id THEN h
+                        WHEN (h + 1) % n <> anchor_id
+                             AND (h + 1) % n <> pos_id THEN (h + 1) % n
+                        ELSE (h + 2) % n END AS neg_id
+            FROM hsh)
+        SELECT anchor_id, pos_id, pos_sim, neg_id,
+               {_cosine_sql('a.v', 'b.v')} AS neg_sim,
+               pos_sim > {_cosine_sql('a.v', 'b.v')} AS margin_ok
+        FROM neg JOIN emb a ON a.vec_id = anchor_id
+                 JOIN emb b ON b.vec_id = neg_id
+        """),
     "c29_clusters_lsh": QuerySpec(
         # C29q, the 100 TB edge source of c29_minhash_clusters made
         # driver-visible (r5 verdict item 6): exact doc/grouped counts
@@ -3035,8 +3073,9 @@ _ROUND6_PRIORITY = [
     # (verdict item 7), CMS heavy hitters, and token-window chunking
     "c29_clusters_lsh", "c37_zorder_files", "c4_cms_topk", "c30_chunk",
     "c33_ndv_sketch", "c4_cms_stream", "c4_hist_quantiles",
-    # (3) oldest-checked cohort (last green r3; 37 of the 48 — verdict
-    # item 2). The 11 deferred to round 7 are rows whose FAMILY has fresh
+    "c29_triplets",
+    # (3) oldest-checked cohort (last green r3; 36 of the 48 — verdict
+    # item 2). The 12 deferred to round 7 are rows whose FAMILY has fresh
     # r5/r6 coverage: c29_minhash_lsh (its pair graph is re-verified
     # through c29_clusters_lsh this round), c29_lsh_ann / c29_ivf_ann
     # (ANN verdict family re-checked r5 via ivfpq/pq/ivf_ingest),
@@ -3045,7 +3084,8 @@ _ROUND6_PRIORITY = [
     # c32_split_summary / c32_mix_report (their bases c32_split /
     # c32_sample are in-window), c14_union_all (c14_except stays), and
     # c33_group_stats (c33 has three fresh r6 rows), and
-    # c32_shard_shuffle (c32 keeps sample/stratified/split/pack).
+    # c32_shard_shuffle (c32 keeps sample/stratified/split/pack), and
+    # c17_math_fns (C15-C18 scalar family keeps 5 other rows).
     "c1_filter", "c2_project_scalar", "c3_pricing_summary",
     "sql_q3_top_revenue", "sql_q18_top_quantity", "sql_q17_small_qty_revenue",
     "sql_q13_order_distribution",
@@ -3055,7 +3095,7 @@ _ROUND6_PRIORITY = [
     "c5_cube", "c5_rollup", "c6_broadcast_join", "c7_multiway_join",
     "c8_left_join", "c8_anti_join", "c11_rank", "c12_analytic_frames",
     "c13_topk", "c14_except",
-    "c15_string_fns", "c16_date_fns", "c17_math_fns",
+    "c15_string_fns", "c16_date_fns",
     "c18_array_fns", "c18_explode", "c19_json_fns",
     "c30_decontaminate",
     "c32_sample", "c32_stratified", "c32_split", "c32_pack",

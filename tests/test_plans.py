@@ -123,6 +123,7 @@ _BNLJ_ALLOWED = {
     "c33_ndv_sketch",       # 1-row exact-count verification broadcast
     "c4_cms_stream",        # same estimate tail as c4_cms_topk
     "c4_hist_quantiles",    # 1-row bounds/exact-percentile broadcast
+    "c29_triplets",         # 20-row anchor broadcast, non-equi exclusion
     "c29_outliers",         # 1-row mean vector + 1-row moment scalars
     "c29_curate_emb",       # inherits c29_outliers' scalar broadcasts
     "c30_lm_xent",          # 1-row vocabulary-size scalar

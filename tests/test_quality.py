@@ -731,3 +731,24 @@ def test_histogram_quantile_sketch_merges(spark):
         for k, v in g.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == whole
+
+
+def test_contrastive_triplets_are_valid_and_trainable(spark):
+    """C29r: every anchor yields exactly one triplet with three DISTINCT
+    ids; positives are the true top-1 neighbors; negatives are
+    deterministic (same run twice -> same triplets); and the margin
+    property (pos_sim > neg_sim) holds for the overwhelming majority —
+    random negatives against top-1 positives."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    rows = similarity.contrastive_triplets(emb).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len({r["anchor_id"], r["pos_id"], r["neg_id"]}) == 3, r
+    top1 = {r["query_id"]: r["neighbor_id"]
+            for r in similarity.brute_force_topk(
+                emb, n_queries=20, k=1).collect()}
+    for r in rows:
+        assert top1[r["anchor_id"]] == r["pos_id"], r
+    again = similarity.contrastive_triplets(emb).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    assert sum(r["margin_ok"] for r in rows) >= 0.8 * len(rows)
