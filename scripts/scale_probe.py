@@ -109,6 +109,9 @@ PROBE_QUERIES = [
     "c29_clusters_lsh",     # CC over LSH candidate edges + refinement
     "c4_cms_topk",          # CMS build (fixed grid) + candidate probe
     "c30_chunk",            # token-window chunking (zero-shuffle)
+    "c4_hist_quantiles",    # histogram quantile sketch + exact verdict
+    "c29_triplets",         # triplet mining (broadcast anchors, FNV neg)
+    "c33_ndv_sketch",       # one-pass multi-column HLL NDV profile
 ]
 
 
