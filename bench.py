@@ -101,14 +101,23 @@ def _stream_overhead(spark) -> float:
      .write.mode("overwrite").parquet(src))
 
     def run() -> None:
-        sink = f"null_stream_{uuid.uuid4().hex[:8]}"
-        sdf = (spark.readStream.schema("id long, ts timestamp").parquet(src)
-               .withWatermark("ts", "1 hour")
-               .groupBy(F.window("ts", "1 hour"))
-               .count())
-        q = (sdf.writeStream.format("memory").queryName(sink)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        # same bounded-run posture as the streaming HEADLINE entries
+        # (plans/queries.py:_stream_partitions): 8 state partitions
+        from kafka_streams_in_action_spark.plans.queries import (
+            _stream_partitions)
+
+        with _stream_partitions(spark):
+            sink = f"null_stream_{uuid.uuid4().hex[:8]}"
+            sdf = (spark.readStream.schema("id long, ts timestamp")
+                   .parquet(src)
+                   .withWatermark("ts", "1 hour")
+                   .groupBy(F.window("ts", "1 hour"))
+                   .count())
+            q = (sdf.writeStream.format("memory").queryName(sink)
+                 .outputMode("append").trigger(availableNow=True).start())
+            if not q.awaitTermination(120):
+                q.stop()
+                raise TimeoutError("null stream did not finish in 120s")
 
     run()  # warm
     best = None

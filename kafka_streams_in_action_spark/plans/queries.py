@@ -717,9 +717,10 @@ def _cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{base}/src"
     docs.select("doc_id", "text").repartition(4) \
         .write.mode("overwrite").parquet(src)
-    cms = cms_stream_mv(
-        spark, src, "doc_id long, text string",
-        f"{base}/grids", f"{base}/ckpt")
+    with _stream_partitions(spark):
+        cms = cms_stream_mv(
+            spark, src, "doc_id long, text string",
+            f"{base}/grids", f"{base}/ckpt")
     return cms_estimate_topk(cms, docs)
 
 
@@ -734,6 +735,30 @@ def _zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     path = tempfile.mkdtemp(prefix="c37_zorder_files_")
     return layout.zorder_files_verdict(spark, ev, path)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_partitions(spark: SparkSession, n: int = 8):
+    """Bounded availableNow runs with few, small state partitions.
+
+    The stateful shuffle-partition count is pinned into the checkpoint at
+    first start, and every partition instantiates its own state store
+    per stateful operator — at the batch default of 32, store init
+    DOMINATES these bounded runs (measured on the c36 join at sf0.1:
+    8.7 s at 32 partitions vs 2.6 s at 8, identical output). 8 is the
+    right deployment knob for a sf≤0.1 driver/bench run; a cluster run
+    sizes the same knob to executor-cores × executors. Only plans
+    compiled inside this window are affected; the conf is restored
+    before the sink is read."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _await_bounded(q, timeout_sec: int = 300) -> None:
@@ -775,13 +800,15 @@ def _funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="c34_funnel_stream_src_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     sink = f"c34_funnel_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        funnel_state_stream(spark.readStream.schema(ev.schema).parquet(src))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("update").trigger(availableNow=True)
-        .start()
-    )
-    _await_bounded(q)
+    with _stream_partitions(spark):
+        q = (
+            funnel_state_stream(
+                spark.readStream.schema(ev.schema).parquet(src))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("update").trigger(availableNow=True)
+            .start()
+        )
+        _await_bounded(q)
     # final state per user = max emitted stage (stages are monotone);
     # stage 0 rows are users who never completed stage 1 (e.g. clicks with
     # no prior view) — excluded from the funnel, same as the batch form.
@@ -827,14 +854,15 @@ def _interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="c36_interval_join_src_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     sink = f"c36_interval_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        click_purchase_attribution_stream(
-            spark.readStream.schema(ev.schema).parquet(src))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(availableNow=True)
-        .start()
-    )
-    _await_bounded(q)
+    with _stream_partitions(spark):
+        q = (
+            click_purchase_attribution_stream(
+                spark.readStream.schema(ev.schema).parquet(src))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(availableNow=True)
+            .start()
+        )
+        _await_bounded(q)
     return spark.table(sink).select(
         "user_id", "click_id", "purchase_id", "lag_us")
 
@@ -860,14 +888,15 @@ def _outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="c36_outer_join_src_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     sink = f"c36_outer_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        click_attribution_outer_stream(
-            spark.readStream.schema(ev.schema).parquet(src))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(availableNow=True)
-        .start()
-    )
-    _await_bounded(q)
+    with _stream_partitions(spark):
+        q = (
+            click_attribution_outer_stream(
+                spark.readStream.schema(ev.schema).parquet(src))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(availableNow=True)
+            .start()
+        )
+        _await_bounded(q)
     return spark.table(sink).select(
         "user_id", "click_id", "purchase_id", "lag_us")
 
@@ -887,7 +916,8 @@ def _mv_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="c35_mv_")
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
     ev.repartition(4).write.mode("overwrite").parquet(src)
-    return user_activity_mv(spark, src, ev.schema, out, ckpt)
+    with _stream_partitions(spark):
+        return user_activity_mv(spark, src, ev.schema, out, ckpt)
 
 
 _QUERY_DEFS: dict[str, QuerySpec] = {
