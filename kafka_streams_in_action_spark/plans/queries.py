@@ -717,7 +717,7 @@ def _cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{base}/src"
     docs.select("doc_id", "text").repartition(4) \
         .write.mode("overwrite").parquet(src)
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, _parts_for(docs.count())):
         cms = cms_stream_mv(
             spark, src, "doc_id long, text string",
             f"{base}/grids", f"{base}/ckpt")
@@ -740,19 +740,25 @@ def _zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 from contextlib import contextmanager
 
 
+def _parts_for(n_rows: int, rows_per_partition: int = 50_000) -> int:
+    """Size the stateful-partition knob to the input: every state
+    partition instantiates its own store per stateful operator, so too
+    many partitions = fixed init overhead dominating a bounded run
+    (measured on the c36 join at sf0.1: 8.7 s at 32 partitions vs 2.6 s
+    at 8, identical output), while too few starves parallelism on a
+    bigger replay (8 partitions at the 10× probe ran 1.5× slower than
+    32). Floor 8, cap at the batch default 32, ~rows_per_partition rows
+    each — the same sizing rule a cluster run applies with
+    executor-cores × executors as the cap."""
+    return max(8, min(32, n_rows // rows_per_partition + 1))
+
+
 @contextmanager
 def _stream_partitions(spark: SparkSession, n: int = 8):
-    """Bounded availableNow runs with few, small state partitions.
-
-    The stateful shuffle-partition count is pinned into the checkpoint at
-    first start, and every partition instantiates its own state store
-    per stateful operator — at the batch default of 32, store init
-    DOMINATES these bounded runs (measured on the c36 join at sf0.1:
-    8.7 s at 32 partitions vs 2.6 s at 8, identical output). 8 is the
-    right deployment knob for a sf≤0.1 driver/bench run; a cluster run
-    sizes the same knob to executor-cores × executors. Only plans
-    compiled inside this window are affected; the conf is restored
-    before the sink is read."""
+    """Run a bounded availableNow stream with `n` state partitions
+    (see _parts_for). The count is pinned into the checkpoint at first
+    start; only plans compiled inside this window are affected, and the
+    conf is restored before the sink is read."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -800,7 +806,7 @@ def _funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="c34_funnel_stream_src_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     sink = f"c34_funnel_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, _parts_for(ev.count())):
         q = (
             funnel_state_stream(
                 spark.readStream.schema(ev.schema).parquet(src))
@@ -854,7 +860,7 @@ def _interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="c36_interval_join_src_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     sink = f"c36_interval_join_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, _parts_for(ev.count())):
         q = (
             click_purchase_attribution_stream(
                 spark.readStream.schema(ev.schema).parquet(src))
@@ -888,7 +894,7 @@ def _outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="c36_outer_join_src_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     sink = f"c36_outer_join_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, _parts_for(ev.count())):
         q = (
             click_attribution_outer_stream(
                 spark.readStream.schema(ev.schema).parquet(src))
@@ -916,7 +922,7 @@ def _mv_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="c35_mv_")
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
     ev.repartition(4).write.mode("overwrite").parquet(src)
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, _parts_for(ev.count())):
         return user_activity_mv(spark, src, ev.schema, out, ckpt)
 
 
