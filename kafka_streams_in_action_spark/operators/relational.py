@@ -702,3 +702,110 @@ def expectation_report(orders: DataFrame) -> DataFrame:
                     / F.col("n_rows"), 6).alias("pass_rate"),
             (F.col("n_violations") == 0).alias("passed"))
     )
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """C35c: slowly-changing-dimension Type-2 build — turn a change stream
+    into versioned dimension rows with [effective_from, effective_to)
+    validity ranges, the standard warehouse shape a CDC pipeline
+    materializes (the reference's keyed-record-stream model,
+    golang/chapter_4/sales consumer, carries exactly this per-key
+    update-sequence semantic; we give it the dimension-history surface).
+
+    Two window passes over ONE user_id shuffle: (1) change capture — a
+    lag() comparison collapses runs of equal attribute values so only
+    real transitions survive (the CDC dedupe step); (2) range stitching —
+    lead() closes each version with the next version's start, row_number
+    assigns version ordinals, the open range marks is_current. Ordering
+    is (ts, event_id) so timestamp ties are deterministic. Both windows
+    share the same partitioning, so Catalyst plans a single Exchange;
+    per-user state is one row of lookback — at 100 TB this is a plain
+    keyed shuffle with no skew beyond the per-user event count.
+
+    Times surface as unix_micros (memory: epoch_us on the DuckDB side)
+    — the engine-portable integer form."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")))
+    )
+    return (
+        changed.select(
+            "user_id", F.col("event_type").alias("attr"),
+            F.unix_micros("ts").alias("effective_from_us"),
+            F.lead(F.unix_micros("ts")).over(w).alias("effective_to_us"),
+            F.row_number().over(w).alias("version"))
+        .withColumn("is_current", F.col("effective_to_us").isNull())
+    )
+
+
+def psi_drift(events: DataFrame, bins: int = 10,
+              threshold: float = 0.1) -> DataFrame:
+    """C33f: distribution-drift detection via the Population Stability
+    Index — the data-quality gate a training pipeline runs between a
+    baseline window and the current ingest before letting new data into
+    the mix (pairs with C33d's expectations gate: that checks row-level
+    invariants, this checks the SHAPE of a distribution).
+
+    Split is deterministic (event_id parity) and the current period gets
+    a synthetic 1.5× shift on 'purchase' values so the gate demonstrably
+    FIRES on real drift and stays quiet elsewhere — the same
+    prove-it-detects posture as the expectations date check. Buckets are
+    fixed-width over the baseline's exact [min, max] (a 1-row broadcast
+    scalar, not a quantile — approx_percentile state isn't
+    engine-replayable), counts are one keyed agg per period, and PSI =
+    Σ (p_cur − p_base)·ln(p_cur/p_base) with 0.5-count Laplace smoothing
+    so empty buckets stay finite. Everything after the two scans is
+    arithmetic over ≤ bins·n_types rows. At 100 TB: two map-side
+    partial-agg passes (or one with a period column), fixed-size state,
+    no sort, no UDF."""
+    base = (events.filter(F.col("event_id") % 2 == 0)
+            .select("event_type", "value"))
+    cur = (events.filter(F.col("event_id") % 2 == 1)
+           .select("event_type",
+                   (F.col("value")
+                    * F.when(F.col("event_type") == "purchase", 1.5)
+                    .otherwise(1.0)).alias("value")))
+    edges = base.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"))
+
+    def bucketed(df, cnt_name):
+        width = (F.col("hi") - F.col("lo")) / bins
+        b = F.least(F.lit(bins - 1),
+                    F.floor((F.col("value") - F.col("lo")) / width)
+                    .cast("long"))
+        return (df.join(F.broadcast(edges), "event_type")
+                .select("event_type",
+                        F.greatest(F.lit(0), b).alias("bucket"))
+                .groupBy("event_type", "bucket")
+                .agg(F.count(F.lit(1)).alias(cnt_name)))
+
+    grid = (edges.select("event_type")
+            .crossJoin(F.broadcast(
+                events.sparkSession.range(bins)
+                .select(F.col("id").alias("bucket"))))
+            .join(bucketed(base, "n_b"), ["event_type", "bucket"], "left")
+            .join(bucketed(cur, "n_c"), ["event_type", "bucket"], "left")
+            .fillna(0, ["n_b", "n_c"]))
+    per_type = grid.groupBy("event_type").agg(
+        F.sum("n_b").alias("n_base"), F.sum("n_c").alias("n_cur"))
+    pb = ((F.col("n_b") + 0.5)
+          / (F.col("n_base").cast("double") + 0.5 * bins))
+    pc = ((F.col("n_c") + 0.5)
+          / (F.col("n_cur").cast("double") + 0.5 * bins))
+    # nano-quantized fixed-point sum (operators/exact.py contract): the
+    # ≤ bins terms per type sum in deterministic integer space, so
+    # partial-agg order can't perturb the 6dp rounding below
+    term_q = F.floor((pc - pb) * F.log(pc / pb) * 1e9 + F.lit(0.5)) \
+        .cast("long")
+    return (
+        grid.join(F.broadcast(per_type), "event_type")
+        .select("event_type", "n_base", "n_cur", term_q.alias("term_q"))
+        .groupBy("event_type", "n_base", "n_cur")
+        .agg(F.round(F.sum("term_q").cast("double") / 1e9, 6).alias("psi"))
+        .withColumn("drifted", F.col("psi") >= threshold)
+    )

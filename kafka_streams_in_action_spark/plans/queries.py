@@ -2525,6 +2525,80 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                {DSUM.format(x='value')} AS total_value
         FROM events GROUP BY user_id
         """),
+    "c35_scd2": QuerySpec(
+        _t("events")(relational.scd2_history),
+        """
+        WITH ordered AS (
+            SELECT user_id, event_id, ts, event_type,
+                   lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events),
+        changes AS (
+            SELECT user_id, event_type, ts, event_id FROM ordered
+            WHERE prev_type IS NULL OR prev_type <> event_type)
+        SELECT user_id, event_type AS attr,
+               epoch_us(ts) AS effective_from_us,
+               lead(epoch_us(ts)) OVER w AS effective_to_us,
+               CAST(row_number() OVER w AS INTEGER) AS version,
+               (lead(epoch_us(ts)) OVER w) IS NULL AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """),
+    "c33_drift": QuerySpec(
+        _t("events")(relational.psi_drift),
+        """
+        WITH base AS (
+            SELECT event_type, value FROM events WHERE event_id % 2 = 0),
+        cur AS (
+            SELECT event_type,
+                   value * CASE WHEN event_type = 'purchase'
+                                THEN 1.5 ELSE 1.0 END AS value
+            FROM events WHERE event_id % 2 = 1),
+        edges AS (
+            SELECT event_type, min(value) AS lo, max(value) AS hi
+            FROM base GROUP BY 1),
+        bcnt AS (
+            SELECT event_type,
+                   greatest(0, least(9, CAST(floor(
+                       (value - lo) / ((hi - lo) / 10)) AS BIGINT)))
+                       AS bucket,
+                   count(*) AS n_b
+            FROM base JOIN edges USING (event_type) GROUP BY 1, 2),
+        ccnt AS (
+            SELECT event_type,
+                   greatest(0, least(9, CAST(floor(
+                       (value - lo) / ((hi - lo) / 10)) AS BIGINT)))
+                       AS bucket,
+                   count(*) AS n_c
+            FROM cur JOIN edges USING (event_type) GROUP BY 1, 2),
+        grid AS (
+            SELECT e.event_type, gs.bucket,
+                   coalesce(n_b, 0) AS n_b, coalesce(n_c, 0) AS n_c
+            FROM edges e
+            CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) gs
+            LEFT JOIN bcnt USING (event_type, bucket)
+            LEFT JOIN ccnt USING (event_type, bucket)),
+        tots AS (
+            SELECT event_type, sum(n_b) AS n_base, sum(n_c) AS n_cur
+            FROM grid GROUP BY 1),
+        terms AS (
+            SELECT g.event_type, n_base, n_cur,
+                   CAST(floor(
+                       ((n_c + 0.5) / (n_cur + 5.0)
+                        - (n_b + 0.5) / (n_base + 5.0))
+                       * ln(((n_c + 0.5) / (n_cur + 5.0))
+                            / ((n_b + 0.5) / (n_base + 5.0)))
+                       * 1e9 + 0.5) AS BIGINT) AS term_q
+            FROM grid g JOIN tots USING (event_type))
+        SELECT event_type,
+               CAST(n_base AS BIGINT) AS n_base,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               round(CAST(sum(term_q) AS DOUBLE) / 1e9, 6) AS psi,
+               round(CAST(sum(term_q) AS DOUBLE) / 1e9, 6) >= 0.1
+                   AS drifted
+        FROM terms GROUP BY 1, 2, 3
+        """),
     "c28_containment": QuerySpec(
         _t("documents")(dedup.ngram_containment_pairs),
         f"""

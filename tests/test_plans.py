@@ -129,6 +129,7 @@ _BNLJ_ALLOWED = {
     "c30_lm_xent",          # 1-row vocabulary-size scalar
     "c30_tfidf",            # 1-row corpus-count scalar
     "c30_curate_v2",        # inherits lm_xent's vocabulary scalar
+    "c33_drift",            # 10-row bucket-grid broadcast per event_type
 }
 
 
