@@ -377,3 +377,132 @@ def audio_stats(audio_media: DataFrame) -> DataFrame:
     return audio_media.select("doc_id", "payload").mapInPandas(
         stats, schema="doc_id long, n_samples int, duration_s double, "
                       "rms double")
+
+
+def _encode_bmp_from(w: int, h: int, rows) -> bytes:
+    """Encode a logical top-down (h, w*3) uint8 pixel array as a real 24bpp
+    BMP (same layout as encode_bmp, which remains the formula-driven
+    fixture encoder)."""
+    import numpy as np
+
+    stride = (w * 3 + 3) // 4 * 4
+    padded = np.zeros((h, stride), dtype=np.uint8)
+    padded[:, : w * 3] = rows
+    pixel_data = padded[::-1].tobytes()
+    offset = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data),
+                              0, 0, offset)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              len(pixel_data), 2835, 2835, 0, 0)
+    return file_header + info_header + pixel_data
+
+
+def reencode_brightened(bmp_media: DataFrame, shift: int = 8,
+                        id_offset: int = 10_000_000) -> DataFrame:
+    """C31g helper: a REAL re-encode pass — decode each BMP, apply a
+    clamped brightness shift (min(p + shift, 255), the lossy edit a
+    screenshot/re-export pipeline introduces), encode back to BMP bytes
+    under a new id. This is how the near-dup corpus gets genuine
+    perturbed twins: byte-level containers all the way, not a formula
+    shortcut."""
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = parse_bmp(bytes(payload))
+                shifted = np.minimum(rows.astype(np.int64) + shift, 255) \
+                    .astype(np.uint8)
+                out["doc_id"].append(int(doc_id) + id_offset)
+                out["payload"].append(_encode_bmp_from(w, h, shifted))
+            yield pd.DataFrame(out)
+
+    return bmp_media.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, payload binary")
+
+
+def dhash_images(bmp_media: DataFrame) -> DataFrame:
+    """C31g: 64-bit difference hash (dHash) per image — THE standard
+    perceptual fingerprint for image near-dup at corpus scale. Sample a
+    9×8 grid (nearest-neighbor, gy = r·h//8, gx = c·w//9), cell value =
+    exact integer sum of the 3 channel bytes, bit(r,c) = cell[r][c] <
+    cell[r][c+1]. The hash is brightness-shift-invariant until clamping
+    bites, so re-encoded twins land within a few bits of their source.
+    Packed as two non-negative 32-bit halves (h0 = bits 0-31, h1 =
+    32-63) so downstream band/XOR arithmetic never touches the BIGINT
+    sign bit in either engine.
+
+    After this kernel only 24-byte (img_id, h0, h1) rows ever shuffle —
+    pixels stay in the scan stage, the Arrow batch is the only Python
+    crossing. That is the 100 TB discipline: hash at the edge, join on
+    fingerprints."""
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        w0 = (np.uint64(1) << np.arange(32, dtype=np.uint64))
+        for pdf in batches:
+            out = {"img_id": [], "h0": [], "h1": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = parse_bmp(bytes(payload))
+                gy = (np.arange(8) * h) // 8
+                gx = (np.arange(9) * w) // 9
+                cells = sum(
+                    rows[np.ix_(gy, gx * 3 + ch)].astype(np.int64)
+                    for ch in range(3))
+                bits = (cells[:, :8] < cells[:, 1:]).astype(np.uint64) \
+                    .reshape(64)
+                out["img_id"].append(int(doc_id))
+                out["h0"].append(int((bits[:32] * w0).sum()))
+                out["h1"].append(int((bits[32:] * w0).sum()))
+            yield pd.DataFrame(out)
+
+    return bmp_media.select(F.col("doc_id"), "payload").mapInPandas(
+        kernel, schema="img_id long, h0 long, h1 long")
+
+
+def phash_near_dup(documents: DataFrame, max_hamming: int = 6,
+                   every: int = 5) -> DataFrame:
+    """C31g: perceptual-hash image near-duplicate detection, end to end —
+    encode the corpus as real BMPs, add genuinely re-encoded
+    brightness-shifted twins for every `every`-th image (the
+    screenshot/re-export duplicates an image crawl actually contains),
+    dHash everything, then find near pairs by 16-bit LSH banding on the
+    hash + Hamming verification (bit_count over XOR, all JVM built-ins).
+
+    Band width is the scale dial: 4×16-bit bands give expected random
+    collisions n²/2¹⁷ per band — negligible through sf0.1 and sized for
+    corpora to ~10⁸ images; a 100 TB crawl widens to 32-bit bands (2
+    bands of the same 64-bit hash) exactly like MinHash-LSH re-bands.
+    Candidate verification shuffles only (img_id, h0, h1) triples.
+
+    FULL oracle: pixels are the deterministic fixture formula, the twin
+    edit is least(p+8, 255), and grid/hash/band/XOR are integer
+    arithmetic — DuckDB replays the entire pipeline including the final
+    pair set, so the Spark side's byte-level BMP round-trip is verified
+    against formula-derived ground truth."""
+    media = to_bmp_media(documents)
+    twins = reencode_brightened(
+        media.filter(F.col("doc_id") % every == 0))
+    corpus = media.select("doc_id", "payload").unionAll(twins)
+    hashes = dhash_images(corpus)
+    lo = F.lit(65536).cast("long")
+    expl = hashes.select(
+        "img_id", "h0", "h1",
+        F.posexplode(F.array(
+            F.col("h0") % lo, F.shiftright("h0", 16),
+            F.col("h1") % lo, F.shiftright("h1", 16)))
+        .alias("band_idx", "band_val"))
+    a, b = expl.alias("a"), expl.alias("b")
+    hamming = (F.bit_count(F.col("a.h0").bitwiseXOR(F.col("b.h0")))
+               + F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1"))))
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.img_id") < F.col("b.img_id")))
+        .select(F.col("a.img_id").alias("doc_a"),
+                F.col("b.img_id").alias("doc_b"),
+                hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -2525,6 +2525,59 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                {DSUM.format(x='value')} AS total_value
         FROM events GROUP BY user_id
         """),
+    "c31_phash_dedup": QuerySpec(
+        _t("documents")(multimodal.phash_near_dup),
+        """
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        imgs AS (
+            SELECT doc_id AS img_id, doc_id AS src_id,
+                   (nb % 29) + 4 AS w, (doc_id % 13) + 3 AS h, 0 AS shift
+            FROM d
+            UNION ALL
+            SELECT doc_id + 10000000, doc_id,
+                   (nb % 29) + 4, (doc_id % 13) + 3, 8
+            FROM d WHERE doc_id % 5 = 0),
+        cells AS (
+            SELECT img_id, r, c,
+                   least((src_id*31 + (((r*h//8)*w + c*w//9)*3 + 0)*7) % 256
+                         + shift, 255)
+                 + least((src_id*31 + (((r*h//8)*w + c*w//9)*3 + 1)*7) % 256
+                         + shift, 255)
+                 + least((src_id*31 + (((r*h//8)*w + c*w//9)*3 + 2)*7) % 256
+                         + shift, 255) AS cell
+            FROM imgs
+            CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS r)
+            CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS c)),
+        bits AS (
+            SELECT l.img_id, l.r * 8 + l.c AS b,
+                   CASE WHEN l.cell < rr.cell THEN 1 ELSE 0 END AS bit
+            FROM cells l JOIN cells rr
+              ON l.img_id = rr.img_id AND l.r = rr.r AND rr.c = l.c + 1
+            WHERE l.c < 8),
+        hashes AS (
+            SELECT img_id,
+                   sum(CASE WHEN b < 32 THEN bit::BIGINT << b
+                            ELSE 0 END)::BIGINT AS h0,
+                   sum(CASE WHEN b >= 32 THEN bit::BIGINT << (b - 32)
+                            ELSE 0 END)::BIGINT AS h1
+            FROM bits GROUP BY 1),
+        bands AS (
+            SELECT img_id, h0, h1, band_idx,
+                   CASE band_idx WHEN 0 THEN h0 % 65536
+                                 WHEN 1 THEN h0 // 65536
+                                 WHEN 2 THEN h1 % 65536
+                                 ELSE h1 // 65536 END AS band_val
+            FROM hashes
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx))
+        SELECT DISTINCT a.img_id AS doc_a, b.img_id AS doc_b,
+               (bit_count(xor(a.h0, b.h0))
+                + bit_count(xor(a.h1, b.h1)))::INTEGER AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.img_id < b.img_id
+        WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 6
+        """),
     "c6_bloom_join": QuerySpec(
         _t("orders customer")(joins.bloom_semi_join),
         """
