@@ -3247,10 +3247,13 @@ _ROUND6_PRIORITY = [
     "c33_expectations", "c29_ivf_ingest", "c34_sessionize",
     # (2) new this round: the LSH edge source of the text dedup clusters
     # (verdict item 6), the end-to-end materialized Z-order check
-    # (verdict item 7), CMS heavy hitters, and token-window chunking
+    # (verdict item 7), CMS heavy hitters, token-window chunking, sketch
+    # legs, triplet mining — then the late-round additions: SCD2 history,
+    # PSI drift gate, bloom-pruned semi-join, perceptual image near-dup
     "c29_clusters_lsh", "c37_zorder_files", "c4_cms_topk", "c30_chunk",
     "c33_ndv_sketch", "c4_cms_stream", "c4_hist_quantiles",
     "c29_triplets",
+    "c35_scd2", "c33_drift", "c6_bloom_join", "c31_phash_dedup",
     # (3) oldest-checked cohort (last green r3; 36 of the 48 — verdict
     # item 2). The 12 deferred to round 7 are rows whose FAMILY has fresh
     # r5/r6 coverage: c29_minhash_lsh (its pair graph is re-verified
@@ -3263,17 +3266,22 @@ _ROUND6_PRIORITY = [
     # c33_group_stats (c33 has three fresh r6 rows), and
     # c32_shard_shuffle (c32 keeps sample/stratified/split/pack), and
     # c17_math_fns (C15-C18 scalar family keeps 5 other rows).
+    # four more r3-stale rows deferred to round 7 to make room for the
+    # late-round additions above, each with an in-window family sibling:
+    # c5_rollup (c5_cube stays), c8_anti_join (c8_left_join stays),
+    # c15_string_fns (c16_date_fns carries the scalar sweep),
+    # c18_explode (c18_array_fns stays)
     "c1_filter", "c2_project_scalar", "c3_pricing_summary",
     "sql_q3_top_revenue", "sql_q18_top_quantity", "sql_q17_small_qty_revenue",
     "sql_q13_order_distribution",
     "a5_fnv_partitioner", "a6_derive_total", "a9_wire_roundtrip",
     "a11_avro_roundtrip", "a13_proto_roundtrip", "a15_partition_ordered",
     "a16_commit_offsets", "a19_route_events", "a20_key_fallback",
-    "c5_cube", "c5_rollup", "c6_broadcast_join", "c7_multiway_join",
-    "c8_left_join", "c8_anti_join", "c11_rank", "c12_analytic_frames",
+    "c5_cube", "c6_broadcast_join", "c7_multiway_join",
+    "c8_left_join", "c11_rank", "c12_analytic_frames",
     "c13_topk", "c14_except",
-    "c15_string_fns", "c16_date_fns",
-    "c18_array_fns", "c18_explode", "c19_json_fns",
+    "c16_date_fns",
+    "c18_array_fns", "c19_json_fns",
     "c30_decontaminate",
     "c32_sample", "c32_stratified", "c32_split", "c32_pack",
 ]
