@@ -340,3 +340,44 @@ def bloom_semi_join(orders: DataFrame, customer: DataFrame,
         .alias("candidates_bounded"),
         (F.col("n_cand") < F.col("n_orders")).alias("pruned"),
     )
+
+
+def point_in_time_join(events: DataFrame) -> DataFrame:
+    """C10e: point-in-time (temporal) dimension join — attach to each fact
+    row the dimension version that was valid AT the fact's own timestamp,
+    never a later one. This is the feature-store correctness primitive:
+    training examples joined to any state newer than their event time
+    leak the future into the features (the classic offline/online skew
+    bug), and the [effective_from, effective_to) discipline of the C35c
+    SCD2 history is exactly what prevents it.
+
+    Facts are the purchase events; the dimension is the SCD2 history of
+    the user's event-type regime (relational.scd2_history over the same
+    log — the CDC self-materialization a feature store performs). The
+    join is equi on user_id plus the half-open validity range, so Spark
+    plans a keyed SMJ with the range as post-filter (the C9 shape) —
+    never a cross product, shuffle bounded by the user key. Ranges
+    partition each user's timeline, so every fact matches EXACTLY one
+    version; facts at a boundary land in the newer version (strict <
+    upper bound), pinning the same eviction inequality the streaming
+    side uses."""
+    from .relational import scd2_history
+
+    hist = scd2_history(events)
+    facts = (events.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id",
+                     F.unix_micros("ts").alias("ts_us"), "value"))
+    h = hist.alias("h")
+    f = facts.alias("f")
+    return (
+        f.join(h, (F.col("f.user_id") == F.col("h.user_id"))
+               & (F.col("h.effective_from_us") <= F.col("f.ts_us"))
+               & (F.col("h.effective_to_us").isNull()
+                  | (F.col("f.ts_us") < F.col("h.effective_to_us"))))
+        .select(F.col("f.event_id").alias("event_id"),
+                F.col("f.user_id").alias("user_id"),
+                F.col("f.ts_us").alias("ts_us"),
+                F.col("h.attr").alias("state_at_event"),
+                F.col("h.version").alias("version"),
+                F.col("h.is_current").alias("joined_current"))
+    )

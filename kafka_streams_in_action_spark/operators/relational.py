@@ -809,3 +809,51 @@ def psi_drift(events: DataFrame, bins: int = 10,
         .agg(F.round(F.sum("term_q").cast("double") / 1e9, 6).alias("psi"))
         .withColumn("drifted", F.col("psi") >= threshold)
     )
+
+
+def dataset_fingerprint(documents: DataFrame) -> DataFrame:
+    """C33g: order-invariant dataset fingerprint — the reproducibility /
+    replication check a training pipeline runs before trusting that two
+    copies of a corpus (original vs re-export, cross-region replica,
+    post-migration rewrite) are the same data. Row order, partition
+    layout, and file boundaries must not matter; content must.
+
+    Per-row canonical string → engine-portable FNV-1a 32 (the F1 UDF and
+    its DuckDB fold are already byte-identical) → two commutative,
+    overflow-free folds: bit_xor of the row hashes and a sum of
+    pmod(hash, 1000003) residues (< 2^63 up to ~9·10¹² rows — the resid
+    keeps the sum bounded where a raw 32-bit-hash sum would overflow at
+    ~10¹² rows), plus the row count. Equal fingerprints ⇒ equal multisets
+    with 32-bit collision confidence; at 100 TB this is ONE map-side agg
+    per replica, no shuffle of data rows at all.
+
+    The second replica is a deliberate single-row corruption (min-doc_id
+    text gets one appended byte) so the check demonstrably FIRES — same
+    prove-it-detects posture as the expectations/drift gates."""
+    canon = F.concat_ws("|", "doc_id", "lang", "source", "n_chars", "text")
+    from ..functions.serde import fnv1a_32
+
+    min_id = documents.agg(F.min("doc_id").alias("mid"))
+    corrupted = (documents.crossJoin(F.broadcast(min_id))
+                 .select("doc_id", "lang", "source", "n_chars",
+                         F.when(F.col("doc_id") == F.col("mid"),
+                                F.concat("text", F.lit("!")))
+                         .otherwise(F.col("text")).alias("text")))
+    replicas = (documents.withColumn("replica", F.lit("baseline"))
+                .unionByName(corrupted.withColumn("replica", F.lit("copy"))))
+    fps = (replicas
+           .select("replica", fnv1a_32(canon).alias("h"))
+           .groupBy("replica")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.bit_xor("h").alias("fp_xor"),
+                F.sum(F.pmod(F.col("h"), F.lit(1000003))).alias("fp_sum")))
+    base = (fps.filter(F.col("replica") == "baseline")
+            .select(F.col("n_rows").alias("b_rows"),
+                    F.col("fp_xor").alias("b_xor"),
+                    F.col("fp_sum").alias("b_sum")))
+    return (fps.crossJoin(F.broadcast(base))
+            .select("replica", "n_rows", "fp_xor", "fp_sum",
+                    ((F.col("n_rows") == F.col("b_rows"))
+                     & (F.col("fp_xor") == F.col("b_xor"))
+                     & (F.col("fp_sum") == F.col("b_sum")))
+                    .alias("matches_baseline")))

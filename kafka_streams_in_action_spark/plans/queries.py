@@ -2525,6 +2525,65 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                {DSUM.format(x='value')} AS total_value
         FROM events GROUP BY user_id
         """),
+    "c33_fingerprint": QuerySpec(
+        _t("documents")(relational.dataset_fingerprint),
+        f"""
+        WITH canon AS (
+            SELECT 'baseline' AS replica,
+                   doc_id::VARCHAR || '|' || lang || '|' || source || '|'
+                   || n_chars::VARCHAR || '|' || text AS s
+            FROM documents
+            UNION ALL
+            SELECT 'copy',
+                   doc_id::VARCHAR || '|' || lang || '|' || source || '|'
+                   || n_chars::VARCHAR || '|'
+                   || CASE WHEN doc_id = (SELECT min(doc_id)
+                                          FROM documents)
+                           THEN text || '!' ELSE text END
+            FROM documents),
+        hh AS (SELECT replica, {_FNV_SQL.format(col='s')} AS h FROM canon),
+        fps AS (
+            SELECT replica, count(*) AS n_rows,
+                   bit_xor(h) AS fp_xor, sum(h % 1000003) AS fp_sum
+            FROM hh GROUP BY 1),
+        b AS (SELECT n_rows AS b_rows, fp_xor AS b_xor, fp_sum AS b_sum
+              FROM fps WHERE replica = 'baseline')
+        SELECT replica, n_rows, CAST(fp_xor AS BIGINT) AS fp_xor,
+               CAST(fp_sum AS BIGINT) AS fp_sum,
+               (n_rows = b_rows AND fp_xor = b_xor AND fp_sum = b_sum)
+                   AS matches_baseline
+        FROM fps, b
+        """),
+    "c10_pit_join": QuerySpec(
+        _t("events")(joins.point_in_time_join),
+        """
+        WITH ordered AS (
+            SELECT user_id, event_id, ts, event_type,
+                   lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events),
+        changes AS (
+            SELECT user_id, event_type, ts, event_id FROM ordered
+            WHERE prev_type IS NULL OR prev_type <> event_type),
+        hist AS (
+            SELECT user_id, event_type AS attr,
+                   epoch_us(ts) AS effective_from_us,
+                   lead(epoch_us(ts)) OVER w AS effective_to_us,
+                   CAST(row_number() OVER w AS INTEGER) AS version
+            FROM changes
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        facts AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'purchase')
+        SELECT f.event_id, f.user_id, f.ts_us,
+               h.attr AS state_at_event, h.version,
+               (h.effective_to_us IS NULL) AS joined_current
+        FROM facts f JOIN hist h
+          ON f.user_id = h.user_id
+             AND h.effective_from_us <= f.ts_us
+             AND (h.effective_to_us IS NULL OR f.ts_us < h.effective_to_us)
+        """),
     "c31_phash_dedup": QuerySpec(
         _t("documents")(multimodal.phash_near_dup),
         """
@@ -3254,6 +3313,7 @@ _ROUND6_PRIORITY = [
     "c33_ndv_sketch", "c4_cms_stream", "c4_hist_quantiles",
     "c29_triplets",
     "c35_scd2", "c33_drift", "c6_bloom_join", "c31_phash_dedup",
+    "c10_pit_join", "c33_fingerprint",
     # (3) oldest-checked cohort (last green r3; 36 of the 48 — verdict
     # item 2). The 12 deferred to round 7 are rows whose FAMILY has fresh
     # r5/r6 coverage: c29_minhash_lsh (its pair graph is re-verified
@@ -3266,24 +3326,25 @@ _ROUND6_PRIORITY = [
     # c33_group_stats (c33 has three fresh r6 rows), and
     # c32_shard_shuffle (c32 keeps sample/stratified/split/pack), and
     # c17_math_fns (C15-C18 scalar family keeps 5 other rows).
-    # four more r3-stale rows deferred to round 7 to make room for the
+    # six more r3-stale rows deferred to round 7 to make room for the
     # late-round additions above, each with an in-window family sibling:
     # c5_rollup (c5_cube stays), c8_anti_join (c8_left_join stays),
     # c15_string_fns (c16_date_fns carries the scalar sweep),
-    # c18_explode (c18_array_fns stays)
+    # c18_explode (c18_array_fns stays), a16_commit_offsets (7 A-row
+    # siblings stay), c32_sample (c32 keeps stratified/split/pack)
     "c1_filter", "c2_project_scalar", "c3_pricing_summary",
     "sql_q3_top_revenue", "sql_q18_top_quantity", "sql_q17_small_qty_revenue",
     "sql_q13_order_distribution",
     "a5_fnv_partitioner", "a6_derive_total", "a9_wire_roundtrip",
     "a11_avro_roundtrip", "a13_proto_roundtrip", "a15_partition_ordered",
-    "a16_commit_offsets", "a19_route_events", "a20_key_fallback",
+    "a19_route_events", "a20_key_fallback",
     "c5_cube", "c6_broadcast_join", "c7_multiway_join",
     "c8_left_join", "c11_rank", "c12_analytic_frames",
     "c13_topk", "c14_except",
     "c16_date_fns",
     "c18_array_fns", "c19_json_fns",
     "c30_decontaminate",
-    "c32_sample", "c32_stratified", "c32_split", "c32_pack",
+    "c32_stratified", "c32_split", "c32_pack",
 ]
 
 assert len(_ROUND6_PRIORITY) == 50, len(_ROUND6_PRIORITY)

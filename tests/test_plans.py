@@ -131,6 +131,7 @@ _BNLJ_ALLOWED = {
     "c30_curate_v2",        # inherits lm_xent's vocabulary scalar
     "c33_drift",            # 10-row bucket-grid broadcast per event_type
     "c6_bloom_join",        # 1-row verdict-count scalar broadcasts
+    "c33_fingerprint",      # 1-row min-id + baseline-fingerprint scalars
 }
 
 
