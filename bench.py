@@ -75,6 +75,13 @@ HEADLINE = [
     "c30_chunk",             # token-window chunking (zero-shuffle explode)
     "c29_clusters_lsh",      # CC refinement verdict over LSH edges
     "c33_ndv_sketch",        # one-pass multi-column HLL NDV profile
+    # round-6 late additions
+    "c35_scd2",              # SCD2 history build (two windows, one shuffle)
+    "c33_drift",             # PSI drift gate (two agg passes + grid)
+    "c6_bloom_join",         # bloom-pruned semi-join + exact verify
+    "c31_phash_dedup",       # dHash LSH banding over real BMP round-trips
+    "c10_pit_join",          # point-in-time join vs SCD2 history
+    "c33_fingerprint",       # order-invariant dataset fingerprint ×2 replicas
     "c4_hist_quantiles",     # mergeable histogram quantile sketch
     "c29_triplets",          # contrastive triplet mining (FNV negative)
 ]

@@ -112,6 +112,18 @@ PROBE_QUERIES = [
     "c4_hist_quantiles",    # histogram quantile sketch + exact verdict
     "c29_triplets",         # triplet mining (broadcast anchors, FNV neg)
     "c33_ndv_sketch",       # one-pass multi-column HLL NDV profile
+    # round-6 late additions. c31_phash_dedup is deliberately NOT probed:
+    # the linear fixture pixel formula makes every same-dims doc pair a
+    # constant-shift near-image, so the RESULT SET itself (not the
+    # algorithm's overhead) grows quadratically on the copy-synthesized
+    # 10x data — a corpus property (like the permissive-threshold exact
+    # cosine), not a plan property; on a real crawl near-dup density is
+    # ~linear in corpus size and the banding bounds candidates.
+    "c35_scd2",             # SCD2 change capture + range stitching
+    "c33_drift",            # PSI gate: two agg passes, fixed grid
+    "c6_bloom_join",        # bloom build/probe + exact verification
+    "c10_pit_join",         # temporal join against derived SCD2 dim
+    "c33_fingerprint",      # two map-side agg replicas + FNV kernel
 ]
 
 

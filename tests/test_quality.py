@@ -752,3 +752,57 @@ def test_contrastive_triplets_are_valid_and_trainable(spark):
     again = similarity.contrastive_triplets(emb).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     assert sum(r["margin_ok"] for r in rows) >= 0.8 * len(rows)
+
+
+def test_bloom_semi_join_no_false_negatives_across_configs(spark):
+    """C6b invariant: whatever (m, k), the bloom filter NEVER loses a true
+    match — the verified candidate count must equal the exact semi-join
+    count. Tight m (512 bits) forces heavy false positives; the exact
+    verify must still reduce them to the truth."""
+    from kafka_streams_in_action_spark.operators import joins
+
+    orders = load_table(spark, "orders", SF_DIR)
+    customer = load_table(spark, "customer", SF_DIR)
+    for m_bits, k in ((512, 2), (1 << 14, 3), (1 << 16, 5)):
+        row = joins.bloom_semi_join(
+            orders, customer, m_bits=m_bits, k=k).collect()[0]
+        assert row.no_false_negatives, (m_bits, k)
+        assert row.candidates_bounded, (m_bits, k)
+        assert 0 < row.n_matched < row.n_orders
+
+
+def test_scd2_versions_tile_each_user_timeline(spark):
+    """C35c invariant: per user, version ranges are contiguous
+    ([from_i+1 == to_i), exactly one open range, versions 1..n dense) —
+    the property that makes the C10e point-in-time join land every fact
+    in EXACTLY one version."""
+    from kafka_streams_in_action_spark.operators import relational
+
+    events = load_table(spark, "events", SF_DIR)
+    hist = relational.scd2_history(events).collect()
+    by_user: dict = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        open_ranges = [r for r in rows if r.effective_to_us is None]
+        assert len(open_ranges) == 1 and rows[-1].is_current
+        for a, b in zip(rows, rows[1:]):
+            assert a.effective_to_us == b.effective_from_us, user
+            assert a.attr != b.attr  # change capture collapsed equal runs
+
+
+def test_phash_twins_mostly_recovered_and_no_phantom_exacts(spark):
+    """C31g behavior: the re-encoded twins are the planted near-dups — the
+    overwhelming majority must be recovered (clamping can flip a few bits
+    past the threshold or past a band for a small minority), and every
+    reported pair must satisfy the Hamming bound."""
+    docs = load_table(spark, "documents", SF_DIR)
+    pairs = multimodal.phash_near_dup(docs).collect()
+    assert all(p.hamming <= 6 for p in pairs)
+    n_twins = docs.filter(F.col("doc_id") % 5 == 0).count()
+    found_twins = {p.doc_a for p in pairs
+                   if p.doc_b == p.doc_a + 10_000_000}
+    assert len(found_twins) >= 0.9 * n_twins
