@@ -82,6 +82,7 @@ HEADLINE = [
     "c31_phash_dedup",       # dHash LSH banding over real BMP round-trips
     "c10_pit_join",          # point-in-time join vs SCD2 history
     "c33_fingerprint",       # order-invariant dataset fingerprint ×2 replicas
+    "c35_diff",              # keyed full-outer snapshot diff
     "c4_hist_quantiles",     # mergeable histogram quantile sketch
     "c29_triplets",          # contrastive triplet mining (FNV negative)
 ]

@@ -857,3 +857,106 @@ def dataset_fingerprint(documents: DataFrame) -> DataFrame:
                      & (F.col("fp_xor") == F.col("b_xor"))
                      & (F.col("fp_sum") == F.col("b_sum")))
                     .alias("matches_baseline")))
+
+
+def snapshot_diff(orders: DataFrame) -> DataFrame:
+    """C35d: snapshot diff — row-level change classification between two
+    versions of a keyed table (the CDC/audit twin of C35's forward MERGE:
+    given yesterday's and today's snapshots, recover what the merge DID).
+    v2 derives deterministically from the base: the C35 update batch
+    (repriced every-7th, inserted new keys) plus synthetic deletes
+    (every 13th key % 13 == 3), so both engines build identical inputs.
+
+    One keyed full-outer shuffle join + null-pattern classification:
+    added (v2 only), removed (base only), changed (both, payload
+    differs). Unchanged rows are filtered OUT — at 100 TB the diff
+    output is proportional to the CHANGE volume, not the table, and the
+    full-outer join is the same single-shuffle plan a table-format
+    snapshot diff (Delta CDF replay, Iceberg changelog scan) resolves
+    to without the transaction log."""
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    reprice = F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100
+    updates = (orders.filter(F.col("o_orderkey") % 7 == 0)
+               .select("o_orderkey", reprice.alias("o_totalprice"),
+                       F.lit("U").alias("o_orderstatus"))
+               .unionAll(orders.filter(F.col("o_orderkey") % 1000 == 1)
+                         .select((F.col("o_orderkey") + 10000000)
+                                 .alias("o_orderkey"),
+                                 "o_totalprice",
+                                 F.lit("N").alias("o_orderstatus"))))
+    u, b2 = updates.alias("u"), base.alias("b2")
+    v2 = (b2.join(u, F.col("b2.o_orderkey") == F.col("u.o_orderkey"),
+                  "full_outer")
+          .select(F.coalesce(F.col("u.o_orderkey"), F.col("b2.o_orderkey"))
+                  .alias("o_orderkey"),
+                  F.coalesce(F.col("u.o_totalprice"),
+                             F.col("b2.o_totalprice"))
+                  .alias("o_totalprice"),
+                  F.coalesce(F.col("u.o_orderstatus"),
+                             F.col("b2.o_orderstatus"))
+                  .alias("o_orderstatus"))
+          .filter(F.col("o_orderkey") % 13 != 3))   # synthetic deletes
+    a, b = base.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"),
+                    "full_outer")
+    change = (F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+              .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+              .when((F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+                    | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+                    F.lit("changed")))
+    return (joined
+            .select(F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+                    .alias("o_orderkey"),
+                    change.alias("change_type"),
+                    F.col("a.o_totalprice").alias("old_totalprice"),
+                    F.col("b.o_totalprice").alias("new_totalprice"))
+            .filter(F.col("change_type").isNotNull()))
+
+
+def sketch_intersection(orders: DataFrame, lg_k: int = 12,
+                        tol: float = 0.05) -> DataFrame:
+    """C4i: set-EXPRESSION cardinality from mergeable sketches — the
+    audience-overlap question (|A ∩ B|: customers active in both
+    periods) answered from two stored HLL sketches by
+    inclusion-exclusion: est(A) + est(B) − est(A ∪ B), where the union
+    estimate comes from `hll_union` of the SAME stored sketches. This is
+    the fourth sketch-family leg (C4s cardinality, C4c frequency, C4q
+    order statistics, this = set algebra): at 100 TB the two period
+    sketches already exist from ingest-time rollups, so the overlap
+    costs three register scans of 2^lg_k bytes — no rescan, no join.
+
+    Verdict form (register states aren't engine-replayable): exact
+    counts replay in SQL (one keyed agg: per-customer period flags,
+    then three sums); the sketch path surfaces as a tolerance boolean.
+    Inclusion-exclusion compounds the three ±1.6% (lg_k=12) errors, so
+    the bound is tol·|A∪B| — the union is what the absolute errors are
+    proportional to, and the testdata overlap is wide enough that this
+    also bounds the intersection usefully."""
+    in_a = F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")
+    in_b = F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    sk = orders.agg(
+        F.expr(f"hll_sketch_agg(CASE WHEN o_orderdate < "
+               f"TIMESTAMP'1996-07-01' THEN o_custkey END, {lg_k})")
+        .alias("sk_a"),
+        F.expr(f"hll_sketch_agg(CASE WHEN o_orderdate >= "
+               f"TIMESTAMP'1995-01-01' THEN o_custkey END, {lg_k})")
+        .alias("sk_b"))
+    ests = sk.select(
+        F.expr("CAST(hll_sketch_estimate(sk_a) AS DOUBLE)").alias("est_a"),
+        F.expr("CAST(hll_sketch_estimate(sk_b) AS DOUBLE)").alias("est_b"),
+        F.expr("CAST(hll_sketch_estimate(hll_union(sk_a, sk_b)) AS DOUBLE)")
+        .alias("est_u"))
+    flags = (orders.groupBy("o_custkey")
+             .agg(F.max(in_a.cast("int")).alias("a"),
+                  F.max(in_b.cast("int")).alias("b")))
+    exact = flags.agg(
+        F.sum("a").cast("long").alias("exact_a"),
+        F.sum("b").cast("long").alias("exact_b"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("exact_inter"))
+    return (exact.crossJoin(F.broadcast(ests))
+            .select("exact_a", "exact_b", "exact_inter",
+                    (F.abs(F.col("est_a") + F.col("est_b") - F.col("est_u")
+                           - F.col("exact_inter"))
+                     <= F.lit(tol) * (F.col("exact_a") + F.col("exact_b")
+                                      - F.col("exact_inter")))
+                    .alias("inter_ok")))

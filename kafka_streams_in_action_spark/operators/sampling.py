@@ -272,3 +272,29 @@ def split_summary(documents: DataFrame, train_pct: int = 90,
                  / F.sum("n_docs").over(w).cast("double")).alias("share"))
         .orderBy("split")
     )
+
+
+def group_aware_split(documents: DataFrame, n_folds: int = 5,
+                      group_col: str = "source",
+                      salt: str = "gsplit") -> DataFrame:
+    """C32h: GROUP-aware train/val/test split — the leakage guard for
+    correlated documents. A per-document split (C32c) puts near-identical
+    docs from the same source/domain/user on both sides of the train/test
+    boundary, inflating eval scores exactly the way the C30
+    decontamination and C10e point-in-time rows guard against elsewhere.
+    Hashing the GROUP key instead assigns every document of a source to
+    the same fold, so whole correlation clusters move together.
+
+    Same engine-portable FNV fold, still a pure per-row projection: no
+    shuffle, no group materialization, pushdown-friendly, reproducible
+    across engines/layouts/scales. The split stays ~proportional when
+    group sizes are balanced; heavily skewed groups are the price of the
+    guarantee (audit with split_summary)."""
+    fold = F.pmod(
+        fnv32_column(F.concat(F.col(group_col), F.lit(":" + salt))),
+        F.lit(n_folds)).cast("int")
+    return documents.select(
+        "doc_id", group_col, fold.alias("fold"),
+        F.when(fold < n_folds - 2, F.lit("train"))
+         .when(fold == n_folds - 2, F.lit("val"))
+         .otherwise(F.lit("test")).alias("split"))

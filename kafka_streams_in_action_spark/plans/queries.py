@@ -2525,6 +2525,72 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                {DSUM.format(x='value')} AS total_value
         FROM events GROUP BY user_id
         """),
+    "c35_diff": QuerySpec(
+        _t("orders")(relational.snapshot_diff),
+        """
+        WITH base AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        updates AS (
+            SELECT o_orderkey,
+                   floor(o_totalprice * 1.1 * 100 + 0.5) / 100
+                       AS o_totalprice,
+                   'U' AS o_orderstatus
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_totalprice, 'N'
+            FROM orders WHERE o_orderkey % 1000 = 1),
+        v2 AS (
+            SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   coalesce(u.o_totalprice, b.o_totalprice)
+                       AS o_totalprice,
+                   coalesce(u.o_orderstatus, b.o_orderstatus)
+                       AS o_orderstatus
+            FROM base b FULL OUTER JOIN updates u
+              ON b.o_orderkey = u.o_orderkey
+            WHERE coalesce(u.o_orderkey, b.o_orderkey) % 13 <> 3),
+        diff AS (
+            SELECT coalesce(a.o_orderkey, v.o_orderkey) AS o_orderkey,
+                   CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                        WHEN v.o_orderkey IS NULL THEN 'removed'
+                        WHEN a.o_totalprice <> v.o_totalprice
+                             OR a.o_orderstatus <> v.o_orderstatus
+                        THEN 'changed' END AS change_type,
+                   a.o_totalprice AS old_totalprice,
+                   v.o_totalprice AS new_totalprice
+            FROM base a FULL OUTER JOIN v2 v
+              ON a.o_orderkey = v.o_orderkey)
+        SELECT * FROM diff WHERE change_type IS NOT NULL
+        """),
+    "c32_group_split": QuerySpec(
+        _t("documents")(sampling.group_aware_split),
+        f"""
+        WITH k AS (SELECT doc_id, source, source || ':gsplit' AS kk
+                   FROM documents),
+        h AS (SELECT doc_id, source,
+                     ({_FNV_SQL.format(col='kk')} % 5)::INTEGER AS fold
+              FROM k)
+        SELECT doc_id, source, fold,
+               CASE WHEN fold < 3 THEN 'train'
+                    WHEN fold = 3 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+        """),
+    "c4_sketch_inter": QuerySpec(
+        _t("orders")(relational.sketch_intersection),
+        """
+        WITH flags AS (
+            SELECT o_custkey,
+                   max(CASE WHEN o_orderdate < TIMESTAMP '1996-07-01'
+                            THEN 1 ELSE 0 END) AS a,
+                   max(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+                            THEN 1 ELSE 0 END) AS b
+            FROM orders GROUP BY 1)
+        SELECT CAST(sum(a) AS BIGINT) AS exact_a,
+               CAST(sum(b) AS BIGINT) AS exact_b,
+               CAST(sum(a * b) AS BIGINT) AS exact_inter,
+               TRUE AS inter_ok
+        FROM flags
+        """),
     "c33_fingerprint": QuerySpec(
         _t("documents")(relational.dataset_fingerprint),
         f"""
@@ -3314,6 +3380,7 @@ _ROUND6_PRIORITY = [
     "c29_triplets",
     "c35_scd2", "c33_drift", "c6_bloom_join", "c31_phash_dedup",
     "c10_pit_join", "c33_fingerprint",
+    "c35_diff", "c32_group_split", "c4_sketch_inter",
     # (3) oldest-checked cohort (last green r3; 36 of the 48 — verdict
     # item 2). The 12 deferred to round 7 are rows whose FAMILY has fresh
     # r5/r6 coverage: c29_minhash_lsh (its pair graph is re-verified
@@ -3331,12 +3398,13 @@ _ROUND6_PRIORITY = [
     # c5_rollup (c5_cube stays), c8_anti_join (c8_left_join stays),
     # c15_string_fns (c16_date_fns carries the scalar sweep),
     # c18_explode (c18_array_fns stays), a16_commit_offsets (7 A-row
-    # siblings stay), c32_sample (c32 keeps stratified/split/pack)
-    "c1_filter", "c2_project_scalar", "c3_pricing_summary",
+    # siblings stay), c32_sample (c32 keeps stratified/split/pack),
+    # a15_partition_ordered (6 A-row siblings stay), sql_q13 (q3/q17/q18
+    # carry the TPC-H refresh), c2_project_scalar (c1+c3 stay)
+    "c1_filter", "c3_pricing_summary",
     "sql_q3_top_revenue", "sql_q18_top_quantity", "sql_q17_small_qty_revenue",
-    "sql_q13_order_distribution",
     "a5_fnv_partitioner", "a6_derive_total", "a9_wire_roundtrip",
-    "a11_avro_roundtrip", "a13_proto_roundtrip", "a15_partition_ordered",
+    "a11_avro_roundtrip", "a13_proto_roundtrip",
     "a19_route_events", "a20_key_fallback",
     "c5_cube", "c6_broadcast_join", "c7_multiway_join",
     "c8_left_join", "c11_rank", "c12_analytic_frames",

@@ -124,6 +124,9 @@ PROBE_QUERIES = [
     "c6_bloom_join",        # bloom build/probe + exact verification
     "c10_pit_join",         # temporal join against derived SCD2 dim
     "c33_fingerprint",      # two map-side agg replicas + FNV kernel
+    "c35_diff",             # keyed full-outer snapshot diff
+    "c32_group_split",      # group-keyed FNV fold, pure projection
+    "c4_sketch_inter",      # two sketch scans + one flags agg
 ]
 
 

@@ -132,6 +132,7 @@ _BNLJ_ALLOWED = {
     "c33_drift",            # 10-row bucket-grid broadcast per event_type
     "c6_bloom_join",        # 1-row verdict-count scalar broadcasts
     "c33_fingerprint",      # 1-row min-id + baseline-fingerprint scalars
+    "c4_sketch_inter",      # 1-row sketch-estimate scalar broadcast
 }
 
 
