@@ -960,3 +960,32 @@ def sketch_intersection(orders: DataFrame, lg_k: int = 12,
                      <= F.lit(tol) * (F.col("exact_a") + F.col("exact_b")
                                       - F.col("exact_inter")))
                     .alias("inter_ok")))
+
+
+def skew_advisor(orders: DataFrame, hot_ratio: float = 1.5,
+                 target_ratio: float = 1.2) -> DataFrame:
+    """C37f: join/agg skew advisor — the operational tool behind the C6
+    salted join: measure per-key frequency of the prospective shuffle key,
+    surface the keys whose row count exceeds `hot_ratio`× the mean, and
+    recommend a per-key salt factor (ceil(count / (target_ratio·mean)))
+    that would level them back to ~target_ratio× the average partition
+    load. At 100 TB this is what decides BETWEEN plain AQE skew-split,
+    explicit salting, and key isolation — run once on a sample or
+    ingest-time rollup, not per query.
+
+    One keyed count + a 1-row mean broadcast + a filter: output is
+    proportional to the number of HOT keys, not the key space. All
+    arithmetic is exact-integer / deterministic double, FULL oracle."""
+    counts = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    mean = counts.agg(
+        (F.sum("n_rows").cast("double") / F.count(F.lit(1)))
+        .alias("mean_rows"))
+    return (counts.crossJoin(F.broadcast(mean))
+            .filter(F.col("n_rows") > F.lit(hot_ratio) * F.col("mean_rows"))
+            .select("o_custkey", "n_rows",
+                    F.round(F.col("n_rows") / F.col("mean_rows"), 6)
+                    .alias("skew_ratio"),
+                    F.ceil(F.col("n_rows")
+                           / (F.lit(target_ratio) * F.col("mean_rows")))
+                    .cast("long").alias("suggested_salts")))

@@ -2591,6 +2591,51 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                TRUE AS inter_ok
         FROM flags
         """),
+    "c31_shot_detect": QuerySpec(
+        lambda spark, sf_dir: multimodal.shot_detect(
+            multimodal.to_video_media(load_table(spark, "documents",
+                                                 sf_dir))),
+        """
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        v AS (SELECT doc_id, (doc_id % 7) * 3 + 2 AS n_frames,
+                     ((doc_id % 5) + 4) * ((nb % 4) + 3) AS fsize
+              FROM d),
+        frames AS (
+            SELECT v.doc_id, v.n_frames, v.fsize, gs.f
+            FROM v JOIN (SELECT unnest(generate_series(1, 19)) AS f) gs
+              ON gs.f < v.n_frames),
+        px AS (
+            SELECT fr.doc_id, fr.n_frames, fr.fsize, fr.f,
+                   abs(((fr.doc_id*17 + fr.f*101 + gi.i*3) % 256)
+                       - ((fr.doc_id*17 + (fr.f-1)*101 + gi.i*3) % 256))
+                       AS ad
+            FROM frames fr
+            JOIN (SELECT unnest(generate_series(0, 47)) AS i) gi
+              ON gi.i < fr.fsize),
+        mads AS (
+            SELECT doc_id, n_frames, f,
+                   sum(ad)::DOUBLE / fsize AS mad
+            FROM px GROUP BY doc_id, n_frames, f, fsize)
+        SELECT doc_id, CAST(n_frames AS INTEGER) AS n_frames,
+               (1 + sum(CASE WHEN mad > 122.0 THEN 1 ELSE 0 END))::BIGINT
+                   AS n_shots,
+               round(max(mad), 6) AS max_mad
+        FROM mads GROUP BY doc_id, n_frames
+        """),
+    "c37_skew_advisor": QuerySpec(
+        _t("orders")(relational.skew_advisor),
+        """
+        WITH counts AS (
+            SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1),
+        m AS (SELECT sum(n_rows)::DOUBLE / count(*) AS mean_rows
+              FROM counts)
+        SELECT o_custkey, n_rows,
+               round(n_rows / mean_rows, 6) AS skew_ratio,
+               CAST(ceil(n_rows / (1.2 * mean_rows)) AS BIGINT)
+                   AS suggested_salts
+        FROM counts, m WHERE n_rows > 1.5 * mean_rows
+        """),
     "c33_fingerprint": QuerySpec(
         _t("documents")(relational.dataset_fingerprint),
         f"""
@@ -3381,6 +3426,7 @@ _ROUND6_PRIORITY = [
     "c35_scd2", "c33_drift", "c6_bloom_join", "c31_phash_dedup",
     "c10_pit_join", "c33_fingerprint",
     "c35_diff", "c32_group_split", "c4_sketch_inter",
+    "c31_shot_detect", "c37_skew_advisor",
     # (3) oldest-checked cohort (last green r3; 36 of the 48 — verdict
     # item 2). The 12 deferred to round 7 are rows whose FAMILY has fresh
     # r5/r6 coverage: c29_minhash_lsh (its pair graph is re-verified
@@ -3400,15 +3446,17 @@ _ROUND6_PRIORITY = [
     # c18_explode (c18_array_fns stays), a16_commit_offsets (7 A-row
     # siblings stay), c32_sample (c32 keeps stratified/split/pack),
     # a15_partition_ordered (6 A-row siblings stay), sql_q13 (q3/q17/q18
-    # carry the TPC-H refresh), c2_project_scalar (c1+c3 stay)
+    # carry the TPC-H refresh), c2_project_scalar (c1+c3 stay),
+    # a13_proto_roundtrip (a9 wire + a11 avro carry serde), c13_topk
+    # (c11_rank + c12_analytic_frames carry the window family)
     "c1_filter", "c3_pricing_summary",
     "sql_q3_top_revenue", "sql_q18_top_quantity", "sql_q17_small_qty_revenue",
     "a5_fnv_partitioner", "a6_derive_total", "a9_wire_roundtrip",
-    "a11_avro_roundtrip", "a13_proto_roundtrip",
+    "a11_avro_roundtrip",
     "a19_route_events", "a20_key_fallback",
     "c5_cube", "c6_broadcast_join", "c7_multiway_join",
     "c8_left_join", "c11_rank", "c12_analytic_frames",
-    "c13_topk", "c14_except",
+    "c14_except",
     "c16_date_fns",
     "c18_array_fns", "c19_json_fns",
     "c30_decontaminate",

@@ -127,6 +127,8 @@ PROBE_QUERIES = [
     "c35_diff",             # keyed full-outer snapshot diff
     "c32_group_split",      # group-keyed FNV fold, pure projection
     "c4_sketch_inter",      # two sketch scans + one flags agg
+    "c31_shot_detect",      # frame-delta kernel, 1→N fan-out + agg
+    "c37_skew_advisor",     # keyed count + 1-row mean broadcast
 ]
 
 

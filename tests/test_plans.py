@@ -133,6 +133,7 @@ _BNLJ_ALLOWED = {
     "c6_bloom_join",        # 1-row verdict-count scalar broadcasts
     "c33_fingerprint",      # 1-row min-id + baseline-fingerprint scalars
     "c4_sketch_inter",      # 1-row sketch-estimate scalar broadcast
+    "c37_skew_advisor",     # 1-row mean-frequency scalar broadcast
 }
 
 
