@@ -83,6 +83,7 @@ HEADLINE = [
     "c10_pit_join",          # point-in-time join vs SCD2 history
     "c33_fingerprint",       # order-invariant dataset fingerprint ×2 replicas
     "c35_diff",              # keyed full-outer snapshot diff
+    "c34_cep",               # CEP negation pattern (signup→purchase, no error)
     "c4_hist_quantiles",     # mergeable histogram quantile sketch
     "c29_triplets",          # contrastive triplet mining (FNV negative)
 ]

@@ -310,3 +310,46 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .select("event_id", "user_id", "event_type", "session_seq",
                 (F.col("opens_session") == 1).alias("is_session_start"))
     )
+
+
+def cep_conversion(events: DataFrame,
+                   window_us: int = 3_600_000_000) -> DataFrame:
+    """C34g: complex-event-processing pattern with NEGATION — for every
+    purchase, did a signup precede it within the window with NO error
+    event in between? The negation ("no C between A and B") is what
+    separates CEP from the C34 funnel's ordered-MIN shape: a funnel
+    counts A→B orderings; CEP must prove the absence of an intervening
+    event, which no per-stage MIN can express.
+
+    Single keyed window pass, no self-join: a running error cumsum and
+    an IGNORE-NULLS last() carry, onto each row, (a) the latest signup's
+    timestamp and (b) the error count AS OF that signup — so
+    "errors strictly between signup and purchase" is one subtraction.
+    Deterministic (ts, event_id) ordering; one user_id Exchange; state
+    per row is two longs, the same plan shape at any scale. The
+    streaming twin is applyInPandasWithState with the identical carry —
+    the batch form here is the oracle-checkable ground truth."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    base = events.select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"))
+    carried = (base
+               .withColumn("ce", F.sum(
+                   (F.col("event_type") == "error").cast("long")).over(w))
+               .withColumn("sig_ts", F.last(
+                   F.when(F.col("event_type") == "signup",
+                          F.col("ts_us")), ignorenulls=True).over(w))
+               .withColumn("sig_ce", F.last(
+                   F.when(F.col("event_type") == "signup",
+                          F.col("ce")), ignorenulls=True).over(w)))
+    return (carried.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts_us",
+                    F.col("sig_ts").alias("signup_ts_us"),
+                    (F.col("sig_ts").isNotNull()
+                     & (F.col("ts_us") - F.col("sig_ts")
+                        <= F.lit(window_us))
+                     & (F.col("ce") - F.col("sig_ce") == 0))
+                    .alias("converted")))

@@ -989,3 +989,42 @@ def skew_advisor(orders: DataFrame, hot_ratio: float = 1.5,
                     F.ceil(F.col("n_rows")
                            / (F.lit(target_ratio) * F.col("mean_rows")))
                     .cast("long").alias("suggested_salts")))
+
+
+def cms_selfjoin_cardinality(events: DataFrame, depth: int = 4,
+                             width: int = 512) -> DataFrame:
+    """C4j: sketch-based JOIN-SIZE estimation — the second frequency
+    moment Σ_k f(k)² (= the self-equi-join cardinality on the key) read
+    off a Count-Min grid as min_d Σ_cell cnt², the AMS/CMS inner-product
+    estimate. This is the planning-side use of the C4c sketch: before
+    shuffling 100 TB on user_id, ask the ingest-time CMS whether the
+    join explodes (Σf² ≫ N means a skew blow-up — the number the C37f
+    advisor's per-key scan measures exactly, here answered from
+    depth×width counters with NO rescan of the data).
+
+    Estimate guarantees (both asserted in-query, engine-replayable
+    arithmetic → FULL oracle): never an underestimate (each row's
+    Σcnt² = Σf² + collision cross-terms ≥ Σf²), and ≤ exact +
+    (e/width)·N² with high probability. The exact Σf² verification side
+    is one keyed count + a sum of squares."""
+    from .sampling import fnv32_column
+
+    keys = events.select(F.col("user_id").cast("string").alias("w"))
+    grid = cms_grid(keys, depth, width)
+    est = (grid.groupBy("row")
+           .agg(F.sum(F.col("n") * F.col("n")).alias("f2_row"))
+           .agg(F.min("f2_row").alias("est_card")))
+    exact = (events.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("f"))
+             .agg(F.sum(F.col("f") * F.col("f")).alias("exact_card"),
+                  F.sum("f").alias("n_rows")))
+    eps = 2.718281828459045 / width
+    return (exact.crossJoin(F.broadcast(est))
+            .select("n_rows", "exact_card", "est_card",
+                    (F.col("est_card") >= F.col("exact_card"))
+                    .alias("no_underestimate"),
+                    (F.col("est_card").cast("double")
+                     <= F.col("exact_card").cast("double")
+                     + F.lit(eps) * F.col("n_rows").cast("double")
+                     * F.col("n_rows").cast("double"))
+                    .alias("within_bound")))

@@ -2591,6 +2591,67 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                TRUE AS inter_ok
         FROM flags
         """),
+    "c4_cms_join_card": QuerySpec(
+        # C4j: CMS second-frequency-moment join-size estimate — FULL
+        # oracle: identical universal-hash + Σcnt² arithmetic both sides.
+        _t("events")(relational.cms_selfjoin_cardinality),
+        f"""
+        WITH keys AS (SELECT user_id::VARCHAR AS w FROM events),
+        wx AS (SELECT w, {_FNV_SQL.format(col='w')} AS x FROM keys),
+        cells AS (
+            SELECT row, ((a * x + b) % 2147483647) % 512 AS cell,
+                   count(*) AS n
+            FROM wx, (VALUES (0, 1103515245, 12345),
+                             (1, 998244353, 1013904223),
+                             (2, 747796405, 2531011),
+                             (3, 1664525, 69069)) h(row, a, b)
+            GROUP BY 1, 2),
+        est AS (
+            SELECT min(f2) AS est_card FROM (
+                SELECT row, sum(n * n) AS f2 FROM cells GROUP BY 1)),
+        exact AS (
+            SELECT sum(f * f) AS exact_card, sum(f) AS n_rows FROM (
+                SELECT user_id, count(*) AS f FROM events GROUP BY 1))
+        SELECT CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(exact_card AS BIGINT) AS exact_card,
+               CAST(est_card AS BIGINT) AS est_card,
+               est_card >= exact_card AS no_underestimate,
+               CAST(est_card AS DOUBLE) <= CAST(exact_card AS DOUBLE)
+                   + (2.718281828459045 / 512)
+                     * CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                   AS within_bound
+        FROM exact, est
+        """),
+    "c34_cep": QuerySpec(
+        _t("events")(event_time.cep_conversion),
+        """
+        WITH base AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+            FROM events),
+        c1 AS (
+            SELECT *, sum(CASE WHEN event_type = 'error'
+                               THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS ce
+            FROM base),
+        c2 AS (
+            SELECT *,
+                last_value(CASE WHEN event_type = 'signup'
+                                THEN ts_us END IGNORE NULLS)
+                    OVER w AS sig_ts,
+                last_value(CASE WHEN event_type = 'signup'
+                                THEN ce END IGNORE NULLS)
+                    OVER w AS sig_ce
+            FROM c1
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW))
+        SELECT event_id, user_id, ts_us, sig_ts AS signup_ts_us,
+               (sig_ts IS NOT NULL AND ts_us - sig_ts <= 3600000000
+                AND ce - sig_ce = 0) AS converted
+        FROM c2 WHERE event_type = 'purchase'
+        """),
     "c31_shot_detect": QuerySpec(
         lambda spark, sf_dir: multimodal.shot_detect(
             multimodal.to_video_media(load_table(spark, "documents",
@@ -3427,6 +3488,7 @@ _ROUND6_PRIORITY = [
     "c10_pit_join", "c33_fingerprint",
     "c35_diff", "c32_group_split", "c4_sketch_inter",
     "c31_shot_detect", "c37_skew_advisor",
+    "c4_cms_join_card", "c34_cep",
     # (3) oldest-checked cohort (last green r3; 36 of the 48 — verdict
     # item 2). The 12 deferred to round 7 are rows whose FAMILY has fresh
     # r5/r6 coverage: c29_minhash_lsh (its pair graph is re-verified
@@ -3448,10 +3510,13 @@ _ROUND6_PRIORITY = [
     # a15_partition_ordered (6 A-row siblings stay), sql_q13 (q3/q17/q18
     # carry the TPC-H refresh), c2_project_scalar (c1+c3 stay),
     # a13_proto_roundtrip (a9 wire + a11 avro carry serde), c13_topk
-    # (c11_rank + c12_analytic_frames carry the window family)
+    # (c11_rank + c12_analytic_frames carry the window family),
+    # a6_derive_total (a5/a9/a11/a19/a20 carry the A-rows), c32_split
+    # (c32 keeps stratified/pack and the NEW group_split is the freshest
+    # split-family row)
     "c1_filter", "c3_pricing_summary",
     "sql_q3_top_revenue", "sql_q18_top_quantity", "sql_q17_small_qty_revenue",
-    "a5_fnv_partitioner", "a6_derive_total", "a9_wire_roundtrip",
+    "a5_fnv_partitioner", "a9_wire_roundtrip",
     "a11_avro_roundtrip",
     "a19_route_events", "a20_key_fallback",
     "c5_cube", "c6_broadcast_join", "c7_multiway_join",
@@ -3460,7 +3525,7 @@ _ROUND6_PRIORITY = [
     "c16_date_fns",
     "c18_array_fns", "c19_json_fns",
     "c30_decontaminate",
-    "c32_stratified", "c32_split", "c32_pack",
+    "c32_stratified", "c32_pack",
 ]
 
 assert len(_ROUND6_PRIORITY) == 50, len(_ROUND6_PRIORITY)

@@ -129,6 +129,8 @@ PROBE_QUERIES = [
     "c4_sketch_inter",      # two sketch scans + one flags agg
     "c31_shot_detect",      # frame-delta kernel, 1→N fan-out + agg
     "c37_skew_advisor",     # keyed count + 1-row mean broadcast
+    "c4_cms_join_card",     # fixed CMS grid + Σcnt² planning estimate
+    "c34_cep",              # CEP negation pattern, one keyed window pass
 ]
 
 

@@ -134,6 +134,7 @@ _BNLJ_ALLOWED = {
     "c33_fingerprint",      # 1-row min-id + baseline-fingerprint scalars
     "c4_sketch_inter",      # 1-row sketch-estimate scalar broadcast
     "c37_skew_advisor",     # 1-row mean-frequency scalar broadcast
+    "c4_cms_join_card",     # 1-row sketch-estimate scalar broadcast
 }
 
 
