@@ -276,3 +276,61 @@ def running_user_state_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def cep_conversion_stream(events: DataFrame,
+                          window_us: int = 3_600_000_000) -> DataFrame:
+    """C34g streaming twin: the negation CEP pattern (signup → purchase
+    within the window, NO error between) as a keyed state machine over
+    applyInPandasWithState — per user the state is exactly the batch
+    form's window carry: (latest signup ts, error count AS OF that
+    signup, running error count), three longs regardless of stream
+    length. Each micro-batch replays its rows in (ts, event_id) order
+    through the same transition rules; purchases emit their conversion
+    verdict inline (append mode — CEP detections are events, not
+    aggregates). With availableNow replay of the time-ordered log the
+    output equals operators/event_time.cep_conversion row-for-row
+    (pinned in tests/test_streaming.py); the same cross-batch ordering
+    caveat as every stateful funnel applies to live out-of-order feeds —
+    watermarked reordering buffers are the production hardening."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        sig_ts, sig_ce, ce = \
+            state.get() if state.exists else (None, None, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True) \
+            .sort_values(["ts_us", "event_id"])
+        out = {"event_id": [], "user_id": [], "ts_us": [],
+               "signup_ts_us": [], "converted": []}
+        for _, r in rows.iterrows():
+            et, ts_us = r["event_type"], int(r["ts_us"])
+            if et == "error":
+                ce += 1
+            elif et == "signup":
+                sig_ts, sig_ce = ts_us, ce
+            elif et == "purchase":
+                out["event_id"].append(int(r["event_id"]))
+                out["user_id"].append(key[0])
+                out["ts_us"].append(ts_us)
+                out["signup_ts_us"].append(sig_ts)
+                out["converted"].append(
+                    sig_ts is not None
+                    and ts_us - sig_ts <= window_us
+                    and ce - sig_ce == 0)
+        state.update((sig_ts, sig_ce, ce))
+        yield pd.DataFrame(out)
+
+    return (
+        events.select("event_id", "user_id", "event_type",
+                      F.unix_micros("ts").alias("ts_us"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=("event_id long, user_id long, ts_us long, "
+                              "signup_ts_us long, converted boolean"),
+            stateStructType="sig_ts long, sig_ce long, ce long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -806,3 +806,20 @@ def test_phash_twins_mostly_recovered_and_no_phantom_exacts(spark):
     found_twins = {p.doc_a for p in pairs
                    if p.doc_b == p.doc_a + 10_000_000}
     assert len(found_twins) >= 0.9 * n_twins
+
+
+def test_bmp_reencode_roundtrip_arbitrary_pixels():
+    """C31g's re-encode path: _encode_bmp_from must round-trip ARBITRARY
+    pixel arrays through the real container (row padding + bottom-up
+    flip), not just the formula fixtures — every width mod 4 exercised."""
+    import numpy as np
+
+    for w, h, seed in [(4, 3, 1), (5, 8, 2), (6, 1, 3), (7, 15, 4),
+                       (32, 13, 5), (9, 2, 6)]:
+        rng = np.random.default_rng(seed)
+        rows = rng.integers(0, 256, size=(h, w * 3), dtype=np.int64) \
+            .astype(np.uint8)
+        pw, ph, parsed = multimodal.parse_bmp(
+            multimodal._encode_bmp_from(w, h, rows))
+        assert (pw, ph) == (w, h)
+        assert (parsed == rows).all(), (w, h)

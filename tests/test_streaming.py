@@ -648,3 +648,14 @@ def test_cms_stream_grid_equals_batch_grid(spark, tmp_path):
     b = {(r["row"], r["cell"]): r["n"] for r in batch.collect()}
     assert s == b
     assert len(s) > 100
+
+
+def test_cep_stream_matches_batch(spark, events_dir):
+    """C34g streaming twin: the negation-CEP state machine over
+    applyInPandasWithState equals the batch window-carry form row-for-row
+    under availableNow replay of the time-ordered log — including the
+    negation (a single intervening error flips converted to False)."""
+    stream = stateful.cep_conversion_stream(_read_stream(spark, events_dir))
+    out = _run_to_memory(spark, stream, "stream_cep", "append")
+    batch = event_time.cep_conversion(load_table(spark, "events", SF_DIR))
+    _assert_same(batch, out)
