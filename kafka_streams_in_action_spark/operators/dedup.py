@@ -499,20 +499,20 @@ def _min_label_components(ids: DataFrame, pairs: DataFrame, id_name: str,
             .groupBy(F.col("dst").alias(id_name))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        # carry the previous label through the checkpoint so convergence
+        # is a filter-count over the materialized frame — not a second
+        # keyed join per round (one shuffle saved per iteration)
+        stepped = (
             labels.join(nbr_min, id_name, "left")
-            .select(id_name,
+            .select(id_name, F.col("cluster_id").alias("_prev"),
                     F.least(F.col("cluster_id"),
                             F.coalesce("nbr_min", F.col("cluster_id")))
                     .alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.withColumnRenamed("cluster_id", "old")
-            .join(new_labels, id_name)
-            .filter(F.col("old") != F.col("cluster_id")).count()
-        )
-        labels = new_labels
+        changed = stepped.filter(
+            F.col("_prev") != F.col("cluster_id")).count()
+        labels = stepped.drop("_prev")
         if changed == 0:
             break
     return labels
