@@ -136,7 +136,7 @@ def funnel_state_stream(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state):
         import pandas as pd
         t_view, t_click, t_buy = \
-            state.get() if state.exists else (None, None, None)
+            state.get if state.exists else (None, None, None)
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
         for _, r in rows.iterrows():
             et, ts = r["event_type"], r["ts"]
@@ -201,7 +201,7 @@ def asof_enrich_stream(events: DataFrame, orders: DataFrame) -> DataFrame:
 
     def enrich(key, pdfs, state):
         import pandas as pd
-        lt, lk, lp = state.get() if state.exists else (None, None, None)
+        lt, lk, lp = state.get if state.exists else (None, None, None)
         out = {"event_id": [], "user_id": [], "o_orderkey": [],
                "o_totalprice": []}
         batch = pd.concat(list(pdfs))
@@ -254,7 +254,7 @@ def running_user_state_stream(events: DataFrame) -> DataFrame:
 
     def update(key, pdfs, state):
         import pandas as pd
-        n, total = state.get() if state.exists else (0, 0.0)
+        n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
@@ -298,7 +298,7 @@ def cep_conversion_stream(events: DataFrame,
     def update(key, pdfs, state):
         import pandas as pd
         sig_ts, sig_ce, ce = \
-            state.get() if state.exists else (None, None, 0)
+            state.get if state.exists else (None, None, 0)
         rows = pd.concat(list(pdfs), ignore_index=True) \
             .sort_values(["ts_us", "event_id"])
         out = {"event_id": [], "user_id": [], "ts_us": [],
@@ -334,3 +334,73 @@ def cep_conversion_stream(events: DataFrame,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def scd2_changes_stream(events: DataFrame) -> DataFrame:
+    """C35c streaming twin (incremental change capture): the SCD Type-2
+    history maintained from a live change stream. State per user is just
+    (last attribute value, versions emitted) — the lag() carry of the
+    batch form made explicit — so each micro-batch emits exactly the NEW
+    version-open rows its events introduce, in append mode (history rows
+    are immutable facts once opened; closing them is a read-side lead()
+    — operators/relational.stitch-on-read via stitch_versions — so the
+    sink never updates in place, the same append-only discipline a
+    warehouse SCD2 loader uses).
+
+    With availableNow replay of a time-ordered log (batches split on
+    time boundaries), stitch_versions(stream output) equals the batch
+    scd2_history row-for-row — pinned across a REAL 4-batch split in
+    tests/test_streaming.py. Same cross-batch ordering caveat as every
+    stateful twin for live out-of-order feeds."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        last_type, n_versions = \
+            state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True) \
+            .sort_values(["ts_us", "event_id"])
+        out = {"user_id": [], "attr": [], "effective_from_us": [],
+               "version": []}
+        for _, r in rows.iterrows():
+            et = r["event_type"]
+            if et != last_type:
+                n_versions += 1
+                out["user_id"].append(key[0])
+                out["attr"].append(et)
+                out["effective_from_us"].append(int(r["ts_us"]))
+                out["version"].append(n_versions)
+                last_type = et
+        state.update((last_type, n_versions))
+        yield pd.DataFrame(out)
+
+    return (
+        events.select("user_id", "event_id", "event_type",
+                      F.unix_micros("ts").alias("ts_us"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=("user_id long, attr string, "
+                              "effective_from_us long, version int"),
+            stateStructType="last_type string, n_versions int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stitch_versions(changes: DataFrame) -> DataFrame:
+    """Read-side range stitching for the append-only SCD2 change log:
+    close each version with the next version's start (lead over the
+    ≤versions-per-user frame — change rows only, never the event log),
+    mark the open range current. stitch(changes_stream) ≡ batch
+    scd2_history — the split that lets the streaming sink stay
+    append-only."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("version")
+    return (changes.select(
+        "user_id", "attr", "effective_from_us",
+        F.lead("effective_from_us").over(w).alias("effective_to_us"),
+        "version")
+        .withColumn("is_current", F.col("effective_to_us").isNull()))

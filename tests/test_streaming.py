@@ -9,7 +9,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from kafka_streams_in_action_spark.operators import event_time, joins as bjoins
+from kafka_streams_in_action_spark.operators import (
+    event_time, joins as bjoins, relational)
 from kafka_streams_in_action_spark.sources.parquet import _EVENTS_RAW, load_table
 from kafka_streams_in_action_spark.streaming import pipelines, stateful
 from kafka_streams_in_action_spark.streaming import joins as sjoins
@@ -659,3 +660,48 @@ def test_cep_stream_matches_batch(spark, events_dir):
     out = _run_to_memory(spark, stream, "stream_cep", "append")
     batch = event_time.cep_conversion(load_table(spark, "events", SF_DIR))
     _assert_same(batch, out)
+
+
+def test_scd2_stream_matches_batch_across_four_batches(spark, tmp_path):
+    """C35c streaming twin: change capture through a REAL 4-batch
+    time-split (maxFilesPerTrigger=1 over time-ordered files) + read-side
+    stitching equals the batch SCD2 history row-for-row — the cross-batch
+    state carry (last attr + version counter per user) is what's under
+    test, so a single-batch pass would prove nothing."""
+    ev = load_table(spark, "events", SF_DIR)
+    d = str(tmp_path / "scd2_stream_src")
+    # four time-ordered files: ntile(4) over ts so each batch is a time slice
+    from pyspark.sql import Window
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    for s in range(1, 5):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(d))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    changes = stateful.scd2_changes_stream(stream)
+    out = _run_to_memory(spark, changes, "scd2_changes", "append")
+    stitched = stateful.stitch_versions(out)
+    batch = relational.scd2_history(ev)
+    _assert_same(batch, stitched)
+
+
+def test_cep_stream_matches_batch_across_four_batches(spark, tmp_path):
+    """C34g under a REAL 4-batch time split: the (sig_ts, sig_ce, ce)
+    carry must survive micro-batch boundaries — the regression test for
+    the GroupState.get property bug (calling it as a method only crashed
+    on the SECOND batch, which no single-batch availableNow test ever
+    reached)."""
+    ev = load_table(spark, "events", SF_DIR)
+    d = str(tmp_path / "cep_stream_src")
+    from pyspark.sql import Window
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    for s in range(1, 5):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(d))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = _run_to_memory(
+        spark, stateful.cep_conversion_stream(stream), "cep4", "append")
+    _assert_same(event_time.cep_conversion(ev), out)
