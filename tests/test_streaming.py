@@ -705,3 +705,27 @@ def test_cep_stream_matches_batch_across_four_batches(spark, tmp_path):
     out = _run_to_memory(
         spark, stateful.cep_conversion_stream(stream), "cep4", "append")
     _assert_same(event_time.cep_conversion(ev), out)
+
+
+def test_running_state_across_four_batches(spark, tmp_path):
+    """C27 under a REAL 4-batch split: the (n, total) carry accumulates
+    across micro-batches — final per-user counts equal the batch log."""
+    ev = load_table(spark, "events", SF_DIR)
+    d = str(tmp_path / "running_src")
+    from pyspark.sql import Window
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    for s in range(1, 5):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(d))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = _run_to_memory(
+        spark, stateful.running_user_state_stream(stream), "run4", "update")
+    # final state per user = the row from the LAST batch that touched it;
+    # running_n is monotone, so max() picks it without batch bookkeeping
+    final = (out.groupBy("user_id")
+             .agg(F.max("running_n").alias("running_n")))
+    batch = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("running_n")))
+    _assert_same(batch, final)
