@@ -729,3 +729,37 @@ def test_running_state_across_four_batches(spark, tmp_path):
     batch = (ev.groupBy("user_id")
              .agg(F.count(F.lit(1)).alias("running_n")))
     _assert_same(batch, final)
+
+
+def test_asof_stream_across_four_batches(spark, tmp_path):
+    """C10 streaming enrichment under a REAL 4-batch split of BOTH
+    sources, sliced by the same explicit time cuts so joint time order
+    survives the batching: order state learned in early batches must
+    enrich events arriving in later ones."""
+    ev = load_table(spark, "events", SF_DIR)
+    od = load_table(spark, "orders", SF_DIR)
+    cuts = ev.select(F.expr(
+        "percentile(unix_micros(ts), array(0.25D, 0.5D, 0.75D))")) \
+        .collect()[0][0]
+
+    def slice_of(tcol):
+        return (F.when(tcol < F.lit(int(cuts[0])), 1)
+                .when(tcol < F.lit(int(cuts[1])), 2)
+                .when(tcol < F.lit(int(cuts[2])), 3).otherwise(4))
+
+    ev_dir = str(tmp_path / "ev4")
+    od_dir = str(tmp_path / "od4")
+    evs = ev.withColumn("slice", slice_of(F.unix_micros("ts")))
+    ods = od.withColumn("slice", slice_of(F.unix_micros("o_orderdate")))
+    for s in range(1, 5):
+        (evs.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(ev_dir))
+        (ods.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(od_dir))
+    s_ev = (spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(ev_dir))
+    s_od = (spark.readStream.schema(od.schema)
+            .option("maxFilesPerTrigger", 1).parquet(od_dir))
+    out = _run_to_memory(
+        spark, stateful.asof_enrich_stream(s_ev, s_od), "asof4", "update")
+    _assert_same(bjoins.asof_join_latest_order(ev, od), out)
