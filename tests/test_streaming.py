@@ -763,3 +763,42 @@ def test_asof_stream_across_four_batches(spark, tmp_path):
     out = _run_to_memory(
         spark, stateful.asof_enrich_stream(s_ev, s_od), "asof4", "update")
     _assert_same(bjoins.asof_join_latest_order(ev, od), out)
+
+
+def test_scd2_stream_checkpoint_restart_carries_state(spark, tmp_path):
+    """A17 durability for ARBITRARY state: stop the SCD2 change-capture
+    stream mid-log, then restart from the same checkpoint with new files
+    — the (last attr, version counter) state must round-trip the state
+    store, so the combined output still stitches into the exact batch
+    history (no re-emitted versions, no counter reset)."""
+    ev = load_table(spark, "events", SF_DIR)
+    d = str(tmp_path / "scd2_cp_src")
+    cp = str(tmp_path / "scd2_cp")
+    from pyspark.sql import Window
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+
+    def write_slices(lo, hi):
+        for s in range(lo, hi + 1):
+            (sliced.filter(F.col("slice") == s).drop("slice")
+             .coalesce(1).write.mode("append").parquet(d))
+
+    sink = str(tmp_path / "scd2_cp_sink")
+
+    def run():
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (stateful.scd2_changes_stream(stream)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    write_slices(1, 2)
+    run()
+    write_slices(3, 4)
+    run()
+
+    changes = spark.read.parquet(sink)
+    _assert_same(relational.scd2_history(ev),
+                 stateful.stitch_versions(changes))
