@@ -823,3 +823,17 @@ def test_bmp_reencode_roundtrip_arbitrary_pixels():
             multimodal._encode_bmp_from(w, h, rows))
         assert (pw, ph) == (w, h)
         assert (parsed == rows).all(), (w, h)
+
+
+def test_pit_join_matches_exactly_one_version_per_fact(spark):
+    """C10e invariant: the SCD2 validity ranges partition each user's
+    timeline, so the point-in-time join is exactly 1:1 with the fact
+    set — no fact dropped (range gap) and no fact duplicated (range
+    overlap), the property that makes it leakage-safe."""
+    from kafka_streams_in_action_spark.operators import joins
+
+    events = load_table(spark, "events", SF_DIR)
+    n_facts = events.filter(F.col("event_type") == "purchase").count()
+    out = joins.point_in_time_join(events)
+    assert out.count() == n_facts
+    assert out.select("event_id").distinct().count() == n_facts
