@@ -481,6 +481,14 @@ def histogram_quantiles(lineitem: DataFrame, bins: int = 256,
            .withColumn("cum", F.sum("cnt").over(w))
            .withColumn("prev",
                        F.coalesce(F.lag("cum").over(w), F.lit(0))))
+    # NOTE: the branch-per-quantile union looks like it re-runs bounds and
+    # the binned agg per branch, but the branches are IDENTICAL subplans,
+    # so Spark's exchange reuse computes each once (ReusedExchange in the
+    # physical plan). A measured "one-pass" rewrite (explode (q, exq)
+    # pairs out of bounds and join once) creates a second, slightly
+    # different bounds projection that defeats the reuse and re-runs the
+    # expensive exact-percentile scan: 3.44 s vs 2.26 s at sf0.1. Keep
+    # the branchy form.
     parts = []
     for q, exq in ((0.5, "ex50"), (0.95, "ex95")):
         t = F.lit(q) * F.col("n").cast("double")
