@@ -541,18 +541,24 @@ def minhash_clusters(documents: DataFrame, threshold: float = 0.1,
       (full oracle on the replicable regime, pinned recall on the banded
       one).
 
-    Exact duplicates are collapsed to their min-doc_id representative
-    BEFORE pair generation (the c28_edit_verify rep-collapse discipline):
-    identical texts are Jaccard-1.0 near-dups by definition, so clones
-    belong to their representative's component, and blocked pair
-    generation is quadratic in duplicate-cluster size — on the 10×
-    copy-synthesized probe data the un-collapsed pair graph grows ~100×
-    (measured 6.26× wall growth; 2.0× with the collapse). The final
-    labels are PROVABLY identical: rep = min doc_id per text, so every
-    clone's id exceeds its rep's, hence a component's min doc_id equals
-    the min over its representatives — attaching clones to their rep's
-    cluster reproduces the full-graph labeling exactly (the registered
-    FULL oracle computes the full graph and hash-matches).
+    The clustered graph is the n-gram near-dup graph UNION exact-text-
+    equality edges: exact clones always belong to their representative's
+    component, including texts with fewer than n tokens (zero shingles →
+    no Jaccard pair, but they are still duplicates a pipeline must
+    collapse). Exact duplicates are collapsed to their min-doc_id
+    representative BEFORE pair generation (the c28_edit_verify
+    rep-collapse discipline): blocked pair generation is quadratic in
+    duplicate-cluster size — on the 10× copy-synthesized probe data the
+    un-collapsed pair graph grows ~100× (measured 6.26× wall growth;
+    2.0× with the collapse). The final labels are PROVABLY identical to
+    the full graph's: rep = min doc_id per text, so every clone's id
+    exceeds its rep's, hence a component's min doc_id equals the min
+    over its representatives — attaching clones to their rep's cluster
+    reproduces the full-graph labeling exactly for every token count,
+    because the exact-equality edges are precisely the clone↔rep
+    relation the collapse replays (the registered FULL oracle computes
+    the union graph and hash-matches; the sub-n-token case is pinned by
+    test_minhash_clusters_short_doc_clones).
     """
     hashed = documents.withColumn("_h", F.md5("text"))
     rep = hashed.groupBy("_h").agg(F.min("doc_id").alias("rep_id"))

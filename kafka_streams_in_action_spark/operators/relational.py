@@ -211,7 +211,7 @@ def grouping_sets_priority(orders: DataFrame) -> DataFrame:
     return orders.sparkSession.sql("""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
-               grouping(o_orderstatus) AS g_status
+               CAST(grouping(o_orderstatus) AS INT) AS g_status
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """)
@@ -782,7 +782,14 @@ def psi_drift(events: DataFrame, bins: int = 10,
         F.min("value").alias("lo"), F.max("value").alias("hi"))
 
     def bucketed(df, cnt_name):
-        width = (F.col("hi") - F.col("lo")) / bins
+        # width floor guards the single-valued-type edge: hi == lo would
+        # make (value - lo) / width = 0/0 = NaN, which Spark's
+        # floor→null / null-skipping greatest silently lands in the top
+        # bucket while DuckDB's CAST(floor(NaN)) errors — with the floor,
+        # every value of a constant distribution lands in bucket 0 on
+        # both engines (r7 advisor item; oracle carries the same guard)
+        width = F.greatest((F.col("hi") - F.col("lo")) / bins,
+                           F.lit(1e-12))
         b = F.least(F.lit(bins - 1),
                     F.floor((F.col("value") - F.col("lo")) / width)
                     .cast("long"))

@@ -1763,7 +1763,11 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6)
-                  >= 0.1),
+                  >= 0.1
+            UNION
+            SELECT a.doc_id, b.doc_id
+            FROM documents a JOIN documents b
+                 ON a.text = b.text AND a.doc_id < b.doc_id),
         edges AS (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -2272,10 +2276,11 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         SELECT event_id, user_id, event_type,
-               sum(opens) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS session_seq,
+               CAST(sum(opens) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+                   AS session_seq,
                opens = 1 AS is_session_start
         FROM s
         """),  # per-event gap sessionization; gap compared in exact
@@ -2859,15 +2864,15 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         bcnt AS (
             SELECT event_type,
                    greatest(0, least(9, CAST(floor(
-                       (value - lo) / ((hi - lo) / 10)) AS BIGINT)))
-                       AS bucket,
+                       (value - lo) / greatest((hi - lo) / 10, 1e-12))
+                       AS BIGINT))) AS bucket,
                    count(*) AS n_b
             FROM base JOIN edges USING (event_type) GROUP BY 1, 2),
         ccnt AS (
             SELECT event_type,
                    greatest(0, least(9, CAST(floor(
-                       (value - lo) / ((hi - lo) / 10)) AS BIGINT)))
-                       AS bucket,
+                       (value - lo) / greatest((hi - lo) / 10, 1e-12))
+                       AS BIGINT))) AS bucket,
                    count(*) AS n_c
             FROM cur JOIN edges USING (event_type) GROUP BY 1, 2),
         grid AS (
@@ -2965,7 +2970,7 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
             UNION ALL SELECT 'status_in_set', n_rows, v3 FROM v
             UNION ALL SELECT 'orderdate_in_range', n_rows, v4 FROM v
             UNION ALL SELECT 'priority_format', n_rows, v5 FROM v)
-        SELECT ck AS "check", n_rows, nv AS n_violations,
+        SELECT ck AS "check", n_rows, CAST(nv AS BIGINT) AS n_violations,
                round(1.0 - nv::DOUBLE / n_rows, 6) AS pass_rate,
                nv = 0 AS passed
         FROM checks
@@ -3435,7 +3440,11 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6)
-                  >= 0.1),
+                  >= 0.1
+            UNION
+            SELECT a.doc_id, b.doc_id
+            FROM documents a JOIN documents b
+                 ON a.text = b.text AND a.doc_id < b.doc_id),
         edges AS (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION ALL SELECT doc_b, doc_a FROM pairs),

@@ -13,6 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import __spark_entry__ as e
 from kafka_streams_in_action_spark.session import get_spark
+from kafka_streams_in_action_spark.plans.typecheck import oracle_type_mismatches
 
 spark = get_spark("driver-sim")
 
@@ -51,6 +52,14 @@ for name in sample:
         sdf = qs[name](spark, SF)
         scols = sorted(sdf.columns)
         srows = sorted(tuple(norm(r[c]) for c in scols) for r in sdf.collect())
+        # r6 lesson: the driver hash is type-sensitive but str()-norm below
+        # isn't — audit DuckDB output types against Spark dtypes explicitly.
+        lazy = con.sql(oracles[name])
+        tprob = oracle_type_mismatches(sdf.dtypes, lazy.columns, lazy.types)
+        if tprob:
+            fails.append(name)
+            print(f"FAIL {name}: TYPE AUDIT: {tprob}")
+            continue
         rel = con.execute(oracles[name])
         dcols_raw = [d[0] for d in rel.description]
         drows_raw = rel.fetchall()

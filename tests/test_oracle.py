@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 
 from kafka_streams_in_action_spark.plans.queries import QUERIES
+from kafka_streams_in_action_spark.plans.typecheck import oracle_type_mismatches
 
 from .conftest import SF_DIR, assert_frames_match
 
@@ -18,6 +19,12 @@ ROWS_ONLY_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle is None)
 def test_oracle_match(spark, duck, name):
     spec = QUERIES[name]
     sdf = spec.fn(spark, SF_DIR)
+    # Type audit first (r6 lesson: the driver hash is type-sensitive; the
+    # two r6 failures were the only HUGEINT-emitting oracles of 171).
+    rel_lazy = duck.sql(spec.oracle)
+    problems = oracle_type_mismatches(sdf.dtypes, rel_lazy.columns,
+                                      rel_lazy.types)
+    assert not problems, f"{name}: oracle type audit: {problems}"
     rel = duck.execute(spec.oracle)
     assert_frames_match(sdf, rel, context=name)
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kafka_streams_in_action_spark.operators import (
-    dedup, multimodal, scalars, similarity,
+    dedup, multimodal, relational, scalars, similarity,
 )
 from kafka_streams_in_action_spark.sources.parquet import load_table
 
@@ -423,6 +423,49 @@ def test_fixed_planes_are_zero_mean_jl_quality():
     # (rank-1-dominated rows push the median far off 1 and blow the spread)
     assert 0.7 < np.median(ratio) < 1.3, np.median(ratio)
     assert ratio.std() / ratio.mean() < 0.5, (ratio.mean(), ratio.std())
+
+
+def test_psi_drift_constant_distribution(spark):
+    """r7 advisor regression: an event_type whose baseline values are all
+    identical makes the raw bucket width (hi-lo)/bins zero — 0/0 = NaN,
+    which Spark's floor→null / null-skipping greatest() used to land in
+    the TOP bucket while DuckDB's CAST(floor(NaN)) errors. The width
+    floor puts every value of a constant distribution in bucket 0 on
+    both engines; PSI for an undrifted constant type is exactly 0."""
+    events = spark.createDataFrame(
+        [(i, "const", 42.0) for i in range(40)]
+        + [(1000 + i, "vary", float(i % 13)) for i in range(40)],
+        "event_id long, event_type string, value double")
+    rows = {r["event_type"]: r for r in
+            relational.psi_drift(events).collect()}
+    const = rows["const"]
+    assert const["psi"] is not None and const["psi"] == 0.0
+    assert const["drifted"] is False
+    assert rows["vary"]["psi"] is not None
+
+
+def test_minhash_clusters_short_doc_clones(spark):
+    """r7 advisor regression: documents with fewer than n=3 tokens produce
+    zero shingles, so the Jaccard pair graph alone leaves their exact
+    clones as singletons while the rep-collapse groups them. The declared
+    graph is near-dup edges UNION exact-text-equality edges (the oracle
+    unions them too), so short clones MUST share their representative's
+    cluster — and distinct short texts must stay singletons."""
+    docs = spark.createDataFrame(
+        [(0, "hi"), (1, "hi"), (2, "hi"), (3, "yo"),
+         (4, "one two three four five"), (5, "one two three four five"),
+         (6, "completely different words here")],
+        "doc_id long, text string")
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in dedup.minhash_clusters(docs).collect()}
+    assert labels[0] == labels[1] == labels[2] == 0   # short clones grouped
+    assert labels[3] == 3                             # distinct short text
+    assert labels[4] == labels[5] == 4                # normal clones
+    assert labels[6] == 6
+    # the LSH edge source shares the collapse, so the same holds there
+    lsh = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.minhash_clusters(docs, edge_source="lsh").collect()}
+    assert lsh[0] == lsh[1] == lsh[2] == 0 and lsh[3] == 3
 
 
 def test_minhash_clusters_lsh_refines_exact(spark):
