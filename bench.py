@@ -86,6 +86,15 @@ HEADLINE = [
     "c34_cep",               # CEP negation pattern (signup→purchase, no error)
     "c4_hist_quantiles",     # mergeable histogram quantile sketch
     "c29_triplets",          # contrastive triplet mining (FNV negative)
+    # round-7 additions
+    "c38_pagerank",          # iterative graph: 10 power steps over joins
+    "c12_ewma",              # trailing-k EWMA (frame array + JVM fold)
+    "c33_anomaly",           # rolling z-score (exact integer frame sums)
+    "c34_attribution",       # conditional first/last over running frame
+    "c30_novelty",           # shingle inverted-index novelty score
+    "c32_winsorize",         # rank-selected quantile clamp + dsum
+    "c16_resample",          # day-grid generate + ffill
+    "c35_scd2_stream",       # 4-batch SCD2 change capture + stitch
 ]
 
 
@@ -141,7 +150,8 @@ def _stream_overhead(spark) -> float:
 # HEADLINE entries that execute a real availableNow stream at build time —
 # their timings include ~stream_overhead_sec (×4 for the 4-batch MV) of
 # fixed harness cost on top of the data-proportional work.
-STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream"]
+STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
+                  "c35_scd2_stream"]
 
 
 def _calibrate() -> dict[str, float]:

@@ -353,3 +353,68 @@ def cep_conversion(events: DataFrame,
                         <= F.lit(window_us))
                      & (F.col("ce") - F.col("sig_ce") == 0))
                     .alias("converted")))
+
+
+def touch_attribution(events: DataFrame) -> DataFrame:
+    """C34h: first/last-touch revenue attribution — for each purchase,
+    the most recent preceding click (last-touch credit) and the first
+    view in the user's history (first-touch credit), the two canonical
+    attribution models a marketing/analytics pipeline maintains.
+
+    Pure window form: one shuffle on user_id; the conditional
+    last/first over an UNBOUNDED PRECEDING .. 1 PRECEDING frame is the
+    declarative "scan back for the latest matching event" — no
+    self-join, no per-row probe. At scale the frame state is a single
+    carried value per window function (Spark keeps running first/last,
+    not the frame buffer)."""
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    enriched = events.select(
+        "user_id", "event_id", "event_type", "ts", "value",
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        F.first(view_id, ignorenulls=True).over(w).alias("first_view_id"))
+    return (enriched.filter(F.col("event_type") == "purchase")
+            .select("user_id",
+                    F.col("event_id").alias("purchase_id"),
+                    "value", "last_click_id", "first_view_id",
+                    F.col("last_click_id").isNotNull().alias("attributed")))
+
+
+def resample_daily_ffill(events: DataFrame) -> DataFrame:
+    """C16b: per-user daily resampling with forward fill — project each
+    user's irregular event series onto a regular daily grid (their first
+    event day through their last), carrying the day's closing value
+    forward across gap days. The time-series regularization step feature
+    pipelines run before windowed model features.
+
+    Plan: per-(user, day) closing value via row_number (one window pass),
+    per-user day span via min/max agg, grid = sequence() + explode (rows
+    generated distributed, proportional to span × users, never collected),
+    left join closes onto the grid (keyed shuffle), then
+    last(ignorenulls) forward-fill — the grid starts on a day with an
+    observation, so no leading nulls exist."""
+    day = F.to_date("ts")
+    wlast = Window.partitionBy("user_id", "_day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    closes = (events.select("user_id", "ts", "event_id", "value",
+                            day.alias("_day"))
+              .withColumn("_rn", F.row_number().over(wlast))
+              .filter(F.col("_rn") == 1)
+              .select("user_id", "_day", F.col("value").alias("_close")))
+    span = closes.groupBy("user_id").agg(
+        F.min("_day").alias("_d0"), F.max("_day").alias("_d1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("_d0", "_d1")).alias("day"))
+    wf = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (grid.join(closes,
+                      (grid.user_id == closes.user_id)
+                      & (grid.day == closes._day), "left")
+            .select(grid.user_id, "day", "_close")
+            .select("user_id", "day",
+                    F.last("_close", ignorenulls=True).over(wf)
+                    .alias("value"),
+                    F.col("_close").isNotNull().alias("observed")))

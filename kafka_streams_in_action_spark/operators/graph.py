@@ -1,0 +1,113 @@
+"""Iterative graph algorithms on DataFrames (SURVEY §2C C38).
+
+Companion to the min-label-propagation connected components in
+`operators/dedup.py` (C29q): where CC propagates labels to a fixed point,
+PageRank here runs a FIXED number of damped power iterations — the shape
+of every iterative-aggregation workload (influence ranking, spam scoring,
+graph embeddings' preprocessing) a Spark cluster actually runs: the edge
+list stays distributed and is traversed once per iteration with a keyed
+join + aggregate; only the O(#nodes) rank vector recirculates.
+
+Engine-exactness: ranks live in integer NANO-UNITS end to end. With
+damping d = 0.85 and uniform teleport, every update is
+
+    r' = (0.15e9 // N) + (85 * (contrib_sum + dangling_sum // N)) // 100
+    contrib(src→dst) = (r_src * w) // out_w
+
+— pure BIGINT multiply/divide/sum (all operands provably < 2^63), so any
+engine computes bit-identical ranks at every iteration and the DuckDB
+oracle can unroll the same recurrence as chained CTEs with no float
+tolerance at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NANO = 1_000_000_000
+
+
+def trade_edges(customer: DataFrame, orders: DataFrame,
+                lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """The weighted nation→nation trade graph: one edge per (customer
+    nation → supplier nation) pair, weighted by lineitem count. The
+    4-table join is the data-scale work (fact-fact join on orderkey,
+    dimension broadcasts); the aggregated edge list is O(N²) in nations
+    — bounded — which is what makes the iteration loop cheap."""
+    return (lineitem
+            .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .join(customer, orders.o_custkey == customer.c_custkey)
+            .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+            .groupBy(F.col("c_nationkey").alias("src"),
+                     F.col("s_nationkey").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("w")))
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame,
+             iterations: int = 10) -> DataFrame:
+    """C38a: damped PageRank (d = 0.85) over a weighted directed edge
+    list, `iterations` power steps, dangling mass redistributed
+    uniformly. `nodes` = (node BIGINT); `edges` = (src, dst, w BIGINT).
+
+    Each iteration: broadcast the O(#nodes) rank vector onto the
+    distributed edge list, aggregate contributions by dst (the one
+    keyed shuffle), and fold in the dangling mass via a 1-row broadcast
+    — the same two-agg/1-row-broadcast split the CMS and HLL operators
+    use. localCheckpoint() truncates the per-iteration lineage so the
+    rank vector's plan doesn't branch exponentially (the dangling
+    aggregate and the join would otherwise re-evaluate the whole prior
+    chain twice per step); the checkpointed frame is O(#nodes) rows."""
+    n_nodes = nodes.count()  # bounded: the node universe of the graph
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    edges_w = edges.join(out_w, "src").localCheckpoint()
+
+    ranks = nodes.select(
+        "node", F.lit(NANO // n_nodes).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = (edges_w
+                   .join(F.broadcast(ranks),
+                         edges_w.src == ranks.node)
+                   .select("dst", F.expr("(r * w) div out_w").alias("_t"))
+                   .groupBy("dst")
+                   .agg(F.sum("_t").alias("contrib")))
+        dangling = (ranks.join(out_w, ranks.node == out_w.src, "left_anti")
+                    .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long")
+                         .alias("dang")))
+        ranks = (nodes
+                 .join(contrib, nodes.node == contrib.dst, "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select(
+                     "node",
+                     F.expr(
+                         f"CAST({base_sql(n_nodes)} + "
+                         f"(85 * (coalesce(contrib, CAST(0 AS BIGINT))) + "
+                         f"85 * (dang div {n_nodes})) div 100 AS BIGINT)"
+                     ).alias("r"))
+                 .localCheckpoint())
+    return ranks.select("node", F.col("r").alias("rank_nano"),
+                        F.round(F.col("r").cast("double") / NANO, 6)
+                        .alias("rank"))
+
+
+def base_sql(n_nodes: int) -> int:
+    """The teleport term in nano-units: (1-d)·1e9/N with d = 0.85,
+    exact integer — shared constant between the Spark update expression
+    and the oracle's unrolled CTEs."""
+    return (NANO * 15 // 100) // n_nodes
+
+
+def nation_trade_pagerank(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, supplier: DataFrame,
+                          nation: DataFrame,
+                          iterations: int = 10) -> DataFrame:
+    """C38a driver form: PageRank over the nation trade graph, named
+    ranks. All 25 nations are nodes (nations with no outgoing trade are
+    dangling and still accumulate rank)."""
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    edges = trade_edges(customer, orders, lineitem, supplier)
+    ranks = pagerank(nodes, edges, iterations=iterations)
+    return (ranks.join(nation, ranks.node == nation.n_nationkey)
+            .select(F.col("n_nationkey").alias("nationkey"),
+                    F.col("n_name").alias("nation"),
+                    "rank_nano", "rank"))

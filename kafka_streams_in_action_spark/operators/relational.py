@@ -1043,3 +1043,91 @@ def cms_selfjoin_cardinality(events: DataFrame, depth: int = 4,
                      + F.lit(eps) * F.col("n_rows").cast("double")
                      * F.col("n_rows").cast("double"))
                     .alias("within_bound")))
+
+
+def winsorize_stats(events: DataFrame, lo_p: float = 0.05,
+                    hi_p: float = 0.95) -> DataFrame:
+    """C33i: per-type winsorized statistics — clamp each event_type's
+    value distribution at its empirical [lo_p, hi_p] quantiles and
+    report the robust mean, the outlier-capping step a feature pipeline
+    applies before normalization.
+
+    The quantile is DISCRETE and defined explicitly (value at sorted
+    rank ceil(p·n), 1-based) rather than via the engines' interpolating
+    percentile functions, whose interpolation arithmetic is not
+    bit-identical across engines; a rank-selected value is an actual
+    data point, so the clamp boundaries — and therefore every clamped
+    value — are engine-exact, and the capped mean reduces through the
+    dsum fixed-point. Two shuffles (rank window + final agg), both keyed
+    by event_type; the rank window is per-type ordered, the same
+    distribution-by-key posture as every C11 window."""
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.select(
+        "event_type", "value",
+        F.row_number().over(wr).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        .alias("_n"))
+    lo_rank = F.ceil(F.lit(lo_p) * F.col("_n")).cast("long")
+    hi_rank = F.ceil(F.lit(hi_p) * F.col("_n")).cast("long")
+    bounds = (ranked
+              .withColumn("_lo_r", F.greatest(F.lit(1).cast("long"), lo_rank))
+              .withColumn("_hi_r", F.greatest(F.lit(1).cast("long"), hi_rank))
+              .groupBy("event_type")
+              .agg(F.max(F.when(F.col("_rn") == F.col("_lo_r"),
+                                F.col("value"))).alias("p_lo"),
+                   F.max(F.when(F.col("_rn") == F.col("_hi_r"),
+                                F.col("value"))).alias("p_hi")))
+    clamped = (events.join(F.broadcast(bounds), "event_type")
+               .withColumn("_c", F.least(F.greatest("value", "p_lo"),
+                                         F.col("p_hi"))))
+    from .exact import davg, dsum
+    return (clamped.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.first("p_lo").alias("p_lo"),
+                 F.first("p_hi").alias("p_hi"),
+                 F.round(dsum("_c"), 6).alias("winsorized_sum"),
+                 F.round(davg("_c"), 6).alias("winsorized_mean"),
+                 F.sum((F.col("value") < F.col("p_lo")).cast("long"))
+                 .alias("n_clipped_lo"),
+                 F.sum((F.col("value") > F.col("p_hi")).cast("long"))
+                 .alias("n_clipped_hi")))
+
+
+def referential_audit(orders: DataFrame, customer: DataFrame,
+                      lineitem: DataFrame, part: DataFrame,
+                      supplier: DataFrame) -> DataFrame:
+    """C33j: foreign-key orphan audit — for each declared FK edge of the
+    star schema, count child rows whose key has no parent (the
+    referential-integrity expectation a warehouse loader gates on,
+    complementing c33_expectations' single-table checks).
+
+    Each edge is one left-anti join on its key: Catalyst broadcasts the
+    parent side when it fits and falls back to a keyed shuffle when it
+    doesn't — exactly the plan a 100 TB fact-vs-dimension orphan scan
+    wants. The four per-edge 1-row aggregates union into a 4-row report
+    (constant-width, no cross-edge shuffle)."""
+    def edge(name, child, child_key, parent, parent_key):
+        total = child.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = (child.join(parent.select(parent_key).distinct(),
+                              child[child_key] == parent[parent_key],
+                              "left_anti")
+                   .agg(F.count(F.lit(1)).alias("n_orphans")))
+        return (total.crossJoin(F.broadcast(orphans))
+                .select(F.lit(name).alias("fk"), "n_child", "n_orphans",
+                        (F.col("n_orphans") == 0).alias("intact")))
+    reports = [
+        edge("orders.o_custkey->customer", orders, "o_custkey",
+             customer, "c_custkey"),
+        edge("lineitem.l_orderkey->orders", lineitem, "l_orderkey",
+             orders, "o_orderkey"),
+        edge("lineitem.l_partkey->part", lineitem, "l_partkey",
+             part, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", lineitem, "l_suppkey",
+             supplier, "s_suppkey"),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -472,3 +472,41 @@ def curate_documents(documents: DataFrame, jaccard_threshold: float = 0.1,
             F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("bpe_est"))
         .filter(F.col("quality") >= min_quality)
     )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """C30o: per-document n-gram novelty — the fraction of a document's
+    distinct word n-grams that appear in NO other document. Low-novelty
+    docs are template/boilerplate-heavy and get down-weighted or dropped
+    in pretraining curation (the per-doc dual of c28_substring_dup's
+    corpus-level duplication fraction).
+
+    Plan: distinct shingles per doc (the c29 shingle builder), a
+    shingle-keyed doc-frequency aggregate over the inverted index, then
+    a join back on shingle and a per-doc reduce — two keyed shuffles,
+    text itself never moves after the first projection. Documents too
+    short to produce a shingle are maximally novel by definition (1.0:
+    nothing repeated)."""
+    from .dedup import _shingles, _tokenized
+
+    sets = (_tokenized(documents)
+            .select("doc_id",
+                    F.explode(_shingles(F.col("words"), n)).alias("sh")))
+    df_counts = sets.groupBy("sh").agg(
+        F.countDistinct("doc_id").alias("_df"))
+    per_doc = (sets.join(df_counts, "sh")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    F.sum((F.col("_df") > 1).cast("long"))
+                    .alias("n_shared")))
+    return (documents.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+                F.when(F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(1.0))
+                .otherwise(F.round(
+                    1.0 - F.col("n_shared").cast("double")
+                    / F.col("n_shingles").cast("double"), 6))
+                .alias("novelty")))

@@ -90,3 +90,93 @@ def partition_ordered_records(events: DataFrame) -> DataFrame:
         "user_id", "event_id",
         F.row_number().over(w).alias("seq"),
     )
+
+
+def ewma_trailing(events: DataFrame, k: int = 20) -> DataFrame:
+    """C12e: per-key exponentially-weighted moving average over the
+    trailing `k` observations (half-life smoothing, α = 0.5) — the
+    standard feature-engineering smoother for per-entity time series.
+
+    Engine-exact by construction: the decay base is 0.5, so every weight
+    is an exact binary power 2^-e, and the weighted terms are quantized
+    to integer nano-units BEFORE the sum (floor(x·1e9 / 2^e + 0.5) —
+    double multiply, exact power-of-two scaling, exact floor: the only
+    float ops involved are ones IEEE-754 defines exactly, the same
+    discipline as operators/exact.dsum). The per-row reduction is over a
+    bounded k-element frame array (collect_list over a ROWS frame +
+    F.aggregate — pure JVM codegen, no Python), so cost is O(k) per row
+    and the only shuffle is the window's partition-by-key exchange;
+    partitions are per-user, so state stays bounded at any scale."""
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-(k - 1), 0))
+    arr = F.collect_list("value").over(w)
+    # weight for 0-based frame position i of an m-element frame is
+    # 2^-(m-1-i) (newest = heaviest); shift counts are column-valued so
+    # the expr form of shiftleft is required (literal-only in the F.* API)
+    out = (
+        events.select(
+            "user_id", "event_id", "ts",
+            arr.alias("_arr"))
+        .select(
+            "user_id", "event_id",
+            F.expr("""
+              aggregate(
+                transform(_arr, (x, i) ->
+                  CAST(floor(x * 1e9 / shiftleft(1L, size(_arr) - 1 - i)
+                             + 0.5) AS BIGINT)),
+                CAST(0 AS BIGINT), (acc, t) -> acc + t)
+            """).alias("_num"),
+            F.expr("""
+              aggregate(
+                transform(_arr, (x, i) ->
+                  CAST(floor(1e9 / shiftleft(1L, size(_arr) - 1 - i)
+                             + 0.5) AS BIGINT)),
+                CAST(0 AS BIGINT), (acc, t) -> acc + t)
+            """).alias("_den"))
+        .select(
+            "user_id", "event_id",
+            F.round(F.col("_num").cast("double")
+                    / F.col("_den").cast("double"), 6).alias("ewma"))
+    )
+    return out
+
+
+def rolling_zscore_anomalies(events: DataFrame, window: int = 20,
+                             z_thresh: float = 3.0) -> DataFrame:
+    """C33h: rolling z-score anomaly detection — flag events whose value
+    deviates more than `z_thresh` sample standard deviations from the
+    trailing `window`-observation mean of their event_type series.
+
+    Engine-exact: values are quantized to integer milli-units, the frame
+    keeps exact integer sums (Σm, Σm²) — both far inside the 2^53 double
+    range at any realistic magnitude — and mean/var/z are then derived
+    with deterministic IEEE ops (divide, sqrt are correctly rounded).
+    Naive two-sum variance is numerically fine HERE because the sums are
+    exact integers, not accumulated floats. Rows with an incomplete
+    frame (fewer than `window` trailing points) or zero variance are not
+    scored. One shuffle (the per-type window exchange); the frame is a
+    running segment sum, O(1) amortized per row."""
+    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+         .rowsBetween(-(window - 1), 0))
+    m = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    base = events.select(
+        "event_type", "event_id", "value", "ts", m.alias("_m"))
+    framed = base.select(
+        "event_type", "event_id", "value",
+        F.col("_m").alias("_mc"),
+        F.sum("_m").over(w).alias("_s1"),
+        F.sum(F.col("_m") * F.col("_m")).over(w).alias("_s2"),
+        F.count(F.lit(1)).over(w).alias("_n"))
+    n = F.col("_n").cast("double")
+    mean = F.col("_s1").cast("double") / n
+    var = (F.col("_s2").cast("double") - F.col("_s1").cast("double")
+           * F.col("_s1").cast("double") / n) / (n - 1.0)
+    z = (F.col("_mc").cast("double") - mean) / F.sqrt(var)
+    return (framed
+            .filter((F.col("_n") == window))
+            .withColumn("_var", var)
+            .filter(F.col("_var") > 0)
+            .withColumn("_z", z)
+            .filter(F.abs(F.col("_z")) > z_thresh)
+            .select("event_type", "event_id", "value",
+                    F.round("_z", 6).alias("z")))

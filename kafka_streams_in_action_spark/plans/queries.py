@@ -38,8 +38,8 @@ from ..functions.serde import (
     wire_schema_id, wire_payload, wire_payload_proto,
 )
 from ..operators import (
-    dedup, event_time, joins, layout, multimodal, relational, sampling,
-    scalars, setops, similarity, text, udx, windows,
+    dedup, event_time, graph, joins, layout, multimodal, relational,
+    sampling, scalars, setops, similarity, text, udx, windows,
 )
 from ..sources.parquet import load_table
 
@@ -924,6 +924,158 @@ def _mv_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(4).write.mode("overwrite").parquet(src)
     with _stream_partitions(spark, _parts_for(ev.count())):
         return user_activity_mv(spark, src, ev.schema, out, ckpt)
+
+
+def _kafka_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A4 driver-visible surface (r6 verdict item 3): assert the exact
+    connector option maps the reference's producer/consumer configs
+    resolve to (sources/kafka.py:source_options/sink_options — the same
+    maps read_topic_stream/write_topic_stream apply verbatim), then run
+    the A19 fan-out topology over the FILE transport twin end-to-end and
+    report the routed per-type counts. The option checks raise on any
+    mismatch, so the TRUE verdict columns are earned, not declared."""
+    import json as _json
+    import tempfile
+
+    from ..sources import kafka as k
+
+    src_opts = k.source_options(
+        "broker1:9092,broker2:9092", ["sales-a", "sales-b"],
+        max_offsets_per_trigger=25_000, min_partitions=64)
+    expect = {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "subscribe": "sales-a,sales-b",
+        "maxOffsetsPerTrigger": "25000",
+        "minPartitions": "64",
+    }
+    if src_opts != expect:
+        raise AssertionError(f"A4 source options drifted: {src_opts}")
+    asg = k.source_options("b:9092", "ignored", assign={"sales": [0, 2]})
+    if "subscribe" in asg or _json.loads(asg["assign"]) != {"sales": [0, 2]}:
+        raise AssertionError(f"A23 assign options drifted: {asg}")
+    snk = k.sink_options("b:9092", "out-topic", "/tmp/ck")
+    if (snk["kafka.acks"], snk["kafka.retries"]) != ("1", "10"):
+        raise AssertionError(f"A2 sink defaults drifted: {snk}")
+    snk_all = k.sink_options("b:9092", "out-topic", "/tmp/ck", acks="all")
+    if snk_all["kafka.acks"] != "all":
+        raise AssertionError(f"A3 WaitForAll mapping drifted: {snk_all}")
+
+    ev = load_table(spark, "events", sf_dir)
+    base = tempfile.mkdtemp(prefix="a2_kafka_surface_")
+    src = f"{base}/src"
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        q = k.fan_out_by_type(
+            spark.readStream.schema(ev.schema).parquet(src),
+            "event_type", f"{base}/out", f"{base}/ckpt")
+        _await_bounded(q)
+    routed = spark.read.parquet(f"{base}/out")
+    return (routed.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("event_type", "n_events",
+                    F.lit(True).alias("source_opts_ok"),
+                    F.lit(True).alias("assign_ok"),
+                    F.lit(True).alias("sink_acks_ok")))
+
+
+def _scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35c streaming twin, driver-visible (r6 verdict item 4): replay the
+    events log through the incremental SCD2 change-capture stream
+    (streaming/stateful.py:scd2_changes_stream) across a REAL 4-batch
+    time split (maxFilesPerTrigger=1 over time-ordered files — the same
+    split as the pytest state-carry test), stitch the append-only change
+    log on the read side, and check against the FULL batch c35_scd2
+    oracle. The (last attr, version counter) state must survive three
+    micro-batch boundaries for the stitched history to hash-match."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import scd2_changes_stream, stitch_versions
+
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c35_scd2_stream_src_")
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    for s in range(1, 5):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(src))
+    sink = f"c35_scd2_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        q = (scd2_changes_stream(
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    return stitch_versions(spark.table(sink))
+
+
+def _compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C37g driver run: fragment the events table into 64 small files,
+    compact with an ordering column, verdict on the REAL compacted
+    directory (operators/layout.py:compact_files_verdict)."""
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir)
+    base = tempfile.mkdtemp(prefix="c37_compact_")
+    return layout.compact_files_verdict(spark, ev, base,
+                                        target_rows_per_file=4000)
+
+
+def _pagerank_oracle(iterations: int = 10, n_nodes: int = 25) -> str:
+    """Unrolled integer PageRank recurrence as chained MATERIALIZED CTEs.
+    Each iteration references the previous one twice (contribution join +
+    dangling mass), so without MATERIALIZED DuckDB's CTE inlining would
+    duplicate the whole prefix 2^k times — measured as a multi-minute
+    planner hang at k=10; materialization makes it instant. The integer
+    nano-unit recurrence itself is bit-identical to the Spark loop
+    (operators/graph.py docstring has the proof obligations)."""
+    base = graph.base_sql(n_nodes)
+    r0 = graph.NANO // n_nodes
+    parts = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        cur = f"r{k}"
+        parts.append(f"""
+        {cur} AS MATERIALIZED (
+            SELECT n.node,
+                   CAST({base} + (85 * coalesce(c.contrib, CAST(0 AS BIGINT))
+                        + 85 * (d.dang // {n_nodes})) // 100 AS BIGINT) AS r
+            FROM nodes n
+            LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(sum((p.r * e.w) // o.out_w) AS BIGINT) AS contrib
+                FROM edges e JOIN {prev} p ON p.node = e.src
+                JOIN outw o ON o.src = e.src
+                GROUP BY e.dst) c ON c.node = n.node
+            CROSS JOIN (
+                SELECT CAST(coalesce(sum(p.r), 0) AS BIGINT) AS dang
+                FROM {prev} p LEFT JOIN outw o ON o.src = p.node
+                WHERE o.src IS NULL) d)""")
+        prev = cur
+    return f"""
+    WITH edges AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+    outw AS MATERIALIZED (
+        SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+    nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+    r0 AS MATERIALIZED (
+        SELECT node, CAST({r0} AS BIGINT) AS r FROM nodes),
+    {",".join(parts)}
+    SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+           p.r AS rank_nano, round(p.r::DOUBLE / 1e9, 6) AS rank
+    FROM {prev} p JOIN nation n ON n.n_nationkey = p.node
+    """
 
 
 _QUERY_DEFS: dict[str, QuerySpec] = {
@@ -3464,6 +3616,253 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # LSH components refine exact components (candidate edges
     #   are exact-verified subsets); per-doc structure pinned in pytest
     #   (test_minhash_clusters_lsh_refines_exact)
+
+    # ------------------------------------------------------------------
+    # Round 7: reference surface closure (A2-A4 options row, SCD2
+    # streaming twin, compaction verdict) + new batch operator families
+    # (graph PageRank, attribution, EWMA, anomaly, resample, winsorize,
+    # referential audit, n-gram novelty)
+    # ------------------------------------------------------------------
+    "a2_kafka_surface": QuerySpec(
+        _kafka_surface,
+        """
+        SELECT event_type, count(*) AS n_events,
+               TRUE AS source_opts_ok, TRUE AS assign_ok,
+               TRUE AS sink_acks_ok
+        FROM events GROUP BY event_type
+        """),  # verdict booleans earned by in-build assertions on the
+    #   option maps; counts come from the REAL fan-out readback
+    "c35_scd2_stream": QuerySpec(
+        _scd2_stream,
+        """
+        WITH ordered AS (
+            SELECT user_id, event_id, ts, event_type,
+                   lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events),
+        changes AS (
+            SELECT user_id, event_type, ts, event_id FROM ordered
+            WHERE prev_type IS NULL OR prev_type <> event_type)
+        SELECT user_id, event_type AS attr,
+               epoch_us(ts) AS effective_from_us,
+               lead(epoch_us(ts)) OVER w AS effective_to_us,
+               CAST(row_number() OVER w AS INTEGER) AS version,
+               (lead(epoch_us(ts)) OVER w) IS NULL AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """),  # the FULL batch c35_scd2 oracle checks the 4-micro-batch
+    #   streamed + stitched history row-for-row
+    "c37_compact": QuerySpec(
+        _compact_files,
+        """
+        SELECT count(*) AS n_rows, TRUE AS files_reduced,
+               TRUE AS readback_complete, TRUE AS ranges_disjoint
+        FROM events
+        """),  # verdict booleans computed from the REAL compacted files
+    #   (file counts via inputFiles, per-file min/max spans, anti-join)
+    "c38_pagerank": QuerySpec(
+        _t("customer orders lineitem supplier nation")(
+            graph.nation_trade_pagerank),
+        _pagerank_oracle()),
+    "c34_attribution": QuerySpec(
+        _t("events")(event_time.touch_attribution),
+        """
+        WITH e AS (
+            SELECT user_id, event_id, event_type, ts, value,
+                   last_value(CASE WHEN event_type = 'click'
+                                   THEN event_id END IGNORE NULLS)
+                       OVER w AS last_click_id,
+                   first_value(CASE WHEN event_type = 'view'
+                                    THEN event_id END IGNORE NULLS)
+                       OVER w AS first_view_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING))
+        SELECT user_id, event_id AS purchase_id, value,
+               last_click_id, first_view_id,
+               last_click_id IS NOT NULL AS attributed
+        FROM e WHERE event_type = 'purchase'
+        """),
+    "c12_ewma": QuerySpec(
+        _t("events")(windows.ewma_trailing),
+        """
+        WITH s AS (
+            SELECT user_id, event_id,
+                   list(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 19 PRECEDING
+                                     AND CURRENT ROW) AS arr
+            FROM events)
+        SELECT user_id, event_id,
+               round(
+                   CAST(CAST(list_sum(list_transform(arr, (x, i) ->
+                       CAST(floor(x * 1e9 / (1::BIGINT << (len(arr) - i))
+                                  + 0.5) AS BIGINT))) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(list_sum(list_transform(arr, (x, i) ->
+                       CAST(floor(1e9 / (1::BIGINT << (len(arr) - i))
+                                  + 0.5) AS BIGINT))) AS BIGINT) AS DOUBLE),
+                   6) AS ewma
+        FROM s
+        """),  # weights are exact binary powers (α = 0.5), terms nano-
+    #   quantized pre-sum — engine-exact with no float tolerance;
+    #   DuckDB list lambdas index 1-based, Spark transform 0-based
+    "c33_anomaly": QuerySpec(
+        _t("events")(windows.rolling_zscore_anomalies),
+        """
+        WITH f AS (
+            SELECT event_type, event_id, value,
+                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS m,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        OVER w AS BIGINT) AS s1,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+                            * CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        OVER w AS BIGINT) AS s2,
+                   count(*) OVER w AS n
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        g AS (
+            SELECT event_type, event_id, value,
+                   (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+                       / (n::DOUBLE - 1.0) AS var,
+                   (m::DOUBLE - s1::DOUBLE / n::DOUBLE) AS dev
+            FROM f WHERE n = 20)
+        SELECT event_type, event_id, value,
+               round(dev / sqrt(var), 6) AS z
+        FROM g WHERE var > 0 AND abs(dev / sqrt(var)) > 3.0
+        """),  # frame sums are exact milli-unit integers; divide/sqrt are
+    #   correctly-rounded IEEE ops, so z is engine-exact
+    "c16_resample": QuerySpec(
+        _t("events")(event_time.resample_daily_ffill),
+        """
+        WITH closes AS (
+            SELECT user_id, CAST(ts AS DATE) AS d, value,
+                   row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events),
+        c AS (SELECT user_id, d, value FROM closes WHERE rn = 1),
+        span AS (SELECT user_id, min(d) AS d0, max(d) AS d1
+                 FROM c GROUP BY user_id),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+                       AS day
+            FROM span)
+        SELECT g.user_id, g.day,
+               last_value(c.value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value,
+               c.value IS NOT NULL AS observed
+        FROM grid g LEFT JOIN c ON c.user_id = g.user_id AND c.d = g.day
+        """),
+    "c32_winsorize": QuerySpec(
+        _t("events")(relational.winsorize_stats),
+        f"""
+        WITH ranked AS (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events),
+        bounds AS (
+            SELECT event_type,
+                   max(CASE WHEN rn = greatest(1,
+                       CAST(ceil(0.05 * n) AS BIGINT)) THEN value END)
+                       AS p_lo,
+                   max(CASE WHEN rn = greatest(1,
+                       CAST(ceil(0.95 * n) AS BIGINT)) THEN value END)
+                       AS p_hi
+            FROM ranked GROUP BY event_type),
+        clamped AS (
+            SELECT e.event_type, b.p_lo, b.p_hi,
+                   least(greatest(e.value, b.p_lo), b.p_hi) AS c,
+                   e.value
+            FROM events e JOIN bounds b USING (event_type))
+        SELECT event_type, count(*) AS n,
+               any_value(p_lo) AS p_lo, any_value(p_hi) AS p_hi,
+               round({DSUM.format(x='c')}, 6) AS winsorized_sum,
+               round({DSUM.format(x='c')} / count(*), 6)
+                   AS winsorized_mean,
+               CAST(sum(CASE WHEN value < p_lo
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+               CAST(sum(CASE WHEN value > p_hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi
+        FROM clamped GROUP BY event_type
+        """),  # discrete rank-selected quantiles (actual data points), so
+    #   the clamp boundaries are engine-exact; capped mean via DSUM
+    "c33_referential": QuerySpec(
+        _t("orders customer lineitem part supplier")(
+            relational.referential_audit),
+        """
+        SELECT 'orders.o_custkey->customer' AS fk,
+               (SELECT count(*) FROM orders) AS n_child,
+               (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+                   SELECT 1 FROM customer c
+                   WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+               (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+                   SELECT 1 FROM customer c
+                   WHERE c.c_custkey = o.o_custkey)) = 0 AS intact
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_orderkey = l.l_orderkey)),
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_orderkey = l.l_orderkey)) = 0
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+                   SELECT 1 FROM part p
+                   WHERE p.p_partkey = l.l_partkey)),
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+                   SELECT 1 FROM part p
+                   WHERE p.p_partkey = l.l_partkey)) = 0
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+                   SELECT 1 FROM supplier s
+                   WHERE s.s_suppkey = l.l_suppkey)),
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+                   SELECT 1 FROM supplier s
+                   WHERE s.s_suppkey = l.l_suppkey)) = 0
+        """),
+    "c30_novelty": QuerySpec(
+        _t("documents")(text.ngram_novelty),
+        """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(trim(text), ' ') AS words
+            FROM documents),
+        shingles AS (
+            SELECT DISTINCT doc_id,
+                   words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]
+                       AS sh
+            FROM toks, unnest(generate_series(1, len(words) - 2)) AS t(i)
+            WHERE len(words) >= 3),
+        dfreq AS (
+            SELECT sh, count(DISTINCT doc_id) AS df
+            FROM shingles GROUP BY sh),
+        per_doc AS (
+            SELECT s.doc_id, count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared
+            FROM shingles s JOIN dfreq f USING (sh)
+            GROUP BY s.doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_shingles, 0) AS n_shingles,
+               coalesce(p.n_shared, 0) AS n_shared,
+               CASE WHEN coalesce(p.n_shingles, 0) = 0 THEN 1.0
+                    ELSE round(1.0 - p.n_shared::DOUBLE
+                               / p.n_shingles::DOUBLE, 6) END AS novelty
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -3471,74 +3870,49 @@ _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
 
 # ---------------------------------------------------------------------------
 # Declared ordering. The driver records correctness rows for the FIRST 50
-# queries() entries (dict insertion order). Round-6 window: (1) the six
-# queries that landed after the r5 window filled and were never
-# driver-recorded; (2) the two rows new this round; (3) 42 of the 48 rows
-# whose last driver check was r3 (two operator evolutions ago). Pytest
-# re-validates all 152 oracles at sf0.001 every run, but the driver-grade
-# sf0.01 hash-match is the hard signal. After this window, the only rows
-# older than r4 are the 6 deferred family-covered ones listed below —
-# round 7 should lead with them.
+# queries() entries (dict insertion order). Round-7 window: (1) the two
+# r6 hash-failure rows, now fixed (HUGEINT oracle casts) — re-recorded
+# first; (2) the four rows whose ORACLE changed this round (union'd
+# exact-equality edges in the cluster graphs, grouping() INT cast, PSI
+# width floor) — a changed oracle must be re-recorded; (3) the eleven
+# rows new this round; (4) the full 25-row r3-stale cohort deferred from
+# the r6 window (each had an in-window family sibling then; none is
+# older than r3); (5) eight of the oldest r4-checked rows. After this
+# window no registered query's latest driver check is older than r4.
 # ---------------------------------------------------------------------------
-_ROUND6_PRIORITY = [
-    # (1) the six queries that landed after the r5 window filled — never
-    # driver-recorded (r5 verdict item 1)
-    "c28_edit_verify", "c4_hll_rollup", "c36_outer_join",
-    "c33_expectations", "c29_ivf_ingest", "c34_sessionize",
-    # (2) new this round: the LSH edge source of the text dedup clusters
-    # (verdict item 6), the end-to-end materialized Z-order check
-    # (verdict item 7), CMS heavy hitters, token-window chunking, sketch
-    # legs, triplet mining — then the late-round additions: SCD2 history,
-    # PSI drift gate, bloom-pruned semi-join, perceptual image near-dup
-    "c29_clusters_lsh", "c37_zorder_files", "c4_cms_topk", "c30_chunk",
-    "c33_ndv_sketch", "c4_cms_stream", "c4_hist_quantiles",
-    "c29_triplets",
-    "c35_scd2", "c33_drift", "c6_bloom_join", "c31_phash_dedup",
-    "c10_pit_join", "c33_fingerprint",
-    "c35_diff", "c32_group_split", "c4_sketch_inter",
-    "c31_shot_detect", "c37_skew_advisor",
-    "c4_cms_join_card", "c34_cep",
-    # (3) oldest-checked cohort (last green r3; 36 of the 48 — verdict
-    # item 2). The 12 deferred to round 7 are rows whose FAMILY has fresh
-    # r5/r6 coverage: c29_minhash_lsh (its pair graph is re-verified
-    # through c29_clusters_lsh this round), c29_lsh_ann / c29_ivf_ann
-    # (ANN verdict family re-checked r5 via ivfpq/pq/ivf_ingest),
-    # c29_minhash_reingest, c29_simhash / c29_quantize_int8 (dedup
-    # family re-checked r5 ×6), and the two derived composites
-    # c32_split_summary / c32_mix_report (their bases c32_split /
-    # c32_sample are in-window), c14_union_all (c14_except stays), and
-    # c33_group_stats (c33 has three fresh r6 rows), and
-    # c32_shard_shuffle (c32 keeps sample/stratified/split/pack), and
-    # c17_math_fns (C15-C18 scalar family keeps 5 other rows).
-    # six more r3-stale rows deferred to round 7 to make room for the
-    # late-round additions above, each with an in-window family sibling:
-    # c5_rollup (c5_cube stays), c8_anti_join (c8_left_join stays),
-    # c15_string_fns (c16_date_fns carries the scalar sweep),
-    # c18_explode (c18_array_fns stays), a16_commit_offsets (7 A-row
-    # siblings stay), c32_sample (c32 keeps stratified/split/pack),
-    # a15_partition_ordered (6 A-row siblings stay), sql_q13 (q3/q17/q18
-    # carry the TPC-H refresh), c2_project_scalar (c1+c3 stay),
-    # a13_proto_roundtrip (a9 wire + a11 avro carry serde), c13_topk
-    # (c11_rank + c12_analytic_frames carry the window family),
-    # a6_derive_total (a5/a9/a11/a19/a20 carry the A-rows), c32_split
-    # (c32 keeps stratified/pack and the NEW group_split is the freshest
-    # split-family row)
-    "c1_filter", "c3_pricing_summary",
-    "sql_q3_top_revenue", "sql_q18_top_quantity", "sql_q17_small_qty_revenue",
-    "a5_fnv_partitioner", "a9_wire_roundtrip",
-    "a11_avro_roundtrip",
-    "a19_route_events", "a20_key_fallback",
-    "c5_cube", "c6_broadcast_join", "c7_multiway_join",
-    "c8_left_join", "c11_rank", "c12_analytic_frames",
-    "c14_except",
-    "c16_date_fns",
-    "c18_array_fns", "c19_json_fns",
-    "c30_decontaminate",
-    "c32_stratified", "c32_pack",
+_ROUND7_PRIORITY = [
+    # (1) the two r6 hash failures, oracles fixed (verdict item 1)
+    "c33_expectations", "c34_sessionize",
+    # (2) oracles changed this round: exact-equality edge union (advisor
+    # item 2), grouping() cast, PSI width floor (advisor item 3)
+    "c29_minhash_clusters", "c29_clusters_lsh", "c5_grouping_sets",
+    "c33_drift",
+    # (3) new this round: A2-A4 option surface + fan-out (verdict item
+    # 3), SCD2 streaming twin (item 4), compaction verdict (item 7a),
+    # then the new batch families: PageRank, attribution, EWMA, rolling
+    # z-score anomalies, daily resample+ffill, winsorize, FK audit,
+    # n-gram novelty
+    "a2_kafka_surface", "c35_scd2_stream", "c37_compact",
+    "c38_pagerank", "c34_attribution", "c12_ewma", "c33_anomaly",
+    "c16_resample", "c32_winsorize", "c33_referential", "c30_novelty",
+    # (4) the 25 r3-stale rows deferred from the r6 window (verdict
+    # item 2 lists them verbatim)
+    "c29_minhash_lsh", "c29_lsh_ann", "c29_ivf_ann",
+    "c29_minhash_reingest", "c29_simhash", "c29_quantize_int8",
+    "c32_split_summary", "c32_mix_report", "c14_union_all",
+    "c33_group_stats", "c32_shard_shuffle", "c17_math_fns",
+    "c5_rollup", "c8_anti_join", "c15_string_fns", "c18_explode",
+    "a16_commit_offsets", "c32_sample", "a15_partition_ordered",
+    "sql_q13_order_distribution", "c2_project_scalar",
+    "a13_proto_roundtrip", "c13_topk", "a6_derive_total", "c32_split",
+    # (5) oldest r4-checked rows, one per family with spare slots
+    "c9_range_join", "c10_asof_join", "c21_weighted_avg_udaf",
+    "c22_tumbling_window", "c25_late_data", "c26_dedup_first",
+    "c27_running_state", "c4_approx_distinct",
 ]
 
-assert len(_ROUND6_PRIORITY) == 50, len(_ROUND6_PRIORITY)
-QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND6_PRIORITY}
+assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
+QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}
 QUERIES.update(
     {n: s for n, s in _QUERY_DEFS.items() if n not in QUERIES})
 assert len(QUERIES) == len(_QUERY_DEFS)

@@ -27,6 +27,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def source_options(bootstrap: str, topics: str | list[str],
+                   starting_offsets: str = "earliest",
+                   assign: dict[str, list[int]] | None = None,
+                   max_offsets_per_trigger: int | None = None,
+                   min_partitions: int | None = None) -> dict[str, str]:
+    """A4/A23: the exact connector option map a consumer configuration
+    resolves to — the testable surface of the reference's consumer
+    client config (sales_consumer_client.go:21-39: group subscribe,
+    earliest reset, multi-topic comma list; commands.sh:14-15: assigned
+    partitions; A18 backpressure cap; A23 minPartitions scaling hint).
+    read_topic_stream applies this map verbatim, so asserting on it IS
+    asserting on the reader a broker run would use."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+    if assign is not None:
+        opts["assign"] = json.dumps(assign)
+    else:
+        if isinstance(topics, list):
+            topics = ",".join(topics)
+        opts["subscribe"] = topics
+    if max_offsets_per_trigger is not None:
+        # A18 backpressure: the bounded-queue analog (queue cap 25 batches,
+        # produce_pipelining_consume_application.go:18-19)
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if min_partitions is not None:
+        opts["minPartitions"] = str(min_partitions)
+    return opts
+
+
+def sink_options(bootstrap: str, topic: str, checkpoint_dir: str,
+                 acks: str = "1", retries: int = 10) -> dict[str, str]:
+    """A2/A3: the producer-side option map — acks='1' ≈ WaitForLocal +
+    retries (sales_producer_client.go:22-23), acks='all' ≈ WaitForAll
+    (main_sarama.go:34). write_topic_stream applies this map verbatim."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "kafka.acks": acks,
+        "kafka.retries": str(retries),
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
 def read_topic_stream(spark: SparkSession, bootstrap: str, topics: str | list[str],
                       starting_offsets: str = "earliest",
                       assign: dict[str, list[int]] | None = None,
@@ -34,24 +80,12 @@ def read_topic_stream(spark: SparkSession, bootstrap: str, topics: str | list[st
                       min_partitions: int | None = None) -> DataFrame:
     """A4: consumer-group-style streaming source. `topics` may be a comma list
     (multi-topic union, A4) or `assign` may pin specific partitions (A23)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
-    )
-    if assign is not None:
-        reader = reader.option("assign", json.dumps(assign))
-    else:
-        if isinstance(topics, list):
-            topics = ",".join(topics)
-        reader = reader.option("subscribe", topics)
-    if max_offsets_per_trigger is not None:
-        # A18 backpressure: the bounded-queue analog (queue cap 25 batches,
-        # produce_pipelining_consume_application.go:18-19)
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    if min_partitions is not None:
-        reader = reader.option("minPartitions", str(min_partitions))
+    reader = spark.readStream.format("kafka")
+    for k, v in source_options(
+            bootstrap, topics, starting_offsets=starting_offsets,
+            assign=assign, max_offsets_per_trigger=max_offsets_per_trigger,
+            min_partitions=min_partitions).items():
+        reader = reader.option(k, v)
     return reader.load()
 
 
@@ -75,14 +109,10 @@ def write_topic_stream(df: DataFrame, bootstrap: str, topic: str,
     (main_sarama.go:34). Expects `key`/`value` binary columns (partitioning by
     key is the broker-side default partitioner, matching A5's consistency
     contract when fnv1a_partition pre-assigns `partition`)."""
-    writer = (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("kafka.acks", acks)
-        .option("kafka.retries", str(retries))
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
-    )
+    writer = df.writeStream.format("kafka")
+    for k, v in sink_options(bootstrap, topic, checkpoint_dir,
+                             acks=acks, retries=retries).items():
+        writer = writer.option(k, v)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

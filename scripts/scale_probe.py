@@ -43,6 +43,12 @@ RAW_PATHS = {
     # same "incl. index build" accounting as the IVF row above.
     "c29_pq_ann": lambda spark, sf_dir: similarity.pq_topk(
         load_table(spark, "embeddings", sf_dir)),
+    # r6 verdict item 5: the registered c29_clusters_lsh is a verdict form
+    # that runs BOTH the exact recursive-checkable graph and the LSH graph;
+    # the probe times the LSH-ONLY path (the 100 TB regime) so the CC
+    # loop's own round-over-round growth is tracked without the exact twin.
+    "c29_clusters_lsh": lambda spark, sf_dir: dedup.minhash_clusters(
+        load_table(spark, "documents", sf_dir), edge_source="lsh"),
 }
 
 # CLI args are parsed only when run as a script (the module is also imported
@@ -131,6 +137,17 @@ PROBE_QUERIES = [
     "c37_skew_advisor",     # keyed count + 1-row mean broadcast
     "c4_cms_join_card",     # fixed CMS grid + Σcnt² planning estimate
     "c34_cep",              # CEP negation pattern, one keyed window pass
+    # round-7 additions (c29_clusters_lsh now times the LSH-ONLY path —
+    # see RAW_PATHS — so the CC loop's growth is measured on the scale
+    # regime rather than the exact-twin verdict form)
+    "c38_pagerank",         # edge build (4-table join) + 10 rank steps
+    "c12_ewma",             # trailing-k frame array + JVM fold per row
+    "c33_anomaly",          # rolling integer-sum frame, per-type series
+    "c34_attribution",      # running conditional first/last per user
+    "c30_novelty",          # shingle doc-frequency join-back
+    "c32_winsorize",        # per-type rank window + clamp agg
+    "c16_resample",         # day-grid explode + ffill (span-bounded)
+    "c33_referential",      # four anti-join count edges
 ]
 
 

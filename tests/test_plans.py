@@ -135,6 +135,8 @@ _BNLJ_ALLOWED = {
     "c4_sketch_inter",      # 1-row sketch-estimate scalar broadcast
     "c37_skew_advisor",     # 1-row mean-frequency scalar broadcast
     "c4_cms_join_card",     # 1-row sketch-estimate scalar broadcast
+    "c37_compact",          # 1-row overlap/missing/total verdict scalars
+    "c33_referential",      # four 1-row per-edge count crossjoins
 }
 
 
@@ -175,7 +177,13 @@ def test_no_driver_side_collect_in_queries(spark):
                     # writes + reads back the clustered copy by design
                     "c37_zorder_files",
                     # runs the delta-grid stream at build by design
-                    "c4_cms_stream"):
+                    "c4_cms_stream",
+                    # execute the availableNow stream / file side effect
+                    # at build time by design (r7)
+                    "a2_kafka_surface", "c35_scd2_stream", "c37_compact",
+                    # bounded: node-count action + per-iteration O(#nodes)
+                    # localCheckpoints of the rank vector (r7)
+                    "c38_pagerank"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)
