@@ -12,9 +12,12 @@ Engine-exactness: ranks live in integer NANO-UNITS end to end. With
 damping d = 0.85 and uniform teleport, every update is
 
     r' = (0.15e9 // N) + (85 * (contrib_sum + dangling_sum // N)) // 100
-    contrib(src→dst) = (r_src * w) // out_w
+    contrib(src→dst) = (r_src * ratio_ppb) // 1e9
+    ratio_ppb        = floor(w / out_w * 1e9 + 0.5)   (once, at edge build)
 
-— pure BIGINT multiply/divide/sum (all operands provably < 2^63), so any
+— pure BIGINT multiply/divide/sum (all operands provably < 2^63: rank
+≤ 1e9 and ratio ≤ 1e9 bound the product at 1e18 at ANY edge-weight
+magnitude; the one double division is IEEE-identical everywhere), so any
 engine computes bit-identical ranks at every iteration and the DuckDB
 oracle can unroll the same recurrence as chained CTEs with no float
 tolerance at all.
@@ -60,31 +63,58 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
     chain twice per step); the checkpointed frame is O(#nodes) rows."""
     n_nodes = nodes.count()  # bounded: the node universe of the graph
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    edges_w = edges.join(out_w, "src").localCheckpoint()
+    # Edge transition ratios pre-quantized to parts-per-billion ONCE, so
+    # the per-iteration product r·ratio is bounded by 1e9·1e9 < 2^63 at
+    # ANY edge-weight magnitude (raw r·w would overflow once per-pair
+    # weights pass ~9e9 — reachable at petabyte fact scale). The ratio
+    # derivation (double divide, ·1e9, floor+0.5) is pure IEEE ops, so
+    # the oracle replays it bit-identically.
+    edges_w = (edges.join(out_w, "src")
+               .select("src", "dst", F.expr(
+                   "CAST(floor(CAST(w AS DOUBLE) * 1e9 "
+                   "/ CAST(out_w AS DOUBLE) + 0.5) AS BIGINT)")
+                   .alias("ratio_ppb"))
+               .localCheckpoint())
 
-    ranks = nodes.select(
-        "node", F.lit(NANO // n_nodes).cast("long").alias("r"))
-    for _ in range(iterations):
-        contrib = (edges_w
-                   .join(F.broadcast(ranks),
-                         edges_w.src == ranks.node)
-                   .select("dst", F.expr("(r * w) div out_w").alias("_t"))
-                   .groupBy("dst")
-                   .agg(F.sum("_t").alias("contrib")))
-        dangling = (ranks.join(out_w, ranks.node == out_w.src, "left_anti")
-                    .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long")
-                         .alias("dang")))
-        ranks = (nodes
-                 .join(contrib, nodes.node == contrib.dst, "left")
-                 .crossJoin(F.broadcast(dangling))
-                 .select(
-                     "node",
-                     F.expr(
-                         f"CAST({base_sql(n_nodes)} + "
-                         f"(85 * (coalesce(contrib, CAST(0 AS BIGINT))) + "
-                         f"85 * (dang div {n_nodes})) div 100 AS BIGINT)"
-                     ).alias("r"))
-                 .localCheckpoint())
+    # The iteration loop's shuffles move only O(#nodes)-bounded frames
+    # (per-dst contribution sums, the rank vector), so the ambient
+    # shuffle-partition sizing — right for the data-scale edge build
+    # above, which is already checkpointed — only multiplies task-launch
+    # overhead here. A handful of partitions is the correct posture at
+    # ANY scale for this loop (A/B at sf0.1: 6.5 s → 4.6 s whole-query);
+    # same conf-swap discipline as the streaming rows' _stream_partitions.
+    spark = nodes.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        ranks = nodes.select(
+            "node", F.lit(NANO // n_nodes).cast("long").alias("r"))
+        for _ in range(iterations):
+            contrib = (edges_w
+                       .join(F.broadcast(ranks),
+                             edges_w.src == ranks.node)
+                       .select("dst",
+                               F.expr("(r * ratio_ppb) div 1000000000")
+                               .alias("_t"))
+                       .groupBy("dst")
+                       .agg(F.sum("_t").alias("contrib")))
+            dangling = (ranks.join(out_w, ranks.node == out_w.src,
+                                   "left_anti")
+                        .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long")
+                             .alias("dang")))
+            ranks = (nodes
+                     .join(contrib, nodes.node == contrib.dst, "left")
+                     .crossJoin(F.broadcast(dangling))
+                     .select(
+                         "node",
+                         F.expr(
+                             f"CAST({base_sql(n_nodes)} + "
+                             f"(85 * (coalesce(contrib, CAST(0 AS BIGINT))) + "
+                             f"85 * (dang div {n_nodes})) div 100 AS BIGINT)"
+                         ).alias("r"))
+                     .localCheckpoint())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return ranks.select("node", F.col("r").alias("rank_nano"),
                         F.round(F.col("r").cast("double") / NANO, 6)
                         .alias("rank"))

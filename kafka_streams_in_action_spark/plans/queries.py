@@ -998,8 +998,13 @@ def _scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     src = tempfile.mkdtemp(prefix="c35_scd2_stream_src_")
+    # ntile once, checkpoint, then 4 cheap filtered writes — without the
+    # checkpoint each slice write re-runs the global time sort (4× cost);
+    # the sequential appends give the files the monotone modification
+    # times availableNow's file ordering replays
     sliced = ev.withColumn(
-        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
+        .localCheckpoint()
     for s in range(1, 5):
         (sliced.filter(F.col("slice") == s).drop("slice")
          .coalesce(1).write.mode("append").parquet(src))
@@ -1049,9 +1054,9 @@ def _pagerank_oracle(iterations: int = 10, n_nodes: int = 25) -> str:
             FROM nodes n
             LEFT JOIN (
                 SELECT e.dst AS node,
-                       CAST(sum((p.r * e.w) // o.out_w) AS BIGINT) AS contrib
-                FROM edges e JOIN {prev} p ON p.node = e.src
-                JOIN outw o ON o.src = e.src
+                       CAST(sum((p.r * e.ratio_ppb) // 1000000000)
+                            AS BIGINT) AS contrib
+                FROM edges_q e JOIN {prev} p ON p.node = e.src
                 GROUP BY e.dst) c ON c.node = n.node
             CROSS JOIN (
                 SELECT CAST(coalesce(sum(p.r), 0) AS BIGINT) AS dang
@@ -1068,6 +1073,11 @@ def _pagerank_oracle(iterations: int = 10, n_nodes: int = 25) -> str:
         GROUP BY 1, 2),
     outw AS MATERIALIZED (
         SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+    edges_q AS MATERIALIZED (
+        SELECT e.src, e.dst,
+               CAST(floor(CAST(e.w AS DOUBLE) * 1e9
+                    / CAST(o.out_w AS DOUBLE) + 0.5) AS BIGINT) AS ratio_ppb
+        FROM edges e JOIN outw o ON o.src = e.src),
     nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
     r0 AS MATERIALIZED (
         SELECT node, CAST({r0} AS BIGINT) AS r FROM nodes),
