@@ -95,6 +95,8 @@ HEADLINE = [
     "c32_winsorize",         # rank-selected quantile clamp + dsum
     "c16_resample",          # day-grid generate + ffill
     "c35_scd2_stream",       # 4-batch SCD2 change capture + stitch
+    "c38_triangles",         # ordered two-join triangle census
+    "c33_benford",           # first-digit audit (map-side agg, 9 groups)
 ]
 
 

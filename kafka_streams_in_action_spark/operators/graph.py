@@ -141,3 +141,45 @@ def nation_trade_pagerank(customer: DataFrame, orders: DataFrame,
             .select(F.col("n_nationkey").alias("nationkey"),
                     F.col("n_name").alias("nation"),
                     "rank_nano", "rank"))
+
+
+def near_dup_triangles(documents: DataFrame, threshold: float = 0.1,
+                       n: int = 3) -> DataFrame:
+    """C38b: triangle census of the n-gram near-dup graph — the density
+    audit of the C29q dedup clusters. Many triangles / high clustering
+    coefficient means near-dup neighborhoods are tight cliques (safe to
+    collapse to one representative); a low coefficient flags chain-like
+    clusters where transitive dedup over-merges.
+
+    Edges come from the exact Jaccard pair builder (doc_a < doc_b, the
+    c29_ngram_jaccard machinery, SQL-replicable). Triangles enumerate by
+    the ordered two-join (a<b, b<c, then close a-c): each triangle is
+    produced exactly once, and both joins key on a node column — the
+    standard distributed triangle count, never an all-pairs product.
+    Wedges (open two-paths) come from per-node degrees; global clustering
+    coefficient = 3·triangles / wedges. Output is one bounded row."""
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = (ngram_jaccard_pairs(documents, threshold=threshold, n=n)
+             .select("doc_a", "doc_b").localCheckpoint())
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+           .join(e3, (F.col("e3.doc_a") == F.col("e1.doc_a"))
+                 & (F.col("e3.doc_b") == F.col("e2.doc_b")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    deg = (pairs.select(F.col("doc_a").alias("node"))
+           .unionAll(pairs.select(F.col("doc_b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"))
+    edges_n = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (edges_n.crossJoin(F.broadcast(wedges))
+            .crossJoin(F.broadcast(tri))
+            .select(
+                "n_nodes", "n_edges", "n_triangles", "n_wedges",
+                F.when(F.col("n_wedges") == 0, F.lit(0.0))
+                .otherwise(F.round(
+                    F.lit(3.0) * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"), 6))
+                .alias("clustering")))

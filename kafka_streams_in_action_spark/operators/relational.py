@@ -1131,3 +1131,56 @@ def referential_audit(orders: DataFrame, customer: DataFrame,
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+# Benford first-digit expectations log10(1 + 1/d), pre-rounded to 6dp as
+# LITERALS shared with the oracle — log10 itself is not guaranteed
+# correctly-rounded in either engine, so the constants are pinned rather
+# than computed.
+_BENFORD_P = {1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910,
+              5: 0.079181, 6: 0.066947, 7: 0.057992, 8: 0.051153,
+              9: 0.045757}
+
+
+def benford_audit(orders: DataFrame) -> DataFrame:
+    """C33k: Benford's-law first-digit audit of a monetary column — the
+    fraud/synthetic-data smell test a financial data-quality gate runs.
+    Reports, per leading digit, the observed count/share against the
+    Benford expectation and the chi-square contribution; the chi2 terms
+    sum to the test statistic (14.07 = 95% critical for 8 dof).
+
+    Engine-exact digit extraction: totalprice → exact integer cents
+    (floor(x·100+0.5), the dsum quantization) → first character of the
+    BIGINT's decimal string (integer-to-string is exact everywhere) —
+    never floor(log10(x)), whose rounding can misclassify exact powers
+    of ten. One map-side agg over 9 groups; shares and chi2 terms are
+    deterministic doubles derived from exact integer counts and the
+    pinned literal expectations."""
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        .cast("string"), 1, 1).cast("int")
+    counts = (orders.filter(F.col("o_totalprice") >= 0.01)
+              .select(digit.alias("digit"))
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs")))
+    expect = F.create_map(
+        *[x for d, p in _BENFORD_P.items() for x in (F.lit(d), F.lit(p))])
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select(
+                "digit", "n_obs", "n_total",
+                F.round(F.col("n_obs").cast("double")
+                        / F.col("n_total").cast("double"), 6)
+                .alias("obs_share"),
+                expect[F.col("digit")].alias("exp_share"))
+            .withColumn(
+                "_diff",
+                F.col("n_obs").cast("double")
+                - F.col("exp_share") * F.col("n_total").cast("double"))
+            .withColumn(
+                "chi2_term",
+                # squared via plain multiply — pow() is not guaranteed
+                # correctly-rounded cross-engine, x*x is
+                F.round(F.col("_diff") * F.col("_diff")
+                        / (F.col("exp_share")
+                           * F.col("n_total").cast("double")), 6))
+            .drop("_diff", "n_total"))

@@ -1032,6 +1032,69 @@ def _compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         target_rows_per_file=4000)
 
 
+# C33h rolling z-score — shared by the batch row (c33_anomaly) and its
+# streaming twin (c33_anomaly_stream): the twin replays the SAME batch
+# semantics through a keyed state machine, so both rows check against
+# this one SQL.
+_ANOMALY_ORACLE = """
+    WITH f AS (
+        SELECT event_type, event_id, value,
+               CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS m,
+               CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                    OVER w AS BIGINT) AS s1,
+               CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+                        * CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                    OVER w AS BIGINT) AS s2,
+               count(*) OVER w AS n
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    g AS (
+        SELECT event_type, event_id, value,
+               (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+                   / (n::DOUBLE - 1.0) AS var,
+               (m::DOUBLE - s1::DOUBLE / n::DOUBLE) AS dev
+        FROM f WHERE n = 20)
+    SELECT event_type, event_id, value,
+           round(dev / sqrt(var), 6) AS z
+    FROM g WHERE var > 0 AND abs(dev / sqrt(var)) > 3.0
+    """
+
+
+def _anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33h streaming twin, driver-visible: the rolling z-score anomaly
+    detector as a keyed state machine (streaming/stateful.py:
+    zscore_anomaly_stream — the last window-1 milli-values ride the state
+    store) replayed across a REAL 4-batch time split, checked by the FULL
+    batch c33_anomaly oracle: the ring state must survive three
+    micro-batch boundaries for the flagged set to hash-match."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import zscore_anomaly_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c33_anomaly_stream_src_")
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
+        .localCheckpoint()
+    for s in range(1, 5):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(src))
+    sink = f"c33_anomaly_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        q = (zscore_anomaly_stream(
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    return spark.table(sink).select("event_type", "event_id", "value", "z")
+
+
 def _pagerank_oracle(iterations: int = 10, n_nodes: int = 25) -> str:
     """Unrolled integer PageRank recurrence as chained MATERIALIZED CTEs.
     Each iteration references the previous one twice (contribution join +
@@ -3720,30 +3783,8 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
     #   DuckDB list lambdas index 1-based, Spark transform 0-based
     "c33_anomaly": QuerySpec(
         _t("events")(windows.rolling_zscore_anomalies),
-        """
-        WITH f AS (
-            SELECT event_type, event_id, value,
-                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS m,
-                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
-                        OVER w AS BIGINT) AS s1,
-                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
-                            * CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
-                        OVER w AS BIGINT) AS s2,
-                   count(*) OVER w AS n
-            FROM events
-            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
-        g AS (
-            SELECT event_type, event_id, value,
-                   (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
-                       / (n::DOUBLE - 1.0) AS var,
-                   (m::DOUBLE - s1::DOUBLE / n::DOUBLE) AS dev
-            FROM f WHERE n = 20)
-        SELECT event_type, event_id, value,
-               round(dev / sqrt(var), 6) AS z
-        FROM g WHERE var > 0 AND abs(dev / sqrt(var)) > 3.0
-        """),  # frame sums are exact milli-unit integers; divide/sqrt are
-    #   correctly-rounded IEEE ops, so z is engine-exact
+        _ANOMALY_ORACLE),  # frame sums are exact milli-unit integers;
+    #   divide/sqrt are correctly-rounded IEEE ops, so z is engine-exact
     "c16_resample": QuerySpec(
         _t("events")(event_time.resample_daily_ffill),
         """
@@ -3873,6 +3914,67 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                                / p.n_shingles::DOUBLE, 6) END AS novelty
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """),
+    "c33_anomaly_stream": QuerySpec(_anomaly_stream, _ANOMALY_ORACLE),
+    "c38_triangles": QuerySpec(
+        _t("documents")(graph.near_dup_triangles),
+        f"""
+        WITH {_SHINGLE_CTE},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        pairs AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(n_common / (sa.set_size + sb.set_size - n_common),
+                        6) >= 0.1),
+        tri AS (
+            SELECT count(*) AS n_triangles
+            FROM pairs e1
+            JOIN pairs e2 ON e1.doc_b = e2.doc_a
+            JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        deg AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT doc_a AS node FROM pairs
+                UNION ALL SELECT doc_b FROM pairs) GROUP BY node),
+        w AS (
+            SELECT count(*) AS n_nodes,
+                   CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+            FROM deg),
+        e AS (SELECT count(*) AS n_edges FROM pairs)
+        SELECT n_nodes, n_edges, n_triangles, n_wedges,
+               CASE WHEN n_wedges = 0 THEN 0.0
+                    ELSE round(3.0 * n_triangles::DOUBLE
+                               / n_wedges::DOUBLE, 6) END AS clustering
+        FROM e, w, tri
+        """),
+    "c33_benford": QuerySpec(
+        _t("orders")(relational.benford_audit),
+        """
+        WITH c AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                   count(*) AS n_obs
+            FROM orders WHERE o_totalprice >= 0.01 GROUP BY 1),
+        t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM c),
+        e(digit, exp_share) AS (VALUES
+            (1, CAST(0.301030 AS DOUBLE)), (2, CAST(0.176091 AS DOUBLE)),
+            (3, CAST(0.124939 AS DOUBLE)), (4, CAST(0.096910 AS DOUBLE)),
+            (5, CAST(0.079181 AS DOUBLE)), (6, CAST(0.066947 AS DOUBLE)),
+            (7, CAST(0.057992 AS DOUBLE)), (8, CAST(0.051153 AS DOUBLE)),
+            (9, CAST(0.045757 AS DOUBLE)))
+        SELECT c.digit, c.n_obs,
+               round(c.n_obs::DOUBLE / t.n_total::DOUBLE, 6) AS obs_share,
+               e.exp_share,
+               round((c.n_obs::DOUBLE - e.exp_share * t.n_total::DOUBLE)
+                     * (c.n_obs::DOUBLE - e.exp_share * t.n_total::DOUBLE)
+                     / (e.exp_share * t.n_total::DOUBLE), 6) AS chi2_term
+        FROM c JOIN e ON e.digit = c.digit CROSS JOIN t
+        """),  # Benford expectations are pinned 6dp LITERALS on both
+    #   sides (log10 is not correctly-rounded cross-engine); digit
+    #   extraction goes through exact integer cents → decimal string
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -3905,6 +4007,7 @@ _ROUND7_PRIORITY = [
     "a2_kafka_surface", "c35_scd2_stream", "c37_compact",
     "c38_pagerank", "c34_attribution", "c12_ewma", "c33_anomaly",
     "c16_resample", "c32_winsorize", "c33_referential", "c30_novelty",
+    "c33_anomaly_stream", "c38_triangles", "c33_benford",
     # (4) the 25 r3-stale rows deferred from the r6 window (verdict
     # item 2 lists them verbatim)
     "c29_minhash_lsh", "c29_lsh_ann", "c29_ivf_ann",
@@ -3915,10 +4018,12 @@ _ROUND7_PRIORITY = [
     "a16_commit_offsets", "c32_sample", "a15_partition_ordered",
     "sql_q13_order_distribution", "c2_project_scalar",
     "a13_proto_roundtrip", "c13_topk", "a6_derive_total", "c32_split",
-    # (5) oldest r4-checked rows, one per family with spare slots
+    # (5) oldest r4-checked rows filling the remaining slots
+    # (c26_dedup_first / c27_running_state / c4_approx_distinct yielded
+    # their slots to the three late-round additions above; their families
+    # keep fresh in-window coverage via c22/c25 and the sketch rows)
     "c9_range_join", "c10_asof_join", "c21_weighted_avg_udaf",
-    "c22_tumbling_window", "c25_late_data", "c26_dedup_first",
-    "c27_running_state", "c4_approx_distinct",
+    "c22_tumbling_window", "c25_late_data",
 ]
 
 assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)

@@ -404,3 +404,63 @@ def stitch_versions(changes: DataFrame) -> DataFrame:
         F.lead("effective_from_us").over(w).alias("effective_to_us"),
         "version")
         .withColumn("is_current", F.col("effective_to_us").isNull()))
+
+
+def zscore_anomaly_stream(events: DataFrame, window: int = 20,
+                          z_thresh: float = 3.0) -> DataFrame:
+    """C33h streaming twin: rolling z-score anomaly detection as a keyed
+    state machine — per event_type the state is the ring of the last
+    window-1 milli-quantized values (the exact trailing frame the batch
+    operator reads through its ROWS window), so each micro-batch scores
+    its events against the same 20-observation integer sums and the
+    flagged set equals the batch form row-for-row under time-ordered
+    availableNow replay.
+
+    State is (window-1) longs per event_type — bounded by type
+    cardinality × window, never by stream length. All arithmetic matches
+    the batch operator bit-for-bit: exact integer Σm/Σm², then
+    divide/sqrt (correctly-rounded IEEE ops identical in Python floats
+    and JVM doubles); the final 6dp rounding happens JVM-side AFTER the
+    handler so batch and stream round identically."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        ring = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs), ignore_index=True) \
+            .sort_values(["ts", "event_id"])
+        out = {"event_type": [], "event_id": [], "value": [], "z": []}
+        for _, r in rows.iterrows():
+            m = int(math.floor(float(r["value"]) * 1000.0 + 0.5))
+            frame = ring + [m]
+            if len(frame) == window:
+                n = float(window)
+                s1 = float(sum(frame))
+                s2 = float(sum(v * v for v in frame))
+                var = (s2 - s1 * s1 / n) / (n - 1.0)
+                if var > 0:
+                    z = (float(m) - s1 / n) / math.sqrt(var)
+                    if abs(z) > z_thresh:
+                        out["event_type"].append(key[0])
+                        out["event_id"].append(int(r["event_id"]))
+                        out["value"].append(float(r["value"]))
+                        out["z"].append(z)
+            ring = frame[-(window - 1):]
+        state.update((ring,))
+        yield pd.DataFrame(out)
+
+    scored = (
+        events.select("event_type", "event_id", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=("event_type string, event_id long, "
+                              "value double, z double"),
+            stateStructType="ring array<bigint>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return scored.withColumn("z", F.round("z", 6))

@@ -148,6 +148,13 @@ PROBE_QUERIES = [
     "c32_winsorize",        # per-type rank window + clamp agg
     "c16_resample",         # day-grid explode + ffill (span-bounded)
     "c33_referential",      # four anti-join count edges
+    "c33_benford",          # exact-cents digit extraction + 9-group agg
+    # c38_triangles is deliberately NOT probed: its edge list is the
+    # exact n-gram Jaccard pair graph, and on the copy-synthesized 10x
+    # data (doc text repeats) clone clusters make the PAIR SET itself
+    # grow quadratically — the same corpus property that excludes
+    # c31_phash_dedup. On a real crawl near-dup density is ~linear and
+    # the banded/collapsed regimes (C29q) carry the scale path.
 ]
 
 

@@ -137,6 +137,8 @@ _BNLJ_ALLOWED = {
     "c4_cms_join_card",     # 1-row sketch-estimate scalar broadcast
     "c37_compact",          # 1-row overlap/missing/total verdict scalars
     "c33_referential",      # four 1-row per-edge count crossjoins
+    "c38_triangles",        # 1-row edge/wedge/triangle verdict scalars
+    "c33_benford",          # 1-row total-count scalar broadcast
 }
 
 
@@ -183,7 +185,11 @@ def test_no_driver_side_collect_in_queries(spark):
                     "a2_kafka_surface", "c35_scd2_stream", "c37_compact",
                     # bounded: node-count action + per-iteration O(#nodes)
                     # localCheckpoints of the rank vector (r7)
-                    "c38_pagerank"):
+                    "c38_pagerank",
+                    # replays the availableNow stream at build (r7)
+                    "c33_anomaly_stream",
+                    # checkpoints the bounded pair edge list at build (r7)
+                    "c38_triangles"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)

@@ -259,3 +259,73 @@ def test_cep_stream_checkpoint_restart_carries_state(spark, tmp_path):
     streamed = spark.read.parquet(sink).select(*batch.columns)
     assert sorted(map(tuple, batch.collect())) \
         == sorted(map(tuple, streamed.collect()))
+
+
+# ------------------------------------------------- late round-7 additions
+
+def test_triangles_on_handcrafted_graph(spark):
+    """Four mutually-near-dup docs form a 4-clique: C(4,3) = 4 triangles,
+    6 edges, 12 wedges, clustering exactly 1.0 (every wedge closes); an
+    unrelated doc stays outside the graph entirely."""
+    clique = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(0, clique + " one"), (1, clique + " two"), (2, clique + " three"),
+         (3, "gamma delta epsilon zeta eta theta iota kappa"),
+         (4, "totally unrelated words with no shared trigrams at all")],
+        "doc_id long, text string")
+    from kafka_streams_in_action_spark.operators.graph import (
+        near_dup_triangles)
+    row = near_dup_triangles(docs, threshold=0.2).collect()[0]
+    assert row["n_nodes"] == 4 and row["n_edges"] == 6
+    assert row["n_triangles"] == 4 and row["n_wedges"] == 12
+    assert row["clustering"] == 1.0
+
+
+def test_benford_audit_shares_and_chi2(spark):
+    """Digit extraction is exact-cents-string based; shares sum to 1 and
+    a perfectly Benford-ish synthetic set yields small chi2 terms."""
+    import random
+    rnd = random.Random(7)
+    rows = []
+    # synthesize magnitudes log-uniformly: first digits follow Benford
+    for i in range(5000):
+        v = 10 ** rnd.uniform(0, 4)
+        rows.append((i, round(v, 2)))
+    orders = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    from kafka_streams_in_action_spark.operators.relational import (
+        benford_audit)
+    out = benford_audit(orders).collect()
+    assert len(out) == 9
+    assert abs(sum(r["obs_share"] for r in out) - 1.0) < 1e-3
+    # log-uniform sampling IS Benford: every digit's chi2 term is small
+    assert sum(r["chi2_term"] for r in out) < 30.0
+    assert [r["exp_share"] for r in
+            sorted(out, key=lambda r: r["digit"])][0] == 0.301030
+
+
+def test_zscore_stream_matches_batch_across_four_batches(spark, tmp_path):
+    """C33h streaming twin: the ring state (last 19 milli-values per
+    event_type) must survive micro-batch boundaries — flagged anomalies
+    through a REAL 4-batch time split equal the batch operator
+    row-for-row."""
+    from kafka_streams_in_action_spark.streaming import stateful
+
+    ev = load_table(spark, "events", SF_DIR)
+    d = str(tmp_path / "zscore_stream_src")
+    from pyspark.sql import Window
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    for s in range(1, 5):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(d))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    sink = "zscore_stream_r7"
+    q = (stateful.zscore_anomaly_stream(stream)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    batch = windows.rolling_zscore_anomalies(ev)
+    streamed = spark.table(sink).select(*batch.columns)
+    assert sorted(map(tuple, batch.collect())) \
+        == sorted(map(tuple, streamed.collect()))
