@@ -172,7 +172,9 @@ def near_dup_triangles(documents: DataFrame, threshold: float = 0.1,
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
     wedges = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"))
+        # coalesce: an empty pair graph must report 0 wedges, not NULL
+        F.coalesce(F.sum(F.expr("deg * (deg - 1) div 2")),
+                   F.lit(0).cast("long")).alias("n_wedges"))
     edges_n = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return (edges_n.crossJoin(F.broadcast(wedges))
             .crossJoin(F.broadcast(tri))

@@ -3941,7 +3941,8 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                 UNION ALL SELECT doc_b FROM pairs) GROUP BY node),
         w AS (
             SELECT count(*) AS n_nodes,
-                   CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+                   CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT)
+                       AS n_wedges
             FROM deg),
         e AS (SELECT count(*) AS n_edges FROM pairs)
         SELECT n_nodes, n_edges, n_triangles, n_wedges,
