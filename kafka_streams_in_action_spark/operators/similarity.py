@@ -1322,3 +1322,38 @@ def ivf_incremental_verdict(embeddings: DataFrame, n_queries: int = 10,
         brute_force_topk(embeddings, n_queries=n_queries, k=k),
         min_recall)
     return quality.crossJoin(F.broadcast(drift))
+
+
+def matryoshka_gate(embeddings: DataFrame, n_queries: int = 10,
+                    k: int = 5, dim: int = 32) -> DataFrame:
+    """C29s: truncated-dimension retrieval-quality gate (the Matryoshka /
+    MRL check): how much of the exact top-k neighborhood survives when
+    vectors are truncated to their first `dim` components? MRL-trained
+    embeddings put most signal in the prefix, so serving at half
+    dimension halves index bytes and ADC cost — IF recall holds. This
+    gate measures exactly that before a pipeline flips to truncated
+    serving.
+
+    Both rankings are the exact brute-force top-k (rounded-6 cosine,
+    neighbor-id tie-break — fully engine-replayable); overlap counts by
+    a (query, neighbor) equi-join on the two k-row-per-query lists, so
+    queries with zero surviving neighbors still report (left join from
+    the full side). Cost: two broadcast-query corpus passes — the ANN
+    index substitutes per ranking at scale, the gate's join shape is
+    unchanged."""
+    full = brute_force_topk(embeddings, n_queries=n_queries, k=k)
+    trunc = brute_force_topk(
+        embeddings.select(
+            "vec_id", F.slice(F.col("embedding"), 1, dim).alias("embedding")),
+        n_queries=n_queries, k=k)
+    t = trunc.select(F.col("query_id").alias("t_qid"),
+                     F.col("neighbor_id").alias("t_nid"))
+    return (full.join(t, (full.query_id == t.t_qid)
+                      & (full.neighbor_id == t.t_nid), "left")
+            .groupBy("query_id")
+            .agg(F.count("t_nid").alias("n_overlap"))
+            .select("query_id",
+                    F.lit(dim).cast("int").alias("dim"),
+                    "n_overlap",
+                    F.round(F.col("n_overlap").cast("double") / k, 6)
+                    .alias("recall_at_k")))

@@ -3915,6 +3915,43 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """),
     "c33_anomaly_stream": QuerySpec(_anomaly_stream, _ANOMALY_ORACLE),
+    "c29_matryoshka": QuerySpec(
+        _t("embeddings")(similarity.matryoshka_gate),
+        f"""
+        WITH emb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM emb
+              WHERE vec_id < 10),
+        sf AS (
+            SELECT query_id, e.vec_id AS neighbor_id,
+                   {_cosine_sql('qv', 'e.v')} AS cs
+            FROM emb e, q WHERE e.vec_id <> query_id),
+        tf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cs DESC, neighbor_id) AS rn
+                FROM sf) WHERE rn <= 5),
+        embt AS (SELECT vec_id, v[1:32] AS v FROM emb),
+        qt AS (SELECT vec_id AS query_id, v AS qv FROM embt
+               WHERE vec_id < 10),
+        st AS (
+            SELECT query_id, e.vec_id AS neighbor_id,
+                   {_cosine_sql('qv', 'e.v')} AS cs
+            FROM embt e, qt WHERE e.vec_id <> query_id),
+        tt AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cs DESC, neighbor_id) AS rn
+                FROM st) WHERE rn <= 5)
+        SELECT f.query_id, CAST(32 AS INTEGER) AS dim,
+               count(t.neighbor_id) AS n_overlap,
+               round(count(t.neighbor_id)::DOUBLE / 5, 6) AS recall_at_k
+        FROM tf f LEFT JOIN tt t
+             ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+        GROUP BY f.query_id
+        """),  # both rankings rank by ROUNDED-6 cosine with neighbor-id
+    #   tie-break, so the top-k lists — and therefore the overlap counts —
+    #   are engine-exact
     "c38_triangles": QuerySpec(
         _t("documents")(graph.near_dup_triangles),
         f"""
@@ -4009,6 +4046,7 @@ _ROUND7_PRIORITY = [
     "c38_pagerank", "c34_attribution", "c12_ewma", "c33_anomaly",
     "c16_resample", "c32_winsorize", "c33_referential", "c30_novelty",
     "c33_anomaly_stream", "c38_triangles", "c33_benford",
+    "c29_matryoshka",
     # (4) the 25 r3-stale rows deferred from the r6 window (verdict
     # item 2 lists them verbatim)
     "c29_minhash_lsh", "c29_lsh_ann", "c29_ivf_ann",
@@ -4023,7 +4061,7 @@ _ROUND7_PRIORITY = [
     # (c26_dedup_first / c27_running_state / c4_approx_distinct yielded
     # their slots to the three late-round additions above; their families
     # keep fresh in-window coverage via c22/c25 and the sketch rows)
-    "c9_range_join", "c10_asof_join", "c21_weighted_avg_udaf",
+    "c9_range_join", "c10_asof_join",
     "c22_tumbling_window", "c25_late_data",
 ]
 

@@ -92,6 +92,27 @@ def test_semi_anti_joins_stay_semi(spark):
     assert "LeftAnti" in anti
 
 
+def test_r7_window_ops_are_single_exchange(spark):
+    """C12e/C34h/C33h: the EWMA, attribution, and rolling z-score plans
+    must stay one keyed Exchange each — the frame state is a running
+    window buffer, never a self-join; a second Exchange would mean a
+    regression to a join-based rewrite."""
+    for name in ("c12_ewma", "c34_attribution", "c33_anomaly"):
+        plan = plan_of(_q(spark, name))
+        assert plan.count("Exchange") == 1, (name, plan.count("Exchange"))
+        assert "Join" not in plan, name
+
+
+def test_pagerank_loop_joins_stay_bounded(spark):
+    """C38a: the rank-iteration joins must be broadcast-shaped (the rank
+    vector side is O(#nodes)) — a SortMergeJoin inside the loop would
+    mean the bounded frame got shuffled at data scale."""
+    plan = plan_of(_q(spark, "c38_pagerank"))
+    assert "CartesianProduct" not in plan
+    # final name join: nation is 25 rows, must broadcast
+    assert "BroadcastHashJoin" in plan
+
+
 def test_range_join_is_equi_keyed(spark):
     """C9: the interval self-join must keep user_id as the equi key (bounded
     shuffle) with the time bounds as residual conditions — not a cartesian."""
@@ -139,6 +160,7 @@ _BNLJ_ALLOWED = {
     "c33_referential",      # four 1-row per-edge count crossjoins
     "c38_triangles",        # 1-row edge/wedge/triangle verdict scalars
     "c33_benford",          # 1-row total-count scalar broadcast
+    "c29_matryoshka",       # 10-row query broadcast x2 (both rankings)
 }
 
 

@@ -329,3 +329,18 @@ def test_zscore_stream_matches_batch_across_four_batches(spark, tmp_path):
     streamed = spark.table(sink).select(*batch.columns)
     assert sorted(map(tuple, batch.collect())) \
         == sorted(map(tuple, streamed.collect()))
+
+
+def test_matryoshka_gate_full_dim_is_identity(spark):
+    """Truncating to the FULL dimension must give recall 1.0 for every
+    query (the gate's sanity invariant); truncating to dim=32 keeps
+    recall in [0, 1] with the overlap count consistent."""
+    from kafka_streams_in_action_spark.operators.similarity import (
+        matryoshka_gate)
+    emb = load_table(spark, "embeddings", SF_DIR)
+    ident = matryoshka_gate(emb, dim=64).collect()
+    assert len(ident) == 10
+    assert all(r["recall_at_k"] == 1.0 and r["n_overlap"] == 5
+               for r in ident)
+    half = matryoshka_gate(emb, dim=32).collect()
+    assert all(0 <= r["n_overlap"] <= 5 for r in half)
