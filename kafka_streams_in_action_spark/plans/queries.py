@@ -508,6 +508,52 @@ _TPCH_SHARED: dict[str, tuple[str, str]] = {
         GROUP BY cntry
         ORDER BY cntry
     """),
+    # Q11 shape: GROUP BY + HAVING against a scalar fraction-of-global
+    # subquery (no partsupp in this schema: per-nation supplier balance
+    # value stands in for per-nation stock value). Completes the
+    # important-stock shape — the HAVING subquery plans as a 1-row
+    # broadcast against the grouped aggregate.
+    "sql_q11_important_value": ("supplier nation", f"""
+        SELECT n_name, {_xsum('s_acctbal')} AS value
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING {_xsum('s_acctbal')} > (
+            SELECT CAST(0.05 AS DOUBLE)
+                   * (CAST(sum({_micro('s_acctbal')}) AS DOUBLE) / 1000000)
+            FROM supplier)
+        ORDER BY value DESC, n_name
+    """),
+    # Q20 shape: nested IN subqueries + HAVING against an uncorrelated
+    # scalar threshold (no partsupp availqty: "supplied more than half
+    # the average per-supplier shipped quantity of promo parts" keeps the
+    # promotion-supplier semantics). Both IN levels decorrelate to
+    # left-semi joins; the threshold is a 1-row broadcast.
+    "sql_q20_promo_suppliers": ("supplier nation lineitem part", f"""
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_nationkey < 13
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_suppkey, l_partkey
+              HAVING CAST(sum({_micro('l_quantity')}) AS DOUBLE) / 1000000
+                     > (SELECT CAST(2.0 AS DOUBLE)
+                               * ((CAST(sum(gm) AS DOUBLE) / 1000000)
+                                  / count(*))
+                        FROM (SELECT CAST(sum({_micro('l2.l_quantity')})
+                                          AS BIGINT) AS gm
+                              FROM lineitem l2
+                              WHERE l2.l_partkey IN (
+                                  SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'red%')
+                                AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                                AND l2.l_shipdate < TIMESTAMP '1997-01-01'
+                              GROUP BY l2.l_suppkey, l2.l_partkey) g))
+        ORDER BY s_name
+    """),
 }
 
 
@@ -4046,7 +4092,7 @@ _ROUND7_PRIORITY = [
     "c38_pagerank", "c34_attribution", "c12_ewma", "c33_anomaly",
     "c16_resample", "c32_winsorize", "c33_referential", "c30_novelty",
     "c33_anomaly_stream", "c38_triangles", "c33_benford",
-    "c29_matryoshka",
+    "c29_matryoshka", "sql_q11_important_value", "sql_q20_promo_suppliers",
     # (4) the 25 r3-stale rows deferred from the r6 window (verdict
     # item 2 lists them verbatim)
     "c29_minhash_lsh", "c29_lsh_ann", "c29_ivf_ann",
@@ -4061,7 +4107,6 @@ _ROUND7_PRIORITY = [
     # (c26_dedup_first / c27_running_state / c4_approx_distinct yielded
     # their slots to the three late-round additions above; their families
     # keep fresh in-window coverage via c22/c25 and the sketch rows)
-    "c9_range_join", "c10_asof_join",
     "c22_tumbling_window", "c25_late_data",
 ]
 
