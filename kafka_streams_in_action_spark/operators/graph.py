@@ -81,8 +81,10 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
     # shuffle-partition sizing — right for the data-scale edge build
     # above, which is already checkpointed — only multiplies task-launch
     # overhead here. A handful of partitions is the correct posture at
-    # ANY scale for this loop (A/B at sf0.1: 6.5 s → 4.6 s whole-query);
-    # same conf-swap discipline as the streaming rows' _stream_partitions.
+    # ANY scale for this loop; measured ~10% whole-query at sf0.1 in an
+    # ALTERNATING A/B (conf4 median 4.5 s vs ambient-32 median 5.0 s —
+    # an earlier sequential A/B claimed 30%, confounded by JVM warmup).
+    # Same conf-swap discipline as the streaming rows' _stream_partitions.
     spark = nodes.sparkSession
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
