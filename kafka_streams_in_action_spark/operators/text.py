@@ -510,3 +510,61 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
                     1.0 - F.col("n_shared").cast("double")
                     / F.col("n_shingles").cast("double"), 6))
                 .alias("novelty")))
+
+
+def rake_keywords(documents: DataFrame, stopwords=("the", "a"),
+                  top_k: int = 3) -> DataFrame:
+    """C30p: RAKE-style keyword/phrase extraction — candidate phrases are
+    maximal stopword-free word runs, each word scores degree/frequency
+    within its document (degree = summed length of the phrases it occurs
+    in, RAKE's co-occurrence measure), and a phrase scores the sum of
+    its member-word scores. The unsupervised tagger a corpus-indexing
+    pipeline runs before building retrieval or topic indexes.
+
+    Engine-exact scoring: word scores live in integer nano-units
+    ((degree·1e9) div freq — pure BIGINT arithmetic) and phrase scores
+    are exact integer sums of them, so ranking ties and the rounded
+    surface score replay bit-identically. Plan: one posexplode, one
+    per-doc window cumsum for phrase segmentation, two keyed aggregates
+    and a join back — everything keyed by doc_id, no corpus-wide state.
+    Docs whose every word is a stopword yield no phrases and no rows."""
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), " "))
+        .alias("pos", "w"))
+    tagged = words.withColumn("is_stop", F.col("w").isin(*stopwords))
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    ph = (tagged
+          .withColumn("phrase_id",
+                      F.sum(F.col("is_stop").cast("int")).over(wp))
+          .filter(~F.col("is_stop"))
+          .select("doc_id", "phrase_id", "pos", "w"))
+    phrases = ph.groupBy("doc_id", "phrase_id").agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))),
+            lambda s: s["w"])).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"))
+    wstats = (ph.join(phrases.select("doc_id", "phrase_id", "plen"),
+                      ["doc_id", "phrase_id"])
+              .groupBy("doc_id", "w")
+              .agg(F.count(F.lit(1)).alias("freq"),
+                   F.sum("plen").alias("degree")))
+    scored = (ph.join(wstats, ["doc_id", "w"])
+              .groupBy("doc_id", "phrase_id")
+              .agg(F.sum(F.expr("(degree * 1000000000) div freq"))
+                   .alias("score_nano")))
+    distinct_phrases = (phrases
+                        .join(scored, ["doc_id", "phrase_id"])
+                        .groupBy("doc_id", "phrase")
+                        .agg(F.max("score_nano").alias("score_nano"),
+                             F.max("plen").alias("n_words")))
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score_nano").desc(), "phrase")
+    return (distinct_phrases
+            .withColumn("rank", F.row_number().over(wr).cast("int"))
+            .filter(F.col("rank") <= top_k)
+            .select("doc_id", "rank", "phrase", "n_words", "score_nano",
+                    F.round(F.col("score_nano").cast("double") / 1e9, 6)
+                    .alias("score")))

@@ -3961,6 +3961,58 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """),
     "c33_anomaly_stream": QuerySpec(_anomaly_stream, _ANOMALY_ORACLE),
+    "c30_rake": QuerySpec(
+        _t("documents")(text.rake_keywords),
+        """
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(lower(text)), ' ') AS words
+            FROM documents),
+        w AS (
+            SELECT doc_id, words[i] AS w, CAST(i AS BIGINT) AS pos
+            FROM toks,
+                 unnest(generate_series(1, len(words))) AS t(i)),
+        tagged AS (
+            SELECT doc_id, w, pos, w IN ('the', 'a') AS is_stop,
+                   sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS phrase_id
+            FROM w),
+        ph AS (
+            SELECT doc_id, phrase_id, pos, w FROM tagged
+            WHERE NOT is_stop),
+        phrases AS (
+            SELECT doc_id, phrase_id,
+                   string_agg(w, ' ' ORDER BY pos) AS phrase,
+                   count(*) AS plen
+            FROM ph GROUP BY 1, 2),
+        wstats AS (
+            SELECT p.doc_id, p.w, count(*) AS freq,
+                   CAST(sum(ps.plen) AS BIGINT) AS degree
+            FROM ph p JOIN phrases ps USING (doc_id, phrase_id)
+            GROUP BY 1, 2),
+        scored AS (
+            SELECT p.doc_id, p.phrase_id,
+                   CAST(sum((s.degree * 1000000000) // s.freq) AS BIGINT)
+                       AS score_nano
+            FROM ph p JOIN wstats s ON s.doc_id = p.doc_id AND s.w = p.w
+            GROUP BY 1, 2),
+        dp AS (
+            SELECT f.doc_id, f.phrase,
+                   max(sc.score_nano) AS score_nano,
+                   max(f.plen) AS n_words
+            FROM phrases f JOIN scored sc USING (doc_id, phrase_id)
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT doc_id, phrase, n_words, score_nano,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_nano DESC, phrase) AS INTEGER)
+                       AS rank
+            FROM dp)
+        SELECT doc_id, rank, phrase, n_words, score_nano,
+               round(score_nano::DOUBLE / 1e9, 6) AS score
+        FROM ranked WHERE rank <= 3
+        """),  # word scores in integer nano-units ((degree*1e9)//freq),
+    #   phrase scores exact integer sums — ranking and ties engine-exact
     "c29_matryoshka": QuerySpec(
         _t("embeddings")(similarity.matryoshka_gate),
         f"""
@@ -4093,6 +4145,7 @@ _ROUND7_PRIORITY = [
     "c16_resample", "c32_winsorize", "c33_referential", "c30_novelty",
     "c33_anomaly_stream", "c38_triangles", "c33_benford",
     "c29_matryoshka", "sql_q11_important_value", "sql_q20_promo_suppliers",
+    "c30_rake",
     # (4) the 25 r3-stale rows deferred from the r6 window (verdict
     # item 2 lists them verbatim)
     "c29_minhash_lsh", "c29_lsh_ann", "c29_ivf_ann",
@@ -4107,7 +4160,7 @@ _ROUND7_PRIORITY = [
     # (c26_dedup_first / c27_running_state / c4_approx_distinct yielded
     # their slots to the three late-round additions above; their families
     # keep fresh in-window coverage via c22/c25 and the sketch rows)
-    "c22_tumbling_window", "c25_late_data",
+    "c25_late_data",
 ]
 
 assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)

@@ -344,3 +344,23 @@ def test_matryoshka_gate_full_dim_is_identity(spark):
                for r in ident)
     half = matryoshka_gate(emb, dim=32).collect()
     assert all(0 <= r["n_overlap"] <= 5 for r in half)
+
+
+def test_rake_scores_multiword_phrases_higher(spark):
+    """RAKE's defining property: words co-occurring in long stopword-free
+    runs get degree > frequency, so multi-word phrases outrank the same
+    words seen alone; stopwords never appear inside a phrase."""
+    docs = spark.createDataFrame(
+        [(0, "deep learning pipeline beats the baseline model a lot"),
+         (1, "the a the")],  # all stopwords: no phrases, no rows
+        "doc_id long, text string")
+    out = text.rake_keywords(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc
+    top = sorted(by_doc[0], key=lambda r: r["rank"])[0]
+    # the 3-word run wins over the 2-word and 1-word runs
+    assert top["phrase"] == "deep learning pipeline beats"
+    assert all("the" not in r["phrase"].split()
+               and "a" not in r["phrase"].split() for r in by_doc[0])
