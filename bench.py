@@ -97,6 +97,8 @@ HEADLINE = [
     "c35_scd2_stream",       # 4-batch SCD2 change capture + stitch
     "c38_triangles",         # ordered two-join triangle census
     "c33_benford",           # first-digit audit (map-side agg, 9 groups)
+    "c30_rake",              # RAKE phrase extraction (cumsum + 2 aggs)
+    "c29_matryoshka",        # full-dim vs truncated top-k overlap
 ]
 
 

@@ -149,6 +149,8 @@ PROBE_QUERIES = [
     "c16_resample",         # day-grid explode + ffill (span-bounded)
     "c33_referential",      # four anti-join count edges
     "c33_benford",          # exact-cents digit extraction + 9-group agg
+    "c30_rake",             # phrase segmentation + doc-keyed score aggs
+    "sql_q20_promo_suppliers",  # nested semi joins + grouped threshold
     # c38_triangles is deliberately NOT probed: its edge list is the
     # exact n-gram Jaccard pair graph, and on the copy-synthesized 10x
     # data (doc text repeats) clone clusters make the PAIR SET itself
