@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 
 import duckdb
 import pytest
@@ -52,6 +53,23 @@ def canonical(rows, colnames):
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
+def _bits(v):
+    """IEEE-754 bit pattern for doubles (NaN collapsed, -0.0 folded into
+    0.0); non-floats fall back to norm-style exact text. Used for the
+    bit-exact float audit below."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            v = 0.0
+        return struct.pack(">d", v).hex()
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
 def assert_frames_match(spark_df, duck_rel, context=""):
     s_cols = spark_df.columns
     d_cols = [d[0] for d in duck_rel.description]
@@ -66,3 +84,17 @@ def assert_frames_match(spark_df, duck_rel, context=""):
     if cs != cd:
         diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:5]
         raise AssertionError(f"{context}: value mismatch, first diffs: {diffs}")
+    # Round-7 hardening (VERDICT r6 item 7b): floats matched at 6 decimals
+    # above — now require BIT-exact doubles. The driver's value hash proved
+    # representation-sensitive in r6; every oracle follows the engine-exact
+    # float recipes (integer-quantized terms, correctly-rounded div/sqrt),
+    # so any drift here is a recipe violation, the next silent-hash class.
+    order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    d_order = [d_cols.index(s_cols[i]) for i in order]
+    bs = sorted(tuple(_bits(r[i]) for i in order) for r in s_rows)
+    bd = sorted(tuple(_bits(r[i]) for i in d_order) for r in d_rows)
+    if bs != bd:
+        diffs = [(a, b) for a, b in zip(bs, bd) if a != b][:3]
+        raise AssertionError(
+            f"{context}: floats match at 6 decimals but NOT bit-exactly "
+            f"(engine-exact recipe violation), first bit diffs: {diffs}")
