@@ -38,8 +38,8 @@ from ..functions.serde import (
     wire_schema_id, wire_payload, wire_payload_proto,
 )
 from ..operators import (
-    dedup, event_time, graph, joins, layout, multimodal, relational,
-    sampling, scalars, setops, similarity, text, udx, windows,
+    dedup, event_time, graph, joins, layout, linkage, multimodal,
+    relational, sampling, scalars, setops, similarity, text, udx, windows,
 )
 from ..sources.parquet import load_table
 
@@ -4111,6 +4111,46 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # Benford expectations are pinned 6dp LITERALS on both
     #   sides (log10 is not correctly-rounded cross-engine); digit
     #   extraction goes through exact integer cents → decimal string
+    "c39_link": QuerySpec(
+        # C39a: record linkage — banded blocking + edit-distance verify
+        # + deterministic 1:1 best-match assignment. The oracle joins on
+        # the semantic candidate rule (same nation+segment, |Δcents| ≤
+        # 10); the Spark side reaches the identical set through the
+        # ±tolerance band-bucket equi-join (a 21-cent window spans at
+        # most two 1000-cent buckets), so blocking is physical-only.
+        _t("customer")(linkage.link_records),
+        """
+        WITH clean AS (
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM customer),
+        dirty AS (
+            SELECT c_custkey AS dirty_id,
+                   regexp_replace(c_name, '#0+', '#') AS d_name,
+                   c_nationkey AS d_nationkey,
+                   c_mktsegment AS d_mktsegment,
+                   cents + (c_custkey % 7 - 3) AS d_cents
+            FROM clean WHERE c_custkey % 3 = 0),
+        cand AS (
+            SELECT d.dirty_id, c.c_custkey,
+                   CAST(levenshtein(d.d_name, c.c_name) AS INTEGER)
+                       AS edit_dist,
+                   c.cents - d.d_cents AS cents_diff
+            FROM dirty d JOIN clean c
+              ON c.c_nationkey = d.d_nationkey
+             AND c.c_mktsegment = d.d_mktsegment
+             AND abs(c.cents - d.d_cents) <= 10
+            WHERE levenshtein(d.d_name, c.c_name) <= 9),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY dirty_id
+                       ORDER BY edit_dist, abs(cents_diff), c_custkey)
+                   AS rn
+            FROM cand)
+        SELECT dirty_id, c_custkey AS matched_custkey, edit_dist,
+               cents_diff, c_custkey = dirty_id AS correct
+        FROM ranked WHERE rn = 1
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
