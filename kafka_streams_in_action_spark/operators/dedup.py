@@ -833,3 +833,53 @@ def edit_verified_pairs(documents: DataFrame, threshold: float = 0.6,
                       .cast("double"), 6))
         .select("doc_a", "doc_b", "containment", "lev_dist", "edit_sim")
     )
+
+
+def paragraph_dedup(documents: DataFrame, delim: str = " the ") -> DataFrame:
+    """C28i: paragraph-granular corpus dedup with document reassembly —
+    the CCNet cleaning step (Wenzek et al., arXiv:1911.00359 §3.1: hash
+    every paragraph, drop all but the first corpus-wide occurrence,
+    rebuild documents from the survivors). Operates between C28 exact
+    dedup (whole-document) and C28g boilerplate removal (positional
+    n-grams): the unit of dedup is the SEGMENT, and the output is the
+    rebuilt corpus. The gate-data documents carry no newline structure,
+    so segments split on a fixed delimiter token sequence; the operator
+    is generic over `delim` (a real corpus passes "\\n\\n").
+
+    Scale shape: the first-occurrence decision is a groupBy on the
+    segment's md5 aggregating min(struct(doc_id, pos)) — a map-side-
+    combinable partial agg that shuffles only (hash, doc_id, pos); the
+    only segment-text movements are the survivor join (keyed on hash +
+    position) and the per-document reassembly groupBy — both linear,
+    and text a pipeline must rewrite has to move at least once. A
+    segment-hash collision folds two distinct paragraphs; the oracle
+    groups by the raw segment string, so any collision surfaces as a
+    driver mismatch (same argument as boilerplate_removal).
+
+    Output: (doc_id, n_segs, n_kept, clean_text) — docs whose every
+    segment was already seen elsewhere keep a row with clean_text ''.
+    """
+    segs = (documents
+            .select("doc_id",
+                    F.posexplode(F.split("text", delim)).alias("pos", "seg"))
+            .filter(F.col("seg") != "")
+            .withColumn("h", F.md5("seg")))
+    firsts = (segs.groupBy("h")
+              .agg(F.min(F.struct("doc_id", "pos")).alias("f"))
+              .select("h", F.col("f.doc_id").alias("doc_id"),
+                      F.col("f.pos").alias("pos")))
+    kept = segs.join(firsts, ["h", "doc_id", "pos"], "left_semi")
+    per_doc = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x.seg),
+            delim).alias("clean_text"))
+    return (per_doc.join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_segs",
+                    F.coalesce("n_kept", F.lit(0).cast("long"))
+                    .alias("n_kept"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))

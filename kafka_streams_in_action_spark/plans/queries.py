@@ -4111,6 +4111,39 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # Benford expectations are pinned 6dp LITERALS on both
     #   sides (log10 is not correctly-rounded cross-engine); digit
     #   extraction goes through exact integer cents → decimal string
+    "c28_par_dedup": QuerySpec(
+        # C28i: paragraph-hash corpus dedup + reassembly (CCNet §3.1).
+        # Spark groups segments by md5; the oracle groups by the raw
+        # segment string, so a hash collision surfaces as a mismatch.
+        _t("documents")(dedup.paragraph_dedup),
+        """
+        WITH segs AS (
+            SELECT doc_id, i AS pos, parts[i] AS seg
+            FROM (SELECT doc_id, string_split(text, ' the ') AS parts
+                  FROM documents),
+                 LATERAL unnest(generate_series(1, len(parts))) AS u(i)
+            WHERE parts[i] <> ''),
+        firsts AS (
+            SELECT seg, min(doc_id * 1000000 + pos) AS first_key
+            FROM segs GROUP BY seg),
+        kept AS (
+            SELECT s.doc_id, s.pos, s.seg
+            FROM segs s JOIN firsts f
+              ON f.seg = s.seg
+             AND s.doc_id * 1000000 + s.pos = f.first_key),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id),
+        rebuilt AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(seg, ' the ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id)
+        SELECT p.doc_id, p.n_segs,
+               coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+               coalesce(r.clean_text, '') AS clean_text
+        FROM per_doc p LEFT JOIN rebuilt r ON r.doc_id = p.doc_id
+        """),  # first-occurrence key packs (doc_id, pos) into one
+    #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
+    #   min(struct) is the same lexicographic order
     "c39_link": QuerySpec(
         # C39a: record linkage — banded blocking + edit-distance verify
         # + deterministic 1:1 best-match assignment. The oracle joins on
