@@ -187,3 +187,60 @@ def near_dup_triangles(documents: DataFrame, threshold: float = 0.1,
                     F.lit(3.0) * F.col("n_triangles").cast("double")
                     / F.col("n_wedges").cast("double"), 6))
                 .alias("clustering")))
+
+
+def khop_reachability(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, k: int = 4,
+                      top_edges: int = 3) -> DataFrame:
+    """C38c: bounded-depth reachability (directed transitive closure to
+    `k` hops) — min-hop BFS from a seed set, the recursive-CTE workload
+    (supply-chain blast radius, dependency closure) expressed as the
+    iterative frontier expansion a cluster actually runs: each round is
+    one keyed join frontier⋈edges plus an anti-join against the reached
+    set, and ONLY the O(#nodes) frontier recirculates.
+
+    The graph is the nation trade graph sparsified to each node's
+    `top_edges` heaviest outgoing edges (ties broken by dst — fully
+    deterministic, so the DuckDB oracle can replay the same graph); the
+    seed set is region 0's nations at hop 0. As with pagerank above, the
+    4-table edge build is the data-scale work; the BFS loop moves
+    bounded frames, so it runs under few shuffle partitions with a
+    per-round localCheckpoint to keep lineage linear. BFS visits each
+    node once (anti-join), so loop cost is O(k · |frontier⋈edges|); the
+    oracle's UNION ALL recursion enumerates paths instead — equivalent
+    after min(hops), and bounded because hops < k caps path length."""
+    edges_all = trade_edges(customer, orders, lineitem, supplier)
+    w_rank = Window.partitionBy("src").orderBy(
+        F.col("w").desc(), F.col("dst"))
+    edges = (edges_all
+             .withColumn("_rn", F.row_number().over(w_rank))
+             .filter(F.col("_rn") <= top_edges)
+             .select("src", "dst")
+             .localCheckpoint())
+
+    seeds = (nation.filter(F.col("n_regionkey") == 0)
+             .select(F.col("n_nationkey").alias("node"),
+                     F.lit(0).alias("hops")))
+
+    spark = nation.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        reached = seeds.localCheckpoint()
+        frontier = reached
+        for i in range(1, k + 1):
+            nxt = (frontier
+                   .join(edges, frontier.node == edges.src)
+                   .select(F.col("dst").alias("node"),
+                           F.lit(i).alias("hops"))
+                   .distinct())
+            frontier = (nxt.join(reached, "node", "left_anti")
+                        .localCheckpoint())
+            reached = reached.unionAll(frontier).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (reached
+            .join(nation, reached.node == nation.n_nationkey)
+            .select(F.col("node").alias("nationkey"),
+                    F.col("n_name").alias("nation"), "hops"))

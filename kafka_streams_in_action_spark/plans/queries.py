@@ -4144,6 +4144,40 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c38_reach": QuerySpec(
+        # C38c: k-hop min-hop reachability (bounded transitive closure)
+        # over the top-3-out-edge trade graph, seeds = region 0. Spark
+        # runs BFS (each node expanded once, anti-join dedup); the
+        # oracle's recursive CTE enumerates paths — identical after
+        # min(hops), finite because hops < k bounds path length.
+        _t("customer orders lineitem supplier nation")(
+            graph.khop_reachability),
+        """
+        WITH RECURSIVE e0 AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   count(*) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+        edges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst, row_number() OVER (
+                           PARTITION BY src ORDER BY w DESC, dst) AS rn
+                FROM e0)
+            WHERE rn <= 3),
+        walk(node, hops) AS (
+            SELECT n_nationkey, 0 FROM nation WHERE n_regionkey = 0
+            UNION ALL
+            SELECT e.dst, w.hops + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.hops < 4)
+        SELECT m.node AS nationkey, n.n_name AS nation,
+               CAST(m.hops AS INTEGER) AS hops
+        FROM (SELECT node, min(hops) AS hops FROM walk GROUP BY node) m
+        JOIN nation n ON n.n_nationkey = m.node
+        """),
     "c39_link": QuerySpec(
         # C39a: record linkage — banded blocking + edit-distance verify
         # + deterministic 1:1 best-match assignment. The oracle joins on
