@@ -180,3 +180,52 @@ def rolling_zscore_anomalies(events: DataFrame, window: int = 20,
             .filter(F.abs(F.col("_z")) > z_thresh)
             .select("event_type", "event_id", "value",
                     F.round("_z", 6).alias("z")))
+
+
+def holt_smoothing(events: DataFrame) -> DataFrame:
+    """C12f: Holt double-exponential smoothing (level + trend) per user
+    series — the forecasting-feature smoother one step past C12e's EWMA:
+    where EWMA tracks a level only, Holt carries a trend term, so the
+    one-step-ahead forecast (level + trend) anticipates drift.
+
+        l_t = α·x_t + (1-α)(l_{t-1} + b_{t-1})
+        b_t = β(l_t - l_{t-1}) + (1-β)·b_{t-1}        (l_1 = x_1, b_1 = 0)
+
+    α = β = 0.5, so every multiply is an EXACT power-of-two scaling and
+    each step performs the same correctly-rounded IEEE adds in the same
+    order in any engine — the recurrence is bit-exact against the
+    oracle's recursive CTE with no float tolerance (same discipline as
+    the EWMA/anomaly rows; the bit-exact float audit enforces it).
+
+    A coupled two-term recurrence has no prefix-sum form (unlike the
+    frame-array EWMA above), so this is the one legitimately sequential
+    batch kernel: an Arrow-batched applyInPandas per user. Parallelism
+    = key cardinality (the production shape: millions of short
+    per-entity series); per-group cost is O(series length), and only
+    (user_id, event_id, value, ordering keys) shuffle."""
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        x = pdf["value"].to_numpy()  # float64: IEEE ops below are exact
+        n = len(x)
+        lev = [0.0] * n
+        trd = [0.0] * n
+        lev[0], trd[0] = x[0], 0.0
+        for i in range(1, n):
+            l_new = 0.5 * x[i] + 0.5 * (lev[i - 1] + trd[i - 1])
+            trd[i] = 0.5 * (l_new - lev[i - 1]) + 0.5 * trd[i - 1]
+            lev[i] = l_new
+        return pd.DataFrame({
+            "user_id": pdf["user_id"].to_numpy(),
+            "event_id": pdf["event_id"].to_numpy(),
+            "level": lev, "trend": trd,
+            "forecast": [a + b for a, b in zip(lev, trd)]})
+
+    return (events
+            .select("user_id", "event_id", "ts", "value")
+            .groupBy("user_id")
+            .applyInPandas(
+                kernel,
+                "user_id long, event_id long, level double, "
+                "trend double, forecast double"))

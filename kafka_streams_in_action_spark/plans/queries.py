@@ -4144,6 +4144,36 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c12_holt": QuerySpec(
+        # C12f: Holt level+trend smoothing, α=β=0.5 — every multiply is
+        # an exact binary scaling, each step performs identical
+        # correctly-rounded IEEE adds, so level/trend/forecast are
+        # bit-exact across engines with no float tolerance.
+        _t("events")(windows.holt_smoothing),
+        """
+        WITH RECURSIVE s AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS i
+            FROM events),
+        rec AS (
+            SELECT user_id, event_id, i, value,
+                   value AS l, CAST(0 AS DOUBLE) AS b
+            FROM s WHERE i = 1
+            UNION ALL
+            SELECT s.user_id, s.event_id, s.i, s.value,
+                   CAST(0.5 AS DOUBLE) * s.value
+                     + CAST(0.5 AS DOUBLE) * (r.l + r.b) AS l,
+                   CAST(0.5 AS DOUBLE)
+                     * ((CAST(0.5 AS DOUBLE) * s.value
+                         + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+                     + CAST(0.5 AS DOUBLE) * r.b AS b
+            FROM rec r JOIN s ON s.user_id = r.user_id
+                              AND s.i = r.i + 1)
+        SELECT user_id, event_id, l AS level, b AS trend,
+               l + b AS forecast
+        FROM rec
+        """),
     "c38_reach": QuerySpec(
         # C38c: k-hop min-hop reachability (bounded transitive closure)
         # over the top-3-out-edge trade graph, seeds = region 0. Spark
