@@ -418,3 +418,23 @@ def resample_daily_ffill(events: DataFrame) -> DataFrame:
                     F.last("_close", ignorenulls=True).over(wf)
                     .alias("value"),
                     F.col("_close").isNotNull().alias("observed")))
+
+
+def rate_throttle(events: DataFrame, limit: int = 5) -> DataFrame:
+    """C34h: per-key rate limiting — admit at most `limit` events per
+    (user, clock hour), flag the rest. The ingestion-guard operator a
+    streaming pipeline runs ahead of expensive enrichment (quota
+    enforcement, abuse damping, per-tenant fairness); the batch form is
+    one ranking window per (key, hour) partition — a single keyed
+    exchange, state bounded by the partition, engine-exact integer/
+    boolean output. Hours ride as epoch micros (UTC session) so the
+    streaming twin's state machine reproduces the same keys with pure
+    integer math."""
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("hour", "ts")).orderBy("ts", "event_id")
+    return (events
+            .select(
+                "event_id", "user_id",
+                F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+                F.row_number().over(w).alias("seq"))
+            .withColumn("admitted", F.col("seq") <= limit))

@@ -1141,6 +1141,56 @@ def _anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select("event_type", "event_id", "value", "z")
 
 
+# C34h rate limiting: the batch ranking window and the streaming state
+# machine both check against this one SQL (same twin pattern as
+# _ANOMALY_ORACLE above).
+_THROTTLE_ORACLE = """
+    SELECT event_id, user_id, hour_us, seq, seq <= 5 AS admitted
+    FROM (
+        SELECT event_id, user_id,
+               epoch_us(date_trunc('hour', ts)) AS hour_us,
+               CAST(row_number() OVER (
+                        PARTITION BY user_id, date_trunc('hour', ts)
+                        ORDER BY ts, event_id) AS INTEGER) AS seq
+        FROM events)
+    """
+
+
+def _throttle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34h streaming twin, driver-visible: the per-(user, hour) rate cap
+    as a keyed state machine (streaming/stateful.py: rate_throttle_stream
+    — one (hour, count) pair per user rides the state store) replayed
+    across a REAL 4-batch time split and checked by the full batch
+    oracle: the open-hour counter must survive three micro-batch
+    boundaries for the admitted set to hash-match."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import rate_throttle_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c34_throttle_stream_src_")
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
+        .localCheckpoint()
+    for s in range(1, 5):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(src))
+    sink = f"c34_throttle_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        q = (rate_throttle_stream(
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    return spark.table(sink).select(
+        "event_id", "user_id", "hour_us", "seq", "admitted")
+
+
 def _pagerank_oracle(iterations: int = 10, n_nodes: int = 25) -> str:
     """Unrolled integer PageRank recurrence as chained MATERIALIZED CTEs.
     Each iteration references the previous one twice (contribution join +
@@ -4144,6 +4194,15 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c34_throttle": QuerySpec(
+        # C34h: per-(user, hour) rate cap — one ranking window.
+        _t("events")(event_time.rate_throttle),
+        _THROTTLE_ORACLE),
+    "c34_throttle_stream": QuerySpec(
+        # C34h streaming twin: keyed (hour, count) state machine under
+        # 4-batch availableNow replay, checked by the same batch oracle.
+        _throttle_stream,
+        _THROTTLE_ORACLE),
     "c12_holt": QuerySpec(
         # C12f: Holt level+trend smoothing, α=β=0.5 — every multiply is
         # an exact binary scaling, each step performs identical

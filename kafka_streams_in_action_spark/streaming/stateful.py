@@ -464,3 +464,50 @@ def zscore_anomaly_stream(events: DataFrame, window: int = 20,
         )
     )
     return scored.withColumn("z", F.round("z", 6))
+
+
+def rate_throttle_stream(events: DataFrame, limit: int = 5) -> DataFrame:
+    """C34h streaming twin: the per-(user, hour) rate cap as a keyed
+    state machine. State per user is ONE (hour_us, count) pair — when a
+    row's hour matches the open hour the count advances, a new hour
+    resets it — so state is O(#keys) regardless of stream length and
+    hour rollover is the natural GC (no timers needed under time-ordered
+    replay). Arithmetic is integer-only (epoch-micro floor to hour), so
+    the admitted set equals the batch ranking window row-for-row; the
+    c34_throttle oracle checks both rows."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        hour0, cnt = state.get if state.exists else (-1, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True) \
+            .sort_values(["ts", "event_id"])
+        out = {"event_id": [], "user_id": [], "hour_us": [],
+               "seq": [], "admitted": []}
+        for _, r in rows.iterrows():
+            us = int(pd.Timestamp(r["ts"]).value) // 1000
+            hour_us = us - us % 3_600_000_000
+            if hour_us == hour0:
+                cnt += 1
+            else:
+                hour0, cnt = hour_us, 1
+            out["event_id"].append(int(r["event_id"]))
+            out["user_id"].append(int(key[0]))
+            out["hour_us"].append(hour_us)
+            out["seq"].append(cnt)
+            out["admitted"].append(cnt <= limit)
+        state.update((hour0, cnt))
+        yield pd.DataFrame(out)
+
+    return (events
+            .select("user_id", "event_id", "ts")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=("event_id long, user_id long, "
+                                  "hour_us long, seq int, "
+                                  "admitted boolean"),
+                stateStructType="hour_us bigint, cnt bigint",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))
