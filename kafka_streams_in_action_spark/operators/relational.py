@@ -14,7 +14,7 @@ changing semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .exact import davg, dsum
@@ -1184,3 +1184,41 @@ def benford_audit(orders: DataFrame) -> DataFrame:
                         / (F.col("exp_share")
                            * F.col("n_total").cast("double")), 6))
             .drop("_diff", "n_total"))
+
+
+def chisq_independence(events: DataFrame) -> DataFrame:
+    """C33i: chi-square independence audit of event_type × ISO weekday —
+    the drift-gate companion to the PSI row (C33f): PSI compares one
+    column's distribution across snapshots; this tests whether two
+    CATEGORICAL columns are independent within one snapshot (a skewed
+    type-by-day contingency is how traffic-mix regressions and bot
+    bursts surface). Emits the full contingency audit: one row per
+    observed cell with its expected count under independence and its
+    nano-quantized chi-square term (exact BIGINT, summable downstream).
+
+    Scale shape: the only data-scale work is the (type, weekday) count
+    aggregate (map-side combinable, one keyed exchange). The margin
+    windows then run over the CELL table — |types| × 7 rows, bounded by
+    category cardinality, so the unpartitioned total window is a
+    deliberate O(cells) step, not a data-scale global sort. Engine-
+    exact: counts are integers; expected = r·c/t and the term derive
+    through one fixed tree of correctly-rounded IEEE ops, and terms are
+    floor-quantized to nano-units before any downstream sum."""
+    cells = (events
+             .groupBy(F.col("event_type"),
+                      (F.weekday("ts") + 1).alias("dow"))
+             .agg(F.count(F.lit(1)).alias("n_obs")))
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("dow")
+    w_t = Window.partitionBy()
+    r = F.sum("n_obs").over(w_r).cast("double")
+    c = F.sum("n_obs").over(w_c).cast("double")
+    t = F.sum("n_obs").over(w_t).cast("double")
+    e = r * c / t
+    dev = F.col("n_obs").cast("double") - e
+    term = dev * dev / e
+    return (cells
+            .select("event_type", "dow", "n_obs",
+                    e.alias("expected"),
+                    F.floor(term * 1e9 + 0.5).cast("long")
+                    .alias("term_nano")))

@@ -4194,6 +4194,32 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c33_chisq": QuerySpec(
+        # C33i: chi-square independence of event_type × ISO weekday.
+        # Margins via windows over the bounded cell table; expected and
+        # term through one fixed IEEE tree, term nano-quantized.
+        _t("events")(relational.chisq_independence),
+        """
+        WITH cells AS (
+            SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow,
+                   count(*) AS n_obs
+            FROM events GROUP BY 1, 2),
+        m AS (
+            SELECT event_type, dow, n_obs,
+                   CAST(sum(n_obs) OVER (PARTITION BY event_type)
+                        AS DOUBLE) AS r,
+                   CAST(sum(n_obs) OVER (PARTITION BY dow)
+                        AS DOUBLE) AS c,
+                   CAST(sum(n_obs) OVER () AS DOUBLE) AS t
+            FROM cells)
+        SELECT event_type, dow, n_obs,
+               r * c / t AS expected,
+               CAST(floor((CAST(n_obs AS DOUBLE) - r * c / t)
+                          * (CAST(n_obs AS DOUBLE) - r * c / t)
+                          / (r * c / t) * 1e9 + 0.5) AS BIGINT)
+                   AS term_nano
+        FROM m
+        """),
     "c34_throttle": QuerySpec(
         # C34h: per-(user, hour) rate cap — one ranking window.
         _t("events")(event_time.rate_throttle),
