@@ -568,3 +568,47 @@ def rake_keywords(documents: DataFrame, stopwords=("the", "a"),
             .select("doc_id", "rank", "phrase", "n_words", "score_nano",
                     F.round(F.col("score_nano").cast("double") / 1e9, 6)
                     .alias("score")))
+
+
+def collocation_lift(documents: DataFrame, min_pair: int = 5) -> DataFrame:
+    """C30o: bigram collocation mining by LIFT — observed bigram rate
+    over the rate independence predicts,
+
+        lift(x,y) = (c_xy / c_x·) · (N / c_·y)
+
+    with c_xy the bigram count, c_x· / c_·y the left/right marginal
+    occurrence counts, N total bigrams. Lift is the log-free core of
+    PMI (PMI = log2(lift)); it stays in exact-rational territory —
+    two correctly-rounded IEEE divisions and one multiply in a fixed
+    tree — where a cross-engine log would not be bit-stable (same
+    reasoning that pinned the Benford expectations as literals).
+
+    Scale shape: bigram assembly is a per-document map (array transform,
+    no shuffle); then three count aggregates (pair, left-marginal,
+    right-marginal — all map-side combinable) and two keyed joins of the
+    pair table against the marginals; N folds in as a 1-row broadcast.
+    Only (word, word, count) rows ever shuffle."""
+    toks = (documents
+            .select(F.split(F.trim("text"), " ").alias("ws"))
+            .filter(F.size("ws") >= 2))
+    pairs = (toks
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, size(ws) - 1), "
+                 "i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).alias("bg"))
+             .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+             .filter((F.col("w1") != "") & (F.col("w2") != "")))
+    cxy = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    cx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n_left"))
+    cy = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("n_right"))
+    n = pairs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (cxy
+            .filter(F.col("n_pair") >= min_pair)
+            .join(cx, "w1")
+            .join(cy, "w2")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "w1", "w2", "n_pair",
+                ((F.col("n_pair").cast("double")
+                  / F.col("n_left").cast("double"))
+                 * (F.col("n_total").cast("double")
+                    / F.col("n_right").cast("double"))).alias("lift")))

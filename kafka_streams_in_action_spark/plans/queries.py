@@ -4194,6 +4194,35 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c30_pmi": QuerySpec(
+        # C30o: bigram collocation lift — the log-free PMI core; two
+        # IEEE divisions + one multiply in a fixed tree, bit-exact.
+        _t("documents")(text.collocation_lift),
+        """
+        WITH t AS (
+            SELECT string_split(trim(text), ' ') AS parts
+            FROM documents),
+        pairs AS (
+            SELECT parts[i] AS w1, parts[i + 1] AS w2
+            FROM t, LATERAL unnest(generate_series(1, len(parts) - 1))
+                 AS u(i)
+            WHERE len(parts) >= 2
+              AND parts[i] <> '' AND parts[i + 1] <> ''),
+        cxy AS (SELECT w1, w2, count(*) AS n_pair
+                FROM pairs GROUP BY 1, 2),
+        cx AS (SELECT w1, count(*) AS n_left FROM pairs GROUP BY 1),
+        cy AS (SELECT w2, count(*) AS n_right FROM pairs GROUP BY 1),
+        n AS (SELECT count(*) AS n_total FROM pairs)
+        SELECT cxy.w1, cxy.w2, cxy.n_pair,
+               (CAST(cxy.n_pair AS DOUBLE) / CAST(cx.n_left AS DOUBLE))
+               * (CAST(n.n_total AS DOUBLE)
+                  / CAST(cy.n_right AS DOUBLE)) AS lift
+        FROM cxy
+        JOIN cx ON cx.w1 = cxy.w1
+        JOIN cy ON cy.w2 = cxy.w2
+        CROSS JOIN n
+        WHERE cxy.n_pair >= 5
+        """),
     "c33_chisq": QuerySpec(
         # C33i: chi-square independence of event_type × ISO weekday.
         # Margins via windows over the bounded cell table; expected and
