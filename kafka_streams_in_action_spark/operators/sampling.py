@@ -298,3 +298,77 @@ def group_aware_split(documents: DataFrame, n_folds: int = 5,
         F.when(fold < n_folds - 2, F.lit("train"))
          .when(fold == n_folds - 2, F.lit("val"))
          .otherwise(F.lit("test")).alias("split"))
+
+
+def systematic_sample(documents: DataFrame, k: int = 50,
+                      bucket_width: int = 1000,
+                      super_width: int = 4096) -> DataFrame:
+    """C32i: weighted systematic sampling WITHOUT replacement — place k
+    evenly-spaced grid points over the cumulative weight axis (weight =
+    n_chars; offset = stride/2) and pick the document whose weight
+    interval contains each point. The deterministic, engine-exact
+    counterpart of weight-proportional reservoir sampling: inclusion
+    probability is proportional to weight, selections are spread across
+    the corpus (no clustering variance), and every step is integer math
+    — no RNG to reconcile across engines.
+
+    Scale shape: the cumulative weight uses the same three-level
+    distributed prefix sum as pack_documents above (per-bucket window →
+    super-bucket → bounded top level; no global sort). Grid assignment
+    is JOIN-FREE: each document computes the grid-index range its
+    interval covers (two integer divisions + a sequence explode), so no
+    range join materializes; the final integer containment filter makes
+    truncation-vs-floor division edge cases unreachable. The total
+    weight folds in as a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.col("n_chars").cast("long").alias("w"),
+        F.floor(F.col("doc_id") / F.lit(bucket_width)).cast("long")
+        .alias("bkt"))
+    w_in = (Window.partitionBy("bkt").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    in_bucket = toks.withColumn(
+        "s_in", F.coalesce(F.sum("w").over(w_in), F.lit(0)))
+    totals = (toks.groupBy("bkt").agg(F.sum("w").alias("tot"))
+              .withColumn("sbkt",
+                          F.floor(F.col("bkt") / F.lit(super_width))
+                          .cast("long")))
+    w_sb = (Window.partitionBy("sbkt").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    in_super = totals.withColumn(
+        "p_sb", F.coalesce(F.sum("tot").over(w_sb), F.lit(0)))
+    sb_totals = totals.groupBy("sbkt").agg(F.sum("tot").alias("sb_tot"))
+    w_top = (Window.orderBy("sbkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    sb_prefix = sb_totals.select(
+        "sbkt", F.coalesce(F.sum("sb_tot").over(w_top), F.lit(0))
+        .alias("p_top"))
+    bucket_start = (in_super.join(sb_prefix, "sbkt")
+                    .select("bkt", (F.col("p_sb") + F.col("p_top"))
+                            .alias("b_start")))
+    starts = (in_bucket.join(bucket_start, "bkt")
+              .select("doc_id", "w",
+                      (F.col("s_in") + F.col("b_start")).alias("start")))
+
+    total = documents.agg(
+        F.sum(F.col("n_chars").cast("long")).alias("t"))
+    g = (starts.crossJoin(F.broadcast(total))
+         .withColumn("stride", F.greatest(F.lit(1), F.expr(f"t div {k}")))
+         .withColumn("off", F.expr("stride div 2"))
+         .withColumn("j_lo", F.greatest(
+             F.lit(0).cast("long"),
+             F.expr("(start - off + stride - 1) div stride")))
+         .withColumn("j_hi", F.least(
+             F.lit(k - 1).cast("long"),
+             F.expr("(start + w - 1 - off) div stride")))
+         .filter(F.col("j_hi") >= F.col("j_lo"))
+         .select("doc_id", "w", "start",
+                 F.explode(F.expr("sequence(j_lo, j_hi)")).alias("j"),
+                 "stride", "off"))
+    return (g
+            .withColumn("gp", F.col("off") + F.col("j") * F.col("stride"))
+            .filter((F.col("start") <= F.col("gp"))
+                    & (F.col("gp") < F.col("start") + F.col("w")))
+            .select(F.col("j").alias("pick_idx"), "doc_id",
+                    F.col("w").alias("weight"), "start"))

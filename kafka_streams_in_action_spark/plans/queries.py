@@ -4194,6 +4194,37 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c32_systematic": QuerySpec(
+        # C32i: weighted systematic sampling — integer grid over the
+        # cumulative weight axis; oracle uses a plain window cumsum
+        # (the Spark side's three-level prefix sum is physical-only).
+        _t("documents")(sampling.systematic_sample),
+        """
+        WITH s AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                   CAST(coalesce(sum(n_chars) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS start
+            FROM documents),
+        t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot FROM documents),
+        p AS (
+            SELECT s.doc_id, s.w, s.start,
+                   greatest(1, t.tot // 50) AS stride,
+                   greatest(1, t.tot // 50) // 2 AS off
+            FROM s CROSS JOIN t),
+        g AS (
+            SELECT doc_id, w, start, stride, off, u.j
+            FROM p, LATERAL unnest(generate_series(
+                     greatest(CAST(0 AS BIGINT),
+                              (start - off + stride - 1) // stride),
+                     least(CAST(49 AS BIGINT),
+                           (start + w - 1 - off) // stride))) AS u(j))
+        SELECT j AS pick_idx, doc_id, w AS weight, start
+        FROM g
+        WHERE start <= off + j * stride
+          AND off + j * stride < start + w
+        """),
     "c30_pmi": QuerySpec(
         # C30o: bigram collocation lift — the log-free PMI core; two
         # IEEE divisions + one multiply in a fixed tree, bit-exact.
