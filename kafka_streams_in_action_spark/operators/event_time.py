@@ -438,3 +438,59 @@ def rate_throttle(events: DataFrame, limit: int = 5) -> DataFrame:
                 F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
                 F.row_number().over(w).alias("seq"))
             .withColumn("admitted", F.col("seq") <= limit))
+
+
+def resample_daily_interp(events: DataFrame) -> DataFrame:
+    """C16c: per-user daily resampling with LINEAR interpolation — the
+    gap-fill companion to C16b's forward fill: missing grid days take
+    the straight line between the surrounding observed closes,
+
+        v = v_prev + (v_next - v_prev) · Δdays_prev / Δdays_span
+
+    (the estimator feature pipelines prefer when the series is a level,
+    not a state). Same distributed plan as C16b (per-day close window,
+    sequence-explode grid, keyed join); the fill needs BOTH directions,
+    so two frame passes (last-ignorenulls backward, first-ignorenulls
+    forward) carry the bracketing (day, value) pairs. The grid is
+    bounded by each user's own span, so interior gaps always have both
+    brackets. Engine-exact: day distances are exact integers and the
+    interpolation is one fixed tree of correctly-rounded IEEE ops —
+    bit-exact against the oracle (float audit enforced)."""
+    day = F.to_date("ts")
+    wlast = Window.partitionBy("user_id", "_day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    closes = (events.select("user_id", "ts", "event_id", "value",
+                            day.alias("_day"))
+              .withColumn("_rn", F.row_number().over(wlast))
+              .filter(F.col("_rn") == 1)
+              .select("user_id", "_day", F.col("value").alias("_close")))
+    span = closes.groupBy("user_id").agg(
+        F.min("_day").alias("_d0"), F.max("_day").alias("_d1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("_d0", "_d1")).alias("day"))
+    wb = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(0, Window.unboundedFollowing))
+    joined = (grid.join(closes,
+                        (grid.user_id == closes.user_id)
+                        & (grid.day == closes._day), "left")
+              .select(grid.user_id, "day", "_close"))
+    prev_v = F.last("_close", ignorenulls=True).over(wb)
+    prev_d = F.last(F.when(F.col("_close").isNotNull(), F.col("day")),
+                    ignorenulls=True).over(wb)
+    next_v = F.first("_close", ignorenulls=True).over(wf)
+    next_d = F.first(F.when(F.col("_close").isNotNull(), F.col("day")),
+                     ignorenulls=True).over(wf)
+    frac = (F.datediff(F.col("day"), F.col("_pd")).cast("double")
+            / F.datediff(F.col("_nd"), F.col("_pd")).cast("double"))
+    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
+    return (joined
+            .select("user_id", "day", "_close",
+                    prev_v.alias("_pv"), prev_d.alias("_pd"),
+                    next_v.alias("_nv"), next_d.alias("_nd"))
+            .select("user_id", "day",
+                    F.when(F.col("_close").isNotNull(), F.col("_close"))
+                    .otherwise(interp).alias("value"),
+                    F.col("_close").isNotNull().alias("observed")))

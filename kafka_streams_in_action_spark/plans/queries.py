@@ -4194,6 +4194,53 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c16_interp": QuerySpec(
+        # C16c: daily grid with linear interpolation between observed
+        # closes — integer day distances, one fixed IEEE tree.
+        _t("events")(event_time.resample_daily_interp),
+        """
+        WITH closes AS (
+            SELECT user_id, CAST(ts AS DATE) AS d, value,
+                   row_number() OVER (PARTITION BY user_id,
+                                      CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn
+            FROM events),
+        c AS (SELECT user_id, d, value FROM closes WHERE rn = 1),
+        span AS (SELECT user_id, min(d) AS d0, max(d) AS d1
+                 FROM c GROUP BY user_id),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+                       AS day
+            FROM span),
+        j AS (
+            SELECT g.user_id, g.day, c.value AS obs,
+                   last_value(c.value IGNORE NULLS) OVER wb AS pv,
+                   last_value(CASE WHEN c.value IS NOT NULL
+                                   THEN g.day END IGNORE NULLS)
+                       OVER wb AS pd,
+                   first_value(c.value IGNORE NULLS) OVER wf AS nv,
+                   first_value(CASE WHEN c.value IS NOT NULL
+                                    THEN g.day END IGNORE NULLS)
+                       OVER wf AS nd
+            FROM grid g LEFT JOIN c
+              ON c.user_id = g.user_id AND c.d = g.day
+            WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+                   wf AS (PARTITION BY g.user_id ORDER BY g.day
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING))
+        SELECT user_id, day,
+               CASE WHEN obs IS NOT NULL THEN obs
+                    ELSE pv + (nv - pv)
+                         * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                            / CAST(date_diff('day', pd, nd) AS DOUBLE))
+               END AS value,
+               obs IS NOT NULL AS observed
+        FROM j
+        """),
     "c32_systematic": QuerySpec(
         # C32i: weighted systematic sampling — integer grid over the
         # cumulative weight axis; oracle uses a plain window cumsum
