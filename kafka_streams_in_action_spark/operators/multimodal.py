@@ -557,3 +557,68 @@ def shot_detect(video_media: DataFrame, threshold: float = 122.0
                  (F.sum((F.col("mad") > threshold).cast("long")) + 1)
                  .cast("long").alias("n_shots"),
                  F.round(F.max("mad"), 6).alias("max_mad")))
+
+
+def vad_segments(audio_media: DataFrame, frame_len: int = 64,
+                 thresh_msq: int = 350_000) -> DataFrame:
+    """C31i: energy-based voice-activity segmentation — split each PCM16
+    stream into `frame_len`-sample frames (8 ms at 8 kHz), mark a frame
+    active when its mean square energy clears `thresh_msq`, and emit
+    maximal runs of active frames as segments. The audio counterpart of
+    C31h's video shot detection: the run detection happens INSIDE the
+    Arrow decode kernel, so payload bytes never shuffle — only the
+    bounded (doc, segment) rows leave the scan.
+
+    Engine-exact: frame energy is an exact integer sum of squares and
+    the activity test compares ssq ≥ thresh·len in integers (no mean
+    division); the oracle rebuilds the same frames from the sample
+    formula and finds the same runs with a gaps-and-islands window."""
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "seg_idx": [], "start_frame": [],
+                   "n_frames": [], "ssq": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                pos, data = 12, None
+                while pos + 8 <= len(b):
+                    cid = b[pos:pos + 4]
+                    clen = struct.unpack_from("<I", b, pos + 4)[0]
+                    if cid == b"data":
+                        data = b[pos + 8: pos + 8 + clen]
+                    pos += 8 + clen + (clen & 1)
+                if data is None:
+                    raise ValueError("missing data chunk")
+                s = np.frombuffer(data, dtype="<i2").astype("int64")
+                run_start, run_len, run_ssq, seg_idx = None, 0, 0, 0
+                for f in range(0, (len(s) + frame_len - 1) // frame_len):
+                    chunk = s[f * frame_len:(f + 1) * frame_len]
+                    ssq = int((chunk * chunk).sum())
+                    if ssq >= thresh_msq * len(chunk):
+                        if run_start is None:
+                            run_start, run_len, run_ssq = f, 0, 0
+                        run_len += 1
+                        run_ssq += ssq
+                    elif run_start is not None:
+                        seg_idx += 1
+                        out["doc_id"].append(doc_id)
+                        out["seg_idx"].append(seg_idx)
+                        out["start_frame"].append(run_start)
+                        out["n_frames"].append(run_len)
+                        out["ssq"].append(run_ssq)
+                        run_start = None
+                if run_start is not None:
+                    seg_idx += 1
+                    out["doc_id"].append(doc_id)
+                    out["seg_idx"].append(seg_idx)
+                    out["start_frame"].append(run_start)
+                    out["n_frames"].append(run_len)
+                    out["ssq"].append(run_ssq)
+            yield pd.DataFrame(out)
+
+    return audio_media.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, seg_idx int, start_frame int, "
+                       "n_frames int, ssq long")

@@ -4194,6 +4194,45 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c31_vad": QuerySpec(
+        # C31i: energy-based activity segmentation inside the audio
+        # decode kernel; oracle rebuilds frames from the synth formula
+        # and finds the same runs via gaps-and-islands.
+        lambda spark, sf_dir: multimodal.vad_segments(
+            multimodal.to_audio_media(load_table(spark, "documents",
+                                                 sf_dir))),
+        """
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        a AS (SELECT doc_id, (nb % 400) + 50 AS n FROM d),
+        smp AS (
+            SELECT doc_id, u.i,
+                   ((doc_id * 13 + u.i * 29) % 2048 - 1024) AS v
+            FROM a, LATERAL unnest(generate_series(0, n - 1)) AS u(i)),
+        fr AS (
+            SELECT doc_id, i // 64 AS f,
+                   CAST(sum(v * v) AS BIGINT) AS ssq, count(*) AS ln
+            FROM smp GROUP BY 1, 2),
+        act AS (
+            SELECT doc_id, f, ssq FROM fr
+            WHERE ssq >= 350000 * ln),
+        isl AS (
+            SELECT doc_id, f, ssq,
+                   f - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY f) AS grp
+            FROM act),
+        seg AS (
+            SELECT doc_id, grp, min(f) AS start_frame,
+                   count(*) AS n_frames, CAST(sum(ssq) AS BIGINT) AS ssq
+            FROM isl GROUP BY doc_id, grp)
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY start_frame) AS INTEGER)
+                   AS seg_idx,
+               CAST(start_frame AS INTEGER) AS start_frame,
+               CAST(n_frames AS INTEGER) AS n_frames, ssq
+        FROM seg
+        """),
     "c16_interp": QuerySpec(
         # C16c: daily grid with linear interpolation between observed
         # closes — integer day distances, one fixed IEEE tree.
