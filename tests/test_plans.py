@@ -161,6 +161,8 @@ _BNLJ_ALLOWED = {
     "c38_triangles",        # 1-row edge/wedge/triangle verdict scalars
     "c33_benford",          # 1-row total-count scalar broadcast
     "c29_matryoshka",       # 10-row query broadcast x2 (both rankings)
+    "c30_pmi",              # 1-row total-bigram-count scalar broadcast
+    "c32_systematic",       # 1-row total-weight scalar broadcast
 }
 
 
@@ -211,7 +213,10 @@ def test_no_driver_side_collect_in_queries(spark):
                     # replays the availableNow stream at build (r7)
                     "c33_anomaly_stream",
                     # checkpoints the bounded pair edge list at build (r7)
-                    "c38_triangles"):
+                    "c38_triangles",
+                    # BFS frontier loop checkpoints O(#nodes) frames at
+                    # build; replays the availableNow stream at build (r8)
+                    "c38_reach", "c34_throttle_stream"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)
