@@ -381,3 +381,48 @@ def point_in_time_join(events: DataFrame) -> DataFrame:
                 F.col("h.version").alias("version"),
                 F.col("h.is_current").alias("joined_current"))
     )
+
+
+def basket_affinity(lineitem: DataFrame, min_co: int = 2) -> DataFrame:
+    """C7b: market-basket affinity — support / confidence / lift for
+    part pairs that co-occur in an order, the association-rule core
+    (Agrawal & Srikant's Apriori first pass) and the classic
+    recommender precursor. Pairs materialize ONLY within a basket via
+    an ordered self-equi-join on the order key (part_a < part_b halves
+    the pairs and fixes orientation), so candidate volume is bounded by
+    Σ basket_size² with TPC-H baskets ≤ 7 lines — linear in orders,
+    never corpus-quadratic. Item and pair supports are map-side
+    combinable counts; the order total folds in as a 1-row broadcast.
+
+    Engine-exact: counts are integers; support/confidence/lift each
+    derive through one fixed tree of correctly-rounded IEEE divisions
+    (the ratio discipline of the C30o lift row)."""
+    baskets = lineitem.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_partkey").alias("part")).distinct()
+    a = baskets.select("okey", F.col("part").alias("part_a"))
+    b = baskets.select("okey", F.col("part").alias("part_b"))
+    pairs = (a.join(b, "okey")
+             .filter(F.col("part_a") < F.col("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).alias("n_co"))
+             .filter(F.col("n_co") >= min_co))
+    item = baskets.groupBy("part").agg(F.count(F.lit(1)).alias("n_item"))
+    total = baskets.select("okey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders"))
+    na = item.select(F.col("part").alias("part_a"),
+                     F.col("n_item").alias("n_a"))
+    nb = item.select(F.col("part").alias("part_b"),
+                     F.col("n_item").alias("n_b"))
+    return (pairs.join(na, "part_a").join(nb, "part_b")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "part_a", "part_b", "n_co", "n_a", "n_b",
+                (F.col("n_co").cast("double")
+                 / F.col("n_orders").cast("double")).alias("support"),
+                (F.col("n_co").cast("double")
+                 / F.col("n_a").cast("double")).alias("confidence"),
+                ((F.col("n_co").cast("double")
+                  / F.col("n_a").cast("double"))
+                 * (F.col("n_orders").cast("double")
+                    / F.col("n_b").cast("double"))).alias("lift")))

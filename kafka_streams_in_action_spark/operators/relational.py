@@ -1222,3 +1222,39 @@ def chisq_independence(events: DataFrame) -> DataFrame:
                     e.alias("expected"),
                     F.floor(term * 1e9 + 0.5).cast("long")
                     .alias("term_nano")))
+
+
+def gini_by_segment(customer: DataFrame) -> DataFrame:
+    """C33j: Gini concentration of account balances per market segment —
+    the inequality audit (wealth/usage concentration per cohort) via the
+    rank formula over ascending values:
+
+        G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n
+
+    Engine-exact at ANY scale: values are exact integer cents shifted
+    nonnegative, the rank-weighted sum accumulates in DECIMAL(38,0)
+    (i·x reaches n²·max_cents, past int64 at SF100-class groups, and
+    decimal addition is exact and order-insensitive), and G then derives
+    through one fixed tree of correctly-rounded IEEE ops on the same
+    decimal→double conversions both engines perform. Ranks come from
+    one per-segment window with a deterministic (value, key) tie-break —
+    permuting equal values never changes Σi·xᵢ, so the tie-break is for
+    determinism of the rank column itself, not the statistic."""
+    cents = (F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long")
+             + F.lit(100_000).cast("long"))
+    w = Window.partitionBy("c_mktsegment").orderBy("v", "c_custkey")
+    ranked = (customer
+              .select("c_mktsegment", "c_custkey", cents.alias("v"))
+              .withColumn("i", F.row_number().over(w)))
+    agg = (ranked.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("tot"),
+                F.sum(F.col("v").cast("decimal(38,0)")
+                      * F.col("i").cast("decimal(38,0)")).alias("rw")))
+    n = F.col("n").cast("double")
+    g = (F.lit(2.0) * F.col("rw").cast("double")
+         / (n * F.col("tot").cast("double"))
+         - (n + F.lit(1.0)) / n)
+    return agg.select(F.col("c_mktsegment").alias("segment"),
+                      "n", F.col("tot").alias("total_cents"),
+                      g.alias("gini"))

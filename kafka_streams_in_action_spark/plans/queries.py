@@ -4194,6 +4194,65 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c33_gini": QuerySpec(
+        # C33j: per-segment Gini via the rank formula; rank-weighted sum
+        # in exact decimal, G through one fixed IEEE tree.
+        _t("customer")(relational.gini_by_segment),
+        """
+        WITH r AS (
+            SELECT c_mktsegment, c_custkey,
+                   CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                       + 100000 AS v,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY CAST(floor(c_acctbal * 100.0 + 0.5)
+                                     AS BIGINT) + 100000,
+                                c_custkey) AS i
+            FROM customer),
+        a AS (
+            SELECT c_mktsegment AS segment, count(*) AS n,
+                   CAST(sum(v) AS BIGINT) AS total_cents,
+                   CAST(sum(CAST(v AS HUGEINT) * i) AS DOUBLE) AS rw
+            FROM r GROUP BY 1)
+        SELECT segment, n, total_cents,
+               CAST(2.0 AS DOUBLE) * rw
+                   / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE))
+               - (CAST(n AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                 / CAST(n AS DOUBLE) AS gini
+        FROM a
+        """),
+    "c7_basket": QuerySpec(
+        # C7b: market-basket support/confidence/lift; pairs only within
+        # a basket (ordered self-equi-join on the order key).
+        _t("lineitem")(joins.basket_affinity),
+        """
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+            FROM lineitem),
+        pairs AS (
+            SELECT a.part AS part_a, b.part AS part_b,
+                   count(*) AS n_co
+            FROM baskets a JOIN baskets b ON a.okey = b.okey
+            WHERE a.part < b.part
+            GROUP BY 1, 2
+            HAVING count(*) >= 2),
+        item AS (SELECT part, count(*) AS n_item
+                 FROM baskets GROUP BY part),
+        t AS (SELECT count(DISTINCT okey) AS n_orders FROM baskets)
+        SELECT p.part_a, p.part_b, p.n_co,
+               ia.n_item AS n_a, ib.n_item AS n_b,
+               CAST(p.n_co AS DOUBLE) / CAST(t.n_orders AS DOUBLE)
+                   AS support,
+               CAST(p.n_co AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+                   AS confidence,
+               (CAST(p.n_co AS DOUBLE) / CAST(ia.n_item AS DOUBLE))
+               * (CAST(t.n_orders AS DOUBLE) / CAST(ib.n_item AS DOUBLE))
+                   AS lift
+        FROM pairs p
+        JOIN item ia ON ia.part = p.part_a
+        JOIN item ib ON ib.part = p.part_b
+        CROSS JOIN t
+        """),
     "c31_vad": QuerySpec(
         # C31i: energy-based activity segmentation inside the audio
         # decode kernel; oracle rebuilds frames from the synth formula
