@@ -1191,6 +1191,69 @@ def _throttle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "hour_us", "seq", "admitted")
 
 
+# C12f Holt smoothing: the batch applyInPandas kernel and the streaming
+# state machine both check against this one recursive-CTE SQL.
+_HOLT_ORACLE = """
+    WITH RECURSIVE s AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS i
+        FROM events),
+    rec AS (
+        SELECT user_id, event_id, i, value,
+               value AS l, CAST(0 AS DOUBLE) AS b
+        FROM s WHERE i = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.i, s.value,
+               CAST(0.5 AS DOUBLE) * s.value
+                 + CAST(0.5 AS DOUBLE) * (r.l + r.b) AS l,
+               CAST(0.5 AS DOUBLE)
+                 * ((CAST(0.5 AS DOUBLE) * s.value
+                     + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+                 + CAST(0.5 AS DOUBLE) * r.b AS b
+        FROM rec r JOIN s ON s.user_id = r.user_id
+                          AND s.i = r.i + 1)
+    SELECT user_id, event_id, l AS level, b AS trend,
+           l + b AS forecast
+    FROM rec
+    """
+
+
+def _holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12f streaming twin, driver-visible: Holt smoothing as a keyed
+    state machine (streaming/stateful.py: holt_stream — the (level,
+    trend) doubles ride the state store losslessly) replayed across a
+    REAL 4-batch time split and checked by the full batch oracle: the
+    recurrence must continue bit-exactly across three micro-batch
+    boundaries for the series to hash-match."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import holt_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c12_holt_stream_src_")
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
+        .localCheckpoint()
+    for s in range(1, 5):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(src))
+    sink = f"c12_holt_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        q = (holt_stream(
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    return spark.table(sink).select(
+        "user_id", "event_id", "level", "trend", "forecast")
+
+
 def _pagerank_oracle(iterations: int = 10, n_nodes: int = 25) -> str:
     """Unrolled integer PageRank recurrence as chained MATERIALIZED CTEs.
     Each iteration references the previous one twice (contribution join +
@@ -4440,30 +4503,12 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # correctly-rounded IEEE adds, so level/trend/forecast are
         # bit-exact across engines with no float tolerance.
         _t("events")(windows.holt_smoothing),
-        """
-        WITH RECURSIVE s AS (
-            SELECT user_id, event_id, value,
-                   row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS i
-            FROM events),
-        rec AS (
-            SELECT user_id, event_id, i, value,
-                   value AS l, CAST(0 AS DOUBLE) AS b
-            FROM s WHERE i = 1
-            UNION ALL
-            SELECT s.user_id, s.event_id, s.i, s.value,
-                   CAST(0.5 AS DOUBLE) * s.value
-                     + CAST(0.5 AS DOUBLE) * (r.l + r.b) AS l,
-                   CAST(0.5 AS DOUBLE)
-                     * ((CAST(0.5 AS DOUBLE) * s.value
-                         + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
-                     + CAST(0.5 AS DOUBLE) * r.b AS b
-            FROM rec r JOIN s ON s.user_id = r.user_id
-                              AND s.i = r.i + 1)
-        SELECT user_id, event_id, l AS level, b AS trend,
-               l + b AS forecast
-        FROM rec
-        """),
+        _HOLT_ORACLE),
+    "c12_holt_stream": QuerySpec(
+        # C12f streaming twin: (level, trend) pair rides the state store
+        # across a 4-batch availableNow replay; same batch oracle.
+        _holt_stream,
+        _HOLT_ORACLE),
     "c38_reach": QuerySpec(
         # C38c: k-hop min-hop reachability (bounded transitive closure)
         # over the top-3-out-edge trade graph, seeds = region 0. Spark

@@ -511,3 +511,53 @@ def rate_throttle_stream(events: DataFrame, limit: int = 5) -> DataFrame:
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+def holt_stream(events: DataFrame) -> DataFrame:
+    """C12f streaming twin: Holt level+trend smoothing as a keyed state
+    machine — the state store carries exactly the (level, trend) pair
+    (plus an init flag), so each micro-batch continues the recurrence
+    where the previous one stopped. The same IEEE op sequence as the
+    batch kernel (alpha = beta = 0.5: exact binary scalings + correctly-
+    rounded adds) and doubles round-trip the state store losslessly, so
+    the emitted series is bit-identical to the batch form under
+    time-ordered availableNow replay; the c12_holt oracle checks both."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        lev, trd, started = state.get if state.exists \
+            else (0.0, 0.0, False)
+        rows = pd.concat(list(pdfs), ignore_index=True) \
+            .sort_values(["ts", "event_id"])
+        out = {"user_id": [], "event_id": [], "level": [],
+               "trend": [], "forecast": []}
+        for _, r in rows.iterrows():
+            x = float(r["value"])
+            if not started:
+                lev, trd, started = x, 0.0, True
+            else:
+                l_new = 0.5 * x + 0.5 * (lev + trd)
+                trd = 0.5 * (l_new - lev) + 0.5 * trd
+                lev = l_new
+            out["user_id"].append(int(key[0]))
+            out["event_id"].append(int(r["event_id"]))
+            out["level"].append(lev)
+            out["trend"].append(trd)
+            out["forecast"].append(lev + trd)
+        state.update((lev, trd, started))
+        yield pd.DataFrame(out)
+
+    return (events
+            .select("user_id", "event_id", "ts", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=("user_id long, event_id long, "
+                                  "level double, trend double, "
+                                  "forecast double"),
+                stateStructType=("lev double, trd double, "
+                                 "started boolean"),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

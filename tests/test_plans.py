@@ -216,7 +216,7 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c38_triangles",
                     # BFS frontier loop checkpoints O(#nodes) frames at
                     # build; replays the availableNow stream at build (r8)
-                    "c38_reach", "c34_throttle_stream"):
+                    "c38_reach", "c34_throttle_stream", "c12_holt_stream"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)
