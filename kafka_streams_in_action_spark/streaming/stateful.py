@@ -478,26 +478,38 @@ def rate_throttle_stream(events: DataFrame, limit: int = 5) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
         hour0, cnt = state.get if state.exists else (-1, 0)
         rows = pd.concat(list(pdfs), ignore_index=True) \
             .sort_values(["ts", "event_id"])
-        out = {"event_id": [], "user_id": [], "hour_us": [],
-               "seq": [], "admitted": []}
-        for _, r in rows.iterrows():
-            us = int(pd.Timestamp(r["ts"]).value) // 1000
-            hour_us = us - us % 3_600_000_000
-            if hour_us == hour0:
-                cnt += 1
-            else:
-                hour0, cnt = hour_us, 1
-            out["event_id"].append(int(r["event_id"]))
-            out["user_id"].append(int(key[0]))
-            out["hour_us"].append(hour_us)
-            out["seq"].append(cnt)
-            out["admitted"].append(cnt <= limit)
+        # normalize to ns first: Arrow may hand the column over at ns OR
+        # us resolution, and a bare int64 view of datetime64[us] would
+        # silently change units
+        us = rows["ts"].astype("datetime64[ns]").astype("int64") \
+            .to_numpy() // 1000
+        hour_us = us - us % 3_600_000_000
+        # vectorized within-batch sequence: cumcount inside each
+        # contiguous hour run (rows are time-sorted, so equal hours are
+        # adjacent), plus the carried-in count if the first run
+        # continues the state's open hour
+        new_run = np.concatenate(([True], hour_us[1:] != hour_us[:-1]))
+        run_id = np.cumsum(new_run)
+        idx = np.arange(len(hour_us))
+        run_start = idx[new_run][run_id - 1]
+        seq = idx - run_start + 1
+        if len(hour_us) and hour_us[0] == hour0:
+            seq[run_id == 1] += cnt
+        if len(hour_us):
+            hour0 = int(hour_us[-1])
+            cnt = int(seq[-1])
         state.update((hour0, cnt))
-        yield pd.DataFrame(out)
+        yield pd.DataFrame({
+            "event_id": rows["event_id"].to_numpy(),
+            "user_id": np.full(len(hour_us), int(key[0]), dtype="int64"),
+            "hour_us": hour_us,
+            "seq": seq.astype("int32"),
+            "admitted": seq <= limit})
 
     return (events
             .select("user_id", "event_id", "ts")
@@ -525,28 +537,30 @@ def holt_stream(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
         lev, trd, started = state.get if state.exists \
             else (0.0, 0.0, False)
         rows = pd.concat(list(pdfs), ignore_index=True) \
             .sort_values(["ts", "event_id"])
-        out = {"user_id": [], "event_id": [], "level": [],
-               "trend": [], "forecast": []}
-        for _, r in rows.iterrows():
-            x = float(r["value"])
+        x = rows["value"].to_numpy()
+        n = len(x)
+        levs = np.empty(n)
+        trds = np.empty(n)
+        for i in range(n):
             if not started:
-                lev, trd, started = x, 0.0, True
+                lev, trd, started = float(x[i]), 0.0, True
             else:
-                l_new = 0.5 * x + 0.5 * (lev + trd)
+                l_new = 0.5 * x[i] + 0.5 * (lev + trd)
                 trd = 0.5 * (l_new - lev) + 0.5 * trd
                 lev = l_new
-            out["user_id"].append(int(key[0]))
-            out["event_id"].append(int(r["event_id"]))
-            out["level"].append(lev)
-            out["trend"].append(trd)
-            out["forecast"].append(lev + trd)
-        state.update((lev, trd, started))
-        yield pd.DataFrame(out)
+            levs[i], trds[i] = lev, trd
+        state.update((float(lev), float(trd), started))
+        yield pd.DataFrame({
+            "user_id": np.full(n, int(key[0]), dtype="int64"),
+            "event_id": rows["event_id"].to_numpy(),
+            "level": levs, "trend": trds,
+            "forecast": levs + trds})
 
     return (events
             .select("user_id", "event_id", "ts", "value")
