@@ -99,6 +99,21 @@ HEADLINE = [
     "c33_benford",           # first-digit audit (map-side agg, 9 groups)
     "c30_rake",              # RAKE phrase extraction (cumsum + 2 aggs)
     "c29_matryoshka",        # full-dim vs truncated top-k overlap
+    # round-8 additions
+    "c39_link",              # record linkage: banded block + verify + assign
+    "c28_par_dedup",         # paragraph-hash dedup + doc reassembly
+    "c38_reach",             # k-hop BFS over the sparsified trade graph
+    "c12_holt",              # sequential level+trend kernel per user
+    "c12_holt_stream",       # same recurrence through the state store
+    "c34_throttle",          # per-(user, hour) rate cap window
+    "c34_throttle_stream",   # (hour, count) state machine, 4 batches
+    "c33_chisq",             # type×weekday chi-square cell audit
+    "c30_pmi",               # bigram collocation lift (3 count aggs)
+    "c32_systematic",        # 3-level prefix sum + join-free grid picks
+    "c16_interp",            # day grid + linear gap fill (2 frame passes)
+    "c31_vad",               # in-kernel audio activity segmentation
+    "c7_basket",             # within-basket pair affinity
+    "c33_gini",              # rank-formula Gini in exact decimal
 ]
 
 
@@ -155,7 +170,8 @@ def _stream_overhead(spark) -> float:
 # their timings include ~stream_overhead_sec (×4 for the 4-batch MV) of
 # fixed harness cost on top of the data-proportional work.
 STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
-                  "c35_scd2_stream"]
+                  "c35_scd2_stream", "c12_holt_stream",
+                  "c34_throttle_stream"]
 
 
 def _calibrate() -> dict[str, float]:

@@ -151,6 +151,24 @@ PROBE_QUERIES = [
     "c33_benford",          # exact-cents digit extraction + 9-group agg
     "c30_rake",             # phrase segmentation + doc-keyed score aggs
     "sql_q20_promo_suppliers",  # nested semi joins + grouped threshold
+    # round-8 additions. c39_link is deliberately NOT probed: the 10x
+    # data key-shifts c_custkey but keeps name/segment/balance, so every
+    # dirty record gains 10 identical clean twins and the candidate set
+    # itself grows quadratically — the same copy-synth corpus property
+    # that excludes c31_phash_dedup and c38_triangles; real re-entry
+    # corpora don't carry 10 byte-identical twins per record, and the
+    # banded blocking bounds candidates by block occupancy there.
+    "c28_par_dedup",        # segment-hash dedup + doc reassembly
+    "c38_reach",            # 4-table edge build + bounded BFS loop
+    "c12_holt",             # sequential per-user kernel (key-parallel)
+    "c34_throttle",         # one (user, hour) ranking window
+    "c33_chisq",            # map-side cell agg + bounded margin windows
+    "c30_pmi",              # bigram aggs + marginal joins
+    "c32_systematic",       # 3-level prefix sum + grid explode
+    "c16_interp",           # day grid + two frame passes
+    "c31_vad",              # in-kernel decode + segment runs
+    "c7_basket",            # within-basket self-join + marginals
+    "c33_gini",             # per-segment rank window + decimal agg
     # c38_triangles is deliberately NOT probed: its edge list is the
     # exact n-gram Jaccard pair graph, and on the copy-synthesized 10x
     # data (doc text repeats) clone clusters make the PAIR SET itself
