@@ -163,6 +163,7 @@ _BNLJ_ALLOWED = {
     "c29_matryoshka",       # 10-row query broadcast x2 (both rankings)
     "c30_pmi",              # 1-row total-bigram-count scalar broadcast
     "c32_systematic",       # 1-row total-weight scalar broadcast
+    "c7_basket",            # 1-row order-total scalar broadcast
 }
 
 
