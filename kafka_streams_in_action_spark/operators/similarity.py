@@ -1357,3 +1357,70 @@ def matryoshka_gate(embeddings: DataFrame, n_queries: int = 10,
                     "n_overlap",
                     F.round(F.col("n_overlap").cast("double") / k, 6)
                     .alias("recall_at_k")))
+
+
+def mmr_rerank(embeddings: DataFrame, n_queries: int = 5,
+               n_cand: int = 20, k: int = 5) -> DataFrame:
+    """C29t: Maximal Marginal Relevance re-ranking (Carbonell &
+    Goldstein, SIGIR '98) — the retrieval-serving step between ANN
+    recall and the consumer: from each query's top-`n_cand` cosine
+    candidates, greedily select `k` results maximizing
+
+        0.5·relevance − 0.5·max_similarity_to_already_selected
+
+    (λ = 0.5: both scalings are exact binary halvings, and relevance /
+    pairwise similarities are the rounded-6 cosine the C29 rows already
+    compute engine-exactly — so every score, and therefore every greedy
+    argmax with the neighbor-id tie-break, replays bit-identically in
+    the oracle's unrolled steps).
+
+    Scale shape: candidate generation is the existing brute-force/ANN
+    path; the greedy loop then runs ONLY on the bounded
+    (queries × n_cand) candidate frame — each step is one keyed
+    anti-join (drop selected), one keyed join against the selected set
+    (pairwise sims; ≤ n_cand·k rows per query), one max-aggregate and
+    one ranking window, with a localCheckpoint keeping lineage linear.
+    Nothing in the loop scales with corpus size."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    cands = brute_force_topk(embeddings, n_queries=n_queries, k=n_cand)
+    cand = (cands.join(emb, cands.neighbor_id == emb.vec_id)
+            .select("query_id", "neighbor_id",
+                    F.col("cosine_sim").alias("rel"), "vec")
+            .localCheckpoint())
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), "neighbor_id")
+    selected = (cand
+                .withColumn("_score", F.lit(0.5) * F.col("rel"))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("query_id", "neighbor_id", "rel",
+                        F.col("_score").alias("mmr_score"),
+                        F.lit(1).alias("pick"), "vec")
+                .localCheckpoint())
+    for step in range(2, k + 1):
+        rem = cand.join(selected.select("query_id", "neighbor_id"),
+                        ["query_id", "neighbor_id"], "left_anti")
+        sims = (rem.join(selected.select("query_id",
+                                         F.col("vec").alias("svec")),
+                         "query_id")
+                .withColumn("_sim",
+                            F.round(_cosine(F.col("vec"),
+                                            F.col("svec")), 6))
+                .groupBy("query_id", "neighbor_id", "rel")
+                .agg(F.max("_sim").alias("_ms")))
+        pick = (sims
+                .withColumn("_score", F.lit(0.5) * F.col("rel")
+                            - F.lit(0.5) * F.col("_ms"))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1))
+        pick_v = (pick
+                  .join(cand.select("query_id", "neighbor_id", "vec"),
+                        ["query_id", "neighbor_id"])
+                  .select("query_id", "neighbor_id", "rel",
+                          F.col("_score").alias("mmr_score"),
+                          F.lit(step).alias("pick"), "vec"))
+        selected = selected.unionByName(pick_v).localCheckpoint()
+    return selected.select("query_id", "pick", "neighbor_id", "rel",
+                           "mmr_score")

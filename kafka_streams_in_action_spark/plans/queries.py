@@ -1254,6 +1254,63 @@ def _holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "level", "trend", "forecast")
 
 
+def _mmr_oracle(n_queries: int = 5, n_cand: int = 20, k: int = 5) -> str:
+    """Unrolled greedy MMR as chained MATERIALIZED CTEs (same discipline
+    as the PageRank oracle: each step references the cumulative selected
+    set, so materialization prevents 2^k inlining). λ = 0.5 halvings are
+    exact; rel and pairwise sims are the shared rounded-6 cosine fold,
+    so every argmax (with the neighbor-id tie-break) is bit-identical to
+    the Spark loop."""
+    cos = _cosine_sql("c.v", "s.v")
+    parts = [f"""
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb
+      WHERE vec_id < {n_queries}),
+scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id,
+           {_cosine_sql('qv', 'e.v')} AS rel, e.v
+    FROM emb e, q WHERE e.vec_id <> query_id),
+cand AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= {n_cand}),
+sel1 AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel,
+           CAST(0.5 AS DOUBLE) * rel AS mmr_score, 1 AS pick, v
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, neighbor_id) AS rn
+          FROM cand) WHERE rn = 1)"""]
+    for s in range(2, k + 1):
+        parts.append(f""",
+ms{s} AS MATERIALIZED (
+    SELECT c.query_id, c.neighbor_id, c.rel, max({cos}) AS ms
+    FROM cand c JOIN sel{s - 1} s ON s.query_id = c.query_id
+    WHERE NOT EXISTS (SELECT 1 FROM sel{s - 1} x
+                      WHERE x.query_id = c.query_id
+                        AND x.neighbor_id = c.neighbor_id)
+    GROUP BY c.query_id, c.neighbor_id, c.rel),
+s{s} AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel, mmr_score, {s} AS pick FROM (
+        SELECT query_id, neighbor_id, rel,
+               CAST(0.5 AS DOUBLE) * rel
+                 - CAST(0.5 AS DOUBLE) * ms AS mmr_score,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY CAST(0.5 AS DOUBLE) * rel
+                            - CAST(0.5 AS DOUBLE) * ms DESC,
+                            neighbor_id) AS rn
+        FROM ms{s}) WHERE rn = 1),
+sel{s} AS MATERIALIZED (
+    SELECT * FROM sel{s - 1}
+    UNION ALL
+    SELECT p.query_id, p.neighbor_id, p.rel, p.mmr_score, p.pick, c.v
+    FROM s{s} p JOIN cand c ON c.query_id = p.query_id
+                            AND c.neighbor_id = p.neighbor_id)""")
+    return ("WITH " + "".join(parts)
+            + f"""
+SELECT query_id, pick, neighbor_id, rel, mmr_score FROM sel{k}""")
+
+
 def _pagerank_oracle(iterations: int = 10, n_nodes: int = 25) -> str:
     """Unrolled integer PageRank recurrence as chained MATERIALIZED CTEs.
     Each iteration references the previous one twice (contribution join +
@@ -4257,6 +4314,11 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c29_mmr": QuerySpec(
+        # C29t: greedy MMR diversity re-rank over bounded candidates;
+        # FULL oracle = unrolled MATERIALIZED steps, bit-exact argmax.
+        _t("embeddings")(similarity.mmr_rerank),
+        _mmr_oracle()),
     "c33_gini": QuerySpec(
         # C33j: per-segment Gini via the rank formula; rank-weighted sum
         # in exact decimal, G through one fixed IEEE tree.

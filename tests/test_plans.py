@@ -164,6 +164,7 @@ _BNLJ_ALLOWED = {
     "c30_pmi",              # 1-row total-bigram-count scalar broadcast
     "c32_systematic",       # 1-row total-weight scalar broadcast
     "c7_basket",            # 1-row order-total scalar broadcast
+    "c29_mmr",              # inherits the bounded query-set broadcast
 }
 
 
@@ -217,7 +218,10 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c38_triangles",
                     # BFS frontier loop checkpoints O(#nodes) frames at
                     # build; replays the availableNow stream at build (r8)
-                    "c38_reach", "c34_throttle_stream", "c12_holt_stream"):
+                    "c38_reach", "c34_throttle_stream", "c12_holt_stream",
+                    # greedy-selection loop checkpoints bounded
+                    # candidate frames at build (r8)
+                    "c29_mmr"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)
