@@ -1258,3 +1258,57 @@ def gini_by_segment(customer: DataFrame) -> DataFrame:
     return agg.select(F.col("c_mktsegment").alias("segment"),
                       "n", F.col("tot").alias("total_cents"),
                       g.alias("gini"))
+
+
+def merge_changes(orders: DataFrame) -> DataFrame:
+    """C35e: full MERGE semantics — apply a CDC batch carrying INSERTS,
+    UPDATES, and DELETES to a base table in one pass; the piece of the
+    C35 family upsert_orders (no deletes) leaves open, and the WHEN
+    MATCHED THEN DELETE arm of a Delta/Iceberg MERGE. One keyed
+    full-outer join + a CASE router, exactly the single-shuffle plan a
+    table format compiles the three-arm MERGE to, minus the log.
+
+    The change feed derives deterministically from the base so both
+    engines build identical inputs: key % 11 == 3 → DELETE (wins over
+    update on overlap), else key % 7 == 0 → UPDATE (re-priced +10%, the
+    upsert row's half-up floor discipline), key % 1000 == 1 → INSERT
+    under a fresh key. Output = the post-merge table, each surviving row
+    tagged with the op applied ('K' kept / 'U' updated / 'I' inserted);
+    deleted keys are absent."""
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice",
+                         "o_orderstatus")
+    reprice = F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100
+    dels = (orders.filter(F.col("o_orderkey") % 11 == 3)
+            .select("o_orderkey", F.lit("D").alias("op"),
+                    F.lit(None).cast("double").alias("new_price"),
+                    F.lit(None).cast("long").alias("new_cust")))
+    upds = (orders.filter((F.col("o_orderkey") % 7 == 0)
+                          & (F.col("o_orderkey") % 11 != 3))
+            .select("o_orderkey", F.lit("U").alias("op"),
+                    reprice.alias("new_price"),
+                    F.lit(None).cast("long").alias("new_cust")))
+    ins = (orders.filter(F.col("o_orderkey") % 1000 == 1)
+           .select((F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+                   F.lit("I").alias("op"),
+                   F.col("o_totalprice").alias("new_price"),
+                   F.col("o_custkey").alias("new_cust")))
+    changes = dels.unionByName(upds).unionByName(ins)
+    b, c = base.alias("b"), changes.alias("c")
+    joined = b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"),
+                    "full_outer")
+    return (joined
+            .filter(F.coalesce(F.col("c.op"), F.lit("K")) != "D")
+            .select(
+                F.coalesce(F.col("b.o_orderkey"), F.col("c.o_orderkey"))
+                .alias("o_orderkey"),
+                F.coalesce(F.col("b.o_custkey"), F.col("c.new_cust"))
+                .alias("o_custkey"),
+                F.when(F.col("c.op") == "U", F.col("c.new_price"))
+                .otherwise(F.coalesce(F.col("b.o_totalprice"),
+                                      F.col("c.new_price")))
+                .alias("o_totalprice"),
+                F.when(F.col("c.op") == "U", F.lit("U"))
+                .when(F.col("b.o_orderkey").isNull(), F.lit("N"))
+                .otherwise(F.col("b.o_orderstatus"))
+                .alias("o_orderstatus"),
+                F.coalesce(F.col("c.op"), F.lit("K")).alias("op")))

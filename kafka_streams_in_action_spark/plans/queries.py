@@ -4314,6 +4314,39 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c35_merge": QuerySpec(
+        # C35e: three-arm MERGE (insert/update/delete) as one keyed
+        # full-outer join + CASE router; delete wins on overlap.
+        _t("orders")(relational.merge_changes),
+        """
+        WITH chg AS (
+            SELECT o_orderkey, 'D' AS op,
+                   CAST(NULL AS DOUBLE) AS new_price,
+                   CAST(NULL AS BIGINT) AS new_cust
+            FROM orders WHERE o_orderkey % 11 = 3
+            UNION ALL
+            SELECT o_orderkey, 'U',
+                   floor(o_totalprice * 1.1 * 100 + 0.5) / 100,
+                   CAST(NULL AS BIGINT)
+            FROM orders
+            WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 3
+            UNION ALL
+            SELECT o_orderkey + 20000000, 'I', o_totalprice, o_custkey
+            FROM orders WHERE o_orderkey % 1000 = 1)
+        SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+               coalesce(b.o_custkey, c.new_cust) AS o_custkey,
+               CASE WHEN c.op = 'U' THEN c.new_price
+                    ELSE coalesce(b.o_totalprice, c.new_price)
+               END AS o_totalprice,
+               CASE WHEN c.op = 'U' THEN 'U'
+                    WHEN b.o_orderkey IS NULL THEN 'N'
+                    ELSE b.o_orderstatus
+               END AS o_orderstatus,
+               coalesce(c.op, 'K') AS op
+        FROM orders b FULL OUTER JOIN chg c
+          ON b.o_orderkey = c.o_orderkey
+        WHERE coalesce(c.op, 'K') <> 'D'
+        """),
     "c29_mmr": QuerySpec(
         # C29t: greedy MMR diversity re-rank over bounded candidates;
         # FULL oracle = unrolled MATERIALIZED steps, bit-exact argmax.
