@@ -494,3 +494,39 @@ def resample_daily_interp(events: DataFrame) -> DataFrame:
                     F.when(F.col("_close").isNotNull(), F.col("_close"))
                     .otherwise(interp).alias("value"),
                     F.col("_close").isNotNull().alias("observed")))
+
+
+def dwell_stats(events: DataFrame) -> DataFrame:
+    """C34j: inter-arrival (dwell) time distribution per event type —
+    the arrival-process audit behind capacity planning and bot
+    detection (machine traffic shows collapsed inter-arrival spread).
+    Per type: count of gaps, min/max/mean gap, and the MEDIAN as a
+    rank-selected data point (the discrete-quantile discipline of
+    C32i winsorize — interpolating percentiles are not cross-engine
+    bit-stable).
+
+    One keyed window pass computes lag deltas in exact epoch micros;
+    the stats are integer aggregates plus one correctly-rounded IEEE
+    division for the mean. Two keyed exchanges total (lag window,
+    final agg) — both on event_type."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (events
+            .select("event_type",
+                    (F.unix_micros("ts")
+                     - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"))
+            .filter(F.col("gap_us").isNotNull()))
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    ranked = (gaps
+              .withColumn("_rn", F.row_number().over(wr))
+              .withColumn("_n", F.count(F.lit(1)).over(
+                  Window.partitionBy("event_type"))))
+    med = (ranked
+           .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+           .select("event_type", F.col("gap_us").alias("median_gap_us")))
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        (F.sum("gap_us").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("mean_gap_us"))
+    return agg.join(med, "event_type")

@@ -372,3 +372,47 @@ def systematic_sample(documents: DataFrame, k: int = 50,
                     & (F.col("gp") < F.col("start") + F.col("w")))
             .select(F.col("j").alias("pick_idx"), "doc_id",
                     F.col("w").alias("weight"), "start"))
+
+
+def temporal_split(events: DataFrame, train_frac: float = 0.8) -> DataFrame:
+    """C32k: temporal train/test split with a leakage guard — cut the
+    stream at the first DAY whose cumulative event count reaches
+    `train_frac` of the corpus, so training strictly precedes
+    evaluation (the split every forecasting/CTR pipeline needs, where a
+    random split leaks the future). Day granularity keeps the cutoff
+    scalable AND deterministic: the cumulative histogram is a window
+    over the BOUNDED day table (same posture as the chi-square margins),
+    never a global sort of events; the chosen day folds back as a 1-row
+    broadcast. Emits one audit row per user — train/test counts plus the
+    per-user no-leakage guard (max train timestamp <= min test
+    timestamp; true by construction for a global time cut, present so a
+    future per-user-cut regression fails the oracle, not an
+    assumption)."""
+    from pyspark.sql import Window
+
+    day = F.to_date("ts")
+    days = events.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).alias("c"))
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = days.withColumn("cum", F.sum("c").over(wd))
+    tot = events.agg(F.count(F.lit(1)).alias("n"))
+    cutoff = (cum.crossJoin(F.broadcast(tot))
+              .filter(F.col("cum").cast("double")
+                      >= F.col("n").cast("double") * F.lit(train_frac))
+              .agg(F.min("d").alias("cut_day")))
+    tagged = (events.crossJoin(F.broadcast(cutoff))
+              .withColumn("is_train", day <= F.col("cut_day"))
+              .withColumn("us", F.unix_micros("ts")))
+    big = 9223372036854775807
+    return (tagged.groupBy("user_id")
+            .agg(F.sum(F.when(F.col("is_train"), 1).otherwise(0))
+                 .cast("long").alias("n_train"),
+                 F.sum(F.when(~F.col("is_train"), 1).otherwise(0))
+                 .cast("long").alias("n_test"),
+                 (F.coalesce(F.max(F.when(F.col("is_train"),
+                                          F.col("us"))),
+                             F.lit(-1).cast("long"))
+                  <= F.coalesce(F.min(F.when(~F.col("is_train"),
+                                             F.col("us"))),
+                                F.lit(big).cast("long")))
+                 .alias("no_leakage")))

@@ -4314,6 +4314,69 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c34_dwell": QuerySpec(
+        # C34j: per-type inter-arrival stats; median as a rank-selected
+        # data point, mean from exact integer micro sums.
+        _t("events")(event_time.dwell_stats),
+        """
+        WITH g AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts, event_id) AS gap_us
+            FROM events),
+        gaps AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+        r AS (
+            SELECT event_type, gap_us,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY gap_us) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM gaps),
+        med AS (
+            SELECT event_type, gap_us AS median_gap_us
+            FROM r WHERE rn = (n + 1) // 2),
+        a AS (
+            SELECT event_type, count(*) AS n_gaps,
+                   min(gap_us) AS min_gap_us,
+                   max(gap_us) AS max_gap_us,
+                   CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS mean_gap_us
+            FROM gaps GROUP BY 1)
+        SELECT a.event_type, a.n_gaps, a.min_gap_us, a.max_gap_us,
+               a.mean_gap_us, m.median_gap_us
+        FROM a JOIN med m ON m.event_type = a.event_type
+        """),
+    "c32_temporal_split": QuerySpec(
+        # C32k: day-granular temporal split + per-user leakage guard.
+        _t("events")(sampling.temporal_split),
+        """
+        WITH tot AS (SELECT count(*) AS n FROM events),
+        days AS (SELECT CAST(ts AS DATE) AS d, count(*) AS c
+                 FROM events GROUP BY 1),
+        cum AS (
+            SELECT d, CAST(sum(c) OVER (
+                ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum
+            FROM days),
+        cut AS (
+            SELECT min(d) AS cut_day FROM cum, tot
+            WHERE CAST(cum AS DOUBLE)
+                  >= CAST(n AS DOUBLE) * CAST(0.8 AS DOUBLE)),
+        t AS (
+            SELECT user_id, CAST(ts AS DATE) <= cut_day AS is_train,
+                   epoch_us(ts) AS us
+            FROM events, cut)
+        SELECT user_id,
+               CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN NOT is_train THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_test,
+               coalesce(max(CASE WHEN is_train THEN us END),
+                        CAST(-1 AS BIGINT))
+                 <= coalesce(min(CASE WHEN NOT is_train THEN us END),
+                             9223372036854775807) AS no_leakage
+        FROM t GROUP BY user_id
+        """),
     "c35_merge": QuerySpec(
         # C35e: three-arm MERGE (insert/update/delete) as one keyed
         # full-outer join + CASE router; delete wins on overlap.

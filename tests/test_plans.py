@@ -165,6 +165,7 @@ _BNLJ_ALLOWED = {
     "c32_systematic",       # 1-row total-weight scalar broadcast
     "c7_basket",            # 1-row order-total scalar broadcast
     "c29_mmr",              # inherits the bounded query-set broadcast
+    "c32_temporal_split",   # 1-row total + 1-row cutoff-day broadcasts
 }
 
 
