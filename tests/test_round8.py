@@ -281,3 +281,89 @@ def test_interp_fills_the_gap_linearly(spark):
     assert out["2024-01-02"] == (12.0, False)
     assert out["2024-01-03"] == (14.0, False)
     assert out["2024-01-04"] == (16.0, True)
+
+
+# ------------------------------------------------------------------- MMR
+
+def test_mmr_first_pick_is_top_relevance_and_diversity_demotes(spark):
+    """pick 1 = highest-relevance candidate; a near-clone of pick 1 is
+    demoted below a less-relevant but diverse candidate."""
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    rows = [(0, vec(0.0), 0)]            # the query
+    rows += [(10, vec(-0.1), 1),         # most relevant
+             (11, vec(-0.2), 1),         # same side: redundant with 10
+             (12, vec(0.5), 1)]          # other side: diverse
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int")
+    from kafka_streams_in_action_spark.operators.similarity import (
+        mmr_rerank,
+    )
+    out = {r["pick"]: r["neighbor_id"]
+           for r in mmr_rerank(emb, n_queries=1, n_cand=3, k=3).collect()}
+    assert out[1] == 10          # top relevance first
+    assert out[2] == 12          # diversity beats the clone
+    assert out[3] == 11
+
+
+# ----------------------------------------------------------------- merge
+
+def test_merge_delete_wins_and_insert_lands(spark):
+    base = spark.createDataFrame(
+        [(3, 1, "O", 100.0, TS0, "1-URGENT"),      # %11==3 → delete
+         (21, 1, "O", 100.0, TS0, "1-URGENT"),     # %7==0 → update
+         (1, 2, "O", 50.0, TS0, "1-URGENT"),       # %1000==1 → insert src
+         (5, 2, "O", 10.0, TS0, "1-URGENT")],      # untouched
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string")
+    out = {r["o_orderkey"]: r
+           for r in relational.merge_changes(base).collect()}
+    assert 3 not in out                      # deleted
+    assert out[21]["op"] == "U" and out[21]["o_totalprice"] == 110.0
+    assert out[20000001]["op"] == "I"
+    assert out[20000001]["o_orderstatus"] == "N"
+    assert out[5]["op"] == "K" and out[1]["op"] == "K"
+
+
+def test_merge_delete_beats_update_on_overlap(spark):
+    # orderkey 14 is %7==0; 36 is %7==0 and... pick 77: %7==0, %11==0 →
+    # update; 14: %7==0, %11==3 → DELETE must win
+    base = spark.createDataFrame(
+        [(14, 1, "O", 100.0, TS0, "p"),
+         (77, 1, "O", 100.0, TS0, "p")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string")
+    out = {r["o_orderkey"]: r
+           for r in relational.merge_changes(base).collect()}
+    assert 14 not in out
+    assert out[77]["op"] == "U"
+
+
+# ----------------------------------------------------------------- dwell
+
+def test_dwell_gaps_by_hand(spark):
+    """Gaps 1m, 3m, 5m → median 3m, mean 3m, min 1m, max 5m."""
+    ev = _events(spark, [(1, 1, 0, 1.0), (2, 1, 1, 1.0),
+                         (3, 1, 4, 1.0), (4, 1, 9, 1.0)])
+    row = event_time.dwell_stats(ev).collect()[0]
+    assert row["n_gaps"] == 3
+    assert row["min_gap_us"] == 60_000_000
+    assert row["max_gap_us"] == 300_000_000
+    assert row["median_gap_us"] == 180_000_000
+    assert row["mean_gap_us"] == 180_000_000.0
+
+
+# -------------------------------------------------------- temporal split
+
+def test_temporal_split_cuts_at_day_and_guards_leakage(spark):
+    """10 events over 10 days → the 80% cut keeps days 1-8 in train."""
+    ev = _events(spark, [(i, 1, i * 24 * 60, 1.0) for i in range(10)])
+    row = sampling.temporal_split(ev).collect()[0]
+    assert row["n_train"] == 8 and row["n_test"] == 2
+    assert row["no_leakage"] is True
