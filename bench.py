@@ -114,6 +114,10 @@ HEADLINE = [
     "c31_vad",               # in-kernel audio activity segmentation
     "c7_basket",             # within-basket pair affinity
     "c33_gini",              # rank-formula Gini in exact decimal
+    "c29_mmr",               # greedy MMR over bounded candidates
+    "c35_merge",             # 3-arm MERGE full-outer + router
+    "c34_dwell",             # lag-window gap stats + ranked median
+    "c32_temporal_split",    # day-histogram cut + leakage audit
 ]
 
 

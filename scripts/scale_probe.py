@@ -169,6 +169,10 @@ PROBE_QUERIES = [
     "c31_vad",              # in-kernel decode + segment runs
     "c7_basket",            # within-basket self-join + marginals
     "c33_gini",             # per-segment rank window + decimal agg
+    "c29_mmr",              # corpus-scale scoring + bounded greedy loop
+    "c35_merge",            # keyed full-outer + router
+    "c34_dwell",            # per-type lag window + rank median
+    "c32_temporal_split",   # day histogram + keyed audit agg
     # c38_triangles is deliberately NOT probed: its edge list is the
     # exact n-gram Jaccard pair graph, and on the copy-synthesized 10x
     # data (doc text repeats) clone clusters make the PAIR SET itself
