@@ -600,3 +600,57 @@ def test_tfidf_df_join_broadcasts(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_linkage_blocking_is_equi_join(spark):
+    """C39a: candidate generation must compile to a hash equi-join on the
+    composite block key — a BNLJ or cartesian would mean the banded
+    blocking regressed to all-pairs; levenshtein must run post-join as a
+    filter on blocked candidates only."""
+    plan = plan_of(_q(spark, "c39_link"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_basket_pairs_join_is_keyed_on_order(spark):
+    """C7b: the within-basket pair join must stay an equi-join on the
+    order key (bounded by basket size); the only BNLJ allowed is the
+    1-row order-total scalar."""
+    plan = plan_of(_q(spark, "c7_basket"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_paragraph_dedup_first_occurrence_is_partial_agg(spark):
+    """C28i: the first-occurrence decision must be a map-side-combinable
+    min(struct) aggregate (two HashAggregate phases), not a ranking
+    window — a window here would shuffle the full segment stream through
+    one task per hash."""
+    plan = plan_of(_q(spark, "c28_par_dedup"))
+    assert "partial_min" in plan
+    assert "RunningWindowFunction" not in plan
+
+
+def test_holt_kernel_is_arrow_grouped_map(spark):
+    """C12f: the sequential recurrence must run as ONE Arrow grouped-map
+    kernel (FlatMapGroupsInPandas) behind a single keyed exchange —
+    no per-row Python, no self-joins."""
+    plan = plan_of(_q(spark, "c12_holt"))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_throttle_is_single_exchange_window(spark):
+    """C34i batch form: one keyed exchange, one window, no joins."""
+    plan = plan_of(_q(spark, "c34_throttle"))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_vad_payload_never_shuffles(spark):
+    """C31i: segmentation happens inside the decode kernel — the plan
+    must contain no Exchange at all downstream of the media scan."""
+    fmt = formatted_of(_q(spark, "c31_vad"))
+    assert "Exchange" not in fmt, fmt

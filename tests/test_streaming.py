@@ -802,3 +802,79 @@ def test_scd2_stream_checkpoint_restart_carries_state(spark, tmp_path):
     changes = spark.read.parquet(sink)
     _assert_same(relational.scd2_history(ev),
                  stateful.stitch_versions(changes))
+
+
+def test_holt_stream_checkpoint_restart_carries_state(spark, tmp_path):
+    """A17 durability for the Holt recurrence: stop the stream mid-log,
+    restart from the same checkpoint with new files — the (level, trend)
+    doubles must round-trip the state store LOSSLESSLY, so the combined
+    output equals the batch kernel bit-for-bit (a single ULP of drift at
+    the restart boundary would diverge every later step)."""
+    from kafka_streams_in_action_spark.operators import windows as wops
+
+    ev = load_table(spark, "events", SF_DIR)
+    d = str(tmp_path / "holt_cp_src")
+    cp = str(tmp_path / "holt_cp")
+    from pyspark.sql import Window
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+
+    def write_slices(lo, hi):
+        for s in range(lo, hi + 1):
+            (sliced.filter(F.col("slice") == s).drop("slice")
+             .coalesce(1).write.mode("append").parquet(d))
+
+    sink = str(tmp_path / "holt_cp_sink")
+
+    def run():
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (stateful.holt_stream(stream)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    write_slices(1, 2)
+    run()
+    write_slices(3, 4)
+    run()
+
+    _assert_same(wops.holt_smoothing(ev), spark.read.parquet(sink))
+
+
+def test_throttle_stream_checkpoint_restart_carries_state(spark, tmp_path):
+    """A17 durability for the rate limiter: the (open hour, count) pair
+    must survive a checkpoint restart — a reset counter would re-admit
+    over-quota events in the second run."""
+    from kafka_streams_in_action_spark.operators import event_time as et
+
+    ev = load_table(spark, "events", SF_DIR)
+    d = str(tmp_path / "thr_cp_src")
+    cp = str(tmp_path / "thr_cp")
+    from pyspark.sql import Window
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+
+    def write_slices(lo, hi):
+        for s in range(lo, hi + 1):
+            (sliced.filter(F.col("slice") == s).drop("slice")
+             .coalesce(1).write.mode("append").parquet(d))
+
+    sink = str(tmp_path / "thr_cp_sink")
+
+    def run():
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (stateful.rate_throttle_stream(stream)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    write_slices(1, 2)
+    run()
+    write_slices(3, 4)
+    run()
+
+    _assert_same(et.rate_throttle(ev), spark.read.parquet(sink))
