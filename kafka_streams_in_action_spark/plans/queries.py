@@ -4314,6 +4314,44 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c31_resample_audio": QuerySpec(
+        # C31j: decimate PCM by 2, re-encode RIFF, decode-back verify —
+        # all inside one Arrow kernel; oracle recomputes the even-index
+        # energy from the synth formula.
+        lambda spark, sf_dir: multimodal.downsample_audio(
+            multimodal.to_audio_media(load_table(spark, "documents",
+                                                 sf_dir))),
+        """
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        a AS (SELECT doc_id, (nb % 400) + 50 AS n FROM d),
+        dec AS (
+            SELECT doc_id, n, u.i,
+                   ((doc_id * 13 + u.i * 29) % 2048 - 1024) AS v
+            FROM a, LATERAL unnest(generate_series(0, n - 1, 2)) AS u(i))
+        SELECT doc_id, CAST(any_value(n) AS INTEGER) AS n_in,
+               CAST(count(*) AS INTEGER) AS n_out,
+               4000 AS rate_out, TRUE AS roundtrip_ok,
+               CAST(sum(v * v) AS BIGINT) AS ssq_out
+        FROM dec GROUP BY doc_id
+        """),
+    "c32_oversample": QuerySpec(
+        # C32l: deterministic class-balance oversampling; the audit
+        # counts the actually-exploded frame.
+        _t("events")(sampling.oversample_balance),
+        """
+        WITH c AS (SELECT event_type, count(*) AS n_orig
+                   FROM events GROUP BY 1),
+        m AS (SELECT max(n_orig) AS n_max FROM c),
+        f AS (SELECT event_type, n_orig,
+                     CAST((n_max + n_orig - 1) // n_orig AS BIGINT)
+                         AS rep_factor, n_max
+              FROM c, m)
+        SELECT event_type, n_orig, rep_factor,
+               CAST(n_orig * rep_factor AS BIGINT) AS n_after,
+               n_orig * rep_factor >= n_max AS balanced
+        FROM f
+        """),
     "c34_dwell": QuerySpec(
         # C34j: per-type inter-arrival stats; median as a rank-selected
         # data point, mean from exact integer micro sums.

@@ -166,6 +166,7 @@ _BNLJ_ALLOWED = {
     "c7_basket",            # 1-row order-total scalar broadcast
     "c29_mmr",              # inherits the bounded query-set broadcast
     "c32_temporal_split",   # 1-row total + 1-row cutoff-day broadcasts
+    "c32_oversample",       # 1-row majority-count scalar broadcast
 }
 
 
