@@ -118,6 +118,8 @@ HEADLINE = [
     "c35_merge",             # 3-arm MERGE full-outer + router
     "c34_dwell",             # lag-window gap stats + ranked median
     "c32_temporal_split",    # day-histogram cut + leakage audit
+    "c31_resample_audio",    # decimate + re-encode + verify in-kernel
+    "c32_oversample",        # class-balance explode + audit count
 ]
 
 
