@@ -612,3 +612,36 @@ def collocation_lift(documents: DataFrame, min_pair: int = 5) -> DataFrame:
                   / F.col("n_left").cast("double"))
                  * (F.col("n_total").cast("double")
                     / F.col("n_right").cast("double"))).alias("lift")))
+
+
+def phrase_search(documents: DataFrame,
+                  phrase: str = "table scan") -> DataFrame:
+    """C30r: exact phrase search over a POSITIONAL inverted index — the
+    serving-side IR primitive (quoted-query retrieval): index = one
+    (word, doc_id, pos) posting list, a k-word phrase answers as a
+    k-way self-join of the k terms' posting lists on
+    (doc_id, pos + offset), so cost is bounded by the RAREST term's
+    posting list, never a document rescan. Emits per-document hit
+    count and first match position.
+
+    Scale shape: the index build is one posexplode projection (no
+    shuffle); each join keys on (doc_id, pos±const) — all equi-joins,
+    and Catalyst reorders them so the most selective posting list
+    drives. Pure integer/string ops, engine-exact."""
+    words = phrase.split(" ")
+    idx = (documents
+           .select("doc_id",
+                   F.posexplode(F.split(F.trim("text"), " "))
+                   .alias("pos", "w")))
+    hits = (idx.filter(F.col("w") == words[0])
+            .select("doc_id", F.col("pos").alias("p0")))
+    for i, wd in enumerate(words[1:], start=1):
+        nxt = (idx.filter(F.col("w") == wd)
+               .select(F.col("doc_id").alias("_d"),
+                       (F.col("pos") - i).alias("_p")))
+        hits = (hits.join(nxt, (hits.doc_id == nxt._d)
+                          & (hits.p0 == nxt._p))
+                .select("doc_id", "p0"))
+    return (hits.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.min("p0").alias("first_pos")))

@@ -4314,6 +4314,28 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c30_phrase": QuerySpec(
+        # C30r: positional-index phrase search, k-way posting-list join
+        # on (doc, pos + offset). Spark pos is 0-based, DuckDB 1-based —
+        # offsets are relative, so hit sets agree; first_pos aligns by
+        # subtracting 1 from DuckDB's.
+        _t("documents")(text.phrase_search),
+        """
+        WITH idx AS (
+            SELECT doc_id, i - 1 AS pos, parts[i] AS w
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS parts
+                  FROM documents),
+                 LATERAL unnest(generate_series(1, len(parts))) AS u(i)),
+        h0 AS (SELECT doc_id, pos AS p0 FROM idx WHERE w = 'table'),
+        h1 AS (
+            SELECT h0.doc_id, h0.p0
+            FROM h0 JOIN idx i1
+              ON i1.doc_id = h0.doc_id AND i1.pos - 1 = h0.p0
+            WHERE i1.w = 'scan')
+        SELECT doc_id, count(*) AS n_hits,
+               CAST(min(p0) AS INTEGER) AS first_pos
+        FROM h1 GROUP BY doc_id
+        """),
     "c33_cusum": QuerySpec(
         # C33k: CUSUM via the reset-free identity S = P - min(0, run-min
         # P) — two window passes, exact integers, zero float ops.
