@@ -103,3 +103,41 @@ def link_records(customer: DataFrame, max_edit: int = 9) -> DataFrame:
                 "edit_dist",
                 "cents_diff",
                 (F.col("c_custkey") == F.col("dirty_id")).alias("correct")))
+
+
+def golden_records(customer: DataFrame, max_edit: int = 9) -> DataFrame:
+    """C39b: survivorship — the step after assignment in an entity-
+    resolution pipeline: fold each clean record's matched dirty
+    observations into ONE golden record. Identity fields survive from
+    the clean side; the observed balance survives from the BEST dirty
+    observation (best by the assignment's own deterministic ordering:
+    edit distance, |cent delta|, dirty id), and the row carries its
+    source count and an updated flag. One aggregate over the match
+    table plus one keyed left join back to the clean side — the match
+    table is already ≤ the dirty cardinality, so survivorship adds no
+    data-scale work beyond linkage itself."""
+    matches = link_records(customer, max_edit=max_edit)
+    clean = customer.select(
+        "c_custkey", "c_mktsegment",
+        _cents(F.col("c_acctbal")).alias("cents"))
+    best = (matches
+            .groupBy("matched_custkey")
+            .agg(F.count(F.lit(1)).alias("n_dirty"),
+                 F.min(F.struct("edit_dist",
+                                F.abs("cents_diff").alias("_ad"),
+                                "dirty_id", "cents_diff")).alias("_b"))
+            .select("matched_custkey", "n_dirty",
+                    F.col("_b.cents_diff").alias("best_diff")))
+    return (clean
+            .join(best, clean.c_custkey == best.matched_custkey, "left")
+            .select(
+                F.col("c_custkey").alias("custkey"),
+                F.col("c_mktsegment").alias("segment"),
+                F.col("cents").alias("cents_clean"),
+                F.when(F.col("matched_custkey").isNotNull(),
+                       F.col("cents") - F.col("best_diff"))
+                .otherwise(F.col("cents")).alias("cents_observed"),
+                (F.lit(1) + F.coalesce("n_dirty",
+                                       F.lit(0).cast("long")))
+                .cast("long").alias("n_sources"),
+                F.col("matched_custkey").isNotNull().alias("updated")))

@@ -1367,6 +1367,38 @@ def _pagerank_oracle(iterations: int = 10, n_nodes: int = 25) -> str:
     """
 
 
+# C39 record linkage: the blocking/verify/rank pipeline as a shared CTE
+# prefix — c39_link reads the 1:1 assignment, c39_golden folds it into
+# survivorship records on the clean side.
+_LINKAGE_CTE = """clean AS (
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM customer),
+        dirty AS (
+            SELECT c_custkey AS dirty_id,
+                   regexp_replace(c_name, '#0+', '#') AS d_name,
+                   c_nationkey AS d_nationkey,
+                   c_mktsegment AS d_mktsegment,
+                   cents + (c_custkey % 7 - 3) AS d_cents
+            FROM clean WHERE c_custkey % 3 = 0),
+        cand AS (
+            SELECT d.dirty_id, c.c_custkey,
+                   CAST(levenshtein(d.d_name, c.c_name) AS INTEGER)
+                       AS edit_dist,
+                   c.cents - d.d_cents AS cents_diff
+            FROM dirty d JOIN clean c
+              ON c.c_nationkey = d.d_nationkey
+             AND c.c_mktsegment = d.d_mktsegment
+             AND abs(c.cents - d.d_cents) <= 10
+            WHERE levenshtein(d.d_name, c.c_name) <= 9),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY dirty_id
+                       ORDER BY edit_dist, abs(cents_diff), c_custkey)
+                   AS rn
+            FROM cand)"""
+
+
 _QUERY_DEFS: dict[str, QuerySpec] = {
     # ------------------------------------------------------------------
     # Reference operators (SURVEY §2A)
@@ -4804,37 +4836,40 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # ±tolerance band-bucket equi-join (a 21-cent window spans at
         # most two 1000-cent buckets), so blocking is physical-only.
         _t("customer")(linkage.link_records),
-        """
-        WITH clean AS (
-            SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-                   CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
-            FROM customer),
-        dirty AS (
-            SELECT c_custkey AS dirty_id,
-                   regexp_replace(c_name, '#0+', '#') AS d_name,
-                   c_nationkey AS d_nationkey,
-                   c_mktsegment AS d_mktsegment,
-                   cents + (c_custkey % 7 - 3) AS d_cents
-            FROM clean WHERE c_custkey % 3 = 0),
-        cand AS (
-            SELECT d.dirty_id, c.c_custkey,
-                   CAST(levenshtein(d.d_name, c.c_name) AS INTEGER)
-                       AS edit_dist,
-                   c.cents - d.d_cents AS cents_diff
-            FROM dirty d JOIN clean c
-              ON c.c_nationkey = d.d_nationkey
-             AND c.c_mktsegment = d.d_mktsegment
-             AND abs(c.cents - d.d_cents) <= 10
-            WHERE levenshtein(d.d_name, c.c_name) <= 9),
-        ranked AS (
-            SELECT *, row_number() OVER (
-                       PARTITION BY dirty_id
-                       ORDER BY edit_dist, abs(cents_diff), c_custkey)
-                   AS rn
-            FROM cand)
+        f"""
+        WITH {_LINKAGE_CTE}
         SELECT dirty_id, c_custkey AS matched_custkey, edit_dist,
                cents_diff, c_custkey = dirty_id AS correct
         FROM ranked WHERE rn = 1
+        """),
+    "c39_golden": QuerySpec(
+        # C39b: survivorship — fold each clean record's matched dirty
+        # observations into one golden record (best observation by the
+        # assignment's own ordering), clean identity fields win.
+        _t("customer")(linkage.golden_records),
+        f"""
+        WITH {_LINKAGE_CTE},
+        matches AS (
+            SELECT dirty_id, c_custkey, edit_dist, cents_diff
+            FROM ranked WHERE rn = 1),
+        best AS (
+            SELECT c_custkey, cents_diff AS best_diff,
+                   count(*) OVER (PARTITION BY c_custkey) AS n_dirty,
+                   row_number() OVER (
+                       PARTITION BY c_custkey
+                       ORDER BY edit_dist, abs(cents_diff), dirty_id)
+                       AS brn
+            FROM matches)
+        SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+               c.cents AS cents_clean,
+               CASE WHEN b.c_custkey IS NOT NULL
+                    THEN c.cents - b.best_diff ELSE c.cents
+               END AS cents_observed,
+               CAST(1 + coalesce(b.n_dirty, 0) AS BIGINT) AS n_sources,
+               b.c_custkey IS NOT NULL AS updated
+        FROM clean c
+        LEFT JOIN (SELECT * FROM best WHERE brn = 1) b
+          ON b.c_custkey = c.c_custkey
         """),
 }
 
