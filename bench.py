@@ -120,6 +120,9 @@ HEADLINE = [
     "c32_temporal_split",    # day-histogram cut + leakage audit
     "c31_resample_audio",    # decimate + re-encode + verify in-kernel
     "c32_oversample",        # class-balance explode + audit count
+    "c33_cusum",             # two-window reset-free CUSUM
+    "c30_phrase",            # posting-list phrase join
+    "c39_golden",            # linkage + survivorship fold
 ]
 
 

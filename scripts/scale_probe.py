@@ -175,6 +175,8 @@ PROBE_QUERIES = [
     "c32_temporal_split",   # day histogram + keyed audit agg
     "c31_resample_audio",   # in-kernel decimate + re-encode + verify
     "c32_oversample",       # sequence-explode replication + count
+    "c33_cusum",            # two keyed window passes, integer math
+    "c30_phrase",           # posting-list equi-joins
     # c38_triangles is deliberately NOT probed: its edge list is the
     # exact n-gram Jaccard pair graph, and on the copy-synthesized 10x
     # data (doc text repeats) clone clusters make the PAIR SET itself
