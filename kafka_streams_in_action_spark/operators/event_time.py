@@ -530,3 +530,90 @@ def dwell_stats(events: DataFrame) -> DataFrame:
         (F.sum("gap_us").cast("double")
          / F.count(F.lit(1)).cast("double")).alias("mean_gap_us"))
     return agg.join(med, "event_type")
+
+
+def km_survival(events: DataFrame, churn_days: int = 14) -> DataFrame:
+    """C34k: Kaplan-Meier survival curve of user lifetime with churn
+    censoring — the retention statistic product analytics actually
+    reports (KM handles the users still active at observation end,
+    which a naive lifetime histogram silently treats as churned).
+    Setup: a user's duration is their observed span in days; the churn
+    EVENT is a last-seen gap > `churn_days` before the corpus end;
+    users active within the horizon are CENSORED.
+
+        S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)
+
+    Scale shape: one keyed per-user aggregate (the data-scale pass),
+    then everything operates on the BOUNDED duration table (≤ span in
+    days): at-risk counts are one cumulative window, and the product
+    folds a collected factor array left-to-right with a JVM aggregate
+    lambda — the same sequential-fold discipline as the EWMA row, so
+    each factor (one correctly-rounded division and subtraction) and
+    the running product are bit-identical to the oracle's list_reduce.
+    Output: (dur_days, n_risk, n_events, n_censored, survival)."""
+    spans = (events.groupBy("user_id")
+             .agg(F.min(F.unix_micros("ts")).alias("first_us"),
+                  F.max(F.unix_micros("ts")).alias("last_us")))
+    end = events.agg(F.max(F.unix_micros("ts")).alias("end_us"))
+    day_us = 86_400_000_000
+    per_user = (spans.crossJoin(F.broadcast(end))
+                .select(
+                    F.expr(f"(last_us - first_us) div {day_us}")
+                    .alias("dur_days"),
+                    (F.col("end_us") - F.col("last_us")
+                     > churn_days * day_us).alias("churned")))
+    total = per_user.agg(F.count(F.lit(1)).alias("n_total"))
+    tbl = (per_user.groupBy("dur_days")
+           .agg(F.sum(F.when(F.col("churned"), 1).otherwise(0))
+                .cast("long").alias("n_events"),
+                F.sum(F.when(~F.col("churned"), 1).otherwise(0))
+                .cast("long").alias("n_censored"))
+           .crossJoin(F.broadcast(total)))
+    w = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, -1)
+    wf = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, 0)
+    at_risk = (F.col("n_total")
+               - F.coalesce(F.sum(F.col("n_events") + F.col("n_censored"))
+                            .over(w), F.lit(0)))
+    factor = (F.lit(1.0)
+              - F.col("n_events").cast("double")
+              / F.col("n_risk").cast("double"))
+    return (tbl
+            .withColumn("n_risk", at_risk)
+            .withColumn("_f", factor)
+            .withColumn("_fs", F.collect_list("_f").over(wf))
+            .withColumn("survival", F.expr(
+                "aggregate(_fs, CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)"))
+            .select("dur_days", "n_risk", "n_events", "n_censored",
+                    "survival"))
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """C16d: OHLC candle bars — resample each user's value series to
+    daily open / high / low / close / volume bars, the financial-style
+    downsampling every time-series store ships beside ffill (C16b) and
+    interpolation (C16c). Open/close select by one ranked window per
+    direction over the (ts, event_id) total order (the deterministic
+    tie-break every ordered operator here uses — never an arg-min over
+    a packed key, which can collide); high/low/volume are plain
+    aggregates and the day's turnover uses the dsum fixed-point, so
+    the whole bar is engine-exact. One keyed exchange: the windows and
+    the final aggregate share the (user, day) partitioning."""
+    wa = Window.partitionBy("user_id", "_day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "_day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    base = (events
+            .withColumn("_day", F.to_date("ts"))
+            .withColumn("_ra", F.row_number().over(wa))
+            .withColumn("_rd", F.row_number().over(wd)))
+    return (base
+            .groupBy("user_id", F.col("_day").alias("day"))
+            .agg(F.max(F.when(F.col("_ra") == 1, F.col("value")))
+                 .alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max(F.when(F.col("_rd") == 1, F.col("value")))
+                 .alias("close"),
+                 F.count(F.lit(1)).alias("volume"),
+                 dsum("value").alias("turnover")))

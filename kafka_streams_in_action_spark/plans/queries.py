@@ -4346,6 +4346,76 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c16_ohlc": QuerySpec(
+        # C16d: daily OHLC bars; open/close via ranked windows over the
+        # (ts, event_id) total order, turnover via DSUM.
+        _t("events")(event_time.ohlc_bars),
+        f"""
+        WITH b AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, value,
+                   row_number() OVER (PARTITION BY user_id,
+                                      CAST(ts AS DATE)
+                                      ORDER BY ts, event_id) AS ra,
+                   row_number() OVER (PARTITION BY user_id,
+                                      CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rd
+            FROM events)
+        SELECT user_id, day,
+               max(CASE WHEN ra = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rd = 1 THEN value END) AS close,
+               count(*) AS volume,
+               {DSUM.format(x='value')} AS turnover
+        FROM b GROUP BY user_id, day
+        """),
+    "c34_survival": QuerySpec(
+        # C34k: Kaplan-Meier churn survival — sequential product over
+        # the bounded duration table via the ordered-frame fold (same
+        # engine-exact discipline as the EWMA row).
+        _t("events")(event_time.km_survival),
+        """
+        WITH spans AS (
+            SELECT user_id, min(epoch_us(ts)) AS first_us,
+                   max(epoch_us(ts)) AS last_us
+            FROM events GROUP BY 1),
+        e AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+        pu AS (
+            SELECT (last_us - first_us) // 86400000000 AS dur_days,
+                   end_us - last_us > 14 * 86400000000 AS churned
+            FROM spans, e),
+        tot AS (SELECT count(*) AS n_total FROM pu),
+        tbl AS (
+            SELECT dur_days,
+                   CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN NOT churned THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_censored
+            FROM pu GROUP BY 1),
+        r AS (
+            SELECT dur_days, n_events, n_censored,
+                   n_total - CAST(coalesce(sum(n_events + n_censored)
+                       OVER (ORDER BY dur_days
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+            FROM tbl, tot),
+        f AS (
+            SELECT dur_days, n_risk, n_events, n_censored,
+                   CAST(1.0 AS DOUBLE)
+                     - CAST(n_events AS DOUBLE)
+                       / CAST(n_risk AS DOUBLE) AS fct
+            FROM r),
+        g AS (
+            SELECT dur_days, n_risk, n_events, n_censored,
+                   list(fct) OVER (ORDER BY dur_days
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS fs
+            FROM f)
+        SELECT dur_days, n_risk, n_events, n_censored,
+               list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fs),
+                           (a, b) -> a * b) AS survival
+        FROM g
+        """),
     "c30_phrase": QuerySpec(
         # C30r: positional-index phrase search, k-way posting-list join
         # on (doc, pos + offset). Spark pos is 0-based, DuckDB 1-based —
