@@ -4346,6 +4346,19 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c35_wap": QuerySpec(
+        # C35f: write-audit-publish on real files; verdict earned from
+        # the published directory (stage → audit read-back → atomic
+        # rename; a failing audit never publishes).
+        lambda spark, sf_dir: layout.wap_publish(
+            spark, load_table(spark, "events", sf_dir),
+            __import__("tempfile").mkdtemp(prefix="c35_wap_")),
+        """
+        SELECT count(*) AS n_rows, TRUE AS audit_pass,
+               TRUE AS published, TRUE AS readback_complete
+        FROM events
+        """),  # the booleans are computed from the REAL staged/published
+    #   directories; the failing-audit arm is pinned by pytest
     "c16_ohlc": QuerySpec(
         # C16d: daily OHLC bars; open/close via ranked windows over the
         # (ts, event_id) total order, turnover via DSUM.

@@ -223,7 +223,9 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c38_reach", "c34_throttle_stream", "c12_holt_stream",
                     # greedy-selection loop checkpoints bounded
                     # candidate frames at build (r8)
-                    "c29_mmr"):
+                    "c29_mmr",
+                    # stage/audit/publish real files at build (r8)
+                    "c35_wap"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)

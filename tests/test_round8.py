@@ -367,3 +367,37 @@ def test_temporal_split_cuts_at_day_and_guards_leakage(spark):
     row = sampling.temporal_split(ev).collect()[0]
     assert row["n_train"] == 8 and row["n_test"] == 2
     assert row["no_leakage"] is True
+
+
+# ------------------------------------------------------------------- WAP
+
+def test_wap_failing_audit_never_publishes(spark, tmp_path):
+    """A duplicate key in the batch must fail the audit: nothing lands
+    in the serving location and the staged files survive for
+    inspection."""
+    import os
+
+    from kafka_streams_in_action_spark.operators.layout import wap_publish
+
+    ev = _events(spark, [(1, 1, 0, 1.0), (2, 1, 1, 2.0)])
+    dup = ev.unionAll(ev.filter(F.col("event_id") == 1))
+    base = str(tmp_path / "wap")
+    row = wap_publish(spark, dup, base).collect()[0]
+    assert row["audit_pass"] is False and row["published"] is False
+    assert row["readback_complete"] is False and row["n_rows"] == 0
+    assert os.path.exists(f"{base}/staged")
+    assert not os.path.exists(f"{base}/published")
+
+
+def test_wap_clean_batch_publishes_atomically(spark, tmp_path):
+    import os
+
+    from kafka_streams_in_action_spark.operators.layout import wap_publish
+
+    ev = _events(spark, [(1, 1, 0, 1.0), (2, 1, 1, 2.0)])
+    base = str(tmp_path / "wap_ok")
+    row = wap_publish(spark, ev, base).collect()[0]
+    assert row["audit_pass"] and row["published"]
+    assert row["readback_complete"] and row["n_rows"] == 2
+    assert not os.path.exists(f"{base}/staged")   # renamed away
+    assert os.path.exists(f"{base}/published")
