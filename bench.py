@@ -123,6 +123,9 @@ HEADLINE = [
     "c33_cusum",             # two-window reset-free CUSUM
     "c30_phrase",            # posting-list phrase join
     "c39_golden",            # linkage + survivorship fold
+    "c34_survival",          # KM product over the duration table
+    "c16_ohlc",              # ranked-window candle bars
+    "c35_wap",               # stage + audit + atomic publish
 ]
 
 
