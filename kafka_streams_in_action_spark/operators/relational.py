@@ -1354,3 +1354,39 @@ def cusum_changepoints(events: DataFrame, slack_milli: int = 10_000,
             .withColumn("cusum_m", s)
             .filter(F.col("cusum_m") > h_milli)
             .select("event_type", "event_id", "value", "cusum_m"))
+
+
+def mad_outlier_stats(events: DataFrame, k: int = 3) -> DataFrame:
+    """C33m: robust outlier fences via the Median Absolute Deviation —
+    the heavy-tail-safe alternative to the z-score row (C33h): mean/std
+    move with the outliers they're meant to find; median/MAD don't.
+    Both the center and the spread are rank-selected DATA POINTS over
+    exact milli-unit integers (the C32i discrete-quantile discipline),
+    and the fence test |x − med| > k·MAD is a pure integer comparison —
+    zero float ops end to end. Two ranked passes per type (values, then
+    absolute deviations) + one final aggregate; all three share the
+    event_type exchange."""
+    m = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    base = events.select("event_type", "event_id", m.alias("_m"))
+    wv = Window.partitionBy("event_type").orderBy("_m", "event_id")
+    wn = Window.partitionBy("event_type")
+    med = (base
+           .withColumn("_rn", F.row_number().over(wv))
+           .withColumn("_n", F.count(F.lit(1)).over(wn))
+           .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+           .select("event_type", F.col("_m").alias("med_m")))
+    dev = (base.join(med, "event_type")
+           .withColumn("_d", F.abs(F.col("_m") - F.col("med_m"))))
+    wd = Window.partitionBy("event_type").orderBy("_d", "event_id")
+    mad = (dev
+           .withColumn("_rn", F.row_number().over(wd))
+           .withColumn("_n", F.count(F.lit(1)).over(wn))
+           .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+           .select("event_type", F.col("_d").alias("mad_m")))
+    return (dev.join(mad, "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.first("med_m").alias("med_milli"),
+                 F.first("mad_m").alias("mad_milli"),
+                 F.sum(F.when(F.col("_d") > k * F.col("mad_m"), 1)
+                       .otherwise(0)).cast("long").alias("n_outliers")))

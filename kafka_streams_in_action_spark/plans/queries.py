@@ -4346,6 +4346,44 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c33_mad": QuerySpec(
+        # C33m: median/MAD robust outlier fences — rank-selected center
+        # and spread, integer fence test, zero float ops.
+        _t("events")(relational.mad_outlier_stats),
+        """
+        WITH b AS (
+            SELECT event_type, event_id,
+                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS m
+            FROM events),
+        r AS (
+            SELECT event_type, m,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY m, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM b),
+        med AS (SELECT event_type, m AS med_m
+                FROM r WHERE rn = (n + 1) // 2),
+        dev AS (
+            SELECT b.event_type, b.event_id,
+                   abs(b.m - med.med_m) AS d, med.med_m
+            FROM b JOIN med USING (event_type)),
+        rd AS (
+            SELECT event_type, d,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY d, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dev),
+        mad AS (SELECT event_type, d AS mad_m
+                FROM rd WHERE rn = (n + 1) // 2)
+        SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(any_value(dev.med_m) AS BIGINT) AS med_milli,
+               CAST(any_value(mad.mad_m) AS BIGINT) AS mad_milli,
+               CAST(sum(CASE WHEN dev.d > 3 * mad.mad_m
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY 1
+        """),
     "c35_wap": QuerySpec(
         # C35f: write-audit-publish on real files; verdict earned from
         # the published directory (stage → audit read-back → atomic
