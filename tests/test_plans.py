@@ -167,6 +167,7 @@ _BNLJ_ALLOWED = {
     "c29_mmr",              # inherits the bounded query-set broadcast
     "c32_temporal_split",   # 1-row total + 1-row cutoff-day broadcasts
     "c32_oversample",       # 1-row majority-count scalar broadcast
+    "c34_survival",         # 1-row corpus-end + user-total scalars
 }
 
 
