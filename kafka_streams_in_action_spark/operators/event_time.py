@@ -617,3 +617,49 @@ def ohlc_bars(events: DataFrame) -> DataFrame:
                  .alias("close"),
                  F.count(F.lit(1)).alias("volume"),
                  dsum("value").alias("turnover")))
+
+
+def daily_xcorr(events: DataFrame, max_lag: int = 2) -> DataFrame:
+    """C12g: lead-lag cross-correlation between event-type activity
+    series — Pearson r of daily milli-unit totals for every ordered
+    type pair at lags −max_lag..+max_lag, the lead-lag screen behind
+    "does type A's volume anticipate type B's?". Data-scale work is one
+    (type, day) aggregate; the lag join and the correlation run on the
+    BOUNDED daily table (types × days). Engine-exact: the five
+    sufficient statistics are exact BIGINT sums; r then derives through
+    one fixed tree of double conversions, multiplies, two correctly-
+    rounded sqrts and a division (same discipline as the z-score row).
+    Zero-variance alignments are excluded (deterministically) rather
+    than emitted as NaN."""
+    m = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    d = (events
+         .groupBy("event_type", F.to_date("ts").alias("day"))
+         .agg(F.sum(m).alias("x")))
+    lags = F.explode(F.array(*[F.lit(i) for i in
+                               range(-max_lag, max_lag + 1)]))
+    a = (d.select(F.col("event_type").alias("type_a"),
+                  F.col("day").alias("day_a"),
+                  F.col("x").alias("xa"))
+         .withColumn("lag", lags)
+         .withColumn("day_b", F.date_add("day_a", F.col("lag"))))
+    b = d.select(F.col("event_type").alias("type_b"),
+                 F.col("day").alias("day_b"),
+                 F.col("x").alias("xb"))
+    joined = a.join(b, ["day_b"]).filter(F.col("type_a") < F.col("type_b"))
+    agg = (joined.groupBy("type_a", "type_b", "lag")
+           .agg(F.count(F.lit(1)).alias("n_days"),
+                F.sum("xa").alias("sx"), F.sum("xb").alias("sy"),
+                F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+                F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+                F.sum(F.col("xb") * F.col("xb")).alias("syy")))
+    nd = F.col("n_days").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    r = (nd * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary))
+    return (agg
+            .withColumn("_vx", varx).withColumn("_vy", vary)
+            .filter((F.col("_vx") > 0) & (F.col("_vy") > 0))
+            .select("type_a", "type_b", "lag", "n_days", r.alias("r")))

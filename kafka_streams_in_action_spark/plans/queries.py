@@ -4346,6 +4346,46 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c12_xcorr": QuerySpec(
+        # C12g: lead-lag Pearson r of daily activity totals over the
+        # bounded (type, day) table; exact integer sufficient stats,
+        # one fixed IEEE tree.
+        _t("events")(event_time.daily_xcorr),
+        """
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        lg AS (SELECT unnest(generate_series(-2, 2)) AS lag),
+        j AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(lg.lag AS INTEGER) AS lag, a.x AS xa, b.x AS xb
+            FROM d a
+            CROSS JOIN lg
+            JOIN d b ON b.day = a.day + CAST(lg.lag AS INTEGER)
+            WHERE a.event_type < b.event_type),
+        agg AS (
+            SELECT type_a, type_b, lag, count(*) AS n_days,
+                   CAST(sum(xa) AS BIGINT) AS sx,
+                   CAST(sum(xb) AS BIGINT) AS sy,
+                   CAST(sum(xa * xb) AS BIGINT) AS sxy,
+                   CAST(sum(xa * xa) AS BIGINT) AS sxx,
+                   CAST(sum(xb * xb) AS BIGINT) AS syy
+            FROM j GROUP BY 1, 2, 3),
+        f AS (
+            SELECT type_a, type_b, lag, n_days,
+                   CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                   CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+                   CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+            FROM agg)
+        SELECT type_a, type_b, lag, n_days,
+               cv / (sqrt(vx) * sqrt(vy)) AS r
+        FROM f WHERE vx > 0 AND vy > 0
+        """),
     "c33_mad": QuerySpec(
         # C33m: median/MAD robust outlier fences — rank-selected center
         # and spread, integer fence test, zero float ops.
