@@ -126,6 +126,8 @@ HEADLINE = [
     "c34_survival",          # KM product over the duration table
     "c16_ohlc",              # ranked-window candle bars
     "c35_wap",               # stage + audit + atomic publish
+    "c33_mad",               # two ranked passes + integer fences
+    "c12_xcorr",             # lag join over the bounded day table
 ]
 
 

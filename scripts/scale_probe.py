@@ -179,6 +179,8 @@ PROBE_QUERIES = [
     "c30_phrase",           # posting-list equi-joins
     "c34_survival",         # per-user agg + bounded product table
     "c16_ohlc",             # two ranked windows + keyed agg
+    "c33_mad",              # two ranked passes per type
+    "c12_xcorr",            # day-table lag join + exact stats
     # c38_triangles is deliberately NOT probed: its edge list is the
     # exact n-gram Jaccard pair graph, and on the copy-synthesized 10x
     # data (doc text repeats) clone clusters make the PAIR SET itself
