@@ -401,3 +401,66 @@ def test_wap_clean_batch_publishes_atomically(spark, tmp_path):
     assert row["readback_complete"] and row["n_rows"] == 2
     assert not os.path.exists(f"{base}/staged")   # renamed away
     assert os.path.exists(f"{base}/published")
+
+
+# -------------------------------------------------------------- survival
+
+def test_km_survival_is_monotone_and_hand_checked(spark):
+    """3 users churned at durations 0,0,1; 1 censored at 1 (active at
+    corpus end): S after t=0 is (1 - 2/4) = 0.5; at t=1 the at-risk set
+    is 2 with 1 event → S = 0.5 * 0.5 = 0.25."""
+    rows = [(1, 1, 0, 1.0),                       # user 1: dur 0, churned
+            (2, 2, 0, 1.0),                       # user 2: dur 0, churned
+            (3, 3, 0, 1.0), (4, 3, 24 * 60, 1.0),  # user 3: dur 1, churned
+            (5, 4, 30 * 24 * 60, 1.0),            # user 4: dur 1, active
+            (6, 4, 31 * 24 * 60, 1.0)]
+    ev = _events(spark, rows)
+    out = {r["dur_days"]: r
+           for r in event_time.km_survival(ev).collect()}
+    assert out[0]["n_risk"] == 4 and out[0]["n_events"] == 2
+    assert abs(out[0]["survival"] - 0.5) < 1e-15
+    assert out[1]["n_risk"] == 2 and out[1]["n_events"] == 1
+    assert out[1]["n_censored"] == 1
+    assert abs(out[1]["survival"] - 0.25) < 1e-15
+
+
+# ------------------------------------------------------------------ OHLC
+
+def test_ohlc_bar_by_hand(spark):
+    ev = _events(spark, [(1, 1, 0, 5.0), (2, 1, 10, 9.0),
+                         (3, 1, 20, 2.0), (4, 1, 30, 7.0)])
+    row = event_time.ohlc_bars(ev).collect()[0]
+    assert (row["open"], row["high"], row["low"], row["close"]) == \
+        (5.0, 9.0, 2.0, 7.0)
+    assert row["volume"] == 4 and row["turnover"] == 23.0
+
+
+# ------------------------------------------------------------------- MAD
+
+def test_mad_flags_the_obvious_outlier(spark):
+    vals = [10.0] * 5 + [10.5] * 5 + [9.5] * 5 + [1000.0]
+    ev = _events(spark, [(i, 1, i, v) for i, v in enumerate(vals)])
+    row = relational.mad_outlier_stats(ev).collect()[0]
+    assert row["med_milli"] == 10000
+    assert row["mad_milli"] == 500
+    assert row["n_outliers"] == 1
+
+
+# ----------------------------------------------------------------- xcorr
+
+def test_xcorr_proportional_series_is_perfectly_correlated(spark):
+    """Type b's daily totals are exactly 2x type a's → r = 1 at lag 0."""
+    rows = []
+    eid = 0
+    for day in range(6):
+        v = float(10 + day * 3)
+        rows.append((eid, dt.datetime(2024, 1, 1 + day, 12), 1,
+                     "a", v, "{}")); eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1 + day, 13), 1,
+                     "b", 2 * v, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["lag"]: r["r"]
+           for r in event_time.daily_xcorr(ev).collect()}
+    assert abs(out[0] - 1.0) < 1e-12
