@@ -5085,6 +5085,18 @@ _ROUND7_PRIORITY = [
 ]
 
 assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
+
+# Round-8 window plan (to become _ROUND8_PRIORITY next round): the 33
+# rows registered after the r7 window froze — c39_link, c39_golden,
+# c28_par_dedup, c38_reach, c12_holt, c12_holt_stream, c34_throttle,
+# c34_throttle_stream, c33_chisq, c30_pmi, c32_systematic, c16_interp,
+# c31_vad, c7_basket, c33_gini, c29_mmr, c35_merge, c34_dwell,
+# c32_temporal_split, c31_resample_audio, c32_oversample, c33_cusum,
+# c30_phrase, c34_survival, c16_ohlc, c35_wap, c33_mad, c12_xcorr —
+# plus any judge items, then the oldest stale rows fill the remaining
+# slots. Every row above is already driver_sim-green at sf0.001 AND
+# sf0.01 and float-bit-exact; windowing them records the driver's own
+# hashes.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}
 QUERIES.update(
     {n: s for n, s in _QUERY_DEFS.items() if n not in QUERIES})
