@@ -128,6 +128,8 @@ HEADLINE = [
     "c35_wap",               # stage + audit + atomic publish
     "c33_mad",               # two ranked passes + integer fences
     "c12_xcorr",             # lag join over the bounded day table
+    "c30_lexdiv",            # word-frequency diversity report
+    "c38_assort",            # edge build + degree correlation
 ]
 
 

@@ -244,3 +244,41 @@ def khop_reachability(customer: DataFrame, orders: DataFrame,
             .join(nation, reached.node == nation.n_nationkey)
             .select(F.col("node").alias("nationkey"),
                     F.col("n_name").alias("nation"), "hops"))
+
+
+def degree_assortativity(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame,
+                         supplier: DataFrame) -> DataFrame:
+    """C38d: degree assortativity of the trade graph — the Pearson
+    correlation between source out-degree and destination in-degree
+    across edges (Newman 2002): positive = hubs trade with hubs
+    (resilient core), negative = hub-and-spoke. The standard one-number
+    topology summary after PageRank (importance) and the triangle
+    census (local density).
+
+    Degrees are unweighted edge counts (exact integers); the edge-level
+    sufficient statistics (Σx, Σy, Σxy, Σx², Σy², n) are exact BIGINT
+    sums over the bounded aggregated edge list, and r derives through
+    the same fixed IEEE tree as the C12g cross-correlation row. The
+    4-table edge build is the data-scale work; both degree joins key on
+    a node column."""
+    edges = (trade_edges(customer, orders, lineitem, supplier)
+             .select("src", "dst"))
+    out_d = edges.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
+    in_d = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
+    ed = edges.join(out_d, "src").join(in_d, "dst")
+    agg = ed.agg(F.count(F.lit(1)).alias("n_edges"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).alias("syy"))
+    nd = F.col("n_edges").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    r = (nd * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    return agg.select(
+        "n_edges",
+        F.when((vx > 0) & (vy > 0), r).alias("assortativity"))

@@ -645,3 +645,28 @@ def phrase_search(documents: DataFrame,
     return (hits.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_hits"),
                  F.min("p0").alias("first_pos")))
+
+
+def lexical_diversity(documents: DataFrame) -> DataFrame:
+    """C30s: corpus lexical-diversity report — vocabulary size, token
+    count, type-token ratio, and the hapax-legomena share (fraction of
+    vocabulary occurring exactly once): the quick health check that
+    separates natural text (hapax share ≈ 0.4-0.6 by Zipf) from
+    template spam (near 0) and OCR noise (near 1) before heavier
+    quality scoring. Two map-side-combinable aggregates over the word
+    frequency table; ratios are single correctly-rounded divisions of
+    exact counts. One bounded output row."""
+    freq = (documents
+            .select(F.explode(F.split(F.trim("text"), " ")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    return (freq.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("f").alias("n_tokens"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_hapax"))
+        .select("n_vocab", "n_tokens", "n_hapax",
+                (F.col("n_vocab").cast("double")
+                 / F.col("n_tokens").cast("double")).alias("type_token"),
+                (F.col("n_hapax").cast("double")
+                 / F.col("n_vocab").cast("double")).alias("hapax_share")))

@@ -4346,6 +4346,67 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),  # first-occurrence key packs (doc_id, pos) into one
     #   BIGINT (pos < 1e6 bounds any realistic segment count); Spark's
     #   min(struct) is the same lexicographic order
+    "c30_lexdiv": QuerySpec(
+        # C30s: vocabulary / type-token / hapax report — exact counts,
+        # two correctly-rounded divisions.
+        _t("documents")(text.lexical_diversity),
+        """
+        WITH f AS (
+            SELECT w, count(*) AS f FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS w
+                FROM documents)
+            WHERE w <> '' GROUP BY w)
+        SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+               CAST(sum(f) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST(count(*) AS DOUBLE) / CAST(CAST(sum(f) AS BIGINT)
+                   AS DOUBLE) AS type_token,
+               CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS hapax_share
+        FROM f
+        """),
+    "c38_assort": QuerySpec(
+        # C38d: degree assortativity of the trade graph — exact integer
+        # sufficient statistics, the C12g fixed IEEE tree.
+        _t("customer orders lineitem supplier")(
+            graph.degree_assortativity),
+        """
+        WITH e0 AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+        od AS (SELECT src, count(*) AS x FROM e0 GROUP BY 1),
+        idg AS (SELECT dst, count(*) AS y FROM e0 GROUP BY 1),
+        ed AS (
+            SELECT od.x, idg.y FROM e0
+            JOIN od ON od.src = e0.src
+            JOIN idg ON idg.dst = e0.dst),
+        agg AS (
+            SELECT count(*) AS n_edges,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM ed),
+        f AS (
+            SELECT n_edges,
+                   CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                   CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+                   CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+            FROM agg)
+        SELECT n_edges,
+               CASE WHEN vx > 0 AND vy > 0
+                    THEN cv / (sqrt(vx) * sqrt(vy)) END AS assortativity
+        FROM f
+        """),
     "c12_xcorr": QuerySpec(
         # C12g: lead-lag Pearson r of daily activity totals over the
         # bounded (type, day) table; exact integer sufficient stats,
@@ -5092,7 +5153,8 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c34_throttle_stream, c33_chisq, c30_pmi, c32_systematic, c16_interp,
 # c31_vad, c7_basket, c33_gini, c29_mmr, c35_merge, c34_dwell,
 # c32_temporal_split, c31_resample_audio, c32_oversample, c33_cusum,
-# c30_phrase, c34_survival, c16_ohlc, c35_wap, c33_mad, c12_xcorr —
+# c30_phrase, c34_survival, c16_ohlc, c35_wap, c33_mad, c12_xcorr,
+# c30_lexdiv, c38_assort —
 # plus any judge items, then the oldest stale rows fill the remaining
 # slots. Every row above is already driver_sim-green at sf0.001 AND
 # sf0.01 and float-bit-exact; windowing them records the driver's own

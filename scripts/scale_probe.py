@@ -181,6 +181,8 @@ PROBE_QUERIES = [
     "c16_ohlc",             # two ranked windows + keyed agg
     "c33_mad",              # two ranked passes per type
     "c12_xcorr",            # day-table lag join + exact stats
+    "c30_lexdiv",           # word-frequency agg + 1-row report
+    "c38_assort",           # 4-table edge build + degree joins
     # c38_triangles is deliberately NOT probed: its edge list is the
     # exact n-gram Jaccard pair graph, and on the copy-synthesized 10x
     # data (doc text repeats) clone clusters make the PAIR SET itself
