@@ -229,3 +229,121 @@ def holt_smoothing(events: DataFrame) -> DataFrame:
                 kernel,
                 "user_id long, event_id long, level double, "
                 "trend double, forecast double"))
+
+
+def equity_drawdown(events: DataFrame) -> DataFrame:
+    """C12h: per-user maximum drawdown — running balance (inflow types
+    positive, outflow types negative), running peak, and the deepest
+    peak-to-trough decline, the risk summary every per-entity value
+    series gets (portfolio equity, credit balance, engagement budget).
+
+    Engine-exact with ZERO float ops: flows are quantized to integer
+    milli-units, the cumulative/running-max/drawdown chain is pure
+    BIGINT window arithmetic, and the final balance is the plain flow
+    sum (identical to "last cumulative value" without an argmax). One
+    shuffle — the per-user window exchange — and the same exchange
+    feeds the groupBy, so Catalyst reuses the partitioning. Scale: per
+    key the frame is a running segment sum, O(1) amortized per row;
+    parallelism = user cardinality."""
+    m = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    flow = F.when(F.col("event_type").isin("purchase", "signup", "view"),
+                  m).otherwise(-m)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cur = (events
+           .select("user_id", "ts", "event_id", flow.alias("_f"))
+           .withColumn("_cum", F.sum("_f").over(w))
+           .withColumn("_peak", F.max("_cum").over(w))
+           .withColumn("_dd", F.col("_peak") - F.col("_cum")))
+    return (cur.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("_f").alias("final_milli"),
+                 F.max("_peak").alias("peak_milli"),
+                 F.max("_dd").alias("max_dd_milli")))
+
+
+def sma_crossover(events: DataFrame, fast: int = 3,
+                  slow: int = 7) -> DataFrame:
+    """C12i: moving-average crossover signals on per-type daily volume —
+    the classic golden-cross / death-cross detector. A fast (3-day) and
+    a slow (7-day) trailing total are compared WITHOUT ever forming a
+    mean: sign(SMA_f − SMA_s) = sign(s_f·slow − s_s·fast), an exact
+    BIGINT cross-multiplication, so the signal, its sign changes, and
+    every emitted column are pure integers — nothing for IEEE rounding
+    to perturb. Data-scale work is one (type, day) aggregate; the
+    rolling frames and the lag run on the bounded daily table."""
+    m = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    d = (events
+         .groupBy("event_type", F.to_date("ts").alias("day"))
+         .agg(F.sum(m).alias("t")))
+    wf = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-(fast - 1), 0))
+    ws = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-(slow - 1), 0))
+    framed = (d
+              .withColumn("s_fast", F.sum("t").over(wf))
+              .withColumn("c_fast", F.count(F.lit(1)).over(wf))
+              .withColumn("s_slow", F.sum("t").over(ws))
+              .withColumn("c_slow", F.count(F.lit(1)).over(ws))
+              .filter((F.col("c_fast") == fast)
+                      & (F.col("c_slow") == slow)))
+    diff = (F.col("s_fast") * F.lit(slow)
+            - F.col("s_slow") * F.lit(fast))
+    sgn = (F.when(diff > 0, 1).when(diff < 0, -1).otherwise(0)
+           .cast("int"))
+    wl = Window.partitionBy("event_type").orderBy("day")
+    sig = (framed.withColumn("sign", sgn)
+           .withColumn("prev_sign", F.lag("sign").over(wl)))
+    return (sig
+            .filter(F.col("prev_sign").isNotNull()
+                    & (F.col("prev_sign") != F.col("sign")))
+            .select("event_type", "day",
+                    "prev_sign", "sign",
+                    F.when(F.col("sign") > F.col("prev_sign"),
+                           F.lit("golden")).otherwise(F.lit("death"))
+                    .alias("direction"),
+                    F.col("s_fast").alias("s_fast_milli"),
+                    F.col("s_slow").alias("s_slow_milli")))
+
+
+def ols_trend(orders: DataFrame, customer: DataFrame,
+              nation: DataFrame) -> DataFrame:
+    """C12j: per-nation demand trend — ordinary-least-squares slope and
+    intercept of monthly order counts against a month index, the
+    one-line "is this segment growing?" regression behind every KPI
+    dashboard. Data-scale work is the orders⋈customer key join plus one
+    (nation, month) aggregate; the regression runs on the bounded
+    monthly table. Engine-exact: the five sufficient statistics AND the
+    slope denominator n·Σx²−(Σx)² are exact BIGINT; slope then costs
+    exactly one correctly-rounded double division, and the intercept
+    reuses slope through one fixed multiply/subtract/divide tree — the
+    same discipline as the cross-correlation row, bit-exact against the
+    oracle with no tolerance."""
+    x = ((F.year("o_orderdate") - F.lit(1995)) * 12
+         + F.month("o_orderdate") - 1).cast("long")
+    monthly = (orders
+               .join(customer, orders.o_custkey == customer.c_custkey)
+               .join(F.broadcast(nation),
+                     customer.c_nationkey == nation.n_nationkey)
+               .groupBy("n_name", x.alias("x"))
+               .agg(F.count(F.lit(1)).alias("y")))
+    agg = (monthly.groupBy(F.col("n_name").alias("nation"))
+           .agg(F.count(F.lit(1)).alias("n_months"),
+                F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    den = (F.col("n_months") * F.col("sxx")
+           - F.col("sx") * F.col("sx"))
+    nd = F.col("n_months").cast("double")
+    slope = ((F.col("n_months") * F.col("sxy")
+              - F.col("sx") * F.col("sy")).cast("double")
+             / den.cast("double"))
+    return (agg.withColumn("_den", den)
+            .filter(F.col("_den") > 0)
+            .withColumn("slope", slope)
+            .withColumn("intercept",
+                        (F.col("sy").cast("double")
+                         - F.col("slope") * F.col("sx").cast("double"))
+                        / nd)
+            .select("nation", "n_months", "slope", "intercept"))

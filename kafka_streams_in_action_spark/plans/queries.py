@@ -5093,6 +5093,108 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         LEFT JOIN (SELECT * FROM best WHERE brn = 1) b
           ON b.c_custkey = c.c_custkey
         """),
+    "c12_drawdown": QuerySpec(
+        # C12h: per-user max drawdown — cumulative signed flow, running
+        # peak, deepest peak-to-trough decline. Pure BIGINT windows.
+        _t("events")(windows.equity_drawdown),
+        """
+        WITH f AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type IN ('purchase', 'signup', 'view')
+                        THEN CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+                        ELSE -CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+                   END AS fl
+            FROM events),
+        c AS (
+            SELECT user_id, ts, event_id, fl,
+                   sum(fl) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+            FROM f),
+        p AS (
+            SELECT user_id, fl, cum,
+                   max(cum) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS peak
+            FROM c)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(fl) AS BIGINT) AS final_milli,
+               CAST(max(peak) AS BIGINT) AS peak_milli,
+               CAST(max(peak - cum) AS BIGINT) AS max_dd_milli
+        FROM p GROUP BY 1
+        """),
+    "c12_crossover": QuerySpec(
+        # C12i: SMA golden/death crossover via exact BIGINT
+        # cross-multiplication — no mean is ever formed.
+        _t("events")(windows.sma_crossover),
+        """
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS t
+            FROM events GROUP BY 1, 2),
+        fr AS (
+            SELECT event_type, day,
+                   sum(t) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS 2 PRECEDING) AS s_fast,
+                   count(*) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS 2 PRECEDING) AS c_fast,
+                   sum(t) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS 6 PRECEDING) AS s_slow,
+                   count(*) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS 6 PRECEDING) AS c_slow
+            FROM d),
+        sg AS (
+            SELECT event_type, day, s_fast, s_slow,
+                   CAST(CASE WHEN s_fast * 7 - s_slow * 3 > 0 THEN 1
+                             WHEN s_fast * 7 - s_slow * 3 < 0 THEN -1
+                             ELSE 0 END AS INTEGER) AS sign
+            FROM fr WHERE c_fast = 3 AND c_slow = 7),
+        lg AS (
+            SELECT event_type, day, s_fast, s_slow, sign,
+                   lag(sign) OVER (PARTITION BY event_type
+                                   ORDER BY day) AS prev_sign
+            FROM sg)
+        SELECT event_type, day, prev_sign, sign,
+               CASE WHEN sign > prev_sign THEN 'golden'
+                    ELSE 'death' END AS direction,
+               CAST(s_fast AS BIGINT) AS s_fast_milli,
+               CAST(s_slow AS BIGINT) AS s_slow_milli
+        FROM lg WHERE prev_sign IS NOT NULL AND prev_sign <> sign
+        """),
+    "c12_trend": QuerySpec(
+        # C12j: per-nation OLS demand trend — exact BIGINT sufficient
+        # stats and denominator; slope = one correctly-rounded divide,
+        # intercept = one fixed multiply/subtract/divide tree.
+        _t("orders customer nation")(windows.ols_trend),
+        """
+        WITH m AS (
+            SELECT n.n_name AS nation,
+                   CAST((year(o.o_orderdate) - 1995) * 12
+                        + month(o.o_orderdate) - 1 AS BIGINT) AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2),
+        agg AS (
+            SELECT nation, CAST(count(*) AS BIGINT) AS n_months,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM m GROUP BY 1),
+        d AS (
+            SELECT nation, n_months, sx, sy,
+                   n_months * sxx - sx * sx AS den,
+                   CAST(n_months * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_months * sxx - sx * sx AS DOUBLE) AS slope
+            FROM agg)
+        SELECT nation, n_months, slope,
+               (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                 / CAST(n_months AS DOUBLE) AS intercept
+        FROM d WHERE den > 0
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
