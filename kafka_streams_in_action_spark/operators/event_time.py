@@ -663,3 +663,50 @@ def daily_xcorr(events: DataFrame, max_lag: int = 2) -> DataFrame:
             .withColumn("_vx", varx).withColumn("_vy", vary)
             .filter((F.col("_vx") > 0) & (F.col("_vy") > 0))
             .select("type_a", "type_b", "lag", "n_days", r.alias("r")))
+
+
+def interval_concurrency(lineitem: DataFrame,
+                         hold_days: int = 7) -> DataFrame:
+    """C9f: interval-overlap concurrency — per supplier, the peak number
+    of simultaneously in-flight shipments, where each lineitem occupies
+    [l_shipdate, l_shipdate + hold_days). The sweep-line form of the
+    resource-counting workload (concurrent sessions, open connections,
+    warehouse slots): each interval contributes a +1 delta at its start
+    day and a −1 delta at its end day, the per-day net deltas cumulate
+    in event order, and the running sum IS the concurrency. The
+    half-open end means a shipment ending on day X no longer counts on
+    X. Peak day reported is the EARLIEST day attaining the peak.
+
+    Scale posture: intervals never join intervals — the sweep is one
+    explode (2 rows per shipment), one (supplier, day) aggregate, and
+    one per-supplier ordered window over the bounded day axis; all
+    integer arithmetic. Parallelism = supplier cardinality."""
+    start = F.to_date("l_shipdate")
+    deltas = (lineitem
+              .select(F.col("l_suppkey").alias("suppkey"),
+                      F.explode(F.array(
+                          F.struct(start.alias("day"),
+                                   F.lit(1).alias("d")),
+                          F.struct(F.date_add(start, hold_days)
+                                   .alias("day"),
+                                   F.lit(-1).alias("d")))).alias("e"))
+              .select("suppkey", "e.day", "e.d"))
+    daily = (deltas.groupBy("suppkey", "day")
+             .agg(F.sum("d").alias("net"),
+                  F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+                  .alias("starts")))
+    w = (Window.partitionBy("suppkey").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wk = Window.partitionBy("suppkey")
+    cur = (daily
+           .withColumn("conc", F.sum("net").over(w))
+           .withColumn("peak", F.max(F.sum("net").over(w)).over(wk)))
+    return (cur.filter(F.col("conc") == F.col("peak"))
+            .groupBy("suppkey")
+            .agg(F.min("day").alias("peak_day"),
+                 F.max("peak").alias("peak_concurrency"))
+            .join(lineitem.groupBy(F.col("l_suppkey").alias("suppkey"))
+                  .agg(F.count(F.lit(1)).alias("n_shipments")),
+                  "suppkey")
+            .select("suppkey", "n_shipments",
+                    "peak_concurrency", "peak_day"))

@@ -1390,3 +1390,151 @@ def mad_outlier_stats(events: DataFrame, k: int = 3) -> DataFrame:
                  F.first("mad_m").alias("mad_milli"),
                  F.sum(F.when(F.col("_d") > k * F.col("mad_m"), 1)
                        .otherwise(0)).cast("long").alias("n_outliers")))
+
+
+def rfm_scores(orders: DataFrame) -> DataFrame:
+    """C34h: RFM (recency / frequency / monetary) customer scoring — the
+    canonical marketing segmentation: days since last order against a
+    fixed anchor date, order count, and lifetime spend, each bucketed
+    into quintiles, plus a rule-based segment label. Fully
+    deterministic: quintiles are ntile(5) over total orders with the
+    customer key as the tie-break, spend is exact integer milli-units,
+    and the anchor is pinned (2002-01-01, just past the corpus) so
+    recency never depends on wall-clock.
+
+    Scale: the per-customer rollup is one keyed aggregate; the ntile
+    ranking is a global sort of the BOUNDED per-customer table (1 row
+    per customer — 1.5M rows at SF100, a single executor's sort). At
+    the 100 TB tier the same scores come from broadcasting 4 quantile
+    boundaries per dimension (rank-selected, c33_mad discipline) or the
+    c32_pack distributed prefix-sum rank; the ntile form is kept here
+    because its tie-break contract is the one the oracle can state
+    exactly."""
+    m = F.floor(F.col("o_totalprice") * 1000.0 + 0.5).cast("long")
+    base = (orders.groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.datediff(
+                     F.lit("2002-01-01").cast("date"),
+                     F.max(F.to_date("o_orderdate"))).alias("recency_days"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 F.sum(m).alias("monetary_milli")))
+    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("custkey"))
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col("custkey"))
+    m_w = Window.orderBy(F.col("monetary_milli").asc(), F.col("custkey"))
+    scored = (base
+              .withColumn("r_score", F.ntile(5).over(r_w))
+              .withColumn("f_score", F.ntile(5).over(f_w))
+              .withColumn("m_score", F.ntile(5).over(m_w)))
+    seg = (F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4),
+                  "champion")
+           .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+           .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4),
+                 "at_risk")
+           .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "lost")
+           .otherwise("core"))
+    return scored.select(
+        "custkey", "recency_days", "frequency", "monetary_milli",
+        "r_score", "f_score", "m_score", seg.alias("segment"))
+
+
+def timetravel_read(events: DataFrame) -> DataFrame:
+    """C35g: time-travel read over a CDC log — reconstruct keyed-store
+    state as of several historical cuts from an append-only change
+    stream, the "SELECT ... FOR TIMESTAMP AS OF" read path every
+    upsert/merge sink (c35_upsert, c35_merge, c35_scd2) implies. The
+    log: events keyed by user_id in (ts, event_id) order; 'error' rows
+    are deletes, everything else upserts the milli-quantized value. For
+    each pinned cut the state is each key's LAST op at or before the
+    cut; a key whose last op is a delete is dead.
+
+    Scale posture: the cut axis is a 3-element literal explode (no
+    join), and per (cut, key) the last op is an argmax via max(struct)
+    — a partial-aggregatable one-pass form, NOT a sort or window, so
+    the whole read is two hash aggregates at any data size."""
+    cuts = [F.lit(d).cast("timestamp")
+            for d in ("2024-01-08", "2024-01-15", "2024-01-22")]
+    log = (events
+           .select(F.col("user_id").alias("k"), "ts", "event_id",
+                   (F.col("event_type") == "error").alias("is_del"),
+                   F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+                   .alias("vm"))
+           .withColumn("as_of", F.explode(F.array(*cuts)))
+           .filter(F.col("ts") <= F.col("as_of")))
+    last = (log.groupBy("as_of", "k")
+            .agg(F.max(F.struct("ts", "event_id", "is_del", "vm"))
+                 .alias("s")))
+    return (last.groupBy(F.to_date("as_of").alias("as_of"))
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum(F.when(~F.col("s.is_del"), 1).otherwise(0))
+                 .alias("n_live"),
+                 F.sum(F.when(F.col("s.is_del"), 1).otherwise(0))
+                 .alias("n_deleted"),
+                 F.sum(F.when(~F.col("s.is_del"), F.col("s.vm"))
+                       .otherwise(0)).alias("live_value_milli")))
+
+
+def cascade_purge(customer: DataFrame, orders: DataFrame,
+                  lineitem: DataFrame) -> DataFrame:
+    """C35h: right-to-be-forgotten cascade — purge a customer set and
+    everything reachable from it (their orders, those orders' line
+    items), and AUDIT the result: per-table before/purged/after counts
+    plus an orphans-after invariant (kept child rows whose parent was
+    purged) recounted INDEPENDENTLY from the kept sets — a real check
+    that would go nonzero if the cascade rule were wrong, not a
+    by-construction zero. The purge set is custkey ≡ 0 (mod 97),
+    derived FROM the customer table and propagated by joins, exactly as
+    a deletion-request feed would be.
+
+    Scale posture: the request set reaches orders by key join (a
+    broadcast at realistic request-set sizes), and reaches lineitem
+    through the orders⋈lineitem fact join on orderkey. Only keys and
+    flags move; every count partial-aggregates. The bloom-pruned
+    semi-join (C6b) is the drop-in when the request set outgrows a
+    broadcast."""
+    req = (customer.filter(F.col("c_custkey") % 97 == 0)
+           .select(F.col("c_custkey").alias("pk")))
+    cust_kept = customer.join(F.broadcast(req),
+                              customer.c_custkey == req.pk, "left_anti")
+    cust = (customer.select(F.count(F.lit(1)).alias("rows_before"))
+            .crossJoin(cust_kept.select(
+                F.count(F.lit(1)).alias("rows_after")))
+            .select(F.lit("customer").alias("table_name"),
+                    "rows_before",
+                    (F.col("rows_before") - F.col("rows_after"))
+                    .alias("rows_purged"),
+                    "rows_after",
+                    F.lit(0).cast("long").alias("orphans_after")))
+    o_purged = (orders.join(F.broadcast(req),
+                            orders.o_custkey == req.pk, "left_semi")
+                .select("o_orderkey"))
+    o_kept = orders.join(F.broadcast(req),
+                         orders.o_custkey == req.pk, "left_anti")
+    # independent audit: kept orders that still reference a purged
+    # customer (a second semi-join against the request set)
+    ords = (orders.select(F.count(F.lit(1)).alias("rows_before"))
+            .crossJoin(o_kept.select(
+                F.count(F.lit(1)).alias("rows_after")))
+            .crossJoin(o_kept.join(
+                F.broadcast(req), o_kept.o_custkey == req.pk,
+                "left_semi").select(
+                    F.count(F.lit(1)).alias("orphans_after")))
+            .select(F.lit("orders").alias("table_name"),
+                    "rows_before",
+                    (F.col("rows_before") - F.col("rows_after"))
+                    .alias("rows_purged"),
+                    "rows_after", "orphans_after"))
+    li_kept = lineitem.join(o_purged,
+                            lineitem.l_orderkey == o_purged.o_orderkey,
+                            "left_anti")
+    li = (lineitem.select(F.count(F.lit(1)).alias("rows_before"))
+          .crossJoin(li_kept.select(
+              F.count(F.lit(1)).alias("rows_after")))
+          .crossJoin(li_kept.join(
+              o_purged, li_kept.l_orderkey == o_purged.o_orderkey,
+              "left_semi").select(
+                  F.count(F.lit(1)).alias("orphans_after")))
+          .select(F.lit("lineitem").alias("table_name"),
+                  "rows_before",
+                  (F.col("rows_before") - F.col("rows_after"))
+                  .alias("rows_purged"),
+                  "rows_after", "orphans_after"))
+    return cust.unionAll(ords).unionAll(li)

@@ -5195,6 +5195,146 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                  / CAST(n_months AS DOUBLE) AS intercept
         FROM d WHERE den > 0
         """),
+    "c9_overlap": QuerySpec(
+        # C9f: sweep-line interval concurrency — per-supplier peak of
+        # simultaneously in-flight [ship, ship+7d) shipments; earliest
+        # peak day reported. Pure integer deltas and running sums.
+        _t("lineitem")(event_time.interval_concurrency),
+        """
+        WITH deltas AS (
+            SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS day,
+                   1 AS d
+            FROM lineitem
+            UNION ALL
+            SELECT l_suppkey, CAST(l_shipdate AS DATE) + 7, -1
+            FROM lineitem),
+        daily AS (
+            SELECT suppkey, day, CAST(sum(d) AS BIGINT) AS net
+            FROM deltas GROUP BY 1, 2),
+        c AS (
+            SELECT suppkey, day,
+                   sum(net) OVER (PARTITION BY suppkey ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS conc
+            FROM daily),
+        p AS (
+            SELECT suppkey, day, conc,
+                   max(conc) OVER (PARTITION BY suppkey) AS peak
+            FROM c),
+        n AS (
+            SELECT l_suppkey AS suppkey,
+                   CAST(count(*) AS BIGINT) AS n_shipments
+            FROM lineitem GROUP BY 1)
+        SELECT p.suppkey, n.n_shipments,
+               CAST(max(p.peak) AS BIGINT) AS peak_concurrency,
+               min(p.day) AS peak_day
+        FROM p JOIN n ON n.suppkey = p.suppkey
+        WHERE p.conc = p.peak
+        GROUP BY 1, 2
+        """),
+    "c34_rfm": QuerySpec(
+        # C34h: RFM quintile scoring — pinned anchor date, exact milli
+        # spend, ntile(5) with custkey tie-breaks, rule-based segment.
+        _t("orders")(relational.rfm_scores),
+        """
+        WITH base AS (
+            SELECT o_custkey AS custkey,
+                   CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                                  DATE '2002-01-01') AS INTEGER)
+                       AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(sum(CAST(floor(o_totalprice * 1000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS monetary_milli
+            FROM orders GROUP BY 1),
+        scored AS (
+            SELECT custkey, recency_days, frequency, monetary_milli,
+                   CAST(ntile(5) OVER (ORDER BY recency_days DESC,
+                                       custkey) AS INTEGER) AS r_score,
+                   CAST(ntile(5) OVER (ORDER BY frequency ASC, custkey)
+                        AS INTEGER) AS f_score,
+                   CAST(ntile(5) OVER (ORDER BY monetary_milli ASC,
+                                       custkey) AS INTEGER) AS m_score
+            FROM base)
+        SELECT custkey, recency_days, frequency, monetary_milli,
+               r_score, f_score, m_score,
+               CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                    WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                    WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'
+                    ELSE 'core' END AS segment
+        FROM scored
+        """),
+    "c35_timetravel": QuerySpec(
+        # C35g: time-travel read over the CDC interpretation of events
+        # (key = user_id, 'error' = delete, else upsert) at three
+        # pinned cuts; last-op-wins via argmax, all-integer outputs.
+        _t("events")(relational.timetravel_read),
+        """
+        WITH cuts AS (
+            SELECT unnest([TIMESTAMP '2024-01-08',
+                           TIMESTAMP '2024-01-15',
+                           TIMESTAMP '2024-01-22']) AS as_of),
+        log AS (
+            SELECT c.as_of, e.user_id AS k, e.ts, e.event_id,
+                   e.event_type = 'error' AS is_del,
+                   CAST(floor(e.value * 1000.0 + 0.5) AS BIGINT) AS vm
+            FROM events e JOIN cuts c ON e.ts <= c.as_of),
+        ranked AS (
+            SELECT as_of, k, is_del, vm,
+                   row_number() OVER (PARTITION BY as_of, k
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn
+            FROM log)
+        SELECT CAST(as_of AS DATE) AS as_of,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN is_del THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_live,
+               CAST(sum(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deleted,
+               CAST(sum(CASE WHEN is_del THEN 0 ELSE vm END) AS BIGINT)
+                   AS live_value_milli
+        FROM ranked WHERE rn = 1
+        GROUP BY 1
+        """),
+    "c35_forget": QuerySpec(
+        # C35h: right-to-be-forgotten cascade purge with independent
+        # orphan recount over the kept sets.
+        _t("customer orders lineitem")(relational.cascade_purge),
+        """
+        WITH req AS (
+            SELECT c_custkey AS pk FROM customer WHERE c_custkey % 97 = 0),
+        o_purged AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT pk FROM req)),
+        o_kept AS (
+            SELECT * FROM orders
+            WHERE o_custkey NOT IN (SELECT pk FROM req)),
+        li_kept AS (
+            SELECT * FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o_purged))
+        SELECT 'customer' AS table_name,
+               CAST((SELECT count(*) FROM customer) AS BIGINT)
+                   AS rows_before,
+               CAST((SELECT count(*) FROM req) AS BIGINT) AS rows_purged,
+               CAST((SELECT count(*) FROM customer)
+                    - (SELECT count(*) FROM req) AS BIGINT) AS rows_after,
+               CAST(0 AS BIGINT) AS orphans_after
+        UNION ALL
+        SELECT 'orders',
+               CAST((SELECT count(*) FROM orders) AS BIGINT),
+               CAST((SELECT count(*) FROM o_purged) AS BIGINT),
+               CAST((SELECT count(*) FROM o_kept) AS BIGINT),
+               CAST((SELECT count(*) FROM o_kept
+                     WHERE o_custkey IN (SELECT pk FROM req)) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem',
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem)
+                    - (SELECT count(*) FROM li_kept) AS BIGINT),
+               CAST((SELECT count(*) FROM li_kept) AS BIGINT),
+               CAST((SELECT count(*) FROM li_kept
+                     WHERE l_orderkey IN (SELECT o_orderkey FROM o_purged))
+                    AS BIGINT)
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})

@@ -168,6 +168,7 @@ _BNLJ_ALLOWED = {
     "c32_temporal_split",   # 1-row total + 1-row cutoff-day broadcasts
     "c32_oversample",       # 1-row majority-count scalar broadcast
     "c34_survival",         # 1-row corpus-end + user-total scalars
+    "c35_forget",           # six 1-row audit-count scalar crossjoins
 }
 
 

@@ -141,3 +141,144 @@ def test_ols_trend_single_month_excluded(spark):
         [(0, "ALGERIA", 0)],
         "n_nationkey int, n_name string, n_regionkey int")
     assert windows.ols_trend(orders, cust, nation).count() == 0
+
+
+# ---------------------------------------------------------- concurrency
+
+def _lineitems(spark, rows):
+    """rows = [(orderkey, suppkey, shipdate)]"""
+    return spark.createDataFrame(
+        [(o, 1, s, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d)
+         for o, s, d in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp")
+
+
+def test_concurrency_end_day_is_exclusive(spark):
+    """[day0, day7) and [day7, day14): the first shipment's −1 lands on
+    day 7 before the day is scored, so the peak is 1, not 2 — the
+    half-open interval contract."""
+    from kafka_streams_in_action_spark.operators import event_time
+    d0 = dt.datetime(2024, 1, 1)
+    li = _lineitems(spark, [(1, 1, d0), (2, 1, d0 + dt.timedelta(days=7))])
+    row = event_time.interval_concurrency(li).collect()[0]
+    assert row["peak_concurrency"] == 1
+    assert row["n_shipments"] == 2
+
+
+def test_concurrency_reports_earliest_peak_day(spark):
+    """Overlapping [0,7) and [3,10): concurrency hits 2 on day 3 and
+    stays there through day 6 — the reported peak day is day 3."""
+    from kafka_streams_in_action_spark.operators import event_time
+    d0 = dt.datetime(2024, 1, 1)
+    li = _lineitems(spark, [(1, 1, d0), (2, 1, d0 + dt.timedelta(days=3))])
+    row = event_time.interval_concurrency(li).collect()[0]
+    assert row["peak_concurrency"] == 2
+    assert row["peak_day"] == dt.date(2024, 1, 4)
+
+
+# ------------------------------------------------------------------ rfm
+
+def _orders(spark, rows):
+    """rows = [(orderkey, custkey, orderdate, totalprice)]"""
+    return spark.createDataFrame(
+        [(o, c, "O", p, d, "1-URGENT") for o, c, d, p in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string")
+
+
+def test_rfm_tiebreak_is_custkey(spark):
+    """Five customers with IDENTICAL r/f/m raw values: ntile(5) must
+    split them 1..5 strictly by custkey — the deterministic-bucket
+    contract the oracle hash depends on."""
+    from kafka_streams_in_action_spark.operators import relational
+    d = dt.datetime(2001, 6, 1)
+    out = relational.rfm_scores(_orders(
+        spark, [(k, k, d, 100.0) for k in range(1, 6)])).collect()
+    by_key = {r["custkey"]: r for r in sorted(out, key=lambda r: r["custkey"])}
+    assert [by_key[k]["r_score"] for k in range(1, 6)] == [1, 2, 3, 4, 5]
+    assert [by_key[k]["f_score"] for k in range(1, 6)] == [1, 2, 3, 4, 5]
+
+
+def test_rfm_segment_rules(spark):
+    """A recent+frequent customer is 'champion'; a stale one-order
+    customer is 'lost' (with 5 customers each quintile is one row, so
+    raw ordering maps straight onto scores)."""
+    from kafka_streams_in_action_spark.operators import relational
+    rows = []
+    # custkey 1..5: increasing recency AND frequency together
+    oid = 0
+    for k in range(1, 6):
+        for j in range(k):  # frequency = custkey
+            rows.append((oid, k, dt.datetime(2001, k, 1), 100.0 * k))
+            oid += 1
+    out = {r["custkey"]: r for r in
+           relational.rfm_scores(_orders(spark, rows)).collect()}
+    assert out[5]["segment"] == "champion"
+    assert out[1]["segment"] == "lost"
+
+
+# ----------------------------------------------------------- timetravel
+
+def test_timetravel_delete_then_reupsert_across_cuts(spark):
+    """Key deleted before cut 1 but re-upserted before cut 2: dead at
+    the first cut, live with the NEW value at the second — last-op-wins
+    per cut, not a global tombstone."""
+    from kafka_streams_in_action_spark.operators import relational
+    ev = _events(spark, [
+        (1, 1, 0, "purchase", 5.0),                 # Jan 1: upsert 5000
+        (2, 1, 24 * 60 * 2, "error", 1.0),          # Jan 3: delete
+        (3, 1, 24 * 60 * 9, "purchase", 7.0),       # Jan 10: upsert 7000
+    ])
+    out = {str(r["as_of"]): r for r in
+           relational.timetravel_read(ev).collect()}
+    jan8, jan15 = out["2024-01-08"], out["2024-01-15"]
+    assert jan8["n_live"] == 0 and jan8["n_deleted"] == 1
+    assert jan8["live_value_milli"] == 0
+    assert jan15["n_live"] == 1 and jan15["live_value_milli"] == 7000
+
+
+def test_timetravel_key_unseen_before_cut_not_counted(spark):
+    """A key whose first op lands after a cut is absent from that cut's
+    state entirely (n_keys excludes it) — no null-padded rows."""
+    from kafka_streams_in_action_spark.operators import relational
+    ev = _events(spark, [
+        (1, 1, 0, "view", 2.0),                     # Jan 1
+        (2, 2, 24 * 60 * 10, "view", 3.0),          # Jan 11
+    ])
+    out = {str(r["as_of"]): r for r in
+           relational.timetravel_read(ev).collect()}
+    assert out["2024-01-08"]["n_keys"] == 1
+    assert out["2024-01-15"]["n_keys"] == 2
+
+
+# --------------------------------------------------------------- forget
+
+def test_cascade_purge_counts_and_zero_orphans(spark):
+    """Customers 97 and 194 are purged; their orders and line items go
+    with them; the independently recounted orphan columns are 0."""
+    from kafka_streams_in_action_spark.operators import relational
+    cust = spark.createDataFrame(
+        [(k, f"c{k}", 0, 0.0, "AUTO") for k in (1, 97, 194, 200)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string")
+    orders = _orders(spark, [
+        (10, 1, dt.datetime(2000, 1, 1), 1.0),
+        (11, 97, dt.datetime(2000, 1, 2), 1.0),
+        (12, 194, dt.datetime(2000, 1, 3), 1.0),
+    ])
+    li = _lineitems(spark, [(10, 1, dt.datetime(2000, 1, 5)),
+                            (11, 1, dt.datetime(2000, 1, 6)),
+                            (11, 2, dt.datetime(2000, 1, 7))])
+    out = {r["table_name"]: r for r in
+           relational.cascade_purge(cust, orders, li).collect()}
+    assert (out["customer"]["rows_purged"], out["customer"]["rows_after"]) \
+        == (2, 2)
+    assert (out["orders"]["rows_purged"], out["orders"]["rows_after"]) \
+        == (2, 1)
+    assert (out["lineitem"]["rows_purged"], out["lineitem"]["rows_after"]) \
+        == (2, 1)
+    assert all(out[t]["orphans_after"] == 0 for t in out)
