@@ -282,3 +282,114 @@ def degree_assortativity(customer: DataFrame, orders: DataFrame,
     return agg.select(
         "n_edges",
         F.when((vx > 0) & (vy > 0), r).alias("assortativity"))
+
+
+def link_prediction(lineitem: DataFrame, top_k: int = 3) -> DataFrame:
+    """C38f: common-neighbor link prediction over the supplier↔part
+    bipartite graph — for each supplier, the top-k other suppliers
+    ranked by shared distinct parts (the common-neighbors score), with
+    Jaccard as the tie-break expressed EXACTLY as integers: for equal
+    common counts, common/union order is the reverse union order, so
+    the ranking never forms a float. The canonical "suppliers like
+    this one" / candidate-edge generator for graph ML.
+
+    Scale posture: candidate pairs are generated per part (a
+    posting-list self-join), never all-pairs — cost is Σ|part list|²,
+    and at 100 TB the standard knob is dropping ultra-frequent parts
+    (a stop-part cap, one filter on the list length) exactly like the
+    frequent-shingle cap in the containment dedup row; the cap is not
+    applied here because the oracle states the exact uncapped
+    semantics and gate-scale lists are short. Degrees are distinct
+    counts; the pair aggregate and the per-source rank are the only
+    shuffles."""
+    sp = lineitem.select(F.col("l_suppkey").alias("s"),
+                         F.col("l_partkey").alias("p")).distinct()
+    deg = sp.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    a = sp.select(F.col("s").alias("sa"), "p")
+    b = sp.select(F.col("s").alias("sb"), F.col("p").alias("pb"))
+    pairs = (a.join(b, (a.p == b.pb) & (a.sa < b.sb))
+             .groupBy("sa", "sb")
+             .agg(F.count(F.lit(1)).alias("common")))
+    sym = pairs.unionAll(pairs.select(F.col("sb").alias("sa"),
+                                      F.col("sa").alias("sb"),
+                                      "common"))
+    da = deg.select(F.col("s").alias("sa"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("s").alias("sb"), F.col("deg").alias("degb"))
+    scored = (sym.join(da, "sa").join(db, "sb")
+              .withColumn("union_parts",
+                          F.col("dega") + F.col("degb") - F.col("common")))
+    w = Window.partitionBy("sa").orderBy(
+        F.col("common").desc(), F.col("union_parts").asc(),
+        F.col("sb").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select(F.col("sa").alias("suppkey"),
+                    F.col("sb").alias("neighbor"),
+                    F.col("common").alias("common_parts"),
+                    "union_parts",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+KCORE_ROUNDS = 12
+
+
+def copurchase_kcore(lineitem: DataFrame, k: int = 2,
+                     rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """C38g: k-core decomposition by iterative peeling — repeatedly
+    drop nodes whose degree in the surviving subgraph is < k — on the
+    part co-purchase graph (parts linked when bought together in ≥ 2
+    distinct orders). The densest-substructure primitive behind spam
+    rings, community cores, and graph sparsification; unlike one-shot
+    degree filters, peeling CASCADES (removing a leaf can strand its
+    neighbor), which is what makes it iterative.
+
+    Determinism contract: BOTH engines run exactly `rounds` peel
+    rounds (the oracle unrolls the same steps as materialized CTEs);
+    peeling is idempotent after convergence, so equality never depends
+    on knowing the convergence round, and gate-scale graphs converge
+    well inside 12 (measured 0/3/6 rounds at sf0.001/0.01/0.1). The
+    behavioral convergence pin lives in pytest.
+
+    Scale posture: pair generation is a per-order posting-list join
+    (order baskets are bounded, ~7 items), the ≥2-orders support
+    filter sparsifies the edge list before any iteration, and each
+    peel round is one keyed semi-join + one degree aggregate over the
+    BOUNDED edge list with a per-round localCheckpoint keeping lineage
+    linear — the same loop discipline as PageRank/BFS above."""
+    op = lineitem.select(F.col("l_orderkey").alias("o"),
+                         F.col("l_partkey").alias("p")).distinct()
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    edges = (a.join(b, (a.o == b.ob) & (a.pa < b.pb))
+             .groupBy("pa", "pb")
+             .agg(F.count(F.lit(1)).alias("w"))
+             .filter(F.col("w") >= 2)
+             .select("pa", "pb"))
+
+    spark = lineitem.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        edges = edges.localCheckpoint()
+        alive = (edges.select(F.col("pa").alias("n"))
+                 .unionAll(edges.select(F.col("pb").alias("n")))
+                 .distinct().localCheckpoint())
+        for _ in range(rounds):
+            ea = edges.join(alive.withColumnRenamed("n", "pa"), "pa",
+                            "left_semi")
+            eb = ea.join(alive.withColumnRenamed("n", "pb"), "pb",
+                         "left_semi")
+            deg = (eb.select(F.col("pa").alias("n"))
+                   .unionAll(eb.select(F.col("pb").alias("n")))
+                   .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+            alive = (deg.filter(F.col("d") >= k).select("n")
+                     .localCheckpoint())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    core_e = (edges
+              .join(alive.withColumnRenamed("n", "pa"), "pa", "left_semi")
+              .join(alive.withColumnRenamed("n", "pb"), "pb", "left_semi"))
+    return (core_e.select(F.col("pa").alias("partkey"))
+            .unionAll(core_e.select(F.col("pb").alias("partkey")))
+            .groupBy("partkey")
+            .agg(F.count(F.lit(1)).alias("core_degree")))

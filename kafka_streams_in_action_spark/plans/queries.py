@@ -1399,6 +1399,53 @@ _LINKAGE_CTE = """clean AS (
             FROM cand)"""
 
 
+def _kcore_oracle(k: int = 2, rounds: int = 12) -> str:
+    """Unrolled k-core peel as chained MATERIALIZED CTEs: s0 = all edge
+    endpoints; each step keeps nodes whose degree in the surviving
+    subgraph is ≥ k. Both engines run exactly `rounds` steps (peeling
+    is idempotent after convergence, so the fixed count never changes
+    the answer once converged — operators/graph.py:copurchase_kcore).
+    MATERIALIZED for the same 2^k-inlining reason as _pagerank_oracle."""
+    parts = ["""
+        op AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS MATERIALIZED (
+            SELECT a.p AS pa, b.p AS pb
+            FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+        s0 AS MATERIALIZED (
+            SELECT DISTINCT pa AS n FROM e
+            UNION SELECT DISTINCT pb FROM e)"""]
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        cur = f"s{i}"
+        parts.append(f"""
+        {cur} AS MATERIALIZED (
+            SELECT n FROM (
+                SELECT e.pa AS n FROM e
+                WHERE e.pa IN (SELECT n FROM {prev})
+                  AND e.pb IN (SELECT n FROM {prev})
+                UNION ALL
+                SELECT e.pb FROM e
+                WHERE e.pa IN (SELECT n FROM {prev})
+                  AND e.pb IN (SELECT n FROM {prev}))
+            GROUP BY n HAVING count(*) >= {k})""")
+        prev = cur
+    return f"""
+        WITH {','.join(parts)}
+        SELECT n AS partkey, CAST(count(*) AS BIGINT) AS core_degree
+        FROM (
+            SELECT e.pa AS n FROM e
+            WHERE e.pa IN (SELECT n FROM {prev})
+              AND e.pb IN (SELECT n FROM {prev})
+            UNION ALL
+            SELECT e.pb FROM e
+            WHERE e.pa IN (SELECT n FROM {prev})
+              AND e.pb IN (SELECT n FROM {prev}))
+        GROUP BY n
+        """
+
+
 _QUERY_DEFS: dict[str, QuerySpec] = {
     # ------------------------------------------------------------------
     # Reference operators (SURVEY §2A)
@@ -5335,6 +5382,46 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                      WHERE l_orderkey IN (SELECT o_orderkey FROM o_purged))
                     AS BIGINT)
         """),
+    "c38_linkpred": QuerySpec(
+        # C38f: common-neighbor link prediction on the supplier↔part
+        # bipartite graph; integer Jaccard tie-break, top-3 per source.
+        _t("lineitem")(graph.link_prediction),
+        """
+        WITH sp AS (
+            SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        deg AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS d FROM sp GROUP BY 1),
+        pairs AS (
+            SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS common
+            FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+            GROUP BY 1, 2),
+        sym AS (
+            SELECT sa, sb, common FROM pairs
+            UNION ALL
+            SELECT sb, sa, common FROM pairs),
+        scored AS (
+            SELECT sym.sa, sym.sb, sym.common,
+                   da.d + db.d - sym.common AS union_parts
+            FROM sym
+            JOIN deg da ON da.s = sym.sa
+            JOIN deg db ON db.s = sym.sb),
+        ranked AS (
+            SELECT sa, sb, common, union_parts,
+                   row_number() OVER (PARTITION BY sa
+                                      ORDER BY common DESC,
+                                               union_parts ASC, sb ASC)
+                       AS rank
+            FROM scored)
+        SELECT sa AS suppkey, sb AS neighbor, common AS common_parts,
+               CAST(union_parts AS BIGINT) AS union_parts,
+               CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
+        """),
+    "c38_kcore": QuerySpec(
+        # C38g: 2-core of the part co-purchase graph (support >= 2
+        # orders) by 12 fixed peel rounds, unrolled in the oracle.
+        _t("lineitem")(graph.copurchase_kcore),
+        _kcore_oracle()),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})

@@ -227,7 +227,10 @@ def test_no_driver_side_collect_in_queries(spark):
                     # candidate frames at build (r8)
                     "c29_mmr",
                     # stage/audit/publish real files at build (r8)
-                    "c35_wap"):
+                    "c35_wap",
+                    # peel loop checkpoints the bounded edge list and
+                    # O(#alive-nodes) frames at build (r9)
+                    "c38_kcore"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)

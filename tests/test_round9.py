@@ -282,3 +282,87 @@ def test_cascade_purge_counts_and_zero_orphans(spark):
     assert (out["lineitem"]["rows_purged"], out["lineitem"]["rows_after"]) \
         == (2, 1)
     assert all(out[t]["orphans_after"] == 0 for t in out)
+
+
+# ---------------------------------------------------------------- graph
+
+def _copurchase_li(spark, baskets):
+    """baskets = [(orderkey, [partkeys])]; every basket repeated twice
+    (distinct orderkeys) so each pair meets the >=2-orders support."""
+    rows = []
+    for o, parts in baskets:
+        for p in parts:
+            rows.append((o, p, dt.datetime(2000, 1, 1)))
+    return spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d)
+         for o, p, d in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp")
+
+
+def test_kcore_peel_cascades_down_a_path(spark):
+    """Path 1-2-3-4 (each edge supported by 2 orders): endpoints have
+    degree 1, and peeling CASCADES — after the endpoints go, 2 and 3
+    become degree-1 and go too. The 2-core is empty, which a one-shot
+    degree filter would get wrong."""
+    from kafka_streams_in_action_spark.operators import graph
+    baskets = []
+    o = 0
+    for a, b in [(1, 2), (2, 3), (3, 4)]:
+        for _ in range(2):  # support 2
+            baskets.append((o, [a, b])); o += 1
+    li = _copurchase_li(spark, baskets)
+    assert graph.copurchase_kcore(li).count() == 0
+
+
+def test_kcore_triangle_survives(spark):
+    """A triangle (every node degree 2) is exactly the 2-core and must
+    survive all 12 rounds unchanged; a pendant attached to it is
+    peeled in round 1."""
+    from kafka_streams_in_action_spark.operators import graph
+    baskets = []
+    o = 0
+    for a, b in [(1, 2), (2, 3), (1, 3), (3, 9)]:
+        for _ in range(2):
+            baskets.append((o, [a, b])); o += 1
+    li = _copurchase_li(spark, baskets)
+    out = {r["partkey"]: r["core_degree"]
+           for r in graph.copurchase_kcore(li).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_support_filter_drops_single_order_pairs(spark):
+    """A pair co-purchased in only ONE order never becomes an edge:
+    a triangle whose edges each appear once yields an empty graph."""
+    from kafka_streams_in_action_spark.operators import graph
+    li = _copurchase_li(
+        spark, [(1, [1, 2]), (2, [2, 3]), (3, [1, 3])])
+    assert graph.copurchase_kcore(li).count() == 0
+
+
+def test_linkpred_tiebreak_prefers_smaller_union(spark):
+    """Suppliers B and C share the same 2 parts with A, but C carries
+    fewer extra parts (smaller union → higher Jaccard) — C must rank
+    above B for equal common counts."""
+    from kafka_streams_in_action_spark.operators import graph
+    rows = []
+    # A(=1) has parts 10,11,12; C(=3) has 10,11; B(=2) has 10,11,90,91
+    for s, parts in [(1, [10, 11, 12]), (2, [10, 11, 90, 91]),
+                     (3, [10, 11])]:
+        for p in parts:
+            rows.append((s, p, dt.datetime(2000, 1, 1)))
+    li = spark.createDataFrame(
+        [(100 + i, p, s, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d)
+         for i, (s, p, d) in enumerate(rows)],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp")
+    out = [r for r in graph.link_prediction(li).collect()
+           if r["suppkey"] == 1]
+    out.sort(key=lambda r: r["rank"])
+    assert [r["neighbor"] for r in out] == [3, 2]
+    assert out[0]["common_parts"] == out[1]["common_parts"] == 2
+    assert out[0]["union_parts"] < out[1]["union_parts"]
