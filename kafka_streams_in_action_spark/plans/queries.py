@@ -1219,6 +1219,73 @@ _HOLT_ORACLE = """
     """
 
 
+_DRAWDOWN_ORACLE = """
+        WITH f AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type IN ('purchase', 'signup', 'view')
+                        THEN CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+                        ELSE -CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+                   END AS fl
+            FROM events),
+        c AS (
+            SELECT user_id, ts, event_id, fl,
+                   sum(fl) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+            FROM f),
+        p AS (
+            SELECT user_id, fl, cum,
+                   max(cum) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS peak
+            FROM c)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(fl) AS BIGINT) AS final_milli,
+               CAST(max(peak) AS BIGINT) AS peak_milli,
+               CAST(max(peak - cum) AS BIGINT) AS max_dd_milli
+        FROM p GROUP BY 1
+        """
+
+
+def _drawdown_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12h streaming twin, driver-visible: the (cum, peak) BIGINT pair
+    rides the state store (streaming/stateful.py: drawdown_stream)
+    across a REAL 4-batch time split; the emitted per-event series is
+    then rolled up per user and checked by the SAME oracle as the batch
+    row — the integers only match if the running state survives three
+    micro-batch boundaries exactly."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import drawdown_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c12_drawdown_stream_src_")
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
+        .localCheckpoint()
+    for s in range(1, 5):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(src))
+    sink = f"c12_drawdown_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        q = (drawdown_stream(
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    return (spark.table(sink)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("flow_milli").alias("final_milli"),
+                 F.max("peak_milli").alias("peak_milli"),
+                 F.max("dd_milli").alias("max_dd_milli")))
+
+
 def _holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12f streaming twin, driver-visible: Holt smoothing as a keyed
     state machine (streaming/stateful.py: holt_stream — the (level,
@@ -5144,32 +5211,12 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # C12h: per-user max drawdown — cumulative signed flow, running
         # peak, deepest peak-to-trough decline. Pure BIGINT windows.
         _t("events")(windows.equity_drawdown),
-        """
-        WITH f AS (
-            SELECT user_id, ts, event_id,
-                   CASE WHEN event_type IN ('purchase', 'signup', 'view')
-                        THEN CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
-                        ELSE -CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
-                   END AS fl
-            FROM events),
-        c AS (
-            SELECT user_id, ts, event_id, fl,
-                   sum(fl) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum
-            FROM f),
-        p AS (
-            SELECT user_id, fl, cum,
-                   max(cum) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS peak
-            FROM c)
-        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-               CAST(sum(fl) AS BIGINT) AS final_milli,
-               CAST(max(peak) AS BIGINT) AS peak_milli,
-               CAST(max(peak - cum) AS BIGINT) AS max_dd_milli
-        FROM p GROUP BY 1
-        """),
+        _DRAWDOWN_ORACLE),
+    "c12_drawdown_stream": QuerySpec(
+        # C12h streaming twin: (cum, peak) pair rides the state store
+        # across a 4-batch availableNow replay; same batch oracle.
+        _drawdown_stream,
+        _DRAWDOWN_ORACLE),
     "c12_crossover": QuerySpec(
         # C12i: SMA golden/death crossover via exact BIGINT
         # cross-multiplication — no mean is ever formed.

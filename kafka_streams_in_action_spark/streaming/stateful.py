@@ -575,3 +575,56 @@ def holt_stream(events: DataFrame) -> DataFrame:
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+def drawdown_stream(events: DataFrame) -> DataFrame:
+    """C12h streaming twin: running balance / running peak as a keyed
+    state machine — the state store carries the (cum, peak) BIGINT pair
+    so each micro-batch continues the sweep where the previous one
+    stopped; every emitted row reports its cumulative balance, the peak
+    so far, and the current drawdown. Pure integer arithmetic end to
+    end (the batch row's discipline), so the per-event series — and any
+    rollup of it — is exactly the batch result under time-ordered
+    availableNow replay; the registered query reduces the emitted rows
+    with the SAME oracle as the batch row. Handler is fully vectorized
+    (cumsum + maximum.accumulate), no per-row Python."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+        cum0, peak0, started = state.get if state.exists \
+            else (0, 0, False)
+        rows = pd.concat(list(pdfs), ignore_index=True) \
+            .sort_values(["ts", "event_id"])
+        milli = np.floor(rows["value"].to_numpy() * 1000.0 + 0.5) \
+            .astype("int64")
+        inflow = rows["event_type"].isin(
+            ("purchase", "signup", "view")).to_numpy()
+        fl = np.where(inflow, milli, -milli)
+        cum = cum0 + np.cumsum(fl)
+        peak = np.maximum.accumulate(cum)
+        if started:
+            peak = np.maximum(peak, peak0)
+        if len(cum):
+            state.update((int(cum[-1]), int(peak[-1]), True))
+        yield pd.DataFrame({
+            "user_id": np.full(len(fl), int(key[0]), dtype="int64"),
+            "event_id": rows["event_id"].to_numpy(),
+            "flow_milli": fl,
+            "cum_milli": cum,
+            "peak_milli": peak,
+            "dd_milli": peak - cum})
+
+    return (events
+            .select("user_id", "event_id", "ts", "event_type", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=("user_id long, event_id long, "
+                                  "flow_milli long, cum_milli long, "
+                                  "peak_milli long, dd_milli long"),
+                stateStructType="cum bigint, peak bigint, started boolean",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

@@ -878,3 +878,86 @@ def test_throttle_stream_checkpoint_restart_carries_state(spark, tmp_path):
     run()
 
     _assert_same(et.rate_throttle(ev), spark.read.parquet(sink))
+
+
+def test_drawdown_stream_checkpoint_restart_carries_state(spark, tmp_path):
+    """A17 durability for the drawdown sweep: the (cum, peak) BIGINT
+    pair must survive a checkpoint restart — a reset peak would
+    under-report every later drawdown. The per-event emissions, rolled
+    up, must equal the batch aggregate exactly."""
+    from kafka_streams_in_action_spark.operators import windows as wops
+
+    ev = load_table(spark, "events", SF_DIR)
+    d = str(tmp_path / "dd_cp_src")
+    cp = str(tmp_path / "dd_cp")
+    from pyspark.sql import Window
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+
+    def write_slices(lo, hi):
+        for s in range(lo, hi + 1):
+            (sliced.filter(F.col("slice") == s).drop("slice")
+             .coalesce(1).write.mode("append").parquet(d))
+
+    sink = str(tmp_path / "dd_cp_sink")
+
+    def run():
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (stateful.drawdown_stream(stream)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    write_slices(1, 2)
+    run()
+    write_slices(3, 4)
+    run()
+
+    rolled = (spark.read.parquet(sink)
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum("flow_milli").alias("final_milli"),
+                   F.max("peak_milli").alias("peak_milli"),
+                   F.max("dd_milli").alias("max_dd_milli")))
+    _assert_same(wops.equity_drawdown(ev), rolled)
+
+
+def test_cep_stream_checkpoint_restart_carries_state(spark, tmp_path):
+    """A17 durability for the negation-CEP machine: the open-pattern
+    state (pending signup, negation flag) must survive a checkpoint
+    restart — a dropped pending pattern would lose conversions that
+    straddle the restart, a dropped negation flag would emit false
+    positives."""
+    from kafka_streams_in_action_spark.operators import event_time as et
+
+    ev = load_table(spark, "events", SF_DIR)
+    d = str(tmp_path / "cep_cp_src")
+    cp = str(tmp_path / "cep_cp")
+    from pyspark.sql import Window
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+
+    def write_slices(lo, hi):
+        for s in range(lo, hi + 1):
+            (sliced.filter(F.col("slice") == s).drop("slice")
+             .coalesce(1).write.mode("append").parquet(d))
+
+    sink = str(tmp_path / "cep_cp_sink")
+
+    def run():
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (stateful.cep_conversion_stream(stream)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    write_slices(1, 2)
+    run()
+    write_slices(3, 4)
+    run()
+
+    _assert_same(et.cep_conversion(ev), spark.read.parquet(sink))
