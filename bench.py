@@ -130,6 +130,17 @@ HEADLINE = [
     "c12_xcorr",             # lag join over the bounded day table
     "c30_lexdiv",            # word-frequency diversity report
     "c38_assort",            # edge build + degree correlation
+    # round-9 additions
+    "c12_drawdown",          # two-frame BIGINT drawdown sweep
+    "c12_drawdown_stream",   # (cum, peak) state machine, 4 batches
+    "c12_crossover",         # rolling-sum cross-multiply signals
+    "c12_trend",             # per-nation OLS from integer stats
+    "c9_overlap",            # sweep-line interval concurrency
+    "c34_rfm",               # 3 ntile rankings over the customer rollup
+    "c35_timetravel",        # argmax state reconstruction at 3 cuts
+    "c35_forget",            # cascade purge + independent orphan audit
+    "c38_linkpred",          # posting-list pair join + ranked top-3
+    "c38_kcore",             # 12 fixed peel rounds over bounded edges
 ]
 
 
@@ -187,7 +198,7 @@ def _stream_overhead(spark) -> float:
 # fixed harness cost on top of the data-proportional work.
 STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c35_scd2_stream", "c12_holt_stream",
-                  "c34_throttle_stream"]
+                  "c34_throttle_stream", "c12_drawdown_stream"]
 
 
 def _calibrate() -> dict[str, float]:

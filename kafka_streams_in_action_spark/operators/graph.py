@@ -374,6 +374,14 @@ def copurchase_kcore(lineitem: DataFrame, k: int = 2,
         alive = (edges.select(F.col("pa").alias("n"))
                  .unionAll(edges.select(F.col("pb").alias("n")))
                  .distinct().localCheckpoint())
+        # early exit: if a round drops nothing the set is a fixed point
+        # (identical input → identical output), and rounds after
+        # convergence are idempotent — so stopping early returns
+        # EXACTLY what the oracle's full 12 unrolled steps return,
+        # while halving the loop cost at the 10× probe scale (converges
+        # in 6 of 12 rounds there). The count is an O(#alive) job on a
+        # checkpointed frame.
+        n_alive = alive.count()
         for _ in range(rounds):
             ea = edges.join(alive.withColumnRenamed("n", "pa"), "pa",
                             "left_semi")
@@ -384,6 +392,10 @@ def copurchase_kcore(lineitem: DataFrame, k: int = 2,
                    .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
             alive = (deg.filter(F.col("d") >= k).select("n")
                      .localCheckpoint())
+            n_next = alive.count()
+            if n_next == n_alive:
+                break
+            n_alive = n_next
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     core_e = (edges

@@ -5534,7 +5534,11 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # plus any judge items, then the oldest stale rows fill the remaining
 # slots. Every row above is already driver_sim-green at sf0.001 AND
 # sf0.01 and float-bit-exact; windowing them records the driver's own
-# hashes.
+# hashes. The round-9 slate registered after those (c12_drawdown,
+# c12_drawdown_stream, c12_crossover, c12_trend, c9_overlap, c34_rfm,
+# c35_timetravel, c35_forget, c38_linkpred, c38_kcore — same gates)
+# takes whatever r8 slots judge items leave free and rotates into the
+# r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}
 QUERIES.update(
     {n: s for n, s in _QUERY_DEFS.items() if n not in QUERIES})

@@ -189,6 +189,16 @@ PROBE_QUERIES = [
     # grow quadratically — the same corpus property that excludes
     # c31_phash_dedup. On a real crawl near-dup density is ~linear and
     # the banded/collapsed regimes (C29q) carry the scale path.
+    # round-9 additions
+    "c12_drawdown",         # two-frame BIGINT sweep per user
+    "c12_crossover",        # day-table rolling sums + lag
+    "c12_trend",            # orders⋈customer join + monthly agg
+    "c9_overlap",           # delta explode + per-supplier running sum
+    "c34_rfm",              # customer rollup + 3 global ntile ranks
+    "c35_timetravel",       # cut explode + argmax hash agg
+    "c35_forget",           # request-set joins + audit recounts
+    "c38_linkpred",         # per-part posting-list pair join
+    "c38_kcore",            # bounded edge build + 12 peel rounds
 ]
 
 
