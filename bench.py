@@ -141,6 +141,9 @@ HEADLINE = [
     "c35_forget",            # cascade purge + independent orphan audit
     "c38_linkpred",          # posting-list pair join + ranked top-3
     "c38_kcore",             # 12 fixed peel rounds over bounded edges
+    "c33_ks",                # pair-grid KS distance via cum windows
+    "c16_seasonality",       # dow cross-product index on the day table
+    "c35_vacuum",            # version writes + retention delete + audit
 ]
 
 

@@ -710,3 +710,38 @@ def interval_concurrency(lineitem: DataFrame,
                   "suppkey")
             .select("suppkey", "n_shipments",
                     "peak_concurrency", "peak_day"))
+
+
+def dow_seasonality(events: DataFrame) -> DataFrame:
+    """C16e: day-of-week seasonality profile — each type's activity
+    share per weekday relative to its own average day, the seasonal
+    index behind staffing curves and anomaly baselines (an index of
+    1.4 on Monday means Mondays run 40% hot). Weekday is computed as
+    pure day arithmetic — days-since-1995-01-01 (a Sunday) mod 7 —
+    identical in any engine, sidestepping the Sunday-0 vs Sunday-1
+    convention split between date libraries.
+
+    Engine-exact: daily totals are exact milli integers; the index
+    (dow_sum · n_days) / (dow_days · total_sum) cross-multiplies in
+    BIGINT and spends exactly one correctly-rounded double division.
+    One (type, day) aggregate is the data-scale work; the dow rollup
+    and per-type windows run on the bounded daily table."""
+    m = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(m).alias("t")))
+    dow = (F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+           % 7).cast("int")
+    per_dow = (daily.withColumn("dow", dow)
+               .groupBy("event_type", "dow")
+               .agg(F.sum("t").alias("dow_total_milli"),
+                    F.count(F.lit(1)).alias("n_days")))
+    wt = Window.partitionBy("event_type")
+    idx = ((F.col("dow_total_milli") * F.col("all_days")).cast("double")
+           / (F.col("n_days") * F.col("all_total")).cast("double"))
+    return (per_dow
+            .withColumn("all_total", F.sum("dow_total_milli").over(wt))
+            .withColumn("all_days", F.sum("n_days").over(wt))
+            .withColumn("seasonal_index", idx)
+            .select("event_type", "dow", "n_days", "dow_total_milli",
+                    "seasonal_index"))

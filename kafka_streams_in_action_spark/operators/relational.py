@@ -1538,3 +1538,61 @@ def cascade_purge(customer: DataFrame, orders: DataFrame,
                   .alias("rows_purged"),
                   "rows_after", "orphans_after"))
     return cust.unionAll(ords).unionAll(li)
+
+
+def ks_test(events: DataFrame) -> DataFrame:
+    """C33n: two-sample Kolmogorov–Smirnov test between the value
+    distributions of every event-type pair — the standard "did the
+    distribution shift?" test one notch stronger than C33f's binned PSI
+    (KS needs no binning, so it can't hide a shift between bin edges).
+    Engine-exact: with values quantized to milli-units, the KS distance
+    is max |F_a − F_b| = max |ca·nb − cb·na| / (na·nb) whose numerator
+    is an exact BIGINT cross-multiplication over cumulative counts; the
+    reported d and the α=0.05 decision threshold 1.358·√((na+nb)/(na·nb))
+    each derive through one fixed tree of correctly-rounded IEEE ops, so
+    even the boolean verdict is deterministic across engines.
+
+    Scale posture: the pair axis is |types|² (bounded); events join the
+    tiny pair table by TYPE equi-joins (one per side, broadcast), the
+    (pair, value) aggregate shuffles once, and the cumulative windows
+    run per pair. No event-to-event join exists."""
+    t = events.select("event_type").distinct()
+    pairs = (t.select(F.col("event_type").alias("type_a"))
+             .join(t.select(F.col("event_type").alias("type_b")),
+                   F.col("type_a") < F.col("type_b")))
+    m = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    ev = events.select("event_type", m.alias("m"))
+    side_a = (ev.join(F.broadcast(pairs),
+                      ev.event_type == pairs.type_a)
+              .select("type_a", "type_b", "m",
+                      F.lit(1).alias("ca"), F.lit(0).alias("cb")))
+    side_b = (ev.join(F.broadcast(pairs),
+                      ev.event_type == pairs.type_b)
+              .select("type_a", "type_b", "m",
+                      F.lit(0).alias("ca"), F.lit(1).alias("cb")))
+    per_m = (side_a.unionAll(side_b)
+             .groupBy("type_a", "type_b", "m")
+             .agg(F.sum("ca").alias("da"), F.sum("cb").alias("db")))
+    wp = Window.partitionBy("type_a", "type_b")
+    wc = wp.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (per_m
+           .withColumn("cum_a", F.sum("da").over(wc))
+           .withColumn("cum_b", F.sum("db").over(wc))
+           .withColumn("n_a", F.sum("da").over(wp))
+           .withColumn("n_b", F.sum("db").over(wp)))
+    agg = (cum.groupBy("type_a", "type_b")
+           .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                F.max(F.abs(F.col("cum_a") * F.col("n_b")
+                            - F.col("cum_b") * F.col("n_a")))
+                .alias("d_num")))
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    d = (F.col("d_num").cast("double")
+         / (F.col("n_a") * F.col("n_b")).cast("double"))
+    thr = F.lit(1.358) * F.sqrt((na_d + nb_d) / (na_d * nb_d))
+    return (agg
+            .withColumn("d", d)
+            .withColumn("threshold", thr)
+            .select("type_a", "type_b", "n_a", "n_b", "d_num", "d",
+                    "threshold",
+                    (F.col("d") > F.col("threshold")).alias("reject")))

@@ -5469,6 +5469,107 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # orders) by 12 fixed peel rounds, unrolled in the oracle.
         _t("lineitem")(graph.copurchase_kcore),
         _kcore_oracle()),
+    "c33_ks": QuerySpec(
+        # C33n: two-sample KS test per type pair — exact BIGINT
+        # cross-multiplied distance numerator; d and the pinned-literal
+        # threshold each through one fixed IEEE tree.
+        _t("events")(relational.ks_test),
+        """
+        WITH t AS (SELECT DISTINCT event_type FROM events),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM t a JOIN t b ON a.event_type < b.event_type),
+        ev AS (
+            SELECT event_type,
+                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS m
+            FROM events),
+        sides AS (
+            SELECT p.type_a, p.type_b, e.m, 1 AS da, 0 AS db
+            FROM ev e JOIN pairs p ON e.event_type = p.type_a
+            UNION ALL
+            SELECT p.type_a, p.type_b, e.m, 0, 1
+            FROM ev e JOIN pairs p ON e.event_type = p.type_b),
+        per_m AS (
+            SELECT type_a, type_b, m,
+                   CAST(sum(da) AS BIGINT) AS da,
+                   CAST(sum(db) AS BIGINT) AS db
+            FROM sides GROUP BY 1, 2, 3),
+        cum AS (
+            SELECT type_a, type_b,
+                   sum(da) OVER (PARTITION BY type_a, type_b ORDER BY m
+                                 ROWS UNBOUNDED PRECEDING) AS cum_a,
+                   sum(db) OVER (PARTITION BY type_a, type_b ORDER BY m
+                                 ROWS UNBOUNDED PRECEDING) AS cum_b,
+                   sum(da) OVER (PARTITION BY type_a, type_b) AS n_a,
+                   sum(db) OVER (PARTITION BY type_a, type_b) AS n_b
+            FROM per_m),
+        agg AS (
+            SELECT type_a, type_b,
+                   CAST(max(n_a) AS BIGINT) AS n_a,
+                   CAST(max(n_b) AS BIGINT) AS n_b,
+                   CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+                       AS d_num
+            FROM cum GROUP BY 1, 2),
+        f AS (
+            SELECT type_a, type_b, n_a, n_b, d_num,
+                   CAST(d_num AS DOUBLE)
+                     / CAST(n_a * n_b AS DOUBLE) AS d,
+                   CAST(1.358 AS DOUBLE)
+                     * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                            / (CAST(n_a AS DOUBLE)
+                               * CAST(n_b AS DOUBLE))) AS threshold
+            FROM agg)
+        SELECT type_a, type_b, n_a, n_b, d_num, d, threshold,
+               d > threshold AS reject
+        FROM f
+        """),
+    "c16_seasonality": QuerySpec(
+        # C16e: day-of-week seasonal index via engine-agnostic day
+        # arithmetic (days-since-a-known-Sunday mod 7); BIGINT
+        # cross-products, one correctly-rounded division.
+        _t("events")(event_time.dow_seasonality),
+        """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS t
+            FROM events GROUP BY 1, 2),
+        per_dow AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '1995-01-01', day) % 7
+                        AS INTEGER) AS dow,
+                   CAST(sum(t) AS BIGINT) AS dow_total_milli,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1, 2),
+        tot AS (
+            SELECT event_type, dow, n_days, dow_total_milli,
+                   CAST(sum(dow_total_milli) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS all_total,
+                   CAST(sum(n_days) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS all_days
+            FROM per_dow)
+        SELECT event_type, dow, n_days, dow_total_milli,
+               CAST(dow_total_milli * all_days AS DOUBLE)
+                 / CAST(n_days * all_total AS DOUBLE) AS seasonal_index
+        FROM tot
+        """),
+    "c35_vacuum": QuerySpec(
+        # C35i: retention vacuum on real version directories; verdict
+        # (counts + unchanged/complete booleans) earned from the
+        # filesystem and post-vacuum read-back.
+        lambda spark, sf_dir: layout.vacuum_versions(
+            spark, load_table(spark, "events", sf_dir),
+            __import__("tempfile").mkdtemp(prefix="c35_vacuum_")),
+        """
+        SELECT CAST(5 AS INTEGER) AS n_versions_before,
+               CAST(3 AS INTEGER) AS n_removed,
+               CAST(2 AS INTEGER) AS n_kept,
+               CAST(count(*) AS BIGINT) AS serving_rows,
+               TRUE AS serving_unchanged,
+               TRUE AS serving_complete
+        FROM events
+        """),  # the booleans/counts are computed from REAL directories
+    #   and the post-vacuum read-back; pytest pins the keep-boundary
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -5536,7 +5637,8 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # sf0.01 and float-bit-exact; windowing them records the driver's own
 # hashes. The round-9 slate registered after those (c12_drawdown,
 # c12_drawdown_stream, c12_crossover, c12_trend, c9_overlap, c34_rfm,
-# c35_timetravel, c35_forget, c38_linkpred, c38_kcore — same gates)
+# c35_timetravel, c35_forget, c38_linkpred, c38_kcore, c33_ks,
+# c16_seasonality, c35_vacuum — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

@@ -199,6 +199,9 @@ PROBE_QUERIES = [
     "c35_forget",           # request-set joins + audit recounts
     "c38_linkpred",         # per-part posting-list pair join
     "c38_kcore",            # bounded edge build + 12 peel rounds
+    "c33_ks",               # type-pair cum windows over merged values
+    "c16_seasonality",      # (type, day) agg + bounded dow rollup
+    "c35_vacuum",           # real version writes + retention delete
 ]
 
 

@@ -169,6 +169,7 @@ _BNLJ_ALLOWED = {
     "c32_oversample",       # 1-row majority-count scalar broadcast
     "c34_survival",         # 1-row corpus-end + user-total scalars
     "c35_forget",           # six 1-row audit-count scalar crossjoins
+    "c33_ks",               # |types|x|types| pair grid from 5-row sides
 }
 
 
@@ -230,7 +231,10 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c35_wap",
                     # peel loop checkpoints the bounded edge list and
                     # O(#alive-nodes) frames at build (r9)
-                    "c38_kcore"):
+                    "c38_kcore",
+                    # writes/deletes real version dirs + read-back
+                    # counts at build by design (r9)
+                    "c35_vacuum"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)

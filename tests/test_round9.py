@@ -366,3 +366,82 @@ def test_linkpred_tiebreak_prefers_smaller_union(spark):
     assert [r["neighbor"] for r in out] == [3, 2]
     assert out[0]["common_parts"] == out[1]["common_parts"] == 2
     assert out[0]["union_parts"] < out[1]["union_parts"]
+
+
+# ------------------------------------------------------------------- ks
+
+def test_ks_identical_distributions_never_reject(spark):
+    """Types drawing the exact same values: every cumulative count
+    matches, d_num = 0, no rejection."""
+    from kafka_streams_in_action_spark.operators import relational
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, 1, i, "a", float(i % 5)))
+        rows.append((2 * i + 1, 1, i, "b", float(i % 5)))
+    row = relational.ks_test(_events(spark, rows)).collect()[0]
+    assert row["d_num"] == 0 and row["d"] == 0.0
+    assert row["reject"] is False
+
+
+def test_ks_disjoint_distributions_reject(spark):
+    """Fully separated supports: at the boundary F_a = 1, F_b = 0, so
+    d = 1 and the test rejects at any reasonable n."""
+    from kafka_streams_in_action_spark.operators import relational
+    rows = []
+    for i in range(30):
+        rows.append((2 * i, 1, i, "a", 1.0 + (i % 3) * 0.1))
+        rows.append((2 * i + 1, 1, i, "b", 100.0 + (i % 3) * 0.1))
+    row = relational.ks_test(_events(spark, rows)).collect()[0]
+    assert row["d"] == 1.0 and row["reject"] is True
+    assert row["d_num"] == row["n_a"] * row["n_b"]
+
+
+# ---------------------------------------------------------- seasonality
+
+def test_seasonality_uniform_week_index_is_exactly_one(spark):
+    """Same total every day across two full weeks: every dow index is
+    exactly 1.0 (the cross-products are equal integers)."""
+    from kafka_streams_in_action_spark.operators import event_time
+    rows = [(d, 1, d * 1440, "t", 3.0) for d in range(14)]
+    out = event_time.dow_seasonality(_events(spark, rows)).collect()
+    assert len(out) == 7
+    assert all(r["seasonal_index"] == 1.0 and r["n_days"] == 2
+               for r in out)
+
+
+def test_seasonality_dow_is_calendar_stable(spark):
+    """2024-01-01 TS0 is a Monday; days-since-1995-01-01 (a Sunday)
+    mod 7 must give dow=1 for it in every engine."""
+    from kafka_streams_in_action_spark.operators import event_time
+    rows = [(1, 1, 0, "t", 1.0)]  # single Monday event
+    row = event_time.dow_seasonality(_events(spark, rows)).collect()[0]
+    assert row["dow"] == 1
+
+
+# --------------------------------------------------------------- vacuum
+
+def test_vacuum_keeps_newest_versions_and_serving(spark, tmp_path):
+    """5 versions, keep 2: v0-v2 are deleted, v3/v4 stay on disk, and
+    the serving (newest) read returns identical rows before and after."""
+    import os
+    from kafka_streams_in_action_spark.operators import layout
+    ev = _events(spark, [(i, 1, i, "t", 1.0) for i in range(20)])
+    base = str(tmp_path / "vac")
+    row = layout.vacuum_versions(spark, ev, base).collect()[0]
+    assert (row["n_versions_before"], row["n_removed"], row["n_kept"]) \
+        == (5, 3, 2)
+    assert row["serving_unchanged"] is True
+    assert row["serving_complete"] is True
+    assert sorted(os.listdir(base)) == ["v3", "v4"]
+
+
+def test_vacuum_fewer_versions_than_keep_removes_nothing(spark, tmp_path):
+    """Retention never deletes below the keep floor: with 2 versions
+    and keep=2 the vacuum is a no-op."""
+    from kafka_streams_in_action_spark.operators import layout
+    ev = _events(spark, [(i, 1, i, "t", 1.0) for i in range(10)])
+    row = layout.vacuum_versions(
+        spark, ev, str(tmp_path / "vac2"), n_versions=2, keep=2) \
+        .collect()[0]
+    assert row["n_removed"] == 0 and row["n_kept"] == 2
+    assert row["serving_unchanged"] is True
