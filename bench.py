@@ -144,6 +144,9 @@ HEADLINE = [
     "c33_ks",                # pair-grid KS distance via cum windows
     "c16_seasonality",       # dow cross-product index on the day table
     "c35_vacuum",            # version writes + retention delete + audit
+    "c39_blocking",          # blocker recall / reduction-ratio gauge
+    "c16_gaps",              # per-series calendar-gap audit
+    "c38_closeness",         # all-sources BFS + integer harmonic
 ]
 
 

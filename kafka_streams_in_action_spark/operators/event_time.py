@@ -745,3 +745,36 @@ def dow_seasonality(events: DataFrame) -> DataFrame:
             .withColumn("seasonal_index", idx)
             .select("event_type", "dow", "n_days", "dow_total_milli",
                     "seasonal_index"))
+
+
+def activity_gaps(events: DataFrame) -> DataFrame:
+    """C16f: per-(user, type) calendar-gap audit — for each series, how
+    many day-gaps its activity has, the longest silence, and the total
+    missing days inside its observed span. The data-freshness /
+    completeness profile a feeds-monitoring job runs before trusting a
+    daily aggregate (a 6-day hole in a "daily" series is a pipeline
+    incident, not a quiet week). Pure date arithmetic on the distinct
+    observed-day table (one aggregate + one lead window per series);
+    the span identity observed + missing = last − first + 1 holds by
+    construction and the oracle re-derives both sides."""
+    days = (events
+            .select("user_id", "event_type",
+                    F.to_date("ts").alias("day"))
+            .distinct())
+    w = Window.partitionBy("user_id", "event_type").orderBy("day")
+    gap = F.datediff(F.lead("day").over(w), F.col("day")) - 1
+    return (days
+            .withColumn("_gap", gap)
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_days_observed"),
+                 F.sum(F.when(F.col("_gap") > 0, 1).otherwise(0))
+                 .alias("n_gaps"),
+                 F.coalesce(F.max(F.when(F.col("_gap") > 0,
+                                         F.col("_gap"))),
+                            F.lit(0)).cast("long").alias("max_gap_days"),
+                 F.coalesce(F.sum(F.when(F.col("_gap") > 0,
+                                         F.col("_gap"))),
+                            F.lit(0)).cast("long")
+                 .alias("total_missing_days"),
+                 F.min("day").alias("first_day"),
+                 F.max("day").alias("last_day")))

@@ -405,3 +405,74 @@ def copurchase_kcore(lineitem: DataFrame, k: int = 2,
             .unionAll(core_e.select(F.col("pb").alias("partkey")))
             .groupBy("partkey")
             .agg(F.count(F.lit(1)).alias("core_degree")))
+
+
+def closeness_centrality(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, supplier: DataFrame,
+                         nation: DataFrame, max_hops: int = 6,
+                         top_edges: int = 3) -> DataFrame:
+    """C38h: closeness + harmonic centrality by all-sources BFS over the
+    sparsified trade graph (each node's top-3 out-edges, the C38c
+    graph) — which nations sit nearest the middle of the trade web.
+    Harmonic centrality is reported EXACTLY as Σ 5040/d in BIGINT
+    (5040 is divisible by every d ≤ max_hops, so each term is an exact
+    integer — no per-row float summation whose order could drift);
+    classic closeness spends one correctly-rounded division.
+
+    The frontier holds (src, node) pairs — all sources advance in the
+    SAME keyed join per round (one frontier⋈edges + one anti-join
+    against reached, localCheckpoint lineage), not |V| separate BFS
+    runs; rounds are capped at max_hops with an empty-frontier early
+    exit (an empty frontier stays empty, so stopping early is
+    idempotent — the kcore discipline). The oracle's recursive CTE
+    enumerates paths to the same hop cap and collapses to the same
+    min-hop distances."""
+    edges_all = trade_edges(customer, orders, lineitem, supplier)
+    w_rank = Window.partitionBy("src").orderBy(
+        F.col("w").desc(), F.col("dst"))
+    edges = (edges_all
+             .withColumn("_rn", F.row_number().over(w_rank))
+             .filter(F.col("_rn") <= top_edges)
+             .select("src", "dst")
+             .localCheckpoint())
+
+    seeds = (nation.select(F.col("n_nationkey").alias("src"))
+             .withColumn("node", F.col("src"))
+             .withColumn("hops", F.lit(0)))
+
+    spark = nation.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        reached = seeds.localCheckpoint()
+        frontier = reached
+        for i in range(1, max_hops + 1):
+            nxt = (frontier
+                   .join(edges, frontier.node == edges.src)
+                   .select(frontier.src.alias("src"),
+                           F.col("dst").alias("node"),
+                           F.lit(i).alias("hops"))
+                   .distinct())
+            frontier = (nxt.join(reached, ["src", "node"], "left_anti")
+                        .localCheckpoint())
+            if not frontier.take(1):
+                break
+            reached = reached.unionAll(frontier).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    agg = (reached.groupBy("src")
+           .agg(F.count(F.lit(1)).alias("n_reached"),
+                F.sum("hops").alias("sum_hops"),
+                F.sum(F.when(F.col("hops") > 0,
+                             F.floor(F.lit(5040) / F.col("hops"))
+                             .cast("long")).otherwise(0))
+                .alias("harmonic_x5040")))
+    closeness = (F.when(F.col("sum_hops") > 0,
+                        (F.col("n_reached") - 1).cast("double")
+                        / F.col("sum_hops").cast("double")))
+    return (agg.join(F.broadcast(nation),
+                     agg.src == nation.n_nationkey)
+            .select(F.col("src").alias("nationkey"),
+                    F.col("n_name").alias("nation"),
+                    "n_reached", "sum_hops", "harmonic_x5040",
+                    closeness.alias("closeness")))

@@ -141,3 +141,50 @@ def golden_records(customer: DataFrame, max_edit: int = 9) -> DataFrame:
                                        F.lit(0).cast("long")))
                 .cast("long").alias("n_sources"),
                 F.col("matched_custkey").isNotNull().alias("updated")))
+
+
+def blocking_eval(customer: DataFrame) -> DataFrame:
+    """C39c: blocking-quality evaluation — the two standard ER metrics
+    for a candidate-generation scheme (Christen, "Data Matching", ch.7):
+    pair completeness (what fraction of TRUE matches survive blocking —
+    recall of the blocker) and reduction ratio (what fraction of the
+    dirty×clean cross product the blocker avoided scoring). The
+    go/no-go gauge before trusting c39_link's assignments: a cheap
+    blocker with low pair completeness silently loses matches no
+    verify stage can recover.
+
+    Candidates are counted at the BLOCKING stage (the composite-key
+    equi-join, before the cent/edit verify filters), distinct per
+    (dirty, clean) pair. Ground truth is the synthesized twin (true
+    match = same custkey). All counts exact; the two ratios spend one
+    fixed IEEE tree each. Scale: the same bounded block-occupancy join
+    as c39_link plus three 1-row count broadcasts."""
+    dirty = dirty_twin(customer)
+    clean = customer.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        _cents(F.col("c_acctbal")).alias("cents"))
+    lo = F.expr(f"(d_cents - {CENT_TOL} + {OFFSET}) div {BAND_W}")
+    hi = F.expr(f"(d_cents + {CENT_TOL} + {OFFSET}) div {BAND_W}")
+    probes = dirty.select(
+        "*", F.explode(F.array_distinct(F.array(lo, hi))).alias("band"))
+    keyed = clean.withColumn(
+        "band", F.expr(f"(cents + {OFFSET}) div {BAND_W}"))
+    cand = (probes.join(
+                keyed,
+                (probes.d_nationkey == keyed.c_nationkey)
+                & (probes.d_mktsegment == keyed.c_mktsegment)
+                & (probes.band == keyed.band))
+            .select("dirty_id", "c_custkey").distinct())
+    counts = (cand.agg(F.count(F.lit(1)).alias("n_candidates"),
+                       F.sum(F.when(F.col("dirty_id") == F.col("c_custkey"),
+                                    1).otherwise(0))
+                       .alias("n_true_covered"))
+              .crossJoin(dirty.agg(F.count(F.lit(1)).alias("n_dirty")))
+              .crossJoin(clean.agg(F.count(F.lit(1)).alias("n_clean"))))
+    pc = (F.col("n_true_covered").cast("double")
+          / F.col("n_dirty").cast("double"))
+    rr = (F.lit(1.0) - F.col("n_candidates").cast("double")
+          / (F.col("n_dirty") * F.col("n_clean")).cast("double"))
+    return counts.select(
+        "n_dirty", "n_clean", "n_candidates", "n_true_covered",
+        pc.alias("pair_completeness"), rr.alias("reduction_ratio"))

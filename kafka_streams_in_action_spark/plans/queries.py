@@ -5570,6 +5570,117 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM events
         """),  # the booleans/counts are computed from REAL directories
     #   and the post-vacuum read-back; pytest pins the keep-boundary
+    "c39_blocking": QuerySpec(
+        # C39c: blocking-quality eval — pair completeness + reduction
+        # ratio of the banded blocker, counted at the blocking stage.
+        _t("customer")(linkage.blocking_eval),
+        """
+        WITH dirty AS (
+            SELECT c_custkey AS dirty_id, c_nationkey AS d_nationkey,
+                   c_mktsegment AS d_mktsegment,
+                   CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                     + (c_custkey % 7 - 3) AS d_cents
+            FROM customer WHERE c_custkey % 3 = 0),
+        clean AS (
+            SELECT c_custkey, c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM customer),
+        cand AS (
+            SELECT DISTINCT d.dirty_id, c.c_custkey
+            FROM dirty d
+            JOIN clean c
+              ON d.d_nationkey = c.c_nationkey
+             AND d.d_mktsegment = c.c_mktsegment
+             AND ((c.cents + 1000000) // 1000)
+                 IN ((d.d_cents - 10 + 1000000) // 1000,
+                     (d.d_cents + 10 + 1000000) // 1000)),
+        k AS (
+            SELECT CAST((SELECT count(*) FROM dirty) AS BIGINT) AS n_dirty,
+                   CAST((SELECT count(*) FROM clean) AS BIGINT) AS n_clean,
+                   CAST((SELECT count(*) FROM cand) AS BIGINT)
+                       AS n_candidates,
+                   CAST((SELECT count(*) FROM cand
+                         WHERE dirty_id = c_custkey) AS BIGINT)
+                       AS n_true_covered)
+        SELECT n_dirty, n_clean, n_candidates, n_true_covered,
+               CAST(n_true_covered AS DOUBLE) / CAST(n_dirty AS DOUBLE)
+                   AS pair_completeness,
+               CAST(1.0 AS DOUBLE)
+                 - CAST(n_candidates AS DOUBLE)
+                   / CAST(n_dirty * n_clean AS DOUBLE) AS reduction_ratio
+        FROM k
+        """),
+    "c16_gaps": QuerySpec(
+        # C16f: per-(user, type) calendar-gap audit over the distinct
+        # observed-day table; pure date arithmetic.
+        _t("events")(event_time.activity_gaps),
+        """
+        WITH days AS (
+            SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
+            FROM events),
+        g AS (
+            SELECT user_id, event_type, day,
+                   date_diff('day', day,
+                             lead(day) OVER (PARTITION BY user_id,
+                                             event_type ORDER BY day))
+                     - 1 AS gap
+            FROM days)
+        SELECT user_id, event_type,
+               CAST(count(*) AS BIGINT) AS n_days_observed,
+               CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gaps,
+               CAST(coalesce(max(CASE WHEN gap > 0 THEN gap END), 0)
+                    AS BIGINT) AS max_gap_days,
+               CAST(coalesce(sum(CASE WHEN gap > 0 THEN gap END), 0)
+                    AS BIGINT) AS total_missing_days,
+               min(day) AS first_day, max(day) AS last_day
+        FROM g GROUP BY 1, 2
+        """),
+    "c38_closeness": QuerySpec(
+        # C38h: closeness + exact-integer harmonic centrality via
+        # all-sources BFS on the top-3 trade graph; oracle = hop-capped
+        # recursive CTE collapsed to min-hop distances.
+        _t("customer orders lineitem supplier nation")(
+            graph.closeness_centrality),
+        """
+        WITH RECURSIVE e0 AS (
+            SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+                   count(*) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            GROUP BY 1, 2),
+        edges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst, row_number() OVER (
+                           PARTITION BY src ORDER BY w DESC, dst) AS rn
+                FROM e0)
+            WHERE rn <= 3),
+        walk(src, node, hops) AS (
+            SELECT n_nationkey, n_nationkey, 0 FROM nation
+            UNION ALL
+            SELECT w.src, e.dst, w.hops + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.hops < 6),
+        m AS (
+            SELECT src, node, min(hops) AS hops
+            FROM walk GROUP BY 1, 2),
+        agg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS n_reached,
+                   CAST(sum(hops) AS BIGINT) AS sum_hops,
+                   CAST(sum(CASE WHEN hops > 0 THEN 5040 // hops
+                                 ELSE 0 END) AS BIGINT) AS harmonic_x5040
+            FROM m GROUP BY 1)
+        SELECT a.src AS nationkey, n.n_name AS nation, a.n_reached,
+               a.sum_hops, a.harmonic_x5040,
+               CASE WHEN a.sum_hops > 0
+                    THEN CAST(a.n_reached - 1 AS DOUBLE)
+                         / CAST(a.sum_hops AS DOUBLE) END AS closeness
+        FROM agg a JOIN nation n ON n.n_nationkey = a.src
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -5638,7 +5749,8 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # hashes. The round-9 slate registered after those (c12_drawdown,
 # c12_drawdown_stream, c12_crossover, c12_trend, c9_overlap, c34_rfm,
 # c35_timetravel, c35_forget, c38_linkpred, c38_kcore, c33_ks,
-# c16_seasonality, c35_vacuum — same gates)
+# c16_seasonality, c35_vacuum, c39_blocking, c16_gaps, c38_closeness —
+# same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

@@ -202,6 +202,9 @@ PROBE_QUERIES = [
     "c33_ks",               # type-pair cum windows over merged values
     "c16_seasonality",      # (type, day) agg + bounded dow rollup
     "c35_vacuum",           # real version writes + retention delete
+    "c39_blocking",         # banded block join + count scalars
+    "c16_gaps",             # distinct-day agg + lead window
+    "c38_closeness",        # 4-table edge build + all-sources BFS
 ]
 
 

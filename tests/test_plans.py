@@ -170,6 +170,7 @@ _BNLJ_ALLOWED = {
     "c34_survival",         # 1-row corpus-end + user-total scalars
     "c35_forget",           # six 1-row audit-count scalar crossjoins
     "c33_ks",               # |types|x|types| pair grid from 5-row sides
+    "c39_blocking",         # three 1-row count scalar crossjoins
 }
 
 
@@ -234,7 +235,10 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c38_kcore",
                     # writes/deletes real version dirs + read-back
                     # counts at build by design (r9)
-                    "c35_vacuum"):
+                    "c35_vacuum",
+                    # all-sources BFS loop checkpoints bounded frames +
+                    # empty-frontier probe at build (r9)
+                    "c38_closeness"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)

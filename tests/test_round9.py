@@ -445,3 +445,83 @@ def test_vacuum_fewer_versions_than_keep_removes_nothing(spark, tmp_path):
         .collect()[0]
     assert row["n_removed"] == 0 and row["n_kept"] == 2
     assert row["serving_unchanged"] is True
+
+
+# ---------------------------------------------------------- blocking-eval
+
+def test_blocking_eval_counts_on_tiny_corpus(spark):
+    """6 customers (2 divisible by 3 → 2 dirty twins), all same
+    nation/segment, balances far apart: each dirty record's band
+    window reaches only its own twin, so candidates = 2, pair
+    completeness = 1.0, and the reduction ratio is 1 − 2/(2·6)."""
+    from kafka_streams_in_action_spark.operators import linkage
+    cust = spark.createDataFrame(
+        [(k, f"Customer#{k:09d}", 1, 100.0 * k, "AUTO")
+         for k in range(1, 7)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string")
+    row = linkage.blocking_eval(cust).collect()[0]
+    assert (row["n_dirty"], row["n_clean"]) == (2, 6)
+    assert row["n_candidates"] == 2 and row["n_true_covered"] == 2
+    assert row["pair_completeness"] == 1.0
+    assert row["reduction_ratio"] == 1.0 - 2.0 / 12.0
+
+
+# ------------------------------------------------------------------ gaps
+
+def test_activity_gaps_span_identity(spark):
+    """Observed days 1,2,5,9: two gaps (len 2 and 3), and
+    observed + missing = last − first + 1."""
+    from kafka_streams_in_action_spark.operators import event_time
+    rows = [(i, 1, (d - 1) * 1440, "t", 1.0)
+            for i, d in enumerate([1, 2, 5, 9])]
+    row = event_time.activity_gaps(_events(spark, rows)).collect()[0]
+    assert row["n_days_observed"] == 4
+    assert row["n_gaps"] == 2
+    assert row["max_gap_days"] == 3
+    assert row["total_missing_days"] == 5
+    span = (row["last_day"] - row["first_day"]).days + 1
+    assert row["n_days_observed"] + row["total_missing_days"] == span
+
+
+def test_activity_gaps_dense_series_has_none(spark):
+    """Consecutive days: zero gaps, zero missing."""
+    from kafka_streams_in_action_spark.operators import event_time
+    rows = [(d, 1, d * 1440, "t", 1.0) for d in range(5)]
+    row = event_time.activity_gaps(_events(spark, rows)).collect()[0]
+    assert row["n_gaps"] == 0 and row["total_missing_days"] == 0
+
+
+# ------------------------------------------------------------- closeness
+
+def test_closeness_chain_graph_distances(spark):
+    """Trade chain 0→1→2: nation 0 reaches 1 at hop 1 and 2 at hop 2 —
+    n_reached 3 (incl. self), Σd = 3, harmonic = 5040 + 2520; nation 2
+    reaches nothing (closeness null, harmonic 0)."""
+    from kafka_streams_in_action_spark.operators import graph
+    nation = spark.createDataFrame(
+        [(0, "A", 0), (1, "B", 0), (2, "C", 0)],
+        "n_nationkey int, n_name string, n_regionkey int")
+    cust = spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "AUTO"), (2, "c2", 1, 0.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string")
+    supp = spark.createDataFrame(
+        [(10, 1), (20, 2)], "s_suppkey long, s_nationkey int")
+    orders = _orders(spark, [(100, 1, dt.datetime(2000, 1, 1), 1.0),
+                             (200, 2, dt.datetime(2000, 1, 2), 1.0)])
+    li = spark.createDataFrame(
+        [(100, 1, 10, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          dt.datetime(2000, 1, 3)),
+         (200, 1, 20, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          dt.datetime(2000, 1, 4))],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp")
+    out = {r["nationkey"]: r for r in graph.closeness_centrality(
+        cust, orders, li, supp, nation).collect()}
+    assert out[0]["n_reached"] == 3 and out[0]["sum_hops"] == 3
+    assert out[0]["harmonic_x5040"] == 5040 + 2520
+    assert out[0]["closeness"] == 2.0 / 3.0
+    assert out[2]["n_reached"] == 1 and out[2]["closeness"] is None
