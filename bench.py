@@ -147,6 +147,8 @@ HEADLINE = [
     "c39_blocking",          # blocker recall / reduction-ratio gauge
     "c16_gaps",              # per-series calendar-gap audit
     "c38_closeness",         # all-sources BFS + integer harmonic
+    "c34_stickiness",        # bounded explode → exact sliding distinct
+    "c33_reconcile",         # fact-vs-header integer delta profile
 ]
 
 

@@ -778,3 +778,37 @@ def activity_gaps(events: DataFrame) -> DataFrame:
                  .alias("total_missing_days"),
                  F.min("day").alias("first_day"),
                  F.max("day").alias("last_day")))
+
+
+def dau_mau_stickiness(events: DataFrame, window_days: int = 30) -> DataFrame:
+    """C34l: DAU / trailing-MAU stickiness — the engagement ratio every
+    product dashboard leads with (what share of the monthly audience
+    shows up on a given day). Exact distinct counting at scale without
+    a distinct-over-sliding-frame (which no engine supports): each
+    (user, day) activity fact is EXPLODED to the ≤`window_days` future
+    report days it makes the user active for — a bounded 30× fan-out of
+    the already-deduplicated (user, day) table, turning the sliding
+    window into a plain equi-group distinct. Report days are limited to
+    days with any activity. At extreme user cardinality the drop-in is
+    the per-day HLL sketch + 30-day merge (the C4s rollup operator);
+    this exact form is the oracle-checkable contract.
+
+    stickiness = dau/mau is the single correctly-rounded division."""
+    ud = (events.select("user_id", F.to_date("ts").alias("day"))
+          .distinct())
+    exploded = (ud.withColumn(
+        "report_day",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.date_add(F.col("day"), window_days - 1))))
+        .select("user_id", F.col("report_day").alias("day"),
+                F.col("day").alias("active_day")))
+    observed = ud.select("day").distinct()
+    mau = (exploded.join(observed, "day", "left_semi")
+           .groupBy("day")
+           .agg(F.count_distinct("user_id").alias("mau")))
+    dau = ud.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    return (dau.join(mau, "day")
+            .select("day", "dau", "mau",
+                    (F.col("dau").cast("double")
+                     / F.col("mau").cast("double")).alias("stickiness")))

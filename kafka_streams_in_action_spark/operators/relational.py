@@ -1596,3 +1596,36 @@ def ks_test(events: DataFrame) -> DataFrame:
             .select("type_a", "type_b", "n_a", "n_b", "d_num", "d",
                     "threshold",
                     (F.col("d") > F.col("threshold")).alias("reject")))
+
+
+def order_reconciliation(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """C33o: cross-table reconciliation audit — recompute each order's
+    total from its line items (extended price net of discount, plus
+    tax, the TPC-H pricing identity) and profile the drift against the
+    header's o_totalprice: the financial-close style consistency check
+    between a fact table and its rollup header. Per-line charges are
+    quantized to exact integer cents AFTER a fixed per-row IEEE tree
+    (two multiplies), summed exactly, and compared as integers — the
+    delta distribution (exact matches, within-a-dollar, max, mean) is
+    engine-deterministic. One fact-fact join on orderkey + two hash
+    aggregates; nothing else moves."""
+    charge = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+              * (F.lit(1.0) + F.col("l_tax")))
+    cents = F.floor(charge * 100.0 + 0.5).cast("long")
+    li = (lineitem.groupBy(F.col("l_orderkey").alias("okey"))
+          .agg(F.sum(cents).alias("li_cents")))
+    o = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        .alias("hdr_cents"))
+    joined = (o.join(li, o.o_orderkey == li.okey)
+              .withColumn("delta", F.abs(F.col("hdr_cents")
+                                         - F.col("li_cents"))))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("delta") == 0, 1).otherwise(0))
+        .alias("n_exact"),
+        F.sum(F.when(F.col("delta") <= 100, 1).otherwise(0))
+        .alias("n_within_dollar"),
+        F.max("delta").alias("max_abs_delta_cents"),
+        F.sum("delta").alias("sum_abs_delta_cents"))

@@ -5681,6 +5681,51 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                          / CAST(a.sum_hops AS DOUBLE) END AS closeness
         FROM agg a JOIN nation n ON n.n_nationkey = a.src
         """),
+    "c34_stickiness": QuerySpec(
+        # C34l: DAU / trailing-30d-MAU via bounded explode → equi-group
+        # exact distinct; stickiness = one division.
+        _t("events")(event_time.dau_mau_stickiness),
+        """
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        observed AS (SELECT DISTINCT day FROM ud),
+        mau AS (
+            SELECT o.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+            FROM observed o
+            JOIN ud u ON u.day <= o.day AND u.day > o.day - 30
+            GROUP BY 1),
+        dau AS (
+            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM ud GROUP BY 1)
+        SELECT d.day, d.dau, m.mau,
+               CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+        FROM dau d JOIN mau m ON m.day = d.day
+        """),
+    "c33_reconcile": QuerySpec(
+        # C33o: fact-vs-header reconciliation — per-line charge cents
+        # through a fixed IEEE tree, exact integer delta profile.
+        _t("orders lineitem")(relational.order_reconciliation),
+        """
+        WITH li AS (
+            SELECT l_orderkey AS okey,
+                   CAST(sum(CAST(floor(
+                       l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+                       * (CAST(1.0 AS DOUBLE) + l_tax) * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS li_cents
+            FROM lineitem GROUP BY 1),
+        j AS (
+            SELECT abs(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       - li.li_cents) AS delta
+            FROM orders o JOIN li ON o.o_orderkey = li.okey)
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact,
+               CAST(sum(CASE WHEN delta <= 100 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_within_dollar,
+               CAST(max(delta) AS BIGINT) AS max_abs_delta_cents,
+               CAST(sum(delta) AS BIGINT) AS sum_abs_delta_cents
+        FROM j
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -5749,8 +5794,8 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # hashes. The round-9 slate registered after those (c12_drawdown,
 # c12_drawdown_stream, c12_crossover, c12_trend, c9_overlap, c34_rfm,
 # c35_timetravel, c35_forget, c38_linkpred, c38_kcore, c33_ks,
-# c16_seasonality, c35_vacuum, c39_blocking, c16_gaps, c38_closeness —
-# same gates)
+# c16_seasonality, c35_vacuum, c39_blocking, c16_gaps, c38_closeness,
+# c34_stickiness, c33_reconcile — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

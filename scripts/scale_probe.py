@@ -205,6 +205,8 @@ PROBE_QUERIES = [
     "c39_blocking",         # banded block join + count scalars
     "c16_gaps",             # distinct-day agg + lead window
     "c38_closeness",        # 4-table edge build + all-sources BFS
+    "c34_stickiness",       # 30x day explode + two distinct aggs
+    "c33_reconcile",        # orderkey fact join + delta agg
 ]
 
 

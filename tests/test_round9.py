@@ -525,3 +525,62 @@ def test_closeness_chain_graph_distances(spark):
     assert out[0]["harmonic_x5040"] == 5040 + 2520
     assert out[0]["closeness"] == 2.0 / 3.0
     assert out[2]["n_reached"] == 1 and out[2]["closeness"] is None
+
+
+# ------------------------------------------------------------ stickiness
+
+def test_stickiness_mau_counts_trailing_window_users(spark):
+    """User A active day 0 only, user B active day 20: at day 20,
+    DAU = 1 (B) but MAU = 2 (A is inside the trailing 30) —
+    stickiness 0.5. A day-35 event drops A out of the window."""
+    from kafka_streams_in_action_spark.operators import event_time
+    rows = [(1, 1, 0, "t", 1.0),
+            (2, 2, 20 * 1440, "t", 1.0),
+            (3, 2, 35 * 1440, "t", 1.0)]
+    out = {str(r["day"]): r for r in
+           event_time.dau_mau_stickiness(_events(spark, rows)).collect()}
+    d20 = out["2024-01-21"]
+    assert (d20["dau"], d20["mau"]) == (1, 2)
+    assert d20["stickiness"] == 0.5
+    d35 = out["2024-02-05"]
+    assert (d35["dau"], d35["mau"]) == (1, 1)
+
+
+def test_stickiness_same_day_duplicates_count_once(spark):
+    """Five events by one user on one day: DAU = MAU = 1 (the
+    (user, day) dedup precedes everything)."""
+    from kafka_streams_in_action_spark.operators import event_time
+    rows = [(i, 7, i, "t", 1.0) for i in range(5)]
+    row = event_time.dau_mau_stickiness(_events(spark, rows)).collect()[0]
+    assert (row["dau"], row["mau"], row["stickiness"]) == (1, 1, 1.0)
+
+
+# ------------------------------------------------------------- reconcile
+
+def test_reconcile_exact_and_drifted_orders(spark):
+    """Order 1's header equals its line total exactly; order 2's header
+    is 50 cents off (within a dollar); order 3 drifts 500 cents."""
+    from kafka_streams_in_action_spark.operators import relational
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 100.0, 0.1, 0.05, "N", "O",
+          dt.datetime(2000, 1, 1)),
+         (2, 1, 1, 1, 1.0, 200.0, 0.0, 0.0, "N", "O",
+          dt.datetime(2000, 1, 1)),
+         (3, 1, 1, 1, 1.0, 300.0, 0.0, 0.0, "N", "O",
+          dt.datetime(2000, 1, 1))],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp")
+    # order 1 charge = 100*0.9*1.05 = 94.50
+    orders = _orders(spark, [
+        (1, 1, dt.datetime(2000, 1, 1), 94.50),
+        (2, 1, dt.datetime(2000, 1, 1), 200.50),
+        (3, 1, dt.datetime(2000, 1, 1), 305.00),
+    ])
+    row = relational.order_reconciliation(orders, li).collect()[0]
+    assert row["n_orders"] == 3
+    assert row["n_exact"] == 1
+    assert row["n_within_dollar"] == 2
+    assert row["max_abs_delta_cents"] == 500
+    assert row["sum_abs_delta_cents"] == 550
