@@ -149,6 +149,8 @@ HEADLINE = [
     "c38_closeness",         # all-sources BFS + integer harmonic
     "c34_stickiness",        # bounded explode → exact sliding distinct
     "c33_reconcile",         # fact-vs-header integer delta profile
+    "c29_recall_curve",      # LSH sweep vs exact pair sets
+    "c32_quota",             # apportionment + hash-ordered draw
 ]
 
 

@@ -883,3 +883,49 @@ def paragraph_dedup(documents: DataFrame, delim: str = " the ") -> DataFrame:
                     F.coalesce("n_kept", F.lit(0).cast("long"))
                     .alias("n_kept"),
                     F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
+def lsh_recall_curve(documents: DataFrame,
+                     thresholds=(0.1, 0.2, 0.4),
+                     min_recall: float = 0.3, n: int = 3) -> DataFrame:
+    """C29u: banding recall curve — the LSH quality gauge across a
+    THRESHOLD SWEEP, one verdict row per operating point, extending the
+    single-point c29_minhash_lsh verdict the way c39_blocking extends
+    c39_link: before trusting a near-dup threshold in production, read
+    its measured recall against the exact pair set. One LSH run at the
+    most permissive threshold and one exact inverted-index run supply
+    every point (a pair scored at jaccard j serves every t ≤ j), so the
+    sweep costs no more than the single verdict.
+
+    Verdict form (engine-hash-dependent candidates, the c4_approx_*
+    pattern): n_exact_pairs per threshold is the real cross-engine
+    signal (the oracle recomputes it from its own shingle CTE);
+    precision_ok asserts every surviving LSH pair carries a BITWISE
+    identical exact jaccard; recall_ok asserts the banding curve stays
+    above the pytest-pinned floor at every point."""
+    t0 = thresholds[0]
+    lsh = (minhash_lsh_pairs(documents, threshold=t0, n=n)
+           .withColumnRenamed("jaccard", "j_lsh"))
+    exact = (ngram_jaccard_pairs(documents, threshold=t0, n=n)
+             .withColumnRenamed("jaccard", "j_exact"))
+    tcol = F.explode(F.array(*[F.lit(float(t)) for t in thresholds]))
+    lsh_t = (lsh.join(exact, ["doc_a", "doc_b"], "left")
+             .withColumn("threshold", tcol)
+             .filter(F.col("j_lsh") >= F.col("threshold"))
+             .groupBy("threshold")
+             .agg(F.count(F.lit(1)).alias("n_lsh"),
+                  F.sum(F.when(F.col("j_exact").isNotNull()
+                               & (F.col("j_exact") == F.col("j_lsh")),
+                               1).otherwise(0)).alias("n_valid")))
+    exact_t = (exact.withColumn("threshold", tcol)
+               .filter(F.col("j_exact") >= F.col("threshold"))
+               .groupBy("threshold")
+               .agg(F.count(F.lit(1)).alias("n_exact_pairs")))
+    return (exact_t.join(lsh_t, "threshold", "left")
+            .select("threshold", "n_exact_pairs",
+                    (F.coalesce(F.col("n_valid"), F.lit(0))
+                     == F.coalesce(F.col("n_lsh"), F.lit(0)))
+                    .alias("precision_ok"),
+                    (F.coalesce(F.col("n_lsh"), F.lit(0))
+                     >= F.lit(min_recall) * F.col("n_exact_pairs"))
+                    .alias("recall_ok")))

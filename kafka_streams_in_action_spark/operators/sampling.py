@@ -446,3 +446,51 @@ def oversample_balance(events: DataFrame) -> DataFrame:
             .select("event_type", "n_orig", "rep_factor", "n_after",
                     (F.col("n_after") >= F.col("n_max"))
                     .alias("balanced")))
+
+
+def quota_sample(documents: DataFrame, budget: int = 500) -> DataFrame:
+    """C32m: largest-remainder quota sampling — allocate a FIXED sample
+    budget across strata proportionally (Hamilton apportionment: every
+    stratum gets floor(budget·n/N), the leftover seats go to the
+    largest remainders), then draw exactly that many docs per stratum
+    by deterministic hash order. The panel-building / eval-set
+    discipline where the TOTAL is contractual (exactly 500 eval docs)
+    — per-stratum Bernoulli rates can't guarantee it, apportionment
+    can, and the integer arithmetic makes over/under-allocation
+    impossible rather than unlikely.
+
+    All integer: quotas are BIGINT div/mod (nonneg), the remainder
+    ranking and the per-stratum draw are ranking windows with full
+    tie-breaks (md5 hex order, doc_id) both engines replay exactly.
+    Scale: allocation runs on the bounded strata table; the draw is one
+    per-stratum window over the corpus (key-parallel); only (source,
+    doc_id, hash) shuffle."""
+    strata = (documents.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    wall = Window.partitionBy()
+    wrem = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    alloc = (strata
+             .withColumn("total", F.sum("n_docs").over(wall))
+             .withColumn("base_alloc",
+                         F.expr(f"({budget} * n_docs) div total"))
+             .withColumn("rem", F.expr(f"({budget} * n_docs) % total"))
+             .withColumn("leftover",
+                         F.lit(budget) - F.sum("base_alloc").over(wall))
+             .withColumn("extra",
+                         F.when(F.row_number().over(wrem)
+                                <= F.col("leftover"), 1).otherwise(0)
+                         .cast("long"))
+             .withColumn("alloc", F.col("base_alloc") + F.col("extra")))
+    wdraw = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    drawn = (documents
+             .withColumn("_rn", F.row_number().over(wdraw))
+             .join(F.broadcast(alloc.select("source", "alloc")), "source")
+             .filter(F.col("_rn") <= F.col("alloc"))
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_selected"),
+                  F.min("doc_id").alias("min_selected_id")))
+    return (alloc.join(drawn, "source", "left")
+            .select("source", "n_docs", "base_alloc", "extra", "alloc",
+                    F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+                    "min_selected_id"))

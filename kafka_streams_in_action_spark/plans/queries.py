@@ -5726,6 +5726,75 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                CAST(sum(delta) AS BIGINT) AS sum_abs_delta_cents
         FROM j
         """),
+    "c29_recall_curve": QuerySpec(
+        # C29u: LSH banding recall sweep, verdict form — the oracle
+        # recomputes the exact pair count at each threshold from its
+        # own shingle CTE; precision/recall booleans pinned TRUE.
+        _t("documents")(dedup.lsh_recall_curve),
+        f"""
+        WITH {_SHINGLE_CTE},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                              AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        j AS (
+            SELECT round(n_common
+                         / (sa.set_size + sb.set_size - n_common), 6)
+                       AS jaccard
+            FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id),
+        t AS (SELECT CAST(unnest([0.1, 0.2, 0.4]) AS DOUBLE) AS threshold)
+        SELECT t.threshold,
+               CAST(count(j.jaccard) AS BIGINT) AS n_exact_pairs,
+               TRUE AS precision_ok, TRUE AS recall_ok
+        FROM t LEFT JOIN j ON j.jaccard >= t.threshold
+        GROUP BY 1
+        """),
+    "c32_quota": QuerySpec(
+        # C32m: largest-remainder quota sampling — integer Hamilton
+        # apportionment + deterministic md5-ordered per-stratum draw.
+        _t("documents")(sampling.quota_sample),
+        """
+        WITH strata AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+        a0 AS (
+            SELECT s.source, s.n_docs,
+                   CAST((500 * s.n_docs) // t.total AS BIGINT)
+                       AS base_alloc,
+                   CAST((500 * s.n_docs) % t.total AS BIGINT) AS rem
+            FROM strata s, tot t),
+        a AS (
+            SELECT source, n_docs, base_alloc,
+                   CAST(CASE WHEN row_number() OVER (
+                                 ORDER BY rem DESC, source)
+                             <= 500 - (SELECT sum(base_alloc) FROM a0)
+                             THEN 1 ELSE 0 END AS BIGINT) AS extra
+            FROM a0),
+        d AS (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rn
+            FROM documents),
+        drawn AS (
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_selected,
+                   CAST(min(d.doc_id) AS BIGINT) AS min_selected_id
+            FROM d JOIN a ON a.source = d.source
+                         AND d.rn <= a.base_alloc + a.extra
+            GROUP BY 1)
+        SELECT a.source, a.n_docs, a.base_alloc, a.extra,
+               CAST(a.base_alloc + a.extra AS BIGINT) AS alloc,
+               CAST(coalesce(dr.n_selected, 0) AS BIGINT) AS n_selected,
+               dr.min_selected_id
+        FROM a LEFT JOIN drawn dr ON dr.source = a.source
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -5795,7 +5864,8 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c12_drawdown_stream, c12_crossover, c12_trend, c9_overlap, c34_rfm,
 # c35_timetravel, c35_forget, c38_linkpred, c38_kcore, c33_ks,
 # c16_seasonality, c35_vacuum, c39_blocking, c16_gaps, c38_closeness,
-# c34_stickiness, c33_reconcile — same gates)
+# c34_stickiness, c33_reconcile, c29_recall_curve, c32_quota — same
+# gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

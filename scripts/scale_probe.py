@@ -207,6 +207,11 @@ PROBE_QUERIES = [
     "c38_closeness",        # 4-table edge build + all-sources BFS
     "c34_stickiness",       # 30x day explode + two distinct aggs
     "c33_reconcile",        # orderkey fact join + delta agg
+    "c32_quota",            # bounded apportionment + per-stratum draw
+    # c29_recall_curve is deliberately NOT probed: it runs the exact
+    # inverted-index pair set (like c38_triangles), which the
+    # copy-synth corpus makes quadratic — the LSH scale path is
+    # already probed via c29_minhash_lsh.
 ]
 
 

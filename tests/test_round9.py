@@ -584,3 +584,58 @@ def test_reconcile_exact_and_drifted_orders(spark):
     assert row["n_within_dollar"] == 2
     assert row["max_abs_delta_cents"] == 500
     assert row["sum_abs_delta_cents"] == 550
+
+
+# ----------------------------------------------------------------- quota
+
+def _docs(spark, rows):
+    """rows = [(doc_id, source, text)]"""
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, s, t in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+
+
+def test_quota_allocation_sums_exactly_to_budget(spark):
+    """Skewed strata (70/20/10 docs, budget 500 > corpus): quotas are
+    capped implicitly by the draw, but the ALLOCATION always sums to
+    the budget and every stratum draw returns min(alloc, n_docs)."""
+    from kafka_streams_in_action_spark.operators import sampling
+    rows = ([(i, "a", f"t {i}") for i in range(70)]
+            + [(100 + i, "b", f"t {i}") for i in range(20)]
+            + [(200 + i, "c", f"t {i}") for i in range(10)])
+    out = sampling.quota_sample(_docs(spark, rows), budget=50).collect()
+    assert sum(r["alloc"] for r in out) == 50
+    by = {r["source"]: r for r in out}
+    assert by["a"]["alloc"] == 35 and by["b"]["alloc"] == 10 \
+        and by["c"]["alloc"] == 5
+    assert all(r["n_selected"] == r["alloc"] for r in out)
+
+
+def test_quota_largest_remainder_tiebreak(spark):
+    """Budget 10 over three equal strata (10/3 each): base 3 ×3 = 9,
+    one leftover seat; remainders tie, so the lexicographically first
+    source wins it."""
+    from kafka_streams_in_action_spark.operators import sampling
+    rows = [(100 * k + i, s, f"t {i}")
+            for k, s in enumerate(["x", "y", "z"]) for i in range(9)]
+    out = {r["source"]: r for r in sampling.quota_sample(
+        _docs(spark, rows), budget=10).collect()}
+    assert [out[s]["alloc"] for s in ("x", "y", "z")] == [4, 3, 3]
+
+
+# ---------------------------------------------------------- recall curve
+
+def test_recall_curve_identical_twins_fully_recalled(spark):
+    """Pairs of identical documents (jaccard exactly 1.0) collide in
+    EVERY band — recall is deterministic-complete at every threshold
+    and precision holds bitwise."""
+    from kafka_streams_in_action_spark.operators import dedup
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(2 * i + b, f"s{i}", text + f" tail{i} tail{i}")
+            for i in range(6) for b in (0, 1)]
+    out = dedup.lsh_recall_curve(_docs(spark, rows)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_exact_pairs"] >= 6
+        assert r["precision_ok"] is True and r["recall_ok"] is True
