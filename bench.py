@@ -151,6 +151,9 @@ HEADLINE = [
     "c33_reconcile",         # fact-vs-header integer delta profile
     "c29_recall_curve",      # LSH sweep vs exact pair sets
     "c32_quota",             # apportionment + hash-ordered draw
+    "c34_growth",            # weekly new/retained/resurrected/dormant
+    "c30_token_budget",      # per-source dedup token accounting
+    "c29_filtered_ann",      # pre- vs post-filter vector search
 ]
 
 

@@ -812,3 +812,50 @@ def dau_mau_stickiness(events: DataFrame, window_days: int = 30) -> DataFrame:
             .select("day", "dau", "mau",
                     (F.col("dau").cast("double")
                      / F.col("mau").cast("double")).alias("stickiness")))
+
+
+def growth_accounting(events: DataFrame) -> DataFrame:
+    """C34m: weekly growth accounting — the new / retained / resurrected
+    / dormant user decomposition every growth dashboard is built on
+    (DAU's explanatory twin: WHY did the active count move). Weeks are
+    epoch-days div 7 (engine-agnostic, no ISO-week convention split).
+    Per (user, week): new = first observed week; retained = also active
+    the immediately preceding week; resurrected = active, previously
+    seen, but absent last week. Dormant is counted on the OTHER side:
+    a user active in week w whose next observed week is not w+1 goes
+    dormant in w+1 (capped at the corpus's last week, so the final
+    boundary never fabricates churn).
+
+    One distinct (user, week) aggregate is the data-scale work; the
+    status lags are per-user windows on the weekly table. All counts
+    exact integers; FULL oracle."""
+    wk = F.floor(F.datediff(F.to_date("ts"),
+                            F.lit("1995-01-01").cast("date")) / 7) \
+        .cast("long")
+    uw = (events.select("user_id", wk.alias("week")).distinct())
+    w = Window.partitionBy("user_id").orderBy("week")
+    wall = Window.partitionBy()
+    flagged = (uw
+               .withColumn("prev_week", F.lag("week").over(w))
+               .withColumn("next_week", F.lead("week").over(w))
+               .withColumn("max_week", F.max("week").over(wall)))
+    status = (F.when(F.col("prev_week").isNull(), "new")
+              .when(F.col("prev_week") == F.col("week") - 1, "retained")
+              .otherwise("resurrected"))
+    active = (flagged.groupBy("week")
+              .agg(F.sum(F.when(status == "new", 1).otherwise(0))
+                   .alias("n_new"),
+                   F.sum(F.when(status == "retained", 1).otherwise(0))
+                   .alias("n_retained"),
+                   F.sum(F.when(status == "resurrected", 1).otherwise(0))
+                   .alias("n_resurrected")))
+    dormant = (flagged
+               .filter((F.col("week") < F.col("max_week"))
+                       & (F.col("next_week").isNull()
+                          | (F.col("next_week") > F.col("week") + 1)))
+               .groupBy((F.col("week") + 1).alias("week"))
+               .agg(F.count(F.lit(1)).alias("n_dormant")))
+    return (active.join(dormant, "week", "left")
+            .select("week", "n_new", "n_retained", "n_resurrected",
+                    F.coalesce("n_dormant", F.lit(0)).cast("long")
+                    .alias("n_dormant")))

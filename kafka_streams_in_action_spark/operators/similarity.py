@@ -1424,3 +1424,57 @@ def mmr_rerank(embeddings: DataFrame, n_queries: int = 5,
         selected = selected.unionByName(pick_v).localCheckpoint()
     return selected.select("query_id", "pick", "neighbor_id", "rel",
                            "mmr_score")
+
+
+def filtered_ann_eval(embeddings: DataFrame, n_queries: int = 10,
+                      k: int = 5) -> DataFrame:
+    """C29v: filtered vector search — top-k under a metadata predicate
+    (neighbors must share the query's label), evaluating PRE-filter
+    (restrict candidates, then rank: the correct semantics) against
+    POST-filter (global top-k, then drop non-matching: the cheap
+    shortcut every naive implementation ships). Post-filter results
+    are provably a subset of pre-filter results, so the recall column
+    n_post/k is exactly the fraction of the answer the shortcut kept —
+    the number that decides whether a vector store needs real filtered
+    indexes. Both sides exact here (the oracle replays both); at scale
+    the pre-filter side runs per-label IVF partitions (the C29n index
+    keyed by label) and this row is its correctness contract.
+
+    Same shared rounded-6 cosine fold and neighbor-id tie-break as
+    every C29 ranking, so both rankings replay bit-for-bit."""
+    emb = embeddings.select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("vec"))
+    q = (emb.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("label").alias("qlabel"),
+                 F.col("vec").alias("qvec")))
+    pairs = (emb.join(F.broadcast(q),
+                      F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "qlabel", "label",
+                     F.col("vec_id").alias("neighbor_id"),
+                     F.round(_cosine(F.col("qvec"), F.col("vec")), 6)
+                     .alias("sim")))
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    pre = (pairs.filter(F.col("label") == F.col("qlabel"))
+           .withColumn("rn", F.row_number().over(w_pre))
+           .filter(F.col("rn") <= k)
+           .groupBy("query_id")
+           .agg(F.count(F.lit(1)).alias("n_pre")))
+    post = (pairs
+            .withColumn("rn", F.row_number().over(w_pre))
+            .filter(F.col("rn") <= k)
+            .filter(F.col("label") == F.col("qlabel"))
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_post")))
+    return (q.select("query_id", "qlabel")
+            .join(pre, "query_id", "left")
+            .join(post, "query_id", "left")
+            .select("query_id", "qlabel",
+                    F.coalesce("n_pre", F.lit(0)).cast("long")
+                    .alias("n_pre"),
+                    F.coalesce("n_post", F.lit(0)).cast("long")
+                    .alias("n_post"),
+                    (F.coalesce("n_post", F.lit(0)).cast("double")
+                     / F.lit(float(k))).alias("post_recall")))

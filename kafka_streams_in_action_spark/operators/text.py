@@ -670,3 +670,42 @@ def lexical_diversity(documents: DataFrame) -> DataFrame:
                  / F.col("n_tokens").cast("double")).alias("type_token"),
                 (F.col("n_hapax").cast("double")
                  / F.col("n_vocab").cast("double")).alias("hapax_share")))
+
+
+def token_budget_report(documents: DataFrame) -> DataFrame:
+    """C30t: per-source token budget after exact dedup — the capacity
+    report a training-data planner reads first: how many documents and
+    whitespace tokens each source contributes, how much of it survives
+    exact (md5) dedup with first-occurrence-by-id retention, and the
+    duplication tax as a ratio. Composes C28's dedup rule with C30's
+    token accounting into the planning artifact.
+
+    Counts are exact integers; the two ratios spend one fixed IEEE
+    division each. Dedup keys are md5 hashes (text never shuffles
+    twice: the hash groupBy is the only text-wide exchange, the
+    argmin winner rejoins by doc_id)."""
+    toks = F.size(F.split(F.trim("text"), " ")).cast("long")
+    base = documents.select("doc_id", "source", toks.alias("n_tok"),
+                            F.md5("text").alias("h"))
+    kept = (base.groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    kept_rows = base.join(kept, "doc_id", "left_semi")
+    before = (base.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("docs_before"),
+                   F.sum("n_tok").alias("tokens_before")))
+    after = (kept_rows.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("docs_after"),
+                  F.sum("n_tok").alias("tokens_after")))
+    return (before.join(after, "source", "left")
+            .select("source", "docs_before", "tokens_before",
+                    F.coalesce("docs_after", F.lit(0)).cast("long")
+                    .alias("docs_after"),
+                    F.coalesce("tokens_after", F.lit(0)).cast("long")
+                    .alias("tokens_after"),
+                    (F.coalesce("docs_after", F.lit(0)).cast("double")
+                     / F.col("docs_before").cast("double"))
+                    .alias("doc_survival"),
+                    (F.coalesce("tokens_after", F.lit(0)).cast("double")
+                     / F.col("tokens_before").cast("double"))
+                    .alias("token_survival")))

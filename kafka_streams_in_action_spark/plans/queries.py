@@ -5795,6 +5795,121 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                dr.min_selected_id
         FROM a LEFT JOIN drawn dr ON dr.source = a.source
         """),
+    "c34_growth": QuerySpec(
+        # C34m: weekly growth accounting (new/retained/resurrected +
+        # dormant flow), weeks = epoch-days div 7. All-integer.
+        _t("events")(event_time.growth_accounting),
+        """
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_diff('day', DATE '1995-01-01',
+                                  CAST(ts AS DATE)) // 7 AS BIGINT)
+                       AS week
+            FROM events),
+        f AS (
+            SELECT user_id, week,
+                   lag(week) OVER (PARTITION BY user_id
+                                   ORDER BY week) AS prev_week,
+                   lead(week) OVER (PARTITION BY user_id
+                                    ORDER BY week) AS next_week,
+                   max(week) OVER () AS max_week
+            FROM uw),
+        active AS (
+            SELECT week,
+                   CAST(sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_retained,
+                   CAST(sum(CASE WHEN prev_week IS NOT NULL
+                                  AND prev_week < week - 1 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_resurrected
+            FROM f GROUP BY 1),
+        dormant AS (
+            SELECT week + 1 AS week,
+                   CAST(count(*) AS BIGINT) AS n_dormant
+            FROM f
+            WHERE week < max_week
+              AND (next_week IS NULL OR next_week > week + 1)
+            GROUP BY 1)
+        SELECT a.week, a.n_new, a.n_retained, a.n_resurrected,
+               CAST(coalesce(d.n_dormant, 0) AS BIGINT) AS n_dormant
+        FROM active a LEFT JOIN dormant d ON d.week = a.week
+        """),
+    "c30_token_budget": QuerySpec(
+        # C30t: per-source doc/token counts before and after exact
+        # dedup (md5, first-occurrence-by-id retention).
+        _t("documents")(text.token_budget_report),
+        """
+        WITH base AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                       AS n_tok,
+                   md5(text) AS h
+            FROM documents),
+        kept AS (
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM base GROUP BY h),
+        before AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS docs_before,
+                   CAST(sum(n_tok) AS BIGINT) AS tokens_before
+            FROM base GROUP BY 1),
+        after AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS docs_after,
+                   CAST(sum(n_tok) AS BIGINT) AS tokens_after
+            FROM base
+            WHERE doc_id IN (SELECT doc_id FROM kept)
+            GROUP BY 1)
+        SELECT b.source, b.docs_before, b.tokens_before,
+               CAST(coalesce(a.docs_after, 0) AS BIGINT) AS docs_after,
+               CAST(coalesce(a.tokens_after, 0) AS BIGINT)
+                   AS tokens_after,
+               CAST(coalesce(a.docs_after, 0) AS DOUBLE)
+                 / CAST(b.docs_before AS DOUBLE) AS doc_survival,
+               CAST(coalesce(a.tokens_after, 0) AS DOUBLE)
+                 / CAST(b.tokens_before AS DOUBLE) AS token_survival
+        FROM before b LEFT JOIN after a ON a.source = b.source
+        """),
+    "c29_filtered_ann": QuerySpec(
+        # C29v: filtered vector search — pre-filter (correct) vs
+        # post-filter (shortcut) top-k; both exact, shared cosine fold.
+        _t("embeddings")(similarity.filtered_ann_eval),
+        f"""
+        WITH emb AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings),
+        q AS (
+            SELECT vec_id AS query_id, label AS qlabel, v AS qv
+            FROM emb WHERE vec_id < 10),
+        pairs AS (
+            SELECT q.query_id, q.qlabel, e.label,
+                   e.vec_id AS neighbor_id,
+                   {_cosine_sql('qv', 'e.v')} AS sim
+            FROM emb e, q WHERE e.vec_id <> q.query_id),
+        pre AS (
+            SELECT query_id, CAST(count(*) AS BIGINT) AS n_pre
+            FROM (
+                SELECT query_id, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rn
+                FROM pairs WHERE label = qlabel)
+            WHERE rn <= 5 GROUP BY 1),
+        post AS (
+            SELECT query_id, CAST(count(*) AS BIGINT) AS n_post
+            FROM (
+                SELECT query_id, label, qlabel, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rn
+                FROM pairs)
+            WHERE rn <= 5 AND label = qlabel GROUP BY 1)
+        SELECT q.query_id, q.qlabel,
+               CAST(coalesce(pre.n_pre, 0) AS BIGINT) AS n_pre,
+               CAST(coalesce(post.n_post, 0) AS BIGINT) AS n_post,
+               CAST(coalesce(post.n_post, 0) AS DOUBLE)
+                 / CAST(5 AS DOUBLE) AS post_recall
+        FROM q
+        LEFT JOIN pre ON pre.query_id = q.query_id
+        LEFT JOIN post ON post.query_id = q.query_id
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -5864,8 +5979,8 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c12_drawdown_stream, c12_crossover, c12_trend, c9_overlap, c34_rfm,
 # c35_timetravel, c35_forget, c38_linkpred, c38_kcore, c33_ks,
 # c16_seasonality, c35_vacuum, c39_blocking, c16_gaps, c38_closeness,
-# c34_stickiness, c33_reconcile, c29_recall_curve, c32_quota — same
-# gates)
+# c34_stickiness, c33_reconcile, c29_recall_curve, c32_quota,
+# c34_growth, c30_token_budget, c29_filtered_ann — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

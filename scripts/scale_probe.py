@@ -208,6 +208,9 @@ PROBE_QUERIES = [
     "c34_stickiness",       # 30x day explode + two distinct aggs
     "c33_reconcile",        # orderkey fact join + delta agg
     "c32_quota",            # bounded apportionment + per-stratum draw
+    "c34_growth",           # (user, week) distinct + per-user lags
+    "c30_token_budget",     # md5 groupBy + semi-join rejoin
+    "c29_filtered_ann",     # broadcast queries, two rankings
     # c29_recall_curve is deliberately NOT probed: it runs the exact
     # inverted-index pair set (like c38_triangles), which the
     # copy-synth corpus makes quadratic — the LSH scale path is

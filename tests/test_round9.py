@@ -639,3 +639,65 @@ def test_recall_curve_identical_twins_fully_recalled(spark):
     for r in out:
         assert r["n_exact_pairs"] >= 6
         assert r["precision_ok"] is True and r["recall_ok"] is True
+
+
+# ------------------------------------------------------ growth accounting
+
+def test_growth_accounting_classifies_flows(spark):
+    """User 1 active weeks 0,1,3; user 2 active week 1 only.
+    Week 0: 1 new. Week 1: 1 retained (u1) + 1 new (u2).
+    Week 2: 2 dormant (both skipped), nobody active → week 2 absent.
+    Week 3: u1 resurrected, u2 contributes no further flow (corpus-end
+    cap keeps week 4 out)."""
+    from kafka_streams_in_action_spark.operators import event_time
+    rows = [(1, 1, 0, "t", 1.0),
+            (2, 1, 7 * 1440, "t", 1.0),
+            (3, 2, 7 * 1440 + 10, "t", 1.0),
+            (4, 1, 21 * 1440, "t", 1.0)]
+    out = {r["week"] - min(x["week"] for x in y): r
+           for y in [event_time.growth_accounting(_events(spark, rows))
+                     .collect()]
+           for r in y}
+    assert out[0]["n_new"] == 1
+    assert (out[1]["n_new"], out[1]["n_retained"]) == (1, 1)
+    assert out[3]["n_resurrected"] == 1
+    assert out[3]["n_retained"] == 0
+    # dormant flows land on week 2 (absent from active) and week 4
+    # (past corpus end) — neither fabricates an active row
+    assert 2 not in out and 4 not in out
+
+
+# ---------------------------------------------------------- token budget
+
+def test_token_budget_global_dedup_attribution(spark):
+    """The same text in sources a (doc 1) and b (doc 2): the b copy is
+    the duplicate (higher id), so b's survival drops while a keeps its
+    tokens — dedup is global, attribution per source."""
+    from kafka_streams_in_action_spark.operators import text as t
+    docs = _docs(spark, [(1, "a", "x y z"), (2, "b", "x y z"),
+                         (3, "b", "p q")])
+    out = {r["source"]: r for r in
+           t.token_budget_report(docs).collect()}
+    assert out["a"]["docs_after"] == 1 and out["a"]["tokens_after"] == 3
+    assert out["b"]["docs_before"] == 2 and out["b"]["docs_after"] == 1
+    assert out["b"]["tokens_after"] == 2
+    assert out["b"]["doc_survival"] == 0.5
+
+
+# ----------------------------------------------------------- filtered ann
+
+def test_filtered_ann_post_subset_of_pre(spark):
+    """Post-filter counts can never exceed pre-filter counts, and for
+    every query n_pre is min(k, same-label candidates)."""
+    from kafka_streams_in_action_spark.operators import similarity
+    import math
+    vecs = [(i, [math.cos(i * 0.7), math.sin(i * 0.7), 0.1 * (i % 4)],
+             i % 2) for i in range(30)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, v, lab in vecs],
+        "vec_id long, embedding array<float>, label int")
+    out = similarity.filtered_ann_eval(emb).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["n_post"] <= r["n_pre"] <= 5
+        assert r["post_recall"] == r["n_post"] / 5.0
