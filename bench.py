@@ -154,6 +154,7 @@ HEADLINE = [
     "c34_growth",            # weekly new/retained/resurrected/dormant
     "c30_token_budget",      # per-source dedup token accounting
     "c29_filtered_ann",      # pre- vs post-filter vector search
+    "c31_exposure",          # in-kernel integer-luma exposure tails
 ]
 
 

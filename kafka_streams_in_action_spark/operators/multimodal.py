@@ -679,3 +679,42 @@ def downsample_audio(audio_media: DataFrame, factor: int = 2) -> DataFrame:
     return audio_media.select("doc_id", "payload").mapInPandas(
         kernel, schema="doc_id long, n_in int, n_out int, rate_out int, "
                        "roundtrip_ok boolean, ssq_out long")
+
+
+def exposure_stats(bmp_media: DataFrame) -> DataFrame:
+    """C31k: exposure audit — per-image BT.601 integer luma histogram
+    tails (under-exposed y < 64, over-exposed y ≥ 192) computed INSIDE
+    the Arrow decode kernel, so payload bytes never shuffle — the
+    quality gate a vision-data pipeline runs before spending GPU time
+    on unusable frames (same kernel discipline as shot detection and
+    VAD). Luma is the pure-integer BT.601 form (77R + 150G + 29B) >> 8
+    on the decoded BGR bytes; counts are exact and the two fractions
+    spend one correctly-rounded division each, so the DuckDB oracle
+    recomputes everything from the fixture pixel formula."""
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_px": [], "n_under": [], "n_over": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = parse_bmp(bytes(payload))
+                px = rows.reshape(-1, 3).astype("int64")  # BGR triplets
+                y = (77 * px[:, 2] + 150 * px[:, 1] + 29 * px[:, 0]) // 256
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(w * h)
+                out["n_under"].append(int((y < 64).sum()))
+                out["n_over"].append(int((y >= 192).sum()))
+            yield pd.DataFrame(out)
+
+    stats = bmp_media.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, width int, height int, n_px long, "
+                       "n_under long, n_over long")
+    return stats.select(
+        "doc_id", "width", "height", "n_px", "n_under", "n_over",
+        (F.col("n_under").cast("double") / F.col("n_px").cast("double"))
+        .alias("under_frac"),
+        (F.col("n_over").cast("double") / F.col("n_px").cast("double"))
+        .alias("over_frac"))

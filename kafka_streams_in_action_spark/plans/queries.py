@@ -5910,6 +5910,38 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         LEFT JOIN pre ON pre.query_id = q.query_id
         LEFT JOIN post ON post.query_id = q.query_id
         """),
+    "c31_exposure": QuerySpec(
+        # C31k: in-kernel BT.601 integer-luma exposure tails; the
+        # oracle recomputes from the fixture pixel formula.
+        lambda spark, sf_dir: multimodal.exposure_stats(
+            multimodal.to_bmp_media(load_table(spark, "documents",
+                                               sf_dir))),
+        """
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        dims AS (SELECT doc_id, (nb % 29) + 4 AS w, (doc_id % 13) + 3 AS h
+                 FROM d),
+        luma AS (
+            SELECT doc_id, w, h,
+                   list_transform(range(0, w * h), p ->
+                       (77 * ((doc_id * 31 + (3 * p + 2) * 7) % 256)
+                        + 150 * ((doc_id * 31 + (3 * p + 1) * 7) % 256)
+                        + 29 * ((doc_id * 31 + (3 * p + 0) * 7) % 256))
+                       // 256) AS ys
+            FROM dims)
+        SELECT doc_id, CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(len(list_filter(ys, y -> y < 64)) AS BIGINT)
+                   AS n_under,
+               CAST(len(list_filter(ys, y -> y >= 192)) AS BIGINT)
+                   AS n_over,
+               CAST(len(list_filter(ys, y -> y < 64)) AS DOUBLE)
+                 / CAST(w * h AS DOUBLE) AS under_frac,
+               CAST(len(list_filter(ys, y -> y >= 192)) AS DOUBLE)
+                 / CAST(w * h AS DOUBLE) AS over_frac
+        FROM luma
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -5980,7 +6012,8 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c35_timetravel, c35_forget, c38_linkpred, c38_kcore, c33_ks,
 # c16_seasonality, c35_vacuum, c39_blocking, c16_gaps, c38_closeness,
 # c34_stickiness, c33_reconcile, c29_recall_curve, c32_quota,
-# c34_growth, c30_token_budget, c29_filtered_ann — same gates)
+# c34_growth, c30_token_budget, c29_filtered_ann, c31_exposure — same
+# gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

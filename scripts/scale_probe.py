@@ -211,6 +211,7 @@ PROBE_QUERIES = [
     "c34_growth",           # (user, week) distinct + per-user lags
     "c30_token_budget",     # md5 groupBy + semi-join rejoin
     "c29_filtered_ann",     # broadcast queries, two rankings
+    "c31_exposure",         # Arrow decode kernel, zero shuffle
     # c29_recall_curve is deliberately NOT probed: it runs the exact
     # inverted-index pair set (like c38_triangles), which the
     # copy-synth corpus makes quadratic — the LSH scale path is

@@ -701,3 +701,29 @@ def test_filtered_ann_post_subset_of_pre(spark):
     for r in out:
         assert r["n_post"] <= r["n_pre"] <= 5
         assert r["post_recall"] == r["n_post"] / 5.0
+
+
+# -------------------------------------------------------------- exposure
+
+def test_exposure_matches_pixel_formula(spark):
+    """The kernel's under/over counts equal a direct replay of the
+    fixture pixel formula through the integer BT.601 luma."""
+    from kafka_streams_in_action_spark.operators import multimodal
+    docs = _docs(spark, [(7, "s", "hello world"), (12, "s", "abc")])
+    media = multimodal.to_bmp_media(docs)
+    out = {r["doc_id"]: r for r in
+           multimodal.exposure_stats(media).collect()}
+    for doc_id, text in [(7, "hello world"), (12, "abc")]:
+        w, h = multimodal._bmp_dims(doc_id, len(text.encode()))
+        under = over = 0
+        for p in range(w * h):
+            b = (doc_id * 31 + (3 * p + 0) * 7) % 256
+            g = (doc_id * 31 + (3 * p + 1) * 7) % 256
+            r_ = (doc_id * 31 + (3 * p + 2) * 7) % 256
+            y = (77 * r_ + 150 * g + 29 * b) // 256
+            under += y < 64
+            over += y >= 192
+        row = out[doc_id]
+        assert (row["n_px"], row["n_under"], row["n_over"]) \
+            == (w * h, under, over)
+        assert row["under_frac"] == under / (w * h)
