@@ -155,6 +155,8 @@ HEADLINE = [
     "c30_token_budget",      # per-source dedup token accounting
     "c29_filtered_ann",      # pre- vs post-filter vector search
     "c31_exposure",          # in-kernel integer-luma exposure tails
+    "c33_pareto",            # 80/20 concentration per segment
+    "c12_theilsen",          # median pairwise slope, bounded pairs
 ]
 
 

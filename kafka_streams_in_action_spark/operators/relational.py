@@ -1629,3 +1629,39 @@ def order_reconciliation(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .alias("n_within_dollar"),
         F.max("delta").alias("max_abs_delta_cents"),
         F.sum("delta").alias("sum_abs_delta_cents"))
+
+
+def pareto_concentration(orders: DataFrame,
+                         customer: DataFrame) -> DataFrame:
+    """C33p: revenue concentration (the 80/20 audit) — per market
+    segment, how many top customers cover 80% of revenue, the
+    complement to C33j2's Gini index (Gini says HOW unequal, Pareto
+    says WHO you cannot afford to lose). Engine-exact with zero float
+    thresholds: a customer is inside the top-80 set iff the cumulative
+    revenue BEFORE them is under the mark, tested as the integer
+    cross-multiplication 10·prev_cum < 8·total. Revenue ranking is
+    fully tie-broken (revenue desc, custkey); the final share spends
+    one correctly-rounded division. Per-customer rollup is the
+    data-scale aggregate; ranking runs per segment."""
+    m = F.floor(F.col("o_totalprice") * 1000.0 + 0.5).cast("long")
+    rev = (orders.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.sum(m).alias("rev_milli")))
+    seg = (rev.join(customer,
+                    rev.custkey == customer.c_custkey)
+           .select("custkey", "rev_milli",
+                   F.col("c_mktsegment").alias("segment")))
+    w = (Window.partitionBy("segment")
+         .orderBy(F.col("rev_milli").desc(), F.col("custkey"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("segment")
+    cur = (seg.withColumn("cum", F.sum("rev_milli").over(w))
+           .withColumn("total", F.sum("rev_milli").over(wt)))
+    in_top = (F.lit(10) * (F.col("cum") - F.col("rev_milli"))
+              < F.lit(8) * F.col("total"))
+    return (cur.groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.max("total").alias("total_milli"),
+                 F.sum(F.when(in_top, 1).otherwise(0)).alias("n_top80"))
+            .withColumn("top80_share",
+                        F.col("n_top80").cast("double")
+                        / F.col("n_customers").cast("double")))

@@ -347,3 +347,47 @@ def ols_trend(orders: DataFrame, customer: DataFrame,
                          - F.col("slope") * F.col("sx").cast("double"))
                         / nd)
             .select("nation", "n_months", "slope", "intercept"))
+
+
+def theilsen_trend(orders: DataFrame, customer: DataFrame,
+                   nation: DataFrame) -> DataFrame:
+    """C12k: Theil–Sen robust trend — the median of all pairwise slopes
+    of the monthly demand series, the outlier-immune companion to
+    C12j's OLS (one anomalous month moves OLS, not the median slope).
+    The pair enumeration is an ordered self-equi-join ON NATION over
+    the BOUNDED monthly table (≈80 rows per key → ≈3k pairs), never
+    event-scale; the median is RANK-SELECTED (a real pair's slope,
+    C32i quantile discipline) with a full deterministic tie-break.
+    Each pair's slope is one correctly-rounded division of exact
+    integers, identical in any engine."""
+    x = ((F.year("o_orderdate") - F.lit(1995)) * 12
+         + F.month("o_orderdate") - 1).cast("long")
+    monthly = (orders
+               .join(customer, orders.o_custkey == customer.c_custkey)
+               .join(F.broadcast(nation),
+                     customer.c_nationkey == nation.n_nationkey)
+               .groupBy(F.col("n_name").alias("nation"), x.alias("x"))
+               .agg(F.count(F.lit(1)).alias("y")))
+    a = monthly.select("nation", F.col("x").alias("xa"),
+                       F.col("y").alias("ya"))
+    b = monthly.select(F.col("nation").alias("nation_b"),
+                       F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = (a.join(b, (a.nation == b.nation_b) & (a.xa < b.xb))
+             .select("nation",
+                     (F.col("yb") - F.col("ya")).alias("dy"),
+                     (F.col("xb") - F.col("xa")).alias("dx"),
+                     "xa", "xb"))
+    slope = F.col("dy").cast("double") / F.col("dx").cast("double")
+    wr = Window.partitionBy("nation").orderBy(
+        "slope", "dy", "dx", "xa", "xb")
+    wn = Window.partitionBy("nation")
+    ranked = (pairs.withColumn("slope", slope)
+              .withColumn("rn", F.row_number().over(wr))
+              .withColumn("n_pairs", F.count(F.lit(1)).over(wn)))
+    med = ranked.filter(F.expr("rn = (n_pairs + 1) div 2"))
+    pts = monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_points"))
+    return (med.join(pts, "nation")
+            .select("nation", "n_points",
+                    F.col("n_pairs").cast("long").alias("n_pairs"),
+                    F.col("slope").alias("median_slope")))

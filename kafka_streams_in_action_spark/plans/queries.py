@@ -5942,6 +5942,71 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                  / CAST(w * h AS DOUBLE) AS over_frac
         FROM luma
         """),
+    "c33_pareto": QuerySpec(
+        # C33p: 80/20 revenue concentration per segment — membership by
+        # integer cross-multiplication, one division for the share.
+        _t("orders customer")(relational.pareto_concentration),
+        """
+        WITH rev AS (
+            SELECT o_custkey AS custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 1000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev_milli
+            FROM orders GROUP BY 1),
+        seg AS (
+            SELECT r.custkey, r.rev_milli, c.c_mktsegment AS segment
+            FROM rev r JOIN customer c ON r.custkey = c.c_custkey),
+        cur AS (
+            SELECT segment, rev_milli,
+                   sum(rev_milli) OVER (PARTITION BY segment
+                                        ORDER BY rev_milli DESC, custkey
+                                        ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(rev_milli) OVER (PARTITION BY segment) AS total
+            FROM seg)
+        SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(max(total) AS BIGINT) AS total_milli,
+               CAST(sum(CASE WHEN 10 * (cum - rev_milli) < 8 * total
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+               CAST(sum(CASE WHEN 10 * (cum - rev_milli) < 8 * total
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS top80_share
+        FROM cur GROUP BY 1
+        """),
+    "c12_theilsen": QuerySpec(
+        # C12k: Theil-Sen median pairwise slope over the bounded
+        # monthly table; rank-selected median, full tie-break.
+        _t("orders customer nation")(windows.theilsen_trend),
+        """
+        WITH m AS (
+            SELECT n.n_name AS nation,
+                   CAST((year(o.o_orderdate) - 1995) * 12
+                        + month(o.o_orderdate) - 1 AS BIGINT) AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT a.nation, b.y - a.y AS dy, b.x - a.x AS dx,
+                   a.x AS xa, b.x AS xb,
+                   CAST(b.y - a.y AS DOUBLE)
+                     / CAST(b.x - a.x AS DOUBLE) AS slope
+            FROM m a JOIN m b ON a.nation = b.nation AND a.x < b.x),
+        ranked AS (
+            SELECT nation, slope,
+                   row_number() OVER (PARTITION BY nation
+                                      ORDER BY slope, dy, dx, xa, xb)
+                       AS rn,
+                   count(*) OVER (PARTITION BY nation) AS n_pairs
+            FROM pairs),
+        pts AS (
+            SELECT nation, CAST(count(*) AS BIGINT) AS n_points
+            FROM m GROUP BY 1)
+        SELECT r.nation, p.n_points,
+               CAST(r.n_pairs AS BIGINT) AS n_pairs,
+               r.slope AS median_slope
+        FROM ranked r JOIN pts p ON p.nation = r.nation
+        WHERE r.rn = (r.n_pairs + 1) // 2
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -6012,8 +6077,8 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c35_timetravel, c35_forget, c38_linkpred, c38_kcore, c33_ks,
 # c16_seasonality, c35_vacuum, c39_blocking, c16_gaps, c38_closeness,
 # c34_stickiness, c33_reconcile, c29_recall_curve, c32_quota,
-# c34_growth, c30_token_budget, c29_filtered_ann, c31_exposure — same
-# gates)
+# c34_growth, c30_token_budget, c29_filtered_ann, c31_exposure,
+# c33_pareto, c12_theilsen — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

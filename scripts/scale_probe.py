@@ -212,6 +212,8 @@ PROBE_QUERIES = [
     "c30_token_budget",     # md5 groupBy + semi-join rejoin
     "c29_filtered_ann",     # broadcast queries, two rankings
     "c31_exposure",         # Arrow decode kernel, zero shuffle
+    "c33_pareto",           # per-customer rollup + segment windows
+    "c12_theilsen",         # bounded monthly self-join + rank select
     # c29_recall_curve is deliberately NOT probed: it runs the exact
     # inverted-index pair set (like c38_triangles), which the
     # copy-synth corpus makes quadratic — the LSH scale path is

@@ -727,3 +727,63 @@ def test_exposure_matches_pixel_formula(spark):
         assert (row["n_px"], row["n_under"], row["n_over"]) \
             == (w * h, under, over)
         assert row["under_frac"] == under / (w * h)
+
+
+# ---------------------------------------------------------------- pareto
+
+def test_pareto_counts_crossing_customer(spark):
+    """Revenues 80, 10, 10: the first customer alone crosses 80% of
+    the 100 total, but membership is prev_cum < mark, so exactly the
+    crossing customer is counted — n_top80 = 1."""
+    from kafka_streams_in_action_spark.operators import relational
+    cust = spark.createDataFrame(
+        [(k, f"c{k}", 0, 0.0, "AUTO") for k in (1, 2, 3)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string")
+    orders = _orders(spark, [
+        (10, 1, dt.datetime(2000, 1, 1), 80.0),
+        (11, 2, dt.datetime(2000, 1, 2), 10.0),
+        (12, 3, dt.datetime(2000, 1, 3), 10.0)])
+    row = relational.pareto_concentration(orders, cust).collect()[0]
+    assert (row["n_customers"], row["n_top80"]) == (3, 1)
+
+
+def test_pareto_uniform_revenue_needs_eighty_percent(spark):
+    """10 equal customers: covering 80% of revenue takes exactly 8 of
+    them (the integer cross-multiply has no rounding slack)."""
+    from kafka_streams_in_action_spark.operators import relational
+    cust = spark.createDataFrame(
+        [(k, f"c{k}", 0, 0.0, "AUTO") for k in range(1, 11)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string")
+    orders = _orders(spark, [(100 + k, k, dt.datetime(2000, 1, 1), 10.0)
+                             for k in range(1, 11)])
+    row = relational.pareto_concentration(orders, cust).collect()[0]
+    assert row["n_top80"] == 8 and row["top80_share"] == 0.8
+
+
+# -------------------------------------------------------------- theilsen
+
+def test_theilsen_ignores_single_outlier_month(spark):
+    """y = 2x with one wild outlier month: OLS moves, the Theil-Sen
+    median slope stays exactly 2.0."""
+    from kafka_streams_in_action_spark.operators import windows as wops
+    rows = []
+    oid = 0
+    for i in range(8):
+        y = 2 * (i + 1) if i != 4 else 500   # outlier at month 4
+        for j in range(y):
+            rows.append((oid, 1, dt.datetime(1995, i + 1, 1), 1.0))
+            oid += 1
+    orders = _orders(spark, rows)
+    cust = spark.createDataFrame(
+        [(1, "c", 0, 0.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string")
+    nation = spark.createDataFrame(
+        [(0, "ALGERIA", 0)],
+        "n_nationkey int, n_name string, n_regionkey int")
+    ts_row = wops.theilsen_trend(orders, cust, nation).collect()[0]
+    assert ts_row["median_slope"] == 2.0
+    ols_row = wops.ols_trend(orders, cust, nation).collect()[0]
+    assert abs(ols_row["slope"] - 2.0) > 1.0  # OLS got dragged
