@@ -157,6 +157,7 @@ HEADLINE = [
     "c31_exposure",          # in-kernel integer-luma exposure tails
     "c33_pareto",            # 80/20 concentration per segment
     "c12_theilsen",          # median pairwise slope, bounded pairs
+    "c37_formats",           # JSON/CSV/ORC round-trip fidelity
 ]
 
 

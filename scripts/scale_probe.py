@@ -214,6 +214,7 @@ PROBE_QUERIES = [
     "c31_exposure",         # Arrow decode kernel, zero shuffle
     "c33_pareto",           # per-customer rollup + segment windows
     "c12_theilsen",         # bounded monthly self-join + rank select
+    "c37_formats",          # three linear writes + anti-join checks
     # c29_recall_curve is deliberately NOT probed: it runs the exact
     # inverted-index pair set (like c38_triangles), which the
     # copy-synth corpus makes quadratic — the LSH scale path is

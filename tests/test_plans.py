@@ -237,7 +237,7 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c38_kcore",
                     # writes/deletes real version dirs + read-back
                     # counts at build by design (r9)
-                    "c35_vacuum",
+                    "c35_vacuum", "c37_formats",
                     # all-sources BFS loop checkpoints bounded frames +
                     # empty-frontier probe at build (r9)
                     "c38_closeness"):

@@ -787,3 +787,21 @@ def test_theilsen_ignores_single_outlier_month(spark):
     assert ts_row["median_slope"] == 2.0
     ols_row = wops.ols_trend(orders, cust, nation).collect()[0]
     assert abs(ols_row["slope"] - 2.0) > 1.0  # OLS got dragged
+
+
+# --------------------------------------------------------------- formats
+
+def test_format_roundtrip_preserves_micros_and_doubles(spark, tmp_path):
+    """A micro-precision timestamp and an awkward double must survive
+    all three formats byte-exactly — the pinned timestampFormat is
+    what makes the text formats pass."""
+    from kafka_streams_in_action_spark.operators import layout
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0, 0, 123456), 1, "t",
+          0.1 + 0.2, "{}"),
+         (2, dt.datetime(2024, 1, 1, 10, 0, 1, 999999), 2, "t",
+          1e-17, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    out = layout.format_roundtrip_audit(spark, ev, str(tmp_path / "f"))
+    assert all(r["roundtrip_exact"] for r in out.collect())
