@@ -158,6 +158,9 @@ HEADLINE = [
     "c33_pareto",            # 80/20 concentration per segment
     "c12_theilsen",          # median pairwise slope, bounded pairs
     "c37_formats",           # JSON/CSV/ORC round-trip fidelity
+    "c30_dup_coverage",      # duplicated 8-gram instance fraction
+    "c33_flatline",          # stuck-value run audit
+    "c34_paths",             # top 3-step path mining
 ]
 
 

@@ -859,3 +859,25 @@ def growth_accounting(events: DataFrame) -> DataFrame:
             .select("week", "n_new", "n_retained", "n_resurrected",
                     F.coalesce("n_dormant", F.lit(0)).cast("long")
                     .alias("n_dormant")))
+
+
+def top_paths(events: DataFrame, depth: int = 3,
+              top_k: int = 5) -> DataFrame:
+    """C34n: top event paths — the most frequent `depth`-step event-type
+    sequences users actually walk (the Sankey/flow view), one step past
+    the C34c single-hop transition matrix: a funnel tells you about one
+    designed path, this surfaces the emergent ones. Paths come from
+    `depth-1` lead windows over each user's event order (no self-join),
+    count map-side, global top-k via TakeOrderedAndProject with a full
+    path-string tie-break."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = [F.col("event_type")] + [
+        F.lead("event_type", i).over(w) for i in range(1, depth)]
+    paths = (events
+             .select(F.concat_ws(">", *steps).alias("path"),
+                     steps[-1].isNotNull().alias("complete"))
+             .filter(F.col("complete")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_walks"))
+            .orderBy(F.col("n_walks").desc(), F.col("path"))
+            .limit(top_k))

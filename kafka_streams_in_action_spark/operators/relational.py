@@ -1665,3 +1665,32 @@ def pareto_concentration(orders: DataFrame,
             .withColumn("top80_share",
                         F.col("n_top80").cast("double")
                         / F.col("n_customers").cast("double")))
+
+
+def flatline_runs(events: DataFrame, min_run: int = 3) -> DataFrame:
+    """C33q: stuck-sensor detection — per event_type, the longest run
+    of consecutive IDENTICAL readings in event order and how many
+    runs reach `min_run`, the flatline audit a telemetry pipeline runs
+    before trusting a feed (a healthy noisy signal never repeats
+    exactly; a stuck one repeats forever). The value axis is exact
+    milli integers; runs come from the change-flag + running-sum
+    gaps-and-islands identity (one keyed window exchange, no joins,
+    no sequential kernel)."""
+    m = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("event_type", "run_id")
+    base = (events
+            .select("event_type", "ts", "event_id", m.alias("m"))
+            .withColumn("chg",
+                        F.when(F.lag("m").over(w).isNull()
+                               | (F.lag("m").over(w) != F.col("m")),
+                               1).otherwise(0))
+            .withColumn("run_id", F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    runs = (base.groupBy("event_type", "run_id")
+            .agg(F.count(F.lit(1)).alias("run_len")))
+    return (runs.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_runs"),
+                 F.max("run_len").alias("longest_run"),
+                 F.sum(F.when(F.col("run_len") >= min_run, 1)
+                       .otherwise(0)).alias("n_flatlines")))

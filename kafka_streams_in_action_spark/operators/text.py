@@ -709,3 +709,42 @@ def token_budget_report(documents: DataFrame) -> DataFrame:
                     (F.coalesce("tokens_after", F.lit(0)).cast("double")
                      / F.col("tokens_before").cast("double"))
                     .alias("token_survival")))
+
+
+def dup_ngram_coverage(documents: DataFrame, n: int = 8) -> DataFrame:
+    """C30u: duplicated n-gram coverage — the fraction of a source's
+    n-gram INSTANCES whose n-gram occurs more than once in the whole
+    corpus (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL '22 — their memorization-risk gauge; exact
+    substring dedup triggers on precisely these spans). Instance-
+    weighted, so one viral boilerplate sentence counts every time it
+    appears — the property that makes this stricter than the doc-level
+    C28 numbers.
+
+    Scale posture: n-grams leave the document as md5 HASHES only (the
+    C29q discipline — text never shuffles), one corpus-wide count per
+    hash, one join-back to instances, two integer aggregates. The
+    fraction is one correctly-rounded division."""
+    toks = F.split(F.trim("text"), " ")
+    # Spark's sequence(0, stop) DESCENDS when stop < 0, so short docs
+    # must take the empty-array branch (explode then drops them)
+    starts = F.when(F.size(toks) >= n,
+                    F.sequence(F.lit(0), F.size(toks) - n)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = (documents
+             .select("doc_id", "source",
+                     F.explode(
+                         F.transform(
+                             starts,
+                             lambda i: F.md5(F.concat_ws(
+                                 " ", F.slice(toks, i + 1, n)))))
+                     .alias("g")))
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    tagged = grams.join(freq, "g")
+    return (tagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_instances"),
+                 F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+                 .alias("n_duplicated"))
+            .withColumn("dup_frac",
+                        F.col("n_duplicated").cast("double")
+                        / F.col("n_instances").cast("double")))

@@ -6019,6 +6019,77 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                TRUE AS roundtrip_exact
         FROM (SELECT unnest(['json', 'csv', 'orc']) AS fmt)
         """),  # fidelity computed from REAL written+read files
+    "c30_dup_coverage": QuerySpec(
+        # C30u: instance-weighted duplicated 8-gram coverage per source
+        # (Lee et al. ACL '22); n-grams shuffle as md5 hashes only.
+        _t("documents")(text.dup_ngram_coverage),
+        """
+        WITH toks AS (
+            SELECT doc_id, source, string_split(trim(text), ' ') AS ws
+            FROM documents),
+        grams AS (
+            SELECT t.doc_id, t.source,
+                   md5(array_to_string(ws[u.i : u.i + 7], ' ')) AS g
+            FROM toks t,
+                 LATERAL unnest(generate_series(1, len(ws) - 7)) AS u(i)),
+        freq AS (SELECT g, count(*) AS cnt FROM grams GROUP BY 1)
+        SELECT gr.source,
+               CAST(count(*) AS BIGINT) AS n_instances,
+               CAST(sum(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_duplicated,
+               CAST(sum(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS dup_frac
+        FROM grams gr JOIN freq f ON f.g = gr.g
+        GROUP BY 1
+        """),
+    "c33_flatline": QuerySpec(
+        # C33q: stuck-sensor flatline runs via gaps-and-islands on the
+        # milli value axis; all-integer.
+        _t("events")(relational.flatline_runs),
+        """
+        WITH b AS (
+            SELECT event_type, ts, event_id,
+                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS m
+            FROM events),
+        c AS (
+            SELECT event_type, ts, event_id,
+                   CASE WHEN lag(m) OVER w IS NULL
+                          OR lag(m) OVER w <> m THEN 1 ELSE 0 END AS chg
+            FROM b WINDOW w AS (PARTITION BY event_type
+                                ORDER BY ts, event_id)),
+        r AS (
+            SELECT event_type,
+                   sum(chg) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM c),
+        runs AS (
+            SELECT event_type, run_id,
+                   CAST(count(*) AS BIGINT) AS run_len
+            FROM r GROUP BY 1, 2)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+               CAST(max(run_len) AS BIGINT) AS longest_run,
+               CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flatlines
+        FROM runs GROUP BY 1
+        """),
+    "c34_paths": QuerySpec(
+        # C34n: top 3-step event-type paths from lead windows; global
+        # top-5 with a path tie-break.
+        _t("events")(event_time.top_paths),
+        """
+        WITH s AS (
+            SELECT event_type || '>' || lead(event_type, 1) OVER w
+                     || '>' || lead(event_type, 2) OVER w AS path,
+                   lead(event_type, 2) OVER w IS NOT NULL AS complete
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT path, CAST(count(*) AS BIGINT) AS n_walks
+        FROM s WHERE complete
+        GROUP BY 1
+        ORDER BY n_walks DESC, path
+        LIMIT 5
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -6090,7 +6161,8 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c16_seasonality, c35_vacuum, c39_blocking, c16_gaps, c38_closeness,
 # c34_stickiness, c33_reconcile, c29_recall_curve, c32_quota,
 # c34_growth, c30_token_budget, c29_filtered_ann, c31_exposure,
-# c33_pareto, c12_theilsen, c37_formats — same gates)
+# c33_pareto, c12_theilsen, c37_formats, c30_dup_coverage,
+# c33_flatline, c34_paths — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

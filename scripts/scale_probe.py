@@ -215,6 +215,9 @@ PROBE_QUERIES = [
     "c33_pareto",           # per-customer rollup + segment windows
     "c12_theilsen",         # bounded monthly self-join + rank select
     "c37_formats",          # three linear writes + anti-join checks
+    "c30_dup_coverage",     # gram-hash agg + join-back (hashes only)
+    "c33_flatline",         # one keyed window + two aggs
+    "c34_paths",            # lead windows + TakeOrdered top-k
     # c29_recall_curve is deliberately NOT probed: it runs the exact
     # inverted-index pair set (like c38_triangles), which the
     # copy-synth corpus makes quadratic — the LSH scale path is

@@ -805,3 +805,54 @@ def test_format_roundtrip_preserves_micros_and_doubles(spark, tmp_path):
         "value double, props string")
     out = layout.format_roundtrip_audit(spark, ev, str(tmp_path / "f"))
     assert all(r["roundtrip_exact"] for r in out.collect())
+
+
+# ---------------------------------------------------------- dup coverage
+
+def test_dup_coverage_instance_weighted(spark):
+    """Doc A and doc B share their full 8-gram; doc C is unique. The
+    shared gram's TWO instances both count as duplicated — 2/3 of all
+    instances, not 1/2 of distinct grams."""
+    from kafka_streams_in_action_spark.operators import text as t
+    shared = "a b c d e f g h"
+    docs = _docs(spark, [(1, "s", shared), (2, "s", shared),
+                         (3, "s", "p q r s t u v w")])
+    row = t.dup_ngram_coverage(docs).collect()[0]
+    assert (row["n_instances"], row["n_duplicated"]) == (3, 2)
+    assert row["dup_frac"] == 2.0 / 3.0
+
+
+def test_dup_coverage_short_docs_contribute_nothing(spark):
+    """A 3-token doc has no 8-gram and must not crash or emit
+    phantom instances (the descending-sequence edge)."""
+    from kafka_streams_in_action_spark.operators import text as t
+    docs = _docs(spark, [(1, "s", "x y z"),
+                         (2, "s", "a b c d e f g h i")])
+    row = t.dup_ngram_coverage(docs).collect()[0]
+    assert row["n_instances"] == 2 and row["n_duplicated"] == 0
+
+
+# -------------------------------------------------------------- flatline
+
+def test_flatline_counts_runs_and_longest(spark):
+    """Values 5,5,5,7,5: runs are [5×3][7][5] — longest 3, one
+    flatline at min_run=3, three runs total."""
+    from kafka_streams_in_action_spark.operators import relational
+    vals = [5.0, 5.0, 5.0, 7.0, 5.0]
+    rows = [(i, 1, i, "t", v) for i, v in enumerate(vals)]
+    row = relational.flatline_runs(_events(spark, rows)).collect()[0]
+    assert (row["n_runs"], row["longest_run"], row["n_flatlines"]) \
+        == (3, 3, 1)
+
+
+# ----------------------------------------------------------------- paths
+
+def test_top_paths_counts_overlapping_windows(spark):
+    """Sequence a,b,a,b,a for one user: 3-step windows are a>b>a,
+    b>a>b, a>b>a — overlapping walks count individually."""
+    from kafka_streams_in_action_spark.operators import event_time
+    seq = ["a", "b", "a", "b", "a"]
+    rows = [(i, 1, i, t, 1.0) for i, t in enumerate(seq)]
+    out = {r["path"]: r["n_walks"] for r in
+           event_time.top_paths(_events(spark, rows)).collect()}
+    assert out == {"a>b>a": 2, "b>a>b": 1}
