@@ -161,6 +161,8 @@ HEADLINE = [
     "c30_dup_coverage",      # duplicated 8-gram instance fraction
     "c33_flatline",          # stuck-value run audit
     "c34_paths",             # top 3-step path mining
+    "c32_leakage",           # cross-split contamination audit
+    "c30_rrf",               # integer reciprocal-rank fusion
 ]
 
 

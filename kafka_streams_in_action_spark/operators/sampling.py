@@ -494,3 +494,54 @@ def quota_sample(documents: DataFrame, budget: int = 500) -> DataFrame:
             .select("source", "n_docs", "base_alloc", "extra", "alloc",
                     F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
                     "min_selected_id"))
+
+
+def split_leakage_audit(documents: DataFrame,
+                        jaccard_threshold: float = 0.3) -> DataFrame:
+    """C32n: train/test contamination audit — after a deterministic
+    80/20 split (doc_id % 5), count the EXACT-duplicate and NEAR-DUP
+    (n-gram jaccard) pairs that straddle the boundary, and the fraction
+    of test docs touched. The eval-integrity check the SemDeDup /
+    decontamination literature insists on: a random split of a
+    deduplicated-but-not-near-deduplicated corpus silently evaluates on
+    paraphrases of training data. Reuses the C28/C29 pair machinery
+    (md5 groups; inverted-index jaccard on hashes); counts exact, one
+    division for the fraction."""
+    from .dedup import ngram_jaccard_pairs
+
+    side = (F.col("doc_id") % 5 == 0)
+    tagged = documents.select(
+        "doc_id", F.md5("text").alias("h"), side.alias("is_test"))
+    n_train = tagged.filter(~F.col("is_test")) \
+        .agg(F.count(F.lit(1)).alias("n_train"))
+    n_test = tagged.filter(F.col("is_test")) \
+        .agg(F.count(F.lit(1)).alias("n_test"))
+    a = tagged.select(F.col("doc_id").alias("doc_a"),
+                      F.col("h").alias("ha"),
+                      F.col("is_test").alias("ta"))
+    b = tagged.select(F.col("doc_id").alias("doc_b"),
+                      F.col("h").alias("hb"),
+                      F.col("is_test").alias("tb"))
+    exact_cross = (a.join(b, (a.ha == b.hb) & (a.doc_a < b.doc_b))
+                   .filter(F.col("ta") != F.col("tb")))
+    near = (ngram_jaccard_pairs(documents,
+                                threshold=jaccard_threshold)
+            .join(tagged.select(F.col("doc_id").alias("doc_a"),
+                                F.col("is_test").alias("ta")), "doc_a")
+            .join(tagged.select(F.col("doc_id").alias("doc_b"),
+                                F.col("is_test").alias("tb")), "doc_b")
+            .filter(F.col("ta") != F.col("tb")))
+    touched = (near.select(
+        F.when(F.col("ta"), F.col("doc_a")).otherwise(F.col("doc_b"))
+        .alias("test_doc"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_test_contaminated")))
+    return (n_train.crossJoin(n_test)
+            .crossJoin(exact_cross.agg(
+                F.count(F.lit(1)).alias("n_exact_cross")))
+            .crossJoin(near.agg(
+                F.count(F.lit(1)).alias("n_neardup_cross")))
+            .crossJoin(touched)
+            .withColumn("contamination_frac",
+                        F.col("n_test_contaminated").cast("double")
+                        / F.col("n_test").cast("double")))

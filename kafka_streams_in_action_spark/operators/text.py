@@ -7,7 +7,7 @@ and shuffle only on the explicit group keys (word, doc_id).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_MOD = 2147483647
@@ -748,3 +748,54 @@ def dup_ngram_coverage(documents: DataFrame, n: int = 8) -> DataFrame:
             .withColumn("dup_frac",
                         F.col("n_duplicated").cast("double")
                         / F.col("n_instances").cast("double")))
+
+
+def rrf_fusion(documents: DataFrame, n_queries: int = 5,
+               k: int = 5, c: int = 60) -> DataFrame:
+    """C30v: reciprocal-rank fusion — merge a unigram-overlap ranking
+    and a bigram-overlap ranking into one hybrid result list (the RRF
+    rule every hybrid lexical+vector search stack uses; Cormack et al.
+    SIGIR '09). Engine-exact: each list's contribution is the INTEGER
+    floor(1e9 / (c + rank)) — no float accumulation — and a document
+    missing from a list contributes 0, the standard union semantics.
+    Candidate sets are bounded by shared-term posting lists (never
+    all-pairs); both rankings carry full (count desc, doc) tie-breaks."""
+    toks = F.split(F.trim("text"), " ")
+    uni = (documents.select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("t")))
+    big = (documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            "transform(slice(split(trim(text), ' '), 1, "
+            "greatest(size(split(trim(text), ' ')) - 1, 0)), "
+            "(w, i) -> concat(w, ' ', split(trim(text), ' ')[i + 1]))")))
+        .alias("t")))
+
+    def overlap_rank(posting, name):
+        qa = posting.select(F.col("doc_id").alias("query_id"),
+                            F.col("t").alias("qt")) \
+            .filter(F.col("query_id") < n_queries)
+        ov = (posting.join(qa, (posting.t == qa.qt)
+                           & (posting.doc_id != qa.query_id))
+              .groupBy("query_id", "doc_id")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("n_shared").desc(), F.col("doc_id"))
+        return ov.withColumn(name, F.row_number().over(w)) \
+            .select("query_id", "doc_id", name)
+
+    ra = overlap_rank(uni, "r_uni")
+    rb = overlap_rank(big, "r_big")
+    fused = (ra.join(rb, ["query_id", "doc_id"], "full_outer")
+             .withColumn(
+                 "rrf_scaled",
+                 F.coalesce(F.expr(f"1000000000 div ({c} + r_uni)"),
+                            F.lit(0))
+                 + F.coalesce(F.expr(f"1000000000 div ({c} + r_big)"),
+                              F.lit(0))))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_scaled").desc(), F.col("doc_id"))
+    return (fused.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rrf_scaled",
+                    F.col("rank").cast("int").alias("rank")))

@@ -6090,6 +6090,102 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         ORDER BY n_walks DESC, path
         LIMIT 5
         """),
+    "c32_leakage": QuerySpec(
+        # C32n: train/test contamination audit — exact + near-dup pairs
+        # straddling the doc_id%5 split; fraction = one division.
+        _t("documents")(sampling.split_leakage_audit),
+        f"""
+        WITH {_SHINGLE_CTE},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                              AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        jp AS (
+            SELECT doc_a, doc_b FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(n_common
+                        / (sa.set_size + sb.set_size - n_common), 6)
+                  >= 0.3),
+        tag AS (
+            SELECT doc_id, md5(text) AS h, doc_id % 5 = 0 AS is_test
+            FROM documents),
+        nc AS (
+            SELECT jp.doc_a, jp.doc_b, ta.is_test AS ta
+            FROM jp
+            JOIN tag ta ON ta.doc_id = jp.doc_a
+            JOIN tag tb ON tb.doc_id = jp.doc_b
+            WHERE ta.is_test <> tb.is_test)
+        SELECT
+            CAST((SELECT count(*) FROM tag WHERE NOT is_test) AS BIGINT)
+                AS n_train,
+            CAST((SELECT count(*) FROM tag WHERE is_test) AS BIGINT)
+                AS n_test,
+            CAST((SELECT count(*) FROM tag a
+                  JOIN tag b ON a.h = b.h AND a.doc_id < b.doc_id
+                  WHERE a.is_test <> b.is_test) AS BIGINT)
+                AS n_exact_cross,
+            CAST((SELECT count(*) FROM nc) AS BIGINT) AS n_neardup_cross,
+            CAST((SELECT count(DISTINCT CASE WHEN ta THEN doc_a
+                                             ELSE doc_b END)
+                  FROM nc) AS BIGINT) AS n_test_contaminated,
+            CAST((SELECT count(DISTINCT CASE WHEN ta THEN doc_a
+                                             ELSE doc_b END)
+                  FROM nc) AS DOUBLE)
+              / CAST((SELECT count(*) FROM tag WHERE is_test) AS DOUBLE)
+                AS contamination_frac
+        """),
+    "c30_rrf": QuerySpec(
+        # C30v: reciprocal-rank fusion of unigram- and bigram-overlap
+        # rankings; integer floor(1e9/(c+rank)) contributions.
+        _t("documents")(text.rrf_fusion),
+        """
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS ws
+            FROM documents),
+        uni AS (
+            SELECT DISTINCT doc_id, unnest(ws) AS t FROM toks),
+        big AS (
+            SELECT DISTINCT t.doc_id, ws[u.i] || ' ' || ws[u.i + 1] AS t
+            FROM toks t,
+                 LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)),
+        ou AS (
+            SELECT q.doc_id AS query_id, p.doc_id,
+                   count(*) AS n
+            FROM uni p JOIN uni q ON p.t = q.t AND p.doc_id <> q.doc_id
+            WHERE q.doc_id < 5 GROUP BY 1, 2),
+        ob AS (
+            SELECT q.doc_id AS query_id, p.doc_id,
+                   count(*) AS n
+            FROM big p JOIN big q ON p.t = q.t AND p.doc_id <> q.doc_id
+            WHERE q.doc_id < 5 GROUP BY 1, 2),
+        ru AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n DESC, doc_id) AS r
+            FROM ou),
+        rb AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n DESC, doc_id) AS r
+            FROM ob),
+        fused AS (
+            SELECT coalesce(ru.query_id, rb.query_id) AS query_id,
+                   coalesce(ru.doc_id, rb.doc_id) AS doc_id,
+                   coalesce(1000000000 // (60 + ru.r), 0)
+                     + coalesce(1000000000 // (60 + rb.r), 0) AS rrf
+            FROM ru FULL OUTER JOIN rb
+              ON ru.query_id = rb.query_id AND ru.doc_id = rb.doc_id)
+        SELECT query_id, doc_id, CAST(rrf AS BIGINT) AS rrf_scaled,
+               CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rrf DESC, doc_id)
+                          AS rn
+              FROM fused)
+        WHERE rn <= 5
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -6162,7 +6258,7 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c34_stickiness, c33_reconcile, c29_recall_curve, c32_quota,
 # c34_growth, c30_token_budget, c29_filtered_ann, c31_exposure,
 # c33_pareto, c12_theilsen, c37_formats, c30_dup_coverage,
-# c33_flatline, c34_paths — same gates)
+# c33_flatline, c34_paths, c32_leakage, c30_rrf — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

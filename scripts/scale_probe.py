@@ -218,6 +218,10 @@ PROBE_QUERIES = [
     "c30_dup_coverage",     # gram-hash agg + join-back (hashes only)
     "c33_flatline",         # one keyed window + two aggs
     "c34_paths",            # lead windows + TakeOrdered top-k
+    "c30_rrf",              # posting-list overlap joins + 2 rankings
+    # c32_leakage is deliberately NOT probed: it runs the exact
+    # inverted-index pair set (the c38_triangles/c29_recall_curve
+    # corpus-property exclusion).
     # c29_recall_curve is deliberately NOT probed: it runs the exact
     # inverted-index pair set (like c38_triangles), which the
     # copy-synth corpus makes quadratic — the LSH scale path is

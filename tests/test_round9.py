@@ -856,3 +856,43 @@ def test_top_paths_counts_overlapping_windows(spark):
     out = {r["path"]: r["n_walks"] for r in
            event_time.top_paths(_events(spark, rows)).collect()}
     assert out == {"a>b>a": 2, "b>a>b": 1}
+
+
+# ---------------------------------------------------------------- leakage
+
+def test_split_leakage_detects_cross_boundary_twin(spark):
+    """Doc 5 (test: 5%5==0) is an exact twin of doc 1 (train): one
+    exact cross pair, one near-dup cross pair, one contaminated test
+    doc. A same-side twin (docs 2 and 3) never counts."""
+    from kafka_streams_in_action_spark.operators import sampling
+    body = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = _docs(spark, [
+        (1, "s", body), (5, "s", body),           # cross-boundary twin
+        (2, "s", "p q r s t u v w x y z a b"),
+        (3, "s", "p q r s t u v w x y z a b"),    # same-side twin
+        (10, "s", "unrelated words only here now indeed")])
+    row = sampling.split_leakage_audit(docs).collect()[0]
+    assert (row["n_train"], row["n_test"]) == (3, 2)
+    assert row["n_exact_cross"] == 1
+    assert row["n_neardup_cross"] >= 1
+    assert row["n_test_contaminated"] == 1
+    assert row["contamination_frac"] == 0.5
+
+
+# -------------------------------------------------------------------- rrf
+
+def test_rrf_union_semantics_and_integer_scores(spark):
+    """A doc ranked #1 in both lists outscores a doc ranked #1 in only
+    one; contributions are the exact integers floor(1e9/(60+r))."""
+    from kafka_streams_in_action_spark.operators import text as t
+    docs = _docs(spark, [
+        (0, "s", "q1 q2 q3 q4"),                # the query doc
+        (10, "s", "q1 q2 q3 q4 extra"),         # shares unigrams+bigrams
+        (11, "s", "q4 q3 q2 q1"),               # unigrams only (reversed)
+        (12, "s", "zz yy xx ww")])              # shares nothing
+    out = {r["doc_id"]: r for r in t.rrf_fusion(docs, n_queries=1)
+           .collect()}
+    assert 12 not in out
+    assert out[10]["rrf_scaled"] == 10 ** 9 // 61 + 10 ** 9 // 61
+    assert out[11]["rrf_scaled"] == 10 ** 9 // 62  # rank 2 uni, no bigram
+    assert out[10]["rank"] == 1 and out[11]["rank"] == 2
