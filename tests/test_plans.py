@@ -172,6 +172,7 @@ _BNLJ_ALLOWED = {
     "c33_ks",               # |types|x|types| pair grid from 5-row sides
     "c39_blocking",         # three 1-row count scalar crossjoins
     "c32_leakage",          # five 1-row audit-count scalar crossjoins
+    "c29_filtered_ann",     # 10-row query set, non-equi self-exclusion
 }
 
 
