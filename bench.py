@@ -163,6 +163,8 @@ HEADLINE = [
     "c34_paths",             # top 3-step path mining
     "c32_leakage",           # cross-split contamination audit
     "c30_rrf",               # integer reciprocal-rank fusion
+    "c34_event_study",       # pre/post intervention lift
+    "c35_bitemporal",        # two-axis as-of argmax reads
 ]
 
 

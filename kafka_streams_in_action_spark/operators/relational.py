@@ -1694,3 +1694,42 @@ def flatline_runs(events: DataFrame, min_run: int = 3) -> DataFrame:
                  F.max("run_len").alias("longest_run"),
                  F.sum(F.when(F.col("run_len") >= min_run, 1)
                        .otherwise(0)).alias("n_flatlines")))
+
+
+def bitemporal_read(events: DataFrame) -> DataFrame:
+    """C35j: bitemporal as-of read — reconstruct keyed state along BOTH
+    time axes: transaction time (when the system learned it, the event
+    ts) and valid time (when it was true in the world). The log model:
+    each event is a correction whose effective (valid) day lies
+    event_id % 3 days BEFORE its transaction day — retroactive fixes,
+    the reason bitemporal modeling exists (a plain as-of read silently
+    applies future knowledge to past days). For each pinned
+    (tx_cut, valid_day) pair: among events with ts ≤ tx_cut AND
+    effective_day ≤ valid_day, the winner per user is the one with the
+    LATEST effective day, transaction time breaking ties — one
+    max(struct) argmax, partial-aggregatable like the C35g time-travel
+    read. All-integer outputs."""
+    cuts = [("2024-01-15", "2024-01-10"), ("2024-01-15", "2024-01-14"),
+            ("2024-01-25", "2024-01-10")]
+    cut = F.explode(F.array(*[
+        F.struct(F.lit(t).cast("timestamp").alias("tx_cut"),
+                 F.lit(v).cast("date").alias("valid_day"))
+        for t, v in cuts])).alias("c")
+    log = (events
+           .select(F.col("user_id").alias("k"), "ts", "event_id",
+                   F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+                   .alias("vm"),
+                   F.date_sub(F.to_date("ts"),
+                              (F.col("event_id") % 3).cast("int"))
+                   .alias("eff_day"))
+           .select("*", cut)
+           .filter((F.col("ts") <= F.col("c.tx_cut"))
+                   & (F.col("eff_day") <= F.col("c.valid_day"))))
+    last = (log.groupBy("c.tx_cut", "c.valid_day", "k")
+            .agg(F.max(F.struct("eff_day", "ts", "event_id", "vm"))
+                 .alias("s")))
+    return (last.groupBy(F.to_date("tx_cut").alias("tx_cut"),
+                         "valid_day")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum("s.vm").alias("state_value_milli"),
+                 F.max("s.eff_day").alias("latest_effective_day")))

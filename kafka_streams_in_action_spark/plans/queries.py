@@ -6186,6 +6186,77 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
               FROM fused)
         WHERE rn <= 5
         """),
+    "c34_event_study": QuerySpec(
+        # C34o: pre/post first-purchase lift per anchor week; integer
+        # window sums, one division.
+        _t("events")(event_time.event_study),
+        """
+        WITH anchors AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END) AS anchor_day
+            FROM events GROUP BY 1),
+        tagged AS (
+            SELECT e.user_id, a.anchor_day,
+                   date_diff('day', a.anchor_day, CAST(e.ts AS DATE))
+                       AS off,
+                   CAST(floor(e.value * 1000.0 + 0.5) AS BIGINT) AS m
+            FROM events e
+            JOIN anchors a ON a.user_id = e.user_id
+            WHERE a.anchor_day IS NOT NULL),
+        per_user AS (
+            SELECT user_id, anchor_day,
+                   CAST(sum(CASE WHEN off BETWEEN -7 AND -1 THEN m
+                            ELSE 0 END) AS BIGINT) AS pre_milli,
+                   CAST(sum(CASE WHEN off BETWEEN 1 AND 7 THEN m
+                            ELSE 0 END) AS BIGINT) AS post_milli
+            FROM tagged GROUP BY 1, 2
+            HAVING sum(CASE WHEN off BETWEEN -7 AND -1 THEN m
+                       ELSE 0 END) > 0)
+        SELECT CAST(date_diff('day', DATE '1995-01-01', anchor_day) // 7
+                    AS BIGINT) AS anchor_week,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(pre_milli) AS BIGINT) AS pre_milli,
+               CAST(sum(post_milli) AS BIGINT) AS post_milli,
+               CAST(sum(post_milli) AS DOUBLE)
+                 / CAST(sum(pre_milli) AS DOUBLE) AS lift
+        FROM per_user GROUP BY 1
+        """),
+    "c35_bitemporal": QuerySpec(
+        # C35j: bitemporal (tx, valid) as-of read with retroactive
+        # corrections; latest-effective-wins argmax per key.
+        _t("events")(relational.bitemporal_read),
+        """
+        WITH cuts AS (
+            SELECT * FROM (VALUES
+                (TIMESTAMP '2024-01-15', DATE '2024-01-10'),
+                (TIMESTAMP '2024-01-15', DATE '2024-01-14'),
+                (TIMESTAMP '2024-01-25', DATE '2024-01-10'))
+                AS t(tx_cut, valid_day)),
+        log AS (
+            SELECT c.tx_cut, c.valid_day, e.user_id AS k, e.ts,
+                   e.event_id,
+                   CAST(floor(e.value * 1000.0 + 0.5) AS BIGINT) AS vm,
+                   CAST(e.ts AS DATE)
+                     - CAST(e.event_id % 3 AS INTEGER) AS eff_day
+            FROM events e JOIN cuts c
+              ON e.ts <= c.tx_cut
+             AND CAST(e.ts AS DATE)
+                 - CAST(e.event_id % 3 AS INTEGER) <= c.valid_day),
+        ranked AS (
+            SELECT tx_cut, valid_day, k, vm, eff_day,
+                   row_number() OVER (
+                       PARTITION BY tx_cut, valid_day, k
+                       ORDER BY eff_day DESC, ts DESC, event_id DESC)
+                       AS rn
+            FROM log)
+        SELECT CAST(tx_cut AS DATE) AS tx_cut, valid_day,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(vm) AS BIGINT) AS state_value_milli,
+               max(eff_day) AS latest_effective_day
+        FROM ranked WHERE rn = 1
+        GROUP BY 1, 2
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -6258,7 +6329,8 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c34_stickiness, c33_reconcile, c29_recall_curve, c32_quota,
 # c34_growth, c30_token_budget, c29_filtered_ann, c31_exposure,
 # c33_pareto, c12_theilsen, c37_formats, c30_dup_coverage,
-# c33_flatline, c34_paths, c32_leakage, c30_rrf — same gates)
+# c33_flatline, c34_paths, c32_leakage, c30_rrf, c34_event_study,
+# c35_bitemporal — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

@@ -219,6 +219,8 @@ PROBE_QUERIES = [
     "c33_flatline",         # one keyed window + two aggs
     "c34_paths",            # lead windows + TakeOrdered top-k
     "c30_rrf",              # posting-list overlap joins + 2 rankings
+    "c34_event_study",      # anchor agg + keyed tag join
+    "c35_bitemporal",       # 3-cut explode + argmax hash agg
     # c32_leakage is deliberately NOT probed: it runs the exact
     # inverted-index pair set (the c38_triangles/c29_recall_curve
     # corpus-property exclusion).

@@ -896,3 +896,65 @@ def test_rrf_union_semantics_and_integer_scores(spark):
     assert out[10]["rrf_scaled"] == 10 ** 9 // 61 + 10 ** 9 // 61
     assert out[11]["rrf_scaled"] == 10 ** 9 // 62  # rank 2 uni, no bigram
     assert out[10]["rank"] == 1 and out[11]["rank"] == 2
+
+
+# ------------------------------------------------------------ event study
+
+def test_event_study_windows_exclude_anchor_day(spark):
+    """Purchase on day 10: value ON day 10 counts in neither window;
+    days 3-9 are pre, days 11-17 are post."""
+    from kafka_streams_in_action_spark.operators import event_time
+    rows = [
+        (1, 1, 5 * 1440, "view", 2.0),        # day 5  → pre
+        (2, 1, 10 * 1440, "purchase", 99.0),  # day 10 → anchor, excluded
+        (3, 1, 12 * 1440, "view", 6.0),       # day 12 → post
+        (4, 1, 20 * 1440, "view", 50.0),      # day 20 → outside
+    ]
+    row = event_time.event_study(_events(spark, rows)).collect()[0]
+    assert row["pre_milli"] == 2000
+    assert row["post_milli"] == 6000
+    assert row["lift"] == 3.0
+
+
+def test_event_study_excludes_empty_pre_window(spark):
+    """A user who converts with NO prior-week activity is excluded —
+    no divide-by-zero row, no fabricated infinite lift."""
+    from kafka_streams_in_action_spark.operators import event_time
+    rows = [(1, 1, 0, "purchase", 1.0), (2, 1, 1440, "view", 5.0)]
+    assert event_time.event_study(_events(spark, rows)).count() == 0
+
+
+# ------------------------------------------------------------- bitemporal
+
+def test_bitemporal_retroactive_fix_changes_past_valid_day(spark):
+    """event_id 3 (ts Jan 12) has eff_day Jan 12 (3%3=0); event_id 4
+    (ts Jan 13) corrects eff_day Jan 12 retroactively? No — 4%3=1 → eff
+    Jan 12. At (tx Jan 15, valid Jan 14) the winner per key is the one
+    with the latest effective day, tx breaking ties — so the later
+    transaction wins the shared effective day."""
+    from kafka_streams_in_action_spark.operators import relational
+    rows = [
+        (3, 1, 11 * 1440, "view", 1.0),   # tx Jan 12, eff Jan 12
+        (4, 1, 12 * 1440, "view", 2.0),   # tx Jan 13, eff Jan 12
+    ]
+    out = {(str(r["tx_cut"]), str(r["valid_day"])): r
+           for r in relational.bitemporal_read(
+               _events(spark, rows)).collect()}
+    r = out[("2024-01-15", "2024-01-14")]
+    assert r["state_value_milli"] == 2000  # the later tx won the tie
+
+
+def test_bitemporal_tx_cut_hides_future_knowledge(spark):
+    """A correction transacted AFTER the tx cut must not affect the
+    read even though its effective day qualifies."""
+    from kafka_streams_in_action_spark.operators import relational
+    rows = [
+        (3, 1, 5 * 1440, "view", 1.0),    # tx Jan 6, eff Jan 6
+        (6, 1, 19 * 1440, "view", 9.0),   # tx Jan 20, eff Jan 20 → only
+                                          # visible at the Jan 25 cut
+    ]
+    out = {(str(r["tx_cut"]), str(r["valid_day"])): r
+           for r in relational.bitemporal_read(
+               _events(spark, rows)).collect()}
+    assert out[("2024-01-15", "2024-01-10")]["state_value_milli"] == 1000
+    assert out[("2024-01-25", "2024-01-10")]["state_value_milli"] == 1000
