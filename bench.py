@@ -165,6 +165,7 @@ HEADLINE = [
     "c30_rrf",               # integer reciprocal-rank fusion
     "c34_event_study",       # pre/post intervention lift
     "c35_bitemporal",        # two-axis as-of argmax reads
+    "c16_lttb",              # anchor-chain downsampling kernel
 ]
 
 

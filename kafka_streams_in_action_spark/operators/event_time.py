@@ -932,3 +932,75 @@ def event_study(events: DataFrame, window_days: int = 7) -> DataFrame:
             .withColumn("lift",
                         F.col("post_milli").cast("double")
                         / F.col("pre_milli").cast("double")))
+
+
+def lttb_downsample(events: DataFrame, k: int = 10) -> DataFrame:
+    """C16g: Largest-Triangle-Three-Buckets downsampling (Steinarsson
+    2013) — reduce each type's daily series to `k` visually-faithful
+    points: first and last always kept, interior points bucketed
+    evenly by rank, and each bucket contributes the point forming the
+    largest triangle with the PREVIOUS selection and the NEXT bucket's
+    average. The standard dashboard downsampler; unlike decimation it
+    keeps spikes.
+
+    Engine-exact with zero float ops: x is the integer epoch day, y
+    the exact milli total, and the triangle comparison is the area
+    CROSS-MULTIPLIED by the next bucket's size m — |(xa·m − sx)(yb −
+    ya) − (xa − xb)(sy − m·ya)| — so the average never becomes a
+    float. Ties break to the smaller x. The anchor chain makes this
+    sequential per key (the Holt discipline): an Arrow applyInPandas
+    kernel over the BOUNDED daily table, parallelism = key
+    cardinality; the oracle unrolls the same k−2 selections as
+    MATERIALIZED CTE steps."""
+    import pandas as pd
+
+    m = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    daily = (events
+             .groupBy("event_type",
+                      F.datediff(F.to_date("ts"),
+                                 F.lit("1995-01-01").cast("date"))
+                      .alias("x"))
+             .agg(F.sum(m).alias("y")))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x")
+        xs = [int(v) for v in pdf["x"]]
+        ys = [int(v) for v in pdf["y"]]
+        n = len(xs)
+        if n <= k:
+            sel = list(range(n))
+        else:
+            nb = k - 2
+            buckets = [[] for _ in range(nb)]
+            for j in range(1, n - 1):       # interior, 0-based
+                buckets[(j - 1) * nb // (n - 2)].append(j)
+            sel = [0]
+            for b in range(nb):
+                if b < nb - 1:
+                    nxt = buckets[b + 1]
+                    mm = len(nxt)
+                    sx = sum(xs[j] for j in nxt)
+                    sy = sum(ys[j] for j in nxt)
+                else:
+                    mm, sx, sy = 1, xs[n - 1], ys[n - 1]
+                xa, ya = xs[sel[-1]], ys[sel[-1]]
+                best, best_area = None, -1
+                for j in buckets[b]:
+                    area = abs((xa * mm - sx) * (ys[j] - ya)
+                               - (xa - xs[j]) * (sy - mm * ya))
+                    if area > best_area or (area == best_area
+                                            and xs[j] < xs[best]):
+                        best, best_area = j, area
+                sel.append(best)
+            sel.append(n - 1)
+        return pd.DataFrame({
+            "event_type": pdf["event_type"].iloc[:1].repeat(len(sel))
+            .to_numpy(),
+            "sel_order": range(1, len(sel) + 1),
+            "x_day": [xs[j] for j in sel],
+            "y_milli": [ys[j] for j in sel]})
+
+    return (daily.groupBy("event_type")
+            .applyInPandas(kernel,
+                           "event_type string, sel_order int, "
+                           "x_day int, y_milli long"))

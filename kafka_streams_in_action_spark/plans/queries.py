@@ -1513,6 +1513,81 @@ def _kcore_oracle(k: int = 2, rounds: int = 12) -> str:
         """
 
 
+def _lttb_oracle(k: int = 10) -> str:
+    """Unrolled LTTB as chained MATERIALIZED CTEs: sel0 = the first
+    point; each of the k−2 steps picks its bucket's max-area candidate
+    against the previous selection and the NEXT bucket's aggregate
+    (area cross-multiplied by the bucket size — never an average, so
+    the comparison is pure BIGINT); the last point closes the series.
+    Same unroll discipline as _mmr_oracle/_kcore_oracle. Assumes every
+    series has ≥ k points (true of the 30-day gate corpus; the Spark
+    kernel guards the short case, pinned in pytest)."""
+    nb = k - 2
+    parts = [f"""
+        daily AS MATERIALIZED (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '1995-01-01',
+                                  CAST(ts AS DATE)) AS INTEGER) AS x,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        idx AS MATERIALIZED (
+            SELECT event_type, x, y,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY x) AS j,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM daily),
+        bkt AS MATERIALIZED (
+            SELECT event_type, x, y, j, n,
+                   CASE WHEN j > 1 AND j < n
+                        THEN ((j - 2) * {nb}) // (n - 2) END AS b
+            FROM idx),
+        nxt AS MATERIALIZED (
+            SELECT event_type, CAST(b - 1 AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS mm,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy
+            FROM bkt WHERE b >= 1 GROUP BY 1, 2
+            UNION ALL
+            SELECT event_type, {nb - 1}, 1, CAST(x AS BIGINT), y
+            FROM bkt WHERE j = n),
+        sel0 AS MATERIALIZED (
+            SELECT event_type, x AS xa, y AS ya FROM bkt WHERE j = 1)"""]
+    for i in range(1, nb + 1):
+        b = i - 1
+        parts.append(f"""
+        sel{i} AS MATERIALIZED (
+            SELECT event_type, x AS xa, y AS ya FROM (
+                SELECT c.event_type, c.x, c.y,
+                       row_number() OVER (
+                           PARTITION BY c.event_type
+                           ORDER BY abs((s.xa * nx.mm - nx.sx)
+                                        * (c.y - s.ya)
+                                        - (s.xa - c.x)
+                                        * (nx.sy - nx.mm * s.ya)) DESC,
+                                    c.x) AS rn
+                FROM bkt c
+                JOIN sel{i - 1} s ON s.event_type = c.event_type
+                JOIN nxt nx ON nx.event_type = c.event_type
+                           AND nx.b = {b}
+                WHERE c.b = {b})
+            WHERE rn = 1)""")
+    unions = ["""
+        SELECT event_type, CAST(1 AS INTEGER) AS sel_order,
+               CAST(xa AS INTEGER) AS x_day, ya AS y_milli
+        FROM sel0"""]
+    for i in range(1, nb + 1):
+        unions.append(f"""
+        SELECT event_type, CAST({i + 1} AS INTEGER),
+               CAST(xa AS INTEGER), ya
+        FROM sel{i}""")
+    unions.append(f"""
+        SELECT event_type, CAST({k} AS INTEGER), CAST(x AS INTEGER), y
+        FROM bkt WHERE j = n""")
+    return (f"WITH {','.join(parts)}"
+            + " UNION ALL ".join(unions))
+
+
 _QUERY_DEFS: dict[str, QuerySpec] = {
     # ------------------------------------------------------------------
     # Reference operators (SURVEY §2A)
@@ -6257,6 +6332,11 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM ranked WHERE rn = 1
         GROUP BY 1, 2
         """),
+    "c16_lttb": QuerySpec(
+        # C16g: LTTB downsampling — sequential anchor-chain kernel vs
+        # the unrolled 8-step MATERIALIZED oracle; all-integer areas.
+        _t("events")(event_time.lttb_downsample),
+        _lttb_oracle()),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -6330,7 +6410,7 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c34_growth, c30_token_budget, c29_filtered_ann, c31_exposure,
 # c33_pareto, c12_theilsen, c37_formats, c30_dup_coverage,
 # c33_flatline, c34_paths, c32_leakage, c30_rrf, c34_event_study,
-# c35_bitemporal — same gates)
+# c35_bitemporal, c16_lttb — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

@@ -221,6 +221,7 @@ PROBE_QUERIES = [
     "c30_rrf",              # posting-list overlap joins + 2 rankings
     "c34_event_study",      # anchor agg + keyed tag join
     "c35_bitemporal",       # 3-cut explode + argmax hash agg
+    "c16_lttb",             # (type, day) agg + bounded kernel
     # c32_leakage is deliberately NOT probed: it runs the exact
     # inverted-index pair set (the c38_triangles/c29_recall_curve
     # corpus-property exclusion).

@@ -958,3 +958,31 @@ def test_bitemporal_tx_cut_hides_future_knowledge(spark):
                _events(spark, rows)).collect()}
     assert out[("2024-01-15", "2024-01-10")]["state_value_milli"] == 1000
     assert out[("2024-01-25", "2024-01-10")]["state_value_milli"] == 1000
+
+
+# ------------------------------------------------------------------ lttb
+
+def test_lttb_short_series_returns_all_points(spark):
+    """n <= k: no downsampling, every point kept in order."""
+    from kafka_streams_in_action_spark.operators import event_time
+    rows = [(d, 1, d * 1440, "t", float(d + 1)) for d in range(6)]
+    out = event_time.lttb_downsample(_events(spark, rows)).collect()
+    assert len(out) == 6
+    assert [r["sel_order"] for r in sorted(out, key=lambda r:
+            r["sel_order"])] == list(range(1, 7))
+
+
+def test_lttb_keeps_the_spike(spark):
+    """A lone spike in a flat 30-day series must be among the selected
+    points — the property decimation loses and LTTB exists for."""
+    from kafka_streams_in_action_spark.operators import event_time
+    rows = []
+    for d in range(30):
+        v = 500.0 if d == 17 else 1.0
+        rows.append((d, 1, d * 1440, "t", v))
+    out = event_time.lttb_downsample(_events(spark, rows)).collect()
+    spike_day = (dt.date(2024, 1, 18) - dt.date(1995, 1, 1)).days
+    assert any(r["x_day"] == spike_day for r in out)
+    assert len(out) == 10
+    orders = sorted(r["sel_order"] for r in out)
+    assert orders == list(range(1, 11))

@@ -191,3 +191,63 @@ def test_growth_accounting_matches_python_replay(spark):
     want = {w: tuple(v) for w, v in want.items()
             if v[0] + v[1] + v[2] > 0}
     assert got == want
+
+
+def test_lttb_matches_python_replay(spark):
+    """Random 30-point series per type: the Spark kernel's selections
+    equal a pure-Python LTTB replay exactly (integer areas, smaller-x
+    tie-break, even-rank bucketing)."""
+    rnd = random.Random(31)
+    rows = []
+    eid = 0
+    series = {}
+    for t in ("a", "b"):
+        ys = []
+        for d in range(30):
+            v = rnd.uniform(0.001, 400.0)
+            rows.append((eid, 1, d * 86400, t, v))
+            ys.append(int((v * 1000.0 + 0.5) // 1))
+            eid += 1
+        series[t] = ys
+    got = {}
+    for r in event_time.lttb_downsample(_events_df_typed(spark, rows)) \
+            .collect():
+        got.setdefault(r["event_type"], []).append(
+            (r["sel_order"], r["x_day"], r["y_milli"]))
+
+    base = (dt.date(2024, 1, 1) - dt.date(1995, 1, 1)).days
+    k, nb = 10, 8
+    for t, ys in series.items():
+        xs = [base + d for d in range(30)]
+        n = 30
+        buckets = [[] for _ in range(nb)]
+        for j in range(1, n - 1):
+            buckets[(j - 1) * nb // (n - 2)].append(j)
+        sel = [0]
+        for b in range(nb):
+            if b < nb - 1:
+                nxt = buckets[b + 1]
+                mm, sx, sy = (len(nxt), sum(xs[j] for j in nxt),
+                              sum(ys[j] for j in nxt))
+            else:
+                mm, sx, sy = 1, xs[-1], ys[-1]
+            xa, ya = xs[sel[-1]], ys[sel[-1]]
+            best, best_area = None, -1
+            for j in buckets[b]:
+                area = abs((xa * mm - sx) * (ys[j] - ya)
+                           - (xa - xs[j]) * (sy - mm * ya))
+                if area > best_area:
+                    best, best_area = j, area
+            sel.append(best)
+        sel.append(n - 1)
+        want = [(i + 1, xs[j], ys[j]) for i, j in enumerate(sel)]
+        assert sorted(got[t]) == sorted(want), t
+
+
+def _events_df_typed(spark, rows):
+    """rows = [(event_id, user_id, seconds_offset, event_type, value)]"""
+    return spark.createDataFrame(
+        [(e, TS0 + dt.timedelta(seconds=s), u, t, v, "{}")
+         for e, u, s, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
