@@ -223,7 +223,8 @@ def _stream_overhead(spark) -> float:
 # fixed harness cost on top of the data-proportional work.
 STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c35_scd2_stream", "c12_holt_stream",
-                  "c34_throttle_stream", "c12_drawdown_stream"]
+                  "c34_throttle_stream", "c12_drawdown_stream",
+                  "c33_flatline_stream"]
 
 
 def _calibrate() -> dict[str, float]:

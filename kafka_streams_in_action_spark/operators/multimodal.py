@@ -718,3 +718,64 @@ def exposure_stats(bmp_media: DataFrame) -> DataFrame:
         .alias("under_frac"),
         (F.col("n_over").cast("double") / F.col("n_px").cast("double"))
         .alias("over_frac"))
+
+
+def parse_wav(payload: bytes):
+    """Real RIFF chunk walk shared by the audio kernels: find 'fmt '
+    and 'data', validate PCM16 mono, return (rate, int16 samples)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        clen = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from(
+                "<HHI", payload, pos + 8)
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            if (fmt_code, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = payload[pos + 8: pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)       # RIFF chunks pad to even
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def clipping_stats(audio_media: DataFrame,
+                   threshold: int = 900) -> DataFrame:
+    """C31l: audio clipping / hot-signal audit — per clip, the fraction
+    of samples at or beyond `threshold` of full scale and the absolute
+    peak, computed INSIDE the Arrow decode kernel (payload bytes never
+    shuffle) — the recording-quality gate that pairs with C31i's VAD
+    the way C31k's exposure audit pairs with shot detection: silence
+    tells you nothing was said, clipping tells you it was said too
+    loud to use. The fixture's full scale is ±1024, so the default
+    threshold flags the top ~12% of the dynamic range. All counts
+    exact; the fraction is one correctly-rounded division; the oracle
+    recomputes everything from the synth sample formula."""
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "n_hot": [],
+                   "peak_abs": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, samples = parse_wav(bytes(payload))
+                s = samples.astype("int64")
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(s))
+                out["n_hot"].append(int((np.abs(s) >= threshold).sum()))
+                out["peak_abs"].append(int(np.abs(s).max()))
+            yield pd.DataFrame(out)
+
+    stats = audio_media.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, n_samples long, n_hot long, "
+                       "peak_abs long")
+    return stats.select(
+        "doc_id", "n_samples", "n_hot", "peak_abs",
+        (F.col("n_hot").cast("double") / F.col("n_samples").cast("double"))
+        .alias("hot_frac"))

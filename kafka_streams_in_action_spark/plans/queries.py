@@ -1247,6 +1247,73 @@ _DRAWDOWN_ORACLE = """
         """
 
 
+_FLATLINE_ORACLE = """
+        WITH b AS (
+            SELECT event_type, ts, event_id,
+                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS m
+            FROM events),
+        c AS (
+            SELECT event_type, ts, event_id,
+                   CASE WHEN lag(m) OVER w IS NULL
+                          OR lag(m) OVER w <> m THEN 1 ELSE 0 END AS chg
+            FROM b WINDOW w AS (PARTITION BY event_type
+                                ORDER BY ts, event_id)),
+        r AS (
+            SELECT event_type,
+                   sum(chg) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM c),
+        runs AS (
+            SELECT event_type, run_id,
+                   CAST(count(*) AS BIGINT) AS run_len
+            FROM r GROUP BY 1, 2)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+               CAST(max(run_len) AS BIGINT) AS longest_run,
+               CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flatlines
+        FROM runs GROUP BY 1
+        """
+
+
+def _flatline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33q streaming twin, driver-visible: the (last value, run length)
+    pair rides the state store (streaming/stateful.py: flatline_stream)
+    across a REAL 4-batch time split; the per-event emissions roll up
+    to the batch aggregates under the SAME oracle — the counts only
+    match if runs straddling micro-batch boundaries keep counting."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import flatline_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c33_flatline_stream_src_")
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
+        .localCheckpoint()
+    for s in range(1, 5):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(src))
+    sink = f"c33_flatline_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        q = (flatline_stream(
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    return (spark.table(sink)
+            .groupBy("event_type")
+            .agg(F.sum("run_start").cast("long").alias("n_runs"),
+                 F.max("run_len").alias("longest_run"),
+                 F.sum(F.when(F.col("run_len") == 3, 1).otherwise(0))
+                 .cast("long").alias("n_flatlines")))
+
+
 def _drawdown_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12h streaming twin, driver-visible: the (cum, peak) BIGINT pair
     rides the state store (streaming/stateful.py: drawdown_stream)
@@ -6121,33 +6188,12 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # C33q: stuck-sensor flatline runs via gaps-and-islands on the
         # milli value axis; all-integer.
         _t("events")(relational.flatline_runs),
-        """
-        WITH b AS (
-            SELECT event_type, ts, event_id,
-                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS m
-            FROM events),
-        c AS (
-            SELECT event_type, ts, event_id,
-                   CASE WHEN lag(m) OVER w IS NULL
-                          OR lag(m) OVER w <> m THEN 1 ELSE 0 END AS chg
-            FROM b WINDOW w AS (PARTITION BY event_type
-                                ORDER BY ts, event_id)),
-        r AS (
-            SELECT event_type,
-                   sum(chg) OVER (PARTITION BY event_type
-                                  ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS run_id
-            FROM c),
-        runs AS (
-            SELECT event_type, run_id,
-                   CAST(count(*) AS BIGINT) AS run_len
-            FROM r GROUP BY 1, 2)
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
-               CAST(max(run_len) AS BIGINT) AS longest_run,
-               CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_flatlines
-        FROM runs GROUP BY 1
-        """),
+        _FLATLINE_ORACLE),
+    "c33_flatline_stream": QuerySpec(
+        # C33q streaming twin: (last value, run length) pair rides the
+        # state store across a 4-batch replay; same batch oracle.
+        _flatline_stream,
+        _FLATLINE_ORACLE),
     "c34_paths": QuerySpec(
         # C34n: top 3-step event-type paths from lead windows; global
         # top-5 with a path tie-break.
@@ -6337,6 +6383,28 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # the unrolled 8-step MATERIALIZED oracle; all-integer areas.
         _t("events")(event_time.lttb_downsample),
         _lttb_oracle()),
+    "c31_clipping": QuerySpec(
+        # C31l: in-kernel hot-signal/clipping audit; the oracle
+        # recomputes from the synth sample formula.
+        lambda spark, sf_dir: multimodal.clipping_stats(
+            multimodal.to_audio_media(load_table(spark, "documents",
+                                                 sf_dir))),
+        """
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        a AS (SELECT doc_id, (nb % 400) + 50 AS n FROM d),
+        smp AS (
+            SELECT doc_id, abs((doc_id * 13 + u.i * 29) % 2048 - 1024)
+                       AS av
+            FROM a, LATERAL unnest(generate_series(0, n - 1)) AS u(i))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(CASE WHEN av >= 900 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hot,
+               CAST(max(av) AS BIGINT) AS peak_abs,
+               CAST(sum(CASE WHEN av >= 900 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS hot_frac
+        FROM smp GROUP BY 1
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -6410,7 +6478,8 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c34_growth, c30_token_budget, c29_filtered_ann, c31_exposure,
 # c33_pareto, c12_theilsen, c37_formats, c30_dup_coverage,
 # c33_flatline, c34_paths, c32_leakage, c30_rrf, c34_event_study,
-# c35_bitemporal, c16_lttb — same gates)
+# c35_bitemporal, c16_lttb, c31_clipping, c33_flatline_stream — same
+# gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

@@ -628,3 +628,60 @@ def drawdown_stream(events: DataFrame) -> DataFrame:
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+def flatline_stream(events: DataFrame) -> DataFrame:
+    """C33q streaming twin: the stuck-sensor run detector as a keyed
+    state machine — the state store carries (last value, current run
+    length) per type, so a run that straddles a micro-batch boundary
+    keeps counting instead of restarting; each emitted row reports its
+    run-start flag and its position in the run, and the registered
+    query's rollup reproduces the batch aggregates under the SAME
+    oracle. Handler fully vectorized: change flags, segment ids, and
+    in-segment positions come from numpy cumsum/arange — no per-row
+    Python."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+        last_m, run_len, started = state.get if state.exists \
+            else (0, 0, False)
+        rows = pd.concat(list(pdfs), ignore_index=True) \
+            .sort_values(["ts", "event_id"])
+        m = np.floor(rows["value"].to_numpy() * 1000.0 + 0.5) \
+            .astype("int64")
+        n = len(m)
+        if n == 0:
+            return
+        chg = np.ones(n, dtype="int64")
+        chg[1:] = (m[1:] != m[:-1]).astype("int64")
+        if started and m[0] == last_m:
+            chg[0] = 0
+        seg = np.cumsum(chg)                     # run ids within batch
+        idx = np.arange(n, dtype="int64")
+        # first index of each row's segment
+        first_idx = np.maximum.accumulate(np.where(chg == 1, idx, -1))
+        pos = idx - np.where(first_idx >= 0, first_idx, 0) + 1
+        if started and chg[0] == 0:
+            carry_mask = seg == 0                # the continued run
+            pos = pos + np.where(carry_mask, run_len, 0)
+        state.update((int(m[-1]), int(pos[-1]), True))
+        yield pd.DataFrame({
+            "event_type": np.full(n, str(key[0]), dtype=object),
+            "event_id": rows["event_id"].to_numpy(),
+            "run_start": chg.astype("int32"),
+            "run_len": pos})
+
+    return (events
+            .select("event_type", "event_id", "ts", "value")
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                update,
+                outputStructType=("event_type string, event_id long, "
+                                  "run_start int, run_len long"),
+                stateStructType="last_m bigint, run_len bigint, "
+                                "started boolean",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

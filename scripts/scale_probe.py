@@ -222,6 +222,8 @@ PROBE_QUERIES = [
     "c34_event_study",      # anchor agg + keyed tag join
     "c35_bitemporal",       # 3-cut explode + argmax hash agg
     "c16_lttb",             # (type, day) agg + bounded kernel
+    "c31_clipping",         # Arrow decode kernel, zero shuffle
+    "c33_flatline_stream",  # keyed integer state machine, 4 batches
     # c32_leakage is deliberately NOT probed: it runs the exact
     # inverted-index pair set (the c38_triangles/c29_recall_curve
     # corpus-property exclusion).

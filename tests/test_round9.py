@@ -986,3 +986,21 @@ def test_lttb_keeps_the_spike(spark):
     assert len(out) == 10
     orders = sorted(r["sel_order"] for r in out)
     assert orders == list(range(1, 11))
+
+
+# -------------------------------------------------------------- clipping
+
+def test_clipping_matches_sample_formula(spark):
+    """Kernel counts equal a direct replay of the synth sample formula
+    through |s| >= 900."""
+    from kafka_streams_in_action_spark.operators import multimodal
+    docs = _docs(spark, [(3, "s", "hello there world")])
+    media = multimodal.to_audio_media(docs)
+    row = multimodal.clipping_stats(media).collect()[0]
+    n = multimodal._wav_n_samples(3, len("hello there world".encode()))
+    hot = sum(1 for i in range(n)
+              if abs((3 * 13 + i * 29) % 2048 - 1024) >= 900)
+    peak = max(abs((3 * 13 + i * 29) % 2048 - 1024) for i in range(n))
+    assert (row["n_samples"], row["n_hot"], row["peak_abs"]) \
+        == (n, hot, peak)
+    assert row["hot_frac"] == hot / n

@@ -961,3 +961,46 @@ def test_cep_stream_checkpoint_restart_carries_state(spark, tmp_path):
     run()
 
     _assert_same(et.cep_conversion(ev), spark.read.parquet(sink))
+
+
+def test_flatline_stream_checkpoint_restart_carries_run(spark, tmp_path):
+    """A17 durability for the run detector: the (last value, run
+    length) pair must survive a checkpoint restart — a reset run would
+    both under-count the longest run and over-count run starts."""
+    from kafka_streams_in_action_spark.operators import relational
+
+    ev = load_table(spark, "events", SF_DIR)
+    d = str(tmp_path / "fl_cp_src")
+    cp = str(tmp_path / "fl_cp")
+    from pyspark.sql import Window
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+
+    def write_slices(lo, hi):
+        for s in range(lo, hi + 1):
+            (sliced.filter(F.col("slice") == s).drop("slice")
+             .coalesce(1).write.mode("append").parquet(d))
+
+    sink = str(tmp_path / "fl_cp_sink")
+
+    def run():
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (stateful.flatline_stream(stream)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    write_slices(1, 2)
+    run()
+    write_slices(3, 4)
+    run()
+
+    rolled = (spark.read.parquet(sink)
+              .groupBy("event_type")
+              .agg(F.sum("run_start").cast("long").alias("n_runs"),
+                   F.max("run_len").alias("longest_run"),
+                   F.sum(F.when(F.col("run_len") == 3, 1).otherwise(0))
+                   .cast("long").alias("n_flatlines")))
+    _assert_same(relational.flatline_runs(ev), rolled)
