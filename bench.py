@@ -166,6 +166,8 @@ HEADLINE = [
     "c34_event_study",       # pre/post intervention lift
     "c35_bitemporal",        # two-axis as-of argmax reads
     "c16_lttb",              # anchor-chain downsampling kernel
+    "c31_clipping",          # in-kernel hot-signal audit
+    "c33_flatline_stream",   # (value, run) state machine, 4 batches
 ]
 
 
