@@ -168,6 +168,7 @@ HEADLINE = [
     "c16_lttb",              # anchor-chain downsampling kernel
     "c31_clipping",          # in-kernel hot-signal audit
     "c33_flatline_stream",   # (value, run) state machine, 4 batches
+    "c35_merkle",            # fingerprint-first snapshot reconcile
 ]
 
 

@@ -1733,3 +1733,82 @@ def bitemporal_read(events: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_keys"),
                  F.sum("s.vm").alias("state_value_milli"),
                  F.max("s.eff_day").alias("latest_effective_day")))
+
+
+def merkle_diff(events: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """C35k: Merkle-style snapshot reconciliation — detect WHERE two
+    table versions differ without comparing them row-by-row: each
+    snapshot folds into per-bucket integer fingerprints (exact BIGINT
+    sums of a per-row hash — order-insensitive, partial-aggregatable),
+    the two fingerprint vectors compare on the driver-sized bucket
+    axis, and only the differing buckets' rows are then pulled and
+    row-diffed. At 100 TB the full-scan cost is two fingerprint
+    aggregates; the expensive row diff touches only the mutated
+    buckets — the reconciliation discipline behind anti-entropy
+    repair and cross-region table sync (and the drill-down complement
+    to C35d's keyed full-outer diff).
+
+    The second snapshot is synthesized deterministically (rows with
+    event_id ≡ 0 mod 101 dropped, values with event_id ≡ 0 mod 103
+    perturbed), so the audit columns — buckets flagged, rows checked
+    vs corpus size, row-level diffs found, and the flagged-equals-true
+    verdict — are exact and oracle-checkable."""
+    m = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    base = events.select("event_id", m.alias("vm"))
+    snap2 = (base.filter(F.col("event_id") % 101 != 0)
+             .withColumn("vm",
+                         F.when(F.col("event_id") % 103 == 0,
+                                F.col("vm") + 7).otherwise(F.col("vm"))))
+    # pre-mod the key so the product stays < 2^63 at ANY key magnitude
+    # (2.147e9 · 2.654e9 ≈ 5.7e18); DuckDB BIGINT overflow would error
+    h = (((F.col("event_id") % F.lit(2147483647))
+          * F.lit(2654435761))
+         + F.col("vm")) % F.lit(2147483647)
+    b = (F.col("event_id") % n_buckets).alias("bucket")
+
+    def fingerprints(df):
+        return (df.select(b, h.alias("h"))
+                .groupBy("bucket")
+                .agg(F.sum("h").alias("fp"),
+                     F.count(F.lit(1)).alias("n")))
+
+    f1 = fingerprints(base).withColumnRenamed("fp", "fp1") \
+        .withColumnRenamed("n", "n1")
+    f2 = fingerprints(snap2).withColumnRenamed("fp", "fp2") \
+        .withColumnRenamed("n", "n2")
+    cmp = (f1.join(f2, "bucket", "full_outer")
+           .withColumn("differs",
+                       F.coalesce("fp1", F.lit(-1))
+                       != F.coalesce("fp2", F.lit(-1))))
+    bad = cmp.filter("differs").select("bucket")
+    b1 = (base.withColumn("bucket", b)
+          .join(F.broadcast(bad), "bucket", "left_semi")
+          .select("event_id", "vm"))
+    b2 = (snap2.withColumn("bucket", b)
+          .join(F.broadcast(bad), "bucket", "left_semi")
+          .select("event_id", F.col("vm").alias("vm2")))
+    drill = (b1.join(b2, "event_id", "full_outer")
+             .withColumn("row_differs",
+                         F.col("vm").isNull() | F.col("vm2").isNull()
+                         | (F.col("vm") != F.col("vm2"))))
+    # true diff, recomputed independently over the WHOLE corpus
+    truth = (base.join(snap2.withColumnRenamed("vm", "vm2"),
+                       "event_id", "full_outer")
+             .filter(F.col("vm").isNull() | F.col("vm2").isNull()
+                     | (F.col("vm") != F.col("vm2")))
+             .agg(F.count(F.lit(1)).alias("n_true_diff")))
+    stats = (cmp.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("differs"), 1).otherwise(0))
+        .alias("n_buckets_differing"))
+        .crossJoin(drill.agg(
+            F.count(F.lit(1)).alias("n_rows_checked"),
+            F.coalesce(F.sum(F.when(F.col("row_differs"), 1)
+                             .otherwise(0)), F.lit(0)).cast("long")
+            .alias("n_rows_differing")))
+        .crossJoin(truth))
+    return stats.select(
+        "n_buckets", "n_buckets_differing", "n_rows_checked",
+        "n_rows_differing", "n_true_diff",
+        (F.col("n_rows_differing") == F.col("n_true_diff"))
+        .alias("drill_complete"))

@@ -6405,6 +6405,64 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                  / CAST(count(*) AS DOUBLE) AS hot_frac
         FROM smp GROUP BY 1
         """),
+    "c35_merkle": QuerySpec(
+        # C35k: Merkle-bucket snapshot reconciliation — fingerprint
+        # vectors flag the mutated buckets, row diff drills only those,
+        # and the full-corpus truth verifies completeness.
+        _t("events")(relational.merkle_diff),
+        """
+        WITH base AS (
+            SELECT event_id,
+                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm
+            FROM events),
+        snap2 AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 103 = 0 THEN vm + 7 ELSE vm END
+                       AS vm
+            FROM base WHERE event_id % 101 <> 0),
+        f1 AS (
+            SELECT event_id % 64 AS bucket,
+                   CAST(sum(((event_id % 2147483647) * 2654435761 + vm)
+                            % 2147483647) AS BIGINT) AS fp
+            FROM base GROUP BY 1),
+        f2 AS (
+            SELECT event_id % 64 AS bucket,
+                   CAST(sum(((event_id % 2147483647) * 2654435761 + vm)
+                            % 2147483647) AS BIGINT) AS fp
+            FROM snap2 GROUP BY 1),
+        cmp AS (
+            SELECT coalesce(f1.bucket, f2.bucket) AS bucket,
+                   coalesce(f1.fp, -1) <> coalesce(f2.fp, -1) AS differs
+            FROM f1 FULL OUTER JOIN f2 ON f1.bucket = f2.bucket),
+        bad AS (SELECT bucket FROM cmp WHERE differs),
+        b1 AS (
+            SELECT event_id, vm FROM base
+            WHERE event_id % 64 IN (SELECT bucket FROM bad)),
+        b2 AS (
+            SELECT event_id, vm AS vm2 FROM snap2
+            WHERE event_id % 64 IN (SELECT bucket FROM bad)),
+        drill AS (
+            SELECT coalesce(b1.event_id, b2.event_id) AS event_id,
+                   b1.vm, b2.vm2
+            FROM b1 FULL OUTER JOIN b2 ON b1.event_id = b2.event_id),
+        truth AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_true_diff
+            FROM base FULL OUTER JOIN snap2 USING (event_id)
+            WHERE base.vm IS NULL OR snap2.vm IS NULL
+               OR base.vm <> snap2.vm)
+        SELECT CAST((SELECT count(*) FROM cmp) AS BIGINT) AS n_buckets,
+               CAST((SELECT count(*) FROM bad) AS BIGINT)
+                   AS n_buckets_differing,
+               CAST((SELECT count(*) FROM drill) AS BIGINT)
+                   AS n_rows_checked,
+               CAST((SELECT count(*) FROM drill
+                     WHERE vm IS NULL OR vm2 IS NULL OR vm <> vm2)
+                    AS BIGINT) AS n_rows_differing,
+               (SELECT n_true_diff FROM truth) AS n_true_diff,
+               (SELECT count(*) FROM drill
+                WHERE vm IS NULL OR vm2 IS NULL OR vm <> vm2)
+                 = (SELECT n_true_diff FROM truth) AS drill_complete
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -6478,8 +6536,8 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c34_growth, c30_token_budget, c29_filtered_ann, c31_exposure,
 # c33_pareto, c12_theilsen, c37_formats, c30_dup_coverage,
 # c33_flatline, c34_paths, c32_leakage, c30_rrf, c34_event_study,
-# c35_bitemporal, c16_lttb, c31_clipping, c33_flatline_stream — same
-# gates)
+# c35_bitemporal, c16_lttb, c31_clipping, c33_flatline_stream,
+# c35_merkle — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

@@ -224,6 +224,7 @@ PROBE_QUERIES = [
     "c16_lttb",             # (type, day) agg + bounded kernel
     "c31_clipping",         # Arrow decode kernel, zero shuffle
     "c33_flatline_stream",  # keyed integer state machine, 4 batches
+    "c35_merkle",           # two fingerprint aggs + bucket drill
     # c32_leakage is deliberately NOT probed: it runs the exact
     # inverted-index pair set (the c38_triangles/c29_recall_curve
     # corpus-property exclusion).

@@ -173,6 +173,7 @@ _BNLJ_ALLOWED = {
     "c39_blocking",         # three 1-row count scalar crossjoins
     "c32_leakage",          # five 1-row audit-count scalar crossjoins
     "c29_filtered_ann",     # 10-row query set, non-equi self-exclusion
+    "c35_merkle",           # three 1-row audit-count scalar crossjoins
 }
 
 

@@ -1004,3 +1004,33 @@ def test_clipping_matches_sample_formula(spark):
     assert (row["n_samples"], row["n_hot"], row["peak_abs"]) \
         == (n, hot, peak)
     assert row["hot_frac"] == hot / n
+
+
+# ---------------------------------------------------------------- merkle
+
+def test_merkle_clean_snapshots_flag_nothing(spark):
+    """No id divisible by 101 or 103: the snapshots are identical, no
+    bucket is flagged, and the drill touches ZERO rows — the whole
+    point of fingerprint-first reconciliation."""
+    from kafka_streams_in_action_spark.operators import relational
+    ev = _events(spark, [(i, 1, i, "t", 1.0) for i in range(1, 100)])
+    row = relational.merkle_diff(ev).collect()[0]
+    assert row["n_buckets_differing"] == 0
+    assert row["n_rows_checked"] == 0
+    assert row["n_true_diff"] == 0 and row["drill_complete"] is True
+
+
+def test_merkle_single_mutation_drills_one_bucket(spark):
+    """One dropped id (202 = 2·101): exactly its bucket (202 % 64) is
+    flagged and only that bucket's rows are row-diffed."""
+    from kafka_streams_in_action_spark.operators import relational
+    ids = [i for i in range(1, 100) if i % 101 and i % 103] + [202]
+    ev = _events(spark, [(i, 1, i % 500, "t", 1.0) for i in ids])
+    row = relational.merkle_diff(ev).collect()[0]
+    assert row["n_buckets_differing"] == 1
+    expected_bucket_rows = sum(1 for i in ids if i % 64 == 202 % 64)
+    # the dropped row exists only in snapshot 1, so checked = rows of
+    # that bucket in snap1 (202 included) joined with snap2's
+    assert row["n_rows_checked"] == expected_bucket_rows
+    assert row["n_rows_differing"] == 1 == row["n_true_diff"]
+    assert row["drill_complete"] is True
