@@ -169,6 +169,7 @@ HEADLINE = [
     "c31_clipping",          # in-kernel hot-signal audit
     "c33_flatline_stream",   # (value, run) state machine, 4 batches
     "c35_merkle",            # fingerprint-first snapshot reconcile
+    "c34_streaks",           # gaps-and-islands day streaks
 ]
 
 

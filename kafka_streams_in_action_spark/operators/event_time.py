@@ -1004,3 +1004,34 @@ def lttb_downsample(events: DataFrame, k: int = 10) -> DataFrame:
             .applyInPandas(kernel,
                            "event_type string, sel_order int, "
                            "x_day int, y_milli long"))
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """C34p: consecutive-day activity streaks per user — longest streak
+    ever, the streak ending at the user's last active day, and whether
+    that streak was still alive at the corpus's last day (the retention
+    mechanic every engagement product surfaces, and the complement of
+    C16f's gap audit: gaps measure the silences, streaks the runs).
+    Pure gaps-and-islands date arithmetic: consecutive days share
+    (day − row_number), one distinct-day aggregate + one window per
+    user; all-integer."""
+    days = (events.select("user_id", F.to_date("ts").alias("day"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = (days
+            .withColumn("grp", F.date_sub(
+                "day", F.row_number().over(w)))
+            .groupBy("user_id", "grp")
+            .agg(F.count(F.lit(1)).alias("len"),
+                 F.max("day").alias("run_end")))
+    wall = Window.partitionBy()
+    per_user = (runs
+                .withColumn("corpus_end", F.max("run_end").over(wall))
+                .groupBy("user_id", "corpus_end")
+                .agg(F.sum("len").alias("n_active_days"),
+                     F.max("len").alias("longest_streak"),
+                     F.max_by("len", "run_end").alias("last_streak"),
+                     F.max("run_end").alias("last_day")))
+    return per_user.select(
+        "user_id", "n_active_days", "longest_streak", "last_streak",
+        (F.col("last_day") == F.col("corpus_end")).alias("alive_at_end"))

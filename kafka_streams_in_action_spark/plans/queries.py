@@ -6463,6 +6463,36 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                 WHERE vm IS NULL OR vm2 IS NULL OR vm <> vm2)
                  = (SELECT n_true_diff FROM truth) AS drill_complete
         """),
+    "c34_streaks": QuerySpec(
+        # C34p: consecutive-day streaks per user via gaps-and-islands;
+        # all-integer, run_end unique per user so max_by is exact.
+        _t("events")(event_time.activity_streaks),
+        """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+        runs AS (
+            SELECT user_id, grp,
+                   CAST(count(*) AS BIGINT) AS len,
+                   max(day) AS run_end
+            FROM (SELECT user_id, day,
+                         day - CAST(row_number() OVER (
+                             PARTITION BY user_id ORDER BY day)
+                             AS INTEGER) AS grp
+                  FROM days)
+            GROUP BY 1, 2),
+        pu AS (
+            SELECT user_id,
+                   CAST(sum(len) AS BIGINT) AS n_active_days,
+                   CAST(max(len) AS BIGINT) AS longest_streak,
+                   CAST(max_by(len, run_end) AS BIGINT) AS last_streak,
+                   max(run_end) AS last_day
+            FROM runs GROUP BY 1)
+        SELECT user_id, n_active_days, longest_streak, last_streak,
+               last_day = (SELECT max(run_end) FROM runs)
+                   AS alive_at_end
+        FROM pu
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -6537,7 +6567,7 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c33_pareto, c12_theilsen, c37_formats, c30_dup_coverage,
 # c33_flatline, c34_paths, c32_leakage, c30_rrf, c34_event_study,
 # c35_bitemporal, c16_lttb, c31_clipping, c33_flatline_stream,
-# c35_merkle — same gates)
+# c35_merkle, c34_streaks — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
 QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}

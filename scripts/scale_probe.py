@@ -225,6 +225,7 @@ PROBE_QUERIES = [
     "c31_clipping",         # Arrow decode kernel, zero shuffle
     "c33_flatline_stream",  # keyed integer state machine, 4 batches
     "c35_merkle",           # two fingerprint aggs + bucket drill
+    "c34_streaks",          # distinct-day agg + per-user islands
     # c32_leakage is deliberately NOT probed: it runs the exact
     # inverted-index pair set (the c38_triangles/c29_recall_curve
     # corpus-property exclusion).

@@ -1034,3 +1034,30 @@ def test_merkle_single_mutation_drills_one_bucket(spark):
     assert row["n_rows_checked"] == expected_bucket_rows
     assert row["n_rows_differing"] == 1 == row["n_true_diff"]
     assert row["drill_complete"] is True
+
+
+# --------------------------------------------------------------- streaks
+
+def test_streaks_splits_on_gap_and_tracks_last(spark):
+    """Active days 1,2,3, 7,8: longest streak 3, the LAST streak is the
+    2-day run, and the user is alive at corpus end (their last day IS
+    the corpus's last day)."""
+    from kafka_streams_in_action_spark.operators import event_time
+    rows = [(i, 1, d * 1440, "t", 1.0)
+            for i, d in enumerate([1, 2, 3, 7, 8])]
+    row = event_time.activity_streaks(_events(spark, rows)).collect()[0]
+    assert (row["n_active_days"], row["longest_streak"],
+            row["last_streak"]) == (5, 3, 2)
+    assert row["alive_at_end"] is True
+
+
+def test_streaks_dead_user_not_alive_at_end(spark):
+    """User 2 stops a week before user 1's last day: alive_at_end is
+    False for 2, True for 1."""
+    from kafka_streams_in_action_spark.operators import event_time
+    rows = [(1, 1, 20 * 1440, "t", 1.0),
+            (2, 2, 10 * 1440, "t", 1.0)]
+    out = {r["user_id"]: r for r in
+           event_time.activity_streaks(_events(spark, rows)).collect()}
+    assert out[1]["alive_at_end"] is True
+    assert out[2]["alive_at_end"] is False
