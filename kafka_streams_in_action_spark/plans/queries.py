@@ -6500,16 +6500,85 @@ _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
 
 # ---------------------------------------------------------------------------
 # Declared ordering. The driver records correctness rows for the FIRST 50
-# queries() entries (dict insertion order). Round-7 window: (1) the two
-# r6 hash-failure rows, now fixed (HUGEINT oracle casts) — re-recorded
-# first; (2) the four rows whose ORACLE changed this round (union'd
-# exact-equality edges in the cluster graphs, grouping() INT cast, PSI
-# width floor) — a changed oracle must be re-recorded; (3) the eleven
-# rows new this round; (4) the full 25-row r3-stale cohort deferred from
-# the r6 window (each had an in-window family sibling then; none is
-# older than r3); (5) eight of the oldest r4-checked rows. After this
-# window no registered query's latest driver check is older than r4.
+# queries() entries (dict insertion order).
+#
+# Round-8 window (FROZEN at round start, before any new registration —
+# verdict r7 item 1): the driver has never recorded a CORRECTNESS row
+# for the 69 queries registered after the r7 window froze (the r8 slate
+# of 30 + the r9 slate of 39). This window holds the full 30-row r8
+# slate plus the first 20 rows of the r9 slate in registration order —
+# which places c34_rfm (verdict item 2: re-shipped this round with
+# broadcast quintile boundaries instead of unpartitioned ntile windows)
+# inside the window as required for a changed operator. The remaining
+# 19 r9 rows (c34_growth … c34_streaks) lead the round-9 window; no row
+# registered this round may displace them.
 # ---------------------------------------------------------------------------
+_ROUND8_PRIORITY = [
+    # (1) the 30-row round-8 slate, registration order
+    "c39_link", "c39_golden", "c28_par_dedup", "c38_reach",
+    "c12_holt", "c12_holt_stream", "c34_throttle", "c34_throttle_stream",
+    "c33_chisq", "c30_pmi", "c32_systematic", "c16_interp",
+    "c31_vad", "c7_basket", "c33_gini", "c29_mmr", "c35_merge",
+    "c34_dwell", "c32_temporal_split", "c31_resample_audio",
+    "c32_oversample", "c33_cusum", "c30_phrase", "c34_survival",
+    "c16_ohlc", "c35_wap", "c33_mad", "c12_xcorr", "c30_lexdiv",
+    "c38_assort",
+    # (2) the first 20 rows of the round-9 slate, registration order
+    # (includes c34_rfm — operator changed this round, verdict item 2)
+    "c12_drawdown", "c12_drawdown_stream", "c12_crossover", "c12_trend",
+    "c9_overlap", "c34_rfm", "c35_timetravel", "c35_forget",
+    "c38_linkpred", "c38_kcore", "c33_ks", "c16_seasonality",
+    "c35_vacuum", "c39_blocking", "c16_gaps", "c38_closeness",
+    "c34_stickiness", "c33_reconcile", "c29_recall_curve", "c32_quota",
+]
+
+assert len(_ROUND8_PRIORITY) == 50, len(_ROUND8_PRIORITY)
+assert len(set(_ROUND8_PRIORITY)) == 50, "duplicate row in window"
+
+# ---------------------------------------------------------------------------
+# Window-freshness ledger (verdict r7 item 6). CURRENT_ROUND is bumped
+# when each round's window freezes. _REGISTERED_ROUND records the round
+# in which every not-yet-driver-windowed query was registered; queries
+# that already hold a driver CORRECTNESS row need no entry (their
+# freshness is proven by the recorded window). tests/test_plans.py::
+# test_window_freshness fails the build if any registered query is two
+# or more rounds old and still has neither a CORRECTNESS row nor a slot
+# in the current frozen window — the CI form of the r7 judge finding
+# that 69 queries outran the 50-row verification window.
+# ---------------------------------------------------------------------------
+CURRENT_ROUND = 8
+
+_REGISTERED_ROUND: dict[str, int] = {
+    # r8 slate (registered during the round-7 session)
+    **{n: 7 for n in _ROUND8_PRIORITY[:30]},
+    # r9 slate (registered late in the round-7 session): the 20 windowed
+    # rows plus the 19 that lead the round-9 window
+    **{n: 7 for n in _ROUND8_PRIORITY[30:]},
+    **{n: 7 for n in [
+        "c34_growth", "c30_token_budget", "c29_filtered_ann",
+        "c31_exposure", "c33_pareto", "c12_theilsen", "c37_formats",
+        "c30_dup_coverage", "c33_flatline", "c34_paths", "c32_leakage",
+        "c30_rrf", "c34_event_study", "c35_bitemporal", "c16_lttb",
+        "c31_clipping", "c33_flatline_stream", "c35_merkle",
+        "c34_streaks",
+    ]},
+    # r10 slate (registered during the round-8 session, AFTER the r8
+    # window froze): every new registration this round goes here.
+}
+
+# Round-9 window plan (to become _ROUND9_PRIORITY next round): the 19
+# r9-slate rows left out of the r8 window — c34_growth,
+# c30_token_budget, c29_filtered_ann, c31_exposure, c33_pareto,
+# c12_theilsen, c37_formats, c30_dup_coverage, c33_flatline, c34_paths,
+# c32_leakage, c30_rrf, c34_event_study, c35_bitemporal, c16_lttb,
+# c31_clipping, c33_flatline_stream, c35_merkle, c34_streaks — lead
+# that window; rows registered during round 8 (the r10 slate) fill the
+# remaining ~31 slots; judge items displace from the tail only.
+
+# Round-7 window (previous round; kept for the freshness ledger below):
+# (1) the two r6 hash-failure rows, fixed; (2) four oracle-changed
+# rows; (3) eleven rows new in r7; (4) the 25-row r3-stale cohort;
+# (5) oldest r4-checked rows.
 _ROUND7_PRIORITY = [
     # (1) the two r6 hash failures, oracles fixed (verdict item 1)
     "c33_expectations", "c34_sessionize",
@@ -6547,7 +6616,8 @@ _ROUND7_PRIORITY = [
 
 assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 
-# Round-8 window plan (to become _ROUND8_PRIORITY next round): the 33
+# (historical r7 comment follows; superseded by the frozen r8 window
+# above) Round-8 window plan: the 33
 # rows registered after the r7 window froze — c39_link, c39_golden,
 # c28_par_dedup, c38_reach, c12_holt, c12_holt_stream, c34_throttle,
 # c34_throttle_stream, c33_chisq, c30_pmi, c32_systematic, c16_interp,
@@ -6570,7 +6640,7 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c35_merkle, c34_streaks — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
-QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND7_PRIORITY}
+QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND8_PRIORITY}
 QUERIES.update(
     {n: s for n, s in _QUERY_DEFS.items() if n not in QUERIES})
 assert len(QUERIES) == len(_QUERY_DEFS)
