@@ -1397,19 +1397,32 @@ def rfm_scores(orders: DataFrame) -> DataFrame:
     canonical marketing segmentation: days since last order against a
     fixed anchor date, order count, and lifetime spend, each bucketed
     into quintiles, plus a rule-based segment label. Fully
-    deterministic: quintiles are ntile(5) over total orders with the
-    customer key as the tie-break, spend is exact integer milli-units,
-    and the anchor is pinned (2002-01-01, just past the corpus) so
-    recency never depends on wall-clock.
+    deterministic: quintile semantics are EXACTLY ntile(5) over total
+    order with the customer key as the tie-break (the oracle states that
+    contract verbatim), spend is exact integer milli-units, and the
+    anchor is pinned (2002-01-01, just past the corpus) so recency never
+    depends on wall-clock.
 
-    Scale: the per-customer rollup is one keyed aggregate; the ntile
-    ranking is a global sort of the BOUNDED per-customer table (1 row
-    per customer — 1.5M rows at SF100, a single executor's sort). At
-    the 100 TB tier the same scores come from broadcasting 4 quantile
-    boundaries per dimension (rank-selected, c33_mad discipline) or the
-    c32_pack distributed prefix-sum rank; the ntile form is kept here
-    because its tie-break contract is the one the oracle can state
-    exactly."""
+    Scale: no unpartitioned window anywhere. ntile(5) assigns rank p of
+    n rows to bucket 1 + |{i ≤ 4 : P_i < p}| where P_i = i·(n div 5) +
+    min(i, n mod 5) — so each row's score needs only the 4 BOUNDARY
+    composites (sort value, custkey) at global ranks P_1..P_4, not its
+    own rank. All three dimensions rank-select those composites in ONE
+    pass: a dimension-tagged explode (3 rows per customer) feeds a
+    single (dim, bucket) value histogram (bucket = value div width;
+    bucket COUNT is bounded by value range / width, never corpus size),
+    the running prefix comes from a broadcast histogram×histogram
+    self-join (bounded both sides — no window at all), the 12 boundary
+    positions land in ≤12 buckets via a tiny range join, and row_number
+    ranks ONLY those buckets' rows — the same per-group rank-selection
+    c33_mad uses. The result, a 1-row ≤12-element sorted array,
+    broadcasts to every customer row and each score is a pure
+    projection `1 + size(filter(bnd, b in dim AND b < (v, custkey)))`.
+    Duplicate boundary positions (n < 5) self-correct: a duplicated
+    composite sits at rank n, and no row ranks above it. Worst-case
+    boundary-bucket occupancy (frequency, width 1) is the customers
+    sharing one order count — entity-bounded, a skinny 3-column frame,
+    never the corpus."""
     m = F.floor(F.col("o_totalprice") * 1000.0 + 0.5).cast("long")
     base = (orders.groupBy(F.col("o_custkey").alias("custkey"))
             .agg(F.datediff(
@@ -1417,13 +1430,65 @@ def rfm_scores(orders: DataFrame) -> DataFrame:
                      F.max(F.to_date("o_orderdate"))).alias("recency_days"),
                  F.count(F.lit(1)).alias("frequency"),
                  F.sum(m).alias("monetary_milli")))
-    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("custkey"))
-    f_w = Window.orderBy(F.col("frequency").asc(), F.col("custkey"))
-    m_w = Window.orderBy(F.col("monetary_milli").asc(), F.col("custkey"))
+    # ascending sort keys: recency scores DESC on days (negate),
+    # frequency and monetary score ASC; histogram widths are per-dim
+    # (value ranges: recency ≤ a few thousand days, frequency ≤ tens,
+    # monetary div 2^24 ≤ a few thousand — all corpus-independent).
+    dims = [("r", (-F.col("recency_days")).cast("long"), 32),
+            ("f", F.col("frequency").cast("long"), 1),
+            ("m", F.col("monetary_milli"), 1 << 24)]
+    tagged = base.select("custkey", F.explode(F.array(*[
+        F.struct(F.lit(d).alias("_d"), v.alias("_v"),
+                 F.floor(v / F.lit(float(w))).cast("long").alias("_bkt"))
+        for d, v, w in dims])).alias("_e")).select("custkey", "_e.*")
+    hist = tagged.groupBy("_d", "_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    pre = (hist.alias("a")
+           .join(F.broadcast(hist.alias("bb")),
+                 (F.col("bb._d") == F.col("a._d")) &
+                 (F.col("bb._bkt") < F.col("a._bkt")), "left")
+           .groupBy(F.col("a._d").alias("_d"),
+                    F.col("a._bkt").alias("_bkt"),
+                    F.col("a._c").alias("_c"))
+           .agg(F.coalesce(F.sum("bb._c"), F.lit(0)).alias("_pre")))
+    # ntile boundary positions P_1..P_4 from the 1-row customer count
+    pos = (base.agg(F.count(F.lit(1)).alias("n"))
+           .select(F.explode(F.sequence(F.lit(1), F.lit(4))).alias("i"),
+                   "n")
+           .select((F.col("i") * F.expr("n div 5") +
+                    F.least(F.col("i"), F.col("n") % 5)).cast("long")
+                   .alias("p")))
+    loc = (pre.join(F.broadcast(pos),
+                    (F.col("_pre") < F.col("p")) &
+                    (F.col("p") <= F.col("_pre") + F.col("_c")))
+           .select(F.col("_d").alias("_ld"), F.col("_bkt").alias("_lbkt"),
+                   (F.col("p") - F.col("_pre")).alias("_r")))
+    cand = tagged.join(
+        F.broadcast(loc.select(F.col("_ld").alias("_d"),
+                               F.col("_lbkt").alias("_bkt")).distinct()),
+        ["_d", "_bkt"])
+    wb = Window.partitionBy("_d", "_bkt").orderBy("_v", "custkey")
+    sel = (cand.withColumn("_rn", F.row_number().over(wb))
+           .join(F.broadcast(loc),
+                 (F.col("_d") == F.col("_ld")) &
+                 (F.col("_bkt") == F.col("_lbkt")) &
+                 (F.col("_rn") == F.col("_r"))))
+    bnd = sel.agg(F.sort_array(F.collect_list(F.struct(
+        F.col("_d").alias("d"), F.col("_v").alias("v"),
+        F.col("custkey").alias("k")))).alias("bnd"))
+
+    def score(dim: str, v: "F.Column") -> "F.Column":
+        vv, kk = v.cast("long"), F.col("custkey")
+        return (F.lit(1) + F.size(F.filter(
+            F.col("bnd"),
+            lambda b: (b["d"] == dim) &
+                      ((b["v"] < vv) |
+                       ((b["v"] == vv) & (b["k"] < kk)))))).cast("int")
+
     scored = (base
-              .withColumn("r_score", F.ntile(5).over(r_w))
-              .withColumn("f_score", F.ntile(5).over(f_w))
-              .withColumn("m_score", F.ntile(5).over(m_w)))
+              .crossJoin(F.broadcast(bnd))
+              .withColumn("r_score", score("r", -F.col("recency_days")))
+              .withColumn("f_score", score("f", F.col("frequency")))
+              .withColumn("m_score", score("m", F.col("monetary_milli"))))
     seg = (F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4),
                   "champion")
            .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")

@@ -194,7 +194,7 @@ PROBE_QUERIES = [
     "c12_crossover",        # day-table rolling sums + lag
     "c12_trend",            # orders⋈customer join + monthly agg
     "c9_overlap",           # delta explode + per-supplier running sum
-    "c34_rfm",              # customer rollup + 3 global ntile ranks
+    "c34_rfm",              # customer rollup + broadcast quintile bounds
     "c35_timetravel",       # cut explode + argmax hash agg
     "c35_forget",           # request-set joins + audit recounts
     "c38_linkpred",         # per-part posting-list pair join

@@ -174,6 +174,9 @@ _BNLJ_ALLOWED = {
     "c32_leakage",          # five 1-row audit-count scalar crossjoins
     "c29_filtered_ann",     # 10-row query set, non-equi self-exclusion
     "c35_merkle",           # three 1-row audit-count scalar crossjoins
+    "c34_rfm",              # bounded histogram×histogram prefix join,
+                            # 4-row boundary-position range join, and
+                            # three 1-row boundary-array crossjoins
 }
 
 
@@ -714,3 +717,15 @@ def test_window_freshness_ledger():
         "and no slot in the current window (window them or record their "
         f"registration round in _REGISTERED_ROUND): {stale}"
     )
+
+
+def test_rfm_has_no_unpartitioned_window(spark):
+    """C34h (verdict r7 item 2): quintile scores must come from broadcast
+    rank-selected boundaries, never a global ntile sort. Every Window in
+    the optimized plan must carry a partition spec — an unpartitioned
+    window prints two bracket groups ([exprs], [order]); a partitioned
+    one prints three ([exprs], [partition], [order])."""
+    opt = optimized_of(_q(spark, "c34_rfm"))
+    bad = [ln.strip()[:160] for ln in opt.splitlines()
+           if "windowspecdefinition" in ln and ln.count("], [") < 2]
+    assert not bad, f"unpartitioned window(s) in c34_rfm plan: {bad}"
