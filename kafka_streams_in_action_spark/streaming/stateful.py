@@ -137,17 +137,25 @@ def funnel_state_stream(events: DataFrame) -> DataFrame:
         import pandas as pd
         t_view, t_click, t_buy = \
             state.get if state.exists else (None, None, None)
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        for _, r in rows.iterrows():
-            et, ts = r["event_type"], r["ts"]
-            if et == "view" and t_view is None:
-                t_view = ts
-            elif (et == "click" and t_view is not None and t_click is None
-                  and ts > t_view):
-                t_click = ts
-            elif (et == "purchase" and t_click is not None and t_buy is None
-                  and ts > t_click):
-                t_buy = ts
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # The time-ordered walk is monotone first-occurrence, so each
+        # stage is a conditional MIN — no per-row loop: the first view
+        # is min(view ts); the first qualifying click is min(click ts
+        # strictly after that view) because the view time never moves
+        # once set; likewise the purchase against the click.
+        et, ts = rows["event_type"], rows["ts"]
+        if t_view is None:
+            v = ts[et == "view"]
+            if len(v):
+                t_view = v.min()
+        if t_view is not None and t_click is None:
+            c = ts[(et == "click") & (ts > t_view)]
+            if len(c):
+                t_click = c.min()
+        if t_click is not None and t_buy is None:
+            p = ts[(et == "purchase") & (ts > t_click)]
+            if len(p):
+                t_buy = p.min()
         state.update((t_view, t_click, t_buy))
         stage = (3 if t_buy is not None else
                  2 if t_click is not None else
@@ -200,30 +208,57 @@ def asof_enrich_stream(events: DataFrame, orders: DataFrame) -> DataFrame:
         F.col("o_totalprice").alias("ord_price"))
 
     def enrich(key, pdfs, state):
+        import numpy as np
         import pandas as pd
         lt, lk, lp = state.get if state.exists else (None, None, None)
-        out = {"event_id": [], "user_id": [], "o_orderkey": [],
-               "o_totalprice": []}
         batch = pd.concat(list(pdfs))
-        batch = batch.sort_values(["t", "is_event", "ord_key"],
-                                  na_position="first")
-        for r in batch.itertuples():
-            if r.is_event == 0:
-                if lt is None or (r.t, r.ord_key) > (lt, lk):
-                    lt, lk, lp = int(r.t), int(r.ord_key), float(r.ord_price)
-            else:
-                hit = lt is not None and lt <= r.t
-                out["event_id"].append(int(r.event_id))
-                out["user_id"].append(key[0])
-                out["o_orderkey"].append(lk if hit else None)
-                out["o_totalprice"].append(lp if hit else None)
+        # Vectorized timeline walk: within the batch, orders sorted by
+        # (t, ord_key) form a running-latest that is just "the previous
+        # order row" (ascending composite), so each event's match is a
+        # searchsorted against the order times — with the carried state
+        # winning whenever its (t, key) composite is newer (a late
+        # event behind an already-seen newer order stays unmatched only
+        # when that state order is after the event, same as the loop).
+        o = (batch[batch["is_event"] == 0]
+             .sort_values(["t", "ord_key"]))
+        e = batch[batch["is_event"] == 1].sort_values(["t", "event_id"])
+        o_t = o["t"].to_numpy(np.int64)
+        o_k = o["ord_key"].to_numpy(np.int64)
+        o_p = o["ord_price"].to_numpy(np.float64)
+        has_state = lt is not None
+        st_t = np.int64(lt if has_state else -(2 ** 62))
+        st_k = np.int64(lk if has_state else -(2 ** 62))
+
+        e_t = e["t"].to_numpy(np.int64)
+        e_id = e["event_id"].to_numpy(np.int64)
+        j = np.searchsorted(o_t, e_t, side="right")
+        jj = np.maximum(j - 1, 0)
+        bt = np.where(j > 0, o_t[jj] if len(o_t) else st_t, st_t)
+        bk = np.where(j > 0, o_k[jj] if len(o_k) else st_k, st_k)
+        bp = np.where(j > 0, o_p[jj] if len(o_p) else 0.0, 0.0)
+        use_state = (j == 0) | (st_t > bt) | ((st_t == bt) & (st_k > bk))
+        sel_t = np.where(use_state, st_t, bt)
+        sel_k = np.where(use_state, st_k, bk)
+        sel_p = np.where(use_state, np.float64(lp if has_state else 0.0),
+                         bp)
+        valid = np.where(use_state, has_state, True)
+        hit = valid & (sel_t <= e_t)
+
+        if len(o_t):
+            cand = (int(o_t[-1]), int(o_k[-1]), float(o_p[-1]))
+            if not has_state or (cand[0], cand[1]) > (lt, lk):
+                lt, lk, lp = cand
         if lt is not None:
             state.update((lt, lk, lp))
+        okey = pd.Series(sel_k, dtype="Int64")
+        okey[~hit] = pd.NA
         yield pd.DataFrame({
-            "event_id": pd.array(out["event_id"], dtype="Int64"),
-            "user_id": pd.array(out["user_id"], dtype="Int64"),
-            "o_orderkey": pd.array(out["o_orderkey"], dtype="Int64"),
-            "o_totalprice": out["o_totalprice"],
+            "event_id": pd.array(e_id, dtype="Int64"),
+            "user_id": pd.array(np.full(len(e_id), key[0]), dtype="Int64"),
+            "o_orderkey": okey,
+            # NaN→NA under the masked dtype, so misses stay SQL nulls
+            "o_totalprice": pd.array(np.where(hit, sel_p, np.nan),
+                                     dtype="Float64"),
         })
 
     return (
@@ -296,30 +331,51 @@ def cep_conversion_stream(events: DataFrame,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
         sig_ts, sig_ce, ce = \
             state.get if state.exists else (None, None, 0)
         rows = pd.concat(list(pdfs), ignore_index=True) \
             .sort_values(["ts_us", "event_id"])
-        out = {"event_id": [], "user_id": [], "ts_us": [],
-               "signup_ts_us": [], "converted": []}
-        for _, r in rows.iterrows():
-            et, ts_us = r["event_type"], int(r["ts_us"])
-            if et == "error":
-                ce += 1
-            elif et == "signup":
-                sig_ts, sig_ce = ts_us, ce
-            elif et == "purchase":
-                out["event_id"].append(int(r["event_id"]))
-                out["user_id"].append(key[0])
-                out["ts_us"].append(ts_us)
-                out["signup_ts_us"].append(sig_ts)
-                out["converted"].append(
-                    sig_ts is not None
-                    and ts_us - sig_ts <= window_us
-                    and ce - sig_ce == 0)
+        # Vectorized walk: the running error count is a cumsum; the
+        # "latest signup before me" is a running max over signup row
+        # indices; a purchase then reads both by index — no per-row
+        # Python. A non-error row's inclusive cumsum equals the
+        # exclusive one, so purchases read ce at their own position.
+        et = rows["event_type"].to_numpy()
+        ts = rows["ts_us"].to_numpy(np.int64)
+        eid = rows["event_id"].to_numpy(np.int64)
+        n = len(rows)
+        ce_arr = int(ce) + np.cumsum(et == "error")
+        sig_idx = np.maximum.accumulate(
+            np.where(et == "signup", np.arange(n), -1))
+        buy = np.flatnonzero(et == "purchase")
+        bsig = sig_idx[buy]
+        has_batch_sig = bsig >= 0
+        bj = np.maximum(bsig, 0)
+        has_state_sig = sig_ts is not None
+        s_ts = np.where(has_batch_sig, ts[bj] if n else 0,
+                        np.int64(sig_ts if has_state_sig else 0))
+        s_ce = np.where(has_batch_sig, ce_arr[bj] if n else 0,
+                        np.int64(sig_ce if has_state_sig else 0))
+        s_ok = has_batch_sig | has_state_sig
+        conv = (s_ok & (ts[buy] - s_ts <= window_us)
+                & (ce_arr[buy] == s_ce))
+        sts = pd.Series(s_ts, dtype="Int64")
+        sts[~s_ok] = pd.NA
+        if n:
+            last_sig = int(sig_idx[-1])
+            if last_sig >= 0:
+                sig_ts, sig_ce = int(ts[last_sig]), int(ce_arr[last_sig])
+            ce = int(ce_arr[-1])
         state.update((sig_ts, sig_ce, ce))
-        yield pd.DataFrame(out)
+        yield pd.DataFrame({
+            "event_id": pd.array(eid[buy], dtype="Int64"),
+            "user_id": pd.array(np.full(len(buy), key[0]), dtype="Int64"),
+            "ts_us": pd.array(ts[buy], dtype="Int64"),
+            "signup_ts_us": sts,
+            "converted": conv.astype(bool),
+        })
 
     return (
         events.select("event_id", "user_id", "event_type",
@@ -355,24 +411,33 @@ def scd2_changes_stream(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
         last_type, n_versions = \
             state.get if state.exists else (None, 0)
         rows = pd.concat(list(pdfs), ignore_index=True) \
             .sort_values(["ts_us", "event_id"])
-        out = {"user_id": [], "attr": [], "effective_from_us": [],
-               "version": []}
-        for _, r in rows.iterrows():
-            et = r["event_type"]
-            if et != last_type:
-                n_versions += 1
-                out["user_id"].append(key[0])
-                out["attr"].append(et)
-                out["effective_from_us"].append(int(r["ts_us"]))
-                out["version"].append(n_versions)
-                last_type = et
+        # Vectorized run detection: after any non-change row the carry
+        # equals that row's type, so "differs from the carry" is just
+        # "differs from the previous row" (the first row compares to
+        # the carried state) — the same shift trick as the batch lag().
+        et = rows["event_type"].to_numpy()
+        n = len(rows)
+        prev = np.concatenate(([last_type], et[:-1])) if n else et
+        change = et != prev
+        idx = np.flatnonzero(change)
+        versions = int(n_versions) + np.arange(1, len(idx) + 1)
+        if n:
+            last_type = str(et[-1])
+            n_versions = int(n_versions) + len(idx)
         state.update((last_type, n_versions))
-        yield pd.DataFrame(out)
+        yield pd.DataFrame({
+            "user_id": pd.array(np.full(len(idx), key[0]), dtype="Int64"),
+            "attr": pd.array(et[idx], dtype="string"),
+            "effective_from_us": pd.array(
+                rows["ts_us"].to_numpy(np.int64)[idx], dtype="Int64"),
+            "version": pd.array(versions, dtype="Int32"),
+        })
 
     return (
         events.select("user_id", "event_id", "event_type",
@@ -427,29 +492,51 @@ def zscore_anomaly_stream(events: DataFrame, window: int = 20,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
         ring = list(state.get[0]) if state.exists else []
         rows = pd.concat(list(pdfs), ignore_index=True) \
             .sort_values(["ts", "event_id"])
-        out = {"event_type": [], "event_id": [], "value": [], "z": []}
-        for _, r in rows.iterrows():
-            m = int(math.floor(float(r["value"]) * 1000.0 + 0.5))
-            frame = ring + [m]
-            if len(frame) == window:
-                n = float(window)
-                s1 = float(sum(frame))
-                s2 = float(sum(v * v for v in frame))
-                var = (s2 - s1 * s1 / n) / (n - 1.0)
-                if var > 0:
-                    z = (float(m) - s1 / n) / math.sqrt(var)
-                    if abs(z) > z_thresh:
-                        out["event_type"].append(key[0])
-                        out["event_id"].append(int(r["event_id"]))
-                        out["value"].append(float(r["value"]))
-                        out["z"].append(z)
-            ring = frame[-(window - 1):]
+        # Vectorized trailing frames: concat(ring, batch millis), then
+        # every length-`window` sliding frame's Σm and Σm² in one shot
+        # (per-frame 20-element sums — partials never exceed
+        # window·max(m²), so no cumsum overflow) with the identical
+        # IEEE expression tree as the scalar loop: int-exact sums →
+        # float64 divide/sqrt in the same order.
+        vals = rows["value"].to_numpy(np.float64)
+        m = np.floor(vals * 1000.0 + 0.5).astype(np.int64)
+        arr = np.concatenate((np.asarray(ring, dtype=np.int64), m))
+        out = pd.DataFrame({"event_type": pd.array([], dtype="string"),
+                            "event_id": pd.array([], dtype="Int64"),
+                            "value": pd.array([], dtype="float64"),
+                            "z": pd.array([], dtype="float64")})
+        if len(arr) >= window:
+            frames = np.lib.stride_tricks.sliding_window_view(arr, window)
+            s1 = frames.sum(axis=1).astype(np.float64)
+            s2 = (frames * frames).sum(axis=1).astype(np.float64)
+            n = float(window)
+            var = (s2 - s1 * s1 / n) / (n - 1.0)
+            # frame ending at batch row i lives at window position
+            # len(ring)+i-(window-1); only full frames score
+            first_scored = max(window - 1 - len(ring), 0)
+            bpos = np.arange(first_scored, len(m))
+            fpos = len(ring) + bpos - (window - 1)
+            v_, s1_, last = var[fpos], s1[fpos], m[bpos].astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                z = (last - s1_ / n) / np.sqrt(v_)
+            keep = (v_ > 0) & (np.abs(z) > z_thresh)
+            out = pd.DataFrame({
+                "event_type": pd.array(
+                    np.full(int(keep.sum()), key[0]), dtype="string"),
+                "event_id": pd.array(
+                    rows["event_id"].to_numpy(np.int64)[bpos][keep],
+                    dtype="Int64"),
+                "value": vals[bpos][keep],
+                "z": z[keep],
+            })
+        ring = [int(v) for v in arr[-(window - 1):]]
         state.update((ring,))
-        yield pd.DataFrame(out)
+        yield out
 
     scored = (
         events.select("event_type", "event_id", "ts", "value")
