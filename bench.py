@@ -170,6 +170,8 @@ HEADLINE = [
     "c33_flatline_stream",   # (value, run) state machine, 4 batches
     "c35_merkle",            # fingerprint-first snapshot reconcile
     "c34_streaks",           # gaps-and-islands day streaks
+    "c10_asof_stream",       # keyed as-of enrichment state machine,
+                             # 4-batch merged-timeline replay
 ]
 
 
@@ -228,7 +230,7 @@ def _stream_overhead(spark) -> float:
 STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c35_scd2_stream", "c12_holt_stream",
                   "c34_throttle_stream", "c12_drawdown_stream",
-                  "c33_flatline_stream"]
+                  "c33_flatline_stream", "c10_asof_stream"]
 
 
 def _calibrate() -> dict[str, float]:

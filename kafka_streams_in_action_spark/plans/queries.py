@@ -1141,6 +1141,45 @@ def _anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select("event_type", "event_id", "value", "z")
 
 
+def _asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 streaming twin, driver-visible (r7 verdict item 7a): the keyed
+    latest-order as-of enrichment (streaming/stateful.py:
+    asof_apply_stream) replayed across a REAL 4-batch time split of the
+    MERGED (t, is_event, ord_key) timeline — slicing the union rather
+    than the two sources keeps every order at/before an event in the
+    same or an earlier micro-batch, so the (t, key, price) state carry
+    makes the stream equal the batch as-of join row-for-row against the
+    SAME c10_asof_join oracle."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import asof_apply_stream, asof_tag_union
+
+    ev = load_table(spark, "events", sf_dir)
+    od = load_table(spark, "orders", sf_dir)
+    tagged = asof_tag_union(ev, od)
+    src = tempfile.mkdtemp(prefix="c10_asof_stream_src_")
+    sliced = tagged.withColumn(
+        "slice", F.ntile(4).over(
+            Window.orderBy("t", "is_event", "ord_key"))) \
+        .localCheckpoint()
+    for s in range(1, 5):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(src))
+    sink = f"c10_asof_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        q = (asof_apply_stream(
+                spark.readStream.schema(tagged.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("update").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    return spark.table(sink)
+
+
 # C34h rate limiting: the batch ranking window and the streaming state
 # machine both check against this one SQL (same twin pattern as
 # _ANOMALY_ORACLE above).
@@ -6493,6 +6532,24 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                    AS alive_at_end
         FROM pu
         """),
+    # ------------------------------------------------------------------
+    # Round-10 slate (registered during the round-8 session, AFTER the
+    # r8 window froze; leads the r9 window behind the 19 deferred rows)
+    # ------------------------------------------------------------------
+    "c10_asof_stream": QuerySpec(
+        # C10 streaming twin (r7 verdict item 7a): asof_apply_stream
+        # replayed over a 4-batch merged-timeline split; checked by the
+        # SAME oracle as the three batch as-of forms.
+        _asof_stream,
+        """
+        WITH cand AS (
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (PARTITION BY e.event_id
+                                      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM events e LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        SELECT event_id, user_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -6564,6 +6621,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     ]},
     # r10 slate (registered during the round-8 session, AFTER the r8
     # window froze): every new registration this round goes here.
+    "c10_asof_stream": 8,
 }
 
 # Round-9 window plan (to become _ROUND9_PRIORITY next round): the 19

@@ -192,8 +192,14 @@ def asof_enrich_stream(events: DataFrame, orders: DataFrame) -> DataFrame:
     cache has; a full event-time as-of under lateness needs versioned state
     + watermark GC (Flink-style temporal join), deliberately out of scope.
     """
-    from pyspark.sql.streaming.state import GroupStateTimeout
+    return asof_apply_stream(asof_tag_union(events, orders))
 
+
+def asof_tag_union(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """The tag-union half of asof_enrich_stream, exposed so a replay
+    harness can time-slice the MERGED timeline (one file-stream source
+    whose batch boundaries respect the handler's (t, is_event, ord_key)
+    sort order) instead of slicing the two sources independently."""
     ev = events.select(
         "user_id", F.unix_micros("ts").alias("t"),
         F.lit(1).alias("is_event"), "event_id",
@@ -206,6 +212,13 @@ def asof_enrich_stream(events: DataFrame, orders: DataFrame) -> DataFrame:
         F.lit(None).cast("long").alias("event_id"),
         F.col("o_orderkey").alias("ord_key"),
         F.col("o_totalprice").alias("ord_price"))
+    return ev.unionByName(od)
+
+
+def asof_apply_stream(tagged: DataFrame) -> DataFrame:
+    """The stateful half of asof_enrich_stream: the keyed latest-order
+    state machine over the (t, is_event, ord_key)-tagged union."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     def enrich(key, pdfs, state):
         import numpy as np
@@ -262,7 +275,7 @@ def asof_enrich_stream(events: DataFrame, orders: DataFrame) -> DataFrame:
         })
 
     return (
-        ev.unionByName(od)
+        tagged
         .groupBy("user_id")
         .applyInPandasWithState(
             enrich,

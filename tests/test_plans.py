@@ -233,6 +233,8 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c38_reach", "c34_throttle_stream", "c12_holt_stream",
                     # replays the availableNow stream at build (r9)
                     "c12_drawdown_stream", "c33_flatline_stream",
+                    # replays the availableNow stream at build (r10)
+                    "c10_asof_stream",
                     # greedy-selection loop checkpoints bounded
                     # candidate frames at build (r8)
                     "c29_mmr",
