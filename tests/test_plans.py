@@ -180,21 +180,66 @@ _BNLJ_ALLOWED = {
 }
 
 
+#: Queries whose plan legitimately contains an UNPARTITIONED window
+#: (r7 verdict item 7b). Every entry is a deliberately BOUNDED frame —
+#: rows limited by value range (histogram bins, digit/dow/bucket
+#: grids), entity cardinality (per-customer/per-month rollups, funnel
+#: stage tables), or a fixed report size — never the corpus; each
+#: operator's docstring states its bound. A new query joining this
+#: list needs the same justification; anything else compiling to an
+#: empty partition spec is a single-task global sort and fails below.
+_BOUNDED_FRAME_WINDOWS = {
+    "c4_cms_stream", "c4_cms_topk",      # fixed CMS grid rows
+    "c4_hist_quantiles", "c33_histogram",  # histogram bins
+    "c9_overlap",                        # per-supplier delta timeline
+    "c12_theilsen",                      # bounded monthly pair table
+    "c16_seasonality",                   # 7-row day-of-week rollup
+    "c28_keep_best",                     # per-cluster rank, tiny clusters
+    "c30_crosstab",                      # bounded category grid
+    "c32_mix_report", "c32_split_summary",  # fixed split/mix reports
+    "c32_pack",                          # top-level super-bucket prefix
+    "c32_quota", "c32_systematic",       # bounded strata apportionment
+    "c32_temporal_split",                # day-histogram cutoff
+    "c32_winsorize",                     # per-type rank on bounded types
+    "c33_chisq", "c33_ks",               # bounded margin/type-pair grids
+    "c33_mad", "c33_pareto",             # per-type/segment rank selects
+    "c34_dwell",                         # per-type duration medians
+    "c34_funnel", "c34_funnel_stream",   # 3-row stage tables
+    "c34_funnel_windowed",
+    "c34_growth", "c34_retention",       # bounded week-grid rollups
+    "c34_streaks",                       # per-user streak summary rank
+    "c34_survival",                      # bounded day-product table
+    "c34_transitions",                   # bounded type-pair matrix
+    "c37_compact", "c37_zorder_files",   # per-file span tables
+}
+
+
 def test_global_plan_hygiene_no_unbounded_nested_loops(spark):
     """Standing scale contract over EVERY registered query: no
-    CartesianProduct anywhere, and BroadcastNestedLoopJoin only for the
-    allowlisted bounded-broadcast shapes above. This is the sweep that
-    catches a future registration accidentally compiling to an
-    all-pairs plan."""
-    offenders_cart, offenders_bnlj = [], []
+    CartesianProduct anywhere, BroadcastNestedLoopJoin only for the
+    allowlisted bounded-broadcast shapes above, and unpartitioned
+    windows (single-task global sorts) only on the documented
+    bounded-frame sites. This is the sweep that catches a future
+    registration accidentally compiling to an all-pairs plan or an
+    unkeyed corpus sort."""
+    offenders_cart, offenders_bnlj, offenders_win = [], [], []
     for name, spec in QUERIES.items():
-        plan = plan_of(spec.fn(spark, SF_DIR))
+        df = spec.fn(spark, SF_DIR)
+        plan = plan_of(df)
         if "CartesianProduct" in plan:
             offenders_cart.append(name)
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
             offenders_bnlj.append(name)
+        if name not in _BOUNDED_FRAME_WINDOWS:
+            opt = optimized_of(df)
+            if any("windowspecdefinition" in ln and ln.count("], [") < 2
+                   for ln in opt.splitlines()):
+                offenders_win.append(name)
     assert not offenders_cart, offenders_cart
     assert not offenders_bnlj, offenders_bnlj
+    assert not offenders_win, (
+        "unpartitioned window outside the documented bounded-frame "
+        f"allowlist: {offenders_win}")
 
 
 def test_no_driver_side_collect_in_queries(spark):
