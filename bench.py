@@ -172,6 +172,18 @@ HEADLINE = [
     "c34_streaks",           # gaps-and-islands day streaks
     "c10_asof_stream",       # keyed as-of enrichment state machine,
                              # 4-batch merged-timeline replay
+    "c12_rsi",               # 14-day SMA RSI, bounded day table
+    "c16_vwap",              # daily + cumulative VWAP per flag
+    "c33_order_regressions", # out-of-order ingestion audit
+    "c34_interarrival",      # per-user gap stats + burstiness CV
+    "c33_uniqueness",        # candidate-key count-distinct audit
+    "c34_ltv",               # cohort LTV curves, exact milli
+    "c32_kfold",             # FNV k-fold split + balance grid
+    "c30_length_quantiles",  # exact histogram-selected percentiles
+    "c28_shard_overlap",     # md5 shard contamination matrix
+    "c28_cdc_chunks",        # content-defined chunking + dup audit
+    "c35_schema_evo",        # mergeSchema evolution on real files
+    "c31_sniff",             # magic-byte vs declared-format audit
 ]
 
 

@@ -929,3 +929,131 @@ def lsh_recall_curve(documents: DataFrame,
                     (F.coalesce(F.col("n_lsh"), F.lit(0))
                      >= F.lit(min_recall) * F.col("n_exact_pairs"))
                     .alias("recall_ok")))
+
+
+def shard_overlap_matrix(documents: DataFrame, n_shards: int = 8) -> DataFrame:
+    """C28j: cross-shard contamination matrix — after sharding a corpus
+    (content-addressed FNV of the key, the c32 split discipline), how many
+    distinct document contents appear in more than one shard? The
+    dataset-vs-dataset overlap audit run before mixing sources into a
+    training corpus (each shard standing in for a source); the pairwise
+    grain localizes WHICH pair leaks, where a single global dup-count
+    cannot.
+
+    Scale: text never shuffles — only (shard, md5) fingerprint rows; the
+    overlap is a hash equi-join on the fingerprint (candidates = docs
+    sharing a hash, never all pairs) into a ≤ C(n_shards,2)-row matrix."""
+    from ..functions.serde import fnv1a_32
+
+    sh = F.pmod(fnv1a_32(F.col("doc_id").cast("string")),
+                F.lit(n_shards)).cast("int")
+    h = (documents.select(sh.alias("shard"), F.md5("text").alias("h"))
+         .distinct())
+    pairs = h.alias("a").join(
+        h.alias("b"),
+        (F.col("a.h") == F.col("b.h")) &
+        (F.col("a.shard") < F.col("b.shard")))
+    return (pairs.groupBy(F.col("a.shard").alias("shard_a"),
+                          F.col("b.shard").alias("shard_b"))
+            .agg(F.countDistinct("a.h").alias("n_shared")))
+
+
+# --- content-defined chunking (C28k) --------------------------------------
+
+_CDC_WINDOW = 16
+_CDC_MOD = 2147483647          # 2^31 − 1 (Mersenne): modmult fits int64
+_CDC_BASE = 131
+_CDC_MASK = 64                 # boundary when H % 64 == 0 → ~64-char chunks
+
+
+def _cdc_powers(n: int):
+    """(inv^j, B^j) mod M for j < n — shared across a kernel batch."""
+    import numpy as np
+
+    inv = pow(_CDC_BASE, _CDC_MOD - 2, _CDC_MOD)          # Fermat inverse
+    invp = np.empty(n, dtype=np.int64)
+    powp = np.empty(n, dtype=np.int64)
+    a, b = 1, 1
+    for i in range(n):                                    # O(n) scalar mults
+        invp[i], powp[i] = a, b
+        a = (a * inv) % _CDC_MOD
+        b = (b * _CDC_BASE) % _CDC_MOD
+    return invp, powp
+
+
+def _cdc_boundaries(text: str, invp=None, powp=None):
+    """Boundary positions (1-based, inclusive chunk ends) of the pure
+    positional CDC rule: position i ≥ W is a boundary iff the polynomial
+    hash of the trailing W chars — h = fold((a·B + ord(c)) mod M) — is
+    ≡ 0 (mod MASK). Content-defined: the window hash depends only on the
+    window's code points, so an insertion re-synchronizes within W chars
+    (the shift-resistance exact dedup lacks). Vectorized via prefix
+    hashing with precomputed inverse powers; every intermediate is
+    bounded to fit int64 exactly, so this equals the 16-step scalar fold
+    the oracle runs, bit for bit."""
+    import numpy as np
+
+    n = len(text)
+    if n < _CDC_WINDOW:
+        return []
+    if invp is None or len(invp) < n:
+        invp, powp = _cdc_powers(n)
+    c = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.int64)
+    term = (c % _CDC_MOD) * invp[:n] % _CDC_MOD           # < 2^31
+    q = np.concatenate(([0], np.cumsum(term)))            # exact int64
+    s = (q[_CDC_WINDOW:] - q[:-_CDC_WINDOW]) % _CDC_MOD   # Σ c_j·B^{-j}
+    # canonicalize: multiply by B^e (e = window end, 0-based) so equal
+    # content gives equal hash at any position
+    h = s * powp[_CDC_WINDOW - 1:n] % _CDC_MOD
+    return (np.flatnonzero(h % _CDC_MASK == 0) + _CDC_WINDOW).tolist()
+
+
+def cdc_chunk_stats(documents: DataFrame) -> DataFrame:
+    """C28k: content-defined chunking + chunk-level dup audit — the
+    storage/dedup primitive (LBFS/rsync lineage) that fixed-width
+    chunking can't replicate: because boundaries derive from CONTENT
+    (a rolling-window hash hitting a mask), inserting one character
+    shifts at most the chunk it lands in, so near-identical documents
+    still share almost all chunk fingerprints. Per document: chunk
+    count and the fraction of its chunks whose content appears in ≥2
+    documents (cf. c28_substring_dup's fixed 5-gram spans).
+
+    Scale: chunking runs in the Arrow kernel — document text NEVER
+    shuffles; only (doc_id, md5) chunk fingerprints reach the exchange,
+    and the dup test is a fingerprint hash-join. The kernel's prefix-
+    hash vectorization is exactly congruent to the oracle's per-position
+    16-step fold (same modulus, base, and code points)."""
+    import hashlib
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, hs = [], []
+            maxlen = max((len(str(t)) for t in pdf["text"]), default=0)
+            invp, powp = _cdc_powers(max(maxlen, 1))
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = str(text)
+                bnds = _cdc_boundaries(t, invp, powp)
+                starts = [0] + bnds
+                ends = bnds + ([len(t)] if (not bnds or bnds[-1] < len(t))
+                               else [])
+                for s, e in zip(starts, ends):
+                    ids.append(int(did))
+                    hs.append(hashlib.md5(
+                        t[s:e].encode("utf-8")).hexdigest())
+            yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                                "h": pd.array(hs, dtype="string")})
+
+    chunks = documents.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, h string")
+    nd = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    return (chunks.join(nd, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                 .cast("long").alias("n_dup_chunks"))
+            .withColumn("dup_frac",
+                        F.col("n_dup_chunks").cast("double") /
+                        F.col("n_chunks").cast("double")))

@@ -1035,3 +1035,87 @@ def activity_streaks(events: DataFrame) -> DataFrame:
     return per_user.select(
         "user_id", "n_active_days", "longest_streak", "last_streak",
         (F.col("last_day") == F.col("corpus_end")).alias("alive_at_end"))
+
+
+def vwap_daily(lineitem: DataFrame) -> DataFrame:
+    """C16h: daily + cumulative volume-weighted average price per return
+    flag — the canonical market bar derived from trades (here: line items
+    priced at l_extendedprice with l_quantity as volume). Exact integer
+    sufficient statistics: Σ(price_milli·qty) and Σqty in BIGINT, then a
+    fixed two-division tree (spq/sq/1000) both engines round identically.
+
+    Scale: one keyed aggregate to the (flag, day) grain — bounded by
+    3 flags × calendar span — then running sums over that bounded frame,
+    partitioned by flag."""
+    pm = F.floor(F.col("l_extendedprice") * 1000.0 + 0.5).cast("long")
+    qm = F.col("l_quantity").cast("long")
+    day = (lineitem.groupBy(F.col("l_returnflag").alias("flag"),
+                            F.to_date("l_shipdate").alias("day"))
+           .agg(F.sum(pm * qm).alias("spq"), F.sum(qm).alias("sq")))
+    w = (Window.partitionBy("flag").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    r = (day.withColumn("cpq", F.sum("spq").over(w))
+         .withColumn("cq", F.sum("sq").over(w)))
+    return r.select(
+        "flag", "day", "spq", "sq",
+        (F.col("spq").cast("double") / F.col("sq").cast("double")
+         / F.lit(1000.0)).alias("vwap"),
+        (F.col("cpq").cast("double") / F.col("cq").cast("double")
+         / F.lit(1000.0)).alias("cum_vwap"))
+
+
+def ingestion_order_audit(events: DataFrame) -> DataFrame:
+    """C33r: out-of-order ingestion audit — per user, how often does the
+    ingestion sequence (event_id, the append order) disagree with event
+    time, and by how much? The per-source lateness profile every
+    watermark choice starts from (a stream with max_backstep 40 minutes
+    needs a ≥40-minute watermark delay or it drops data — see C25).
+
+    One lag window partitioned by the high-cardinality user key; exact
+    integer microsecond backsteps."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    d = (events.select("user_id", "event_id",
+                       F.unix_micros("ts").alias("tus"))
+         .withColumn("prev", F.lag("tus").over(w))
+         .withColumn("back",
+                     F.when(F.col("tus") < F.col("prev"),
+                            F.col("prev") - F.col("tus"))
+                     .otherwise(F.lit(0).cast("long"))))
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("back") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_regressions"),
+        F.max("back").alias("max_backstep_us"))
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """C34q: per-user inter-arrival statistics + burstiness — the arrival
+    process profile (mean gap, max gap, coefficient of variation) that
+    separates steady heartbeats (CV≈0) from bursty humans (CV>1); the
+    capacity-planning twin of the c34_dwell duration profile.
+
+    Exactness: gaps are integer microseconds; for the moment stats they
+    quantize to whole seconds so Σgap² stays in BIGINT at any activity
+    span, then the same fixed (s2 − s1²/n)/(n−1) → sqrt → divide tree as
+    the c33 z-score family. One lag window on the user key."""
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    d = (events.select("user_id", F.unix_micros("ts").alias("t"),
+                       "event_id")
+         .withColumn("gap", F.col("t") - F.lag("t").over(w))
+         .filter(F.col("gap").isNotNull()))
+    g = d.withColumn("gs", F.expr("gap div 1000000"))
+    n = F.count(F.lit(1)).cast("double")
+    s1 = F.sum("gs").cast("double")
+    s2 = F.sum(F.col("gs") * F.col("gs")).cast("double")
+    agg = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap").alias("max_gap_us"),
+        s1.alias("_s1"), s2.alias("_s2"), n.alias("_n"))
+    mean = F.col("_s1") / F.col("_n")
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")) \
+        / (F.col("_n") - F.lit(1.0))
+    cv = F.when((F.col("_n") > 1) & (mean > 0) & (var > 0),
+                F.round(F.sqrt(var) / mean, 6))
+    return agg.select("user_id", "n_gaps", "max_gap_us",
+                      F.round(mean, 6).alias("mean_gap_s"),
+                      cv.alias("cv"))

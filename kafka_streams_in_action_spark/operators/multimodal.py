@@ -779,3 +779,57 @@ def clipping_stats(audio_media: DataFrame,
         "doc_id", "n_samples", "n_hot", "peak_abs",
         (F.col("n_hot").cast("double") / F.col("n_samples").cast("double"))
         .alias("hot_frac"))
+
+
+def format_sniff_audit(documents: DataFrame) -> DataFrame:
+    """C31m: magic-byte format sniffing vs declared type — the ingestion
+    gate every multimodal corpus needs: payloads arrive with a DECLARED
+    format column that lies (mislabeled uploads) or points at truncated
+    bytes, and downstream decoders must route on what the bytes say,
+    not the label. Fixture: doc_id%3 picks the real codec
+    (BMP/RIFF-WAVE/VID0), doc_id%11==0 declares the NEXT codec's label
+    (a lie), doc_id%7==0 truncates the payload to one byte (no magic
+    survives); the sniffer reads leading magic bytes only ('BM', 'RIFF',
+    'VID0', else unknown). Output: the (declared, sniffed) confusion
+    grid with counts — mismatch rows are the quarantine queue.
+
+    Scale: encode + truncate + sniff all happen inside one Arrow kernel
+    — payload bytes NEVER shuffle; only the ≤4×4 label grid aggregates.
+    The fixture arithmetic doubles as the oracle's spec (pure doc_id
+    modular rules — reference for the byte layouts:
+    multimodal.py:encode_bmp/encode_wav/encode_video)."""
+    _FMT = ["bmp", "wav", "video"]
+    _ENC = {"bmp": encode_bmp, "wav": encode_wav, "video": encode_video}
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            decl, sniff = [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                did = int(did)
+                n = len(bytes(p))
+                real = _FMT[did % 3]
+                payload = _ENC[real](did, n)
+                if did % 7 == 0:
+                    payload = payload[:1]
+                declared = _FMT[(did + 1) % 3] if did % 11 == 0 else real
+                if payload[:2] == b"BM":
+                    s = "bmp"
+                elif payload[:4] == b"RIFF":
+                    s = "wav"
+                elif payload[:4] == b"VID0":
+                    s = "video"
+                else:
+                    s = "unknown"
+                decl.append(declared)
+                sniff.append(s)
+            yield pd.DataFrame({"declared": pd.array(decl, dtype="string"),
+                                "sniffed": pd.array(sniff, dtype="string")})
+
+    media = to_media_table(documents)
+    tagged = media.select("doc_id", "payload").mapInPandas(
+        kernel, schema="declared string, sniffed string")
+    return (tagged.groupBy("declared", "sniffed")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("is_mismatch",
+                        F.col("declared") != F.col("sniffed")))

@@ -1877,3 +1877,60 @@ def merkle_diff(events: DataFrame, n_buckets: int = 64) -> DataFrame:
         "n_rows_differing", "n_true_diff",
         (F.col("n_rows_differing") == F.col("n_true_diff"))
         .alias("drill_complete"))
+
+
+def candidate_key_audit(orders: DataFrame) -> DataFrame:
+    """C33s: candidate-key uniqueness audit — for each declared key
+    combination, does it actually identify rows? The constraint-discovery
+    primitive behind every dedup/merge keying decision (a MERGE keyed on
+    a non-unique column silently multiplies rows — see c35_merge).
+
+    One exact count-distinct aggregate per combination over the same
+    scan; output is |combinations| rows."""
+    combos = [("o_orderkey", ["o_orderkey"]),
+              ("o_custkey", ["o_custkey"]),
+              ("o_custkey,o_orderdate", ["o_custkey", "o_orderdate"])]
+    outs = []
+    for name, cols in combos:
+        outs.append(
+            orders.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(*cols).alias("n_keys"))
+            .select(F.lit(name).alias("key_cols"), "n_rows", "n_keys",
+                    (F.col("n_rows") - F.col("n_keys")).alias("n_dup_rows"),
+                    (F.col("n_rows") == F.col("n_keys")).alias("is_unique")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """C34r: cohort lifetime-value curves — customers grouped by first-order
+    month, revenue accumulated by cohort age in months: the retention
+    economics table behind every growth model (cum_revenue / n_active at
+    a given age = realized LTV).
+
+    Month index = year·12 + month − 1 (pure integers); cohort = MIN over
+    an unordered per-customer window (one keyed shuffle, no join); the
+    running sum partitions by cohort over the bounded age axis
+    (≤ calendar-span months). Revenue in exact milli units."""
+    ym = (F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")
+          - F.lit(1)).cast("long")
+    mm = F.floor(F.col("o_totalprice") * 1000.0 + 0.5).cast("long")
+    wc = Window.partitionBy("o_custkey")
+    base = (orders.select("o_custkey", ym.alias("ym"), mm.alias("mm"))
+            .withColumn("cohort_m", F.min("ym").over(wc))
+            .withColumn("age", (F.col("ym") - F.col("cohort_m"))
+                        .cast("int")))
+    g = base.groupBy("cohort_m", "age").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("mm").alias("revenue_milli"))
+    wa = (Window.partitionBy("cohort_m").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return g.select(
+        F.make_date(F.expr("CAST(cohort_m div 12 AS INT)"),
+                    F.expr("CAST(cohort_m % 12 + 1 AS INT)"),
+                    F.lit(1)).alias("cohort_month"),
+        "age", "n_active", "revenue_milli",
+        F.sum("revenue_milli").over(wa).alias("cum_revenue_milli"))

@@ -545,3 +545,25 @@ def split_leakage_audit(documents: DataFrame,
             .withColumn("contamination_frac",
                         F.col("n_test_contaminated").cast("double")
                         / F.col("n_test").cast("double")))
+
+
+def kfold_split(documents: DataFrame, k: int = 5) -> DataFrame:
+    """C32o: deterministic k-fold assignment + per-language balance audit —
+    the cross-validation split that must be (a) stable across runs and
+    re-partitioning (content-addressed FNV fold of the key, the same
+    a5/c32_split discipline — never rand()) and (b) checked for stratum
+    balance before use (a fold that swallowed one language's documents
+    invalidates the fold-out metric).
+
+    Pure projection to assign; one (fold, lang) aggregate; the fold
+    totals are a window over the bounded k×|langs| grid."""
+    from ..functions.serde import fnv1a_32
+
+    fold = F.pmod(fnv1a_32(F.col("doc_id").cast("string")), F.lit(k)) \
+        .cast("int")
+    g = (documents.withColumn("fold", fold)
+         .groupBy("fold", "lang")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("n_chars").alias("n_chars")))
+    wf = Window.partitionBy("fold")
+    return g.withColumn("fold_total", F.sum("n").over(wf))

@@ -799,3 +799,38 @@ def rrf_fusion(documents: DataFrame, n_queries: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "rrf_scaled",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def length_quantile_report(documents: DataFrame) -> DataFrame:
+    """C30w: EXACT corpus token-length percentiles (p50/p90/p99) without a
+    global sort and without approximation — the distribution report every
+    context-length / packing decision (c30_chunk, c32_pack,
+    c30_token_budget) reads first. approx_percentile drifts under
+    re-partitioning; this is the rank-selected (never interpolated)
+    discipline, computed at scale through a bounded value histogram:
+    token counts group to ≤ max-doc-length distinct values (corpus-size
+    independent), the running prefix is a broadcast histogram self-join,
+    and each percentile's rank lands in its value run via a tiny range
+    join — the same machinery as c34_rfm's quintile boundaries, exposed
+    as a report.
+
+    rank(pct) = ceil(pct·n/100) over the ascending token counts."""
+    n_tok = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    b = documents.select(n_tok.alias("n_tok"))
+    hist = b.groupBy("n_tok").agg(F.count(F.lit(1)).alias("_c"))
+    pre = (hist.alias("a")
+           .join(F.broadcast(hist.alias("bb")),
+                 F.col("bb.n_tok") < F.col("a.n_tok"), "left")
+           .groupBy(F.col("a.n_tok").alias("n_tok"),
+                    F.col("a._c").alias("_c"))
+           .agg(F.coalesce(F.sum("bb._c"), F.lit(0)).alias("_pre")))
+    pos = (b.agg(F.count(F.lit(1)).alias("n"))
+           .select(F.explode(F.array(F.lit(50), F.lit(90), F.lit(99)))
+                   .alias("pct"), "n")
+           .select("pct", "n",
+                   F.expr("CAST((pct * n + 99) div 100 AS LONG)")
+                   .alias("rank")))
+    return (pre.join(F.broadcast(pos),
+                     (F.col("_pre") < F.col("rank")) &
+                     (F.col("rank") <= F.col("_pre") + F.col("_c")))
+            .select("pct", F.col("n").alias("n_docs"), "rank", "n_tok"))

@@ -391,3 +391,38 @@ def theilsen_trend(orders: DataFrame, customer: DataFrame,
             .select("nation", "n_points",
                     F.col("n_pairs").cast("long").alias("n_pairs"),
                     F.col("slope").alias("median_slope")))
+
+
+def rsi_daily(events: DataFrame, period: int = 14) -> DataFrame:
+    """C12l: Relative Strength Index over each event type's daily series —
+    the classic momentum oscillator (Wilder 1978), in its SMA form so the
+    arithmetic stays a fixed tree: day value = exact milli sum, delta =
+    day-over-day difference, gains/losses are integer splits, and
+    RSI = 100·Σgain / (Σgain+Σloss) over the trailing `period` deltas —
+    BIGINT sums end-to-end, then ONE correctly-rounded division.
+    (Wilder's original EWMA smoothing with α=1/14 is not a binary power,
+    so the SMA variant is the engine-exact contract; see c12_ewma for
+    the α=0.5 exponential discipline.)
+
+    Scale: the frame is the per-(type, day) rollup — bounded by
+    #types × calendar span, never event count; windows partition by
+    event_type."""
+    vm = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    day = (events.groupBy("event_type", F.to_date("ts").alias("day"))
+           .agg(F.sum(vm).alias("vm")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = (day.withColumn("delta", F.col("vm") - F.lag("vm").over(w))
+         .filter(F.col("delta").isNotNull()))
+    wf = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-(period - 1), 0))
+    g = (d.withColumn("gain", F.greatest(F.col("delta"), F.lit(0)))
+         .withColumn("loss", F.greatest(-F.col("delta"), F.lit(0)))
+         .withColumn("sg", F.sum("gain").over(wf))
+         .withColumn("sl", F.sum("loss").over(wf))
+         .withColumn("nf", F.count(F.lit(1)).over(wf))
+         .filter((F.col("nf") == period) &
+                 (F.col("sg") + F.col("sl") > 0)))
+    return g.select(
+        "event_type", "day", F.col("delta").alias("delta_milli"),
+        ((F.lit(100) * F.col("sg")).cast("double") /
+         (F.col("sg") + F.col("sl")).cast("double")).alias("rsi"))

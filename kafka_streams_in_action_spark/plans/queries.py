@@ -1141,6 +1141,17 @@ def _anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select("event_type", "event_id", "value", "z")
 
 
+def _schema_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35l driver run: write v1/v2 parquet generations into a real temp
+    directory and audit the mergeSchema read-back
+    (operators/layout.py:schema_evolution_audit)."""
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir)
+    base = tempfile.mkdtemp(prefix="c35_schema_evo_")
+    return layout.schema_evolution_audit(spark, ev, base)
+
+
 def _asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10 streaming twin, driver-visible (r7 verdict item 7a): the keyed
     latest-order as-of enrichment (streaming/stateful.py:
@@ -6536,6 +6547,298 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
     # Round-10 slate (registered during the round-8 session, AFTER the
     # r8 window froze; leads the r9 window behind the 19 deferred rows)
     # ------------------------------------------------------------------
+    "c12_rsi": QuerySpec(
+        # C12l: SMA-form RSI over per-type daily series — BIGINT
+        # gain/loss sums over a 14-row frame, one final division.
+        _t("events")(windows.rsi_daily),
+        """
+        WITH day AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS vm
+            FROM events GROUP BY 1, 2),
+        d AS (
+            SELECT event_type, day, vm - lag(vm) OVER w AS delta
+            FROM day WINDOW w AS (PARTITION BY event_type ORDER BY day)
+            QUALIFY delta IS NOT NULL),
+        g AS (
+            SELECT event_type, day, delta,
+                   CAST(sum(greatest(delta, 0)) OVER wf AS BIGINT) AS sg,
+                   CAST(sum(greatest(-delta, 0)) OVER wf AS BIGINT) AS sl,
+                   count(*) OVER wf AS n
+            FROM d WINDOW wf AS (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN 13 PRECEDING
+                                          AND CURRENT ROW))
+        SELECT event_type, day, delta AS delta_milli,
+               CAST(100 * sg AS DOUBLE) / CAST(sg + sl AS DOUBLE) AS rsi
+        FROM g WHERE n = 14 AND sg + sl > 0
+        """),
+    "c16_vwap": QuerySpec(
+        # C16h: daily + cumulative VWAP per return flag — exact
+        # Σ(price_milli·qty)/Σqty with a fixed two-division tree.
+        _t("lineitem")(event_time.vwap_daily),
+        """
+        WITH day AS (
+            SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+                   CAST(sum(CAST(floor(l_extendedprice * 1000.0 + 0.5)
+                                 AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS spq,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+            FROM lineitem GROUP BY 1, 2),
+        r AS (
+            SELECT flag, day, spq, sq,
+                   CAST(sum(spq) OVER w AS BIGINT) AS cpq,
+                   CAST(sum(sq) OVER w AS BIGINT) AS cq
+            FROM day WINDOW w AS (PARTITION BY flag ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW))
+        SELECT flag, day, spq, sq,
+               CAST(spq AS DOUBLE) / CAST(sq AS DOUBLE)
+                   / CAST(1000.0 AS DOUBLE) AS vwap,
+               CAST(cpq AS DOUBLE) / CAST(cq AS DOUBLE)
+                   / CAST(1000.0 AS DOUBLE) AS cum_vwap
+        FROM r
+        """),
+    "c33_order_regressions": QuerySpec(
+        # C33r: out-of-order ingestion audit per user — lag inversions
+        # between append order (event_id) and event time.
+        _t("events")(event_time.ingestion_order_audit),
+        """
+        WITH d AS (
+            SELECT user_id, event_id, epoch_us(ts) AS tus,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY event_id) AS prev
+            FROM events)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND tus < prev
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_regressions,
+               CAST(max(CASE WHEN prev IS NOT NULL AND tus < prev
+                             THEN prev - tus ELSE 0 END) AS BIGINT)
+                   AS max_backstep_us
+        FROM d GROUP BY 1
+        """),
+    "c34_interarrival": QuerySpec(
+        # C34q: per-user inter-arrival stats + burstiness CV — integer
+        # second-quantized moments, z-score expression tree.
+        _t("events")(event_time.interarrival_stats),
+        """
+        WITH d AS (
+            SELECT user_id, epoch_us(ts) AS t,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+            FROM events),
+        g AS (
+            SELECT user_id, t - prev AS gap, (t - prev) // 1000000 AS gs
+            FROM d WHERE prev IS NOT NULL),
+        a AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us,
+                   CAST(sum(gs) AS DOUBLE) AS s1,
+                   CAST(sum(gs * gs) AS DOUBLE) AS s2,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM g GROUP BY 1)
+        SELECT user_id, n_gaps, max_gap_us,
+               round(s1 / n, 6) AS mean_gap_s,
+               CASE WHEN n > 1 AND s1 / n > 0
+                         AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                    THEN round(sqrt((s2 - s1 * s1 / n) / (n - 1))
+                               / (s1 / n), 6)
+               END AS cv
+        FROM a
+        """),
+    "c33_uniqueness": QuerySpec(
+        # C33s: candidate-key uniqueness audit — exact count-distinct
+        # per declared key combination.
+        _t("orders")(relational.candidate_key_audit),
+        """
+        SELECT 'o_orderkey' AS key_cols,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                   AS n_dup_rows,
+               count(*) = count(DISTINCT o_orderkey) AS is_unique
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT o_custkey) AS BIGINT),
+               CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT),
+               count(*) = count(DISTINCT o_custkey)
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey,o_orderdate', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT (o_custkey, o_orderdate)) AS BIGINT),
+               CAST(count(*) - count(DISTINCT (o_custkey, o_orderdate))
+                    AS BIGINT),
+               count(*) = count(DISTINCT (o_custkey, o_orderdate))
+        FROM orders
+        """),
+    "c34_ltv": QuerySpec(
+        # C34r: cohort LTV curves — first-order-month cohorts, monthly
+        # ages, exact milli revenue + running cohort totals.
+        _t("orders")(relational.cohort_ltv),
+        """
+        WITH base AS (
+            SELECT o_custkey,
+                   year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+                   CAST(floor(o_totalprice * 1000.0 + 0.5) AS BIGINT)
+                       AS mm
+            FROM orders),
+        c AS (
+            SELECT *, min(ym) OVER (PARTITION BY o_custkey) AS cohort_m
+            FROM base),
+        g AS (
+            SELECT cohort_m, CAST(ym - cohort_m AS INTEGER) AS age,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+                   CAST(sum(mm) AS BIGINT) AS revenue_milli
+            FROM c GROUP BY 1, 2)
+        SELECT make_date(CAST(cohort_m // 12 AS INTEGER),
+                         CAST(cohort_m % 12 + 1 AS INTEGER), 1)
+                   AS cohort_month,
+               age, n_active, revenue_milli,
+               CAST(sum(revenue_milli) OVER (
+                        PARTITION BY cohort_m ORDER BY age
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_revenue_milli
+        FROM g
+        """),
+    "c32_kfold": QuerySpec(
+        # C32o: deterministic FNV k-fold split + per-language balance.
+        _t("documents")(sampling.kfold_split),
+        f"""
+        WITH f AS (
+            SELECT CAST(({_FNV_SQL.format(
+                col="CAST(doc_id AS VARCHAR)")}) % 5 AS INTEGER) AS fold,
+                   lang, n_chars
+            FROM documents),
+        g AS (
+            SELECT fold, lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM f GROUP BY 1, 2)
+        SELECT fold, lang, n, n_chars,
+               CAST(sum(n) OVER (PARTITION BY fold) AS BIGINT)
+                   AS fold_total
+        FROM g
+        """),
+    "c30_length_quantiles": QuerySpec(
+        # C30w: exact rank-selected token-length percentiles through a
+        # bounded value histogram (c34_rfm's boundary machinery as a
+        # report); the oracle states the same ranks via row_number.
+        _t("documents")(text.length_quantile_report),
+        """
+        WITH toks AS (
+            SELECT len(string_split(trim(text), ' ')) AS n_tok
+            FROM documents),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+        pos AS (
+            SELECT pct, n, (pct * n + 99) // 100 AS r
+            FROM nn, (SELECT unnest([50, 90, 99]) AS pct)),
+        ranked AS (
+            SELECT n_tok, row_number() OVER (ORDER BY n_tok) AS rn
+            FROM toks)
+        SELECT CAST(p.pct AS INTEGER) AS pct, p.n AS n_docs,
+               CAST(p.r AS BIGINT) AS rank,
+               CAST(k.n_tok AS BIGINT) AS n_tok
+        FROM pos p JOIN ranked k ON k.rn = p.r
+        """),
+    "c28_shard_overlap": QuerySpec(
+        # C28j: cross-shard contamination matrix — distinct md5 contents
+        # shared by shard pairs; fingerprints shuffle, text never does.
+        _t("documents")(dedup.shard_overlap_matrix),
+        f"""
+        WITH h AS (
+            SELECT DISTINCT CAST(({_FNV_SQL.format(
+                col="CAST(doc_id AS VARCHAR)")}) % 8 AS INTEGER) AS shard,
+                   md5(text) AS h
+            FROM documents)
+        SELECT a.shard AS shard_a, b.shard AS shard_b,
+               CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared
+        FROM h a JOIN h b ON a.h = b.h AND a.shard < b.shard
+        GROUP BY 1, 2
+        """),
+    "c28_cdc_chunks": QuerySpec(
+        # C28k: content-defined chunking (rolling 16-char polynomial
+        # hash mod 2^31−1, boundary on mask 64) + chunk-level dup audit.
+        # The oracle recomputes every window hash with the scalar
+        # 16-step fold and rebuilds the chunks with string slices, so a
+        # kernel off-by-one or modular drift hash-mismatches.
+        _t("documents")(dedup.cdc_chunk_stats),
+        """
+        WITH pos AS (
+            SELECT doc_id, text,
+                   list_filter(range(16, length(text) + 1),
+                     i -> list_reduce(
+                            list_prepend(0::BIGINT,
+                              list_transform(generate_series(i - 15, i),
+                                             j -> ord(text[j]))),
+                            (a, b) -> (a * 131 + b) % 2147483647)
+                          % 64 = 0) AS bnds
+            FROM documents),
+        ch AS (
+            SELECT doc_id, text,
+                   list_prepend(0::BIGINT, bnds) AS starts,
+                   CASE WHEN len(bnds) = 0 OR bnds[-1] < length(text)
+                        THEN list_append(bnds, length(text)::BIGINT)
+                        ELSE bnds END AS ends
+            FROM pos),
+        chunks AS (
+            SELECT doc_id,
+                   md5(text[starts[i] + 1 : ends[i]]) AS h
+            FROM ch, LATERAL unnest(generate_series(1, len(ends)))
+                     AS u(i)),
+        nd AS (SELECT h, count(DISTINCT doc_id) AS nd
+               FROM chunks GROUP BY h)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks,
+               CAST(sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
+        FROM chunks JOIN nd USING (h)
+        GROUP BY doc_id
+        """),
+    "c35_schema_evo": QuerySpec(
+        # C35l: real-file schema evolution (v1 files + widened v2 files,
+        # mergeSchema read-back); the oracle recomputes the expected
+        # audit from the source table via the event_id-parity split.
+        _schema_evo,
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_v1_nulls,
+               CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_v2,
+               CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_type_nulls,
+               CAST(sum(CASE WHEN event_id % 2 = 1
+                             THEN CAST(floor(value * 1000.0 + 0.5)
+                                       AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS v2_value_milli
+        FROM events
+        """),
+    "c31_sniff": QuerySpec(
+        # C31m: magic-byte sniff vs declared label over real fixture
+        # codecs; the modular generation rules ARE the oracle's spec.
+        _t("documents")(multimodal.format_sniff_audit),
+        """
+        WITH t AS (
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+                        ELSE 'video' END AS real,
+                   doc_id % 7 = 0 AS trunc
+            FROM documents),
+        lab AS (
+            SELECT CASE WHEN doc_id % 11 = 0 THEN
+                        CASE (doc_id + 1) % 3 WHEN 0 THEN 'bmp'
+                             WHEN 1 THEN 'wav' ELSE 'video' END
+                   ELSE real END AS declared,
+                   CASE WHEN trunc THEN 'unknown' ELSE real END
+                       AS sniffed
+            FROM t)
+        SELECT declared, sniffed, CAST(count(*) AS BIGINT) AS n,
+               declared <> sniffed AS is_mismatch
+        FROM lab GROUP BY 1, 2
+        """),
     "c10_asof_stream": QuerySpec(
         # C10 streaming twin (r7 verdict item 7a): asof_apply_stream
         # replayed over a 4-batch merged-timeline split; checked by the
@@ -6621,7 +6924,13 @@ _REGISTERED_ROUND: dict[str, int] = {
     ]},
     # r10 slate (registered during the round-8 session, AFTER the r8
     # window froze): every new registration this round goes here.
-    "c10_asof_stream": 8,
+    **{n: 8 for n in [
+        "c10_asof_stream", "c12_rsi", "c16_vwap",
+        "c33_order_regressions", "c34_interarrival", "c33_uniqueness",
+        "c34_ltv", "c32_kfold", "c30_length_quantiles",
+        "c28_shard_overlap", "c28_cdc_chunks", "c35_schema_evo",
+        "c31_sniff",
+    ]},
 }
 
 # Round-9 window plan (to become _ROUND9_PRIORITY next round): the 19

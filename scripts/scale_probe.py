@@ -226,6 +226,19 @@ PROBE_QUERIES = [
     "c33_flatline_stream",  # keyed integer state machine, 4 batches
     "c35_merkle",           # two fingerprint aggs + bucket drill
     "c34_streaks",          # distinct-day agg + per-user islands
+    # round-10 additions
+    "c12_rsi",              # day-table lag + 14-row frame sums
+    "c16_vwap",             # (flag, day) agg + bounded running sums
+    "c33_order_regressions",  # one user-keyed lag window + agg
+    "c34_interarrival",     # one user-keyed lag window + moment agg
+    "c33_uniqueness",       # three count-distinct aggs over one scan
+    "c34_ltv",              # per-customer min window + cohort grid
+    "c32_kfold",            # FNV projection + (fold, lang) agg
+    "c30_length_quantiles",  # bounded token-length histogram select
+    "c28_shard_overlap",    # md5 fingerprint equi-join matrix
+    "c28_cdc_chunks",       # in-kernel chunking; fingerprints shuffle
+    "c35_schema_evo",       # two real writes + merged read-back
+    "c31_sniff",            # in-kernel encode+sniff, label grid agg
     # c32_leakage is deliberately NOT probed: it runs the exact
     # inverted-index pair set (the c38_triangles/c29_recall_curve
     # corpus-property exclusion).

@@ -177,7 +177,27 @@ _BNLJ_ALLOWED = {
     "c34_rfm",              # bounded histogram×histogram prefix join,
                             # 4-row boundary-position range join, and
                             # three 1-row boundary-array crossjoins
+    "c30_length_quantiles",  # same bounded histogram machinery: 1-row
+                             # count scalar + 3-row percentile range join
 }
+
+
+def _has_unpartitioned_window(opt: str) -> bool:
+    """True if any Window node in the optimized-plan string has an EMPTY
+    partition spec. An unpartitioned window prints two bracket groups
+    ([exprs], [orderSpec]) and the order spec always carries NULLS
+    FIRST/LAST; a partition-only (unordered) window also prints two
+    groups but its partition spec has no sort direction; three groups is
+    always partitioned."""
+    for ln in opt.splitlines():
+        if "windowspecdefinition" not in ln:
+            continue
+        if ln.count("], [") >= 2:
+            continue
+        tail = ln.rsplit("], [", 1)[-1]
+        if " NULLS " in tail:
+            return True
+    return False
 
 
 #: Queries whose plan legitimately contains an UNPARTITIONED window
@@ -231,9 +251,7 @@ def test_global_plan_hygiene_no_unbounded_nested_loops(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
             offenders_bnlj.append(name)
         if name not in _BOUNDED_FRAME_WINDOWS:
-            opt = optimized_of(df)
-            if any("windowspecdefinition" in ln and ln.count("], [") < 2
-                   for ln in opt.splitlines()):
+            if _has_unpartitioned_window(optimized_of(df)):
                 offenders_win.append(name)
     assert not offenders_cart, offenders_cart
     assert not offenders_bnlj, offenders_bnlj
@@ -280,6 +298,8 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c12_drawdown_stream", "c33_flatline_stream",
                     # replays the availableNow stream at build (r10)
                     "c10_asof_stream",
+                    # writes v1/v2 parquet generations at build (r10)
+                    "c35_schema_evo",
                     # greedy-selection loop checkpoints bounded
                     # candidate frames at build (r8)
                     "c29_mmr",
@@ -773,6 +793,4 @@ def test_rfm_has_no_unpartitioned_window(spark):
     window prints two bracket groups ([exprs], [order]); a partitioned
     one prints three ([exprs], [partition], [order])."""
     opt = optimized_of(_q(spark, "c34_rfm"))
-    bad = [ln.strip()[:160] for ln in opt.splitlines()
-           if "windowspecdefinition" in ln and ln.count("], [") < 2]
-    assert not bad, f"unpartitioned window(s) in c34_rfm plan: {bad}"
+    assert not _has_unpartitioned_window(opt)
