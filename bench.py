@@ -184,6 +184,7 @@ HEADLINE = [
     "c28_cdc_chunks",        # content-defined chunking + dup audit
     "c35_schema_evo",        # mergeSchema evolution on real files
     "c31_sniff",             # magic-byte vs declared-format audit
+    "c34_interarrival_stream",  # integer moment state machine, 4 batches
 ]
 
 
@@ -242,7 +243,8 @@ def _stream_overhead(spark) -> float:
 STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c35_scd2_stream", "c12_holt_stream",
                   "c34_throttle_stream", "c12_drawdown_stream",
-                  "c33_flatline_stream", "c10_asof_stream"]
+                  "c33_flatline_stream", "c10_asof_stream",
+                  "c34_interarrival_stream"]
 
 
 def _calibrate() -> dict[str, float]:

@@ -1111,6 +1111,14 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_gaps"),
         F.max("gap").alias("max_gap_us"),
         s1.alias("_s1"), s2.alias("_s2"), n.alias("_n"))
+    return interarrival_finalize(agg)
+
+
+def interarrival_finalize(agg: DataFrame) -> DataFrame:
+    """The moment→report projection shared by the batch operator and its
+    streaming twin: both hand over EXACT integer sufficient statistics
+    (cast to double), so computing mean/CV through this one JVM
+    expression tree makes the two forms bit-identical."""
     mean = F.col("_s1") / F.col("_n")
     var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")) \
         / (F.col("_n") - F.lit(1.0))

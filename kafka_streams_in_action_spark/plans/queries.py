@@ -1141,6 +1141,52 @@ def _anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select("event_type", "event_id", "value", "z")
 
 
+def _interarrival_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34q streaming twin, driver-visible: per-user inter-arrival
+    sufficient statistics as a keyed state machine
+    (streaming/stateful.py:interarrival_stream) replayed across a REAL
+    4-batch time split. The handler carries exact integer moments; the
+    read side keeps each user's final (max-n) emission and runs the
+    SAME JVM mean/CV expression tree as the batch operator
+    (interarrival_finalize), checked by the SAME oracle."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import interarrival_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c34_interarrival_stream_src_")
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
+        .localCheckpoint()
+    for s in range(1, 5):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(src))
+    sink = f"c34_interarrival_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        q = (interarrival_stream(
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    best = (spark.table(sink).groupBy("user_id")
+            .agg(F.max_by(F.struct("n_gaps", "s1", "s2", "max_gap_us"),
+                          "n_gaps").alias("b")))
+    agg = (best.select(
+               "user_id",
+               F.col("b.n_gaps").alias("n_gaps"),
+               F.col("b.max_gap_us").alias("max_gap_us"),
+               F.col("b.s1").cast("double").alias("_s1"),
+               F.col("b.s2").cast("double").alias("_s2"),
+               F.col("b.n_gaps").cast("double").alias("_n"))
+           .filter(F.col("n_gaps") > 0))
+    return event_time.interarrival_finalize(agg)
+
+
 def _schema_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C35l driver run: write v1/v2 parquet generations into a real temp
     directory and audit the mergeSchema read-back
@@ -6847,6 +6893,35 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                declared <> sniffed AS is_mismatch
         FROM lab GROUP BY 1, 2
         """),
+    "c34_interarrival_stream": QuerySpec(
+        # C34q streaming twin: exact integer moment state machine +
+        # shared read-side finalize; SAME oracle as c34_interarrival.
+        _interarrival_stream,
+        """
+        WITH d AS (
+            SELECT user_id, epoch_us(ts) AS t,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+            FROM events),
+        g AS (
+            SELECT user_id, t - prev AS gap, (t - prev) // 1000000 AS gs
+            FROM d WHERE prev IS NOT NULL),
+        a AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us,
+                   CAST(sum(gs) AS DOUBLE) AS s1,
+                   CAST(sum(gs * gs) AS DOUBLE) AS s2,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM g GROUP BY 1)
+        SELECT user_id, n_gaps, max_gap_us,
+               round(s1 / n, 6) AS mean_gap_s,
+               CASE WHEN n > 1 AND s1 / n > 0
+                         AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                    THEN round(sqrt((s2 - s1 * s1 / n) / (n - 1))
+                               / (s1 / n), 6)
+               END AS cv
+        FROM a
+        """),
     "c10_asof_stream": QuerySpec(
         # C10 streaming twin (r7 verdict item 7a): asof_apply_stream
         # replayed over a 4-batch merged-timeline split; checked by the
@@ -6937,7 +7012,7 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c33_order_regressions", "c34_interarrival", "c33_uniqueness",
         "c34_ltv", "c32_kfold", "c30_length_quantiles",
         "c28_shard_overlap", "c28_cdc_chunks", "c35_schema_evo",
-        "c31_sniff",
+        "c31_sniff", "c34_interarrival_stream",
     ]},
 }
 

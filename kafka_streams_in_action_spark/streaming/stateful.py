@@ -792,3 +792,65 @@ def flatline_stream(events: DataFrame) -> DataFrame:
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+def interarrival_stream(events: DataFrame) -> DataFrame:
+    """C34q streaming twin: per-user inter-arrival sufficient statistics
+    as a keyed state machine — state is (last event time, gap count,
+    Σgap_s, Σgap_s², max gap µs), all exact integers, so the emitted
+    moments are the same numbers the batch aggregate produces and the
+    read side can run the identical mean/CV expression tree
+    (operators/event_time.interarrival_finalize). Each micro-batch
+    emits the user's stats AFTER the batch; counts only grow, so the
+    read side keeps the max-n emission per user.
+
+    State is five longs per user — bounded by key cardinality. The
+    batch's rows sort (ts, event_id) and the carried last_t bridges the
+    batch boundary, so availableNow replay of a time-ordered log equals
+    the batch operator exactly."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+        last_t, n, s1, s2, mx = \
+            state.get if state.exists else (None, 0, 0, 0, 0)
+        batch = pd.concat(list(pdfs))
+        t = batch["t"].to_numpy(np.int64)
+        eid = batch["event_id"].to_numpy(np.int64)
+        srt = np.lexsort((eid, t))
+        t = t[srt]
+        seq = t if last_t is None else \
+            np.concatenate(([np.int64(last_t)], t))
+        gaps = np.diff(seq)
+        if len(gaps):
+            gs = gaps // 1_000_000
+            n = int(n) + len(gaps)
+            s1 = int(s1) + int(gs.sum())
+            s2 = int(s2) + int((gs * gs).sum())
+            mx = max(int(mx), int(gaps.max()))
+        if len(t):
+            last_t = int(t[-1])
+        state.update((last_t, n, s1, s2, mx))
+        yield pd.DataFrame({
+            "user_id": pd.array([key[0]], dtype="Int64"),
+            "n_gaps": pd.array([n], dtype="Int64"),
+            "s1": pd.array([s1], dtype="Int64"),
+            "s2": pd.array([s2], dtype="Int64"),
+            "max_gap_us": pd.array([mx], dtype="Int64"),
+        })
+
+    return (
+        events.select("user_id", F.unix_micros("ts").alias("t"),
+                      "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=("user_id long, n_gaps long, s1 long, "
+                              "s2 long, max_gap_us long"),
+            stateStructType=("last_t long, n long, s1 long, s2 long, "
+                             "mx long"),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -297,7 +297,7 @@ def test_no_driver_side_collect_in_queries(spark):
                     # replays the availableNow stream at build (r9)
                     "c12_drawdown_stream", "c33_flatline_stream",
                     # replays the availableNow stream at build (r10)
-                    "c10_asof_stream",
+                    "c10_asof_stream", "c34_interarrival_stream",
                     # writes v1/v2 parquet generations at build (r10)
                     "c35_schema_evo",
                     # greedy-selection loop checkpoints bounded

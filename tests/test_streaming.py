@@ -1004,3 +1004,55 @@ def test_flatline_stream_checkpoint_restart_carries_run(spark, tmp_path):
                    F.sum(F.when(F.col("run_len") == 3, 1).otherwise(0))
                    .cast("long").alias("n_flatlines")))
     _assert_same(relational.flatline_runs(ev), rolled)
+
+
+def test_interarrival_stream_checkpoint_restart_carries_moments(
+        spark, tmp_path):
+    """A17 durability for the inter-arrival moments: the five integer
+    state fields (last_t, n, Σgs, Σgs², max gap) must survive a
+    checkpoint restart — a reset last_t would invent a giant gap at the
+    restart boundary and poison max/CV. The per-batch emissions roll up
+    read-side (max-n per user) through the SAME finalize expression tree
+    as the batch operator, so equality is bit-exact."""
+    from kafka_streams_in_action_spark.operators import event_time as et
+
+    ev = load_table(spark, "events", SF_DIR)
+    d = str(tmp_path / "ia_cp_src")
+    cp = str(tmp_path / "ia_cp")
+    from pyspark.sql import Window
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+
+    def write_slices(lo, hi):
+        for s in range(lo, hi + 1):
+            (sliced.filter(F.col("slice") == s).drop("slice")
+             .coalesce(1).write.mode("append").parquet(d))
+
+    sink = str(tmp_path / "ia_cp_sink")
+
+    def run():
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (stateful.interarrival_stream(stream)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    write_slices(1, 2)
+    run()
+    write_slices(3, 4)
+    run()
+
+    em = spark.read.parquet(sink)
+    best = (em.groupBy("user_id")
+            .agg(F.max_by(F.struct("n_gaps", "s1", "s2", "max_gap_us"),
+                          "n_gaps").alias("b")))
+    agg = (best.select(
+               "user_id", F.col("b.n_gaps").alias("n_gaps"),
+               F.col("b.max_gap_us").alias("max_gap_us"),
+               F.col("b.s1").cast("double").alias("_s1"),
+               F.col("b.s2").cast("double").alias("_s2"),
+               F.col("b.n_gaps").cast("double").alias("_n"))
+           .filter(F.col("n_gaps") > 0))
+    _assert_same(et.interarrival_stats(ev), et.interarrival_finalize(agg))
