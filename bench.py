@@ -185,6 +185,10 @@ HEADLINE = [
     "c35_schema_evo",        # mergeSchema evolution on real files
     "c31_sniff",             # magic-byte vs declared-format audit
     "c34_interarrival_stream",  # integer moment state machine, 4 batches
+    "c29_emb_profile",       # per-dim exact moments, posexplode+combine
+    "c35_partition_evo",     # day->week layout migration, real dirs
+    "c12_peaks",             # local maxima on bounded day tables
+    "c33_freshness",         # per-feed staleness SLA report
 ]
 
 

@@ -1934,3 +1934,24 @@ def cohort_ltv(orders: DataFrame) -> DataFrame:
                     F.lit(1)).alias("cohort_month"),
         "age", "n_active", "revenue_milli",
         F.sum("revenue_milli").over(wa).alias("cum_revenue_milli"))
+
+
+def freshness_audit(events: DataFrame,
+                    as_of: str = "2024-02-01") -> DataFrame:
+    """C33t: per-source freshness / SLA audit — the ops gate every
+    ingestion pipeline publishes: when did each feed (event type) last
+    deliver, how stale is it against a pinned as-of instant, and which
+    SLA bucket does that place it in (fresh < 24h, stale < 7d, dead
+    beyond). The as-of is pinned just past the corpus so the report
+    never depends on wall-clock.
+
+    One keyed max aggregate; integer hour ages (µs div 3600·10^6)."""
+    last = events.groupBy("event_type").agg(F.max("ts").alias("last_ts"))
+    age_h = F.expr(
+        f"(unix_micros(TIMESTAMP '{as_of} 00:00:00') "
+        "- unix_micros(last_ts)) div 3600000000")
+    return (last.withColumn("age_hours", age_h)
+            .withColumn("sla",
+                        F.when(F.col("age_hours") < 24, "fresh")
+                        .when(F.col("age_hours") < 168, "stale")
+                        .otherwise("dead")))

@@ -1478,3 +1478,29 @@ def filtered_ann_eval(embeddings: DataFrame, n_queries: int = 10,
                     .alias("n_post"),
                     (F.coalesce("n_post", F.lit(0)).cast("double")
                      / F.lit(float(k))).alias("post_recall")))
+
+
+def embedding_profile(embeddings: DataFrame) -> DataFrame:
+    """C29w: per-dimension embedding QA profile — the corpus health check
+    run BEFORE building any ANN index (c29_ivf/pq): a dimension with
+    near-zero variance wastes codebook bits, and a drifted mean breaks
+    trained quantizers (the c29_ivf_ingest drift gauge per dimension).
+    Exact micro-quantized integer moments (float32 elements cast to
+    double are exact, so floor(x·10^6 + 0.5) is engine-identical), one
+    mean division at the end.
+
+    Scale: posexplode fans each vector into 64 (dim, q) rows, but the
+    map-side partial aggregate collapses them to 64 rows per task before
+    the shuffle — exchange volume is O(dims × tasks), not O(vectors)."""
+    q = F.floor(F.col("e").cast("double") * 1000000.0 + 0.5).cast("long")
+    d = (embeddings.select(F.posexplode("embedding").alias("dim", "e"))
+         .select("dim", q.alias("q")))
+    agg = d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sum_micro"),
+        F.min("q").alias("min_micro"),
+        F.max("q").alias("max_micro"))
+    return agg.select(
+        "dim", "n", "sum_micro", "min_micro", "max_micro",
+        (F.col("sum_micro").cast("double") / F.col("n").cast("double"))
+        .alias("mean_micro"))

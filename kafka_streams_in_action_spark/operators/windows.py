@@ -426,3 +426,28 @@ def rsi_daily(events: DataFrame, period: int = 14) -> DataFrame:
         "event_type", "day", F.col("delta").alias("delta_milli"),
         ((F.lit(100) * F.col("sg")).cast("double") /
          (F.col("sg") + F.col("sl")).cast("double")).alias("rsi"))
+
+
+def daily_peaks(events: DataFrame) -> DataFrame:
+    """C12m: local-extrema detection over each type's daily series — the
+    turning-point primitive behind alerting ("traffic peaked Tuesday")
+    and the zig-zag downsampler family (cf. c16_lttb, which keeps the
+    visual extremes; this names them). A day is a peak iff its exact
+    milli sum strictly exceeds BOTH neighbors (series endpoints are
+    never peaks), and the reported prominence is the rise over the
+    higher neighbor — all BIGINT.
+
+    Scale: one keyed aggregate to the bounded (type, day) grain, one
+    lag/lead pass partitioned by type."""
+    vm = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    day = (events.groupBy("event_type", F.to_date("ts").alias("day"))
+           .agg(F.sum(vm).alias("vm")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = (day.withColumn("prev", F.lag("vm").over(w))
+         .withColumn("nxt", F.lead("vm").over(w))
+         .filter(F.col("prev").isNotNull() & F.col("nxt").isNotNull())
+         .filter((F.col("vm") > F.col("prev")) &
+                 (F.col("vm") > F.col("nxt"))))
+    return d.select(
+        "event_type", "day", F.col("vm").alias("value_milli"),
+        (F.col("vm") - F.greatest("prev", "nxt")).alias("prominence_milli"))

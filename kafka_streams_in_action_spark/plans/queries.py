@@ -1187,6 +1187,16 @@ def _interarrival_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_time.interarrival_finalize(agg)
 
 
+def _partition_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35m driver run: day→week partition-layout migration over real
+    temp directories (operators/layout.py:partition_evolution_audit)."""
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir)
+    base = tempfile.mkdtemp(prefix="c35_partition_evo_")
+    return layout.partition_evolution_audit(spark, ev, base)
+
+
 def _schema_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C35l driver run: write v1/v2 parquet generations into a real temp
     directory and audit the mergeSchema read-back
@@ -6893,6 +6903,79 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                declared <> sniffed AS is_mismatch
         FROM lab GROUP BY 1, 2
         """),
+    "c29_emb_profile": QuerySpec(
+        # C29w: per-dimension embedding QA — exact micro-quantized
+        # moments; map-side combine collapses the posexplode fan-out.
+        _t("embeddings")(similarity.embedding_profile),
+        """
+        WITH d AS (
+            SELECT CAST(u.i - 1 AS INTEGER) AS dim,
+                   CAST(floor(CAST(embedding[u.i] AS DOUBLE)
+                              * CAST(1000000.0 AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+            FROM embeddings,
+                 LATERAL unnest(generate_series(1, len(embedding)))
+                     AS u(i))
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS sum_micro,
+               CAST(min(q) AS BIGINT) AS min_micro,
+               CAST(max(q) AS BIGINT) AS max_micro,
+               CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS mean_micro
+        FROM d GROUP BY 1
+        """),
+    "c35_partition_evo": QuerySpec(
+        # C35m: day→week layout migration on real files; per-week audit
+        # checked against the week grain recomputed from the source.
+        _partition_evo,
+        """
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value_milli,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS n_day_parts
+        FROM events GROUP BY 1
+        """),
+    "c12_peaks": QuerySpec(
+        # C12m: strict local maxima on the per-type daily series with
+        # BIGINT prominence over the higher neighbor.
+        _t("events")(windows.daily_peaks),
+        """
+        WITH day AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS vm
+            FROM events GROUP BY 1, 2),
+        d AS (
+            SELECT event_type, day, vm,
+                   lag(vm) OVER w AS prev, lead(vm) OVER w AS nxt
+            FROM day WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        SELECT event_type, day, vm AS value_milli,
+               CAST(vm - greatest(prev, nxt) AS BIGINT)
+                   AS prominence_milli
+        FROM d
+        WHERE prev IS NOT NULL AND nxt IS NOT NULL
+          AND vm > prev AND vm > nxt
+        """),
+    "c33_freshness": QuerySpec(
+        # C33t: per-feed staleness vs a pinned as-of + SLA bucket.
+        _t("events")(relational.freshness_audit),
+        """
+        WITH last AS (
+            SELECT event_type, max(ts) AS last_ts FROM events GROUP BY 1),
+        aged AS (
+            SELECT event_type, last_ts,
+                   CAST((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                         - epoch_us(last_ts)) // 3600000000 AS BIGINT)
+                       AS age_hours
+            FROM last)
+        SELECT event_type, last_ts, age_hours,
+               CASE WHEN age_hours < 24 THEN 'fresh'
+                    WHEN age_hours < 168 THEN 'stale'
+                    ELSE 'dead' END AS sla
+        FROM aged
+        """),
     "c34_interarrival_stream": QuerySpec(
         # C34q streaming twin: exact integer moment state machine +
         # shared read-side finalize; SAME oracle as c34_interarrival.
@@ -7012,7 +7095,8 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c33_order_regressions", "c34_interarrival", "c33_uniqueness",
         "c34_ltv", "c32_kfold", "c30_length_quantiles",
         "c28_shard_overlap", "c28_cdc_chunks", "c35_schema_evo",
-        "c31_sniff", "c34_interarrival_stream",
+        "c31_sniff", "c34_interarrival_stream", "c29_emb_profile",
+        "c35_partition_evo", "c12_peaks", "c33_freshness",
     ]},
 }
 

@@ -239,6 +239,10 @@ PROBE_QUERIES = [
     "c28_cdc_chunks",       # in-kernel chunking; fingerprints shuffle
     "c35_schema_evo",       # two real writes + merged read-back
     "c31_sniff",            # in-kernel encode+sniff, label grid agg
+    "c29_emb_profile",      # posexplode + map-side combine to 64 rows
+    "c35_partition_evo",    # two partitioned writes + pruned read
+    "c12_peaks",            # bounded day table lag/lead
+    "c33_freshness",        # one keyed max agg
     # c32_leakage is deliberately NOT probed: it runs the exact
     # inverted-index pair set (the c38_triangles/c29_recall_curve
     # corpus-property exclusion).

@@ -300,6 +300,8 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c10_asof_stream", "c34_interarrival_stream",
                     # writes v1/v2 parquet generations at build (r10)
                     "c35_schema_evo",
+                    # writes both partition layouts at build (r10)
+                    "c35_partition_evo",
                     # greedy-selection loop checkpoints bounded
                     # candidate frames at build (r8)
                     "c29_mmr",

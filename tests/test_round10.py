@@ -15,7 +15,8 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from kafka_streams_in_action_spark.operators import (
-    dedup, event_time, multimodal, relational, sampling, text, windows,
+    dedup, event_time, multimodal, relational, sampling, similarity,
+    text, windows,
 )
 
 TS0 = dt.datetime(2024, 1, 1, 10, 0, 0)
@@ -351,3 +352,58 @@ def test_sniff_grid_matches_modular_spec(spark):
                       for r in out}
     for (d, s), flag in mismatch_flags.items():
         assert flag == (d != s)
+
+
+# --------------------------------------------------------- daily peaks
+
+def test_peaks_strict_and_endpoints_excluded(spark):
+    """Series 1,3,2,2,5 (days): only day 2 is a peak (strict both
+    sides); the plateau day 4 and the endpoint day 5 are not."""
+    ev = _daily_events(spark, [1, 3, 2, 2, 5])
+    out = windows.daily_peaks(ev).collect()
+    assert len(out) == 1
+    assert out[0]["day"].day == 2 and out[0]["value_milli"] == 3000
+    assert out[0]["prominence_milli"] == 1000  # over the higher neighbor
+
+
+# ----------------------------------------------------------- freshness
+
+def test_freshness_buckets_by_age(spark):
+    ev = _events(spark, [(1, 1, 0, "view", 0.0)])
+    # single type, last event at TS0 (2024-01-01 10:00) vs 2024-02-01
+    row = relational.freshness_audit(ev).collect()[0]
+    assert row["age_hours"] == 30 * 24 + 14
+    assert row["sla"] == "dead"
+    row2 = relational.freshness_audit(ev, as_of="2024-01-02").collect()[0]
+    assert row2["sla"] == "fresh" and row2["age_hours"] == 14
+
+
+# ------------------------------------------------------- embedding QA
+
+def test_embedding_profile_exact_moments(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.25], 0), (2, [1.5, 0.75], 1)],
+        "vec_id long, embedding array<float>, label int")
+    rows = {r["dim"]: r for r in
+            similarity.embedding_profile(emb).collect()}
+    assert rows[0]["sum_micro"] == 2_000_000
+    assert rows[0]["mean_micro"] == 1_000_000.0
+    assert rows[1]["min_micro"] == -1_250_000
+    assert rows[1]["max_micro"] == 750_000
+
+
+# ------------------------------------------------- partition evolution
+
+def test_partition_evolution_merges_days_into_weeks(spark, tmp_path):
+    from kafka_streams_in_action_spark.operators import layout
+
+    # 10 daily events spanning two ISO weeks (Mon 2024-01-01 .. )
+    ev = _events(spark, [(i, 1, i * 24 * 60, "view", 1.0)
+                         for i in range(10)])
+    out = {r["week"].isoformat(): r for r in
+           layout.partition_evolution_audit(
+               spark, ev, str(tmp_path / "pe")).collect()}
+    assert out["2024-01-01"]["n_rows"] == 7
+    assert out["2024-01-01"]["n_day_parts"] == 7
+    assert out["2024-01-08"]["n_rows"] == 3
+    assert out["2024-01-08"]["value_milli"] == 3000
