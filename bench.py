@@ -189,6 +189,8 @@ HEADLINE = [
     "c35_partition_evo",     # day->week layout migration, real dirs
     "c12_peaks",             # local maxima on bounded day tables
     "c33_freshness",         # per-feed staleness SLA report
+    "c16_busdays",           # closed-form business-day latency
+    "c12_mase",              # naive vs seasonal-naive forecast error
 ]
 
 

@@ -1127,3 +1127,44 @@ def interarrival_finalize(agg: DataFrame) -> DataFrame:
     return agg.select("user_id", "n_gaps", "max_gap_us",
                       F.round(mean, 6).alias("mean_gap_s"),
                       cv.alias("cv"))
+
+
+def _weekdays_from_anchor(d: "F.Column") -> "F.Column":
+    """Weekdays in [1970-01-05 (a Monday), d] inclusive, closed form —
+    no calendar explode, no dow() function (engines disagree on Sunday's
+    number; days-since-anchor arithmetic doesn't): with n = days since
+    the Monday anchor, full weeks contribute 5 each and the partial week
+    contributes min(n mod 7 + 1, 5)."""
+    n = F.datediff(d, F.lit("1970-01-05").cast("date"))
+    # n is nonnegative for any post-1970 date, so floor-div == div and
+    # the double round-trip is exact far beyond any calendar range
+    full_weeks = F.floor(n / F.lit(7.0)).cast("long")
+    return (full_weeks * 5 + F.least(n % 7 + 1, F.lit(5))).cast("long")
+
+
+def business_day_latency(orders: DataFrame,
+                         lineitem: DataFrame) -> DataFrame:
+    """C16i: order→ship latency in BUSINESS days, per order priority —
+    the SLA metric ops teams actually publish (a Friday order shipped
+    Monday is 1 business day late, not 3). The weekday count over
+    (orderdate, shipdate] is a CLOSED FORM over days-since-Monday-anchor
+    arithmetic — no per-day explode, so the fact-fact join stays the
+    only data-sized operation and it is keyed on l_orderkey.
+
+    Exact: integer day counts, one avg division per group."""
+    j = (lineitem.select("l_orderkey",
+                         F.to_date("l_shipdate").alias("ship"))
+         .join(orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                             F.to_date("o_orderdate").alias("odate"),
+                             "o_orderpriority"),
+               "l_orderkey"))
+    bd = (_weekdays_from_anchor(F.col("ship"))
+          - _weekdays_from_anchor(F.col("odate"))).alias("busdays")
+    g = j.select("o_orderpriority", bd)
+    return (g.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum("busdays").alias("sum_busdays"),
+                 F.max("busdays").alias("max_busdays"))
+            .withColumn("avg_busdays",
+                        F.col("sum_busdays").cast("double")
+                        / F.col("n_lines").cast("double")))

@@ -451,3 +451,31 @@ def daily_peaks(events: DataFrame) -> DataFrame:
     return d.select(
         "event_type", "day", F.col("vm").alias("value_milli"),
         (F.col("vm") - F.greatest("prev", "nxt")).alias("prominence_milli"))
+
+
+def forecast_error_daily(events: DataFrame, season: int = 7) -> DataFrame:
+    """C12n: naive vs seasonal-naive forecast error per event type — the
+    MASE-style baseline every forecasting effort is judged against
+    (Hyndman & Koehler 2006): if predicting "same as 7 days ago" beats
+    "same as yesterday", the series is weekly-seasonal and a model that
+    ignores that is worse than no model. Exact BIGINT absolute-error
+    sums over the lag-aligned daily series; the two MAE's and their
+    ratio are single correctly-rounded divisions.
+
+    Scale: bounded (type, day) grain; one lag window per horizon."""
+    vm = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    day = (events.groupBy("event_type", F.to_date("ts").alias("day"))
+           .agg(F.sum(vm).alias("vm")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = (day.withColumn("e1", F.abs(F.col("vm") - F.lag("vm", 1).over(w)))
+         .withColumn("es", F.abs(F.col("vm")
+                                 - F.lag("vm", season).over(w)))
+         .filter(F.col("e1").isNotNull() & F.col("es").isNotNull()))
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("e1").alias("naive_err_milli"),
+        F.sum("es").alias("seasonal_err_milli"))
+    return g.select(
+        "event_type", "n_days", "naive_err_milli", "seasonal_err_milli",
+        (F.col("seasonal_err_milli").cast("double")
+         / F.col("naive_err_milli").cast("double")).alias("seasonal_ratio"))

@@ -6976,6 +6976,59 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                     ELSE 'dead' END AS sla
         FROM aged
         """),
+    "c16_busdays": QuerySpec(
+        # C16i: order→ship latency in business days via the closed-form
+        # weekday count (days-since-Monday-anchor arithmetic, no
+        # calendar explode, no engine-specific dow numbering).
+        _t("orders lineitem")(event_time.business_day_latency),
+        """
+        WITH wf AS (
+            SELECT l.l_orderkey, o.o_orderpriority,
+                   date_diff('day', DATE '1970-01-05',
+                             CAST(l.l_shipdate AS DATE)) AS ns,
+                   date_diff('day', DATE '1970-01-05',
+                             CAST(o.o_orderdate AS DATE)) AS no
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey),
+        bd AS (
+            SELECT o_orderpriority,
+                   CAST((ns // 7) * 5 + least(ns % 7 + 1, 5)
+                        - ((no // 7) * 5 + least(no % 7 + 1, 5))
+                        AS BIGINT) AS busdays
+            FROM wf)
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(busdays) AS BIGINT) AS sum_busdays,
+               CAST(max(busdays) AS BIGINT) AS max_busdays,
+               CAST(CAST(sum(busdays) AS BIGINT) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_busdays
+        FROM bd GROUP BY 1
+        """),
+    "c12_mase": QuerySpec(
+        # C12n: naive vs weekly-seasonal-naive MAE per type — exact
+        # BIGINT error sums, single-division ratio.
+        _t("events")(windows.forecast_error_daily),
+        """
+        WITH day AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS vm
+            FROM events GROUP BY 1, 2),
+        d AS (
+            SELECT event_type,
+                   abs(vm - lag(vm, 1) OVER w) AS e1,
+                   abs(vm - lag(vm, 7) OVER w) AS es
+            FROM day WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(e1) AS BIGINT) AS naive_err_milli,
+               CAST(sum(es) AS BIGINT) AS seasonal_err_milli,
+               CAST(CAST(sum(es) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(e1) AS BIGINT) AS DOUBLE)
+                   AS seasonal_ratio
+        FROM d
+        WHERE e1 IS NOT NULL AND es IS NOT NULL
+        GROUP BY 1
+        """),
     "c34_interarrival_stream": QuerySpec(
         # C34q streaming twin: exact integer moment state machine +
         # shared read-side finalize; SAME oracle as c34_interarrival.
@@ -7097,6 +7150,7 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c28_shard_overlap", "c28_cdc_chunks", "c35_schema_evo",
         "c31_sniff", "c34_interarrival_stream", "c29_emb_profile",
         "c35_partition_evo", "c12_peaks", "c33_freshness",
+        "c16_busdays", "c12_mase",
     ]},
 }
 

@@ -243,6 +243,8 @@ PROBE_QUERIES = [
     "c35_partition_evo",    # two partitioned writes + pruned read
     "c12_peaks",            # bounded day table lag/lead
     "c33_freshness",        # one keyed max agg
+    "c16_busdays",          # keyed fact-fact join + closed-form count
+    "c12_mase",             # bounded day table, two lag horizons
     # c32_leakage is deliberately NOT probed: it runs the exact
     # inverted-index pair set (the c38_triangles/c29_recall_curve
     # corpus-property exclusion).

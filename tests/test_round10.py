@@ -407,3 +407,57 @@ def test_partition_evolution_merges_days_into_weeks(spark, tmp_path):
     assert out["2024-01-01"]["n_day_parts"] == 7
     assert out["2024-01-08"]["n_rows"] == 3
     assert out["2024-01-08"]["value_milli"] == 3000
+
+
+# ---------------------------------------------------------- busdays
+
+def test_busdays_closed_form_matches_calendar_walk(spark):
+    """Random date pairs: the closed-form weekday count equals a
+    brute-force walk over the calendar (weekday() < 5)."""
+    import random
+
+    rnd = random.Random(53)
+    rows = []
+    for k in range(60):
+        o = dt.date(1995, 1, 1) + dt.timedelta(days=rnd.randint(0, 900))
+        s = o + dt.timedelta(days=rnd.randint(0, 40))
+        rows.append((k, o, s))
+    od = spark.createDataFrame(
+        [(k, 1, "O", 1.0, dt.datetime(o.year, o.month, o.day), "P")
+         for k, o, s in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string")
+    li = spark.createDataFrame(
+        [(k, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          dt.datetime(s.year, s.month, s.day)) for k, o, s in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp")
+    got = event_time.business_day_latency(od, li).collect()[0]
+
+    def walk(o, s):
+        n, d = 0, o
+        while d < s:
+            d += dt.timedelta(days=1)
+            if d.weekday() < 5:
+                n += 1
+        return n
+
+    exp = [walk(o, s) for _, o, s in rows]
+    assert got["n_lines"] == 60
+    assert got["sum_busdays"] == sum(exp)
+    assert got["max_busdays"] == max(exp)
+
+
+# ------------------------------------------------------------- mase
+
+def test_mase_flat_weekly_pattern_favors_seasonal(spark):
+    """A strict weekly pattern: seasonal-naive error is 0, naive error
+    is positive → ratio 0."""
+    ev = _daily_events(spark, [(i % 7) * 10 + 1 for i in range(28)])
+    row = windows.forecast_error_daily(ev).collect()[0]
+    assert row["seasonal_err_milli"] == 0
+    assert row["naive_err_milli"] > 0
+    assert row["seasonal_ratio"] == 0.0
