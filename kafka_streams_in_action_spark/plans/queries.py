@@ -7160,8 +7160,15 @@ _REGISTERED_ROUND: dict[str, int] = {
 # c12_theilsen, c37_formats, c30_dup_coverage, c33_flatline, c34_paths,
 # c32_leakage, c30_rrf, c34_event_study, c35_bitemporal, c16_lttb,
 # c31_clipping, c33_flatline_stream, c35_merkle, c34_streaks — lead
-# that window; rows registered during round 8 (the r10 slate) fill the
-# remaining ~31 slots; judge items displace from the tail only.
+# that window; the 20-row r10 slate registered this session
+# (c10_asof_stream, c12_rsi, c16_vwap, c33_order_regressions,
+# c34_interarrival, c33_uniqueness, c34_ltv, c32_kfold,
+# c30_length_quantiles, c28_shard_overlap, c28_cdc_chunks,
+# c35_schema_evo, c31_sniff, c34_interarrival_stream, c29_emb_profile,
+# c35_partition_evo, c12_peaks, c33_freshness, c16_busdays, c12_mase)
+# follows, filling 39 of the 50 slots; the remaining ~11 go to round-9
+# judge items and stale-row rotation. Judge items displace from the
+# tail only — never the 19 deferred rows (freshness rule).
 
 # Round-7 window (previous round; kept for the freshness ledger below):
 # (1) the two r6 hash-failure rows, fixed; (2) four oracle-changed
