@@ -191,6 +191,8 @@ HEADLINE = [
     "c33_freshness",         # per-feed staleness SLA report
     "c16_busdays",           # closed-form business-day latency
     "c12_mase",              # naive vs seasonal-naive forecast error
+    "c12_bollinger",         # decimal cross-multiplied band breakouts
+    "c35_commutativity",     # double-application LWW order audit
 ]
 
 

@@ -1955,3 +1955,70 @@ def freshness_audit(events: DataFrame,
                         F.when(F.col("age_hours") < 24, "fresh")
                         .when(F.col("age_hours") < 168, "stale")
                         .otherwise("dead")))
+
+
+def lww_commutativity_audit(events: DataFrame) -> DataFrame:
+    """C35n: last-writer-wins apply-order audit — the property a
+    multi-writer keyed sink actually depends on: applying change batch A
+    then B must equal B then A when the merge winner is decided by the
+    EVENT-time composite (ts, event_id), not arrival order (the
+    argmax-LWW register, the simplest CRDT). The audit REALLY performs
+    both double-applications — base snapshot (events ≤ Jan 10) upserted
+    with two genuinely time-interleaved batches (odd vs even event ids
+    after the cut), each application a full keyed argmax merge — and
+    verdicts their equality with two exceptAll emptiness checks, plus
+    the final-state rollup the oracle recomputes independently as one
+    global argmax (which IS the spec: order-independence means the
+    sequential applications must land exactly there).
+
+    'error' rows are tombstones (kept as keys, excluded from live
+    rollups) — the same CDC interpretation as c35_timetravel.
+
+    Scale: three keyed argmax aggregates per arm (map-side combinable,
+    no windows, no joins except the final bounded verdict)."""
+    cut = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    rows = events.select(
+        "user_id", "ts", "event_id",
+        (F.col("event_type") == "error").alias("is_del"),
+        F.floor(F.col("value") * 1000.0 + 0.5).cast("long").alias("vm"))
+
+    def apply(state: DataFrame, batch: DataFrame) -> DataFrame:
+        return (state.unionByName(batch)
+                .groupBy("user_id")
+                .agg(F.max(F.struct("ts", "event_id", "is_del", "vm"))
+                     .alias("s"))
+                .select("user_id", F.col("s.ts").alias("ts"),
+                        F.col("s.event_id").alias("event_id"),
+                        F.col("s.is_del").alias("is_del"),
+                        F.col("s.vm").alias("vm")))
+
+    base = (rows.filter(F.col("ts") <= cut)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "is_del", "vm"))
+                 .alias("s"))
+            .select("user_id", F.col("s.ts").alias("ts"),
+                    F.col("s.event_id").alias("event_id"),
+                    F.col("s.is_del").alias("is_del"),
+                    F.col("s.vm").alias("vm")))
+    after = rows.filter(F.col("ts") > cut)
+    a = after.filter(F.col("event_id") % 2 == 1)
+    b = after.filter(F.col("event_id") % 2 == 0)
+    ab = apply(apply(base, a), b)
+    ba = apply(apply(base, b), a)
+    d1 = ab.exceptAll(ba).agg(F.count(F.lit(1)).alias("d1"))
+    d2 = ba.exceptAll(ab).agg(F.count(F.lit(1)).alias("d2"))
+    return (ab.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(F.when(F.col("is_del"), 0).otherwise(1)).cast("long")
+                .alias("n_live"),
+                F.sum(F.when(F.col("is_del"), 1).otherwise(0)).cast("long")
+                .alias("n_deleted"),
+                F.coalesce(
+                    F.sum(F.when(F.col("is_del"), 0)
+                          .otherwise(F.col("vm"))),
+                    F.lit(0)).cast("long").alias("live_value_milli"))
+            .crossJoin(F.broadcast(d1))
+            .crossJoin(F.broadcast(d2))
+            .select("n_keys", "n_live", "n_deleted", "live_value_milli",
+                    ((F.col("d1") == 0) & (F.col("d2") == 0))
+                    .alias("orders_agree")))

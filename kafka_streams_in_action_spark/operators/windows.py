@@ -479,3 +479,50 @@ def forecast_error_daily(events: DataFrame, season: int = 7) -> DataFrame:
         "event_type", "n_days", "naive_err_milli", "seasonal_err_milli",
         (F.col("seasonal_err_milli").cast("double")
          / F.col("naive_err_milli").cast("double")).alias("seasonal_ratio"))
+
+
+def bollinger_breakouts(events: DataFrame, window: int = 10,
+                        k: int = 2) -> DataFrame:
+    """C12o: Bollinger-band breakout detection over each type's daily
+    series — price ±k·σ envelope crossings, the mean-reversion signal
+    complementing the RSI momentum row. Zero float thresholds: the
+    breakout test |v − mean| > k·σ cross-multiplies to
+    (n·v − Σv)²·(n−1) > k²·n·(n·Σv² − (Σv)²), evaluated in
+    DECIMAL(38,0) (the c33_gini exact-accumulator discipline — the
+    products overflow BIGINT at realistic daily sums, and DuckDB's
+    HUGEINT matches decimal exactly), so band membership never depends
+    on a sqrt rounding. The reported band mid/σ are fixed IEEE trees
+    for the human-readable columns only.
+
+    Scale: bounded (type, day) grain, one 20-row frame pass per type."""
+    vm = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    day = (events.groupBy("event_type", F.to_date("ts").alias("day"))
+           .agg(F.sum(vm).alias("vm")))
+    wf = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-(window - 1), 0))
+    dec = "decimal(38,0)"
+    d = (day.withColumn("s1", F.sum("vm").over(wf))
+         .withColumn("s2", F.sum(F.col("vm").cast(dec)
+                                 * F.col("vm").cast(dec)).over(wf))
+         .withColumn("nf", F.count(F.lit(1)).over(wf))
+         .filter(F.col("nf") == window))
+    n = F.lit(window).cast(dec)
+    dev = n * F.col("vm").cast(dec) - F.col("s1").cast(dec)
+    varn = n * F.col("s2") \
+        - F.col("s1").cast(dec) * F.col("s1").cast(dec)
+    lhs = dev * dev * F.lit(window - 1).cast(dec)
+    rhs = F.lit(k * k).cast(dec) * n * varn
+    above = (dev > 0) & (lhs > rhs)
+    below = (dev < 0) & (lhs > rhs)
+    nd = F.lit(float(window))
+    mean = F.col("s1").cast("double") / nd
+    sd = F.sqrt((F.col("s2").cast("double")
+                 - F.col("s1").cast("double") * F.col("s1").cast("double")
+                 / nd) / (nd - F.lit(1.0)))
+    return (d.filter(above | below)
+            .select("event_type", "day",
+                    F.col("vm").alias("value_milli"),
+                    F.round(mean, 6).alias("band_mid_milli"),
+                    F.round(sd, 6).alias("band_sd_milli"),
+                    F.when(above, "above").otherwise("below")
+                    .alias("side")))

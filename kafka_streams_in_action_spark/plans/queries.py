@@ -1094,7 +1094,7 @@ _ANOMALY_ORACLE = """
                count(*) OVER w AS n
         FROM events
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
     g AS (
         SELECT event_type, event_id, value,
                (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
@@ -4383,7 +4383,7 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
             SELECT user_id, event_id,
                    list(value) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id
-                                     ROWS BETWEEN 19 PRECEDING
+                                     ROWS BETWEEN 9 PRECEDING
                                      AND CURRENT ROW) AS arr
             FROM events)
         SELECT user_id, event_id,
@@ -7029,6 +7029,75 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         WHERE e1 IS NOT NULL AND es IS NOT NULL
         GROUP BY 1
         """),
+    "c12_bollinger": QuerySpec(
+        # C12o: ±2σ band breakouts — DECIMAL(38,0)/HUGEINT cross-
+        # multiplied membership (no sqrt in the decision), IEEE trees
+        # only for the reported band columns.
+        _t("events")(windows.bollinger_breakouts),
+        """
+        WITH day AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS vm
+            FROM events GROUP BY 1, 2),
+        d AS (
+            SELECT event_type, day, vm,
+                   CAST(sum(vm) OVER wf AS BIGINT) AS s1,
+                   sum(CAST(vm AS HUGEINT) * vm) OVER wf AS s2,
+                   count(*) OVER wf AS nf
+            FROM day WINDOW wf AS (PARTITION BY event_type ORDER BY day
+                                   ROWS BETWEEN 9 PRECEDING
+                                            AND CURRENT ROW)),
+        g AS (
+            SELECT event_type, day, vm, s1, s2,
+                   CAST(10 AS HUGEINT) * vm - s1 AS dev,
+                   CAST(10 AS HUGEINT) * s2
+                       - CAST(s1 AS HUGEINT) * s1 AS varn
+            FROM d WHERE nf = 10)
+        SELECT event_type, day, vm AS value_milli,
+               round(CAST(s1 AS DOUBLE) / CAST(10.0 AS DOUBLE), 6)
+                   AS band_mid_milli,
+               round(sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                             / CAST(10.0 AS DOUBLE))
+                          / (CAST(10.0 AS DOUBLE)
+                             - CAST(1.0 AS DOUBLE))), 6)
+                   AS band_sd_milli,
+               CASE WHEN dev > 0 THEN 'above' ELSE 'below' END AS side
+        FROM g
+        WHERE dev * dev * 9 > 4 * 10 * varn AND dev <> 0
+        """),
+    "c35_commutativity": QuerySpec(
+        # C35n: apply-order audit — both double-applications really run
+        # (Spark side); the oracle states the spec: LWW by (ts,
+        # event_id) is order-independent, so the sequential arms must
+        # land exactly on the single global argmax, and orders_agree
+        # must be true.
+        _t("events")(relational.lww_commutativity_audit),
+        """
+        WITH rows_ AS (
+            SELECT user_id, ts, event_id,
+                   event_type = 'error' AS is_del,
+                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm
+            FROM events),
+        fin AS (
+            SELECT user_id, is_del, vm
+            FROM (SELECT user_id, is_del, vm,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC,
+                                                     event_id DESC) AS rn
+                  FROM rows_)
+            WHERE rn = 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN is_del THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_live,
+               CAST(sum(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deleted,
+               CAST(coalesce(sum(CASE WHEN is_del THEN 0 ELSE vm END), 0)
+                    AS BIGINT) AS live_value_milli,
+               TRUE AS orders_agree
+        FROM fin
+        """),
     "c34_interarrival_stream": QuerySpec(
         # C34q streaming twin: exact integer moment state machine +
         # shared read-side finalize; SAME oracle as c34_interarrival.
@@ -7150,7 +7219,8 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c28_shard_overlap", "c28_cdc_chunks", "c35_schema_evo",
         "c31_sniff", "c34_interarrival_stream", "c29_emb_profile",
         "c35_partition_evo", "c12_peaks", "c33_freshness",
-        "c16_busdays", "c12_mase",
+        "c16_busdays", "c12_mase", "c12_bollinger",
+        "c35_commutativity",
     ]},
 }
 

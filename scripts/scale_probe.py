@@ -245,6 +245,8 @@ PROBE_QUERIES = [
     "c33_freshness",        # one keyed max agg
     "c16_busdays",          # keyed fact-fact join + closed-form count
     "c12_mase",             # bounded day table, two lag horizons
+    "c12_bollinger",        # bounded day table, one 20-row frame
+    "c35_commutativity",    # three keyed argmax aggs per arm
     # c32_leakage is deliberately NOT probed: it runs the exact
     # inverted-index pair set (the c38_triangles/c29_recall_curve
     # corpus-property exclusion).

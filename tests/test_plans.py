@@ -174,6 +174,7 @@ _BNLJ_ALLOWED = {
     "c32_leakage",          # five 1-row audit-count scalar crossjoins
     "c29_filtered_ann",     # 10-row query set, non-equi self-exclusion
     "c35_merkle",           # three 1-row audit-count scalar crossjoins
+    "c35_commutativity",    # two 1-row exceptAll-count scalar crossjoins
     "c34_rfm",              # bounded histogram×histogram prefix join,
                             # 4-row boundary-position range join, and
                             # three 1-row boundary-array crossjoins

@@ -461,3 +461,44 @@ def test_mase_flat_weekly_pattern_favors_seasonal(spark):
     assert row["seasonal_err_milli"] == 0
     assert row["naive_err_milli"] > 0
     assert row["seasonal_ratio"] == 0.0
+
+
+# ---------------------------------------------------------- bollinger
+
+def test_bollinger_flags_only_band_crossings(spark):
+    """Flat series with one spike: only the spike day crosses ±2σ of
+    its trailing 10-day band; flat days never do (zero variance)."""
+    vals = [10.0] * 15 + [100.0] + [10.0] * 5
+    ev = _daily_events(spark, vals)
+    out = windows.bollinger_breakouts(ev).collect()
+    assert [r["day"].day for r in out] == [16]
+    assert out[0]["side"] == "above"
+    assert out[0]["value_milli"] == 100_000
+
+
+def test_bollinger_decimal_path_survives_large_values(spark):
+    """Daily sums around 4e9 milli would overflow BIGINT in dev²·9 —
+    the DECIMAL(38,0) cross-multiplication must not wrap or null."""
+    vals = [4_000_000.0 + (i % 3) for i in range(12)] + [9_000_000.0]
+    ev = _daily_events(spark, vals)
+    out = windows.bollinger_breakouts(ev).collect()
+    assert any(r["day"].day == 13 and r["side"] == "above" for r in out)
+
+
+# ------------------------------------------------------ commutativity
+
+def test_lww_orders_agree_and_tombstones_stick(spark):
+    """Interleaved upserts and a final delete: both application orders
+    agree and the deleted key counts as a tombstone, not live."""
+    ev = _events(spark, [
+        (1, 1, 0, "view", 5.0),        # base (pre-cut is empty here;
+        (2, 1, 10, "click", 7.0),      # everything lands in A/B arms)
+        (4, 1, 20, "purchase", 9.0),
+        (3, 2, 5, "view", 1.0),
+        (6, 2, 30, "error", 0.0),      # tombstone wins for user 2
+    ])
+    row = relational.lww_commutativity_audit(ev).collect()[0]
+    assert row["orders_agree"]
+    assert row["n_keys"] == 2
+    assert row["n_live"] == 1 and row["n_deleted"] == 1
+    assert row["live_value_milli"] == 9000
