@@ -1094,7 +1094,7 @@ _ANOMALY_ORACLE = """
                count(*) OVER w AS n
         FROM events
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
     g AS (
         SELECT event_type, event_id, value,
                (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
@@ -4383,7 +4383,7 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
             SELECT user_id, event_id,
                    list(value) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id
-                                     ROWS BETWEEN 9 PRECEDING
+                                     ROWS BETWEEN 19 PRECEDING
                                      AND CURRENT ROW) AS arr
             FROM events)
         SELECT user_id, event_id,
