@@ -624,8 +624,10 @@ def test_scale_probe_build_roundtrips_all_tables(spark, tmp_path):
     round-trip through load_table with correct types (events' TIMESTAMP(NANOS)
     layout included) and exactly doubled fact row counts."""
     import importlib.util as iu
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = iu.spec_from_file_location(
-        "scale_probe", "scripts/scale_probe.py")
+        "scale_probe", os.path.join(repo, "scripts/scale_probe.py"))
     mod = iu.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
