@@ -799,3 +799,50 @@ def test_rfm_has_no_unpartitioned_window(spark):
     one prints three ([exprs], [partition], [order])."""
     opt = optimized_of(_q(spark, "c34_rfm"))
     assert not _has_unpartitioned_window(opt)
+
+
+def test_r10_day_series_ops_stay_join_free(spark):
+    """C12l/m/n/o + C16h: the daily-series kernels must stay
+    agg + keyed-window plans — a Join appearing means someone rewrote
+    the frame as a self-join."""
+    for name in ("c12_rsi", "c12_peaks", "c12_mase", "c12_bollinger",
+                 "c16_vwap"):
+        plan = plan_of(_q(spark, name))
+        assert "Join" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_length_quantiles_has_no_window_at_all(spark):
+    """C30w: the whole point — exact percentiles WITHOUT any window
+    (and so without any global sort); the plan is aggregates + bounded
+    broadcast joins only."""
+    plan = plan_of(_q(spark, "c30_length_quantiles"))
+    assert "Window" not in plan
+    assert "Sort " not in plan.replace("SortMergeJoin", "")
+
+
+def test_shard_overlap_joins_on_fingerprint(spark):
+    """C28j: the contamination matrix must hash-join on the md5
+    fingerprint — never a nested loop over documents."""
+    plan = plan_of(_q(spark, "c28_shard_overlap"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunks_shuffles_fingerprints_not_text(spark):
+    """C28k: chunking runs in the Arrow kernel (MapInPandas); the only
+    exchanged columns are (doc_id, h) — document text must not appear
+    in any Exchange's output schema."""
+    plan = plan_of(_q(spark, "c28_cdc_chunks"))
+    assert "MapInPandas" in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text" not in ln, ln
+
+
+def test_emb_profile_combines_map_side(spark):
+    """C29w: the posexplode fan-out must collapse through a partial
+    aggregate before the exchange."""
+    plan = plan_of(_q(spark, "c29_emb_profile"))
+    assert "partial_" in plan
+    assert plan.count("HashAggregate") >= 2
