@@ -193,6 +193,7 @@ HEADLINE = [
     "c12_mase",              # naive vs seasonal-naive forecast error
     "c12_bollinger",         # decimal cross-multiplied band breakouts
     "c35_commutativity",     # double-application LWW order audit
+    "c6_bucketed",           # exchange-free co-bucketed fact join
 ]
 
 

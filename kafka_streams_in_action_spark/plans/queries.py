@@ -1187,6 +1187,50 @@ def _interarrival_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_time.interarrival_finalize(agg)
 
 
+def _bucketed_join_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6c driver run: write orders and customer as co-bucketed tables
+    (sources/bucketed.py — the one-time layout that converts the
+    dominant fact-fact shuffle into an ingest cost), join them, and
+    carry the PLAN verdict into the row itself: the join subplan must
+    contain a SortMergeJoin and ZERO Exchange/Sort nodes. The driver
+    therefore hash-checks both the segment revenue numbers AND the
+    exchange-free property."""
+    import uuid
+
+    from ..sources.bucketed import bucketed_join, write_bucketed
+
+    od = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("ckey"), "o_totalprice")
+    cu = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("ckey"), "c_mktsegment")
+    tag = uuid.uuid4().hex[:8]
+    lt, rt = f"bk_orders_{tag}", f"bk_customer_{tag}"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        write_bucketed(od, lt, "ckey", 4)
+        write_bucketed(cu, rt, "ckey", 4)
+        joined = bucketed_join(spark, lt, rt, "ckey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering")
+    vm = F.floor(F.col("o_totalprice") * 1000.0 + 0.5).cast("long")
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(vm).alias("revenue_milli"))
+            .withColumn("join_is_merge",
+                        F.lit("SortMergeJoin" in plan))
+            .withColumn("join_exchange_free",
+                        F.lit("Exchange" not in plan))
+            .withColumn("join_sort_free",
+                        F.lit("+- Sort [" not in plan
+                              and ":- Sort [" not in plan)))
+
+
 def _partition_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C35m driver run: day→week partition-layout migration over real
     temp directories (operators/layout.py:partition_evolution_audit)."""
@@ -7098,6 +7142,23 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                TRUE AS orders_agree
         FROM fin
         """),
+    "c6_bucketed": QuerySpec(
+        # C6c: co-bucketed fact join on REAL bucketed tables with the
+        # exchange-free plan verdict carried in the row (the storage
+        # contract the reference's custom partitioner encodes —
+        # custom_order_partitioner.go:26-36 — as a Spark layout).
+        _bucketed_join_row,
+        """
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o.o_totalprice * 1000.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_milli,
+               TRUE AS join_is_merge,
+               TRUE AS join_exchange_free,
+               TRUE AS join_sort_free
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        """),
     "c34_interarrival_stream": QuerySpec(
         # C34q streaming twin: exact integer moment state machine +
         # shared read-side finalize; SAME oracle as c34_interarrival.
@@ -7220,7 +7281,7 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c31_sniff", "c34_interarrival_stream", "c29_emb_profile",
         "c35_partition_evo", "c12_peaks", "c33_freshness",
         "c16_busdays", "c12_mase", "c12_bollinger",
-        "c35_commutativity",
+        "c35_commutativity", "c6_bucketed",
     ]},
 }
 

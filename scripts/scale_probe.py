@@ -247,6 +247,7 @@ PROBE_QUERIES = [
     "c12_mase",             # bounded day table, two lag horizons
     "c12_bollinger",        # bounded day table, one 20-row frame
     "c35_commutativity",    # three keyed argmax aggs per arm
+    "c6_bucketed",          # bucketed ingest writes + exchange-free join
     # c32_leakage is deliberately NOT probed: it runs the exact
     # inverted-index pair set (the c38_triangles/c29_recall_curve
     # corpus-property exclusion).

@@ -303,6 +303,8 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c35_schema_evo",
                     # writes both partition layouts at build (r10)
                     "c35_partition_evo",
+                    # writes the co-bucketed tables at build (r10)
+                    "c6_bucketed",
                     # greedy-selection loop checkpoints bounded
                     # candidate frames at build (r8)
                     "c29_mmr",
