@@ -7297,8 +7297,8 @@ _REGISTERED_ROUND: dict[str, int] = {
 # c30_length_quantiles, c28_shard_overlap, c28_cdc_chunks,
 # c35_schema_evo, c31_sniff, c34_interarrival_stream, c29_emb_profile,
 # c35_partition_evo, c12_peaks, c33_freshness, c16_busdays, c12_mase,
-# c12_bollinger, c35_commutativity)
-# follows, filling 41 of the 50 slots; the remaining ~9 go to round-9
+# c12_bollinger, c35_commutativity, c6_bucketed)
+# follows, filling 42 of the 50 slots; the remaining ~8 go to round-9
 # judge items and stale-row rotation. Judge items displace from the
 # tail only — never the 19 deferred rows (freshness rule).
 
