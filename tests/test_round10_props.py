@@ -247,3 +247,71 @@ def test_cdc_chunk_stats_matches_python_replay(spark):
         assert r["n_chunks"] == len(hs)
         assert r["n_dup_chunks"] == dup
         assert r["dup_frac"] == float(dup) / float(len(hs))
+
+
+def test_cdc_boundaries_hypothesis_fuzz():
+    """Property fuzz (hypothesis): the vectorized prefix-hash boundary
+    finder equals the scalar 16-step fold for ANY text, and shifting a
+    text by a prefix shifts every boundary beyond the resync horizon by
+    exactly the prefix length (content-definedness)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    M, B, W = 2147483647, 131, 16
+
+    def scalar(t):
+        out = []
+        for i in range(W, len(t) + 1):
+            h = 0
+            for ch in t[i - W:i]:
+                h = (h * B + ord(ch)) % M
+            if h % 64 == 0:
+                out.append(i)
+        return out
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(min_size=0, max_size=300))
+    def check(t):
+        assert dedup._cdc_boundaries(t) == scalar(t)
+
+    check()
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.text(min_size=50, max_size=200),
+           st.text(min_size=1, max_size=10))
+    def check_shift(t, prefix):
+        base = set(dedup._cdc_boundaries(t))
+        shifted = set(b - len(prefix)
+                      for b in dedup._cdc_boundaries(prefix + t))
+        # every boundary of t strictly beyond the resync window must
+        # survive the prefix insertion (positions < W may differ: their
+        # hash windows straddle the prefix)
+        assert {b for b in base if b >= W} <= shifted | set(
+            range(1, W))  # small-b noise never masks the tail
+    check_shift()
+
+
+def test_busdays_closed_form_hypothesis_fuzz():
+    """Property fuzz: the closed-form weekday count f(d) (weekdays in
+    [Monday-anchor, d]) equals a brute-force calendar walk for arbitrary
+    dates, hence busdays(d1, d2] = f(d2) − f(d1) is exact."""
+    import datetime as ddt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    anchor = ddt.date(1970, 1, 5)
+
+    def closed(d):
+        n = (d - anchor).days
+        return (n // 7) * 5 + min(n % 7 + 1, 5)
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(min_value=0, max_value=30000))
+    def check(n):
+        d = anchor + ddt.timedelta(days=n)
+        walk = sum(1 for k in range(n + 1)
+                   if (anchor + ddt.timedelta(days=k)).weekday() < 5)
+        assert closed(d) == walk
+
+    check()
