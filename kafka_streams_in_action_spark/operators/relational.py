@@ -409,10 +409,15 @@ def hll_sketch_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
     Oracle-checkable form (the approx_distinct_customers convention):
     per-event-type rows carry the EXACT distinct user count plus a
     sketch-estimate tolerance verdict, and the 'ALL' row additionally
-    asserts the deterministic merge identity — estimating the UNION of
-    the per-type sketches must equal sketching the whole table directly
-    (same lg_k ⇒ identical register state), the property that makes the
-    stored-sketch rollup trustworthy rather than merely plausible.
+    asserts the merge CONSISTENCY property — estimating the union of
+    the per-type sketches must agree with sketching the whole table
+    directly to within 1% of the exact count. (Bit-equality of the two
+    estimates only holds once BOTH sketches are in dense HLL mode; in
+    the sparse→dense transition regime — observed at ~1.5k distinct
+    under lg_k=12 — the direct sketch can still be an exact coupon set
+    while the union has promoted to dense registers, so their estimates
+    legitimately differ by a fraction of a percent. The tolerance form
+    is the property a stored-sketch rollup actually needs.)
     """
     est = "CAST(hll_sketch_estimate({sk}) AS DOUBLE)"
     per = events.groupBy("event_type").agg(
@@ -436,7 +441,8 @@ def hll_sketch_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
         .select(F.lit("ALL").alias("event_type"), "n_exact", "n_events",
                 ((F.abs(F.col("est_merged") - F.col("n_exact"))
                   <= 0.05 * F.col("n_exact"))
-                 & (F.col("est_merged") == F.col("est_direct")))
+                 & (F.abs(F.col("est_merged") - F.col("est_direct"))
+                    <= 0.01 * F.col("n_exact")))
                 .alias("sketch_ok")))
     return per_rows.unionAll(all_row)
 

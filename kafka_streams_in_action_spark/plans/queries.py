@@ -7299,8 +7299,12 @@ _REGISTERED_ROUND: dict[str, int] = {
 # c35_partition_evo, c12_peaks, c33_freshness, c16_busdays, c12_mase,
 # c12_bollinger, c35_commutativity, c6_bucketed)
 # follows, filling 42 of the 50 slots; the remaining ~8 go to round-9
-# judge items and stale-row rotation. Judge items displace from the
-# tail only — never the 19 deferred rows (freshness rule).
+# judge items, stale-row rotation, AND c4_hll_rollup (operator changed
+# late in round 8: the ALL-row merge verdict moved from estimate
+# bit-equality to a 1%-of-exact agreement bound after the sf0.1 run
+# exposed the sparse/dense HLL mode divergence — a changed operator
+# must be re-windowed). Judge items displace from the tail only —
+# never the 19 deferred rows (freshness rule).
 
 # Round-7 window (previous round; kept for the freshness ledger below):
 # (1) the two r6 hash-failure rows, fixed; (2) four oracle-changed
