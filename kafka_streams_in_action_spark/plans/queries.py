@@ -7245,6 +7245,47 @@ assert len(_ROUND8_PRIORITY) == 50, len(_ROUND8_PRIORITY)
 assert len(set(_ROUND8_PRIORITY)) == 50, "duplicate row in window"
 
 # ---------------------------------------------------------------------------
+# Round-9 frozen window (verdict r8 items 1+2). Fills all 50 slots with
+# the entire never-driver-checked backlog (19 deferred r9-slate rows +
+# the 23-row r10 slate), the c4_hll_rollup re-record (operator changed
+# post-window in commit 5bb39d2: the ALL-row merge verdict moved from
+# sketch bit-equality to a 1%-of-exact agreement bound after the sf0.1
+# sweep exposed the HLL sparse->dense mode divergence), and 7
+# freshness rotations drawn from the oldest (r4-era) driver-green
+# cohort, spanning distinct families (sketches, agg, as-of join,
+# event-time window, streaming dedup/state, positional dedup) — the
+# last three were the rows displaced from the r7 window tail.
+# Frozen BEFORE any round-9 registration; judge items displace nothing.
+# ---------------------------------------------------------------------------
+_ROUND9_PRIORITY = [
+    # (1) the 19 r9-slate rows deferred out of the r8 window,
+    # registration order
+    "c34_growth", "c30_token_budget", "c29_filtered_ann",
+    "c31_exposure", "c33_pareto", "c12_theilsen", "c37_formats",
+    "c30_dup_coverage", "c33_flatline", "c34_paths", "c32_leakage",
+    "c30_rrf", "c34_event_study", "c35_bitemporal", "c16_lttb",
+    "c31_clipping", "c33_flatline_stream", "c35_merkle", "c34_streaks",
+    # (2) the 23-row r10 slate (registered round 8, after that window
+    # froze), registration order
+    "c10_asof_stream", "c12_rsi", "c16_vwap", "c33_order_regressions",
+    "c34_interarrival", "c33_uniqueness", "c34_ltv", "c32_kfold",
+    "c30_length_quantiles", "c28_shard_overlap", "c28_cdc_chunks",
+    "c35_schema_evo", "c31_sniff", "c34_interarrival_stream",
+    "c29_emb_profile", "c35_partition_evo", "c12_peaks",
+    "c33_freshness", "c16_busdays", "c12_mase", "c12_bollinger",
+    "c35_commutativity", "c6_bucketed",
+    # (3) the changed-operator re-record (verdict r8 item 2)
+    "c4_hll_rollup",
+    # (4) 7 freshness rotations from the r4-era cohort (verdict item 2)
+    "c4_distinct", "c3_q6_revenue", "c10_asof_join",
+    "c22_tumbling_window", "c26_dedup_first", "c27_running_state",
+    "c28_substring_dup",
+]
+
+assert len(_ROUND9_PRIORITY) == 50, len(_ROUND9_PRIORITY)
+assert len(set(_ROUND9_PRIORITY)) == 50, "duplicate row in window"
+
+# ---------------------------------------------------------------------------
 # Window-freshness ledger (verdict r7 item 6). CURRENT_ROUND is bumped
 # when each round's window freezes. _REGISTERED_ROUND records the round
 # in which every not-yet-driver-windowed query was registered; queries
@@ -7255,7 +7296,7 @@ assert len(set(_ROUND8_PRIORITY)) == 50, "duplicate row in window"
 # in the current frozen window — the CI form of the r7 judge finding
 # that 69 queries outran the 50-row verification window.
 # ---------------------------------------------------------------------------
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 
 _REGISTERED_ROUND: dict[str, int] = {
     # r8 slate (registered during the round-7 session)
@@ -7285,6 +7326,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     ]},
 }
 
+# (historical r8 comment; realized verbatim as _ROUND9_PRIORITY above)
 # Round-9 window plan (to become _ROUND9_PRIORITY next round): the 19
 # r9-slate rows left out of the r8 window — c34_growth,
 # c30_token_budget, c29_filtered_ann, c31_exposure, c33_pareto,
@@ -7371,7 +7413,7 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c35_merkle, c34_streaks — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
-QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND8_PRIORITY}
+QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND9_PRIORITY}
 QUERIES.update(
     {n: s for n, s in _QUERY_DEFS.items() if n not in QUERIES})
 assert len(QUERIES) == len(_QUERY_DEFS)
