@@ -421,7 +421,7 @@ def resample_daily_ffill(events: DataFrame) -> DataFrame:
 
 
 def rate_throttle(events: DataFrame, limit: int = 5) -> DataFrame:
-    """C34h: per-key rate limiting — admit at most `limit` events per
+    """C34i: per-key rate limiting — admit at most `limit` events per
     (user, clock hour), flag the rest. The ingestion-guard operator a
     streaming pipeline runs ahead of expensive enrichment (quota
     enforcement, abuse damping, per-tenant fairness); the batch form is

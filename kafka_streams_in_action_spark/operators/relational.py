@@ -1399,7 +1399,7 @@ def mad_outlier_stats(events: DataFrame, k: int = 3) -> DataFrame:
 
 
 def rfm_scores(orders: DataFrame) -> DataFrame:
-    """C34h: RFM (recency / frequency / monetary) customer scoring — the
+    """C34h2: RFM (recency / frequency / monetary) customer scoring — the
     canonical marketing segmentation: days since last order against a
     fixed anchor date, order count, and lifetime spend, each bucketed
     into quintiles, plus a rule-based segment label. Fully

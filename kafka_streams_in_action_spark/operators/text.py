@@ -286,7 +286,7 @@ def source_lang_crosstab(documents: DataFrame) -> DataFrame:
 
 def chunk_documents(documents: DataFrame, size: int = 64,
                     stride: int = 48) -> DataFrame:
-    """C30n: overlapping token-window chunking — the context-windowing
+    """C30n2: overlapping token-window chunking — the context-windowing
     pass that turns variable-length documents into fixed-budget training
     sequences (the sliding-window regime HF tokenizers call
     stride/return_overflowing_tokens; overlap = size − stride tokens

@@ -1299,7 +1299,7 @@ def _asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-# C34h rate limiting: the batch ranking window and the streaming state
+# C34i rate limiting: the batch ranking window and the streaming state
 # machine both check against this one SQL (same twin pattern as
 # _ANOMALY_ORACLE above).
 _THROTTLE_ORACLE = """
@@ -1315,7 +1315,7 @@ _THROTTLE_ORACLE = """
 
 
 def _throttle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C34h streaming twin, driver-visible: the per-(user, hour) rate cap
+    """C34i streaming twin, driver-visible: the per-(user, hour) rate cap
     as a keyed state machine (streaming/stateful.py: rate_throttle_stream
     — one (hour, count) pair per user rides the state store) replayed
     across a REAL 4-batch time split and checked by the full batch
@@ -3949,7 +3949,7 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         _cms_stream,
         _CMS_ORACLE),
     "c30_chunk": QuerySpec(
-        # C30n: overlapping token-window chunking (context windowing);
+        # C30n2: overlapping token-window chunking (context windowing);
         # FULL oracle via generate_series + 1-based inclusive slicing.
         _t("documents")(text.chunk_documents),
         """
@@ -5410,11 +5410,11 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM m
         """),
     "c34_throttle": QuerySpec(
-        # C34h: per-(user, hour) rate cap — one ranking window.
+        # C34i: per-(user, hour) rate cap — one ranking window.
         _t("events")(event_time.rate_throttle),
         _THROTTLE_ORACLE),
     "c34_throttle_stream": QuerySpec(
-        # C34h streaming twin: keyed (hour, count) state machine under
+        # C34i streaming twin: keyed (hour, count) state machine under
         # 4-batch availableNow replay, checked by the same batch oracle.
         _throttle_stream,
         _THROTTLE_ORACLE),
@@ -5626,7 +5626,7 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         GROUP BY 1, 2
         """),
     "c34_rfm": QuerySpec(
-        # C34h: RFM quintile scoring — pinned anchor date, exact milli
+        # C34h2: RFM quintile scoring — pinned anchor date, exact milli
         # spend, ntile(5) with custkey tie-breaks, rule-based segment.
         _t("orders")(relational.rfm_scores),
         """
@@ -6308,7 +6308,7 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         WHERE r.rn = (r.n_pairs + 1) // 2
         """),
     "c37_formats": QuerySpec(
-        # C37g: JSON/CSV/ORC round-trip fidelity on real files; the
+        # C37g2: JSON/CSV/ORC round-trip fidelity on real files; the
         # exactness booleans are earned from exceptAll read-backs.
         lambda spark, sf_dir: layout.format_roundtrip_audit(
             spark, load_table(spark, "events", sf_dir),

@@ -574,7 +574,7 @@ def zscore_anomaly_stream(events: DataFrame, window: int = 20,
 
 
 def rate_throttle_stream(events: DataFrame, limit: int = 5) -> DataFrame:
-    """C34h streaming twin: the per-(user, hour) rate cap as a keyed
+    """C34i streaming twin: the per-(user, hour) rate cap as a keyed
     state machine. State per user is ONE (hour_us, count) pair — when a
     row's hour matches the open hour the count advances, a new hour
     resets it — so state is O(#keys) regardless of stream length and

@@ -705,7 +705,7 @@ def test_cms_sketch_merges_and_bounds(spark):
 
 
 def test_chunking_covers_and_reconstructs(spark):
-    """C30n: every document's chunks cover all its tokens (count =
+    """C30n2: every document's chunks cover all its tokens (count =
     floor((n-1)/stride)+1), and stitching the non-overlapping prefixes
     (first `stride` tokens of each chunk, the whole tail chunk)
     reconstructs the original text exactly."""
