@@ -255,6 +255,11 @@ STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c33_flatline_stream", "c10_asof_stream",
                   "c34_interarrival_stream"]
 
+# Micro-batch count each twin's availableNow replay executes (the fixed
+# replay floor is ~batches × stream_overhead_sec); all the file-split
+# replays run 4 batches, the interval join runs 1 + the no-data final.
+_STREAM_BATCHES = {"c36_interval_join": 2}
+
 
 def _calibrate() -> dict[str, float]:
     """Fixed-work CPU microbenchmarks, recorded next to the query timings so
@@ -354,17 +359,51 @@ def main() -> None:
     ovh = _stream_overhead(spark)
     print(f"# stream_overhead: {ovh}s", file=sys.stderr, flush=True)
 
+    # Batch vs streaming-twin sections (r8 verdict item 5): the nine
+    # availableNow twins sit on a fixed replay floor (checkpoint dir,
+    # state store init, per-micro-batch planning) that amortizes at data
+    # scale but dominates at sf0.1 — splitting the totals keeps the batch
+    # trend line readable, and the per-twin floor/handler split tells a
+    # replay-harness drift from a real handler regression.
+    stream_timings = {n: timings[n] for n in STREAM_QUERIES if n in timings}
+    batch_timings = {n: v for n, v in timings.items()
+                     if n not in stream_timings}
+    stream_sections = {}
+    for name, sec in stream_timings.items():
+        batches = _STREAM_BATCHES.get(name, 4)
+        floor = round(min(sec, batches * ovh), 3)
+        stream_sections[name] = {
+            "sec": sec,
+            "replay_floor_sec": floor,
+            "handler_sec": round(sec - floor, 3),
+        }
+
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    report = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "batch_total_sec": round(sum(batch_timings.values()), 3),
+        "stream_total_sec": round(sum(stream_timings.values()), 3),
         "stream_overhead_sec": ovh,
         "stream_queries": STREAM_QUERIES,
+        "stream_sections": stream_sections,
         **_calibrate(),
-    }))
+    }
+    # Committed local copy (r8 verdict item 4): the driver's BENCH_r{N}
+    # artifact truncated two rounds running; this file preserves the full
+    # per-query table for round-over-round regression attribution.
+    from kafka_streams_in_action_spark.plans.queries import CURRENT_ROUND
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f"BENCH_LOCAL_r{CURRENT_ROUND}.json")
+    try:
+        with open(local, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+    except OSError as e:  # read-only checkout: stdout line still lands
+        print(f"# BENCH_LOCAL write skipped: {e}", file=sys.stderr)
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":
