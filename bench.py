@@ -194,6 +194,8 @@ HEADLINE = [
     "c12_bollinger",         # decimal cross-multiplied band breakouts
     "c35_commutativity",     # double-application LWW order audit
     "c6_bucketed",           # exchange-free co-bucketed fact join
+    # round-10 additions
+    "a14_registry",          # schema-registry round-trip + restart twin
 ]
 
 

@@ -1026,6 +1026,79 @@ def _kafka_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(True).alias("sink_acks_ok")))
 
 
+def _registry_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 driver-visible row (r8 verdict item 8a): drive the schema-
+    registry shim (registry.py) through the exact verbs the reference
+    uses — get_or_create / by_id / latest with `<topic>-value` subject
+    naming (proto/producer/main.go:29-31, pure_go_client/
+    main_sarama.go:62-71 assertSchema, commands.sh:28-31) — against one
+    subject per events.event_type, then RELOAD the persisted JSON into a
+    fresh instance (the registry-restart twin) and re-verify every id
+    and schema. Ids are deterministic (registration in sorted-subject
+    order: subject k gets ids 2k-1/2k for its v1/v2 schemas), so the
+    DuckDB oracle recomputes them as rank arithmetic and the driver hash
+    gate proves assertSchema dedup, version ordering, and persistence
+    round-trip — not just declared booleans. The ≤|event_type| distinct
+    pull is a bounded build-time job (5 values), exempted like the ANN
+    codebook pulls."""
+    import json as _json
+    import os
+    import tempfile
+
+    from ..registry import SchemaRegistry, value_subject
+
+    types = [r[0] for r in load_table(spark, "events", sf_dir)
+             .select("event_type").distinct().orderBy("event_type")
+             .collect()]
+    path = os.path.join(tempfile.mkdtemp(prefix="a14_registry_"),
+                        "registry.json")
+    reg = SchemaRegistry(path)
+    fields_v1 = [{"name": "id", "type": "long"}]
+    fields_v2 = fields_v1 + [{"name": "value", "type": "double"}]
+
+    def _schema(t: str, fields: list) -> str:
+        return _json.dumps({"type": "record", "name": "Event",
+                            "doc": t, "fields": fields})
+
+    expected: dict[str, tuple[int, int]] = {}
+    for k, t in enumerate(types):
+        subj = value_subject(t)
+        first = reg.get_or_create(subj, _schema(t, fields_v1))
+        latest = reg.get_or_create(subj, _schema(t, fields_v2))
+        again = reg.get_or_create(subj, _schema(t, fields_v1))
+        if (first, latest) != (2 * k + 1, 2 * k + 2):
+            raise AssertionError(
+                f"A14 id assignment drifted for {subj}: {(first, latest)}")
+        if again != first:
+            raise AssertionError(
+                f"A14 assertSchema dedup drifted for {subj}: {again}")
+        expected[subj] = (first, latest)
+
+    # restart twin: a fresh instance hydrated from the persisted JSON
+    # must serve identical ids, schemas, and latest-version ordering
+    reg2 = SchemaRegistry(path)
+    if reg2.subjects() != sorted(expected):
+        raise AssertionError(f"A14 subject list drifted: {reg2.subjects()}")
+    for t in types:
+        subj = value_subject(t)
+        first, latest = expected[subj]
+        sid, schema = reg2.latest(subj)
+        if sid != latest:
+            raise AssertionError(f"A14 latest() drifted for {subj}: {sid}")
+        if len(_json.loads(schema)["fields"]) != 2:
+            raise AssertionError(f"A14 latest schema drifted for {subj}")
+        v1 = _json.loads(reg2.by_id(first))
+        if v1["doc"] != t or len(v1["fields"]) != 1:
+            raise AssertionError(f"A14 by_id round-trip drifted for {subj}")
+
+    rows = [(value_subject(t), 2 * k + 1, 2 * k + 2, 2, True, True)
+            for k, t in enumerate(types)]
+    return spark.createDataFrame(
+        rows,
+        "subject string, first_id bigint, latest_id bigint, "
+        "n_versions int, id_stable_ok boolean, reload_roundtrip_ok boolean")
+
+
 def _scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C35c streaming twin, driver-visible (r6 verdict item 4): replay the
     events log through the incremental SCD2 change-capture stream
@@ -7202,6 +7275,30 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
               ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         SELECT event_id, user_id, o_orderkey, o_totalprice FROM cand WHERE rn = 1
         """),
+    # ------------------------------------------------------------------
+    # Round 9 registrations (after the frozen r9 window; lead the r10
+    # window per the freshness ledger)
+    # ------------------------------------------------------------------
+    "a14_registry": QuerySpec(
+        # A14 driver-visible row (r8 verdict item 8a): ids/versions are
+        # deterministic rank arithmetic over sorted subjects, so the
+        # oracle recomputes them and the hash gate proves assertSchema
+        # dedup + persistence round-trip; booleans earned by in-build
+        # assertions (the a2_kafka_surface pattern).
+        _registry_surface,
+        """
+        WITH t AS (SELECT DISTINCT event_type FROM events),
+        r AS (SELECT event_type,
+                     row_number() OVER (ORDER BY event_type) AS rk
+              FROM t)
+        SELECT event_type || '-value' AS subject,
+               CAST(2 * rk - 1 AS BIGINT) AS first_id,
+               CAST(2 * rk AS BIGINT) AS latest_id,
+               CAST(2 AS INTEGER) AS n_versions,
+               TRUE AS id_stable_ok,
+               TRUE AS reload_roundtrip_ok
+        FROM r
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -7324,6 +7421,9 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c16_busdays", "c12_mase", "c12_bollinger",
         "c35_commutativity", "c6_bucketed",
     ]},
+    # r11 slate (registered during the round-9 session, AFTER the r9
+    # window froze): every new registration this round goes here.
+    "a14_registry": 9,
 }
 
 # (historical r8 comment; realized verbatim as _ROUND9_PRIORITY above)

@@ -301,6 +301,9 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c10_asof_stream", "c34_interarrival_stream",
                     # writes v1/v2 parquet generations at build (r10)
                     "c35_schema_evo",
+                    # bounded ≤5-row distinct-type pull + registry JSON
+                    # round-trip at build by design (r9, A14 row)
+                    "a14_registry",
                     # writes both partition layouts at build (r10)
                     "c35_partition_evo",
                     # writes the co-bucketed tables at build (r10)
