@@ -196,6 +196,13 @@ HEADLINE = [
     "c6_bucketed",           # exchange-free co-bucketed fact join
     # round-10 additions
     "a14_registry",          # schema-registry round-trip + restart twin
+    "c30_bm25",              # posting-list BM25 top-k retrieval
+    "c30_fertility",         # chars-per-token by language
+    "c32_temperature",       # power-law mixing + Hamilton apportionment
+    "c33_entropy",           # categorical-column entropy profile
+    "c33_corr",              # exact Pearson matrix, one global agg
+    "c12_acf",               # lag-1/2/7 autocorrelation per type
+    "c38_hits",              # integer fixed-point HITS, 8 iterations
 ]
 
 

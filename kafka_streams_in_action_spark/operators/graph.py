@@ -476,3 +476,72 @@ def closeness_centrality(customer: DataFrame, orders: DataFrame,
                     F.col("n_name").alias("nation"),
                     "n_reached", "sum_hops", "harmonic_x5040",
                     closeness.alias("closeness")))
+
+
+def hits(nodes: DataFrame, edges: DataFrame,
+         iterations: int = 8) -> DataFrame:
+    """C38i: HITS hubs & authorities (Kleinberg, JACM '99) over a
+    directed edge list — the mutual-reinforcement ranking beside C38a's
+    PageRank (authority = pointed to by good hubs, hub = points at good
+    authorities; here: importer vs exporter centrality of the trade
+    graph). `iterations` fixed power half-steps.
+
+    Integer fixed-point (the c38_kcore determinism discipline): scores
+    live as ppm BIGINTs, each half-step sums the opposite score over
+    the bounded edge list and renormalizes by INTEGER division by the
+    max (a 1-row broadcast) — a' = (1e6·Σ_{i→j} h_i) div max; no float
+    ever forms, so the unrolled oracle replays the recurrence
+    bit-identically. Magnitudes: Σ ≤ |nodes|·1e6, ·1e6 ≪ 2^63 for any
+    graph up to ~9e6 nodes; bigger graphs lower the ppm scale.
+
+    Scale shape: identical to pagerank() — per-iteration cost is two
+    keyed aggs over the bounded aggregated edge list with O(#nodes)
+    broadcasts, localCheckpoint truncating lineage; the data-scale work
+    is whatever fact join BUILT the edge list."""
+    spark = nodes.sparkSession
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        h = nodes.select("node", F.lit(1_000_000).cast("long").alias("h"))
+        a = None
+        for _ in range(iterations):
+            araw = (e.join(F.broadcast(h), e.src == h.node)
+                    .groupBy("dst").agg(F.sum("h").alias("ar")))
+            amax = araw.agg(F.max("ar").alias("am"))
+            a = (nodes.join(araw, nodes.node == araw.dst, "left")
+                 .crossJoin(F.broadcast(amax))
+                 .select("node", F.expr(
+                     "CAST((coalesce(ar, CAST(0 AS BIGINT)) * 1000000) "
+                     "div am AS BIGINT)").alias("a"))
+                 .localCheckpoint())
+            hraw = (e.join(F.broadcast(a), e.dst == a.node)
+                    .groupBy("src").agg(F.sum("a").alias("hr")))
+            hmax = hraw.agg(F.max("hr").alias("hm"))
+            h = (nodes.join(hraw, nodes.node == hraw.src, "left")
+                 .crossJoin(F.broadcast(hmax))
+                 .select("node", F.expr(
+                     "CAST((coalesce(hr, CAST(0 AS BIGINT)) * 1000000) "
+                     "div hm AS BIGINT)").alias("h"))
+                 .localCheckpoint())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (a.join(h, "node")
+            .select("node", F.col("a").alias("auth_ppm"),
+                    F.col("h").alias("hub_ppm")))
+
+
+def nation_trade_hits(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, iterations: int = 8) -> DataFrame:
+    """C38i driver form: HITS over the (unweighted) nation trade
+    digraph, named scores — customer nations that buy from strong
+    supplier nations are hubs; supplier nations bought from by strong
+    customer nations are authorities."""
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    edges = trade_edges(customer, orders, lineitem, supplier)
+    scores = hits(nodes, edges, iterations=iterations)
+    return (scores.join(nation, scores.node == nation.n_nationkey)
+            .select(F.col("n_nationkey").alias("nationkey"),
+                    F.col("n_name").alias("nation"),
+                    "auth_ppm", "hub_ppm"))

@@ -2028,3 +2028,113 @@ def lww_commutativity_audit(events: DataFrame) -> DataFrame:
             .select("n_keys", "n_live", "n_deleted", "live_value_milli",
                     ((F.col("d1") == 0) & (F.col("d2") == 0))
                     .alias("orders_agree")))
+
+
+CORR_COLUMNS = (("l_quantity", "qty"), ("l_extendedprice", "price"),
+                ("l_discount", "disc"), ("l_tax", "tax"))
+
+
+def corr_matrix(lineitem: DataFrame) -> DataFrame:
+    """C33u: exact Pearson correlation matrix over the lineitem numeric
+    columns — the feature-redundancy / data-drift companion to the
+    per-column profile (C33a): corr(x,y) = (n·Σxy − Σx·Σy) /
+    (sqrt(n·Σx² − (Σx)²)·sqrt(n·Σy² − (Σy)²)) over exact milli-unit
+    integers, so the only floating-point ops are two sqrts and one
+    division at the very end of a fixed tree.
+
+    Engine-exact: per-row milli products fit BIGINT (≤1.2e16); the
+    sums accumulate as DECIMAL(38,0) (DuckDB HUGEINT) so no overflow at
+    any corpus size up to ~1e38; partial-agg order is irrelevant to
+    integer sums. Scale shape: ONE map-side-combinable aggregation over
+    the fact table produces a single 15-stat row; the 6-pair matrix is
+    a driver-free literal stack over that row — no second scan, no
+    shuffle beyond the one global agg."""
+    def milli(c: str):
+        return F.floor(F.col(c) * 1000 + F.lit(0.5)).cast("long")
+
+    names = [s for _, s in CORR_COLUMNS]
+    base = lineitem.select(
+        *[milli(c).alias(s) for c, s in CORR_COLUMNS])
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for a in names:
+        aggs.append(F.sum(F.col(a).cast("decimal(38,0)")).alias(f"s_{a}"))
+        aggs.append(F.sum((F.col(a) * F.col(a)).cast("decimal(38,0)"))
+                    .alias(f"ss_{a}"))
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+                    .alias(f"sp_{a}_{b}"))
+    stats = base.agg(*aggs)
+    rows = ", ".join(
+        f"'{a}', '{b}', sp_{a}_{b}, s_{a}, s_{b}, ss_{a}, ss_{b}"
+        for a, b in pairs)
+    stacked = stats.selectExpr(
+        "n", f"stack({len(pairs)}, {rows}) AS "
+        "(col_x, col_y, sp, sx, sy, ssx, ssy)")
+    num = F.col("n") * F.col("sp") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("ssx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("ssy") - F.col("sy") * F.col("sy")
+
+    # DECIMAL(38,0)→DOUBLE (Spark) and HUGEINT→DOUBLE (DuckDB) round
+    # differently by 1 ulp on integers above 2^53 (observed at sf0.001,
+    # round-9 float audit); both engines' string→double parses ARE
+    # correctly rounded, so bridging through the exact digit string
+    # makes the cast engine-exact at any magnitude.
+    def xd(c):
+        return c.cast("string").cast("double")
+
+    # zero-variance guard: ANSI mode raises on /0 even for doubles, and
+    # a constant column has no defined correlation — emit NULL.
+    return stacked.select(
+        "col_x", "col_y", F.col("n").cast("long").alias("n"),
+        F.when((dx != 0) & (dy != 0),
+               xd(num) / (F.sqrt(xd(dx)) * F.sqrt(xd(dy))))
+        .alias("corr"))
+
+
+ENTROPY_COLUMNS = (("events", "event_type"), ("documents", "lang"),
+                   ("documents", "source"))
+
+
+def column_entropy(events: DataFrame, documents: DataFrame) -> DataFrame:
+    """C33v: Shannon-entropy profile of the declared categorical columns
+    — the class-balance / concentration gauge (H near 0 = one value
+    dominates; H near log2 k = uniform), the information-theoretic
+    complement of the C33p Pareto and C33e Gini concentration rows.
+
+    H = (1/N)·Σ_v c_v·log2(N/c_v), computed as per-VALUE BIGINT
+    micro-units (floor(c·log2(N/c)·1e6 + 0.5)) summed exactly — the
+    lm_xent quantize-before-sum contract — then one division tree;
+    norm_entropy divides by log2(k). Scale: one count agg per column
+    (map-side combinable); N and k ride a 1-row broadcast (allowlisted
+    BNLJ); only the bounded (value, count) table flows downstream."""
+    def profile(df: DataFrame, table: str, col: str) -> DataFrame:
+        counts = (df.groupBy(F.col(col).alias("v"))
+                  .agg(F.count(F.lit(1)).alias("c")))
+        totals = counts.agg(F.sum("c").alias("n"),
+                            F.count(F.lit(1)).alias("k"))
+        micro = F.floor(
+            F.col("c").cast("double")
+            * F.log2(F.col("n").cast("double") / F.col("c").cast("double"))
+            * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return (counts.crossJoin(F.broadcast(totals))
+                .select(F.lit(f"{table}.{col}").alias("entity"),
+                        "n", "k", micro.alias("m"))
+                .groupBy("entity", "n", "k")
+                .agg(F.sum("m").alias("sm"))
+                .select(
+                    "entity", "n", F.col("k").cast("int").alias("k"),
+                    (F.col("sm").cast("double") / F.lit(1e6)
+                     / F.col("n").cast("double")).alias("entropy_bits"),
+                    F.when(F.col("k") > 1,
+                           (F.col("sm").cast("double") / F.lit(1e6)
+                            / F.col("n").cast("double"))
+                           / F.log2(F.col("k").cast("double")))
+                    .otherwise(F.lit(0.0)).alias("norm_entropy")))
+
+    frames = [profile(events if t == "events" else documents, t, c)
+              for t, c in ENTROPY_COLUMNS]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

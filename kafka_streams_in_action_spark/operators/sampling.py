@@ -567,3 +567,50 @@ def kfold_split(documents: DataFrame, k: int = 5) -> DataFrame:
               F.sum("n_chars").alias("n_chars")))
     wf = Window.partitionBy("fold")
     return g.withColumn("fold_total", F.sum("n").over(wf))
+
+
+def temperature_mix(documents: DataFrame, alpha: float = 0.3,
+                    budget: int = 100_000) -> DataFrame:
+    """C32p: temperature-scaled multilingual mixing — sampling weight
+    w_lang ∝ n_lang^alpha (alpha < 1 flattens toward uniform), the
+    low-resource-upweighting law multilingual LLM corpora are mixed by
+    (XLM-R's alpha=0.3; mC4/mT5 use the same exponential-smoothing
+    form). The contractual `budget` is apportioned across languages by
+    Hamilton largest-remainder over the transformed weights — the
+    C32m quota machinery on a power-law weight instead of the raw
+    count, so the allocation is exact integer arithmetic end-to-end.
+
+    Engine-exact: n^alpha is ONE pow per language (bounded strata
+    table), quantized to a BIGINT micro-weight before any arithmetic;
+    quotas are BIGINT div/mod; the remainder ranking carries a full
+    (rem desc, lang) tie-break. boost_ppm = realized per-doc sampling
+    rate ·1e6 — >1e6 means the language is upsampled relative to
+    proportional mixing.
+
+    Scale: one count-agg over the corpus; everything after runs on the
+    ≤|langs| strata table (two bounded windows, allowlisted)."""
+    strata = (documents.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    wall = Window.partitionBy()
+    wrem = Window.orderBy(F.col("rem").desc(), F.col("lang"))
+    return (strata
+            .withColumn("weight_micro",
+                        F.floor(F.pow(F.col("n_docs").cast("double"),
+                                      F.lit(alpha))
+                                * F.lit(1e6) + F.lit(0.5)).cast("long"))
+            .withColumn("w_total", F.sum("weight_micro").over(wall))
+            .withColumn("base_alloc",
+                        F.expr(f"({budget} * weight_micro) div w_total"))
+            .withColumn("rem",
+                        F.expr(f"({budget} * weight_micro) % w_total"))
+            .withColumn("leftover",
+                        F.lit(budget) - F.sum("base_alloc").over(wall))
+            .withColumn("extra",
+                        F.when(F.row_number().over(wrem)
+                               <= F.col("leftover"), 1).otherwise(0)
+                        .cast("long"))
+            .withColumn("alloc", F.col("base_alloc") + F.col("extra"))
+            .withColumn("boost_ppm",
+                        F.expr("(alloc * 1000000) div n_docs"))
+            .select("lang", "n_docs", "weight_micro", "base_alloc",
+                    "extra", "alloc", "boost_ppm"))

@@ -834,3 +834,93 @@ def length_quantile_report(documents: DataFrame) -> DataFrame:
                      (F.col("_pre") < F.col("rank")) &
                      (F.col("rank") <= F.col("_pre") + F.col("_c")))
             .select("pct", F.col("n").alias("n_docs"), "rank", "n_tok"))
+
+
+BM25_QUERIES = (
+    (1, ("the", "of")),
+    (2, ("and", "to")),
+    (3, ("the", "and", "a")),
+)
+
+
+def bm25_topk(documents: DataFrame, k1: float = 1.2, b: float = 0.75,
+              top_k: int = 5) -> DataFrame:
+    """C30x: BM25 ranked retrieval (Robertson-Sparck Jones / Okapi) over
+    posting lists — the lexical-retrieval half of every hybrid RAG
+    stack (the C30v RRF row fuses rankings; this row PRODUCES the
+    canonical one). Fixed literal query set; per-term score
+    idf·tf·(k1+1)/(tf + k1·(1−b + b·dl·N/T)) with the Lucene-style
+    non-negative idf ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Engine-exact: every per-(query,doc,term) score is one fixed IEEE
+    tree over exact integers (tf, df, dl, N, T) quantized to BIGINT
+    micro-units BEFORE the per-doc sum (the lm_xent contract), so
+    partial-agg order can't perturb the ranking; ties break on doc_id.
+
+    Scale shape: the query-term table is a literal broadcast; tf rows
+    shuffle on (term, doc) — posting-list sized, never corpus×query;
+    dl joins by doc_id; N/T/df are 1-row / per-term bounded broadcasts.
+    The final ranking window partitions by query_id (bounded), over
+    candidate docs only (docs sharing ≥1 query term)."""
+    spark = documents.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id int, term string")
+    toks = documents.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("w")) \
+        .filter(F.col("w") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("total_tokens"))
+    tf = (toks.join(F.broadcast(qterms.select("term").distinct()),
+                    toks.w == F.col("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(F.broadcast(df_), "term")
+              .join(F.broadcast(qterms), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(corpus)))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf")
+             + F.lit(k1) * (F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") * F.col("n_docs")
+                            / F.col("total_tokens")))
+    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    micro = F.floor(term_score * F.lit(1e6) + F.lit(0.5)).cast("long")
+    per_doc = (scored.select("query_id", "doc_id", micro.alias("micro"))
+               .groupBy("query_id", "doc_id")
+               .agg(F.sum("micro").alias("score_micro"),
+                    F.count(F.lit(1)).alias("n_terms_hit")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id"))
+    return (per_doc.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "rank", "doc_id", "score_micro",
+                    F.col("n_terms_hit").cast("int").alias("n_terms_hit")))
+
+
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    """C30y: tokenizer-fertility report — chars-per-token and
+    tokens-per-doc by language, the compression gauge multilingual
+    tokenizer work sizes vocabularies with (a language whose text costs
+    2× the tokens gets 2× the sequence length for the same content).
+    Whitespace tokens here; the contract is the report shape, the
+    tokenizer is the pluggable part. Integer sums, two fixed final
+    divisions; one 5-group agg — map-side combinable, no window."""
+    toks = documents.select(
+        "lang",
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.filter(_words(F.col("text")),
+                        lambda w: w != F.lit(""))).alias("n_tokens"))
+    return (toks.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("n_chars_actual").alias("total_chars"))
+            .select("lang", "n_docs", "total_tokens", "total_chars",
+                    (F.col("total_chars").cast("double")
+                     / F.col("total_tokens")).alias("chars_per_token"),
+                    (F.col("total_tokens").cast("double")
+                     / F.col("n_docs")).alias("tokens_per_doc")))

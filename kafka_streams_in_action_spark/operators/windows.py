@@ -526,3 +526,60 @@ def bollinger_breakouts(events: DataFrame, window: int = 10,
                     F.round(sd, 6).alias("band_sd_milli"),
                     F.when(above, "above").otherwise("below")
                     .alias("side")))
+
+
+ACF_LAGS = (1, 2, 7)
+
+
+def acf_daily(events: DataFrame, lags: tuple[int, ...] = ACF_LAGS) -> DataFrame:
+    """C12p: sample autocorrelation of the per-type daily value series
+    at lags 1/2/7 (the persistence / weekly-echo diagnostic read before
+    choosing C12f Holt vs C12n seasonal-naive forecasting; Box-Jenkins
+    model identification). Row-lag form over the OBSERVED day series
+    (the c12_rsi convention — calendar gaps are the C16f row's job).
+
+    r_k = Σ_t (x_t−m)(x_{t+k}−m) / Σ_t (x_t−m)², computed exactly by
+    clearing the rational mean m = S/n: multiply through by n² and use
+    c_t = n·x_t − S, so r_k = Σ c_t·c_{t+k} / Σ c_t² — all integers.
+    Per-row products fit DECIMAL(18,0)² → DECIMAL(38,0) sums (DuckDB
+    HUGEINT); one double division per (type, lag) at the end.
+
+    Scale shape: day rollup = one map-side-combinable agg; (n, S) is a
+    per-type broadcast (5 rows); the three leads share ONE keyed window
+    pass; the lag fan-out is a literal stack over the per-type agg row
+    — no self-join, no grid explode."""
+    vm = F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")) \
+        .alias("vm")
+    day = (events.groupBy("event_type", F.to_date("ts").alias("day"))
+           .agg(vm))
+    stats = day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("vm").alias("s"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    led = day.select(
+        "event_type", "vm",
+        *[F.lead("vm", k).over(w).alias(f"v{k}") for k in lags])
+    j = led.join(F.broadcast(stats), "event_type")
+    c0 = (F.col("n_days") * F.col("vm") - F.col("s")).cast("decimal(18,0)")
+    aggs = [F.first("n_days").alias("n_days"),
+            F.sum(c0 * c0).alias("den")]
+    for k in lags:
+        ck = (F.col("n_days") * F.col(f"v{k}") - F.col("s")) \
+            .cast("decimal(18,0)")
+        aggs.append(F.sum(c0 * ck).alias(f"num{k}"))
+        aggs.append(F.count(F.col(f"v{k}")).alias(f"np{k}"))
+    per_type = j.groupBy("event_type").agg(*aggs)
+    rows = ", ".join(f"{k}, np{k}, num{k}" for k in lags)
+    stacked = per_type.selectExpr(
+        "event_type", "n_days", "den",
+        f"stack({len(lags)}, {rows}) AS (lag, n_pairs, num)")
+    # string-bridged decimal→double (see relational.corr_matrix): the
+    # native DECIMAL→DOUBLE cast rounds differently from DuckDB's
+    # HUGEINT→DOUBLE above 2^53; string→double is correctly rounded in
+    # both engines.
+    return (stacked
+            .filter((F.col("den") > 0) & (F.col("n_pairs") > 0))
+            .select("event_type", F.col("lag").cast("int").alias("lag"),
+                    "n_days", "n_pairs",
+                    (F.col("num").cast("string").cast("double")
+                     / F.col("den").cast("string").cast("double"))
+                    .alias("acf")))

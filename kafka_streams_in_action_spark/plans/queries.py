@@ -1732,6 +1732,58 @@ def _pagerank_oracle(iterations: int = 10, n_nodes: int = 25) -> str:
     """
 
 
+def _hits_oracle(iterations: int = 8) -> str:
+    """Unrolled integer HITS recurrence as chained MATERIALIZED CTEs —
+    the c38_kcore/_pagerank_oracle discipline: each half-step is a
+    bounded-edge-list sum + an integer ppm renormalization by the max,
+    so the unrolled SQL replays operators/graph.py:hits bit-identically
+    (no float ever forms on either side)."""
+    parts = []
+    prev_h = "h0"
+    for k in range(1, iterations + 1):
+        parts.append(f"""
+        ar{k} AS MATERIALIZED (
+            SELECT e.dst AS node, CAST(sum(p.h) AS BIGINT) AS ar
+            FROM edges e JOIN {prev_h} p ON p.node = e.src GROUP BY 1),
+        am{k} AS MATERIALIZED (
+            SELECT CAST(max(ar) AS BIGINT) AS am FROM ar{k}),
+        a{k} AS MATERIALIZED (
+            SELECT n.node,
+                   CAST((coalesce(r.ar, CAST(0 AS BIGINT)) * 1000000)
+                        // m.am AS BIGINT) AS a
+            FROM nodes n LEFT JOIN ar{k} r ON r.node = n.node
+            CROSS JOIN am{k} m),
+        hr{k} AS MATERIALIZED (
+            SELECT e.src AS node, CAST(sum(p.a) AS BIGINT) AS hr
+            FROM edges e JOIN a{k} p ON p.node = e.dst GROUP BY 1),
+        hm{k} AS MATERIALIZED (
+            SELECT CAST(max(hr) AS BIGINT) AS hm FROM hr{k}),
+        h{k} AS MATERIALIZED (
+            SELECT n.node,
+                   CAST((coalesce(r.hr, CAST(0 AS BIGINT)) * 1000000)
+                        // m.hm AS BIGINT) AS h
+            FROM nodes n LEFT JOIN hr{k} r ON r.node = n.node
+            CROSS JOIN hm{k} m)""")
+        prev_h = f"h{k}"
+    return f"""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+    h0 AS MATERIALIZED (
+        SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+    {','.join(parts)}
+    SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+           a.a AS auth_ppm, h.h AS hub_ppm
+    FROM a{iterations} a
+    JOIN h{iterations} h ON h.node = a.node
+    JOIN nation n ON n.n_nationkey = a.node
+    """
+
+
 # C39 record linkage: the blocking/verify/rank pipeline as a shared CTE
 # prefix — c39_link reads the 1:1 assignment, c39_golden folds it into
 # survivorship records on the clean side.
@@ -7299,6 +7351,267 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                TRUE AS reload_roundtrip_ok
         FROM r
         """),
+    "c30_bm25": QuerySpec(
+        # C30x: BM25 ranked retrieval over posting lists; per-term
+        # scores quantized to BIGINT micro-units before the per-doc sum
+        # (lm_xent contract) so the ranking is engine-exact.
+        _t("documents")(text.bm25_topk),
+        """
+        WITH q(query_id, term) AS (
+            VALUES (1, 'the'), (1, 'of'), (2, 'and'), (2, 'to'),
+                   (3, 'the'), (3, 'and'), (3, 'a')),
+        tk AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+                FROM documents)
+            WHERE w <> ''),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM tk GROUP BY 1),
+        corpus AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        tf AS (
+            SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+            FROM tk WHERE w IN (SELECT DISTINCT term FROM q)
+            GROUP BY 1, 2),
+        dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1),
+        scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(floor(
+                       ln(1.0 + (c.n_docs - dfx.df + 0.5)
+                                / (dfx.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * c.n_docs
+                                                / c.total_tokens))
+                       * 1e6 + 0.5) AS BIGINT) AS micro
+            FROM tf
+            JOIN dfx USING (term) JOIN q USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN corpus c),
+        pd AS (
+            SELECT query_id, doc_id,
+                   CAST(sum(micro) AS BIGINT) AS score_micro,
+                   CAST(count(*) AS INTEGER) AS n_terms_hit
+            FROM scored GROUP BY 1, 2),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score_micro DESC, doc_id) AS rank
+            FROM pd)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+               score_micro, n_terms_hit
+        FROM r WHERE rank <= 5
+        """),
+    "c30_fertility": QuerySpec(
+        # C30y: tokenizer-fertility report — integer sums, two fixed
+        # final divisions, one map-side-combinable agg.
+        _t("documents")(text.tokenizer_fertility),
+        """
+        WITH t AS (
+            SELECT lang, length(text) AS n_chars_actual,
+                   len(list_filter(string_split(trim(text), ' '),
+                                   w -> w <> '')) AS n_tokens
+            FROM documents),
+        s AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chars_actual) AS BIGINT) AS total_chars
+            FROM t GROUP BY 1)
+        SELECT lang, n_docs, total_tokens, total_chars,
+               CAST(total_chars AS DOUBLE) / total_tokens
+                   AS chars_per_token,
+               CAST(total_tokens AS DOUBLE) / n_docs AS tokens_per_doc
+        FROM s
+        """),
+    "c32_temperature": QuerySpec(
+        # C32p: temperature-scaled multilingual mixing — one pow per
+        # language quantized to a BIGINT micro-weight, then exact
+        # Hamilton apportionment (the c32_quota integer machinery).
+        _t("documents")(sampling.temperature_mix),
+        """
+        WITH strata AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1),
+        w AS (
+            SELECT lang, n_docs,
+                   CAST(floor(pow(CAST(n_docs AS DOUBLE), 0.3) * 1e6
+                              + 0.5) AS BIGINT) AS weight_micro
+            FROM strata),
+        tot AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS w_total
+                FROM w),
+        a0 AS (
+            SELECT s.lang, s.n_docs, s.weight_micro,
+                   CAST((100000 * s.weight_micro) // t.w_total AS BIGINT)
+                       AS base_alloc,
+                   CAST((100000 * s.weight_micro) % t.w_total AS BIGINT)
+                       AS rem
+            FROM w s, tot t),
+        a AS (
+            SELECT lang, n_docs, weight_micro, base_alloc,
+                   CAST(CASE WHEN row_number() OVER (
+                                 ORDER BY rem DESC, lang)
+                             <= 100000 - (SELECT sum(base_alloc) FROM a0)
+                             THEN 1 ELSE 0 END AS BIGINT) AS extra
+            FROM a0)
+        SELECT lang, n_docs, weight_micro, base_alloc, extra,
+               CAST(base_alloc + extra AS BIGINT) AS alloc,
+               CAST(((base_alloc + extra) * 1000000) // n_docs AS BIGINT)
+                   AS boost_ppm
+        FROM a
+        """),
+    "c33_entropy": QuerySpec(
+        # C33v: Shannon-entropy column profile — per-value BIGINT
+        # micro-units summed exactly, one division tree at the end.
+        _t("events documents")(relational.column_entropy),
+        """
+        WITH src AS (
+            SELECT 'events.event_type' AS entity, event_type AS v
+            FROM events
+            UNION ALL SELECT 'documents.lang', lang FROM documents
+            UNION ALL SELECT 'documents.source', source FROM documents),
+        counts AS (
+            SELECT entity, v, CAST(count(*) AS BIGINT) AS c
+            FROM src GROUP BY 1, 2),
+        tot AS (
+            SELECT entity, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM counts GROUP BY 1),
+        m AS (
+            SELECT c.entity, t.n, t.k,
+                   CAST(floor(CAST(c.c AS DOUBLE)
+                              * log2(CAST(t.n AS DOUBLE)
+                                     / CAST(c.c AS DOUBLE))
+                              * 1e6 + 0.5) AS BIGINT) AS m
+            FROM counts c JOIN tot t USING (entity)),
+        s AS (
+            SELECT entity, n, k, CAST(sum(m) AS BIGINT) AS sm
+            FROM m GROUP BY 1, 2, 3)
+        SELECT entity, n, CAST(k AS INTEGER) AS k,
+               CAST(sm AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                   AS entropy_bits,
+               CASE WHEN k > 1
+                    THEN (CAST(sm AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                         / log2(CAST(k AS DOUBLE))
+                    ELSE 0.0 END AS norm_entropy
+        FROM s
+        """),
+    "c33_corr": QuerySpec(
+        # C33u: exact Pearson correlation matrix — one global agg of
+        # integer sufficient stats (DECIMAL(38,0)/HUGEINT sums), a
+        # literal 6-pair stack, two sqrts + one division per pair.
+        _t("lineitem")(relational.corr_matrix),
+        """
+        WITH m AS (
+            SELECT CAST(floor(l_quantity * 1000 + 0.5) AS BIGINT) AS qty,
+                   CAST(floor(l_extendedprice * 1000 + 0.5) AS BIGINT)
+                       AS price,
+                   CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS disc,
+                   CAST(floor(l_tax * 1000 + 0.5) AS BIGINT) AS tax
+            FROM lineitem),
+        s AS MATERIALIZED (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(qty AS HUGEINT)) AS s_qty,
+                   sum(CAST(qty AS HUGEINT) * qty) AS ss_qty,
+                   sum(CAST(price AS HUGEINT)) AS s_price,
+                   sum(CAST(price AS HUGEINT) * price) AS ss_price,
+                   sum(CAST(disc AS HUGEINT)) AS s_disc,
+                   sum(CAST(disc AS HUGEINT) * disc) AS ss_disc,
+                   sum(CAST(tax AS HUGEINT)) AS s_tax,
+                   sum(CAST(tax AS HUGEINT) * tax) AS ss_tax,
+                   sum(CAST(qty AS HUGEINT) * price) AS sp_qty_price,
+                   sum(CAST(qty AS HUGEINT) * disc) AS sp_qty_disc,
+                   sum(CAST(qty AS HUGEINT) * tax) AS sp_qty_tax,
+                   sum(CAST(price AS HUGEINT) * disc) AS sp_price_disc,
+                   sum(CAST(price AS HUGEINT) * tax) AS sp_price_tax,
+                   sum(CAST(disc AS HUGEINT) * tax) AS sp_disc_tax
+            FROM m),
+        pairs AS (
+            SELECT 'qty' AS col_x, 'price' AS col_y, sp_qty_price AS sp,
+                   s_qty AS sx, s_price AS sy, ss_qty AS ssx,
+                   ss_price AS ssy, n FROM s
+            UNION ALL
+            SELECT 'qty', 'disc', sp_qty_disc, s_qty, s_disc,
+                   ss_qty, ss_disc, n FROM s
+            UNION ALL
+            SELECT 'qty', 'tax', sp_qty_tax, s_qty, s_tax,
+                   ss_qty, ss_tax, n FROM s
+            UNION ALL
+            SELECT 'price', 'disc', sp_price_disc, s_price, s_disc,
+                   ss_price, ss_disc, n FROM s
+            UNION ALL
+            SELECT 'price', 'tax', sp_price_tax, s_price, s_tax,
+                   ss_price, ss_tax, n FROM s
+            UNION ALL
+            SELECT 'disc', 'tax', sp_disc_tax, s_disc, s_tax,
+                   ss_disc, ss_tax, n FROM s)
+        SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+               -- string-bridged HUGEINT→DOUBLE: matches Spark's
+               -- string-bridged DECIMAL cast bit-for-bit (native casts
+               -- disagree by 1 ulp above 2^53); NULL on zero variance
+               CASE WHEN n * ssx - sx * sx = 0 OR n * ssy - sy * sy = 0
+                    THEN NULL
+                    ELSE CAST(CAST(n * sp - sx * sy AS VARCHAR) AS DOUBLE)
+                         / (sqrt(CAST(CAST(n * ssx - sx * sx AS VARCHAR)
+                                      AS DOUBLE))
+                            * sqrt(CAST(CAST(n * ssy - sy * sy AS VARCHAR)
+                                        AS DOUBLE)))
+               END AS corr
+        FROM pairs
+        """),
+    "c12_acf": QuerySpec(
+        # C12p: exact sample autocorrelation at lags 1/2/7 — rational
+        # mean cleared via c_t = n·x_t − S so everything before the one
+        # final division is integer (HUGEINT/DECIMAL(38,0) sums).
+        _t("events")(windows.acf_daily),
+        """
+        WITH day AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS vm
+            FROM events GROUP BY 1, 2),
+        st AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(vm) AS BIGINT) AS s
+            FROM day GROUP BY 1),
+        led AS (
+            SELECT d.event_type, d.vm, st.n_days, st.s,
+                   lead(vm, 1) OVER w AS v1,
+                   lead(vm, 2) OVER w AS v2,
+                   lead(vm, 7) OVER w AS v7
+            FROM day d JOIN st USING (event_type)
+            WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)),
+        agg AS (
+            SELECT event_type, max(n_days) AS n_days,
+                   sum(CAST(n_days * vm - s AS HUGEINT)
+                       * (n_days * vm - s)) AS den,
+                   sum(CAST(n_days * vm - s AS HUGEINT)
+                       * (n_days * v1 - s)) AS num1,
+                   CAST(count(v1) AS BIGINT) AS np1,
+                   sum(CAST(n_days * vm - s AS HUGEINT)
+                       * (n_days * v2 - s)) AS num2,
+                   CAST(count(v2) AS BIGINT) AS np2,
+                   sum(CAST(n_days * vm - s AS HUGEINT)
+                       * (n_days * v7 - s)) AS num7,
+                   CAST(count(v7) AS BIGINT) AS np7
+            FROM led GROUP BY 1),
+        u AS (
+            SELECT event_type, 1 AS lag, n_days, np1 AS n_pairs,
+                   num1 AS num, den FROM agg
+            UNION ALL
+            SELECT event_type, 2, n_days, np2, num2, den FROM agg
+            UNION ALL
+            SELECT event_type, 7, n_days, np7, num7, den FROM agg)
+        SELECT event_type, CAST(lag AS INTEGER) AS lag, n_days, n_pairs,
+               CAST(CAST(num AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS acf
+        FROM u WHERE den > 0 AND n_pairs > 0
+        """),
+    "c38_hits": QuerySpec(
+        # C38i: integer fixed-point HITS, 8 unrolled iterations — the
+        # _pagerank_oracle/kcore discipline.
+        _t("customer orders lineitem supplier nation")(
+            graph.nation_trade_hits),
+        _hits_oracle()),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -7423,7 +7736,10 @@ _REGISTERED_ROUND: dict[str, int] = {
     ]},
     # r11 slate (registered during the round-9 session, AFTER the r9
     # window froze): every new registration this round goes here.
-    "a14_registry": 9,
+    **{n: 9 for n in [
+        "a14_registry", "c30_bm25", "c30_fertility", "c32_temperature",
+        "c33_entropy", "c33_corr", "c12_acf", "c38_hits",
+    ]},
 }
 
 # (historical r8 comment; realized verbatim as _ROUND9_PRIORITY above)

@@ -180,6 +180,10 @@ _BNLJ_ALLOWED = {
                             # three 1-row boundary-array crossjoins
     "c30_length_quantiles",  # same bounded histogram machinery: 1-row
                              # count scalar + 3-row percentile range join
+    "c30_bm25",             # 1-row (N, total_tokens) corpus scalar
+    "c33_entropy",          # three 1-row (n, k) total scalar crossjoins
+    "c38_hits",             # per-iteration 1-row max-score scalar
+                            # crossjoins (the pagerank dangling pattern)
 }
 
 
@@ -220,6 +224,7 @@ _BOUNDED_FRAME_WINDOWS = {
     "c32_mix_report", "c32_split_summary",  # fixed split/mix reports
     "c32_pack",                          # top-level super-bucket prefix
     "c32_quota", "c32_systematic",       # bounded strata apportionment
+    "c32_temperature",                   # bounded language strata
     "c32_temporal_split",                # day-histogram cutoff
     "c32_winsorize",                     # per-type rank on bounded types
     "c33_chisq", "c33_ks",               # bounded margin/type-pair grids
@@ -304,6 +309,9 @@ def test_no_driver_side_collect_in_queries(spark):
                     # bounded ≤5-row distinct-type pull + registry JSON
                     # round-trip at build by design (r9, A14 row)
                     "a14_registry",
+                    # iteration loop localCheckpoints O(#nodes) score
+                    # vectors at build, like c38_pagerank (r9)
+                    "c38_hits",
                     # writes both partition layouts at build (r10)
                     "c35_partition_evo",
                     # writes the co-bucketed tables at build (r10)

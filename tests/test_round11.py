@@ -1,0 +1,273 @@
+"""Round-11 operator behavior tests: BM25 retrieval, tokenizer
+fertility, temperature-scaled mixing, column entropy, exact Pearson
+matrix, autocorrelation, HITS, and the schema-registry driver row.
+
+Oracle parity for every registered row is covered by tests/test_oracle.py
+(bit-exact on floats); these pin the BEHAVIORAL contracts the oracles
+can't express (known-value checks on hand-built inputs, tie-breaks,
+degenerate inputs, invariants like symmetry and normalization)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_streams_in_action_spark.operators import (
+    graph, relational, sampling, text, windows,
+)
+
+TS0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _docs(spark, rows):
+    """rows = [(doc_id, text, lang, source)]"""
+    return spark.createDataFrame(
+        [(d, t, la, s, len(t)) for d, t, la, s in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+
+
+def _daily_events(spark, values, etype="view"):
+    return spark.createDataFrame(
+        [(i, TS0 + dt.timedelta(days=i), 1, etype, float(v), "{}")
+         for i, v in enumerate(values)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+
+
+# ----------------------------------------------------------------- bm25
+
+def test_bm25_known_corpus(spark):
+    """Hand-checkable corpus: the doc that contains a query term more
+    often, at the same length, must rank above the one with fewer; a
+    doc with no query terms never appears."""
+    docs = _docs(spark, [
+        (1, "the the cat sat", "en", "a"),
+        (2, "the dog sat here", "en", "a"),
+        (3, "zebra quark flux blob", "en", "a"),
+    ])
+    out = text.bm25_topk(docs).filter(F.col("query_id") == 1).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert 3 not in by_doc
+    assert by_doc[1].rank < by_doc[2].rank  # tf 2 beats tf 1
+    assert all(r.score_micro > 0 for r in out)
+
+
+def test_bm25_score_formula(spark):
+    """One doc, one term: the micro score must equal the closed-form
+    BM25 value quantized the same way."""
+    docs = _docs(spark, [(1, "the cat", "en", "a"),
+                         (2, "dog food", "en", "a")])
+    row = text.bm25_topk(docs).filter(
+        (F.col("query_id") == 1) & (F.col("doc_id") == 1)).collect()[0]
+    n_docs, total = 2, 4
+    df_, tf_, dl = 1, 1, 2
+    idf = math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+    denom = tf_ + 1.2 * (0.25 + 0.75 * dl * n_docs / total)
+    expect = math.floor(idf * tf_ * 2.2 / denom * 1e6 + 0.5)
+    # query 1 = ('the', 'of'); 'of' is absent so the sum is one term
+    assert row.score_micro == expect
+    assert row.n_terms_hit == 1
+
+
+def test_bm25_rank_ties_break_on_doc_id(spark):
+    """Identical docs score identically; the lower doc_id wins the
+    lower rank."""
+    docs = _docs(spark, [(7, "the cat", "en", "a"),
+                         (3, "the cat", "en", "a")])
+    out = (text.bm25_topk(docs).filter(F.col("query_id") == 1)
+           .orderBy("rank").collect())
+    assert [r.doc_id for r in out] == [3, 7]
+    assert out[0].score_micro == out[1].score_micro
+
+
+# ------------------------------------------------------------ fertility
+
+def test_fertility_exact_counts(spark):
+    docs = _docs(spark, [
+        (1, "ab cd", "en", "a"),       # 2 tokens, 5 chars
+        (2, "abcdef", "en", "a"),      # 1 token, 6 chars
+        (3, "x y z", "fr", "a"),       # 3 tokens, 5 chars
+    ])
+    out = {r.lang: r for r in text.tokenizer_fertility(docs).collect()}
+    en = out["en"]
+    assert (en.n_docs, en.total_tokens, en.total_chars) == (2, 3, 11)
+    assert en.chars_per_token == 11.0 / 3.0
+    assert en.tokens_per_doc == 1.5
+    assert out["fr"].chars_per_token == 5.0 / 3.0
+
+
+# ---------------------------------------------------------- temperature
+
+def test_temperature_alloc_sums_to_budget(spark):
+    docs = _docs(spark, [(i, "t", lang, "a")
+                         for i, lang in enumerate(
+                             ["en"] * 80 + ["fr"] * 15 + ["zh"] * 5)])
+    out = sampling.temperature_mix(docs, budget=1000).collect()
+    assert sum(r.alloc for r in out) == 1000
+    assert all(r.alloc == r.base_alloc + r.extra for r in out)
+
+
+def test_temperature_flattens_toward_uniform(spark):
+    """alpha < 1 must upweight the low-resource language relative to
+    PROPORTIONAL mixing (boost above the uniform budget/N rate) and
+    downweight the dominant one — the whole point of the sampling
+    law."""
+    docs = _docs(spark, [(i, "t", lang, "a")
+                         for i, lang in enumerate(
+                             ["en"] * 90 + ["zh"] * 10)])
+    out = {r.lang: r for r in
+           sampling.temperature_mix(docs, budget=10_000).collect()}
+    proportional_ppm = 10_000 * 1_000_000 // 100  # uniform per-doc rate
+    assert out["zh"].boost_ppm > proportional_ppm
+    assert out["en"].boost_ppm < proportional_ppm
+    # proportional share of en would be 9000; the temperature cut it
+    assert out["en"].alloc < 9000
+
+
+def test_temperature_alpha_one_is_proportional(spark):
+    """alpha = 1 degenerates to plain proportional apportionment."""
+    docs = _docs(spark, [(i, "t", lang, "a")
+                         for i, lang in enumerate(
+                             ["en"] * 75 + ["fr"] * 25)])
+    out = {r.lang: r for r in
+           sampling.temperature_mix(docs, alpha=1.0, budget=100).collect()}
+    assert out["en"].alloc == 75
+    assert out["fr"].alloc == 25
+
+
+# -------------------------------------------------------------- entropy
+
+def test_entropy_uniform_and_degenerate(spark):
+    """Uniform 2-value column → H = 1 bit, norm = 1; constant column →
+    H = 0, norm = 0 (k = 1 guard)."""
+    ev = _daily_events(spark, [1.0, 2.0, 3.0, 4.0])
+    ev = ev.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b"))
+    docs = _docs(spark, [(1, "t", "en", "s"), (2, "t", "en", "s")])
+    out = {r.entity: r for r in
+           relational.column_entropy(ev, docs).collect()}
+    et = out["events.event_type"]
+    assert et.k == 2 and abs(et.entropy_bits - 1.0) < 1e-6
+    assert abs(et.norm_entropy - 1.0) < 1e-6
+    lang = out["documents.lang"]
+    assert lang.k == 1
+    assert lang.entropy_bits == 0.0 and lang.norm_entropy == 0.0
+
+
+# ----------------------------------------------------------------- corr
+
+def test_corr_matrix_known_values(spark):
+    """y = 2x gives corr exactly 1; an anti-correlated pair gives −1;
+    the matrix emits all 6 pairs once."""
+    rows = [(1, i, 2, 1, float(q), float(2 * q), float(50 - q) / 100,
+             0.01 * (1 + (q % 3)), "N", "O",
+             dt.datetime(2024, 1, 1))
+            for i, q in enumerate(range(1, 21))]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp")
+    out = {(r.col_x, r.col_y): r.corr
+           for r in relational.corr_matrix(li).collect()}
+    assert len(out) == 6
+    assert abs(out[("qty", "price")] - 1.0) < 1e-12
+    assert abs(out[("qty", "disc")] + 1.0) < 1e-12
+
+
+def test_corr_matrix_zero_variance_is_null_not_error(spark):
+    """A constant column has zero variance — correlation is undefined
+    and must come back NULL, not raise (ANSI mode traps /0 even for
+    doubles)."""
+    rows = [(1, i, 2, 1, 5.0, float(i), 0.05, 0.01, "N", "O",
+             dt.datetime(2024, 1, 1)) for i in range(4)]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp")
+    out = {(r.col_x, r.col_y): r.corr
+           for r in relational.corr_matrix(li).collect()}
+    assert out[("qty", "price")] is None
+
+
+# ------------------------------------------------------------------ acf
+
+def test_acf_constant_series_excluded(spark):
+    """Zero variance → den = 0 → the series emits no rows."""
+    ev = _daily_events(spark, [5.0] * 20)
+    assert windows.acf_daily(ev).count() == 0
+
+
+def test_acf_alternating_series(spark):
+    """x = +1/−1 alternating: lag-1 ACF → −1 side, lag-2 → +1 side
+    (exact values shrink by the truncated-pair boundary terms)."""
+    ev = _daily_events(spark, [1.0, -1.0] * 10)
+    out = {r.lag: r for r in windows.acf_daily(ev).collect()}
+    assert out[1].acf < -0.8
+    assert out[2].acf > 0.8
+    assert out[1].n_pairs == 19 and out[2].n_pairs == 18
+    assert out[1].n_days == 20
+
+
+def test_acf_linear_trend_is_positive_and_lag_ordered(spark):
+    """A rising line has strong positive short-lag autocorrelation,
+    decaying with lag (the Box-Jenkins identification signature)."""
+    ev = _daily_events(spark, [float(i) for i in range(30)])
+    out = {r.lag: r.acf for r in windows.acf_daily(ev).collect()}
+    assert out[1] > out[2] > out[7] > 0
+
+
+# ----------------------------------------------------------------- hits
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(s, d, 1) for s, d in pairs], "src long, dst long, w long")
+
+
+def test_hits_star_graph(spark):
+    """All hubs point at one node: that node is the unique max
+    authority (ppm exactly 1e6), the pointers are the max hubs, and a
+    disconnected node scores 0/0."""
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    scores = {r.node: r for r in graph.hits(
+        nodes, _edges(spark, [(1, 0), (2, 0), (3, 0)])).collect()}
+    assert scores[0].auth_ppm == 1_000_000
+    assert scores[1].hub_ppm == 1_000_000
+    assert scores[1].hub_ppm == scores[2].hub_ppm == scores[3].hub_ppm
+    assert scores[4].auth_ppm == 0 and scores[4].hub_ppm == 0
+    assert scores[0].hub_ppm == 0  # the center points at nobody
+
+
+def test_hits_scores_bounded_and_normalized(spark):
+    """Every score sits in [0, 1e6] and each side attains its max
+    (the renormalization invariant that keeps the integer recurrence
+    from decaying to zero)."""
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    out = graph.hits(nodes, _edges(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])).collect()
+    assert all(0 <= r.auth_ppm <= 1_000_000 for r in out)
+    assert max(r.auth_ppm for r in out) == 1_000_000
+    assert max(r.hub_ppm for r in out) == 1_000_000
+
+
+# ------------------------------------------------------------- registry
+
+def test_registry_row_asserts_catch_drift(spark, tmp_path):
+    """The a14 row's booleans are earned: a registry whose dedup is
+    broken must make the build raise, not emit FALSE-as-TRUE."""
+    from kafka_streams_in_action_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry(str(tmp_path / "r.json"))
+    sid = reg.get_or_create("t-value", '{"a": 1}')
+    assert reg.get_or_create("t-value", '{"a": 1}') == sid
+    # key-order-insensitive canonicalization (assertSchema semantics)
+    assert reg.get_or_create("t-value", '{ "a" : 1 }') == sid
+    reloaded = SchemaRegistry(str(tmp_path / "r.json"))
+    assert reloaded.latest("t-value")[0] == sid
