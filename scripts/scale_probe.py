@@ -248,6 +248,16 @@ PROBE_QUERIES = [
     "c12_bollinger",        # bounded day table, one 20-row frame
     "c35_commutativity",    # three keyed argmax aggs per arm
     "c6_bucketed",          # bucketed ingest writes + exchange-free join
+    # round-11 additions
+    "c30_bm25",             # posting-list tf join + bounded rank
+    "c30_fertility",        # one map-side-combinable language agg
+    "c32_temperature",      # corpus count agg + bounded apportionment
+    "c33_entropy",          # three count aggs + bounded value tables
+    "c33_corr",             # ONE global sufficient-stats agg
+    "c12_acf",              # day rollup + one keyed window pass
+    "c38_hits",             # 4-table edge build + bounded iteration
+    # a14_registry is deliberately NOT probed: it drives constant-size
+    # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact
     # inverted-index pair set (the c38_triangles/c29_recall_curve
     # corpus-property exclusion).
@@ -314,8 +324,12 @@ def main() -> None:
         build(spark)
         print(f"# built {OUT} in {time.time()-t0:.1f}s", file=sys.stderr)
 
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    import re as _re
+    names = [n for n in PROBE_QUERIES
+             if only is None or _re.search(only, n)]
     queries = {}
-    for name in PROBE_QUERIES:
+    for name in names:
         fn = RAW_PATHS.get(name) or QUERIES[name].fn
         base_s = _time(fn, spark, BASE)
         big_s = _time(fn, spark, OUT)
