@@ -203,6 +203,9 @@ HEADLINE = [
     "c33_corr",              # exact Pearson matrix, one global agg
     "c12_acf",               # lag-1/2/7 autocorrelation per type
     "c38_hits",              # integer fixed-point HITS, 8 iterations
+    "c29_hamming",           # sign-bit signatures + popcount top-k
+    "c34_l28",               # trailing-28-day engagement histogram
+    "c30_zipf",              # top-100 vocab power-law fit
 ]
 
 

@@ -1168,3 +1168,37 @@ def business_day_latency(orders: DataFrame,
             .withColumn("avg_busdays",
                         F.col("sum_busdays").cast("double")
                         / F.col("n_lines").cast("double")))
+
+
+def l28_histogram(events: DataFrame) -> DataFrame:
+    """C34s: L28 engagement histogram — users bucketed by active days
+    in the 28 days ending at the corpus max day (1-7 / 8-14 / 15-21 /
+    22-28), the power-user curve growth teams read weekly (a
+    right-shifted histogram = habit formation; DAU/MAU compresses the
+    same signal into one number — the C34l stickiness row).
+
+    Exact integers throughout: the anchor day is a 1-row broadcast
+    (allowlisted BNLJ), active days are an exact (user, day) distinct,
+    buckets are integer div, and the share is one final division.
+    Scale: the distinct and the per-user count shuffle on user_id;
+    the histogram is a 4-row agg."""
+    end = events.agg(F.max(F.to_date("ts")).alias("d_end"))
+    ud = (events.crossJoin(F.broadcast(end))
+          .filter(F.datediff(F.col("d_end"), F.to_date("ts")) < 28)
+          .select("user_id", F.to_date("ts").alias("day"))
+          .distinct())
+    per_user = ud.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("active_days"))
+    total = per_user.agg(F.count(F.lit(1)).alias("n_total"))
+    return (per_user
+            .withColumn("bucket",
+                        F.expr("CAST((active_days - 1) div 7 AS INT)"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .crossJoin(F.broadcast(total))
+            .select("bucket",
+                    (F.col("bucket") * 7 + 1).cast("int").alias("days_lo"),
+                    ((F.col("bucket") + 1) * 7).cast("int").alias("days_hi"),
+                    "n_users",
+                    (F.col("n_users").cast("double")
+                     / F.col("n_total").cast("double")).alias("share")))

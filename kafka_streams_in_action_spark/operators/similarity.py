@@ -1504,3 +1504,48 @@ def embedding_profile(embeddings: DataFrame) -> DataFrame:
         "dim", "n", "sum_micro", "min_micro", "max_micro",
         (F.col("sum_micro").cast("double") / F.col("n").cast("double"))
         .alias("mean_micro"))
+
+
+def hamming_topk(embeddings: DataFrame, n_queries: int = 10,
+                 k: int = 5) -> DataFrame:
+    """C29x: 1-bit (sign) binary quantization + exact Hamming top-k —
+    the 64×-compression retrieval base modern vector stores ship
+    (binary quantization + rerank): each 64-dim vector becomes two
+    32-bit sign signatures packed into BIGINTs, and distance is
+    popcount(xor) — pure integer ops end-to-end, so the ranking is
+    engine-exact with no float anywhere.
+
+    Signature: MSB-first doubling fold acc·2 + [e_i > 0] over dims
+    1-32 (hi) and 33-64 (lo) — identical to the oracle's
+    Σ bit_i·2^(32−i) closed form. Distance = bit_count(hi⊕hi') +
+    bit_count(lo⊕lo').
+
+    Scale shape: signatures are computed in one scan projection (the
+    payload vectors never shuffle — 16 bytes per row move instead of
+    512); the ≤n_queries query set broadcasts under a non-equi
+    self-exclusion (allowlisted BNLJ, the c29_cosine_topk pattern);
+    ranking partitions by query_id over distance-sorted candidates. At
+    100 TB the same signatures feed a banded-prefix blocking exactly
+    like SimHash (C29d) — this row pins the exact-scan baseline."""
+    def sig(off: int):
+        return F.expr(
+            "aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> "
+            "acc * CAST(2 AS BIGINT) + CASE WHEN element_at(vec, i"
+            f" + {off}) > CAST(0 AS FLOAT) THEN CAST(1 AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)")
+
+    sigs = embeddings.select(
+        "vec_id", F.col("embedding").alias("vec")) \
+        .select("vec_id", sig(0).alias("hi"), sig(32).alias("lo"))
+    q = sigs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("hi").alias("qhi"), F.col("lo").alias("qlo"))
+    pairs = sigs.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        (F.bit_count(F.expr("qhi ^ hi"))
+         + F.bit_count(F.expr("qlo ^ lo"))).cast("int").alias("hamming"))
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (scored.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "hamming", "rn"))

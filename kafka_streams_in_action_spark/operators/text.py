@@ -924,3 +924,51 @@ def tokenizer_fertility(documents: DataFrame) -> DataFrame:
                      / F.col("total_tokens")).alias("chars_per_token"),
                     (F.col("total_tokens").cast("double")
                      / F.col("n_docs")).alias("tokens_per_doc")))
+
+
+def zipf_fit(documents: DataFrame, top_n: int = 100) -> DataFrame:
+    """C30z: Zipf-law fit over the top-N vocabulary — OLS slope of
+    ln(freq) on ln(rank); natural text sits near slope −1 (Zipf 1949;
+    Piantadosi 2014 review), so a corpus whose slope drifts far from it
+    is boilerplate-heavy, deduplication-damaged, or synthetic — a
+    one-row corpus-health gauge next to the C30d quality score.
+
+    Engine-exact: ranks come from a TakeOrdered top-N (freq desc, word
+    tie-break); ln(rank)/ln(freq) quantize to BIGINT micro-units per
+    term (the lm_xent contract), the five OLS sufficient stats are
+    integer sums, and slope/intercept are string-bridged divisions.
+    Scale: the vocabulary agg is the corpus-scale work (one word
+    shuffle); everything after runs on N rows (bounded window,
+    allowlisted)."""
+    wf = (documents
+          .select(F.explode(_words(F.col("text"))).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    top = wf.orderBy(F.col("freq").desc(), F.col("word")).limit(top_n)
+    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    ranked = top.withColumn("r", F.row_number().over(w))
+    xm = F.floor(F.log(F.col("r").cast("double")) * F.lit(1e6)
+                 + F.lit(0.5)).cast("long")
+    ym = F.floor(F.log(F.col("freq").cast("double")) * F.lit(1e6)
+                 + F.lit(0.5)).cast("long")
+    s = (ranked.select(xm.alias("x"), ym.alias("y"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+              F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+              F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+              .alias("sxy"),
+              F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+              .alias("sxx")))
+    n = F.col("n").cast("decimal(38,0)")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+
+    def xd(c):
+        return c.cast("string").cast("double")
+
+    slope = xd(num) / xd(den)
+    intercept = (xd(F.col("sy")) - slope * xd(F.col("sx"))) \
+        / F.lit(1e6) / F.col("n").cast("double")
+    return s.select(F.col("n").cast("int").alias("n_terms"),
+                    slope.alias("slope"),
+                    intercept.alias("intercept"))

@@ -7612,6 +7612,103 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         _t("customer orders lineitem supplier nation")(
             graph.nation_trade_hits),
         _hits_oracle()),
+    "c29_hamming": QuerySpec(
+        # C29x: sign-bit binary quantization + exact Hamming top-k —
+        # two 32-bit signatures per vector, popcount(xor) distances,
+        # pure integer end-to-end.
+        _t("embeddings")(similarity.hamming_topk),
+        """
+        WITH emb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN v[i] > 0
+                                 THEN (CAST(1 AS BIGINT) << (32 - i))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(sum(CASE WHEN v[i + 32] > 0
+                                 THEN (CAST(1 AS BIGINT) << (32 - i))
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM emb, LATERAL unnest(generate_series(1, 32)) AS u(i)
+            GROUP BY vec_id),
+        q AS (SELECT vec_id AS query_id, hi AS qhi, lo AS qlo
+              FROM sig WHERE vec_id < 10),
+        scored AS (
+            SELECT query_id, s.vec_id AS neighbor_id,
+                   CAST(bit_count(xor(qhi, s.hi))
+                        + bit_count(xor(qlo, s.lo)) AS INTEGER)
+                       AS hamming
+            FROM sig s, q WHERE s.vec_id <> query_id)
+        SELECT query_id, neighbor_id, hamming, rn FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY hamming, neighbor_id)::INTEGER AS rn
+            FROM scored) WHERE rn <= 5
+        """),
+    "c34_l28": QuerySpec(
+        # C34s: L28 power-user histogram — exact (user, day) distinct
+        # in the trailing 28-day window, integer buckets, one division.
+        _t("events")(event_time.l28_histogram),
+        """
+        WITH dend AS (SELECT max(CAST(ts AS DATE)) AS d_end FROM events),
+        ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events, dend
+            WHERE date_diff('day', CAST(ts AS DATE), d_end) < 28),
+        pu AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS active_days
+            FROM ud GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pu),
+        h AS (
+            SELECT CAST((active_days - 1) // 7 AS INTEGER) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM pu GROUP BY 1)
+        SELECT bucket, CAST(bucket * 7 + 1 AS INTEGER) AS days_lo,
+               CAST((bucket + 1) * 7 AS INTEGER) AS days_hi, n_users,
+               CAST(n_users AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        FROM h, tot
+        """),
+    "c30_zipf": QuerySpec(
+        # C30z: Zipf slope over the top-100 vocabulary — micro-unit OLS
+        # stats, string-bridged divisions.
+        _t("documents")(text.zipf_fit),
+        """
+        WITH wf AS (
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS w
+                FROM documents)
+            WHERE w <> '' GROUP BY w),
+        top AS (
+            SELECT word, freq FROM wf
+            ORDER BY freq DESC, word LIMIT 100),
+        ranked AS (
+            SELECT freq, row_number() OVER (ORDER BY freq DESC, word)
+                AS r
+            FROM top),
+        m AS (
+            SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6 + 0.5)
+                        AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5)
+                        AS BIGINT) AS y
+            FROM ranked),
+        s AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx
+            FROM m)
+        SELECT n_terms, slope,
+               (sy_d - slope * sx_d) / 1e6 / n_d AS intercept
+        FROM (
+            SELECT CAST(n AS INTEGER) AS n_terms,
+                   CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                       AS slope,
+                   CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+                   CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d,
+                   CAST(n AS DOUBLE) AS n_d
+            FROM s)
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -7739,6 +7836,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     **{n: 9 for n in [
         "a14_registry", "c30_bm25", "c30_fertility", "c32_temperature",
         "c33_entropy", "c33_corr", "c12_acf", "c38_hits",
+        "c29_hamming", "c34_l28", "c30_zipf",
     ]},
 }
 

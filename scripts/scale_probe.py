@@ -256,6 +256,9 @@ PROBE_QUERIES = [
     "c33_corr",             # ONE global sufficient-stats agg
     "c12_acf",              # day rollup + one keyed window pass
     "c38_hits",             # 4-table edge build + bounded iteration
+    "c29_hamming",          # signature scan + 10-row query broadcast
+    "c34_l28",              # (user, day) distinct + 4-row histogram
+    "c30_zipf",             # word agg + TakeOrdered + bounded fit
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

@@ -184,6 +184,9 @@ _BNLJ_ALLOWED = {
     "c33_entropy",          # three 1-row (n, k) total scalar crossjoins
     "c38_hits",             # per-iteration 1-row max-score scalar
                             # crossjoins (the pagerank dangling pattern)
+    "c29_hamming",          # 10-row signature query set, non-equi
+                            # self-exclusion (the c29_cosine_topk shape)
+    "c34_l28",              # 1-row anchor-day + 1-row total broadcasts
 }
 
 
@@ -225,6 +228,7 @@ _BOUNDED_FRAME_WINDOWS = {
     "c32_pack",                          # top-level super-bucket prefix
     "c32_quota", "c32_systematic",       # bounded strata apportionment
     "c32_temperature",                   # bounded language strata
+    "c30_zipf",                          # 100-row top-vocab rank
     "c32_temporal_split",                # day-histogram cutoff
     "c32_winsorize",                     # per-type rank on bounded types
     "c33_chisq", "c33_ks",               # bounded margin/type-pair grids

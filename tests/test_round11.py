@@ -271,3 +271,95 @@ def test_registry_row_asserts_catch_drift(spark, tmp_path):
     assert reg.get_or_create("t-value", '{ "a" : 1 }') == sid
     reloaded = SchemaRegistry(str(tmp_path / "r.json"))
     assert reloaded.latest("t-value")[0] == sid
+
+
+# -------------------------------------------------------------- hamming
+
+def test_hamming_identical_vector_is_nearest(spark):
+    """A duplicated vector has Hamming distance 0 to its twin and must
+    rank first; an all-flipped vector is farthest (64)."""
+    from kafka_streams_in_action_spark.operators import similarity
+
+    base = [1.0 if i % 3 else -1.0 for i in range(64)]
+    emb = spark.createDataFrame(
+        [(0, base, 0), (50, list(base), 0),
+         (51, [-v for v in base], 1)],
+        "vec_id long, embedding array<float>, label int")
+    out = (similarity.hamming_topk(emb)
+           .filter(F.col("query_id") == 0).orderBy("rn").collect())
+    assert out[0].neighbor_id == 50 and out[0].hamming == 0
+    assert out[-1].neighbor_id == 51 and out[-1].hamming == 64
+
+
+def test_hamming_signature_packs_msb_first(spark):
+    """Spot-check the bit packing: only dim 1 positive → hi = 2^31;
+    only dim 64 positive → lo = 1 (distance pins both words)."""
+    from kafka_streams_in_action_spark.operators import similarity
+
+    v_hi = [1.0] + [-1.0] * 63
+    v_lo = [-1.0] * 63 + [1.0]
+    zeros = [-1.0] * 64
+    emb = spark.createDataFrame(
+        [(0, zeros, 0), (50, v_hi, 0), (51, v_lo, 0)],
+        "vec_id long, embedding array<float>, label int")
+    out = {r.neighbor_id: r.hamming
+           for r in similarity.hamming_topk(emb)
+           .filter(F.col("query_id") == 0).collect()}
+    assert out[50] == 1 and out[51] == 1
+
+
+# ------------------------------------------------------------------ l28
+
+def test_l28_buckets_and_window(spark):
+    """Users: 3 active days, 10 active days, and one only active 40
+    days ago (outside the 28-day window → excluded entirely)."""
+    from kafka_streams_in_action_spark.operators import event_time
+
+    rows = []
+    eid = 0
+    for d in range(3):
+        rows.append((eid, 1, d, "view", 1.0)); eid += 1
+    for d in range(10):
+        rows.append((eid, 2, d, "view", 1.0)); eid += 1
+    rows.append((eid, 3, -40 + 0, "view", 1.0)); eid += 1  # stale user
+    ev = spark.createDataFrame(
+        [(e, TS0 + dt.timedelta(days=d), u, t, v, "{}")
+         for e, u, d, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    out = {r.bucket: r for r in event_time.l28_histogram(ev).collect()}
+    assert out[0].n_users == 1 and (out[0].days_lo, out[0].days_hi) == (1, 7)
+    assert out[1].n_users == 1
+    assert sum(r.n_users for r in out.values()) == 2
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-12
+
+
+# ----------------------------------------------------------------- zipf
+
+def test_zipf_exact_power_law_recovers_slope(spark):
+    """A synthetic corpus with freq(w_r) = round(1000·r^(-0.8)) must fit
+    slope ≈ −0.8 (quantization noise only)."""
+    from kafka_streams_in_action_spark.operators import text as t
+
+    words = []
+    for r in range(1, 41):
+        f = max(1, round(1000 * r ** -0.8))
+        words += [f"w{r:03d}"] * f
+    docs = _docs(spark, [(1, " ".join(words), "en", "a")])
+    row = t.zipf_fit(docs, top_n=40).collect()[0]
+    assert row.n_terms == 40
+    assert -0.85 < row.slope < -0.75
+    # intercept in ln-space: ln(1000) ≈ 6.9
+    assert 6.0 < row.intercept < 7.5
+
+
+def test_zipf_uniform_corpus_slope_zero(spark):
+    """All words equally frequent → slope exactly 0 (every y is
+    identical, so the covariance numerator is 0)."""
+    from kafka_streams_in_action_spark.operators import text as t
+
+    docs = _docs(spark, [(1, " ".join(
+        f"w{i}" for i in range(30)) + " " + " ".join(
+        f"w{i}" for i in range(30)), "en", "a")])
+    row = t.zipf_fit(docs, top_n=30).collect()[0]
+    assert row.slope == 0.0
