@@ -206,6 +206,8 @@ HEADLINE = [
     "c29_hamming",           # sign-bit signatures + popcount top-k
     "c34_l28",               # trailing-28-day engagement histogram
     "c30_zipf",              # top-100 vocab power-law fit
+    "c31_letterbox",         # in-kernel black-bar detection
+    "c16_m4",                # min/max/first/last bucket downsample
 ]
 
 

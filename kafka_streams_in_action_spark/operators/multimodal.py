@@ -833,3 +833,74 @@ def format_sniff_audit(documents: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("is_mismatch",
                         F.col("declared") != F.col("sniffed")))
+
+
+def letterbox_media(documents: DataFrame) -> DataFrame:
+    """C31n fixture arm: encode each document's BMP and blacken
+    top/bottom bars by the modular rule top = doc_id % 2,
+    bottom = (doc_id // 2) % 2 (≤1 each, always < the ≥3-row height) —
+    encode + mutate in ONE Arrow kernel so payloads never leave it."""
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(d)
+                w, h, rows = parse_bmp(encode_bmp(d, len(bytes(p))))
+                rows = np.array(rows)
+                top, bottom = d % 2, (d // 2) % 2
+                if top:
+                    rows[:top] = 0
+                if bottom:
+                    rows[h - bottom:] = 0
+                payloads.append(_encode_bmp_from(w, h, rows))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = to_media_table(documents)
+    return media.select("doc_id", "payload").mapInPandas(
+        encode, schema="doc_id long, payload binary")
+
+
+def letterbox_detect(bmp_media: DataFrame) -> DataFrame:
+    """C31n: letterbox detection — count leading/trailing all-black
+    pixel rows INSIDE the Arrow decode kernel (payload bytes never
+    shuffle; the exposure/VAD kernel discipline). The crop-before-train
+    gate a vision pipeline runs: black bars waste patch budget and
+    poison aspect-ratio statistics. The fixture's content rows are
+    provably never all-zero (the pixel formula steps by 7 mod 256, so
+    ≥12 consecutive zero bytes are impossible), which is what lets the
+    DuckDB oracle state the bar counts as the modular rule itself —
+    the detector must EARN the same numbers from the pixels."""
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "top_bars": [], "bottom_bars": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = parse_bmp(bytes(payload))
+                zero = ~np.asarray(rows).any(axis=1)
+                top = 0
+                while top < h and zero[top]:
+                    top += 1
+                bottom = 0
+                while bottom < h - top and zero[h - 1 - bottom]:
+                    bottom += 1
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["top_bars"].append(top)
+                out["bottom_bars"].append(bottom)
+            yield pd.DataFrame(out)
+
+    stats = bmp_media.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, width int, height int, "
+                       "top_bars int, bottom_bars int")
+    return stats.select(
+        "doc_id", "width", "height", "top_bars", "bottom_bars",
+        (F.col("height") - F.col("top_bars") - F.col("bottom_bars"))
+        .cast("int").alias("content_height"),
+        ((F.col("top_bars") + F.col("bottom_bars")) > 0)
+        .alias("letterboxed"))

@@ -134,3 +134,37 @@ def json_functions_canonical(events: DataFrame) -> DataFrame:
         F.array_join(F.map_values(m).cast("array<string>"), ",").alias("vals_csv"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+def m4_downsample(events: DataFrame, n_buckets: int = 8) -> DataFrame:
+    """C16j: M4 downsampling (Jugel et al., VLDB 2014) — per series,
+    bucket the day axis into `n_buckets` equal spans and keep min, max,
+    first, and last of each bucket: the error-free line-chart reduction
+    (every pixel column's extremes survive), the fixed-bucket
+    complement of C16g's LTTB (which picks one visually-optimal anchor
+    per bucket; M4 keeps all four sentinels and needs no sequential
+    chain). All integer: milli day sums, integer bucket index
+    ((day−d0)·n) div (span+1), min_by/max_by on the unique day axis.
+
+    Scale shape: day rollup = one map-side-combinable agg; per-type
+    (d0, span) is a bounded broadcast; the bucket agg shuffles on
+    (type, bucket) — no window, no sequential pass, embarrassingly
+    parallel (M4's whole point vs LTTB)."""
+    vm = F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")) \
+        .alias("vm")
+    day = (events.groupBy("event_type", F.to_date("ts").alias("day"))
+           .agg(vm))
+    span = day.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"))
+    bucketed = (day.join(F.broadcast(span), "event_type")
+                .withColumn("bucket", F.expr(
+                    f"CAST((datediff(day, d0) * {n_buckets}) div "
+                    "(datediff(d1, d0) + 1) AS INT)")))
+    return (bucketed.groupBy("event_type", "bucket")
+            .agg(F.min("day").alias("d_start"),
+                 F.max("day").alias("d_end"),
+                 F.count(F.lit(1)).alias("n_days"),
+                 F.min_by("vm", "day").alias("v_first"),
+                 F.min("vm").alias("v_min"),
+                 F.max("vm").alias("v_max"),
+                 F.max_by("vm", "day").alias("v_last")))

@@ -7709,6 +7709,54 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                    CAST(n AS DOUBLE) AS n_d
             FROM s)
         """),
+    "c31_letterbox": QuerySpec(
+        # C31n: in-kernel black-bar detection on letterboxed fixtures;
+        # the oracle states the modular bar rule + fixture dims — the
+        # detector must earn the same numbers from the decoded pixels.
+        lambda spark, sf_dir: multimodal.letterbox_detect(
+            multimodal.letterbox_media(load_table(spark, "documents",
+                                                  sf_dir))),
+        """
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        dims AS (SELECT doc_id, (nb % 29) + 4 AS w, (doc_id % 13) + 3 AS h
+                 FROM d)
+        SELECT doc_id, CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(doc_id % 2 AS INTEGER) AS top_bars,
+               CAST((doc_id // 2) % 2 AS INTEGER) AS bottom_bars,
+               CAST(h - (doc_id % 2) - ((doc_id // 2) % 2) AS INTEGER)
+                   AS content_height,
+               (doc_id % 2) + ((doc_id // 2) % 2) > 0 AS letterboxed
+        FROM dims
+        """),
+    "c16_m4": QuerySpec(
+        # C16j: M4 min/max/first/last downsampling — fixed-bucket,
+        # window-free, all integer.
+        _t("events")(scalars.m4_downsample),
+        """
+        WITH day AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS vm
+            FROM events GROUP BY 1, 2),
+        span AS (
+            SELECT event_type, min(day) AS d0, max(day) AS d1
+            FROM day GROUP BY 1),
+        b AS (
+            SELECT d.event_type, d.day, d.vm,
+                   CAST((date_diff('day', s.d0, d.day) * 8)
+                        // (date_diff('day', s.d0, s.d1) + 1)
+                        AS INTEGER) AS bucket
+            FROM day d JOIN span s USING (event_type))
+        SELECT event_type, bucket, min(day) AS d_start,
+               max(day) AS d_end, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(arg_min(vm, day) AS BIGINT) AS v_first,
+               CAST(min(vm) AS BIGINT) AS v_min,
+               CAST(max(vm) AS BIGINT) AS v_max,
+               CAST(arg_max(vm, day) AS BIGINT) AS v_last
+        FROM b GROUP BY 1, 2
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -7836,7 +7884,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     **{n: 9 for n in [
         "a14_registry", "c30_bm25", "c30_fertility", "c32_temperature",
         "c33_entropy", "c33_corr", "c12_acf", "c38_hits",
-        "c29_hamming", "c34_l28", "c30_zipf",
+        "c29_hamming", "c34_l28", "c30_zipf", "c31_letterbox", "c16_m4",
     ]},
 }
 

@@ -259,6 +259,8 @@ PROBE_QUERIES = [
     "c29_hamming",          # signature scan + 10-row query broadcast
     "c34_l28",              # (user, day) distinct + 4-row histogram
     "c30_zipf",             # word agg + TakeOrdered + bounded fit
+    "c31_letterbox",        # in-kernel encode+mutate+detect, 0 shuffle
+    "c16_m4",               # day rollup + keyed bucket agg, no window
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

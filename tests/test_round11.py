@@ -363,3 +363,64 @@ def test_zipf_uniform_corpus_slope_zero(spark):
         f"w{i}" for i in range(30)), "en", "a")])
     row = t.zipf_fit(docs, top_n=30).collect()[0]
     assert row.slope == 0.0
+
+
+# ------------------------------------------------------------ letterbox
+
+def test_letterbox_detects_exact_bars(spark):
+    """The detector must recover the modular bar rule from pixels:
+    doc 3 → top 1 / bottom 1; doc 4 → none; doc 1 → top only."""
+    from kafka_streams_in_action_spark.operators import multimodal
+
+    docs = _docs(spark, [(1, "abc", "en", "a"), (3, "abcd", "en", "a"),
+                         (4, "ab", "en", "a")])
+    out = {r.doc_id: r for r in multimodal.letterbox_detect(
+        multimodal.letterbox_media(docs)).collect()}
+    assert (out[1].top_bars, out[1].bottom_bars) == (1, 0)
+    assert (out[3].top_bars, out[3].bottom_bars) == (1, 1)
+    assert (out[4].top_bars, out[4].bottom_bars) == (0, 0)
+    assert out[4].letterboxed is False and out[3].letterboxed is True
+    assert out[3].content_height == out[3].height - 2
+
+
+def test_letterbox_payload_never_shuffles(spark):
+    """Kernel discipline: the full plan must contain no Exchange —
+    encode, mutate, and detect all happen inside Arrow kernels."""
+    from kafka_streams_in_action_spark.operators import multimodal
+    from kafka_streams_in_action_spark.plans.queries import QUERIES
+
+    from .conftest import SF_DIR
+    df = QUERIES["c31_letterbox"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------------- m4
+
+def test_m4_single_bucket_semantics(spark):
+    """A 3-day series in one bucket: first/last follow the day axis,
+    min/max the values."""
+    from kafka_streams_in_action_spark.operators import scalars
+
+    ev = _daily_events(spark, [5.0, 1.0, 3.0])
+    out = scalars.m4_downsample(ev, n_buckets=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.v_first, r.v_min, r.v_max, r.v_last) == (5000, 1000,
+                                                       5000, 3000)
+    assert r.n_days == 3 and r.bucket == 0
+
+
+def test_m4_preserves_global_extremes(spark):
+    """M4's defining guarantee: the global min and max of the series
+    survive the reduction (they are some bucket's v_min/v_max)."""
+    from kafka_streams_in_action_spark.operators import scalars
+
+    vals = [float(((i * 37) % 100) - 50) for i in range(60)]
+    ev = _daily_events(spark, vals)
+    out = scalars.m4_downsample(ev).collect()
+    assert min(r.v_min for r in out) == round(min(vals) * 1000)
+    assert max(r.v_max for r in out) == round(max(vals) * 1000)
+    assert len({r.bucket for r in out}) == 8
+    # buckets tile the axis: every day lands in exactly one bucket
+    assert sum(r.n_days for r in out) == 60
