@@ -208,6 +208,7 @@ HEADLINE = [
     "c30_zipf",              # top-100 vocab power-law fit
     "c31_letterbox",         # in-kernel black-bar detection
     "c16_m4",                # min/max/first/last bucket downsample
+    "c34_l28_stream",        # bitmask set-state twin, 4 batches
 ]
 
 
@@ -267,7 +268,7 @@ STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c35_scd2_stream", "c12_holt_stream",
                   "c34_throttle_stream", "c12_drawdown_stream",
                   "c33_flatline_stream", "c10_asof_stream",
-                  "c34_interarrival_stream"]
+                  "c34_interarrival_stream", "c34_l28_stream"]
 
 # Micro-batch count each twin's availableNow replay executes (the fixed
 # replay floor is ~batches × stream_overhead_sec); all the file-split

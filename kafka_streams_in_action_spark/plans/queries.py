@@ -1545,6 +1545,68 @@ def _flatline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("n_flatlines")))
 
 
+def _l28_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34s streaming twin, driver-visible: the per-user active-day SET
+    as ONE BIGINT bitmask in the state store
+    (streaming/stateful.py:l28_bitmask_stream), replayed across a REAL
+    4-batch time split. Day offsets are computed stream-side against
+    the pinned anchor (the corpus max day, a bounded 1-row build-time
+    pull — replay-only knowledge, same class as the other twins'
+    bounded-replay slicing); the read side bit_or-folds each user's
+    monotone emissions, popcounts, and rebuilds the histogram under the
+    SAME oracle as the batch c34_l28 — the counts only match if set
+    bits survive three micro-batch boundaries."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import l28_bitmask_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    d_end = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    src = tempfile.mkdtemp(prefix="c34_l28_stream_src_")
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
+        .localCheckpoint()
+    for s in range(1, 5):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(src))
+    sink = f"c34_l28_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .withColumn("day_off",
+                              F.datediff(F.lit(d_end), F.to_date("ts")))
+                  .filter((F.col("day_off") >= 0)
+                          & (F.col("day_off") < 28))
+                  .select("user_id", "day_off"))
+        q = (l28_bitmask_stream(stream)
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    per_user = (spark.table(sink)
+                .groupBy("user_id")
+                .agg(F.bit_or("mask").alias("mask"))
+                .select("user_id",
+                        F.bit_count("mask").cast("long")
+                        .alias("active_days")))
+    total = per_user.agg(F.count(F.lit(1)).alias("n_total"))
+    return (per_user
+            .withColumn("bucket",
+                        F.expr("CAST((active_days - 1) div 7 AS INT)"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .crossJoin(F.broadcast(total))
+            .select("bucket",
+                    (F.col("bucket") * 7 + 1).cast("int").alias("days_lo"),
+                    ((F.col("bucket") + 1) * 7).cast("int").alias("days_hi"),
+                    "n_users",
+                    (F.col("n_users").cast("double")
+                     / F.col("n_total").cast("double")).alias("share")))
+
+
 def _drawdown_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12h streaming twin, driver-visible: the (cum, peak) BIGINT pair
     rides the state store (streaming/stateful.py: drawdown_stream)
@@ -7757,6 +7819,29 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                CAST(arg_max(vm, day) AS BIGINT) AS v_last
         FROM b GROUP BY 1, 2
         """),
+    "c34_l28_stream": QuerySpec(
+        # C34s streaming twin: bitmask set-state, bit_or read-side fold,
+        # SAME oracle as the batch histogram.
+        _l28_stream,
+        """
+        WITH dend AS (SELECT max(CAST(ts AS DATE)) AS d_end FROM events),
+        ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events, dend
+            WHERE date_diff('day', CAST(ts AS DATE), d_end) < 28),
+        pu AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS active_days
+            FROM ud GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pu),
+        h AS (
+            SELECT CAST((active_days - 1) // 7 AS INTEGER) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM pu GROUP BY 1)
+        SELECT bucket, CAST(bucket * 7 + 1 AS INTEGER) AS days_lo,
+               CAST((bucket + 1) * 7 AS INTEGER) AS days_hi, n_users,
+               CAST(n_users AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        FROM h, tot
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -7885,6 +7970,7 @@ _REGISTERED_ROUND: dict[str, int] = {
         "a14_registry", "c30_bm25", "c30_fertility", "c32_temperature",
         "c33_entropy", "c33_corr", "c12_acf", "c38_hits",
         "c29_hamming", "c34_l28", "c30_zipf", "c31_letterbox", "c16_m4",
+        "c34_l28_stream",
     ]},
 }
 

@@ -854,3 +854,43 @@ def interarrival_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def l28_bitmask_stream(rows: DataFrame) -> DataFrame:
+    """C34s streaming twin: the per-user active-day SET as ONE BIGINT
+    bitmask in the state store — bit i set when the user was active
+    `i` days before the pinned anchor (offsets 0..27 are computed
+    stream-side before the stateful op, so the handler is pure set
+    union). Unlike the other nine twins' numeric sufficient stats,
+    this state is a SET compressed to an integer — the
+    distinct-within-window pattern (sliding-window distinct users,
+    feature flags seen, coupon codes used) with state bounded at 8
+    bytes/key no matter how many events arrive.
+
+    Emissions are monotone (bits only turn on), so the read side folds
+    all of a user's per-batch emissions with bit_or and gets exactly
+    the final state; popcount then equals the batch distinct-day count
+    and the histogram passes the SAME oracle as c34_l28."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+        (mask0,) = state.get if state.exists else (0,)
+        mask = int(mask0)
+        batch = pd.concat(list(pdfs))
+        offs = batch["day_off"].to_numpy(np.int64)
+        if len(offs):
+            mask |= int(np.bitwise_or.reduce(np.int64(1) << offs))
+        state.update((mask,))
+        yield pd.DataFrame({
+            "user_id": pd.array([key[0]], dtype="Int64"),
+            "mask": pd.array([mask], dtype="Int64")})
+
+    return (rows.groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, mask long",
+                stateStructType="mask bigint",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

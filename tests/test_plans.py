@@ -187,6 +187,7 @@ _BNLJ_ALLOWED = {
     "c29_hamming",          # 10-row signature query set, non-equi
                             # self-exclusion (the c29_cosine_topk shape)
     "c34_l28",              # 1-row anchor-day + 1-row total broadcasts
+    "c34_l28_stream",       # same 1-row total broadcast on the read side
 }
 
 
@@ -316,6 +317,9 @@ def test_no_driver_side_collect_in_queries(spark):
                     # iteration loop localCheckpoints O(#nodes) score
                     # vectors at build, like c38_pagerank (r9)
                     "c38_hits",
+                    # replays the availableNow stream at build; pinned
+                    # anchor day = bounded 1-row pull (r9)
+                    "c34_l28_stream",
                     # writes both partition layouts at build (r10)
                     "c35_partition_evo",
                     # writes the co-bucketed tables at build (r10)

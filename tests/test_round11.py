@@ -424,3 +424,60 @@ def test_m4_preserves_global_extremes(spark):
     assert len({r.bucket for r in out}) == 8
     # buckets tile the axis: every day lands in exactly one bucket
     assert sum(r.n_days for r in out) == 60
+
+
+def test_l28_stream_checkpoint_restart_carries_bitmask(spark, tmp_path):
+    """A17 durability for SET state: stop the bitmask stream mid-log,
+    restart from the same checkpoint with new files — set bits must
+    round-trip the state store, so the bit_or-folded masks popcount to
+    the exact batch distinct-day counts."""
+    from kafka_streams_in_action_spark.operators import event_time
+    from kafka_streams_in_action_spark.sources.parquet import load_table
+    from kafka_streams_in_action_spark.streaming import stateful
+
+    from .conftest import SF_DIR
+    ev = load_table(spark, "events", SF_DIR)
+    d_end = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    d = str(tmp_path / "l28_src")
+    cp = str(tmp_path / "l28_cp")
+    from pyspark.sql import Window
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+
+    def write_slices(lo, hi):
+        for s in range(lo, hi + 1):
+            (sliced.filter(F.col("slice") == s).drop("slice")
+             .coalesce(1).write.mode("append").parquet(d))
+
+    sink = str(tmp_path / "l28_sink")
+
+    def run():
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d)
+                  .withColumn("day_off",
+                              F.datediff(F.lit(d_end), F.to_date("ts")))
+                  .filter((F.col("day_off") >= 0)
+                          & (F.col("day_off") < 28))
+                  .select("user_id", "day_off"))
+        q = (stateful.l28_bitmask_stream(stream)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    write_slices(1, 2)
+    run()
+    write_slices(3, 4)
+    run()
+
+    got = {r.user_id: r.n for r in
+           (spark.read.parquet(sink).groupBy("user_id")
+            .agg(F.bit_or("mask").alias("mask"))
+            .select("user_id",
+                    F.bit_count("mask").cast("long").alias("n"))
+            .collect())}
+    ud = (ev.filter(F.datediff(F.lit(d_end), F.to_date("ts")) < 28)
+          .select("user_id", F.to_date("ts").alias("day")).distinct()
+          .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
+    expect = {r.user_id: r.n for r in ud.collect()}
+    assert got == expect
