@@ -209,6 +209,8 @@ HEADLINE = [
     "c31_letterbox",         # in-kernel black-bar detection
     "c16_m4",                # min/max/first/last bucket downsample
     "c34_l28_stream",        # bitmask set-state twin, 4 batches
+    "c12_stl",               # STL-lite trend/seasonal/residual split
+    "c34_heatmap",           # hour-of-week activity matrix
 ]
 
 

@@ -1202,3 +1202,26 @@ def l28_histogram(events: DataFrame) -> DataFrame:
                     "n_users",
                     (F.col("n_users").cast("double")
                      / F.col("n_total").cast("double")).alias("share")))
+
+
+def hour_of_week_heatmap(events: DataFrame) -> DataFrame:
+    """C34t: hour-of-week activity heatmap — the (day-of-week × hour)
+    count matrix per event type with per-type shares, the seasonality
+    fingerprint behind staffing, send-time optimization, and anomaly
+    baselines (C33h's rolling z-score assumes it away; this row shows
+    it). Day-of-week = days-since-1900-01-01 (a Monday) mod 7 —
+    engine-split-proof; one map-side-combinable agg over the bounded
+    ≤|types|·168-cell grid; per-type totals broadcast back for the one
+    share division."""
+    cells = (events.groupBy(
+        "event_type",
+        F.expr("CAST(datediff(CAST(ts AS DATE), DATE '1900-01-01') "
+               "% 7 AS INT)").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n").alias("n_type"))
+    return (cells.join(F.broadcast(totals), "event_type")
+            .select("event_type", "dow", "hour", "n",
+                    (F.col("n").cast("double")
+                     / F.col("n_type").cast("double")).alias("share")))

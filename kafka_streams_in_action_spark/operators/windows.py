@@ -583,3 +583,50 @@ def acf_daily(events: DataFrame, lags: tuple[int, ...] = ACF_LAGS) -> DataFrame:
                     (F.col("num").cast("string").cast("double")
                      / F.col("den").cast("string").cast("double"))
                     .alias("acf")))
+
+
+def stl_decompose(events: DataFrame) -> DataFrame:
+    """C12q: STL-lite seasonal decomposition of the per-type daily
+    series — trend (centered 7-day moving average), weekday seasonal
+    (mean detrended value per day-of-week), residual (the rest), the
+    classical additive decomposition (Cleveland et al. 1990's STL with
+    one pass and fixed weekly period) that turns "sales moved" into
+    "trend moved vs it's just Tuesday".
+
+    Engine-exact by clearing every rational: trend = sum7/7 keeps the
+    integer sum7; detrended·7 = 7·vm − sum7 (integer); seasonal's mean
+    over n_dow days multiplies through, so residual·7·n_dow =
+    n_dow·(7·vm − sum7) − sum_detr7 (integer). The three emitted
+    doubles are each ONE division of exact integers. Day-of-week =
+    days-since-1900-01-01 (a Monday) mod 7 — immune to the engines'
+    dow-numbering split.
+
+    Scale shape: day rollup = one map-side-combinable agg; ONE keyed
+    window pass per type for the centered frame; the (type, dow)
+    seasonal table is bounded (≤7 rows/type) and broadcasts back.
+    Interior days only (full 7-day frame), the standard STL edge
+    treatment."""
+    vm = F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")) \
+        .alias("vm")
+    day = (events.groupBy("event_type", F.to_date("ts").alias("day"))
+           .agg(vm))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-3, 3))
+    trended = (day
+               .withColumn("sum7", F.sum("vm").over(w))
+               .withColumn("n7", F.count(F.lit(1)).over(w))
+               .filter(F.col("n7") == 7)
+               .withColumn("detr7", F.lit(7) * F.col("vm") - F.col("sum7"))
+               .withColumn("dow", F.expr(
+                   "CAST(datediff(day, DATE '1900-01-01') % 7 AS INT)")))
+    seasonal = (trended.groupBy("event_type", "dow")
+                .agg(F.sum("detr7").alias("sdetr7"),
+                     F.count(F.lit(1)).alias("n_dow")))
+    j = trended.join(F.broadcast(seasonal), ["event_type", "dow"])
+    return j.select(
+        "event_type", "day", "dow", "vm",
+        (F.col("sum7").cast("double") / F.lit(7.0)).alias("trend"),
+        (F.col("sdetr7").cast("double")
+         / (F.lit(7.0) * F.col("n_dow").cast("double"))).alias("seasonal"),
+        ((F.col("n_dow") * F.col("detr7") - F.col("sdetr7")).cast("double")
+         / (F.lit(7.0) * F.col("n_dow").cast("double"))).alias("residual"))

@@ -7842,6 +7842,61 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                CAST(n_users AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
         FROM h, tot
         """),
+    "c12_stl": QuerySpec(
+        # C12q: STL-lite additive decomposition — integer numerators
+        # cleared through (trend = sum7/7, residual·7·n_dow), one
+        # division per emitted double; Monday-anchor dow arithmetic.
+        _t("events")(windows.stl_decompose),
+        """
+        WITH day AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS vm
+            FROM events GROUP BY 1, 2),
+        t AS (
+            SELECT event_type, day, vm,
+                   CAST(sum(vm) OVER w7 AS BIGINT) AS sum7,
+                   count(*) OVER w7 AS n7
+            FROM day
+            WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        tr AS (
+            SELECT event_type, day, vm, sum7, 7 * vm - sum7 AS detr7,
+                   CAST(date_diff('day', DATE '1900-01-01', day) % 7
+                        AS INTEGER) AS dow
+            FROM t WHERE n7 = 7),
+        se AS (
+            SELECT event_type, dow,
+                   CAST(sum(detr7) AS BIGINT) AS sdetr7,
+                   CAST(count(*) AS BIGINT) AS n_dow
+            FROM tr GROUP BY 1, 2)
+        SELECT tr.event_type, tr.day, tr.dow, tr.vm,
+               CAST(sum7 AS DOUBLE) / 7.0 AS trend,
+               CAST(sdetr7 AS DOUBLE)
+                   / (7.0 * CAST(n_dow AS DOUBLE)) AS seasonal,
+               CAST(n_dow * detr7 - sdetr7 AS DOUBLE)
+                   / (7.0 * CAST(n_dow AS DOUBLE)) AS residual
+        FROM tr JOIN se USING (event_type, dow)
+        """),
+    "c34_heatmap": QuerySpec(
+        # C34t: hour-of-week activity matrix with per-type shares;
+        # Monday-anchor dow, one bounded-grid agg + broadcast totals.
+        _t("events")(event_time.hour_of_week_heatmap),
+        """
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '1900-01-01',
+                                  CAST(ts AS DATE)) % 7 AS INTEGER)
+                       AS dow,
+                   CAST(hour(ts) AS INTEGER) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2, 3),
+        tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+                FROM cells GROUP BY 1)
+        SELECT c.event_type, c.dow, c.hour, c.n,
+               CAST(c.n AS DOUBLE) / CAST(t.n_type AS DOUBLE) AS share
+        FROM cells c JOIN tot t USING (event_type)
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -7970,7 +8025,7 @@ _REGISTERED_ROUND: dict[str, int] = {
         "a14_registry", "c30_bm25", "c30_fertility", "c32_temperature",
         "c33_entropy", "c33_corr", "c12_acf", "c38_hits",
         "c29_hamming", "c34_l28", "c30_zipf", "c31_letterbox", "c16_m4",
-        "c34_l28_stream",
+        "c34_l28_stream", "c12_stl", "c34_heatmap",
     ]},
 }
 

@@ -261,6 +261,8 @@ PROBE_QUERIES = [
     "c30_zipf",             # word agg + TakeOrdered + bounded fit
     "c31_letterbox",        # in-kernel encode+mutate+detect, 0 shuffle
     "c16_m4",               # day rollup + keyed bucket agg, no window
+    "c12_stl",              # day rollup + one centered keyed window
+    "c34_heatmap",          # one bounded-grid agg + broadcast totals
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

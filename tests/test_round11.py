@@ -481,3 +481,60 @@ def test_l28_stream_checkpoint_restart_carries_bitmask(spark, tmp_path):
           .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
     expect = {r.user_id: r.n for r in ud.collect()}
     assert got == expect
+
+
+# ------------------------------------------------------------------ stl
+
+def test_stl_decomposition_reconstructs_exactly(spark):
+    """Additive identity: trend + seasonal + residual == vm/1000 (in
+    milli: the three doubles reconstruct the observation) for every
+    interior day, and a pure weekly pattern lands entirely in the
+    seasonal component (residual ≈ 0)."""
+    from kafka_streams_in_action_spark.operators import windows as wops
+
+    weekly = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+    ev = _daily_events(spark, weekly * 6)
+    out = wops.stl_decompose(ev).collect()
+    assert len(out) == 42 - 6  # interior days only
+    for r in out:
+        recon = r.trend + r.seasonal + r.residual
+        assert abs(recon - r.vm) < 1e-6  # components are in milli units
+        assert abs(r.residual) < 1e-9  # pure seasonality, no noise
+
+
+def test_stl_linear_trend_has_zero_seasonal(spark):
+    """A straight line decomposes to trend = the line, seasonal ≈ 0:
+    the centered 7-day MA of a line is the line, so detrended ≡ 0."""
+    from kafka_streams_in_action_spark.operators import windows as wops
+
+    ev = _daily_events(spark, [float(i) for i in range(30)])
+    out = wops.stl_decompose(ev).collect()
+    for r in out:
+        assert abs(r.trend - r.vm) < 1e-9
+        assert r.seasonal == 0.0 and r.residual == 0.0
+
+
+# -------------------------------------------------------------- heatmap
+
+def test_heatmap_counts_and_shares(spark):
+    """Hand-built events at known dow/hour cells; shares sum to 1 per
+    type; 2024-01-01 is a Monday → dow 0."""
+    from kafka_streams_in_action_spark.operators import event_time
+
+    rows = [
+        (0, TS0.replace(hour=10), 1, "view", 1.0, "{}"),   # Mon 10
+        (1, TS0.replace(hour=10), 2, "view", 1.0, "{}"),   # Mon 10
+        (2, (TS0 + dt.timedelta(days=1)).replace(hour=3),
+         1, "view", 1.0, "{}"),                            # Tue 03
+        (3, TS0.replace(hour=5), 1, "click", 1.0, "{}"),   # Mon 05
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {(r.event_type, r.dow, r.hour): r
+           for r in event_time.hour_of_week_heatmap(ev).collect()}
+    assert out[("view", 0, 10)].n == 2
+    assert out[("view", 1, 3)].n == 1
+    assert out[("click", 0, 5)].share == 1.0
+    view_shares = [r.share for k, r in out.items() if k[0] == "view"]
+    assert abs(sum(view_shares) - 1.0) < 1e-12
