@@ -211,6 +211,8 @@ HEADLINE = [
     "c34_l28_stream",        # bitmask set-state twin, 4 batches
     "c12_stl",               # STL-lite trend/seasonal/residual split
     "c34_heatmap",           # hour-of-week activity matrix
+    "c37_pruning",           # partitioned write + pruned read proof
+    "c6_dpp",                # dynamic partition pruning star join
 ]
 
 

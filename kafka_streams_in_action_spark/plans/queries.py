@@ -7897,6 +7897,56 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                CAST(c.n AS DOUBLE) / CAST(t.n_type AS DOUBLE) AS share
         FROM cells c JOIN tot t USING (event_type)
         """),
+    "c37_pruning": QuerySpec(
+        # C37h: static partition-pruning proof — the real directory
+        # count and the selected-day count are driver-hashed against
+        # the oracle's recomputation; the PartitionFilters plan verdict
+        # is asserted in-build (earned, not declared).
+        lambda spark, sf_dir: layout.partition_pruning_audit(
+            spark, load_table(spark, "events", sf_dir),
+            __import__("tempfile").mkdtemp(prefix="c37_pruning_")),
+        """
+        WITH days AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        r AS (SELECT day, row_number() OVER (ORDER BY day) AS rk
+              FROM days),
+        sel AS (SELECT day FROM r WHERE rk >= 3 AND rk <= 7),
+        n AS (SELECT CAST((SELECT count(*) FROM days) AS BIGINT)
+                         AS n_total,
+                     CAST(count(*) AS BIGINT) AS n_sel FROM sel)
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value_milli,
+               n.n_total AS n_partitions_total,
+               n.n_sel AS n_partitions_selected,
+               TRUE AS pruning_planned
+        FROM events, n
+        WHERE CAST(ts AS DATE) IN (SELECT day FROM sel)
+        GROUP BY 1, n.n_total, n.n_sel
+        """),
+    "c6_dpp": QuerySpec(
+        # C6d: dynamic partition pruning — the fact carries NO literal
+        # day filter; the dynamicpruningexpression verdict is asserted
+        # from the executed plan and carried in the hashed row.
+        lambda spark, sf_dir: layout.dpp_join_audit(
+            spark, load_table(spark, "events", sf_dir),
+            __import__("tempfile").mkdtemp(prefix="c6_dpp_")),
+        """
+        WITH days AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        r AS (SELECT day, row_number() OVER (ORDER BY day) AS rk
+              FROM days),
+        sel AS (SELECT day FROM r WHERE rk >= 3 AND rk <= 5)
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value_milli,
+               TRUE AS dpp_planned
+        FROM events
+        WHERE CAST(ts AS DATE) IN (SELECT day FROM sel)
+        GROUP BY 1
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -8025,7 +8075,8 @@ _REGISTERED_ROUND: dict[str, int] = {
         "a14_registry", "c30_bm25", "c30_fertility", "c32_temperature",
         "c33_entropy", "c33_corr", "c12_acf", "c38_hits",
         "c29_hamming", "c34_l28", "c30_zipf", "c31_letterbox", "c16_m4",
-        "c34_l28_stream", "c12_stl", "c34_heatmap",
+        "c34_l28_stream", "c12_stl", "c34_heatmap", "c37_pruning",
+        "c6_dpp",
     ]},
 }
 

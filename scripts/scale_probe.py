@@ -263,6 +263,8 @@ PROBE_QUERIES = [
     "c16_m4",               # day rollup + keyed bucket agg, no window
     "c12_stl",              # day rollup + one centered keyed window
     "c34_heatmap",          # one bounded-grid agg + broadcast totals
+    "c37_pruning",          # real partitioned write + pruned read
+    "c6_dpp",               # runtime-pruned star join over real dirs
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

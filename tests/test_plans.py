@@ -320,6 +320,9 @@ def test_no_driver_side_collect_in_queries(spark):
                     # replays the availableNow stream at build; pinned
                     # anchor day = bounded 1-row pull (r9)
                     "c34_l28_stream",
+                    # write the day-partitioned layout + bounded
+                    # distinct-day pull at build by design (r9)
+                    "c37_pruning", "c6_dpp",
                     # writes both partition layouts at build (r10)
                     "c35_partition_evo",
                     # writes the co-bucketed tables at build (r10)
