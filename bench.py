@@ -213,6 +213,7 @@ HEADLINE = [
     "c34_heatmap",           # hour-of-week activity matrix
     "c37_pruning",           # partitioned write + pruned read proof
     "c6_dpp",                # dynamic partition pruning star join
+    "c10_asof_tolerance",    # staleness-bounded as-of (merge_asof tol)
 ]
 
 

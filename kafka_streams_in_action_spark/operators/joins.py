@@ -426,3 +426,42 @@ def basket_affinity(lineitem: DataFrame, min_co: int = 2) -> DataFrame:
                   / F.col("n_a").cast("double"))
                  * (F.col("n_orders").cast("double")
                     / F.col("n_b").cast("double"))).alias("lift")))
+
+
+def asof_join_tolerance(events: DataFrame, orders: DataFrame,
+                        tolerance_days: int = 30) -> DataFrame:
+    """C10t: as-of join with a STALENESS BOUND — pandas
+    merge_asof(tolerance=...) semantics: each event gets the latest
+    order at/before its time ONLY if that order is within
+    `tolerance_days`; staler state is treated as missing (the feature-
+    freshness rule every real-time feature store enforces: serving a
+    6-month-old account balance as "current" is worse than a null).
+
+    Same plan shape as the max_by form (C10's candidate-heavy winner):
+    the tolerance lands IN the join condition, so stale candidates are
+    pruned BEFORE the shuffle rather than filtered after the argmax —
+    at 100 TB the candidate fan-in per event drops from a customer's
+    lifetime order count to the tolerance window's. Left join keeps
+    no-candidate events with NULL payload (merge_asof semantics)."""
+    ev = events.select("event_id", "ts", "user_id")
+    od = orders.select("o_orderkey", "o_custkey", "o_orderdate",
+                       "o_totalprice")
+    cand = ev.join(
+        od,
+        (ev.user_id == od.o_custkey) & (od.o_orderdate <= ev.ts)
+        & (od.o_orderdate >= F.date_sub(F.to_date(ev.ts),
+                                        tolerance_days)
+           .cast("timestamp")),
+        "left",
+    )
+    best = F.max_by(
+        F.struct("o_orderkey", "o_totalprice"),
+        F.struct(F.coalesce(F.col("o_orderdate"),
+                            F.lit("1970-01-01").cast("timestamp")),
+                 "o_orderkey"))
+    return (
+        cand.groupBy("event_id", "user_id").agg(best.alias("b"))
+        .select("event_id", "user_id",
+                F.col("b.o_orderkey").alias("o_orderkey"),
+                F.col("b.o_totalprice").alias("o_totalprice"))
+    )

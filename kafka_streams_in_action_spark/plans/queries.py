@@ -7947,6 +7947,26 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         WHERE CAST(ts AS DATE) IN (SELECT day FROM sel)
         GROUP BY 1
         """),
+    "c10_asof_tolerance": QuerySpec(
+        # C10t: merge_asof(tolerance=30d) semantics — staleness bound
+        # pruned IN the join condition; left join keeps no-candidate
+        # events with NULL payload.
+        _t("events orders")(joins.asof_join_tolerance),
+        """
+        WITH cand AS (
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC,
+                                o.o_orderkey DESC) AS rn
+            FROM events e LEFT JOIN orders o
+              ON e.user_id = o.o_custkey
+             AND o.o_orderdate <= e.ts
+             AND o.o_orderdate >=
+                 CAST((CAST(e.ts AS DATE) - 30) AS TIMESTAMP))
+        SELECT event_id, user_id, o_orderkey, o_totalprice
+        FROM cand WHERE rn = 1
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -8076,7 +8096,7 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c33_entropy", "c33_corr", "c12_acf", "c38_hits",
         "c29_hamming", "c34_l28", "c30_zipf", "c31_letterbox", "c16_m4",
         "c34_l28_stream", "c12_stl", "c34_heatmap", "c37_pruning",
-        "c6_dpp",
+        "c6_dpp", "c10_asof_tolerance",
     ]},
 }
 

@@ -581,3 +581,31 @@ def test_dpp_audit_matches_direct_filter(spark, tmp_path):
         assert out[d].n_rows == 1
         assert out[d].value_milli == i * 1000
         assert out[d].dpp_planned is True
+
+
+# ---------------------------------------------------------- asof + tol
+
+def test_asof_tolerance_drops_stale_state(spark):
+    """An order 40 days old is the latest at/before the event but
+    outside the 30-day bound → NULL payload; a 10-day-old order
+    serves; and among two in-window orders the newer wins."""
+    from kafka_streams_in_action_spark.operators import joins
+
+    ev = spark.createDataFrame(
+        [(1, TS0 + dt.timedelta(days=100), 7, "view", 1.0, "{}"),
+         (2, TS0 + dt.timedelta(days=100), 8, "view", 1.0, "{}"),
+         (3, TS0 + dt.timedelta(days=100), 9, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    orders = spark.createDataFrame(
+        [(100, 7, TS0 + dt.timedelta(days=60), 10.0),   # 40d: stale
+         (200, 8, TS0 + dt.timedelta(days=90), 20.0),   # 10d: fresh
+         (201, 8, TS0 + dt.timedelta(days=85), 30.0),   # older in-window
+         ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double")
+    out = {r.event_id: r for r in
+           joins.asof_join_tolerance(ev, orders).collect()}
+    assert out[1].o_orderkey is None          # stale state suppressed
+    assert out[2].o_orderkey == 200           # newest in-window wins
+    assert out[3].o_orderkey is None          # no candidate at all
