@@ -8101,12 +8101,13 @@ _REGISTERED_ROUND: dict[str, int] = {
 }
 
 # Round-10 window plan (to become _ROUND10_PRIORITY next round): the
-# 16-row r11 slate registered this session — a14_registry, c30_bm25,
+# 19-row r11 slate registered this session — a14_registry, c30_bm25,
 # c30_fertility, c32_temperature, c33_entropy, c33_corr, c12_acf,
 # c38_hits, c29_hamming, c34_l28, c30_zipf, c31_letterbox, c16_m4,
-# c34_l28_stream, c12_stl, c34_heatmap — leads the window (every row is
+# c34_l28_stream, c12_stl, c34_heatmap, c37_pruning, c6_dpp,
+# c10_asof_tolerance — leads the window (every row is
 # already driver_sim-green at sf0.001/0.01/0.1 and float-bit-exact);
-# the remaining ~34 slots go to round-10 judge items and the oldest
+# the remaining ~31 slots go to round-10 judge items and the oldest
 # driver-checked cohort (the 37 r4-era greens not rotated this round —
 # e.g. c10_asof_maxby, c11_distribution_ranks, c13_topk_per_group,
 # c14_intersect, c19_json_scalars, c23_sliding_window, c24_session_window,
