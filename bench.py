@@ -214,6 +214,7 @@ HEADLINE = [
     "c37_pruning",           # partitioned write + pruned read proof
     "c6_dpp",                # dynamic partition pruning star join
     "c10_asof_tolerance",    # staleness-bounded as-of (merge_asof tol)
+    "c33_seasonal_anomaly",  # z-score on the STL residual
 ]
 
 

@@ -630,3 +630,75 @@ def stl_decompose(events: DataFrame) -> DataFrame:
          / (F.lit(7.0) * F.col("n_dow").cast("double"))).alias("seasonal"),
         ((F.col("n_dow") * F.col("detr7") - F.col("sdetr7")).cast("double")
          / (F.lit(7.0) * F.col("n_dow").cast("double"))).alias("residual"))
+
+
+SEASONAL_Z_SHIFT = (1 << 40) * 1000  # nonneg shift before exact div
+
+
+def seasonal_anomalies(events: DataFrame) -> DataFrame:
+    """C33w: seasonally-adjusted anomaly detection — the payoff of the
+    C12q decomposition: z-score the RESIDUAL, not the raw value, so a
+    normal busy-Tuesday never trips the alarm and a quiet-Tuesday
+    outage does (the C33h rolling z-score's blind spot, demonstrated).
+
+    Everything before the emitted double is exact integer arithmetic:
+    the residual in milli·7·n_dow units is the C12q integer numerator
+    (n_dow·detr7 − sdetr7); it is shifted nonneg and exact-divided by
+    1000 (`div` is truncation-vs-floor-split on negatives — the shift
+    sidesteps it while leaving variance and the z decision invariant);
+    per-type (n, Σq, Σq²) are DECIMAL(38,0)/HUGEINT sums; the 3σ
+    verdict is the cross-multiplied comparison
+    (n−1)·(n·q−S)² > 9·n·(n·Σq²−S²) — no sqrt in the decision — and z
+    itself is one signed sqrt of string-bridged exact integers.
+    Zero-variance series emit NULL z and never alarm.
+
+    Scale shape: the C12q pipeline (one keyed window + bounded
+    seasonal broadcast) plus one per-type stats broadcast (5 rows)."""
+    # recompute the integer residual numerator directly (stl_decompose
+    # emits doubles; the verdict needs the exact integers)
+    vm = F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")) \
+        .alias("vm")
+    day = (events.groupBy("event_type", F.to_date("ts").alias("day"))
+           .agg(vm))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-3, 3))
+    trended = (day
+               .withColumn("sum7", F.sum("vm").over(w))
+               .withColumn("n7", F.count(F.lit(1)).over(w))
+               .filter(F.col("n7") == 7)
+               .withColumn("detr7", F.lit(7) * F.col("vm") - F.col("sum7"))
+               .withColumn("dow", F.expr(
+                   "CAST(datediff(day, DATE '1900-01-01') % 7 AS INT)")))
+    seasonal = (trended.groupBy("event_type", "dow")
+                .agg(F.sum("detr7").alias("sdetr7"),
+                     F.count(F.lit(1)).alias("n_dow")))
+    res = (trended.join(F.broadcast(seasonal), ["event_type", "dow"])
+           .withColumn("res_int",
+                       F.col("n_dow") * F.col("detr7") - F.col("sdetr7"))
+           .withColumn("q", F.expr(
+               f"(res_int + CAST({SEASONAL_Z_SHIFT} AS BIGINT)) div 1000")))
+    stats = (res.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                  F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+                  # cast BEFORE multiplying: q is shift-dominated
+                  # (~2^40·… ) so q·q overflows BIGINT
+                  F.sum(F.col("q").cast("decimal(38,0)") * F.col("q"))
+                  .alias("ss")))
+    j = res.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * F.col("q").cast("decimal(38,0)") - F.col("s")
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+
+    def xd(c):
+        return c.cast("string").cast("double")
+
+    # the sqrt args are exact decimal integers → string-bridge the cast
+    z = (F.when(var_num > 0,
+                F.when(dev >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+                * F.sqrt(xd((F.col("n") - 1) * dev * dev))
+                / F.sqrt(xd(F.col("n") * var_num)))
+         .alias("z"))
+    alarm = ((var_num > 0)
+             & ((F.col("n") - 1) * dev * dev
+                > F.lit(9).cast("decimal(38,0)") * F.col("n") * var_num))
+    return (j.select("event_type", "day", "res_int", z,
+                     alarm.alias("is_anomaly")))

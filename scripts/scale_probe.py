@@ -266,6 +266,7 @@ PROBE_QUERIES = [
     "c37_pruning",          # real partitioned write + pruned read
     "c6_dpp",               # runtime-pruned star join over real dirs
     "c10_asof_tolerance",   # tolerance-pruned as-of candidate join
+    "c33_seasonal_anomaly", # STL pipeline + per-type stats broadcast
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

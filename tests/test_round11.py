@@ -609,3 +609,38 @@ def test_asof_tolerance_drops_stale_state(spark):
     assert out[1].o_orderkey is None          # stale state suppressed
     assert out[2].o_orderkey == 200           # newest in-window wins
     assert out[3].o_orderkey is None          # no candidate at all
+
+
+# ----------------------------------------------------- seasonal anomaly
+
+def test_seasonal_anomaly_ignores_pure_weekly_pattern(spark):
+    """A pure weekly pattern has zero residual everywhere → zero
+    variance → no alarms and NULL z (the raw z-score row would flag the
+    peaks; the decomposition removes them)."""
+    from kafka_streams_in_action_spark.operators import windows as wops
+
+    weekly = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+    out = wops.seasonal_anomalies(
+        _daily_events(spark, weekly * 6)).collect()
+    assert len(out) == 36
+    assert all(r.res_int == 0 for r in out)
+    assert all(r.z is None for r in out)
+    assert not any(r.is_anomaly for r in out)
+
+
+def test_seasonal_anomaly_flags_injected_outage(spark):
+    """The same weekly pattern with ONE quiet-peak-day outage: only
+    days near the injection alarm, and the outage day's z is the most
+    negative."""
+    from kafka_streams_in_action_spark.operators import windows as wops
+
+    weekly = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+    vals = weekly * 8
+    vals[24] = 0.5  # a Thursday peak collapses (index 24 = dow 3)
+    out = wops.seasonal_anomalies(_daily_events(spark, vals)).collect()
+    flagged = [r for r in out if r.is_anomaly]
+    assert flagged, "the injected outage must alarm"
+    day24 = TS0 + dt.timedelta(days=24)
+    worst = min(out, key=lambda r: r.z if r.z is not None else 0.0)
+    assert worst.day == day24.date()
+    assert worst.is_anomaly and worst.z < -3.0
