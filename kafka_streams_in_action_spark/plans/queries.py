@@ -8153,7 +8153,7 @@ _REGISTERED_ROUND: dict[str, int] = {
 }
 
 # Round-10 window plan (to become _ROUND10_PRIORITY next round): the
-# 19-row r11 slate registered this session — a14_registry, c30_bm25,
+# 20-row r11 slate registered this session — a14_registry, c30_bm25,
 # c30_fertility, c32_temperature, c33_entropy, c33_corr, c12_acf,
 # c38_hits, c29_hamming, c34_l28, c30_zipf, c31_letterbox, c16_m4,
 # c34_l28_stream, c12_stl, c34_heatmap, c37_pruning, c6_dpp,
