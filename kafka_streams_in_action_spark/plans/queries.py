@@ -8103,6 +8103,49 @@ assert len(_ROUND9_PRIORITY) == 50, len(_ROUND9_PRIORITY)
 assert len(set(_ROUND9_PRIORITY)) == 50, "duplicate row in window"
 
 # ---------------------------------------------------------------------------
+# Round-10 frozen window (verdict r9 items 1+2). The 20-row r11 slate —
+# the only registered queries that have never held a driver CORRECTNESS
+# row — leads in registration order; c32_kfold follows because its
+# operator changes this round (verdict r9 item 3: the per-row
+# Python-UDF FNV fold is replaced by the JVM column-algebra
+# fnv32_column — a changed operator must be re-windowed even though the
+# oracle value is identical); the remaining 29 slots rotate the oldest
+# driver-checked cohort (rows whose last CORRECTNESS record is r4).
+# Eight r4-era rows did not fit and defer to the round-11 window
+# (each has a fresher sibling covering its §2 row / family):
+# a9_wire_roundtrip_proto (a9_wire_roundtrip r6), c10_asof_union
+# (c10_asof_join r9 + c10_asof_tolerance in-window), c14_union_distinct
+# (c14_union_all r7), c29_cosine_near_dup (c29_cosine_near_dup_lsh
+# twin + the fresh r7-r9 c29 rows), c29_outliers, c30_curate_v2
+# (c30_curate_pipeline sibling), c5_unpivot (c5_pivot in-window),
+# c9_range_window (c9_range_join in-window).
+# Frozen BEFORE any round-10 registration; judge items displace nothing.
+# ---------------------------------------------------------------------------
+_ROUND10_PRIORITY = [
+    # (1) the 20-row r11 slate (registered round 9, after that window
+    # froze), registration order — never driver-checked until now
+    "a14_registry", "c30_bm25", "c30_fertility", "c32_temperature",
+    "c33_entropy", "c33_corr", "c12_acf", "c38_hits", "c29_hamming",
+    "c34_l28", "c30_zipf", "c31_letterbox", "c16_m4", "c34_l28_stream",
+    "c12_stl", "c34_heatmap", "c37_pruning", "c6_dpp",
+    "c10_asof_tolerance", "c33_seasonal_anomaly",
+    # (2) changed-operator re-record (verdict r9 item 3)
+    "c32_kfold",
+    # (3) 29 freshness rotations: every r4-last-checked row that fits
+    "c10_asof_maxby", "c11_distribution_ranks", "c13_topk_per_group",
+    "c14_intersect", "c19_json_scalars", "c23_sliding_window",
+    "c24_session_window", "c28_containment", "c28_keep_best",
+    "c29_pca", "c29_pq_ann", "c29_quantized_dedup", "c29_semdedup",
+    "c30_crosstab", "c30_hashed_vectors", "c30_lm_xent", "c30_tfidf",
+    "c32_source_cap", "c32_weighted", "c33_histogram", "c33_profile",
+    "c34_funnel", "c34_retention", "c34_transitions", "c35_upsert",
+    "c5_pivot", "c6_salted_join", "c8_semi_join", "c9_range_join",
+]
+
+assert len(_ROUND10_PRIORITY) == 50, len(_ROUND10_PRIORITY)
+assert len(set(_ROUND10_PRIORITY)) == 50, "duplicate row in window"
+
+# ---------------------------------------------------------------------------
 # Window-freshness ledger (verdict r7 item 6). CURRENT_ROUND is bumped
 # when each round's window freezes. _REGISTERED_ROUND records the round
 # in which every not-yet-driver-windowed query was registered; queries
@@ -8113,7 +8156,7 @@ assert len(set(_ROUND9_PRIORITY)) == 50, "duplicate row in window"
 # in the current frozen window — the CI form of the r7 judge finding
 # that 69 queries outran the 50-row verification window.
 # ---------------------------------------------------------------------------
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 
 _REGISTERED_ROUND: dict[str, int] = {
     # r8 slate (registered during the round-7 session)
@@ -8152,6 +8195,8 @@ _REGISTERED_ROUND: dict[str, int] = {
     ]},
 }
 
+# (historical r9 comment; realized as _ROUND10_PRIORITY above, with the
+# 8-row deferral documented there)
 # Round-10 window plan (to become _ROUND10_PRIORITY next round): the
 # 20-row r11 slate registered this session — a14_registry, c30_bm25,
 # c30_fertility, c32_temperature, c33_entropy, c33_corr, c12_acf,
@@ -8255,7 +8300,7 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c35_merkle, c34_streaks — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
-QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND9_PRIORITY}
+QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND10_PRIORITY}
 QUERIES.update(
     {n: s for n, s in _QUERY_DEFS.items() if n not in QUERIES})
 assert len(QUERIES) == len(_QUERY_DEFS)
