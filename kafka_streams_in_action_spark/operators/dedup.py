@@ -942,10 +942,14 @@ def shard_overlap_matrix(documents: DataFrame, n_shards: int = 8) -> DataFrame:
 
     Scale: text never shuffles — only (shard, md5) fingerprint rows; the
     overlap is a hash equi-join on the fingerprint (candidates = docs
-    sharing a hash, never all pairs) into a ≤ C(n_shards,2)-row matrix."""
-    from ..functions.serde import fnv1a_32
+    sharing a hash, never all pairs) into a ≤ C(n_shards,2)-row matrix.
+    The shard key is the JVM column-algebra FNV fold (exact for the
+    all-digit doc_id), not the pandas-UDF byte fold — same value, but
+    codegen-side instead of an ArrowEvalPython scan (verdict r9 item 3
+    class)."""
+    from .sampling import fnv32_column
 
-    sh = F.pmod(fnv1a_32(F.col("doc_id").cast("string")),
+    sh = F.pmod(fnv32_column(F.col("doc_id").cast("string")),
                 F.lit(n_shards)).cast("int")
     h = (documents.select(sh.alias("shard"), F.md5("text").alias("h"))
          .distinct())

@@ -556,11 +556,15 @@ def kfold_split(documents: DataFrame, k: int = 5) -> DataFrame:
     invalidates the fold-out metric).
 
     Pure projection to assign; one (fold, lang) aggregate; the fold
-    totals are a window over the bounded k×|langs| grid."""
-    from ..functions.serde import fnv1a_32
+    totals are a window over the bounded k×|langs| grid.
 
-    fold = F.pmod(fnv1a_32(F.col("doc_id").cast("string")), F.lit(k)) \
-        .cast("int")
+    The fold key is the JVM column-algebra FNV fold (fnv32_column, exact
+    for ASCII keys like doc_id) — NOT the pandas-UDF byte fold in
+    functions.serde: both compute FNV-1a-32 mod k, but the column form
+    stays inside whole-stage codegen where the UDF form would put an
+    ArrowEvalPython scan in the hot path (verdict r9 item 3)."""
+    fold = F.pmod(fnv32_column(F.col("doc_id").cast("string")),
+                  F.lit(k)).cast("int")
     g = (documents.withColumn("fold", fold)
          .groupBy("fold", "lang")
          .agg(F.count(F.lit(1)).alias("n"),

@@ -8111,14 +8111,16 @@ assert len(set(_ROUND9_PRIORITY)) == 50, "duplicate row in window"
 # fnv32_column — a changed operator must be re-windowed even though the
 # oracle value is identical); the remaining 29 slots rotate the oldest
 # driver-checked cohort (rows whose last CORRECTNESS record is r4).
-# Eight r4-era rows did not fit and defer to the round-11 window
+# Nine r4-era rows did not fit and defer to the round-11 window
 # (each has a fresher sibling covering its §2 row / family):
 # a9_wire_roundtrip_proto (a9_wire_roundtrip r6), c10_asof_union
 # (c10_asof_join r9 + c10_asof_tolerance in-window), c14_union_distinct
 # (c14_union_all r7), c29_cosine_near_dup (c29_cosine_near_dup_lsh
-# twin + the fresh r7-r9 c29 rows), c29_outliers, c30_curate_v2
-# (c30_curate_pipeline sibling), c5_unpivot (c5_pivot in-window),
-# c9_range_window (c9_range_join in-window).
+# twin + the fresh r7-r9 c29 rows), c29_outliers, c29_pq_ann
+# (displaced by the c28_shard_overlap re-record; c29_ivfpq_ann r5
+# exercises the same PQ kernel), c30_curate_v2 (c30_curate_pipeline
+# sibling), c5_unpivot (c5_pivot in-window), c9_range_window
+# (c9_range_join in-window).
 # Frozen BEFORE any round-10 registration; judge items displace nothing.
 # ---------------------------------------------------------------------------
 _ROUND10_PRIORITY = [
@@ -8129,13 +8131,19 @@ _ROUND10_PRIORITY = [
     "c34_l28", "c30_zipf", "c31_letterbox", "c16_m4", "c34_l28_stream",
     "c12_stl", "c34_heatmap", "c37_pruning", "c6_dpp",
     "c10_asof_tolerance", "c33_seasonal_anomaly",
-    # (2) changed-operator re-record (verdict r9 item 3)
-    "c32_kfold",
-    # (3) 29 freshness rotations: every r4-last-checked row that fits
+    # (2) changed-operator re-records (verdict r9 item 3 + the same
+    # Python-UDF-FNV anti-pattern found in shard_overlap_matrix by the
+    # round-10 ArrowEvalPython sweep — both folds moved to the JVM
+    # column-algebra fnv32_column, same oracle value)
+    "c32_kfold", "c28_shard_overlap",
+    # (3) 28 freshness rotations from the r4-last-checked cohort
+    # (c29_pq_ann displaced to round 11 by the c28_shard_overlap
+    # re-record — C29's family keeps three other rotations below plus
+    # its fresh r7-r9 rows)
     "c10_asof_maxby", "c11_distribution_ranks", "c13_topk_per_group",
     "c14_intersect", "c19_json_scalars", "c23_sliding_window",
     "c24_session_window", "c28_containment", "c28_keep_best",
-    "c29_pca", "c29_pq_ann", "c29_quantized_dedup", "c29_semdedup",
+    "c29_pca", "c29_quantized_dedup", "c29_semdedup",
     "c30_crosstab", "c30_hashed_vectors", "c30_lm_xent", "c30_tfidf",
     "c32_source_cap", "c32_weighted", "c33_histogram", "c33_profile",
     "c34_funnel", "c34_retention", "c34_transitions", "c35_upsert",

@@ -245,15 +245,47 @@ _BOUNDED_FRAME_WINDOWS = {
 }
 
 
+#: Queries whose physical plan legitimately contains a scalar Python
+#: eval node (ArrowEvalPython; BatchEvalPython is never allowed — no
+#: row-at-a-time Python UDF exists in the package). Two admissible
+#: classes (verdict r9 item 4):
+#:   (a) serde-fidelity rows — the point of the row IS the byte-level
+#:       reference-parity UDF (FNV-1a over UTF-8 bytes, Avro/Proto wire
+#:       codecs), hypothesis-tested against the reference format;
+#:   (b) dense-vector Arrow kernels — numpy matmul/argmin over the
+#:       embedding column (codebook assignment, PCA projection, PQ
+#:       encode), math the built-in functions cannot vectorize; each
+#:       is Arrow-batched and operates on the 32-float embedding, never
+#:       on text/payload bytes.
+#: Anything else — especially a hash/bucket/fold on an ASCII key, which
+#: fnv32_column expresses JVM-side — fails the sweep (the c32_kfold /
+#: c28_shard_overlap regression class).
+_PY_EVAL_ALLOWED = {
+    "a5_fnv_partitioner",    # (a) byte-level FNV reference parity
+    "a11_avro_roundtrip",    # (a) Avro binary body codec
+    "a13_proto_roundtrip",   # (a) Protobuf body codec
+    "c33_fingerprint",       # (a) byte-exact content hash over full text
+                             #     (non-ASCII-safe only as a byte fold)
+    "c29_ivf_ann", "c29_ivf_ingest",   # (b) centroid-assign matmul
+    "c29_ivfpq_ann", "c29_pq_ann",     # (b) PQ encode/distance kernels
+    "c29_pca",               # (b) PCA projection matmul
+    "c29_semdedup",          # (b) centroid-assign matmul
+}
+
+
 def test_global_plan_hygiene_no_unbounded_nested_loops(spark):
     """Standing scale contract over EVERY registered query: no
     CartesianProduct anywhere, BroadcastNestedLoopJoin only for the
-    allowlisted bounded-broadcast shapes above, and unpartitioned
+    allowlisted bounded-broadcast shapes above, unpartitioned
     windows (single-task global sorts) only on the documented
-    bounded-frame sites. This is the sweep that catches a future
-    registration accidentally compiling to an all-pairs plan or an
-    unkeyed corpus sort."""
+    bounded-frame sites, and scalar Python eval nodes only on the
+    documented serde-fidelity / vector-kernel sites (verdict r9 item
+    4 — the sweep that catches a JVM-expressible fold drifting into
+    the Python lane). This is the sweep that catches a future
+    registration accidentally compiling to an all-pairs plan, an
+    unkeyed corpus sort, or a Python-UDF hot path."""
     offenders_cart, offenders_bnlj, offenders_win = [], [], []
+    offenders_py = []
     for name, spec in QUERIES.items():
         df = spec.fn(spark, SF_DIR)
         plan = plan_of(df)
@@ -264,11 +296,17 @@ def test_global_plan_hygiene_no_unbounded_nested_loops(spark):
         if name not in _BOUNDED_FRAME_WINDOWS:
             if _has_unpartitioned_window(optimized_of(df)):
                 offenders_win.append(name)
+        if "BatchEvalPython" in plan or (
+                "ArrowEvalPython" in plan and name not in _PY_EVAL_ALLOWED):
+            offenders_py.append(name)
     assert not offenders_cart, offenders_cart
     assert not offenders_bnlj, offenders_bnlj
     assert not offenders_win, (
         "unpartitioned window outside the documented bounded-frame "
         f"allowlist: {offenders_win}")
+    assert not offenders_py, (
+        "scalar Python eval node outside the documented serde/vector "
+        f"allowlist: {offenders_py}")
 
 
 def test_no_driver_side_collect_in_queries(spark):
