@@ -498,8 +498,15 @@ def hits(nodes: DataFrame, edges: DataFrame,
     keyed aggs over the bounded aggregated edge list with O(#nodes)
     broadcasts, localCheckpoint truncating lineage; the data-scale work
     is whatever fact join BUILT the edge list."""
+    if iterations < 1:
+        # a stays None below — fail loudly instead of AttributeError
+        raise ValueError(f"hits() needs iterations >= 1, got {iterations}")
     spark = nodes.sparkSession
     e = edges.select("src", "dst").distinct().localCheckpoint()
+    if not e.take(1):
+        # max() over an empty edge aggregate is NULL and NULL division
+        # propagates silently — degenerate input fails loudly instead
+        raise ValueError("hits() needs a non-empty edge list")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:

@@ -541,8 +541,12 @@ def acf_daily(events: DataFrame, lags: tuple[int, ...] = ACF_LAGS) -> DataFrame:
     r_k = Σ_t (x_t−m)(x_{t+k}−m) / Σ_t (x_t−m)², computed exactly by
     clearing the rational mean m = S/n: multiply through by n² and use
     c_t = n·x_t − S, so r_k = Σ c_t·c_{t+k} / Σ c_t² — all integers.
-    Per-row products fit DECIMAL(18,0)² → DECIMAL(38,0) sums (DuckDB
-    HUGEINT); one double division per (type, lag) at the end.
+    The centered term and its products are computed in DECIMAL(38,0)
+    end-to-end (operands cast BEFORE the multiply-subtract, the
+    corr_matrix discipline — advisor r9: an n·x−S squeezed through
+    DECIMAL(18,0) overflows ~9× earlier than BIGINT, far below the
+    DECIMAL(38,0) headroom the 100 TB shape needs); DuckDB pairs it
+    with HUGEINT. One double division per (type, lag) at the end.
 
     Scale shape: day rollup = one map-side-combinable agg; (n, S) is a
     per-type broadcast (5 rows); the three leads share ONE keyed window
@@ -559,12 +563,13 @@ def acf_daily(events: DataFrame, lags: tuple[int, ...] = ACF_LAGS) -> DataFrame:
         "event_type", "vm",
         *[F.lead("vm", k).over(w).alias(f"v{k}") for k in lags])
     j = led.join(F.broadcast(stats), "event_type")
-    c0 = (F.col("n_days") * F.col("vm") - F.col("s")).cast("decimal(18,0)")
+    dec = "decimal(38,0)"
+    nd, s = F.col("n_days").cast(dec), F.col("s").cast(dec)
+    c0 = nd * F.col("vm").cast(dec) - s
     aggs = [F.first("n_days").alias("n_days"),
             F.sum(c0 * c0).alias("den")]
     for k in lags:
-        ck = (F.col("n_days") * F.col(f"v{k}") - F.col("s")) \
-            .cast("decimal(18,0)")
+        ck = nd * F.col(f"v{k}").cast(dec) - s
         aggs.append(F.sum(c0 * ck).alias(f"num{k}"))
         aggs.append(F.count(F.col(f"v{k}")).alias(f"np{k}"))
     per_type = j.groupBy("event_type").agg(*aggs)

@@ -7899,9 +7899,11 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),
     "c37_pruning": QuerySpec(
         # C37h: static partition-pruning proof — the real directory
-        # count and the selected-day count are driver-hashed against
-        # the oracle's recomputation; the PartitionFilters plan verdict
-        # is asserted in-build (earned, not declared).
+        # count, the selected-day count, AND the executed scan's own
+        # numFiles metric (files actually opened after pruning) are
+        # driver-hashed against the oracle's recomputation; the
+        # PartitionFilters verdict is asserted on the returned
+        # DataFrame's queryExecution in-build (earned, not declared).
         lambda spark, sf_dir: layout.partition_pruning_audit(
             spark, load_table(spark, "events", sf_dir),
             __import__("tempfile").mkdtemp(prefix="c37_pruning_")),
@@ -7920,6 +7922,7 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                     AS BIGINT) AS value_milli,
                n.n_total AS n_partitions_total,
                n.n_sel AS n_partitions_selected,
+               n.n_sel AS n_files_read,
                TRUE AS pruning_planned
         FROM events, n
         WHERE CAST(ts AS DATE) IN (SELECT day FROM sel)
