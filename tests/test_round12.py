@@ -50,6 +50,69 @@ def test_hits_rejects_empty_edge_list(spark):
         graph.hits(nodes, _edges(spark, []))
 
 
+# ------------------------------------------------ JVM serde swap point
+
+def test_serde_impl_selection_logic():
+    """verdict r9 item 5: the ONE A11-A13 routing decision, asserted
+    both ways without needing the connector jar."""
+    from kafka_streams_in_action_spark.functions import binary_codecs as bc
+
+    # forced pandas wins regardless of jar state
+    assert bc.resolve_serde_impl("pandas", jvm_available=True) == "pandas"
+    assert bc.resolve_serde_impl("pandas", jvm_available=False) == "pandas"
+    # auto follows the probe
+    assert bc.resolve_serde_impl("auto", jvm_available=True) == "jvm"
+    assert bc.resolve_serde_impl("auto", jvm_available=False) == "pandas"
+    # forced jvm demands the jar — loud failure, never a silent
+    # degrade to the Python lane
+    assert bc.resolve_serde_impl("jvm", jvm_available=True) == "jvm"
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        bc.resolve_serde_impl("jvm", jvm_available=False)
+    with pytest.raises(ValueError, match="auto.pandas.jvm"):
+        bc.resolve_serde_impl("bogus")
+
+
+def test_serde_jar_absent_here_routes_to_pandas(spark):
+    """This container ships no spark-avro jar: the probe must say so and
+    the public entry points must compile to the Arrow codec (an
+    ArrowEvalPython node), keeping the a11 roundtrip byte-exact."""
+    from kafka_streams_in_action_spark.functions import binary_codecs as bc
+
+    assert bc.jvm_avro_available() is False
+    assert bc.resolve_serde_impl() == "pandas"
+    df = spark.createDataFrame(
+        [("Hulk", "Bruce Banner", ["Avengers"])],
+        "name string, real_name string, movies array<string>")
+    out = df.select(bc.from_avro_avenger(
+        bc.to_avro_avenger(F.col("name"), F.col("real_name"),
+                           F.col("movies"))).alias("a"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    row = out.collect()[0].a
+    assert (row.name, row.real_name, list(row.movies)) == (
+        "Hulk", "Bruce Banner", ["Avengers"])
+
+
+def test_serde_jvm_path_roundtrip(spark):
+    """Jar-present integration twin — runs only on a deployment with the
+    spark-avro connector (skipped in this container)."""
+    from kafka_streams_in_action_spark.functions import binary_codecs as bc
+
+    if not bc.jvm_avro_available():
+        pytest.skip("spark-avro connector jar not on the JVM classpath")
+    df = spark.createDataFrame(
+        [("Hulk", "Bruce Banner", ["Avengers"])],
+        "name string, real_name string, movies array<string>")
+    out = df.select(bc.from_avro_avenger(
+        bc.to_avro_avenger(F.col("name"), F.col("real_name"),
+                           F.col("movies"))).alias("a"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan  # codegen expressions, no Python
+    row = out.collect()[0].a
+    assert (row.name, row.real_name, list(row.movies)) == (
+        "Hulk", "Bruce Banner", ["Avengers"])
+
+
 # ------------------------------------------------------------------- acf
 
 def test_acf_survives_magnitudes_beyond_decimal18(spark):
