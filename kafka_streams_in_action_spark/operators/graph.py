@@ -131,13 +131,14 @@ def base_sql(n_nodes: int) -> int:
 
 def nation_trade_pagerank(customer: DataFrame, orders: DataFrame,
                           lineitem: DataFrame, supplier: DataFrame,
-                          nation: DataFrame,
-                          iterations: int = 10) -> DataFrame:
+                          nation: DataFrame, iterations: int = 10,
+                          edges: DataFrame = None) -> DataFrame:
     """C38a driver form: PageRank over the nation trade graph, named
     ranks. All 25 nations are nodes (nations with no outgoing trade are
     dangling and still accumulate rank)."""
     nodes = nation.select(F.col("n_nationkey").alias("node"))
-    edges = trade_edges(customer, orders, lineitem, supplier)
+    if edges is None:
+        edges = trade_edges(customer, orders, lineitem, supplier)
     ranks = pagerank(nodes, edges, iterations=iterations)
     return (ranks.join(nation, ranks.node == nation.n_nationkey)
             .select(F.col("n_nationkey").alias("nationkey"),
@@ -192,7 +193,8 @@ def near_dup_triangles(documents: DataFrame, threshold: float = 0.1,
 def khop_reachability(customer: DataFrame, orders: DataFrame,
                       lineitem: DataFrame, supplier: DataFrame,
                       nation: DataFrame, k: int = 4,
-                      top_edges: int = 3) -> DataFrame:
+                      top_edges: int = 3,
+                      edges: DataFrame = None) -> DataFrame:
     """C38c: bounded-depth reachability (directed transitive closure to
     `k` hops) — min-hop BFS from a seed set, the recursive-CTE workload
     (supply-chain blast radius, dependency closure) expressed as the
@@ -210,7 +212,8 @@ def khop_reachability(customer: DataFrame, orders: DataFrame,
     node once (anti-join), so loop cost is O(k · |frontier⋈edges|); the
     oracle's UNION ALL recursion enumerates paths instead — equivalent
     after min(hops), and bounded because hops < k caps path length."""
-    edges_all = trade_edges(customer, orders, lineitem, supplier)
+    edges_all = (edges if edges is not None
+                 else trade_edges(customer, orders, lineitem, supplier))
     w_rank = Window.partitionBy("src").orderBy(
         F.col("w").desc(), F.col("dst"))
     edges = (edges_all
@@ -247,8 +250,8 @@ def khop_reachability(customer: DataFrame, orders: DataFrame,
 
 
 def degree_assortativity(customer: DataFrame, orders: DataFrame,
-                         lineitem: DataFrame,
-                         supplier: DataFrame) -> DataFrame:
+                         lineitem: DataFrame, supplier: DataFrame,
+                         edges: DataFrame = None) -> DataFrame:
     """C38d: degree assortativity of the trade graph — the Pearson
     correlation between source out-degree and destination in-degree
     across edges (Newman 2002): positive = hubs trade with hubs
@@ -262,7 +265,8 @@ def degree_assortativity(customer: DataFrame, orders: DataFrame,
     the same fixed IEEE tree as the C12g cross-correlation row. The
     4-table edge build is the data-scale work; both degree joins key on
     a node column."""
-    edges = (trade_edges(customer, orders, lineitem, supplier)
+    edges = ((edges if edges is not None
+              else trade_edges(customer, orders, lineitem, supplier))
              .select("src", "dst"))
     out_d = edges.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
     in_d = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
@@ -410,7 +414,8 @@ def copurchase_kcore(lineitem: DataFrame, k: int = 2,
 def closeness_centrality(customer: DataFrame, orders: DataFrame,
                          lineitem: DataFrame, supplier: DataFrame,
                          nation: DataFrame, max_hops: int = 6,
-                         top_edges: int = 3) -> DataFrame:
+                         top_edges: int = 3,
+                         edges: DataFrame = None) -> DataFrame:
     """C38h: closeness + harmonic centrality by all-sources BFS over the
     sparsified trade graph (each node's top-3 out-edges, the C38c
     graph) — which nations sit nearest the middle of the trade web.
@@ -427,7 +432,8 @@ def closeness_centrality(customer: DataFrame, orders: DataFrame,
     idempotent — the kcore discipline). The oracle's recursive CTE
     enumerates paths to the same hop cap and collapses to the same
     min-hop distances."""
-    edges_all = trade_edges(customer, orders, lineitem, supplier)
+    edges_all = (edges if edges is not None
+                 else trade_edges(customer, orders, lineitem, supplier))
     w_rank = Window.partitionBy("src").orderBy(
         F.col("w").desc(), F.col("dst"))
     edges = (edges_all
@@ -540,13 +546,15 @@ def hits(nodes: DataFrame, edges: DataFrame,
 
 def nation_trade_hits(customer: DataFrame, orders: DataFrame,
                       lineitem: DataFrame, supplier: DataFrame,
-                      nation: DataFrame, iterations: int = 8) -> DataFrame:
+                      nation: DataFrame, iterations: int = 8,
+                      edges: DataFrame = None) -> DataFrame:
     """C38i driver form: HITS over the (unweighted) nation trade
     digraph, named scores — customer nations that buy from strong
     supplier nations are hubs; supplier nations bought from by strong
     customer nations are authorities."""
     nodes = nation.select(F.col("n_nationkey").alias("node"))
-    edges = trade_edges(customer, orders, lineitem, supplier)
+    if edges is None:
+        edges = trade_edges(customer, orders, lineitem, supplier)
     scores = hits(nodes, edges, iterations=iterations)
     return (scores.join(nation, scores.node == nation.n_nationkey)
             .select(F.col("n_nationkey").alias("nationkey"),
