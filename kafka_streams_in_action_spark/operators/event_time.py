@@ -257,6 +257,83 @@ def transition_matrix(events: DataFrame) -> DataFrame:
         F.round(F.col("n").cast("double")
                 / F.sum("n").over(tot).cast("double"), 6).alias("share"))
 
+def markov_stationary(events: DataFrame,
+                      iterations: int = 12) -> DataFrame:
+    """C34u: stationary distribution of the event-type Markov chain —
+    the long-run share of time the user population spends in each state
+    if the C34c transition matrix kept applying (the steady-state view
+    next-action prediction and load forecasting read; PageRank is this
+    exact computation on a link graph). `iterations` fixed power steps
+    of p·P from the uniform start.
+
+    Integer fixed-point end-to-end (the c38_hits discipline): the
+    transition matrix quantizes once to ppb row-ratios (one IEEE
+    double divide + floor per cell — engine-identical), the state
+    vector lives in ppm BIGINTs, each step is Σ (p·ratio) div 1e9 with
+    dangling mass redistributed uniformly, renormalized by INTEGER
+    division by the vector sum — no float ever forms in the loop, so
+    the unrolled oracle replays the recurrence bit-identically.
+
+    Scale: the data-scale work is the per-user lead window + the
+    (type × type) count agg (same as C34c); the loop then moves only
+    the BOUNDED |types|² matrix and |types| vector (checkpointed, few
+    shuffle partitions — the c38 iteration posture)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (events
+             .select("event_type",
+                     F.lead("event_type").over(w).alias("next_type"))
+             .filter(F.col("next_type").isNotNull()))
+    counts = (pairs.groupBy(F.col("event_type").alias("src"),
+                            F.col("next_type").alias("dst"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    rt = counts.groupBy("src").agg(F.sum("n").alias("out_n"))
+    ratio = F.floor(F.col("n").cast("double")
+                    / F.col("out_n").cast("double") * 1e9 + 0.5) \
+        .cast("long")
+    spark = events.sparkSession
+    m = (counts.join(rt, "src")
+         .select("src", "dst", ratio.alias("ratio_ppb"))
+         .localCheckpoint())
+    states = (events.select(F.col("event_type").alias("state"))
+              .distinct().localCheckpoint())
+    rts = rt.select(F.col("src").alias("state"),
+                    "out_n").localCheckpoint()
+    n_states = states.count()  # bounded: the event-type universe
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        p = states.select(
+            "state",
+            F.lit(1_000_000 // n_states).cast("long").alias("p"))
+        for _ in range(iterations):
+            contrib = (m.join(F.broadcast(p), m.src == p.state)
+                       .select("dst", F.expr(
+                           "(p * ratio_ppb) div 1000000000").alias("_t"))
+                       .groupBy("dst")
+                       .agg(F.sum("_t").alias("contrib")))
+            dang = (p.join(rts, "state", "left_anti")
+                    .agg(F.coalesce(F.sum("p"), F.lit(0)).cast("long")
+                         .alias("dang")))
+            praw = (states
+                    .join(contrib, states.state == contrib.dst, "left")
+                    .crossJoin(F.broadcast(dang))
+                    .select("state", F.expr(
+                        f"coalesce(contrib, CAST(0 AS BIGINT)) "
+                        f"+ dang div {n_states}").alias("praw")))
+            tot = praw.agg(F.sum("praw").alias("tot"))
+            p = (praw.crossJoin(F.broadcast(tot))
+                 .select("state", F.expr(
+                     "(praw * 1000000) div tot").alias("p"))
+                 .localCheckpoint())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (p.join(rts, "state", "left")
+            .select(F.col("state").alias("event_type"),
+                    F.col("p").alias("p_ppm"),
+                    F.coalesce(F.col("out_n"), F.lit(0)).cast("long")
+                    .alias("out_n")))
+
+
 def rolling_user_activity(events: DataFrame, days: int = 7) -> DataFrame:
     """C34d: per-user rolling activity — for every event, the count and
     value-sum of the same user's events in the trailing `days` window
@@ -710,6 +787,59 @@ def interval_concurrency(lineitem: DataFrame,
                   "suppkey")
             .select("suppkey", "n_shipments",
                     "peak_concurrency", "peak_day"))
+
+
+def interval_coverage(lineitem: DataFrame, hold_days: int = 7) -> DataFrame:
+    """C9g: interval-union coverage — per supplier, how many days are
+    covered by AT LEAST one in-flight shipment interval
+    [l_shipdate, l_shipdate + hold_days), the union-length twin of the
+    C9f peak-concurrency sweep (uptime/SLA coverage, machine
+    utilization, warehouse occupancy: overlapping intervals must count
+    once). Reported beside the span (first start → last end) and the
+    exact utilization ratio covered/span.
+
+    Sweep-line, no interval⋈interval join: every interval contributes
+    ±1 deltas, the running sum over the per-supplier ordered day axis
+    is the concurrency, and a day-gap [day, next_day) adds to the
+    covered total exactly when its concurrency is positive. All BIGINT
+    day arithmetic; utilization is ONE division of exact integers
+    (covered ≤ span ≤ ~2600 days — IEEE-identical everywhere).
+
+    Scale: one explode (2 rows/shipment), one (supplier, day) agg, one
+    keyed window pass; parallelism = supplier cardinality, the same
+    posture as interval_concurrency above."""
+    start = F.to_date("l_shipdate")
+    deltas = (lineitem
+              .select(F.col("l_suppkey").alias("suppkey"),
+                      F.explode(F.array(
+                          F.struct(start.alias("day"),
+                                   F.lit(1).alias("d")),
+                          F.struct(F.date_add(start, hold_days)
+                                   .alias("day"),
+                                   F.lit(-1).alias("d")))).alias("e"))
+              .select("suppkey", "e.day", "e.d"))
+    daily = (deltas.groupBy("suppkey", "day")
+             .agg(F.sum("d").alias("net")))
+    w = (Window.partitionBy("suppkey").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wl = Window.partitionBy("suppkey").orderBy("day")
+    seg = (daily
+           .withColumn("conc", F.sum("net").over(w))
+           .withColumn("next_day", F.lead("day").over(wl)))
+    covered = F.sum(
+        F.when(F.col("conc") > 0,
+               F.datediff("next_day", "day")).otherwise(0)).cast("long")
+    return (seg.groupBy("suppkey")
+            .agg(covered.alias("covered_days"),
+                 F.datediff(F.max("day"), F.min("day")).cast("long")
+                 .alias("span_days"))
+            .join(lineitem.groupBy(F.col("l_suppkey").alias("suppkey"))
+                  .agg(F.count(F.lit(1)).alias("n_shipments")),
+                  "suppkey")
+            .select("suppkey", "n_shipments", "covered_days", "span_days",
+                    (F.col("covered_days").cast("double")
+                     / F.col("span_days").cast("double"))
+                    .alias("utilization")))
 
 
 def dow_seasonality(events: DataFrame) -> DataFrame:

@@ -560,3 +560,69 @@ def nation_trade_hits(customer: DataFrame, orders: DataFrame,
             .select(F.col("n_nationkey").alias("nationkey"),
                     F.col("n_name").alias("nation"),
                     "auth_ppm", "hub_ppm"))
+
+
+def scc_trade(customer: DataFrame, orders: DataFrame,
+              lineitem: DataFrame, supplier: DataFrame,
+              nation: DataFrame, top_edges: int = 3,
+              edges: DataFrame = None) -> DataFrame:
+    """C38j: strongly connected components of the sparsified trade
+    digraph — u and v share a component iff each reaches the other
+    (cyclic trade blocs vs one-way dependency chains; the condensation
+    into SCCs is what turns "who trades with whom" into "which groups
+    are mutually locked in"). Labels are canonical min-node-ids, sizes
+    reported per node.
+
+    Distributed shape: ONE all-sources min-hop BFS to the full closure
+    (the closeness_centrality frontier loop — all sources advance in
+    the same keyed join per round, empty-frontier early exit; the
+    closure is bounded at |nations|² pairs), then SCC(u) = min{v :
+    (u→v) AND (v→u) in the closure} via a self-join of the bounded
+    pair set. The oracle's recursive CTE computes the same closure
+    with UNION-dedup recursion (cycle-safe), so both engines label
+    identically. The 4-table edge build is the data-scale work."""
+    edges_all = (edges if edges is not None
+                 else trade_edges(customer, orders, lineitem, supplier))
+    w_rank = Window.partitionBy("src").orderBy(
+        F.col("w").desc(), F.col("dst"))
+    e = (edges_all
+         .withColumn("_rn", F.row_number().over(w_rank))
+         .filter(F.col("_rn") <= top_edges)
+         .select("src", "dst")
+         .localCheckpoint())
+
+    seeds = (nation.select(F.col("n_nationkey").alias("src"))
+             .withColumn("node", F.col("src")))
+    spark = nation.sparkSession
+    n_nodes = seeds.count()  # bounded: closure needs ≤ n-1 rounds
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        reached = seeds.localCheckpoint()
+        frontier = reached
+        for _ in range(n_nodes - 1):
+            nxt = (frontier
+                   .join(e, frontier.node == e.src)
+                   .select(frontier.src.alias("src"),
+                           F.col("dst").alias("node"))
+                   .distinct())
+            frontier = (nxt.join(reached, ["src", "node"], "left_anti")
+                        .localCheckpoint())
+            if not frontier.take(1):
+                break
+            reached = reached.unionAll(frontier).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    rev = reached.select(F.col("node").alias("src"),
+                         F.col("src").alias("node"))
+    mutual = reached.join(rev, ["src", "node"])
+    labels = (mutual.groupBy("src")
+              .agg(F.min("node").cast("long").alias("scc_label")))
+    sizes = labels.groupBy("scc_label").agg(
+        F.count(F.lit(1)).alias("scc_size"))
+    return (labels.join(F.broadcast(sizes), "scc_label")
+            .join(F.broadcast(nation),
+                  labels.src == nation.n_nationkey)
+            .select(F.col("src").alias("nationkey"),
+                    F.col("n_name").alias("nation"),
+                    "scc_label", "scc_size"))

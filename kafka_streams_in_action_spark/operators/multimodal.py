@@ -904,3 +904,53 @@ def letterbox_detect(bmp_media: DataFrame) -> DataFrame:
         .cast("int").alias("content_height"),
         ((F.col("top_bars") + F.col("bottom_bars")) > 0)
         .alias("letterboxed"))
+
+
+def blur_scores(bmp_media: DataFrame) -> DataFrame:
+    """C31p: blur scoring — variance of the 4-neighbor Laplacian of the
+    integer gray image (variance-of-Laplacian, the standard focus/blur
+    gate a vision-data pipeline runs before spending encoder compute: a
+    defocused frame has no high-frequency response, so the Laplacian
+    variance collapses). Decode + convolve + reduce happen INSIDE one
+    Arrow kernel (payload bytes never shuffle — the exposure/letterbox
+    discipline); only (doc_id, dims, three integer sums) leave it.
+
+    Exact: gray = B+G+R per pixel (≤ 765), L = 4g − up − down − left −
+    right on interior pixels (|L| ≤ 3060), and the emitted sufficient
+    statistics (n, ΣL, ΣL²) are BIGINTs, so blur_var = (n·ΣL² − (ΣL)²)
+    / n² is ONE division of exact integers (both ≲ 1.5e12, inside 2^53
+    — IEEE-identical everywhere). The fixture pixels are a closed
+    modular formula of (doc_id, byte index), which is what lets the
+    DuckDB oracle recompute the same Laplacian without touching BMP
+    bytes — the kernel must EARN the numbers from a real decode."""
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_interior": [], "lap_sum": [], "lap_sq_sum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = parse_bmp(bytes(payload))
+                g = (np.asarray(rows, dtype=np.int64)
+                     .reshape(h, w, 3).sum(axis=2))
+                lap = (4 * g[1:-1, 1:-1]
+                       - g[:-2, 1:-1] - g[2:, 1:-1]
+                       - g[1:-1, :-2] - g[1:-1, 2:])
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_interior"].append(int(lap.size))
+                out["lap_sum"].append(int(lap.sum()))
+                out["lap_sq_sum"].append(int((lap * lap).sum()))
+            yield pd.DataFrame(out)
+
+    stats = bmp_media.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, width int, height int, "
+                       "n_interior long, lap_sum long, lap_sq_sum long")
+    n, s, ss = (F.col("n_interior"), F.col("lap_sum"),
+                F.col("lap_sq_sum"))
+    return stats.select(
+        "doc_id", "width", "height", "n_interior",
+        "lap_sum", "lap_sq_sum",
+        ((n * ss - s * s).cast("double")
+         / (n * n).cast("double")).alias("blur_var"))

@@ -573,6 +573,42 @@ def kfold_split(documents: DataFrame, k: int = 5) -> DataFrame:
     return g.withColumn("fold_total", F.sum("n").over(wf))
 
 
+def pad_waste_audit(documents: DataFrame, bucket: int = 64,
+                    max_len: int = 512) -> DataFrame:
+    """C32q: padding-waste audit for length-bucketed batching — the
+    efficiency ledger every training/inference pipeline reads before
+    choosing bucket boundaries: documents batched together pad to their
+    bucket's ceiling, so waste = Σ(bucket_len − tokens). Buckets are
+    ceil(tokens/bucket)·bucket capped at max_len (longer docs truncate
+    to max_len, the standard packing prelude — truncation loss is
+    reported as its own column so the two losses aren't conflated).
+
+    All exact integer arithmetic (token counts are whitespace-split
+    sizes, the C30 convention); the two fractions are single divisions
+    of exact BIGINTs. Scale: one projection + one ≤(max_len/bucket)-row
+    aggregate — map-side combinable, no window, no join."""
+    toks = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    d = documents.select(
+        F.least(toks, F.lit(max_len)).alias("t"),
+        F.greatest(toks - max_len, F.lit(0)).cast("long")
+        .alias("truncated"))
+    # integer ceiling — (t + b−1) div b — exact for ANY bucket size where
+    # a double division could misround at the boundary
+    blen = F.expr(f"((t + {bucket - 1}) div {bucket}) * {bucket}")
+    g = (d.withColumn("bucket_len",
+                      F.greatest(blen, F.lit(bucket).cast("long")))
+         .groupBy("bucket_len")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("t").alias("sum_tokens"),
+              F.sum("truncated").alias("truncated_tokens")))
+    padded = F.col("bucket_len") * F.col("n_docs")
+    return g.select(
+        "bucket_len", "n_docs", "sum_tokens", "truncated_tokens",
+        padded.alias("padded_tokens"),
+        ((padded - F.col("sum_tokens")).cast("double")
+         / padded.cast("double")).alias("waste_frac"))
+
+
 def temperature_mix(documents: DataFrame, alpha: float = 0.3,
                     budget: int = 100_000) -> DataFrame:
     """C32p: temperature-scaled multilingual mixing — sampling weight

@@ -1506,6 +1506,49 @@ def embedding_profile(embeddings: DataFrame) -> DataFrame:
         .alias("mean_micro"))
 
 
+def corpus_diversity(embeddings: DataFrame) -> DataFrame:
+    """C29y: exact corpus-level embedding diversity — the mean pairwise
+    dot product over ALL n(n−1) ordered pairs, computed WITHOUT forming
+    a single pair via the sum identity
+
+        Σ_{i≠j} x_i·x_j = |Σ_i x_i|² − Σ_i |x_i|²
+
+    (the Gram-sum trick behind average-pairwise-similarity dedup gauges
+    and DPP/Vendi-style diversity scores: a corpus whose vectors all
+    point the same way scores high mean dot = low diversity; SemDeDup
+    runs exactly when this gauge says the corpus is redundant). The
+    identity turns the O(n²) pair sum into two linear aggregates — at
+    100 TB this is ONE map-side-combinable pass (per-dim sums fan out
+    64 rows/task, the norm sum rides the same scan), no join at all.
+
+    Engine-exact: components are micro-quantized (float32→double is
+    exact, so floor(x·1e6 + 0.5) is engine-identical); per-dim sums and
+    their squares live in DECIMAL(38,0) (DuckDB HUGEINT) — Sd² reaches
+    ~7e20 at the 10× probe scale, past BIGINT; both emitted means are
+    ONE string-bridged division of exact integers (micro²-units)."""
+    dec = "decimal(38,0)"
+    q = F.floor(F.col("e").cast("double") * 1000000.0 + 0.5).cast("long")
+    d = (embeddings.select(F.posexplode("embedding").alias("dim", "e"))
+         .select("dim", q.alias("q")))
+    dim_sums = d.groupBy("dim").agg(
+        F.sum(F.col("q").cast(dec)).alias("sd"))
+    sum_sd2 = dim_sums.agg(
+        F.sum(F.col("sd") * F.col("sd")).alias("sum_sd2"))
+    ssq = d.agg(F.sum(F.col("q").cast(dec) * F.col("q")).alias("ssq"))
+    n = embeddings.agg(F.count(F.lit(1)).alias("n"))
+    sb = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return (n.crossJoin(F.broadcast(sum_sd2)).crossJoin(F.broadcast(ssq))
+            .select(
+                "n",
+                sb(F.col("ssq")).alias("sum_sq_norm_micro2"),
+                (sb(F.col("ssq")) / F.col("n").cast("double"))
+                .alias("mean_sq_norm_micro2"),
+                (sb(F.col("sum_sd2") - F.col("ssq"))
+                 / sb(F.col("n").cast("long")
+                      * (F.col("n").cast("long") - 1)))
+                .alias("mean_pair_dot_micro2")))
+
+
 def hamming_topk(embeddings: DataFrame, n_queries: int = 10,
                  k: int = 5) -> DataFrame:
     """C29x: 1-bit (sign) binary quantization + exact Hamming top-k —

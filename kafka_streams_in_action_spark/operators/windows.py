@@ -707,3 +707,56 @@ def seasonal_anomalies(events: DataFrame) -> DataFrame:
                 > F.lit(9).cast("decimal(38,0)") * F.col("n") * var_num))
     return (j.select("event_type", "day", "res_int", z,
                      alarm.alias("is_anomaly")))
+
+
+def change_point(events: DataFrame) -> DataFrame:
+    """C12r: exact single change-point per type (binary segmentation,
+    one split — the CUSUM-family level-shift locator read after the
+    C33l drift alarm fires: WHERE did the mean move?). For the per-type
+    daily series x_1..x_n, the split k maximizing the between-segment
+    SSE reduction is argmax_k (n·S_k − k·S_n)² / (k·(n−k)) — prefix
+    sums clear both segment means, so the score is a ratio of exact
+    integers (the acf_daily/corr_matrix DECIMAL(38,0) discipline for
+    the centered square) and the ONE division per k is string-bridged
+    into an engine-identical double. Ties break to the smallest k, so
+    the argmax is deterministic in both engines.
+
+    Scale: day rollup = one map-side-combinable agg; prefix sums ride
+    ONE keyed window pass per type over the bounded day axis; the
+    argmax is a per-type rank over the same bounded frame."""
+    dec = "decimal(38,0)"
+    vm = F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")) \
+        .alias("vm")
+    day = (events.groupBy("event_type", F.to_date("ts").alias("day"))
+           .agg(vm))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pre = (day
+           .withColumn("i", F.row_number().over(w))
+           .withColumn("s_i", F.sum("vm").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("next_day", F.lead("day").over(w)))
+    tot = (day.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_days"),
+                F.sum("vm").alias("s_n")))
+    k = (pre.join(F.broadcast(tot), "event_type")
+         .filter(F.col("i") < F.col("n_days")))
+    num = (F.col("n_days").cast(dec) * F.col("s_i")
+           - F.col("i").cast(dec) * F.col("s_n"))
+    sb = lambda c: c.cast("string").cast("double")  # noqa: E731
+    gain = (sb(num * num)
+            / (F.col("i") * (F.col("n_days") - F.col("i")))
+            .cast("double"))
+    scored = k.withColumn("gain", gain)
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("gain").desc(), F.col("i"))
+    return (scored.withColumn("_r", F.row_number().over(wr))
+            .filter(F.col("_r") == 1)
+            .select("event_type", "n_days",
+                    F.col("i").cast("long").alias("split_k"),
+                    F.col("next_day").alias("split_day"),
+                    "gain",
+                    (sb(F.col("s_i")) / F.col("i").cast("double"))
+                    .alias("mean_left_milli"),
+                    (sb(F.col("s_n").cast(dec) - F.col("s_i"))
+                     / (F.col("n_days") - F.col("i")).cast("double"))
+                    .alias("mean_right_milli")))

@@ -1846,6 +1846,70 @@ def _hits_oracle(iterations: int = 8) -> str:
     """
 
 
+def _markov_oracle(iterations: int = 12) -> str:
+    """Unrolled integer power iteration of the event-type Markov chain
+    as chained MATERIALIZED CTEs — the _hits_oracle discipline: ppb
+    row-ratios quantized once, a ppm state vector, dangling mass
+    redistributed uniformly, renormalized by integer division by the
+    vector sum each step, so the SQL replays
+    operators/event_time.py:markov_stationary bit-identically."""
+    parts = []
+    prev = "p0"
+    for k in range(1, iterations + 1):
+        parts.append(f"""
+        c{k} AS MATERIALIZED (
+            SELECT m.dst AS state,
+                   CAST(sum((p.p * m.ratio_ppb) // 1000000000) AS BIGINT)
+                       AS contrib
+            FROM m JOIN {prev} p ON p.state = m.src GROUP BY 1),
+        d{k} AS MATERIALIZED (
+            SELECT CAST(coalesce(sum(p.p), 0) AS BIGINT) AS dang
+            FROM {prev} p
+            WHERE NOT EXISTS (SELECT 1 FROM rt WHERE rt.src = p.state)),
+        r{k} AS MATERIALIZED (
+            SELECT s.state,
+                   CAST(coalesce(c.contrib, CAST(0 AS BIGINT))
+                        + d.dang // ns.n AS BIGINT) AS praw
+            FROM states s
+            LEFT JOIN c{k} c ON c.state = s.state
+            CROSS JOIN d{k} d CROSS JOIN ns),
+        t{k} AS MATERIALIZED (
+            SELECT CAST(sum(praw) AS BIGINT) AS tot FROM r{k}),
+        p{k} AS MATERIALIZED (
+            SELECT r.state,
+                   CAST((r.praw * 1000000) // t.tot AS BIGINT) AS p
+            FROM r{k} r CROSS JOIN t{k} t)""")
+        prev = f"p{k}"
+    return f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events),
+    counts AS MATERIALIZED (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+    rt AS MATERIALIZED (
+        SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM counts
+        GROUP BY 1),
+    m AS MATERIALIZED (
+        SELECT c.src, c.dst,
+               CAST(floor(CAST(c.n AS DOUBLE) / CAST(r.out_n AS DOUBLE)
+                          * 1e9 + 0.5) AS BIGINT) AS ratio_ppb
+        FROM counts c JOIN rt r ON r.src = c.src),
+    states AS MATERIALIZED (
+        SELECT DISTINCT event_type AS state FROM events),
+    ns AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM states),
+    p0 AS MATERIALIZED (
+        SELECT state, CAST(1000000 // ns.n AS BIGINT) AS p
+        FROM states CROSS JOIN ns),
+    {','.join(parts)}
+    SELECT p.state AS event_type, p.p AS p_ppm,
+           CAST(coalesce(r.out_n, 0) AS BIGINT) AS out_n
+    FROM p{iterations} p LEFT JOIN rt r ON r.src = p.state
+    """
+
+
 # C39 record linkage: the blocking/verify/rank pipeline as a shared CTE
 # prefix — c39_link reads the 1:1 assignment, c39_golden folds it into
 # survivorship records on the clean side.
@@ -8022,6 +8086,287 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                     > 9 * n * (n * ss - s * s)) AS is_anomaly
         FROM res r JOIN st USING (event_type)
         """),
+    "c35_cdc": QuerySpec(
+        # C35o: changelog (CDC op-log) materialization — the KTable
+        # fold: last op per key wins, tombstones remove, with the
+        # resurrection audit. One keyed window pass.
+        _t("events")(relational.cdc_materialize),
+        """
+        WITH log AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'signup' THEN 'I'
+                        WHEN event_type = 'error' THEN 'D'
+                        ELSE 'U' END AS op,
+                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm
+            FROM events),
+        seq AS (
+            SELECT user_id, ts, event_id, op, vm,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM log),
+        aud AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_ops,
+                   CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_deletes,
+                   max(CASE WHEN op = 'D' THEN rn END) AS last_del_rn
+            FROM seq GROUP BY 1),
+        last AS (
+            SELECT s.* FROM seq s JOIN aud a ON a.user_id = s.user_id
+            WHERE s.rn = a.n_ops)
+        SELECT l.user_id, l.op AS last_op, l.vm AS last_value_milli,
+               epoch_us(l.ts) AS last_ts_us, a.n_ops, a.n_deletes,
+               (a.last_del_rn IS NOT NULL AND a.n_ops > a.last_del_rn)
+                   AS resurrected
+        FROM last l JOIN aud a USING (user_id)
+        WHERE l.op <> 'D'
+        """),
+    "c9_coverage": QuerySpec(
+        # C9g: interval-union coverage per supplier — sweep-line union
+        # length + span + exact utilization ratio.
+        _t("lineitem")(event_time.interval_coverage),
+        """
+        WITH deltas AS (
+            SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS day,
+                   1 AS d
+            FROM lineitem
+            UNION ALL
+            SELECT l_suppkey, CAST(l_shipdate AS DATE) + 7, -1
+            FROM lineitem),
+        daily AS (
+            SELECT suppkey, day, CAST(sum(d) AS BIGINT) AS net
+            FROM deltas GROUP BY 1, 2),
+        seg AS (
+            SELECT suppkey, day,
+                   sum(net) OVER (PARTITION BY suppkey ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS conc,
+                   lead(day) OVER (PARTITION BY suppkey ORDER BY day)
+                       AS next_day
+            FROM daily),
+        cov AS (
+            SELECT suppkey,
+                   CAST(coalesce(sum(CASE WHEN conc > 0 THEN
+                       date_diff('day', day, next_day) END), 0)
+                       AS BIGINT) AS covered_days,
+                   CAST(date_diff('day', min(day), max(day)) AS BIGINT)
+                       AS span_days
+            FROM seg GROUP BY 1),
+        n AS (SELECT l_suppkey AS suppkey,
+                     CAST(count(*) AS BIGINT) AS n_shipments
+              FROM lineitem GROUP BY 1)
+        SELECT c.suppkey, n.n_shipments, c.covered_days, c.span_days,
+               CAST(c.covered_days AS DOUBLE)
+                   / CAST(c.span_days AS DOUBLE) AS utilization
+        FROM cov c JOIN n USING (suppkey)
+        """),
+    "c12_changepoint": QuerySpec(
+        # C12r: exact single change-point — argmax of the integer
+        # between-segment SSE score, string-bridged gain; ties break to
+        # the smallest split index in both engines.
+        _t("events")(windows.change_point),
+        """
+        WITH day AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS vm
+            FROM events GROUP BY 1, 2),
+        pre AS (
+            SELECT event_type, day, vm,
+                   CAST(row_number() OVER w AS BIGINT) AS i,
+                   CAST(sum(vm) OVER (PARTITION BY event_type
+                                      ORDER BY day
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS s_i,
+                   lead(day) OVER w AS next_day
+            FROM day WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        tot AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(vm) AS BIGINT) AS s_n
+            FROM day GROUP BY 1),
+        scored AS (
+            SELECT p.event_type, t.n_days, p.i, p.next_day, p.s_i, t.s_n,
+                   CAST(CAST((CAST(t.n_days AS HUGEINT) * p.s_i
+                              - CAST(p.i AS HUGEINT) * t.s_n)
+                             * (CAST(t.n_days AS HUGEINT) * p.s_i
+                                - CAST(p.i AS HUGEINT) * t.s_n)
+                             AS VARCHAR) AS DOUBLE)
+                   / CAST(p.i * (t.n_days - p.i) AS DOUBLE) AS gain
+            FROM pre p JOIN tot t USING (event_type)
+            WHERE p.i < t.n_days)
+        SELECT event_type, n_days, i AS split_k, next_day AS split_day,
+               gain,
+               CAST(CAST(s_i AS VARCHAR) AS DOUBLE) / CAST(i AS DOUBLE)
+                   AS mean_left_milli,
+               CAST(CAST(CAST(s_n AS HUGEINT) - s_i AS VARCHAR)
+                    AS DOUBLE) / CAST(n_days - i AS DOUBLE)
+                   AS mean_right_milli
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY event_type
+                                   ORDER BY gain DESC, i) = 1
+        """),
+    "c34_markov": QuerySpec(
+        # C34u: stationary distribution of the event-type chain —
+        # integer ppm power iteration, unrolled oracle (the c38_hits
+        # discipline).
+        _t("events")(event_time.markov_stationary),
+        _markov_oracle()),
+    "c29_diversity": QuerySpec(
+        # C29y: exact mean pairwise dot via the Gram-sum identity —
+        # two linear aggregates, no pair ever forms.
+        _t("embeddings")(similarity.corpus_diversity),
+        """
+        WITH d AS (
+            SELECT CAST(u.i - 1 AS INTEGER) AS dim,
+                   CAST(floor(CAST(embedding[u.i] AS DOUBLE)
+                              * 1000000.0 + 0.5) AS BIGINT) AS q
+            FROM embeddings,
+                 LATERAL unnest(generate_series(1, len(embedding)))
+                     AS u(i)),
+        s AS (SELECT dim, sum(CAST(q AS HUGEINT)) AS sd FROM d
+              GROUP BY 1),
+        t AS (SELECT sum(sd * sd) AS sum_sd2 FROM s),
+        ss AS (SELECT sum(CAST(q AS HUGEINT) * q) AS ssq FROM d),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+        SELECT n.n,
+               CAST(CAST(ss.ssq AS VARCHAR) AS DOUBLE)
+                   AS sum_sq_norm_micro2,
+               CAST(CAST(ss.ssq AS VARCHAR) AS DOUBLE)
+                   / CAST(n.n AS DOUBLE) AS mean_sq_norm_micro2,
+               CAST(CAST(t.sum_sd2 - ss.ssq AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(n.n * (n.n - 1) AS VARCHAR) AS DOUBLE)
+                   AS mean_pair_dot_micro2
+        FROM n, t, ss
+        """),
+    "c32_padwaste": QuerySpec(
+        # C32q: length-bucket padding-waste audit — integer ceiling
+        # buckets, exact token sums, one division per bucket.
+        _t("documents")(sampling.pad_waste_audit),
+        """
+        WITH d AS (
+            SELECT len(string_split(trim(text), ' ')) AS t0
+            FROM documents),
+        c AS (
+            SELECT CAST(least(t0, 512) AS BIGINT) AS t,
+                   CAST(greatest(t0 - 512, 0) AS BIGINT) AS truncated
+            FROM d),
+        g AS (
+            SELECT greatest(((t + 63) // 64) * 64, 64) AS bucket_len,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS sum_tokens,
+                   CAST(sum(truncated) AS BIGINT) AS truncated_tokens
+            FROM c GROUP BY 1)
+        SELECT CAST(bucket_len AS BIGINT) AS bucket_len, n_docs,
+               sum_tokens, truncated_tokens,
+               CAST(bucket_len * n_docs AS BIGINT) AS padded_tokens,
+               CAST(bucket_len * n_docs - sum_tokens AS DOUBLE)
+                   / CAST(bucket_len * n_docs AS DOUBLE) AS waste_frac
+        FROM g
+        """),
+    "c31_blur": QuerySpec(
+        # C31p: variance-of-Laplacian blur score from a REAL in-kernel
+        # BMP decode; the oracle recomputes the same integer Laplacian
+        # from the fixture pixel formula without touching bytes.
+        lambda spark, sf_dir: multimodal.blur_scores(
+            multimodal.to_bmp_media(load_table(spark, "documents",
+                                               sf_dir))),
+        """
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        dims AS (SELECT doc_id, (nb % 29) + 4 AS w, (doc_id % 13) + 3 AS h
+                 FROM d),
+        g AS (
+            SELECT doc_id, w, h,
+                   list_transform(range(0, w * h), p ->
+                       ((doc_id * 31 + (3 * p + 0) * 7) % 256)
+                     + ((doc_id * 31 + (3 * p + 1) * 7) % 256)
+                     + ((doc_id * 31 + (3 * p + 2) * 7) % 256)) AS gs
+            FROM dims),
+        lap AS (
+            SELECT doc_id, w, h,
+                   list_filter(list_transform(range(0, w * h), p ->
+                       CASE WHEN (p // w) BETWEEN 1 AND h - 2
+                             AND (p % w) BETWEEN 1 AND w - 2
+                            THEN 4 * gs[p + 1] - gs[p - w + 1]
+                                 - gs[p + w + 1] - gs[p] - gs[p + 2]
+                       END), x -> x IS NOT NULL) AS ls
+            FROM g),
+        agg AS (
+            SELECT doc_id, CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(len(ls) AS BIGINT) AS n_interior,
+                   CAST(list_sum(ls) AS BIGINT) AS lap_sum,
+                   CAST(list_sum(list_transform(ls, x -> x * x))
+                        AS BIGINT) AS lap_sq_sum
+            FROM lap)
+        SELECT doc_id, width, height, n_interior, lap_sum, lap_sq_sum,
+               CAST(n_interior * lap_sq_sum - lap_sum * lap_sum
+                    AS DOUBLE)
+                   / CAST(n_interior * n_interior AS DOUBLE) AS blur_var
+        FROM agg
+        """),
+    "c37_aqe_skew": QuerySpec(
+        # C37i: runtime skew-split verdict — AQE must split the hot
+        # key's shuffle partition; earned on the exact returned plan
+        # after a real execution, with the aggregate oracle-hashed.
+        lambda spark, sf_dir: layout.skew_join_audit(
+            spark, load_table(spark, "events", sf_dir)),
+        """
+        WITH fact AS (
+            SELECT CASE WHEN event_id % 3 <> 0 THEN 0
+                        ELSE event_id % 97 END AS skew_key,
+                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm
+            FROM events),
+        dim AS (SELECT u.i AS skew_key, u.i * 2 AS dim_payload
+                FROM (SELECT unnest(generate_series(0, 96)) AS i) u)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(f.vm) AS BIGINT) AS value_milli,
+               CAST(sum(CASE WHEN f.skew_key = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hot_rows,
+               CAST(sum(d.dim_payload) AS BIGINT) AS payload_sum,
+               TRUE AS skew_split_planned
+        FROM fact f JOIN dim d ON d.skew_key = f.skew_key
+        """),
+    "c38_scc": QuerySpec(
+        # C38j: strongly connected components of the sparsified trade
+        # digraph — BFS closure ∩ its transpose, min-id labels; the
+        # oracle's UNION-dedup recursion computes the same closure.
+        _t("customer orders lineitem supplier nation")(graph.scc_trade),
+        """
+        WITH RECURSIVE e0 AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   count(*) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+        edges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst, row_number() OVER (
+                           PARTITION BY src ORDER BY w DESC, dst) AS rn
+                FROM e0)
+            WHERE rn <= 3),
+        reach(src, node) AS (
+            SELECT n_nationkey, n_nationkey FROM nation
+            UNION
+            SELECT r.src, e.dst
+            FROM reach r JOIN edges e ON e.src = r.node),
+        mutual AS (
+            SELECT r.src, r.node
+            FROM reach r JOIN reach b
+              ON b.src = r.node AND b.node = r.src),
+        labels AS (
+            SELECT src, CAST(min(node) AS BIGINT) AS scc_label
+            FROM mutual GROUP BY 1),
+        sizes AS (
+            SELECT scc_label, CAST(count(*) AS BIGINT) AS scc_size
+            FROM labels GROUP BY 1)
+        SELECT l.src AS nationkey, n.n_name AS nation,
+               l.scc_label, s.scc_size
+        FROM labels l
+        JOIN sizes s USING (scc_label)
+        JOIN nation n ON n.n_nationkey = l.src
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -8203,6 +8548,13 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c29_hamming", "c34_l28", "c30_zipf", "c31_letterbox", "c16_m4",
         "c34_l28_stream", "c12_stl", "c34_heatmap", "c37_pruning",
         "c6_dpp", "c10_asof_tolerance", "c33_seasonal_anomaly",
+    ]},
+    # r12 slate (registered during the round-10 session, AFTER the r10
+    # window froze): every new registration this round goes here.
+    **{n: 10 for n in [
+        "c35_cdc", "c9_coverage", "c12_changepoint", "c34_markov",
+        "c29_diversity", "c32_padwaste", "c31_blur", "c37_aqe_skew",
+        "c38_scc",
     ]},
 }
 

@@ -188,6 +188,9 @@ _BNLJ_ALLOWED = {
                             # self-exclusion (the c29_cosine_topk shape)
     "c34_l28",              # 1-row anchor-day + 1-row total broadcasts
     "c34_l28_stream",       # same 1-row total broadcast on the read side
+    "c29_diversity",        # two 1-row Gram-sum scalar crossjoins
+    "c34_markov",           # per-iteration 1-row dangling/total scalar
+                            # crossjoins (the pagerank/hits pattern)
 }
 
 
@@ -378,7 +381,16 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c35_vacuum", "c37_formats",
                     # all-sources BFS loop checkpoints bounded frames +
                     # empty-frontier probe at build (r9)
-                    "c38_closeness"):
+                    "c38_closeness",
+                    # closure BFS loop checkpoints bounded frames +
+                    # node-count + empty-frontier probe at build (r10)
+                    "c38_scc",
+                    # bounded matrix/vector checkpoints + state-count
+                    # pull in the iteration loop at build (r10)
+                    "c34_markov",
+                    # executes the exact returned plan once at build
+                    # for the earned AQE skew verdict (r10)
+                    "c37_aqe_skew"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)

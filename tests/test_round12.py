@@ -132,3 +132,166 @@ def test_acf_survives_magnitudes_beyond_decimal18(spark):
     for lag, acf in got_big.items():
         assert acf == pytest.approx(got_small[lag], rel=1e-12)
     assert got_big[1] > got_big[2] > got_big[7] > 0
+
+
+# ------------------------------------------------------------------- cdc
+
+def _event(uid, i, etype, v):
+    return (i, TS0 + dt.timedelta(minutes=i), uid, etype, float(v), "{}")
+
+
+def _events_of(spark, rows):
+    return spark.createDataFrame(
+        [_event(*r) for r in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+
+
+def test_cdc_tombstone_removes_and_resurrection_flags(spark):
+    """KTable semantics: a key whose last op is a tombstone is absent;
+    ops after a tombstone resurrect the key and flag it."""
+    from kafka_streams_in_action_spark.operators import relational
+
+    ev = _events_of(spark, [
+        (1, 0, "signup", 1.0), (1, 1, "view", 2.0), (1, 2, "error", 0.0),
+        (2, 3, "signup", 1.0), (2, 4, "error", 0.0), (2, 5, "view", 5.0),
+        (3, 6, "view", 7.0),
+    ])
+    out = {r.user_id: r for r in relational.cdc_materialize(ev).collect()}
+    assert 1 not in out, "tombstoned key must be absent"
+    assert out[2].resurrected and out[2].last_value_milli == 5000
+    assert out[2].n_ops == 3 and out[2].n_deletes == 1
+    assert not out[3].resurrected and out[3].last_op == "U"
+
+
+# -------------------------------------------------------------- coverage
+
+def test_interval_coverage_counts_overlaps_once(spark):
+    """Two fully-overlapping 7-day intervals cover 7 days; a disjoint
+    third adds its own length; span runs first start → last end."""
+    from kafka_streams_in_action_spark.operators import event_time
+
+    li = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1)), (1, dt.date(2024, 1, 1)),
+         (1, dt.date(2024, 2, 1))],
+        "l_suppkey long, l_shipdate date")
+    [r] = event_time.interval_coverage(li).collect()
+    assert r.covered_days == 14          # 7 (overlapped once) + 7
+    assert r.span_days == 38             # Jan 1 → Feb 8
+    assert r.n_shipments == 3
+    assert r.utilization == 14.0 / 38.0
+
+
+# ----------------------------------------------------------- changepoint
+
+def test_changepoint_finds_level_shift(spark):
+    """A clean 10→50 level shift at day 15 must split exactly there,
+    with segment means exact."""
+    vals = [10.0] * 15 + [50.0] * 15
+    out = {r.event_type: r
+           for r in windows.change_point(
+               _daily_events(spark, vals)).collect()}
+    r = out["view"]
+    assert r.split_k == 15
+    assert r.split_day == (TS0 + dt.timedelta(days=15)).date()
+    assert r.mean_left_milli == 10000.0
+    assert r.mean_right_milli == 50000.0
+
+
+# ----------------------------------------------------------------- markov
+
+def test_markov_alternating_chain_is_uniform(spark):
+    """A strict A→B→A→... chain has the uniform stationary
+    distribution (500000 ppm each)."""
+    from kafka_streams_in_action_spark.operators import event_time
+
+    rows = [(i, "A" if i % 2 == 0 else "B") for i in range(40)]
+    ev = _events_of(spark, [(1, i, t, 1.0) for i, t in rows])
+    out = {r.event_type: r.p_ppm
+           for r in event_time.markov_stationary(ev).collect()}
+    assert out == {"A": 500000, "B": 500000}
+
+
+# -------------------------------------------------------------- diversity
+
+def test_diversity_identical_vs_orthogonal(spark):
+    """All-identical vectors: mean pairwise dot equals the mean squared
+    norm. Orthogonal vectors: mean pairwise dot is zero."""
+    from kafka_streams_in_action_spark.operators import similarity
+
+    same = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(4)],
+        "vec_id long, embedding array<float>, label int")
+    [r] = similarity.corpus_diversity(same).collect()
+    assert r.mean_pair_dot_micro2 == r.mean_sq_norm_micro2 == 1e12
+    ortho = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int")
+    [r] = similarity.corpus_diversity(ortho).collect()
+    assert r.mean_pair_dot_micro2 == 0.0
+
+
+# -------------------------------------------------------------- padwaste
+
+def test_padwaste_buckets_and_truncation(spark):
+    """1 token pads to 64 (63 wasted); 65 tokens pad to 128; 600 tokens
+    truncate to 512 with the loss reported separately."""
+    from kafka_streams_in_action_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(0, "a", "en", "s", 1),
+         (1, " ".join(["w"] * 65), "en", "s", 129),
+         (2, " ".join(["w"] * 600), "en", "s", 1200)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r.bucket_len: r
+           for r in sampling.pad_waste_audit(docs).collect()}
+    assert out[64].n_docs == 1 and out[64].padded_tokens == 64
+    assert out[64].waste_frac == 63.0 / 64.0
+    assert out[128].sum_tokens == 65
+    assert out[512].truncated_tokens == 88  # 600 - 512
+    assert out[512].waste_frac == 0.0
+
+
+# ------------------------------------------------------------------ blur
+
+def test_blur_flat_image_scores_zero_and_texture_positive(spark):
+    """A constant image has zero Laplacian response everywhere; the
+    formula-textured fixture scores strictly positive."""
+    import numpy as np
+
+    from kafka_streams_in_action_spark.operators import multimodal
+
+    flat = multimodal._encode_bmp_from(
+        6, 5, np.full((5, 18), 7, dtype=np.uint8))
+    textured = multimodal.encode_bmp(3, 40)
+    media = spark.createDataFrame(
+        [(0, bytearray(flat)), (1, bytearray(textured))],
+        "doc_id long, payload binary")
+    out = {r.doc_id: r for r in multimodal.blur_scores(media).collect()}
+    assert out[0].blur_var == 0.0 and out[0].lap_sum == 0
+    assert out[1].blur_var > 0.0
+    assert out[0].n_interior == 3 * 4  # (5-2) x (6-2)
+
+
+# ------------------------------------------------------------------- scc
+
+def test_scc_cycle_and_tail(spark):
+    """A 3-cycle collapses to one min-id-labelled component; the tail
+    node that reaches the cycle but is never reached back stays a
+    singleton."""
+    from kafka_streams_in_action_spark.operators import graph
+
+    nation = spark.createDataFrame(
+        [(i, f"N{i}", 0, "") for i in range(1, 5)],
+        "n_nationkey long, n_name string, n_regionkey long, "
+        "n_comment string")
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 1, 1), (4, 1, 1)],
+        "src long, dst long, w long")
+    out = {r.nationkey: r
+           for r in graph.scc_trade(None, None, None, None, nation,
+                                    edges=edges).collect()}
+    assert out[1].scc_label == out[2].scc_label == out[3].scc_label == 1
+    assert out[1].scc_size == 3
+    assert out[4].scc_label == 4 and out[4].scc_size == 1
