@@ -215,6 +215,17 @@ HEADLINE = [
     "c6_dpp",                # dynamic partition pruning star join
     "c10_asof_tolerance",    # staleness-bounded as-of (merge_asof tol)
     "c33_seasonal_anomaly",  # z-score on the STL residual
+    # round-10 additions (r12 slate)
+    "c35_cdc",               # KTable changelog materialization
+    "c35_cdc_stream",        # the same fold as a 4-batch state machine
+    "c9_coverage",           # sweep-line interval-union coverage
+    "c12_changepoint",       # exact single change-point argmax
+    "c34_markov",            # stationary distribution, 12 ppm steps
+    "c29_diversity",         # Gram-sum mean pairwise dot
+    "c32_padwaste",          # length-bucket padding-waste ledger
+    "c31_blur",              # in-kernel variance-of-Laplacian
+    "c37_aqe_skew",          # runtime skew-split earned verdict
+    "c38_scc",               # BFS-closure SCC labels
 ]
 
 
@@ -274,7 +285,8 @@ STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c35_scd2_stream", "c12_holt_stream",
                   "c34_throttle_stream", "c12_drawdown_stream",
                   "c33_flatline_stream", "c10_asof_stream",
-                  "c34_interarrival_stream", "c34_l28_stream"]
+                  "c34_interarrival_stream", "c34_l28_stream",
+                  "c35_cdc_stream"]
 
 # Micro-batch count each twin's availableNow replay executes (the fixed
 # replay floor is ~batches × stream_overhead_sec); all the file-split

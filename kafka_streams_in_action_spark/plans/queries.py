@@ -1139,6 +1139,56 @@ def _scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stitch_versions(spark.table(sink))
 
 
+def _cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35o streaming twin, driver-visible: the op log replayed across a
+    REAL 4-batch time split (maxFilesPerTrigger=1 over time-ordered
+    files) through the keyed KTable fold
+    (streaming/stateful.py:cdc_state_stream); the read side takes each
+    key's monotone-latest snapshot (argmax by n_ops), applies the
+    tombstone filter, and derives resurrected = n_deletes > 0 — checked
+    against the FULL batch c35_cdc oracle. The five-field state must
+    survive three micro-batch boundaries for the materialized table to
+    hash-match."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import cdc_state_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c35_cdc_stream_src_")
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
+        .localCheckpoint()
+    for s in range(1, 5):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(src))
+    sink = f"c35_cdc_stream_{uuid.uuid4().hex[:8]}"
+    op = (F.when(F.col("event_type") == "signup", "I")
+          .when(F.col("event_type") == "error", "D")
+          .otherwise("U"))
+    vm = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .select("user_id", "event_id",
+                          F.unix_micros("ts").alias("ts_us"),
+                          op.alias("op"), vm.alias("vm")))
+        q = (cdc_state_stream(stream)
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    snaps = spark.table(sink)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_ops").desc())
+    return (snaps.withColumn("_r", F.row_number().over(w))
+            .filter((F.col("_r") == 1) & (F.col("last_op") != "D"))
+            .select("user_id", "last_op", "last_value_milli",
+                    "last_ts_us", "n_ops", "n_deletes",
+                    (F.col("n_deletes") > 0).alias("resurrected")))
+
+
 def _compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C37g driver run: fragment the events table into 64 small files,
     compact with an ordering column, verdict on the REAL compacted
@@ -8120,6 +8170,40 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         FROM last l JOIN aud a USING (user_id)
         WHERE l.op <> 'D'
         """),
+    "c35_cdc_stream": QuerySpec(
+        # C35o-s: the KTable fold as a 4-batch availableNow replay —
+        # monotone per-key snapshots, read-side argmax + tombstone
+        # filter; SAME oracle as the batch c35_cdc.
+        _cdc_stream,
+        """
+        WITH log AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'signup' THEN 'I'
+                        WHEN event_type = 'error' THEN 'D'
+                        ELSE 'U' END AS op,
+                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm
+            FROM events),
+        seq AS (
+            SELECT user_id, ts, event_id, op, vm,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM log),
+        aud AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_ops,
+                   CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_deletes,
+                   max(CASE WHEN op = 'D' THEN rn END) AS last_del_rn
+            FROM seq GROUP BY 1),
+        last AS (
+            SELECT s.* FROM seq s JOIN aud a ON a.user_id = s.user_id
+            WHERE s.rn = a.n_ops)
+        SELECT l.user_id, l.op AS last_op, l.vm AS last_value_milli,
+               epoch_us(l.ts) AS last_ts_us, a.n_ops, a.n_deletes,
+               (a.last_del_rn IS NOT NULL AND a.n_ops > a.last_del_rn)
+                   AS resurrected
+        FROM last l JOIN aud a USING (user_id)
+        WHERE l.op <> 'D'
+        """),
     "c9_coverage": QuerySpec(
         # C9g: interval-union coverage per supplier — sweep-line union
         # length + span + exact utilization ratio.
@@ -8554,7 +8638,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     **{n: 10 for n in [
         "c35_cdc", "c9_coverage", "c12_changepoint", "c34_markov",
         "c29_diversity", "c32_padwaste", "c31_blur", "c37_aqe_skew",
-        "c38_scc",
+        "c38_scc", "c35_cdc_stream",
     ]},
 }
 

@@ -894,3 +894,62 @@ def l28_bitmask_stream(rows: DataFrame) -> DataFrame:
                 stateStructType="mask bigint",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def cdc_state_stream(ops: DataFrame) -> DataFrame:
+    """C35o streaming twin: the KTable fold as a keyed state machine —
+    the LIVE form of changelog materialization, which is the reference's
+    own runtime semantic (a consumer tailing a compacted topic maintains
+    exactly this per-key last-op state; Kafka Streams' KTable). Input is
+    the pre-projected op log (user_id, event_id, ts_us, op, vm); state
+    per key is the five-field snapshot (last op, last value, last ts,
+    op/delete counters) — constant bytes per key at ANY event volume.
+    Each micro-batch folds its ops in (ts_us, event_id) order onto the
+    carried state and emits the key's state-so-far snapshot in append
+    mode (immutable "state after batch k" facts); n_ops is strictly
+    monotone per key, so the read side recovers the FINAL state as the
+    per-key argmax by n_ops (the l28 monotone-emission discipline) and
+    applies the tombstone filter there. For survivors resurrected ≡
+    n_deletes > 0 (an op after the last delete must exist when the last
+    op isn't the delete), so the read side derives it exactly.
+
+    Same cross-batch ordering caveat as every stateful twin: replay
+    assumes time-sliced batches; a live out-of-order feed needs the
+    watermark-sorted front the C25 row carries."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        last_op, last_vm, last_ts, n_ops, n_del = \
+            state.get if state.exists else ("", 0, 0, 0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True) \
+            .sort_values(["ts_us", "event_id"])
+        n = len(rows)
+        if n:
+            last = rows.iloc[-1]
+            last_op = str(last["op"])
+            last_vm = int(last["vm"])
+            last_ts = int(last["ts_us"])
+            n_ops = int(n_ops) + n
+            n_del = int(n_del) + int((rows["op"] == "D").sum())
+        state.update((last_op, last_vm, last_ts, int(n_ops), int(n_del)))
+        yield pd.DataFrame({
+            "user_id": pd.array([key[0]], dtype="Int64"),
+            "last_op": pd.array([last_op], dtype="string"),
+            "last_value_milli": pd.array([last_vm], dtype="Int64"),
+            "last_ts_us": pd.array([last_ts], dtype="Int64"),
+            "n_ops": pd.array([n_ops], dtype="Int64"),
+            "n_deletes": pd.array([n_del], dtype="Int64"),
+        })
+
+    return (ops.groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=(
+                    "user_id long, last_op string, last_value_milli "
+                    "long, last_ts_us long, n_ops long, n_deletes long"),
+                stateStructType=("last_op string, last_vm long, "
+                                 "last_ts long, n_ops long, n_del long"),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

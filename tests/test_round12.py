@@ -295,3 +295,65 @@ def test_scc_cycle_and_tail(spark):
     assert out[1].scc_label == out[2].scc_label == out[3].scc_label == 1
     assert out[1].scc_size == 3
     assert out[4].scc_label == 4 and out[4].scc_size == 1
+
+
+# ------------------------------------------------------------ cdc stream
+
+def test_cdc_stream_checkpoint_restart_carries_state(spark, tmp_path):
+    """A17 durability for the KTable fold: stop the stream mid-log,
+    restart from the same checkpoint with new files — the five-field
+    snapshot state must round-trip the state store so the read-side
+    argmax equals the batch materialization exactly."""
+    from pyspark.sql import Window
+
+    from kafka_streams_in_action_spark.operators import relational
+    from kafka_streams_in_action_spark.sources.parquet import load_table
+    from kafka_streams_in_action_spark.streaming.stateful import (
+        cdc_state_stream)
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR)
+    d = str(tmp_path / "cdc_cp_src")
+    cp = str(tmp_path / "cdc_cp")
+    sink = str(tmp_path / "cdc_cp_sink")
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+
+    def write_slices(lo, hi):
+        for s in range(lo, hi + 1):
+            (sliced.filter(F.col("slice") == s).drop("slice")
+             .coalesce(1).write.mode("append").parquet(d))
+
+    op = (F.when(F.col("event_type") == "signup", "I")
+          .when(F.col("event_type") == "error", "D").otherwise("U"))
+    vm = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+
+    def run():
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d)
+                  .select("user_id", "event_id",
+                          F.unix_micros("ts").alias("ts_us"),
+                          op.alias("op"), vm.alias("vm")))
+        q = (cdc_state_stream(stream)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    write_slices(1, 2)
+    run()
+    write_slices(3, 4)
+    run()
+
+    snaps = spark.read.parquet(sink)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_ops").desc())
+    got = (snaps.withColumn("_r", F.row_number().over(w))
+           .filter((F.col("_r") == 1) & (F.col("last_op") != "D"))
+           .select("user_id", "last_op", "last_value_milli",
+                   "last_ts_us", "n_ops", "n_deletes",
+                   (F.col("n_deletes") > 0).alias("resurrected")))
+    want = relational.cdc_materialize(ev)
+    cols = want.columns
+    assert sorted(map(tuple, got.select(cols).collect())) == \
+        sorted(map(tuple, want.collect()))
