@@ -309,6 +309,17 @@ PROBE_QUERIES = [
     "c6_dpp",               # runtime-pruned star join over real dirs
     "c10_asof_tolerance",   # tolerance-pruned as-of candidate join
     "c33_seasonal_anomaly", # STL pipeline + per-type stats broadcast
+    # round-10 (r12 slate) rows
+    "c35_cdc",              # one keyed window pass over the op log
+    "c35_cdc_stream",       # 4-batch KTable fold + read-side argmax
+    "c9_coverage",          # ±1 delta explode + keyed sweep window
+    "c12_changepoint",      # day rollup + prefix window + bounded rank
+    "c34_markov",           # pair window + bounded 12-step iteration
+    "c29_diversity",        # two linear aggs (posexplode map-side)
+    "c32_padwaste",         # projection + ≤8-row agg
+    "c31_blur",             # in-kernel decode+convolve, 0 shuffle
+    "c37_aqe_skew",         # skewed SMJ + global agg (plan verdict)
+    "c38_scc",              # 4-table edge build + bounded BFS closure
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact
