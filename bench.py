@@ -226,6 +226,9 @@ HEADLINE = [
     "c31_blur",              # in-kernel variance-of-Laplacian
     "c37_aqe_skew",          # runtime skew-split earned verdict
     "c38_scc",               # BFS-closure SCC labels
+    "c33_anomaly2",          # day-bucket z-score rewrite (x|days| tasks)
+    "c33_fd",                # functional-dependency audit
+    "c12_seasonal",          # STL seasonal-strength gauge
 ]
 
 

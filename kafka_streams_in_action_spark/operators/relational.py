@@ -2189,3 +2189,37 @@ def column_entropy(events: DataFrame, documents: DataFrame) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+def fd_audit(part: DataFrame, customer: DataFrame) -> DataFrame:
+    """C33x: functional-dependency audit — verify claimed X→Y invariants
+    by counting determinant keys with more than one distinct dependent
+    (the schema-contract check run before trusting a column as derivable
+    /denormalizable, and the detector for merge bugs that fork a
+    dependent). Four claimed FDs, two of which fail BY CONSTRUCTION in
+    this corpus so the audit demonstrably fires (the dataset_fingerprint
+    prove-it-detects posture): p_partkey→p_brand and
+    c_custkey→c_mktsegment hold (key determinants); p_brand→p_type and
+    c_mktsegment→c_nationkey do not.
+
+    Scale: each FD is one (lhs → countDistinct rhs) keyed agg collapsed
+    to a 1-row summary — map-side combinable, output bounded at the
+    number of claimed FDs."""
+    def one(df: DataFrame, name: str, lhs: str, rhs: str) -> DataFrame:
+        per_key = (df.groupBy(lhs)
+                   .agg(F.countDistinct(rhs).alias("nd")))
+        return per_key.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long")
+            .alias("n_violating_keys"),
+            F.max("nd").alias("max_distinct_dependents"),
+            (F.max("nd") == 1).alias("holds"))
+
+    return (one(part, "p_partkey->p_brand", "p_partkey", "p_brand")
+            .unionByName(one(part, "p_brand->p_type",
+                             "p_brand", "p_type"))
+            .unionByName(one(customer, "c_custkey->c_mktsegment",
+                             "c_custkey", "c_mktsegment"))
+            .unionByName(one(customer, "c_mktsegment->c_nationkey",
+                             "c_mktsegment", "c_nationkey")))

@@ -320,6 +320,9 @@ PROBE_QUERIES = [
     "c31_blur",             # in-kernel decode+convolve, 0 shuffle
     "c37_aqe_skew",         # skewed SMJ + global agg (plan verdict)
     "c38_scc",              # 4-table edge build + bounded BFS closure
+    "c33_anomaly2",         # (type, day)-bucketed window + carry rows
+    "c33_fd",               # four keyed countDistinct aggs
+    "c12_seasonal",         # C12q pipeline + 5-row variance agg
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

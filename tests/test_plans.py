@@ -352,6 +352,8 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c10_asof_stream", "c34_interarrival_stream",
                     # replays the availableNow stream at build (r12)
                     "c35_cdc_stream",
+                    # bounded 1-row density-gate pull at build (r12)
+                    "c33_anomaly2",
                     # writes v1/v2 parquet generations at build (r10)
                     "c35_schema_evo",
                     # bounded ≤5-row distinct-type pull + registry JSON

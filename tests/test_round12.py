@@ -357,3 +357,69 @@ def test_cdc_stream_checkpoint_restart_carries_state(spark, tmp_path):
     cols = want.columns
     assert sorted(map(tuple, got.select(cols).collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+# ---------------------------------------------------- anomaly2 / fd / Fs
+
+def test_anomaly2_dense_and_sparse_match_one_level(spark):
+    """The day-bucket rewrite must equal the one-level operator on a
+    dense corpus (two-level path) AND on a sparse one where the density
+    gate trips (fallback path)."""
+    import random
+
+    rnd = random.Random(7)
+    dense = _events_of(spark, [
+        (1, i, "view", 100.0 + rnd.uniform(-5, 5) + (400 if i == 777 else 0))
+        for i in range(1500)])  # ~1 day? minutes: 1500 min ≈ 25h → 2 days
+    sparse = _events_of(spark, [
+        (1, i * 300, "view", 100.0 + rnd.uniform(-5, 5))
+        for i in range(60)])   # 5h apart → ~5/day, gate trips
+    for ev in (dense, sparse):
+        a = sorted(map(tuple,
+                       windows.rolling_zscore_anomalies(ev).collect()))
+        b = sorted(map(tuple,
+                       windows.rolling_zscore_anomalies_daybucket(ev)
+                       .collect()))
+        assert a == b
+
+
+def test_fd_audit_holds_and_fires(spark):
+    """Key FDs hold; the planted many-to-many FDs must fire with exact
+    violation counts."""
+    from kafka_streams_in_action_spark.operators import relational
+
+    part = spark.createDataFrame(
+        [(1, "n", "B1", "t1", 1, 1.0), (2, "n", "B1", "t2", 1, 1.0),
+         (3, "n", "B2", "t3", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double")
+    cust = spark.createDataFrame(
+        [(1, "c", 1, 0.0, "SEG1"), (2, "c", 2, 0.0, "SEG1")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string")
+    out = {r.fd: r for r in relational.fd_audit(part, cust).collect()}
+    assert out["p_partkey->p_brand"].holds
+    assert not out["p_brand->p_type"].holds
+    assert out["p_brand->p_type"].n_violating_keys == 1  # B1 → {t1,t2}
+    assert out["p_brand->p_type"].max_distinct_dependents == 2
+    assert out["c_custkey->c_mktsegment"].holds
+    assert not out["c_mktsegment->c_nationkey"].holds
+
+
+def test_seasonal_strength_orders_pure_vs_noisy(spark):
+    """A pure weekly pattern scores strength ≈ 1; white noise scores
+    near 0 (clamped at 0) — the gauge must separate them."""
+    import random
+
+    weekly = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0] * 6
+    rnd = random.Random(3)
+    noise = [100.0 + rnd.uniform(-30, 30) for _ in range(42)]
+    pure = {r.event_type: r.strength
+            for r in windows.seasonal_strength(
+                _daily_events(spark, weekly)).collect()}
+    noisy = {r.event_type: r.strength
+             for r in windows.seasonal_strength(
+                 _daily_events(spark, noise)).collect()}
+    assert pure["view"] > 0.999
+    assert noisy["view"] < 0.5
+    assert pure["view"] > noisy["view"]
