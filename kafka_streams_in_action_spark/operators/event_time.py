@@ -1355,3 +1355,108 @@ def hour_of_week_heatmap(events: DataFrame) -> DataFrame:
             .select("event_type", "dow", "hour", "n",
                     (F.col("n").cast("double")
                      / F.col("n_type").cast("double")).alias("share")))
+
+
+def dwell_stats_bucketed(events: DataFrame,
+                         bucket_us: int = 1_000_000) -> DataFrame:
+    """C34j scale rewrite (the c33_anomaly2 discipline applied to the
+    ledger's second-worst probe row, 3.70x): SAME output and oracle as
+    dwell_stats, with both per-type single-task windows lifted:
+
+    - the lag pass partitions by (event_type, day) with each (type,
+      day)'s LAST event carried into the next day's partition (lag(1)
+      needs exactly one carry row — cheaper than the z-score's
+      window-1 carries), valid when every calendar day in a type's
+      span has ≥1 event (gate below; sparser types fall back);
+    - the median is two-level: a (type, gap-bucket) histogram (map-side
+      combinable) locates the bucket holding the global median rank via
+      a cumulative window over BUCKETS (≤ distinct buckets per type,
+      not gaps), then only THAT bucket's rows are rank-selected. The
+      selected VALUE at a global rank is tie-order-invariant, so the
+      bucket-local pick equals the one-level pick exactly.
+
+    Gate: count(distinct day) == span_days + 1 for EVERY type — a
+    bounded |types|-row pull; any gap-day falls back to dwell_stats
+    (a missing day would strand the carry one partition early and
+    silently null a real gap).
+
+    MEASURED, NOT REGISTERED (verdict r9 item 8 resolution for this
+    row): round-10 A/B at sf0.001/0.01/0.1/10x — output identical
+    everywhere; growth improves 3.74x → 2.19x but ABSOLUTE cost is
+    1.4-2x worse through 10x (0.588→1.397 s at sf0.1, 2.201→3.065 s at
+    10x): the extra stages (carry build, histogram, cumulative,
+    in-bucket rank) cost more than the |types|-task windows save at
+    any scale the probe reaches. The one-level dwell_stats stays the
+    registered form; this variant is kept equality-tested
+    (tests/test_round12.py) as the documented crossover path for a
+    corpus whose per-type gap count actually saturates a task."""
+    density = (events
+               .groupBy("event_type")
+               .agg((F.countDistinct(F.to_date("ts"))
+                     == F.datediff(F.max(F.to_date("ts")),
+                                   F.min(F.to_date("ts"))) + 1)
+                    .alias("ok"))
+               .agg(F.min("ok").alias("all_ok")))
+    if not density.collect()[0][0]:  # bounded 1-row density gate
+        return dwell_stats(events)
+
+    base = events.select(
+        "event_type", "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.to_date("ts").alias("_day"))
+    wd = Window.partitionBy("event_type", "_day").orderBy(
+        "ts_us", "event_id")
+    last_per_day = (base
+                    .withColumn("_rn", F.row_number().over(
+                        Window.partitionBy("event_type", "_day")
+                        .orderBy(F.col("ts_us").desc(),
+                                 F.col("event_id").desc())))
+                    .filter(F.col("_rn") == 1).drop("_rn")
+                    .withColumn("_day", F.date_add("_day", 1))
+                    .withColumn("_carry", F.lit(1)))
+    u = (base.withColumn("_carry", F.lit(0))
+         .unionByName(last_per_day))
+    gaps = (u
+            .withColumn("_prev", F.lag("ts_us").over(
+                Window.partitionBy("event_type", "_day")
+                .orderBy("ts_us", "event_id", "_carry")))
+            .filter((F.col("_carry") == 0) & F.col("_prev").isNotNull())
+            .select("event_type",
+                    (F.col("ts_us") - F.col("_prev")).alias("gap_us")))
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        (F.sum("gap_us").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("mean_gap_us"))
+    # two-level exact median: histogram over gap buckets, cumulative
+    # over the bounded bucket axis, rank-select inside one bucket
+    b = (F.col("gap_us") / F.lit(bucket_us)).cast("long")
+    hist = (gaps.withColumn("_b", b)
+            .groupBy("event_type", "_b")
+            .agg(F.count(F.lit(1)).alias("c")))
+    wb = (Window.partitionBy("event_type").orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (hist
+           .withColumn("cum", F.sum("c").over(wb))
+           .join(F.broadcast(
+               gaps.groupBy("event_type")
+               .agg(((F.count(F.lit(1)) + 1) / 2).cast("long")
+                    .alias("r"))), "event_type")
+           .filter(F.col("cum") >= F.col("r"))
+           .groupBy("event_type")
+           .agg(F.min_by(F.struct("_b", "cum", "c"), "_b").alias("t"))
+           .select("event_type", F.col("t._b").alias("_b"),
+                   (F.col("t.cum") - F.col("t.c")).alias("cum_prev")))
+    target = cum.join(F.broadcast(
+        gaps.groupBy("event_type")
+        .agg(((F.count(F.lit(1)) + 1) / 2).cast("long").alias("r"))),
+        "event_type")
+    in_bucket = (gaps.withColumn("_b", b)
+                 .join(F.broadcast(target), ["event_type", "_b"]))
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    med = (in_bucket
+           .withColumn("_rn", F.row_number().over(wr))
+           .filter(F.col("_rn") == F.col("r") - F.col("cum_prev"))
+           .select("event_type", F.col("gap_us").alias("median_gap_us")))
+    return agg.join(med, "event_type")

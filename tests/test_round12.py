@@ -423,3 +423,25 @@ def test_seasonal_strength_orders_pure_vs_noisy(spark):
     assert pure["view"] > 0.999
     assert noisy["view"] < 0.5
     assert pure["view"] > noisy["view"]
+
+
+def test_dwell_bucketed_matches_one_level(spark):
+    """The measured-not-registered dwell rewrite must stay output-
+    identical to the registered operator (both the carried-lag dense
+    path and the density-gate fallback)."""
+    from kafka_streams_in_action_spark.operators import event_time
+    from kafka_streams_in_action_spark.sources.parquet import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR)
+    a = sorted(map(tuple, event_time.dwell_stats(ev).collect()))
+    b = sorted(map(tuple, event_time.dwell_stats_bucketed(ev).collect()))
+    assert a == b
+    # sparse input (gap days) must trip the gate and fall back
+    sparse = _events_of(spark, [(1, i * 3000, "view", 1.0)
+                                for i in range(20)])
+    a = sorted(map(tuple, event_time.dwell_stats(sparse).collect()))
+    b = sorted(map(tuple,
+                   event_time.dwell_stats_bucketed(sparse).collect()))
+    assert a == b
