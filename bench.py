@@ -229,6 +229,8 @@ HEADLINE = [
     "c33_anomaly2",          # day-bucket z-score rewrite (x|days| tasks)
     "c33_fd",                # functional-dependency audit
     "c12_seasonal",          # STL seasonal-strength gauge
+    "c32_epoch_shuffle",     # epoch-salted shard/order projection
+    "c31_snr",               # in-kernel active/quiet power ratio
 ]
 
 

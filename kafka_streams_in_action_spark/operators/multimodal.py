@@ -954,3 +954,78 @@ def blur_scores(bmp_media: DataFrame) -> DataFrame:
         "lap_sum", "lap_sq_sum",
         ((n * ss - s * s).cast("double")
          / (n * n).cast("double")).alias("blur_var"))
+
+
+def snr_estimate(audio_media: DataFrame, frame_len: int = 64,
+                 thresh_msq: int = 350_000) -> DataFrame:
+    """C31q: signal-to-noise estimate — the audio-QA gate beside C31i's
+    VAD and C31l's clipping: mean frame energy of the ACTIVE frames
+    (the C31i activity rule, ssq ≥ thresh·len) over mean energy of the
+    inactive frames. A recording whose "speech" barely clears its own
+    noise floor is transcription poison and gets filtered before ASR
+    spend. Decode + frame + classify + reduce inside ONE Arrow kernel
+    (payload bytes never shuffle); only five integers leave it.
+
+    Engine-exact: both powers are exact integer (Σssq, Σsamples)
+    pairs, and the SNR is a single cross-multiplied ratio of exact
+    integers — snr_ratio = (speech_ssq·noise_n)/(noise_ssq·speech_n) —
+    as one string-bridged division (products can pass 2^53). All-
+    active or all-quiet streams emit NULL (no meaningful floor). The
+    dB form is deliberately NOT emitted: log10 is not cross-engine
+    bit-stable, and the ratio carries the same decision."""
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_active": [],
+                   "speech_ssq": [], "speech_n": [],
+                   "noise_ssq": [], "noise_n": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                pos, data = 12, None
+                while pos + 8 <= len(b):
+                    cid = b[pos:pos + 4]
+                    clen = struct.unpack_from("<I", b, pos + 4)[0]
+                    if cid == b"data":
+                        data = b[pos + 8: pos + 8 + clen]
+                    pos += 8 + clen + (clen & 1)
+                if data is None:
+                    raise ValueError("missing data chunk")
+                s = np.frombuffer(data, dtype="<i2").astype("int64")
+                nf = (len(s) + frame_len - 1) // frame_len
+                sp_ssq = sp_n = nz_ssq = nz_n = n_act = 0
+                for f in range(nf):
+                    chunk = s[f * frame_len:(f + 1) * frame_len]
+                    ssq = int((chunk * chunk).sum())
+                    if ssq >= thresh_msq * len(chunk):
+                        sp_ssq += ssq
+                        sp_n += len(chunk)
+                        n_act += 1
+                    else:
+                        nz_ssq += ssq
+                        nz_n += len(chunk)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(nf)
+                out["n_active"].append(n_act)
+                out["speech_ssq"].append(sp_ssq)
+                out["speech_n"].append(sp_n)
+                out["noise_ssq"].append(nz_ssq)
+                out["noise_n"].append(nz_n)
+            yield pd.DataFrame(out)
+
+    stats = audio_media.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, n_frames int, n_active int, "
+                       "speech_ssq long, speech_n long, "
+                       "noise_ssq long, noise_n long")
+    sb = lambda c: c.cast("string").cast("double")  # noqa: E731
+    # DECIMAL(38,0) operands: ssq·n passes 2^63 for hour-scale PCM16
+    # (the acf_daily operand discipline)
+    dec = "decimal(38,0)"
+    num = F.col("speech_ssq").cast(dec) * F.col("noise_n")
+    den = F.col("noise_ssq").cast(dec) * F.col("speech_n")
+    return stats.select(
+        "doc_id", "n_frames", "n_active",
+        "speech_ssq", "speech_n", "noise_ssq", "noise_n",
+        F.when(den > 0, sb(num) / sb(den)).alias("snr_ratio"))

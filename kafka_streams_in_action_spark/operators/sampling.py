@@ -654,3 +654,34 @@ def temperature_mix(documents: DataFrame, alpha: float = 0.3,
                         F.expr("(alloc * 1000000) div n_docs"))
             .select("lang", "n_docs", "weight_micro", "base_alloc",
                     "extra", "alloc", "boost_ppm"))
+
+
+def epoch_shuffle(documents: DataFrame, n_epochs: int = 2,
+                  n_shards: int = 8) -> DataFrame:
+    """C32r: deterministic per-epoch training shuffle — each epoch
+    assigns every document a shard and an in-shard order key by
+    content-addressed FNV of (doc_id ‖ tag ‖ epoch), so (a) the shuffle
+    is reproducible across runs/engines/partitionings (the module
+    doctrine: never rand()), (b) epochs draw INDEPENDENT orders (the
+    salt includes the epoch), and (c) membership never changes — the
+    trainer re-reads the same corpus in a different order each epoch
+    without materializing a permuted copy. This is how large-scale
+    dataloaders implement epoch shuffling over immutable shards
+    (order-by-hash within hash-assigned shards; a global sort is
+    neither needed nor used — consumers sort per shard at read time).
+
+    Pure projection fanned by a literal epoch array — one narrow pass,
+    no shuffle at all; the emitted (epoch, shard, order_key) triple is
+    the full seed-free reproducibility contract."""
+    eps = F.explode(F.array(*[F.lit(e) for e in range(n_epochs)])) \
+        .alias("epoch")
+    base = documents.select("doc_id", eps)
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":ep:"),
+                   F.col("epoch").cast("string"))
+    okey = F.concat(F.col("doc_id").cast("string"), F.lit(":ord:"),
+                    F.col("epoch").cast("string"))
+    return base.select(
+        "doc_id", "epoch",
+        F.pmod(fnv32_column(key), F.lit(n_shards)).cast("int")
+        .alias("shard"),
+        fnv32_column(okey).alias("order_key"))

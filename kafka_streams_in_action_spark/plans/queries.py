@@ -8559,6 +8559,71 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                END AS strength
         FROM st
         """),
+    "c32_epoch_shuffle": QuerySpec(
+        # C32r: per-epoch deterministic shard + order assignment —
+        # epoch-salted FNV, membership invariant, orders independent.
+        _t("documents")(sampling.epoch_shuffle),
+        f"""
+        WITH e AS (
+            SELECT doc_id, u.e AS epoch,
+                   doc_id::VARCHAR || ':ep:' || u.e::VARCHAR AS kshard,
+                   doc_id::VARCHAR || ':ord:' || u.e::VARCHAR AS kord
+            FROM documents,
+                 LATERAL unnest(generate_series(0, 1)) AS u(e))
+        SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+               CAST({_FNV_SQL.format(col='kshard')} % 8 AS INTEGER)
+                   AS shard,
+               CAST({_FNV_SQL.format(col='kord')} AS BIGINT)
+                   AS order_key
+        FROM e
+        """),
+    "c31_snr": QuerySpec(
+        # C31q: in-kernel SNR gate — active vs quiet frame power as a
+        # cross-multiplied exact-integer ratio; oracle rebuilds frames
+        # from the synth sample formula (the C31i machinery).
+        lambda spark, sf_dir: multimodal.snr_estimate(
+            multimodal.to_audio_media(load_table(spark, "documents",
+                                                 sf_dir))),
+        """
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        a AS (SELECT doc_id, (nb % 400) + 50 AS n FROM d),
+        smp AS (
+            SELECT doc_id, u.i,
+                   ((doc_id * 13 + u.i * 29) % 2048 - 1024) AS v
+            FROM a, LATERAL unnest(generate_series(0, n - 1)) AS u(i)),
+        fr AS (
+            SELECT doc_id, i // 64 AS f,
+                   CAST(sum(v * v) AS BIGINT) AS ssq, count(*) AS ln
+            FROM smp GROUP BY 1, 2),
+        cls AS (
+            SELECT doc_id, ssq, ln,
+                   (ssq >= 350000 * ln) AS active
+            FROM fr),
+        agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS INTEGER) AS n_frames,
+                   CAST(sum(CASE WHEN active THEN 1 ELSE 0 END)
+                        AS INTEGER) AS n_active,
+                   CAST(coalesce(sum(CASE WHEN active THEN ssq END), 0)
+                        AS BIGINT) AS speech_ssq,
+                   CAST(coalesce(sum(CASE WHEN active THEN ln END), 0)
+                        AS BIGINT) AS speech_n,
+                   CAST(coalesce(sum(CASE WHEN NOT active THEN ssq END),
+                                 0) AS BIGINT) AS noise_ssq,
+                   CAST(coalesce(sum(CASE WHEN NOT active THEN ln END),
+                                 0) AS BIGINT) AS noise_n
+            FROM cls GROUP BY 1)
+        SELECT doc_id, n_frames, n_active, speech_ssq, speech_n,
+               noise_ssq, noise_n,
+               CASE WHEN CAST(noise_ssq AS HUGEINT) * speech_n > 0 THEN
+                   CAST(CAST(CAST(speech_ssq AS HUGEINT) * noise_n
+                             AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(CAST(noise_ssq AS HUGEINT) * speech_n
+                               AS VARCHAR) AS DOUBLE)
+               END AS snr_ratio
+        FROM agg
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -8747,7 +8812,7 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c35_cdc", "c9_coverage", "c12_changepoint", "c34_markov",
         "c29_diversity", "c32_padwaste", "c31_blur", "c37_aqe_skew",
         "c38_scc", "c35_cdc_stream", "c33_anomaly2", "c33_fd",
-        "c12_seasonal",
+        "c12_seasonal", "c32_epoch_shuffle", "c31_snr",
     ]},
 }
 

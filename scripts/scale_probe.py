@@ -323,6 +323,8 @@ PROBE_QUERIES = [
     "c33_anomaly2",         # (type, day)-bucketed window + carry rows
     "c33_fd",               # four keyed countDistinct aggs
     "c12_seasonal",         # C12q pipeline + 5-row variance agg
+    "c32_epoch_shuffle",    # narrow FNV projection, no shuffle
+    "c31_snr",              # in-kernel decode+frame+reduce, 0 shuffle
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

@@ -445,3 +445,63 @@ def test_dwell_bucketed_matches_one_level(spark):
     b = sorted(map(tuple,
                    event_time.dwell_stats_bucketed(sparse).collect()))
     assert a == b
+
+
+# ---------------------------------------------------- epoch shuffle / snr
+
+def test_epoch_shuffle_membership_stable_orders_differ(spark):
+    """Every epoch holds exactly the corpus (membership invariance);
+    the order keys between epochs disagree on most documents
+    (independence); shards rebalance across epochs."""
+    from kafka_streams_in_action_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(200)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = sampling.epoch_shuffle(docs, n_epochs=2).collect()
+    by_epoch: dict = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = (r.shard,
+                                                      r.order_key)
+    assert set(by_epoch) == {0, 1}
+    assert set(by_epoch[0]) == set(by_epoch[1]) == set(range(200))
+    same_order = sum(1 for d in range(200)
+                     if by_epoch[0][d][1] == by_epoch[1][d][1])
+    assert same_order < 5  # independent draws collide ~never
+    # deterministic across invocations
+    again = {(r.doc_id, r.epoch): (r.shard, r.order_key)
+             for r in sampling.epoch_shuffle(docs, n_epochs=2).collect()}
+    assert all(again[(d, e)] == by_epoch[e][d]
+               for e in (0, 1) for d in range(200))
+
+
+def test_snr_separates_loud_and_quiet_mix(spark):
+    """A synthetic stream with loud and quiet halves must classify
+    frames into both pools and report the exact cross-multiplied
+    ratio; an all-quiet stream emits NULL."""
+    import struct as st
+
+    import numpy as np
+
+    from kafka_streams_in_action_spark.operators import multimodal
+
+    def wav(samples):
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", len(data)) + data)
+        return b"RIFF" + st.pack("<I", len(body)) + body
+
+    loudquiet = [900] * 64 + [10] * 64     # one loud + one quiet frame
+    quiet = [10] * 128
+    media = spark.createDataFrame(
+        [(0, bytearray(wav(loudquiet))), (1, bytearray(wav(quiet)))],
+        "doc_id long, payload binary")
+    out = {r.doc_id: r for r in multimodal.snr_estimate(media).collect()}
+    r = out[0]
+    assert (r.n_frames, r.n_active) == (2, 1)
+    assert r.speech_ssq == 64 * 900 * 900 and r.noise_ssq == 64 * 100
+    assert r.snr_ratio == float(r.speech_ssq * r.noise_n) / \
+        float(r.noise_ssq * r.speech_n)
+    assert out[1].n_active == 0 and out[1].snr_ratio is None
