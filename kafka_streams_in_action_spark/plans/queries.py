@@ -8817,19 +8817,19 @@ _REGISTERED_ROUND: dict[str, int] = {
 }
 
 # Round-11 window plan (to become _ROUND11_PRIORITY next round): the
-# 13-row r12 slate registered this session — c35_cdc, c9_coverage,
+# 15-row r12 slate registered this session — c35_cdc, c9_coverage,
 # c12_changepoint, c34_markov, c29_diversity, c32_padwaste, c31_blur,
 # c37_aqe_skew, c38_scc, c35_cdc_stream, c33_anomaly2, c33_fd,
-# c12_seasonal — leads the window (every row already three-scale
-# sim-green and float-bit-exact); the 9 r4-era rows deferred out of the
-# round-10 window follow (a9_wire_roundtrip_proto, c10_asof_union,
-# c14_union_distinct, c29_cosine_near_dup, c29_outliers, c29_pq_ann,
-# c30_curate_v2, c5_unpivot, c9_range_window — after them no row's last
-# driver check predates r5); the remaining ~28 slots go to round-11
-# judge items and the oldest (r5-checked) cohort via the freshness
-# ledger — 49 rows sit at r5, so the r5 rotation completes over rounds
-# 11-12. Judge items displace from the rotation tail only, never the
-# r12 rows.
+# c12_seasonal, c32_epoch_shuffle, c31_snr — leads the window (every
+# row already three-scale sim-green and float-bit-exact); the 9 r4-era
+# rows deferred out of the round-10 window follow
+# (a9_wire_roundtrip_proto, c10_asof_union, c14_union_distinct,
+# c29_cosine_near_dup, c29_outliers, c29_pq_ann, c30_curate_v2,
+# c5_unpivot, c9_range_window — after them no row's last driver check
+# predates r5); the remaining ~26 slots go to round-11 judge items and
+# the oldest (r5-checked) cohort via the freshness ledger — 49 rows
+# sit at r5, so the r5 rotation completes over rounds 11-12. Judge
+# items displace from the rotation tail only, never the r12 rows.
 
 # (historical r9 comment; realized as _ROUND10_PRIORITY above, with the
 # 8-row deferral documented there — c29_pq_ann later joined the
