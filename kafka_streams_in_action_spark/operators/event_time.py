@@ -274,10 +274,16 @@ def markov_stationary(events: DataFrame,
     division by the vector sum — no float ever forms in the loop, so
     the unrolled oracle replays the recurrence bit-identically.
 
-    Scale: the data-scale work is the per-user lead window + the
-    (type × type) count agg (same as C34c); the loop then moves only
-    the BOUNDED |types|² matrix and |types| vector (checkpointed, few
-    shuffle partitions — the c38 iteration posture)."""
+    Scale shape: the data-scale work is the per-user lead window + the
+    (type × type) count agg (same as C34c) — distributed. The power
+    iteration then runs ON THE DRIVER over the COLLECTED matrix — a
+    documented bounded pull (≤ |event_types|² rows, the ANN-codebook
+    class): unlike the c38 graph loops, whose node sets scale with the
+    data, this state space is the event-type vocabulary, so 12
+    distributed rounds of a ≤|types|²-row frame would be pure
+    scheduler overhead at ANY corpus size (measured: the distributed
+    loop benched 3.2 s at sf0.1 with 0.96x probe growth — all fixed
+    cost; the driver fold removes ~36 bounded-frame jobs)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (events
              .select("event_type",
@@ -290,48 +296,29 @@ def markov_stationary(events: DataFrame,
     ratio = F.floor(F.col("n").cast("double")
                     / F.col("out_n").cast("double") * 1e9 + 0.5) \
         .cast("long")
+    # bounded pulls: the ≤|types|²-row matrix, the ≤|types|-row degree
+    # table, and the state vocabulary (collapses the corpus first)
+    m = [(r["src"], r["dst"], int(r["ratio_ppb"]))
+         for r in (counts.join(rt, "src")
+                   .select("src", "dst", ratio.alias("ratio_ppb"))
+                   .collect())]
+    out_n = {r["src"]: int(r["out_n"]) for r in rt.collect()}
+    states = sorted(r[0] for r in
+                    events.select("event_type").distinct().collect())
+    ns = len(states)
+    p = {st: 1_000_000 // ns for st in states}
+    for _ in range(iterations):
+        contrib = {st: 0 for st in states}
+        for a, b, r9 in m:
+            contrib[b] += (p[a] * r9) // 1_000_000_000
+        dang = sum(p[st] for st in states if st not in out_n)
+        praw = {st: contrib[st] + dang // ns for st in states}
+        tot = sum(praw.values())
+        p = {st: (praw[st] * 1_000_000) // tot for st in states}
     spark = events.sparkSession
-    m = (counts.join(rt, "src")
-         .select("src", "dst", ratio.alias("ratio_ppb"))
-         .localCheckpoint())
-    states = (events.select(F.col("event_type").alias("state"))
-              .distinct().localCheckpoint())
-    rts = rt.select(F.col("src").alias("state"),
-                    "out_n").localCheckpoint()
-    n_states = states.count()  # bounded: the event-type universe
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        p = states.select(
-            "state",
-            F.lit(1_000_000 // n_states).cast("long").alias("p"))
-        for _ in range(iterations):
-            contrib = (m.join(F.broadcast(p), m.src == p.state)
-                       .select("dst", F.expr(
-                           "(p * ratio_ppb) div 1000000000").alias("_t"))
-                       .groupBy("dst")
-                       .agg(F.sum("_t").alias("contrib")))
-            dang = (p.join(rts, "state", "left_anti")
-                    .agg(F.coalesce(F.sum("p"), F.lit(0)).cast("long")
-                         .alias("dang")))
-            praw = (states
-                    .join(contrib, states.state == contrib.dst, "left")
-                    .crossJoin(F.broadcast(dang))
-                    .select("state", F.expr(
-                        f"coalesce(contrib, CAST(0 AS BIGINT)) "
-                        f"+ dang div {n_states}").alias("praw")))
-            tot = praw.agg(F.sum("praw").alias("tot"))
-            p = (praw.crossJoin(F.broadcast(tot))
-                 .select("state", F.expr(
-                     "(praw * 1000000) div tot").alias("p"))
-                 .localCheckpoint())
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return (p.join(rts, "state", "left")
-            .select(F.col("state").alias("event_type"),
-                    F.col("p").alias("p_ppm"),
-                    F.coalesce(F.col("out_n"), F.lit(0)).cast("long")
-                    .alias("out_n")))
+    return spark.createDataFrame(
+        [(st, p[st], out_n.get(st, 0)) for st in states],
+        "event_type string, p_ppm long, out_n long")
 
 
 def rolling_user_activity(events: DataFrame, days: int = 7) -> DataFrame:

@@ -189,8 +189,6 @@ _BNLJ_ALLOWED = {
     "c34_l28",              # 1-row anchor-day + 1-row total broadcasts
     "c34_l28_stream",       # same 1-row total broadcast on the read side
     "c29_diversity",        # two 1-row Gram-sum scalar crossjoins
-    "c34_markov",           # per-iteration 1-row dangling/total scalar
-                            # crossjoins (the pagerank/hits pattern)
 }
 
 
@@ -389,8 +387,8 @@ def test_no_driver_side_collect_in_queries(spark):
                     # closure BFS loop checkpoints bounded frames +
                     # node-count + empty-frontier probe at build (r10)
                     "c38_scc",
-                    # bounded matrix/vector checkpoints + state-count
-                    # pull in the iteration loop at build (r10)
+                    # collects the bounded <=|types|^2 matrix for the
+                    # driver-side power fold at build (r10)
                     "c34_markov",
                     # executes the exact returned plan once at build
                     # for the earned AQE skew verdict (r10)
