@@ -964,7 +964,8 @@ def snr_estimate(audio_media: DataFrame, frame_len: int = 64,
     inactive frames. A recording whose "speech" barely clears its own
     noise floor is transcription poison and gets filtered before ASR
     spend. Decode + frame + classify + reduce inside ONE Arrow kernel
-    (payload bytes never shuffle); only five integers leave it.
+    (payload bytes never shuffle); only the six-integer sufficient
+    stats leave it.
 
     Engine-exact: both powers are exact integer (Σssq, Σsamples)
     pairs, and the SNR is a single cross-multiplied ratio of exact

@@ -1517,9 +1517,11 @@ def corpus_diversity(embeddings: DataFrame) -> DataFrame:
     and DPP/Vendi-style diversity scores: a corpus whose vectors all
     point the same way scores high mean dot = low diversity; SemDeDup
     runs exactly when this gauge says the corpus is redundant). The
-    identity turns the O(n²) pair sum into two linear aggregates — at
-    100 TB this is ONE map-side-combinable pass (per-dim sums fan out
-    64 rows/task, the norm sum rides the same scan), no join at all.
+    identity turns the O(n²) pair sum into linear work: ONE
+    map-side-combinable pass over the exploded components computes the
+    per-dim (Σq, Σq², count) triple — 64 rows leave each task — and a
+    second agg over that bounded 64-row table folds the scalars. No
+    join, no second corpus scan.
 
     Engine-exact: components are micro-quantized (float32→double is
     exact, so floor(x·1e6 + 0.5) is engine-identical); per-dim sums and
@@ -1528,25 +1530,28 @@ def corpus_diversity(embeddings: DataFrame) -> DataFrame:
     ONE string-bridged division of exact integers (micro²-units)."""
     dec = "decimal(38,0)"
     q = F.floor(F.col("e").cast("double") * 1000000.0 + 0.5).cast("long")
-    d = (embeddings.select(F.posexplode("embedding").alias("dim", "e"))
-         .select("dim", q.alias("q")))
-    dim_sums = d.groupBy("dim").agg(
-        F.sum(F.col("q").cast(dec)).alias("sd"))
-    sum_sd2 = dim_sums.agg(
-        F.sum(F.col("sd") * F.col("sd")).alias("sum_sd2"))
-    ssq = d.agg(F.sum(F.col("q").cast(dec) * F.col("q")).alias("ssq"))
-    n = embeddings.agg(F.count(F.lit(1)).alias("n"))
+    per_dim = (embeddings
+               .select(F.posexplode("embedding").alias("dim", "e"))
+               .select("dim", q.alias("q"))
+               .groupBy("dim")
+               .agg(F.sum(F.col("q").cast(dec)).alias("sd"),
+                    F.sum(F.col("q").cast(dec) * F.col("q"))
+                    .alias("ssq_d"),
+                    F.count(F.lit(1)).alias("n_d")))
+    folded = per_dim.agg(
+        F.sum(F.col("sd") * F.col("sd")).alias("sum_sd2"),
+        F.sum("ssq_d").alias("ssq"),
+        # every dim appears once per vector: any dim's count IS n
+        F.max("n_d").alias("n"))
     sb = lambda c: c.cast("string").cast("double")  # noqa: E731
-    return (n.crossJoin(F.broadcast(sum_sd2)).crossJoin(F.broadcast(ssq))
-            .select(
-                "n",
-                sb(F.col("ssq")).alias("sum_sq_norm_micro2"),
-                (sb(F.col("ssq")) / F.col("n").cast("double"))
-                .alias("mean_sq_norm_micro2"),
-                (sb(F.col("sum_sd2") - F.col("ssq"))
-                 / sb(F.col("n").cast("long")
-                      * (F.col("n").cast("long") - 1)))
-                .alias("mean_pair_dot_micro2")))
+    return folded.select(
+        "n",
+        sb(F.col("ssq")).alias("sum_sq_norm_micro2"),
+        (sb(F.col("ssq")) / F.col("n").cast("double"))
+        .alias("mean_sq_norm_micro2"),
+        (sb(F.col("sum_sd2") - F.col("ssq"))
+         / sb(F.col("n") * (F.col("n") - 1)))
+        .alias("mean_pair_dot_micro2"))
 
 
 def hamming_topk(embeddings: DataFrame, n_queries: int = 10,
