@@ -188,7 +188,6 @@ _BNLJ_ALLOWED = {
                             # self-exclusion (the c29_cosine_topk shape)
     "c34_l28",              # 1-row anchor-day + 1-row total broadcasts
     "c34_l28_stream",       # same 1-row total broadcast on the read side
-    "c29_diversity",        # two 1-row Gram-sum scalar crossjoins
 }
 
 
