@@ -306,6 +306,10 @@ def markov_stationary(events: DataFrame,
     states = sorted(r[0] for r in
                     events.select("event_type").distinct().collect())
     ns = len(states)
+    if ns == 0:
+        # an empty chain has no distribution — fail loudly instead of
+        # dividing by zero (the hits() degenerate-input posture)
+        raise ValueError("markov_stationary needs a non-empty event log")
     p = {st: 1_000_000 // ns for st in states}
     for _ in range(iterations):
         contrib = {st: 0 for st in states}

@@ -949,11 +949,14 @@ def blur_scores(bmp_media: DataFrame) -> DataFrame:
                        "n_interior long, lap_sum long, lap_sq_sum long")
     n, s, ss = (F.col("n_interior"), F.col("lap_sum"),
                 F.col("lap_sq_sum"))
+    # a degenerate frame (width or height < 3) has no interior: NULL
+    # score, never an ANSI divide-by-zero (the hits() posture)
     return stats.select(
         "doc_id", "width", "height", "n_interior",
         "lap_sum", "lap_sq_sum",
-        ((n * ss - s * s).cast("double")
-         / (n * n).cast("double")).alias("blur_var"))
+        F.when(n > 0,
+               (n * ss - s * s).cast("double")
+               / (n * n).cast("double")).alias("blur_var"))
 
 
 def snr_estimate(audio_media: DataFrame, frame_len: int = 64,

@@ -505,3 +505,27 @@ def test_snr_separates_loud_and_quiet_mix(spark):
     assert r.snr_ratio == float(r.speech_ssq * r.noise_n) / \
         float(r.noise_ssq * r.speech_n)
     assert out[1].n_active == 0 and out[1].snr_ratio is None
+
+
+def test_markov_rejects_empty_log(spark):
+    """An empty chain must fail loudly, not divide by zero."""
+    from kafka_streams_in_action_spark.operators import event_time
+
+    empty = _events_of(spark, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        event_time.markov_stationary(empty)
+
+
+def test_blur_degenerate_frame_scores_null(spark):
+    """A 2x2 image has no interior pixels: NULL blur_var, no ANSI
+    divide-by-zero."""
+    import numpy as np
+
+    from kafka_streams_in_action_spark.operators import multimodal
+
+    tiny = multimodal._encode_bmp_from(
+        2, 2, np.zeros((2, 6), dtype=np.uint8))
+    media = spark.createDataFrame([(0, bytearray(tiny))],
+                                  "doc_id long, payload binary")
+    [r] = multimodal.blur_scores(media).collect()
+    assert r.n_interior == 0 and r.blur_var is None
