@@ -279,3 +279,77 @@ def test_scc_matches_python_replay(spark):
     for u in range(n):
         size[label[u]] = size.get(label[u], 0) + 1
     assert got == {u: (label[u], size[label[u]]) for u in range(n)}
+
+
+def test_seasonal_strength_matches_python_replay(spark):
+    """Random daily series per type — the replay reproduces the exact
+    quantize-before-sum variance ratio, including the NULL arm for a
+    zero-variance detrended series."""
+    rnd = random.Random(29)
+    rows, eid = [], 0
+    series = {"view": [rnd.uniform(0, 200) for _ in range(30)],
+              "flat": [5.0] * 20,
+              "short": [1.0, 2.0, 3.0]}  # < 7 days: no interior rows
+    for ty, vals in series.items():
+        for d, v in enumerate(vals):
+            rows.append((eid, 1, d * 86400, ty, v))
+            eid += 1
+    got = {r.event_type: r for r in windows.seasonal_strength(
+        _events_df(spark, rows)).collect()}
+    assert "short" not in got  # no full 7-day frame exists
+    for ty in ("view", "flat"):
+        xs = [_milli(v) for v in series[ty]]
+        n_days = len(xs)
+        interior = []
+        for i in range(3, n_days - 3):
+            sum7 = sum(xs[i - 3:i + 4])
+            interior.append((i % 7, 7 * xs[i] - sum7))
+        by_dow: dict = {}
+        for dow, d7 in interior:
+            by_dow.setdefault(dow, []).append(d7)
+        qr, qd = [], []
+        for dow, d7 in interior:
+            sdetr7 = sum(by_dow[dow])
+            n_dow = len(by_dow[dow])
+            res = float(n_dow * d7 - sdetr7) / (7.0 * float(n_dow))
+            qr.append(int(math.floor(res * 1e6 + 0.5)))
+            qd.append(int(math.floor(float(d7) / 7.0 * 1e6 + 0.5)))
+        n = len(qr)
+        num_r = n * sum(x * x for x in qr) - sum(qr) ** 2
+        num_d = n * sum(x * x for x in qd) - sum(qd) ** 2
+        r = got[ty]
+        assert r.n == n
+        assert r.var_resid_num == float(num_r)
+        assert r.var_detr_num == float(num_d)
+        if num_d > 0:
+            assert r.strength == max(0.0,
+                                     1.0 - float(num_r) / float(num_d))
+        else:
+            assert r.strength is None
+    assert got["flat"].strength is None  # constant series: no variance
+
+
+def test_padwaste_matches_python_replay(spark):
+    """Random token lengths spanning all buckets incl. the 512 cap."""
+    rnd = random.Random(37)
+    lens = [rnd.randint(1, 700) for _ in range(300)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * ln), "en", "s", ln)
+         for i, ln in enumerate(lens)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    got = {r.bucket_len: r for r in sampling.pad_waste_audit(
+        docs).collect()}
+    per: dict = {}
+    for ln in lens:
+        t = min(ln, 512)
+        trunc = max(ln - 512, 0)
+        b = max(((t + 63) // 64) * 64, 64)
+        n, st, tr = per.get(b, (0, 0, 0))
+        per[b] = (n + 1, st + t, tr + trunc)
+    assert set(got) == set(per)
+    for b, (n, st, tr) in per.items():
+        r = got[b]
+        assert (r.n_docs, r.sum_tokens, r.truncated_tokens) == (n, st, tr)
+        assert r.padded_tokens == b * n
+        assert r.waste_frac == float(b * n - st) / float(b * n)
