@@ -8759,6 +8759,48 @@ assert len(_ROUND10_PRIORITY) == 50, len(_ROUND10_PRIORITY)
 assert len(set(_ROUND10_PRIORITY)) == 50, "duplicate row in window"
 
 # ---------------------------------------------------------------------------
+# Round-11 frozen window (verdict r10 items 1-3), realizing the drafted
+# round-11 plan verbatim. The 15-row r12 slate — the only registered
+# queries that have never held a driver CORRECTNESS row — leads in
+# registration order; the 9 r4-era rows deferred out of the round-10
+# window follow (after them no query's last driver check predates r5);
+# the remaining 26 slots rotate the oldest driver-checked cohort (49
+# rows whose last CORRECTNESS record is r5 — the first 26 in name
+# order; the other 23 complete the r5 rotation in round 12, leaving
+# exactly 23 queries older than r6 after this window lands).
+# Frozen BEFORE any round-11 registration; judge items displace nothing.
+# ---------------------------------------------------------------------------
+_ROUND11_PRIORITY = [
+    # (1) the 15-row r12 slate (registered round 10, after that window
+    # froze), registration order — never driver-checked until now
+    "c35_cdc", "c9_coverage", "c12_changepoint", "c34_markov",
+    "c29_diversity", "c32_padwaste", "c31_blur", "c37_aqe_skew",
+    "c38_scc", "c35_cdc_stream", "c33_anomaly2", "c33_fd",
+    "c12_seasonal", "c32_epoch_shuffle", "c31_snr",
+    # (2) the 9 r4-era rows deferred from the round-10 window
+    "a9_wire_roundtrip_proto", "c10_asof_union", "c14_union_distinct",
+    "c29_cosine_near_dup", "c29_outliers", "c29_pq_ann",
+    "c30_curate_v2", "c5_unpivot", "c9_range_window",
+    # (3) 26 freshness rotations from the r5-last-checked cohort
+    # (name order; the remaining 23 — c31_resize_image, the c34 funnel
+    # twins, c34_rolling, c35_upsert_stream, c36_interval_join,
+    # c37_skipping/zorder, the c4 sketch pair, and the 13 r5 SQL rows —
+    # rotate in round 12)
+    "c21_tokenize_udtf", "c21_weighted_avg_udaf", "c28_boilerplate",
+    "c28_exact_dedup", "c28_kept_documents", "c29_cosine_near_dup_lsh",
+    "c29_cosine_topk", "c29_curate_emb", "c29_dup_clusters",
+    "c29_ivfpq_ann", "c29_knn_label", "c29_ngram_jaccard",
+    "c29_random_proj", "c30_curate_pipeline", "c30_doc_stats",
+    "c30_fingerprints", "c30_language_id", "c30_quality_score",
+    "c30_redact", "c30_repetition", "c30_token_counts",
+    "c30_word_frequency", "c31_audio_stats", "c31_decode_image",
+    "c31_frame_stats", "c31_media_metadata",
+]
+
+assert len(_ROUND11_PRIORITY) == 50, len(_ROUND11_PRIORITY)
+assert len(set(_ROUND11_PRIORITY)) == 50, "duplicate row in window"
+
+# ---------------------------------------------------------------------------
 # Window-freshness ledger (verdict r7 item 6). CURRENT_ROUND is bumped
 # when each round's window freezes. _REGISTERED_ROUND records the round
 # in which every not-yet-driver-windowed query was registered; queries
@@ -8769,7 +8811,7 @@ assert len(set(_ROUND10_PRIORITY)) == 50, "duplicate row in window"
 # in the current frozen window — the CI form of the r7 judge finding
 # that 69 queries outran the 50-row verification window.
 # ---------------------------------------------------------------------------
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 
 _REGISTERED_ROUND: dict[str, int] = {
     # r8 slate (registered during the round-7 session)
@@ -8814,8 +8856,12 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c38_scc", "c35_cdc_stream", "c33_anomaly2", "c33_fd",
         "c12_seasonal", "c32_epoch_shuffle", "c31_snr",
     ]},
+    # r13 slate (registered during the round-11 session, AFTER the r11
+    # window froze): every new registration this round goes here.
+    **{n: 11 for n in []},
 }
 
+# (historical r10 comment; realized verbatim as _ROUND11_PRIORITY above)
 # Round-11 window plan (to become _ROUND11_PRIORITY next round): the
 # 15-row r12 slate registered this session — c35_cdc, c9_coverage,
 # c12_changepoint, c34_markov, c29_diversity, c32_padwaste, c31_blur,
@@ -8937,7 +8983,7 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c35_merkle, c34_streaks — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
-QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND10_PRIORITY}
+QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND11_PRIORITY}
 QUERIES.update(
     {n: s for n, s in _QUERY_DEFS.items() if n not in QUERIES})
 assert len(QUERIES) == len(_QUERY_DEFS)

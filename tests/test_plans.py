@@ -849,7 +849,7 @@ def test_window_freshness_ledger():
             windowed |= set(json.load(open(path)))
         except Exception:
             continue
-    current_window = set(q._ROUND10_PRIORITY)
+    current_window = set(q._ROUND11_PRIORITY)
     uncovered = [
         name for name in q.QUERIES
         if name not in windowed and name not in current_window
