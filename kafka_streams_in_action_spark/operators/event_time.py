@@ -310,6 +310,13 @@ def markov_stationary(events: DataFrame,
         # an empty chain has no distribution — fail loudly instead of
         # dividing by zero (the hits() degenerate-input posture)
         raise ValueError("markov_stationary needs a non-empty event log")
+    if ns > 1_000_000:
+        # p0 = 1_000_000 // ns floors to 0 everywhere past 1e6 states,
+        # collapsing the ppm mass to an all-zero vector — the state
+        # space must be a bounded vocabulary for the driver fold anyway
+        raise ValueError(
+            f"markov_stationary: {ns} event types exceeds the 1e6-state "
+            "ppm resolution (bounded-vocabulary precondition)")
     p = {st: 1_000_000 // ns for st in states}
     for _ in range(iterations):
         contrib = {st: 0 for st in states}
@@ -318,6 +325,12 @@ def markov_stationary(events: DataFrame,
         dang = sum(p[st] for st in states if st not in out_n)
         praw = {st: contrib[st] + dang // ns for st in states}
         tot = sum(praw.values())
+        if tot == 0:
+            # all-zero renormalization mass (degenerate quantization)
+            # — fail loudly, matching the empty-chain guard above
+            raise ValueError(
+                "markov_stationary: ppm mass floored to zero during "
+                "renormalization (degenerate chain)")
         p = {st: (praw[st] * 1_000_000) // tot for st in states}
     spark = events.sparkSession
     return spark.createDataFrame(

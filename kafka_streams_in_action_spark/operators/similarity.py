@@ -1541,8 +1541,19 @@ def corpus_diversity(embeddings: DataFrame) -> DataFrame:
     folded = per_dim.agg(
         F.sum(F.col("sd") * F.col("sd")).alias("sum_sd2"),
         F.sum("ssq_d").alias("ssq"),
-        # every dim appears once per vector: any dim's count IS n
-        F.max("n_d").alias("n"))
+        # every dim appears once per vector IFF the corpus is dense and
+        # rectangular — verified below before any dim's count is used
+        # as n (a NULL component or ragged embedding drops from sums
+        # but would silently skew n and mean_pair_dot otherwise)
+        F.max("n_d").alias("n"),
+        F.min("n_d").alias("n_min"))
+    folded = folded.select(
+        "sum_sd2", "ssq",
+        F.when(F.col("n_min") == F.col("n"), F.col("n"))
+        .otherwise(F.raise_error(F.lit(
+            "corpus_diversity: ragged embeddings — per-dim counts "
+            "diverge (NULL component or non-uniform dimensionality); "
+            "dense fixed-width vectors required"))).alias("n"))
     sb = lambda c: c.cast("string").cast("double")  # noqa: E731
     return folded.select(
         "n",

@@ -795,15 +795,25 @@ def rolling_zscore_anomalies_daybucket(events: DataFrame,
 
     Correctness precondition: a trailing `window`-row frame may span at
     most {current day, previous day}, i.e. every (type, day) must hold
-    ≥ window−1 events — asserted at build from the bounded per-day
-    count table (a 1-row pull, build-time-job class); sparser corpora
-    fall back to the one-level form instead of silently truncating
-    frames."""
-    per_day = (events.groupBy("event_type", F.to_date("ts").alias("_d"))
-               .agg(F.count(F.lit(1)).alias("c"))
-               .agg(F.min("c").alias("mn")))
-    min_day = per_day.collect()[0][0]  # bounded 1-row density gate
-    if min_day is None or min_day < window - 1:
+    ≥ window−1 events AND every type's calendar-day axis must be
+    contiguous (a fully missing day would leave the first window−1
+    events after the gap with no carry rows, so `_n < window` would
+    silently drop anomalies the one-level form emits — the
+    dwell_stats_bucketed gap-day failure mode). Both are asserted at
+    build from the bounded per-day count table (a 1-row pull,
+    build-time-job class); sparser or gappy corpora fall back to the
+    one-level form instead of silently truncating frames."""
+    gate = (events.groupBy("event_type", F.to_date("ts").alias("_d"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("event_type")
+            .agg(F.min("c").alias("mn"),
+                 F.count(F.lit(1)).alias("nd"),
+                 (F.datediff(F.max("_d"), F.min("_d")) + 1).alias("span"))
+            .agg(F.min("mn").alias("mn"),
+                 F.min((F.col("nd") == F.col("span")).cast("int"))
+                 .alias("contig")))
+    row = gate.collect()[0]  # bounded 1-row density+contiguity gate
+    if row["mn"] is None or row["mn"] < window - 1 or row["contig"] == 0:
         return rolling_zscore_anomalies(events, window, z_thresh)
 
     m = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")

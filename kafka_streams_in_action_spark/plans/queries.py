@@ -825,6 +825,42 @@ def _await_bounded(q, timeout_sec: int = 300) -> None:
             f"within {timeout_sec}s; sink is partial")
 
 
+def _write_time_slices(ev: DataFrame, src: str, n: int = 4) -> None:
+    """Stage `ev` as n time-ordered parquet slice files under `src` for
+    a maxFilesPerTrigger=1 availableNow replay. ntile once, checkpoint,
+    then n cheap filtered writes — without the checkpoint each slice
+    write re-runs the global time sort (n× cost). FileStreamSource
+    orders files by MODIFICATION TIME; sequential appends make the
+    slices' mtimes monotone but not necessarily DISTINCT on filesystems
+    with coarse mtime granularity (advice r10: two tied slices could
+    replay out of time order and break every cross-batch state fold) —
+    so after the writes each slice's data file is re-stamped with a
+    strictly increasing mtime, making batch order deterministic
+    everywhere. Output-identical to the bare appends whenever the
+    appends' mtimes already ordered correctly."""
+    import os
+
+    from pyspark.sql import Window
+
+    sliced = ev.withColumn(
+        "slice", F.ntile(n).over(Window.orderBy("ts", "event_id"))) \
+        .localCheckpoint()
+    seen: set = set()
+    per_slice: list = []
+    for s in range(1, n + 1):
+        (sliced.filter(F.col("slice") == s).drop("slice")
+         .coalesce(1).write.mode("append").parquet(src))
+        now = {f for f in os.listdir(src)
+               if not f.startswith(("_", ".")) and not f.endswith(".crc")}
+        per_slice.append(sorted(now - seen))
+        seen = now
+    base = max(os.path.getmtime(os.path.join(src, f)) for f in seen)
+    for i, files in enumerate(per_slice):
+        for f in files:
+            t = base + i + 1
+            os.utime(os.path.join(src, f), (t, t))
+
+
 def _funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C34 streaming twin, driver-visible: run the keyed funnel state
     machine (streaming/stateful.py:funnel_state_stream,
@@ -1117,16 +1153,7 @@ def _scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     src = tempfile.mkdtemp(prefix="c35_scd2_stream_src_")
-    # ntile once, checkpoint, then 4 cheap filtered writes — without the
-    # checkpoint each slice write re-runs the global time sort (4× cost);
-    # the sequential appends give the files the monotone modification
-    # times availableNow's file ordering replays
-    sliced = ev.withColumn(
-        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
-        .localCheckpoint()
-    for s in range(1, 5):
-        (sliced.filter(F.col("slice") == s).drop("slice")
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_time_slices(ev, src)
     sink = f"c35_scd2_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
         q = (scd2_changes_stream(
@@ -1158,12 +1185,7 @@ def _cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     src = tempfile.mkdtemp(prefix="c35_cdc_stream_src_")
-    sliced = ev.withColumn(
-        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
-        .localCheckpoint()
-    for s in range(1, 5):
-        (sliced.filter(F.col("slice") == s).drop("slice")
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_time_slices(ev, src)
     sink = f"c35_cdc_stream_{uuid.uuid4().hex[:8]}"
     op = (F.when(F.col("event_type") == "signup", "I")
           .when(F.col("event_type") == "error", "D")
@@ -1246,12 +1268,7 @@ def _anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     src = tempfile.mkdtemp(prefix="c33_anomaly_stream_src_")
-    sliced = ev.withColumn(
-        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
-        .localCheckpoint()
-    for s in range(1, 5):
-        (sliced.filter(F.col("slice") == s).drop("slice")
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_time_slices(ev, src)
     sink = f"c33_anomaly_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
         q = (zscore_anomaly_stream(
@@ -1281,12 +1298,7 @@ def _interarrival_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     src = tempfile.mkdtemp(prefix="c34_interarrival_stream_src_")
-    sliced = ev.withColumn(
-        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
-        .localCheckpoint()
-    for s in range(1, 5):
-        (sliced.filter(F.col("slice") == s).drop("slice")
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_time_slices(ev, src)
     sink = f"c34_interarrival_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
         q = (interarrival_stream(
@@ -1453,12 +1465,7 @@ def _throttle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     src = tempfile.mkdtemp(prefix="c34_throttle_stream_src_")
-    sliced = ev.withColumn(
-        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
-        .localCheckpoint()
-    for s in range(1, 5):
-        (sliced.filter(F.col("slice") == s).drop("slice")
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_time_slices(ev, src)
     sink = f"c34_throttle_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
         q = (rate_throttle_stream(
@@ -1572,12 +1579,7 @@ def _flatline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     src = tempfile.mkdtemp(prefix="c33_flatline_stream_src_")
-    sliced = ev.withColumn(
-        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
-        .localCheckpoint()
-    for s in range(1, 5):
-        (sliced.filter(F.col("slice") == s).drop("slice")
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_time_slices(ev, src)
     sink = f"c33_flatline_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
         q = (flatline_stream(
@@ -1616,12 +1618,7 @@ def _l28_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     d_end = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
     src = tempfile.mkdtemp(prefix="c34_l28_stream_src_")
-    sliced = ev.withColumn(
-        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
-        .localCheckpoint()
-    for s in range(1, 5):
-        (sliced.filter(F.col("slice") == s).drop("slice")
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_time_slices(ev, src)
     sink = f"c34_l28_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
         stream = (spark.readStream.schema(ev.schema)
@@ -1673,12 +1670,7 @@ def _drawdown_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     src = tempfile.mkdtemp(prefix="c12_drawdown_stream_src_")
-    sliced = ev.withColumn(
-        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
-        .localCheckpoint()
-    for s in range(1, 5):
-        (sliced.filter(F.col("slice") == s).drop("slice")
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_time_slices(ev, src)
     sink = f"c12_drawdown_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
         q = (drawdown_stream(
@@ -1712,12 +1704,7 @@ def _holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     src = tempfile.mkdtemp(prefix="c12_holt_stream_src_")
-    sliced = ev.withColumn(
-        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))) \
-        .localCheckpoint()
-    for s in range(1, 5):
-        (sliced.filter(F.col("slice") == s).drop("slice")
-         .coalesce(1).write.mode("append").parquet(src))
+    _write_time_slices(ev, src)
     sink = f"c12_holt_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
         q = (holt_stream(

@@ -374,7 +374,18 @@ def test_anomaly2_dense_and_sparse_match_one_level(spark):
     sparse = _events_of(spark, [
         (1, i * 300, "view", 100.0 + rnd.uniform(-5, 5))
         for i in range(60)])   # 5h apart → ~5/day, gate trips
-    for ev in (dense, sparse):
+    # day 0 and day 2 each dense (200 events ≥ window−1) but day 1 is a
+    # fully MISSING calendar day: the old min-count gate passed this and
+    # the two-level path dropped the early-day-2 anomaly (no carry rows
+    # across the gap, _n < window). The contiguity gate must trip →
+    # fallback → equality. Anomaly planted at the 10th event of day 2.
+    gapped = _events_of(spark, [
+        (1, i, "view", 100.0 + rnd.uniform(-5, 5))
+        for i in range(200)] + [
+        (1, 2880 + i, "view",
+         100.0 + rnd.uniform(-5, 5) + (400 if i == 9 else 0))
+        for i in range(200)])
+    for ev in (dense, sparse, gapped):
         a = sorted(map(tuple,
                        windows.rolling_zscore_anomalies(ev).collect()))
         b = sorted(map(tuple,
