@@ -491,7 +491,29 @@ def main() -> None:
             json.dump(report, f, indent=1, sort_keys=True)
     except OSError as e:  # read-only checkout: stdout line still lands
         print(f"# BENCH_LOCAL write skipped: {e}", file=sys.stderr)
-    print(json.dumps(report))
+    # The driver's BENCH_r{N} capture keeps only the final ~2000 chars
+    # of stdout and parses the JSON line it finds there (r10 verdict
+    # item 7: the full 195-query line is ~12 KB, so its head fell out
+    # of the window and "parsed" landed null two rounds running). Emit
+    # a line GUARANTEED to fit: totals + the slowest-K per-query rows,
+    # with the committed BENCH_LOCAL file carrying the full table.
+    slim = {k: report[k] for k in (
+        "metric", "value", "unit", "sf", "batch_total_sec",
+        "stream_total_sec", "stream_overhead_sec", "calib_python_sec",
+        "calib_blas_sec") if k in report}
+    slim["n_queries"] = len(timings)
+    slim["queries_full"] = os.path.basename(local)
+    ordered = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    k = len(ordered)
+    line = None
+    while k > 0:
+        slim["queries"] = dict(ordered[:k])
+        slim["queries_truncated"] = k < len(ordered)
+        line = json.dumps(slim, separators=(",", ":"))
+        if len(line) <= 1900:
+            break
+        k -= 5
+    print(line)
 
 
 if __name__ == "__main__":

@@ -8768,9 +8768,17 @@ _ROUND11_PRIORITY = [
     "a9_wire_roundtrip_proto", "c10_asof_union", "c14_union_distinct",
     "c29_cosine_near_dup", "c29_outliers", "c29_pq_ann",
     "c30_curate_v2", "c5_unpivot", "c9_range_window",
-    # (3) 26 freshness rotations from the r5-last-checked cohort
-    # (name order; the remaining 23 — c31_resize_image, the c34 funnel
-    # twins, c34_rolling, c35_upsert_stream, c36_interval_join,
+    # (3) changed-operator re-record (r10 verdict item 6, realized as a
+    # fix: copurchase_kcore now materializes its data-scale pair build
+    # at session parallelism before the bounded 4-partition peel loop —
+    # identical output, different execution; changed operators must
+    # re-enter the window, displacing one rotation row per the
+    # judge-items-displace-from-the-tail rule)
+    "c38_kcore",
+    # (4) 25 freshness rotations from the r5-last-checked cohort
+    # (name order; the remaining 24 — c31_media_metadata displaced by
+    # the c38_kcore re-record, c31_resize_image, the c34 funnel twins,
+    # c34_rolling, c35_upsert_stream, c36_interval_join,
     # c37_skipping/zorder, the c4 sketch pair, and the 13 r5 SQL rows —
     # rotate in round 12)
     "c21_tokenize_udtf", "c21_weighted_avg_udaf", "c28_boilerplate",
@@ -8781,7 +8789,7 @@ _ROUND11_PRIORITY = [
     "c30_fingerprints", "c30_language_id", "c30_quality_score",
     "c30_redact", "c30_repetition", "c30_token_counts",
     "c30_word_frequency", "c31_audio_stats", "c31_decode_image",
-    "c31_frame_stats", "c31_media_metadata",
+    "c31_frame_stats",
 ]
 
 assert len(_ROUND11_PRIORITY) == 50, len(_ROUND11_PRIORITY)
