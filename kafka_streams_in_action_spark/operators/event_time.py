@@ -1464,3 +1464,94 @@ def dwell_stats_bucketed(events: DataFrame,
            .filter(F.col("_rn") == F.col("r") - F.col("cum_prev"))
            .select("event_type", F.col("gap_us").alias("median_gap_us")))
     return agg.join(med, "event_type")
+
+
+def bursts_from_daily(daily: DataFrame, window_days: int = 7,
+                      ratio_milli: int = 1100) -> DataFrame:
+    """C34 addendum (round 13), shared core: burst census over a
+    per-(event_type, day) count table — a day is a burst when its count
+    exceeds `ratio_milli`/1000 × the trailing `window_days`-day mean
+    (Kleinberg-style rate bursts reduced to the exact-integer gate
+    cnt·window·1000 > ratio_milli·trail_sum; missing calendar days
+    count as zero activity via the fixed denominator, and days without
+    a FULL trailing window are ineligible rather than silently
+    compared against a short mean).
+
+    Input contract: `daily` has (event_type, day DATE, cnt BIGINT), one
+    row per observed (type, day). Both the batch operator and the
+    streaming twin reduce to this table, so one oracle covers both.
+
+    Shape: one keyed RANGE window over the bounded day index + a
+    ≤|types|-row rollup — all integer arithmetic, the max ratio is an
+    exact integer division."""
+    idx = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = (Window.partitionBy("event_type").orderBy(idx)
+         .rangeBetween(-window_days, -1))
+    scored = (daily
+              .withColumn("trail_sum", F.sum("cnt").over(w))
+              .withColumn("trail_days", F.count(F.lit(1)).over(w)))
+    eligible = F.col("trail_days") == window_days
+    ratio = F.expr(f"cnt * {window_days} * 1000 div trail_sum")
+    burst = eligible & (F.col("cnt") * window_days * 1000
+                        > ratio_milli * F.col("trail_sum"))
+    return (scored
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.sum(F.when(eligible, 1).otherwise(0)).cast("long")
+                 .alias("n_eligible_days"),
+                 F.sum(F.when(burst, 1).otherwise(0)).cast("long")
+                 .alias("n_burst_days"),
+                 F.max(F.when(eligible, ratio)).alias("max_ratio_milli"),
+                 F.min(F.when(burst, F.col("day"))).alias("first_burst_day"),
+                 F.max(F.when(burst, F.col("day"))).alias("last_burst_day")))
+
+
+def burst_detect(events: DataFrame, window_days: int = 7,
+                 ratio_milli: int = 1100) -> DataFrame:
+    """C34 addendum (round 13): activity-burst detection over the event
+    log — the rate-anomaly gauge an ops pipeline reads next to C33's
+    value anomalies (a traffic spike is a COUNT burst even when every
+    value is normal). One map-side-combinable daily rollup feeds the
+    shared census (bursts_from_daily)."""
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    return bursts_from_daily(daily, window_days, ratio_milli)
+
+
+def sla_report(events: DataFrame, threshold_s: int = 3600) -> DataFrame:
+    """C16 addendum (round 13): gap-derived availability (SLA) report —
+    per event type, treat inter-event silences beyond `threshold_s` as
+    downtime and report the exact downtime mass plus availability in
+    ppm of the observed span. The uptime ledger every ingestion
+    pipeline publishes ("was the feed alive?"), computed from the log
+    itself rather than a heartbeat table.
+
+    Exact end-to-end: timestamps ride unix MICROSECONDS (BIGINT in both
+    engines — Spark unix_micros ↔ DuckDB epoch_us), so gaps, downtime,
+    and the single ppm integer division hash-match bitwise. One keyed
+    lag window + one rollup."""
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    thr_us = threshold_s * 1_000_000
+    g = (events
+         .select("event_type", us.alias("us"), "event_id")
+         .withColumn("gap_us", F.col("us") - F.lag("us").over(w)))
+    over = F.col("gap_us") > thr_us
+    return (g.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("gap_us").alias("n_gaps"),
+                 F.sum(F.when(over, 1).otherwise(0)).cast("long")
+                 .alias("n_gaps_over"),
+                 F.max("gap_us").alias("max_gap_us"),
+                 F.sum(F.when(over, F.col("gap_us") - thr_us)
+                       .otherwise(0)).cast("long").alias("downtime_us"),
+                 (F.max("us") - F.min("us")).alias("span_us"))
+            .select("event_type", "n_events", "n_gaps", "n_gaps_over",
+                    "max_gap_us", "downtime_us", "span_us",
+                    # a single-event feed has no span: NULL availability,
+                    # never an ANSI divide-by-zero (the hits() posture)
+                    F.when(F.col("span_us") > 0,
+                           F.expr("(span_us - downtime_us) * 1000000"
+                                  " div span_us"))
+                    .alias("availability_ppm")))

@@ -1,0 +1,110 @@
+"""Feature-engineering operators (SURVEY §2 addendum C42, round 13).
+
+The two workhorse categorical encoders every tabular training pipeline
+runs before a model sees the data:
+
+- Target (mean) encoding with additive smoothing (Micci-Barreca 2001):
+  replace a category by the smoothed mean of the target,
+  enc = (Σ_target + m·global_mean) / (n + m). Rare categories shrink
+  toward the global mean instead of memorizing noise.
+- Feature hashing (Weinberger et al. 2009, "hash trick"): project an
+  unbounded token vocabulary into a fixed bucket space with a
+  content-addressed hash — no vocabulary build, no dictionary shuffle,
+  identical on every executor and every rerun.
+
+Scale notes for 100 TB:
+- Target encoding is two map-side-combinable aggregates (global 1-row +
+  per-category) joined by a broadcast of the 1-row globals — the fact
+  table shuffles once on the category key, nothing else moves.
+- Feature hashing is a projection (the FNV fold is JVM column algebra,
+  the c32_kfold discipline — no Python in the hot path) followed by one
+  bucket-keyed aggregate; bucket cardinality is a constant, so the
+  reduce side is trivially bounded and the census output is ≤ buckets
+  rows.
+
+Exactness: target sums ride half-up integer cents in DECIMAL(38,0)
+(HUGEINT in DuckDB) so the smoothed mean is ONE string-bridged division
+of exact integers; the hash is FNV-1a-32 computed by the same fold both
+engines run (operators/sampling.fnv32_column ↔ the registry's _FNV_SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import fnv32_column
+
+_DEC = "decimal(38,0)"
+
+
+def _sb(col):
+    """String-bridged DECIMAL(38,0)→DOUBLE (the corpus_diversity cast:
+    decimal→string→double is exact-input, engine-identical)."""
+    return col.cast("string").cast("double")
+
+
+def target_encode(orders: DataFrame, customer: DataFrame,
+                  m: int = 100) -> DataFrame:
+    """C42a: smoothed target encoding of the market segment against
+    order value — enc = (Σcents + m·global_mean) / (n + m), computed as
+    the single exact division (Σcents·N + m·ΣglobalCents) / (N·(n+m))
+    so no intermediate mean is ever a rounded double.
+
+    Emits per segment: order count, exact cent sum, the raw and the
+    smoothed mean, and the shrinkage weight m/(n+m) in exact ppm — the
+    audit columns a feature store keeps beside the encoding."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    fact = (orders.join(F.broadcast(customer),
+                        orders.o_custkey == customer.c_custkey)
+            .select(F.col("c_mktsegment").alias("segment"),
+                    cents.alias("cents")))
+    per_seg = (fact.groupBy("segment")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.sum(F.col("cents").cast(_DEC)).alias("sum_cents")))
+    glob = fact.agg(F.count(F.lit(1)).alias("g_n"),
+                    F.sum(F.col("cents").cast(_DEC)).alias("g_sum"))
+    j = per_seg.crossJoin(F.broadcast(glob))
+    num = (F.col("sum_cents") * F.col("g_n").cast(_DEC)
+           + F.lit(m).cast(_DEC) * F.col("g_sum"))
+    den = (F.col("g_n").cast(_DEC)
+           * (F.col("n_orders") + F.lit(m)).cast(_DEC))
+    return j.select(
+        "segment", "n_orders",
+        _sb(F.col("sum_cents")).alias("sum_cents"),
+        (_sb(F.col("sum_cents"))
+         / F.col("n_orders").cast("double")).alias("raw_mean_cents"),
+        (_sb(num) / _sb(den)).alias("encoded_mean_cents"),
+        F.expr(f"CAST({m} AS BIGINT) * 1000000 div (n_orders + {m})")
+        .alias("shrinkage_ppm"))
+
+
+def feature_hash_census(documents: DataFrame,
+                        n_buckets: int = 64) -> DataFrame:
+    """C42b: hash-trick bucket census — alphanumeric tokens hash through
+    FNV-1a-32 into `n_buckets` buckets; the census reports, per bucket,
+    the token mass, the distinct-word (collision) load, and the load in
+    exact ppm of the corpus — what you read to size the bucket space
+    before committing a hashed-features schema.
+
+    Tokenization is regexp_extract_all('[A-Za-z0-9]+') — pure-ASCII by
+    construction, the regime where the column-algebra FNV fold is exact
+    (operators/sampling.fnv32_column). Projection + one bucket-keyed
+    aggregate; distinct words shuffle as (bucket, word) once."""
+    toks = (documents
+            .select(F.explode(
+                F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0))
+                .alias("word"))
+            .select("word",
+                    F.pmod(fnv32_column(F.col("word")),
+                           F.lit(n_buckets)).cast("int").alias("bucket")))
+    census = (toks.groupBy("bucket")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.countDistinct("word").alias("n_distinct_words")))
+    total = census.agg(F.sum("n_tokens").alias("n_total"))
+    return (census.crossJoin(F.broadcast(total))
+            .select("bucket", "n_tokens",
+                    F.col("n_distinct_words").cast("long")
+                    .alias("n_distinct_words"),
+                    F.expr("n_tokens * 1000000 div n_total")
+                    .alias("load_ppm")))

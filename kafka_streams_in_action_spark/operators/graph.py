@@ -631,3 +631,78 @@ def scc_trade(customer: DataFrame, orders: DataFrame,
             .select(F.col("src").alias("nationkey"),
                     F.col("n_name").alias("nation"),
                     "scc_label", "scc_size"))
+
+
+def eccentricity_trade(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, supplier: DataFrame,
+                       nation: DataFrame, top_edges: int = 3,
+                       edges: DataFrame = None) -> DataFrame:
+    """C38 addendum (round 13): eccentricity / diameter / radius of the
+    sparsified trade digraph — the all-pairs min-hop profile that tells
+    you how many propagation rounds ANY frontier algorithm on this
+    graph needs (the iteration bound scc/reach/closeness all budget
+    by). Eccentricity of u = max over reachable v of the min-hop
+    distance u→v; diameter = max eccentricity, radius = min.
+
+    Distributed shape: the scc_trade all-sources BFS, but each closure
+    row keeps the ROUND it was first reached in — BFS order makes that
+    the exact min-hop distance, no re-relaxation needed. The loop is
+    bounded at |nations|−1 rounds with empty-frontier early exit; the
+    closure is ≤|nations|² pairs, and the 4-table edge build remains
+    the only data-scale work. The oracle's recursive CTE grows
+    (src, node, d) tuples with d bounded by the node count, then takes
+    min(d) — same distances, cycle-safe.
+
+    Unreachable pairs are excluded by definition (n_reachable is
+    emitted so the asymmetry is visible); global diameter/radius ride
+    a broadcast 1-row fold, and the per-node verdicts (peripheral ≡
+    ecc = diameter, central ≡ ecc = radius) are earned from the data."""
+    edges_all = (edges if edges is not None
+                 else trade_edges(customer, orders, lineitem, supplier))
+    w_rank = Window.partitionBy("src").orderBy(
+        F.col("w").desc(), F.col("dst"))
+    e = (edges_all
+         .withColumn("_rn", F.row_number().over(w_rank))
+         .filter(F.col("_rn") <= top_edges)
+         .select("src", "dst")
+         .localCheckpoint())
+
+    seeds = (nation.select(F.col("n_nationkey").alias("src"))
+             .withColumn("node", F.col("src"))
+             .withColumn("d", F.lit(0)))
+    spark = nation.sparkSession
+    n_nodes = seeds.count()  # bounded: closure needs ≤ n-1 rounds
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        reached = seeds.localCheckpoint()
+        frontier = reached
+        for rnd in range(1, n_nodes):
+            nxt = (frontier
+                   .join(e, frontier.node == e.src)
+                   .select(frontier.src.alias("src"),
+                           F.col("dst").alias("node"))
+                   .distinct()
+                   .withColumn("d", F.lit(rnd)))
+            frontier = (nxt.join(reached, ["src", "node"], "left_anti")
+                        .localCheckpoint())
+            if not frontier.take(1):
+                break
+            reached = reached.unionAll(frontier).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    per_node = (reached.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("n_reachable"),
+                     F.max("d").cast("int").alias("ecc")))
+    bounds = per_node.agg(F.max("ecc").alias("diameter"),
+                          F.min("ecc").alias("radius"))
+    return (per_node
+            .join(F.broadcast(nation),
+                  per_node.src == nation.n_nationkey)
+            .crossJoin(F.broadcast(bounds))
+            .select(F.col("src").alias("nationkey"),
+                    F.col("n_name").alias("nation"),
+                    "n_reachable", "ecc", "diameter", "radius",
+                    (F.col("ecc") == F.col("diameter"))
+                    .alias("is_peripheral"),
+                    (F.col("ecc") == F.col("radius")).alias("is_central")))

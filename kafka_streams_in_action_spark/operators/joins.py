@@ -465,3 +465,61 @@ def asof_join_tolerance(events: DataFrame, orders: DataFrame,
                 F.col("b.o_orderkey").alias("o_orderkey"),
                 F.col("b.o_totalprice").alias("o_totalprice"))
     )
+
+
+def allen_census(orders: DataFrame) -> DataFrame:
+    """C9 addendum (round 13): Allen interval-algebra census — classify
+    each customer's consecutive order-activity intervals into Allen's
+    interval relations (Allen 1983) and report the relation mix. The
+    temporal-join diagnostic: before choosing a range/as-of/interval
+    join strategy you profile HOW intervals actually relate (mostly
+    disjoint → range join wins; heavy overlap → interval join state
+    blows up; the census is that profile).
+
+    Intervals derive deterministically from the order row (start =
+    o_orderdate, duration = o_orderkey mod 400 + 30 days, the fixture
+    convention). Pairs are formed per customer between each interval
+    and its successor in (start, orderkey) order — ONE keyed lag
+    window, no self-join — so a.start ≤ b.start by construction and
+    exactly eight of the thirteen relations can occur; the CASE chain
+    covers all eight, ordered equality-first so the classification is
+    deterministic in both engines.
+
+    Output: per relation, the pair count, the min/max day gap
+    (b.start − a.end, negative under overlap), and the share in exact
+    ppm of all pairs."""
+    iv = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"),
+                   (F.col("o_orderkey") % 400 + 30).cast("int"))
+        .alias("e"))
+    w = Window.partitionBy("custkey").orderBy("s", "orderkey")
+    p = (iv
+         .withColumn("bs", F.lead("s").over(w))
+         .withColumn("be", F.lead("e").over(w))
+         .filter(F.col("bs").isNotNull()))
+    a_s, a_e, b_s, b_e = (F.col("s"), F.col("e"),
+                          F.col("bs"), F.col("be"))
+    rel = (
+        F.when((a_s == b_s) & (a_e == b_e), "equals")
+        .when((a_s == b_s) & (a_e < b_e), "starts")
+        .when((a_s == b_s) & (a_e > b_e), "started_by")
+        .when(a_e < b_s, "precedes")
+        .when(a_e == b_s, "meets")
+        .when((b_s < a_e) & (a_e < b_e), "overlaps")
+        .when(a_e == b_e, "finished_by")
+        .otherwise("contains"))
+    gap = F.datediff(b_s, a_e)
+    census = (p.groupBy(rel.alias("relation"))
+              .agg(F.count(F.lit(1)).alias("n_pairs"),
+                   F.min(gap).alias("min_gap_days"),
+                   F.max(gap).alias("max_gap_days")))
+    total = census.agg(F.sum("n_pairs").alias("n_total"))
+    return (census.crossJoin(F.broadcast(total))
+            .select("relation", "n_pairs",
+                    F.col("min_gap_days").cast("int").alias("min_gap_days"),
+                    F.col("max_gap_days").cast("int").alias("max_gap_days"),
+                    F.expr("n_pairs * 1000000 div n_total")
+                    .alias("share_ppm")))

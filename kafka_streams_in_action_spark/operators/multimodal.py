@@ -1033,3 +1033,50 @@ def snr_estimate(audio_media: DataFrame, frame_len: int = 64,
         "doc_id", "n_frames", "n_active",
         "speech_ssq", "speech_n", "noise_ssq", "noise_n",
         F.when(den > 0, sb(num) / sb(den)).alias("snr_ratio"))
+
+
+def dominant_colors(bmp_media: DataFrame) -> DataFrame:
+    """C31 addendum (round 13): dominant-color extraction from a REAL
+    in-kernel BMP decode — each pixel quantizes to a 64-cell color cube
+    (2 bits per BGR channel: code = (B/64)·16 + (G/64)·4 + (R/64)) and
+    the modal cell wins, lowest code on ties. The thumbnail/palette
+    primer a vision-data pipeline runs before clustering by color or
+    filtering flat synthetic frames (a single dominant cell at share
+    ~1.0 is a solid-color image — screenshot chrome, letterbox fill,
+    test cards).
+
+    Decode + quantize + histogram + argmax happen INSIDE one Arrow
+    kernel (payload bytes never shuffle — the blur/exposure
+    discipline); only (doc_id, dims, modal code, counts) leave it. The
+    share is ONE division of exact integers; the fixture pixels are the
+    closed modular formula of (doc_id, byte index), which is what lets
+    the DuckDB oracle recompute the same histogram without touching BMP
+    bytes — the kernel must EARN the numbers from a real decode."""
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "dom_code": [], "dom_count": [], "n_pixels": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = parse_bmp(bytes(payload))
+                px = np.asarray(rows, dtype=np.int64).reshape(h, w, 3)
+                code = (px[:, :, 0] // 64) * 16 + (px[:, :, 1] // 64) * 4 \
+                    + (px[:, :, 2] // 64)
+                hist = np.bincount(code.ravel(), minlength=64)
+                dom = int(np.argmax(hist))  # first max = lowest code
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["dom_code"].append(dom)
+                out["dom_count"].append(int(hist[dom]))
+                out["n_pixels"].append(int(w * h))
+            yield pd.DataFrame(out)
+
+    stats = bmp_media.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, width int, height int, "
+                       "dom_code int, dom_count long, n_pixels long")
+    return stats.select(
+        "doc_id", "width", "height", "dom_code", "dom_count", "n_pixels",
+        (F.col("dom_count").cast("double")
+         / F.col("n_pixels").cast("double")).alias("dom_share"))

@@ -1,0 +1,165 @@
+"""Privacy / anonymization audits (SURVEY §2 addendum C40, round 13).
+
+A training-data pipeline that ingests user-derived records has to answer
+"can any row be singled out?" BEFORE the data ships to a trainer — the
+standard gauges are k-anonymity (Sweeney 2002: every quasi-identifier
+combination is shared by ≥ k rows), l-diversity (Machanavajjhala et al.
+2007: every QI class carries ≥ l distinct sensitive values, closing the
+homogeneity attack k-anonymity misses), and the generalization ladder
+(coarsen QIs until the k floor holds; Samarati 2001). All three are pure
+relational algebra — group sizes and distinct counts — so they run as
+plain hash aggregates that scale exactly like any other groupBy: the QI
+tuple shuffles, the payload never does, and every output is a bounded
+per-segment summary rather than a per-row disclosure.
+
+Scale notes for 100 TB:
+- The QI-class aggregate is map-side combinable (counts), one shuffle on
+  the QI tuple; classes are then rolled up to a ≤|segments|-row report —
+  no per-class rows leave the job.
+- l-diversity's distinct-sensitive count is a two-level agg
+  (distinct (QI, sensitive) pairs first, then class sizes) — the
+  partial-agg form Spark plans for count(DISTINCT) under a grouping.
+- The ladder recomputes the class sizes per level (3 bounded passes);
+  coarsening only merges classes, so min class size is provably
+  monotone non-decreasing — the emitted verdict is earned from the data
+  and doubles as a self-check.
+
+All arithmetic is exact: group sizes are BIGINTs and account-balance
+bands come from half-up integer cents, so the DuckDB oracles hash-match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _acct_band(col, cents_per_band: int):
+    """Account-balance band from exact half-up cents, floored (NOT
+    truncated — negative balances must band downward the same way in
+    both engines). |cents| ≤ 1e6 and the band divisor are small ints,
+    so the IEEE quotient is exact at every band boundary and
+    floor(cents/band) is engine-identical."""
+    cents = F.floor(col * 100 + F.lit(0.5)).cast("long")
+    return F.floor(cents / F.lit(cents_per_band))
+
+
+def k_anonymity_audit(customer: DataFrame, k: int = 5) -> DataFrame:
+    """C40a: k-anonymity audit over the customer quasi-identifiers
+    (nation, market segment, account-balance band of 1000 currency
+    units). Emits one row per market segment: class count, the minimum
+    class size (the k actually achieved), how many classes and rows sit
+    below the contractual k, and the at-risk fraction in exact ppm.
+
+    Two hash aggregates: QI classes (map-side combinable counts, one
+    shuffle on the QI tuple), then a ≤|segments|-row rollup."""
+    qi = customer.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+        _acct_band(F.col("c_acctbal"), 100_000).cast("long").alias("band"))
+    classes = (qi.groupBy("segment", "nationkey", "band")
+               .agg(F.count(F.lit(1)).alias("sz")))
+    below = F.col("sz") < k
+    report = (classes.groupBy("segment")
+              .agg(F.count(F.lit(1)).alias("n_classes"),
+                   F.min("sz").alias("k_min"),
+                   F.sum(F.when(below, 1).otherwise(0)).cast("long")
+                   .alias("n_weak_classes"),
+                   F.sum(F.when(below, F.col("sz")).otherwise(0))
+                   .cast("long").alias("rows_at_risk"),
+                   F.sum("sz").alias("n_rows")))
+    return report.select(
+        "segment", "n_classes", "k_min", "n_weak_classes", "rows_at_risk",
+        "n_rows",
+        F.expr("rows_at_risk * 1000000 div n_rows").alias("risk_ppm"),
+        (F.col("k_min") >= k).alias("k_anonymous"))
+
+
+def l_diversity_audit(customer: DataFrame, orders: DataFrame,
+                      l_floor: int = 3) -> DataFrame:
+    """C40b: l-diversity audit — QI class = (nation, market segment)
+    over customer⋈orders, sensitive attribute = order priority. A class
+    where every member shares one priority leaks the sensitive value
+    even at high k (the homogeneity attack); the audit reports, per
+    segment, the worst per-class distinct-sensitive count and the row
+    mass sitting in classes below the l floor.
+
+    Shape: keyed equi-join (customer side broadcast at dimension
+    ratios), then distinct (QI, sensitive) pairs → class rollup →
+    segment rollup; all counts exact BIGINT."""
+    j = (orders.join(F.broadcast(customer),
+                     orders.o_custkey == customer.c_custkey)
+         .select(F.col("c_mktsegment").alias("segment"),
+                 F.col("c_nationkey").alias("nationkey"),
+                 F.col("o_orderpriority").alias("sensitive")))
+    per_class = (j.groupBy("segment", "nationkey")
+                 .agg(F.countDistinct("sensitive").alias("l_val"),
+                      F.count(F.lit(1)).alias("sz")))
+    weak = F.col("l_val") < l_floor
+    report = (per_class.groupBy("segment")
+              .agg(F.count(F.lit(1)).alias("n_classes"),
+                   F.min("l_val").alias("l_min"),
+                   F.sum(F.when(weak, 1).otherwise(0)).cast("long")
+                   .alias("n_weak_classes"),
+                   F.sum(F.when(weak, F.col("sz")).otherwise(0))
+                   .cast("long").alias("rows_in_weak"),
+                   F.sum("sz").alias("n_rows")))
+    return report.select(
+        "segment", "n_classes", "l_min", "n_weak_classes", "rows_in_weak",
+        "n_rows",
+        F.expr("rows_in_weak * 1000000 div n_rows").alias("weak_ppm"),
+        (F.col("l_min") >= l_floor).alias("l_diverse"))
+
+
+def generalization_ladder(customer: DataFrame, nation: DataFrame,
+                          k: int = 5) -> DataFrame:
+    """C40c: the generalization ladder — recompute the k-anonymity floor
+    under three successively coarser QI schemes and prove the
+    suppression cost falls monotonically:
+
+      level 0: (nation,  segment, 1000-unit balance band)
+      level 1: (region,  segment, 5000-unit balance band)
+      level 2: (region,  segment)                       — band dropped
+
+    Coarsening merges classes, so min class size is mathematically
+    non-decreasing up the ladder; the emitted `monotone` verdict is
+    still EARNED from the measured per-level floors (a broken band
+    function or a bad join would falsify it loudly).
+
+    Shape: three bounded grouped passes over one projected input (the
+    nation→region map broadcasts), then a 3-row union + 1-row verdict
+    crossJoin."""
+    base = (customer.join(F.broadcast(nation),
+                          customer.c_nationkey == nation.n_nationkey)
+            .select(F.col("c_mktsegment").alias("segment"),
+                    F.col("c_nationkey").alias("nationkey"),
+                    F.col("n_regionkey").alias("regionkey"),
+                    _acct_band(F.col("c_acctbal"), 100_000).cast("long")
+                    .alias("band0"),
+                    _acct_band(F.col("c_acctbal"), 500_000).cast("long")
+                    .alias("band1")))
+
+    def level(n: int, keys: list[str]) -> DataFrame:
+        classes = (base.groupBy(*keys)
+                   .agg(F.count(F.lit(1)).alias("sz")))
+        return (classes.agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("sz").alias("k_min"),
+            F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0))
+            .cast("long").alias("rows_at_risk"))
+            .select(F.lit(n).alias("level"), "n_classes", "k_min",
+                    "rows_at_risk"))
+
+    ladder = (level(0, ["segment", "nationkey", "band0"])
+              .unionAll(level(1, ["segment", "regionkey", "band1"]))
+              .unionAll(level(2, ["segment", "regionkey"])))
+    verdict = ladder.agg(
+        (F.max(F.when(F.col("level") == 1, F.col("k_min")))
+         >= F.max(F.when(F.col("level") == 0, F.col("k_min")))).alias("m01"),
+        (F.max(F.when(F.col("level") == 2, F.col("k_min")))
+         >= F.max(F.when(F.col("level") == 1, F.col("k_min")))).alias("m12"))
+    return (ladder.crossJoin(F.broadcast(
+        verdict.select((F.col("m01") & F.col("m12")).alias("monotone"))))
+        .select("level", "n_classes", "k_min", "rows_at_risk",
+                (F.col("k_min") >= k).alias("k_anonymous"), "monotone"))

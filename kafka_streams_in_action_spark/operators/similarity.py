@@ -1608,3 +1608,64 @@ def hamming_topk(embeddings: DataFrame, n_queries: int = 10,
     return (scored.withColumn("rn", F.row_number().over(w).cast("int"))
             .filter(F.col("rn") <= k)
             .select("query_id", "neighbor_id", "hamming", "rn"))
+
+
+def centroid_shift(embeddings: DataFrame) -> DataFrame:
+    """C29 addendum (round 13): per-subpopulation centroid shift — for
+    every label, the exact squared L2 distance between the label's
+    centroid and the corpus centroid, in micro²-units. The embedding
+    drift gauge a training-data pipeline reads per source/domain/label
+    slice: a slice whose centroid sits far from the corpus mean is
+    distributionally distinct (stale crawl, domain skew, encoder
+    version drift) and gets re-weighted or re-embedded before the mix
+    ships (the per-slice companion of C29y's corpus-level diversity).
+
+    The rational identity keeps everything exact: with per-dim sums
+    s_ld (label) and s_gd (global) and counts n_l, n_g,
+
+        ‖c_l − c_g‖² = Σ_d (s_ld·n_g − s_gd·n_l)² / (n_l·n_g)²
+
+    — numerator and denominator are exact DECIMAL(38,0)/HUGEINT
+    integers (components micro-quantized, the diversity convention; the
+    density check below rejects ragged inputs loudly), and the shift is
+    ONE string-bridged division. Shape: posexplode → (label, dim)
+    map-side-combinable agg (≤|labels|·dims rows leave the scan), a
+    broadcast join against the dims-row global fold, a ≤|labels|-row
+    report. No pairs, no second corpus scan."""
+    dec = "decimal(38,0)"
+    q = F.floor(F.col("e").cast("double") * 1000000.0 + 0.5).cast("long")
+    per = (embeddings
+           .select("label", F.posexplode("embedding").alias("dim", "e"))
+           .select("label", "dim", q.alias("q"))
+           .groupBy("label", "dim")
+           .agg(F.sum(F.col("q").cast(dec)).alias("s_ld"),
+                F.count(F.lit(1)).alias("n_d")))
+    # density check (the corpus_diversity posture): every dim of every
+    # label must count the same vectors, else n is silently wrong
+    lbl = (per.groupBy("label")
+           .agg(F.max("n_d").alias("n_l"), F.min("n_d").alias("n_l_min")))
+    lbl = lbl.select(
+        "label",
+        F.when(F.col("n_l_min") == F.col("n_l"), F.col("n_l"))
+        .otherwise(F.raise_error(F.lit(
+            "centroid_shift: ragged embeddings — per-dim counts diverge "
+            "within a label; dense fixed-width vectors required")))
+        .alias("n_l"))
+    glob = (per.groupBy("dim")
+            .agg(F.sum("s_ld").alias("s_gd"), F.sum("n_d").alias("n_g")))
+    sb = lambda c: c.cast("string").cast("double")  # noqa: E731
+    terms = (per.join(F.broadcast(glob), "dim")
+             .join(F.broadcast(lbl), "label"))
+    diff = (F.col("s_ld") * F.col("n_g").cast(dec)
+            - F.col("s_gd") * F.col("n_l").cast(dec))
+    folded = (terms.groupBy("label")
+              .agg(F.sum(diff * diff).alias("num"),
+                   F.max("n_l").alias("n_l"),
+                   F.max("n_g").alias("n_g")))
+    den = (F.col("n_l").cast(dec) * F.col("n_g").cast(dec)
+           * F.col("n_l").cast(dec) * F.col("n_g").cast(dec))
+    return folded.select(
+        "label",
+        F.col("n_l").alias("n_vecs"),
+        F.expr("n_l * 1000000 div n_g").alias("share_ppm"),
+        (sb(F.col("num")) / sb(den)).alias("shift_micro2"))

@@ -972,3 +972,52 @@ def zipf_fit(documents: DataFrame, top_n: int = 100) -> DataFrame:
     return s.select(F.col("n").cast("int").alias("n_terms"),
                     slope.alias("slope"),
                     intercept.alias("intercept"))
+
+
+# Regex PII lexicon (C30 addendum, round 13). Both patterns are plain
+# ASCII character classes with bounded quantifiers — the subset where
+# Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte, the same
+# dialect discipline as REDACT_PATTERN.
+PII_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+1-555-[0-9]{4}"
+
+
+def pii_scan(documents: DataFrame) -> DataFrame:
+    """C30 addendum (round 13): regex PII detection + scrub — the
+    pattern-based complement of C30h's lexicon redaction (real corpora
+    run both: a fixed badwords list AND structural detectors for
+    emails/phones/ids). The fixture corpus carries no contact strings,
+    so deterministic PII is PLANTED first — every 5th document gains an
+    email, every 7th a NANP number (35th: both) — which turns the row
+    into a prove-it-detects gate: the scan must find exactly the
+    planted occurrences and the scrub proof must hash the byte-exact
+    scrubbed text.
+
+    Pure per-row regex in whole-stage codegen (no shuffle, no UDF, no
+    text ever leaves the row): emits per document the match counts, the
+    scrubbed length, and the scrubbed text's md5 — the same
+    byte-identical-scrub proof as C30h, so neither engine can fake the
+    replacement."""
+    email = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com"))
+    ).otherwise(F.col("text"))
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(email, F.lit(" call +1-555-"),
+                 F.lpad(F.pmod(F.col("doc_id"), F.lit(10000))
+                        .cast("string"), 4, "0"))
+    ).otherwise(email)
+    d = documents.select("doc_id", "source", planted.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), PII_EMAIL, "[EMAIL]"),
+        PII_PHONE, "[PHONE]")
+    return d.select(
+        "doc_id", "source",
+        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL), 0))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(PII_PHONE), 0))
+        .alias("n_phones"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"))

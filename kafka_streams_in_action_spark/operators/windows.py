@@ -910,3 +910,56 @@ def seasonal_strength(events: DataFrame) -> DataFrame:
         F.when(num_d > 0,
                F.greatest(F.lit(0.0), F.lit(1.0) - ratio))
         .alias("strength"))
+
+
+def runs_test(events: DataFrame) -> DataFrame:
+    """C12 addendum (round 13): Wald–Wolfowitz runs test on the daily
+    value series — per event type, the day-over-day deltas reduce to an
+    up/down sign sequence (zero deltas drop, the standard treatment)
+    and the number of RUNS of equal signs is compared against its
+    randomness expectation E[R] = 1 + 2·n₁·n₂/(n₁+n₂). Too few runs =
+    trending/sticky series, too many = oscillating — the independence
+    gate a forecasting pipeline applies before trusting i.i.d.-based
+    intervals (complements C12's ACF, which measures linear memory;
+    runs are distribution-free).
+
+    Exactness: daily sums ride half-up micro-units (BIGINT), signs and
+    run boundaries are pure integer comparisons, and E[R] / Var[R] are
+    each ONE division of exact integer products, so both engines build
+    z from bit-identical doubles (sqrt is correctly rounded IEEE).
+    Shape: one bounded (type, day) rollup, two keyed lag passes over
+    the ≤|types|·|days| day table, a ≤|types|-row report."""
+    vm = F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(vm).alias("s")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    signed = (daily
+              .withColumn("delta", F.col("s") - F.lag("s").over(w))
+              .filter(F.col("delta").isNotNull() & (F.col("delta") != 0))
+              .withColumn("sgn", F.when(F.col("delta") > 0, 1)
+                          .otherwise(-1)))
+    w2 = Window.partitionBy("event_type").orderBy("day")
+    marked = signed.withColumn(
+        "chg", F.when(F.lag("sgn").over(w2).isNull()
+                      | (F.col("sgn") != F.lag("sgn").over(w2)), 1)
+        .otherwise(0))
+    g = (marked.groupBy("event_type")
+         .agg(F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+              .cast("long").alias("n_up"),
+              F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+              .cast("long").alias("n_down"),
+              F.sum("chg").cast("long").alias("runs")))
+    n1, n2, r = F.col("n_up"), F.col("n_down"), F.col("runs")
+    n = n1 + n2
+    two_p = 2 * n1 * n2
+    exp_r = F.lit(1.0) + two_p.cast("double") / n.cast("double")
+    var_num = two_p * (two_p - n)
+    var_den = n * n * (n - 1)
+    var_r = var_num.cast("double") / var_den.cast("double")
+    z = F.when((n1 > 0) & (n2 > 0) & (n > 1) & (var_num > 0),
+               (r.cast("double") - exp_r) / F.sqrt(var_r))
+    return g.select(
+        "event_type", "n_up", "n_down", "runs",
+        F.when(n > 0, exp_r).alias("expected_runs"),
+        z.alias("runs_z"))

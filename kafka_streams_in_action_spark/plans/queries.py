@@ -38,8 +38,9 @@ from ..functions.serde import (
     wire_schema_id, wire_payload, wire_payload_proto,
 )
 from ..operators import (
-    dedup, event_time, graph, joins, layout, linkage, multimodal,
-    relational, sampling, scalars, setops, similarity, text, udx, windows,
+    dedup, event_time, features, graph, joins, layout, linkage, multimodal,
+    privacy, relational, sampling, scalars, setops, similarity, text, udx,
+    windows,
 )
 from ..sources.parquet import load_table
 
@@ -2099,6 +2100,41 @@ def _lttb_oracle(k: int = 10) -> str:
         FROM bkt WHERE j = n""")
     return (f"WITH {','.join(parts)}"
             + " UNION ALL ".join(unions))
+
+
+def _bursts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34 addendum (round 13) streaming twin, driver-visible: the
+    per-(type, day) count rides the state store as ONE BIGINT
+    (streaming/stateful.py:daily_counts_stream), replayed across a REAL
+    4-batch time split, so a calendar day whose rows straddle
+    micro-batch boundaries accumulates in state instead of
+    double-counting. Emissions are strictly monotone cumulative counts;
+    the read side takes the per-key max (the l28 monotone-emission
+    discipline) and feeds the SAME burst census + oracle as the batch
+    c34_bursts — the counts only match if state survives three
+    micro-batch boundaries exactly."""
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import daily_counts_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c34_bursts_stream_src_")
+    _write_time_slices(ev, src)
+    sink = f"c34_bursts_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .select("event_type", F.to_date("ts").alias("day")))
+        q = (daily_counts_stream(stream)
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    daily = (spark.table(sink)
+             .groupBy("event_type", "day")
+             .agg(F.max("cnt").alias("cnt")))
+    return event_time.bursts_from_daily(daily)
 
 
 _QUERY_DEFS: dict[str, QuerySpec] = {
@@ -8611,6 +8647,535 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                END AS snr_ratio
         FROM agg
         """),
+    # ------------------------------------------------------------------
+    # Round-13 slate (registered during the round-11 session, AFTER the
+    # round-11 window froze — leads the round-12 window per the standing
+    # freshness discipline).
+    # ------------------------------------------------------------------
+    "c40_kanon": QuerySpec(
+        # C40a: k-anonymity audit — QI class sizes over (nation,
+        # segment, exact-cents balance band); all counts BIGINT, the
+        # risk fraction one exact ppm division.
+        _t("customer")(privacy.k_anonymity_audit),
+        """
+        WITH qi AS (
+            SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
+                   CAST(floor(CAST(CAST(floor(c_acctbal * 100 + 0.5)
+                                        AS BIGINT) AS DOUBLE) / 100000)
+                        AS BIGINT) AS band
+            FROM customer),
+        classes AS (
+            SELECT segment, nationkey, band,
+                   CAST(count(*) AS BIGINT) AS sz
+            FROM qi GROUP BY 1, 2, 3),
+        r AS (
+            SELECT segment, CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(min(sz) AS BIGINT) AS k_min,
+                   CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_weak_classes,
+                   CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+                        AS BIGINT) AS rows_at_risk,
+                   CAST(sum(sz) AS BIGINT) AS n_rows
+            FROM classes GROUP BY 1)
+        SELECT segment, n_classes, k_min, n_weak_classes, rows_at_risk,
+               n_rows, rows_at_risk * 1000000 // n_rows AS risk_ppm,
+               k_min >= 5 AS k_anonymous
+        FROM r
+        """),
+    "c40_ldiversity": QuerySpec(
+        # C40b: l-diversity — distinct sensitive values per QI class
+        # (homogeneity-attack gauge); two-level exact distinct counts.
+        _t("customer orders")(privacy.l_diversity_audit),
+        """
+        WITH j AS (
+            SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
+                   o_orderpriority AS sensitive
+            FROM orders JOIN customer ON o_custkey = c_custkey),
+        per_class AS (
+            SELECT segment, nationkey,
+                   CAST(count(DISTINCT sensitive) AS BIGINT) AS l_val,
+                   CAST(count(*) AS BIGINT) AS sz
+            FROM j GROUP BY 1, 2),
+        r AS (
+            SELECT segment, CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(min(l_val) AS BIGINT) AS l_min,
+                   CAST(sum(CASE WHEN l_val < 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_weak_classes,
+                   CAST(sum(CASE WHEN l_val < 3 THEN sz ELSE 0 END)
+                        AS BIGINT) AS rows_in_weak,
+                   CAST(sum(sz) AS BIGINT) AS n_rows
+            FROM per_class GROUP BY 1)
+        SELECT segment, n_classes, l_min, n_weak_classes, rows_in_weak,
+               n_rows, rows_in_weak * 1000000 // n_rows AS weak_ppm,
+               l_min >= 3 AS l_diverse
+        FROM r
+        """),
+    "c40_generalize": QuerySpec(
+        # C40c: generalization ladder — three coarsening levels, the
+        # monotone-k verdict EARNED from the measured floors.
+        _t("customer nation")(privacy.generalization_ladder),
+        """
+        WITH base AS (
+            SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
+                   n_regionkey AS regionkey,
+                   CAST(floor(CAST(CAST(floor(c_acctbal * 100 + 0.5)
+                                        AS BIGINT) AS DOUBLE) / 100000)
+                        AS BIGINT) AS band0,
+                   CAST(floor(CAST(CAST(floor(c_acctbal * 100 + 0.5)
+                                        AS BIGINT) AS DOUBLE) / 500000)
+                        AS BIGINT) AS band1
+            FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        l0c AS (SELECT CAST(count(*) AS BIGINT) AS sz FROM base
+                GROUP BY segment, nationkey, band0),
+        l1c AS (SELECT CAST(count(*) AS BIGINT) AS sz FROM base
+                GROUP BY segment, regionkey, band1),
+        l2c AS (SELECT CAST(count(*) AS BIGINT) AS sz FROM base
+                GROUP BY segment, regionkey),
+        ladder AS (
+            SELECT 0 AS level, CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(min(sz) AS BIGINT) AS k_min,
+                   CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+                        AS BIGINT) AS rows_at_risk
+            FROM l0c
+            UNION ALL
+            SELECT 1, CAST(count(*) AS BIGINT), CAST(min(sz) AS BIGINT),
+                   CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+                        AS BIGINT)
+            FROM l1c
+            UNION ALL
+            SELECT 2, CAST(count(*) AS BIGINT), CAST(min(sz) AS BIGINT),
+                   CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+                        AS BIGINT)
+            FROM l2c),
+        v AS (
+            SELECT (max(CASE WHEN level = 1 THEN k_min END)
+                    >= max(CASE WHEN level = 0 THEN k_min END))
+                   AND (max(CASE WHEN level = 2 THEN k_min END)
+                        >= max(CASE WHEN level = 1 THEN k_min END))
+                   AS monotone
+            FROM ladder)
+        SELECT level, n_classes, k_min, rows_at_risk,
+               k_min >= 5 AS k_anonymous, monotone
+        FROM ladder CROSS JOIN v
+        """),
+    "c30_pii": QuerySpec(
+        # C30 addendum: regex PII scan + scrub over deterministically
+        # planted contacts; md5-proved byte-identical scrubbing.
+        _t("documents")(text.pii_scan),
+        r"""
+        WITH p1 AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN text || ' contact user'
+                             || CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE text END AS t1
+            FROM documents),
+        planted AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN t1 || ' call +1-555-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                     4, '0')
+                        ELSE t1 END AS t
+            FROM p1),
+        s AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(
+                       t, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                   ))::INTEGER AS n_emails,
+                   len(regexp_extract_all(t, '\+1-555-[0-9]{4}'
+                   ))::INTEGER AS n_phones,
+                   regexp_replace(
+                       regexp_replace(
+                           t,
+                           '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g'),
+                       '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS scrubbed
+            FROM planted)
+        SELECT doc_id, source, n_emails, n_phones,
+               length(scrubbed)::INTEGER AS scrubbed_len,
+               md5(scrubbed) AS scrubbed_md5
+        FROM s
+        """),
+    "c42_target_encode": QuerySpec(
+        # C42a: smoothed target encoding — exact-cents sufficient stats
+        # in HUGEINT/DECIMAL(38,0), the smoothed mean ONE string-bridged
+        # division.
+        _t("orders customer")(features.target_encode),
+        """
+        WITH fact AS (
+            SELECT c_mktsegment AS segment,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey),
+        g AS (
+            SELECT CAST(count(*) AS HUGEINT) AS g_n,
+                   sum(CAST(cents AS HUGEINT)) AS g_sum
+            FROM fact),
+        p AS (
+            SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+                   sum(CAST(cents AS HUGEINT)) AS sum_cents
+            FROM fact GROUP BY 1)
+        SELECT segment, n_orders,
+               CAST(CAST(sum_cents AS VARCHAR) AS DOUBLE) AS sum_cents,
+               CAST(CAST(sum_cents AS VARCHAR) AS DOUBLE)
+                   / CAST(n_orders AS DOUBLE) AS raw_mean_cents,
+               CAST(CAST(sum_cents * g_n + 100 * g_sum AS VARCHAR)
+                    AS DOUBLE)
+                   / CAST(CAST(g_n * CAST(n_orders + 100 AS HUGEINT)
+                               AS VARCHAR) AS DOUBLE)
+                   AS encoded_mean_cents,
+               CAST(100 AS BIGINT) * 1000000 // (n_orders + 100)
+                   AS shrinkage_ppm
+        FROM p CROSS JOIN g
+        """),
+    "c42_feature_hash": QuerySpec(
+        # C42b: hash-trick bucket census — the same FNV-1a-32 fold both
+        # engines run, over pure-ASCII alphanumeric tokens.
+        _t("documents")(features.feature_hash_census),
+        f"""
+        WITH w AS (
+            SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                AS word
+            FROM documents),
+        b AS (
+            SELECT word,
+                   CAST({_FNV_SQL.format(col='word')} % 64 AS INTEGER)
+                       AS bucket
+            FROM w),
+        c AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT word) AS BIGINT)
+                       AS n_distinct_words
+            FROM b GROUP BY 1),
+        t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM c)
+        SELECT bucket, n_tokens, n_distinct_words,
+               n_tokens * 1000000 // n_total AS load_ppm
+        FROM c CROSS JOIN t
+        """),
+    "c34_bursts": QuerySpec(
+        # C34 addendum: trailing-mean burst census — exact integer gate
+        # cnt·7·1000 > ratio_milli·trail_sum over a keyed RANGE window.
+        _t("events")(event_time.burst_detect),
+        """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2),
+        t AS (
+            SELECT event_type, day, cnt,
+                   CAST(sum(cnt) OVER w AS BIGINT) AS trail_sum,
+                   CAST(count(*) OVER w AS BIGINT) AS trail_days
+            FROM daily
+            WINDOW w AS (
+                PARTITION BY event_type
+                ORDER BY date_diff('day', DATE '1970-01-01', day)
+                RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        s AS (
+            SELECT event_type, day, cnt, trail_sum,
+                   trail_days = 7 AS eligible,
+                   CASE WHEN trail_days = 7
+                        THEN cnt * 7 * 1000 // trail_sum END AS ratio,
+                   trail_days = 7
+                       AND cnt * 7 * 1000 > 1100 * trail_sum AS burst
+            FROM t)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CASE WHEN eligible THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_eligible_days,
+               CAST(sum(CASE WHEN burst THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_burst_days,
+               CAST(max(ratio) AS BIGINT) AS max_ratio_milli,
+               min(CASE WHEN burst THEN day END) AS first_burst_day,
+               max(CASE WHEN burst THEN day END) AS last_burst_day
+        FROM s GROUP BY 1
+        """),
+    "c34_bursts_stream": QuerySpec(
+        # C34 addendum streaming twin: per-(type, day) count in the
+        # state store across a real 4-batch replay; SAME oracle as the
+        # batch row.
+        _bursts_stream,
+        """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2),
+        t AS (
+            SELECT event_type, day, cnt,
+                   CAST(sum(cnt) OVER w AS BIGINT) AS trail_sum,
+                   CAST(count(*) OVER w AS BIGINT) AS trail_days
+            FROM daily
+            WINDOW w AS (
+                PARTITION BY event_type
+                ORDER BY date_diff('day', DATE '1970-01-01', day)
+                RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        s AS (
+            SELECT event_type, day, cnt, trail_sum,
+                   trail_days = 7 AS eligible,
+                   CASE WHEN trail_days = 7
+                        THEN cnt * 7 * 1000 // trail_sum END AS ratio,
+                   trail_days = 7
+                       AND cnt * 7 * 1000 > 1100 * trail_sum AS burst
+            FROM t)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CASE WHEN eligible THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_eligible_days,
+               CAST(sum(CASE WHEN burst THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_burst_days,
+               CAST(max(ratio) AS BIGINT) AS max_ratio_milli,
+               min(CASE WHEN burst THEN day END) AS first_burst_day,
+               max(CASE WHEN burst THEN day END) AS last_burst_day
+        FROM s GROUP BY 1
+        """),
+    "c9_allen": QuerySpec(
+        # C9 addendum: Allen interval-relation census — one keyed lead
+        # window, equality-first CASE chain, exact day gaps.
+        _t("orders")(joins.allen_census),
+        """
+        WITH iv AS (
+            SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                   CAST(o_orderdate AS DATE) AS s,
+                   CAST(o_orderdate AS DATE)
+                       + CAST(o_orderkey % 400 + 30 AS INTEGER) AS e
+            FROM orders),
+        p AS (
+            SELECT custkey, s, e,
+                   lead(s) OVER w AS bs, lead(e) OVER w AS be
+            FROM iv
+            WINDOW w AS (PARTITION BY custkey ORDER BY s, orderkey)),
+        cls AS (
+            SELECT CASE WHEN s = bs AND e = be THEN 'equals'
+                        WHEN s = bs AND e < be THEN 'starts'
+                        WHEN s = bs AND e > be THEN 'started_by'
+                        WHEN e < bs THEN 'precedes'
+                        WHEN e = bs THEN 'meets'
+                        WHEN bs < e AND e < be THEN 'overlaps'
+                        WHEN e = be THEN 'finished_by'
+                        ELSE 'contains' END AS relation,
+                   date_diff('day', e, bs) AS gap
+            FROM p WHERE bs IS NOT NULL),
+        c AS (
+            SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(min(gap) AS INTEGER) AS min_gap_days,
+                   CAST(max(gap) AS INTEGER) AS max_gap_days
+            FROM cls GROUP BY 1),
+        t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM c)
+        SELECT relation, n_pairs, min_gap_days, max_gap_days,
+               n_pairs * 1000000 // n_total AS share_ppm
+        FROM c CROSS JOIN t
+        """),
+    "c38_eccentricity": QuerySpec(
+        # C38 addendum: min-hop eccentricity / diameter / radius of the
+        # sparsified trade digraph; oracle recursion is depth-bounded +
+        # min-dist folded, cycle-safe.
+        _t("customer orders lineitem supplier nation")(
+            graph.eccentricity_trade),
+        """
+        WITH RECURSIVE e0 AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   count(*) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+        edges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst, row_number() OVER (
+                           PARTITION BY src ORDER BY w DESC, dst) AS rn
+                FROM e0)
+            WHERE rn <= 3),
+        reach(src, node, d) AS (
+            SELECT n_nationkey, n_nationkey, 0 FROM nation
+            UNION
+            SELECT r.src, e.dst, r.d + 1
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.d < 25),
+        md AS (
+            SELECT src, node, CAST(min(d) AS INTEGER) AS d
+            FROM reach GROUP BY 1, 2),
+        pn AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS n_reachable,
+                   max(d) AS ecc
+            FROM md GROUP BY 1),
+        b AS (SELECT max(ecc) AS diameter, min(ecc) AS radius FROM pn)
+        SELECT src AS nationkey, n_name AS nation, n_reachable, ecc,
+               diameter, radius,
+               ecc = diameter AS is_peripheral,
+               ecc = radius AS is_central
+        FROM pn
+        JOIN nation ON n_nationkey = src
+        CROSS JOIN b
+        """),
+    "c37_aqe_coalesce": QuerySpec(
+        # C37 addendum: runtime partition-coalescing verdict — earned on
+        # the exact returned plan after a real execution; the aggregate
+        # itself is oracle-hashed as usual.
+        lambda spark, sf_dir: layout.coalesce_audit(
+            spark, load_table(spark, "events", sf_dir)),
+        """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value_milli,
+               TRUE AS coalesce_planned
+        FROM events GROUP BY 1
+        """),
+    "c31_dominant_color": QuerySpec(
+        # C31 addendum: in-kernel decode + 64-cell color-cube argmax;
+        # oracle recomputes the histogram from the fixture pixel
+        # formula without touching BMP bytes.
+        lambda spark, sf_dir: multimodal.dominant_colors(
+            multimodal.to_bmp_media(load_table(spark, "documents",
+                                               sf_dir))),
+        """
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        dims AS (SELECT doc_id, (nb % 29) + 4 AS w, (doc_id % 13) + 3 AS h
+                 FROM d),
+        px AS (
+            SELECT doc_id, w, h,
+                   ((doc_id * 31 + (3 * p.i + 0) * 7) % 256) // 64 * 16
+                 + ((doc_id * 31 + (3 * p.i + 1) * 7) % 256) // 64 * 4
+                 + ((doc_id * 31 + (3 * p.i + 2) * 7) % 256) // 64
+                       AS code
+            FROM dims, LATERAL unnest(range(0, w * h)) AS p(i)),
+        hist AS (
+            SELECT doc_id, w, h, code, CAST(count(*) AS BIGINT) AS c
+            FROM px GROUP BY 1, 2, 3, 4),
+        r AS (
+            SELECT doc_id, w, h, code, c,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY c DESC, code) AS rn,
+                   CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT)
+                       AS np
+            FROM hist)
+        SELECT doc_id, CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(code AS INTEGER) AS dom_code,
+               CAST(c AS BIGINT) AS dom_count,
+               CAST(np AS BIGINT) AS n_pixels,
+               CAST(c AS DOUBLE) / CAST(np AS DOUBLE) AS dom_share
+        FROM r WHERE rn = 1
+        """),
+    "c12_runs": QuerySpec(
+        # C12 addendum: Wald–Wolfowitz runs test — integer run counting,
+        # E[R]/Var[R] each ONE division of exact integer products, z
+        # from bit-identical doubles.
+        _t("events")(windows.runs_test),
+        """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS s
+            FROM events GROUP BY 1, 2),
+        d2 AS (
+            SELECT event_type, day,
+                   s - lag(s) OVER (PARTITION BY event_type
+                                    ORDER BY day) AS delta
+            FROM daily),
+        sg AS (
+            SELECT event_type, day,
+                   CASE WHEN delta > 0 THEN 1 ELSE -1 END AS sgn
+            FROM d2 WHERE delta IS NOT NULL AND delta <> 0),
+        mk AS (
+            SELECT event_type, sgn,
+                   CASE WHEN lag(sgn) OVER w IS NULL
+                             OR sgn <> lag(sgn) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM sg
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        g AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_up,
+                   CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_down,
+                   CAST(sum(chg) AS BIGINT) AS runs
+            FROM mk GROUP BY 1)
+        SELECT event_type, n_up, n_down, runs,
+               CASE WHEN n_up + n_down > 0 THEN
+                   1.0 + CAST(2 * n_up * n_down AS DOUBLE)
+                         / CAST(n_up + n_down AS DOUBLE)
+               END AS expected_runs,
+               CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 1
+                         AND 2 * n_up * n_down
+                             * (2 * n_up * n_down - n_up - n_down) > 0
+                    THEN (CAST(runs AS DOUBLE)
+                          - (1.0 + CAST(2 * n_up * n_down AS DOUBLE)
+                                   / CAST(n_up + n_down AS DOUBLE)))
+                         / sqrt(CAST(2 * n_up * n_down
+                                     * (2 * n_up * n_down
+                                        - n_up - n_down) AS DOUBLE)
+                                / CAST((n_up + n_down) * (n_up + n_down)
+                                       * (n_up + n_down - 1) AS DOUBLE))
+               END AS runs_z
+        FROM g
+        """),
+    "c16_sla": QuerySpec(
+        # C16 addendum: gap-derived availability — unix-microsecond
+        # BIGINTs end to end, one exact ppm division.
+        _t("events")(event_time.sla_report),
+        """
+        WITH g AS (
+            SELECT event_type, epoch_us(ts) AS us,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY epoch_us(ts), event_id) AS gap_us
+            FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(gap_us) AS BIGINT) AS n_gaps,
+               CAST(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_gaps_over,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(sum(CASE WHEN gap_us > 3600000000
+                             THEN gap_us - 3600000000 ELSE 0 END)
+                    AS BIGINT) AS downtime_us,
+               CAST(max(us) - min(us) AS BIGINT) AS span_us,
+               CAST(CASE WHEN max(us) - min(us) > 0 THEN
+                   (max(us) - min(us)
+                    - sum(CASE WHEN gap_us > 3600000000
+                               THEN gap_us - 3600000000 ELSE 0 END))
+                   * 1000000 // (max(us) - min(us))
+               END AS BIGINT) AS availability_ppm
+        FROM g GROUP BY 1
+        """),
+    "c29_centroid_shift": QuerySpec(
+        # C29 addendum: per-label centroid shift — the exact rational
+        # identity over HUGEINT/DECIMAL(38,0) sums, ONE string-bridged
+        # division per label.
+        _t("embeddings")(similarity.centroid_shift),
+        """
+        WITH d AS (
+            SELECT label, u.i AS dim,
+                   CAST(floor(CAST(embedding[u.i] AS DOUBLE)
+                              * 1000000.0 + 0.5) AS BIGINT) AS q
+            FROM embeddings,
+                 LATERAL unnest(generate_series(1, len(embedding)))
+                     AS u(i)),
+        per AS (
+            SELECT label, dim, sum(CAST(q AS HUGEINT)) AS s_ld,
+                   CAST(count(*) AS BIGINT) AS n_d
+            FROM d GROUP BY 1, 2),
+        lbl AS (SELECT label, max(n_d) AS n_l FROM per GROUP BY 1),
+        gdim AS (
+            SELECT dim, sum(s_ld) AS s_gd,
+                   CAST(sum(n_d) AS BIGINT) AS n_g
+            FROM per GROUP BY 1),
+        terms AS (
+            SELECT p.label,
+                   (p.s_ld * g.n_g - g.s_gd * l.n_l) AS diff,
+                   l.n_l, g.n_g
+            FROM per p JOIN gdim g USING (dim) JOIN lbl l USING (label)),
+        f AS (
+            SELECT label, sum(diff * diff) AS num,
+                   max(n_l) AS n_l, max(n_g) AS n_g
+            FROM terms GROUP BY 1)
+        SELECT label, CAST(n_l AS BIGINT) AS n_vecs,
+               n_l * 1000000 // n_g AS share_ppm,
+               CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(CAST(n_l AS HUGEINT) * n_g * n_l * n_g
+                               AS VARCHAR) AS DOUBLE) AS shift_micro2
+        FROM f
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -8853,7 +9418,13 @@ _REGISTERED_ROUND: dict[str, int] = {
     ]},
     # r13 slate (registered during the round-11 session, AFTER the r11
     # window froze): every new registration this round goes here.
-    **{n: 11 for n in []},
+    **{n: 11 for n in [
+        "c40_kanon", "c40_ldiversity", "c40_generalize", "c30_pii",
+        "c42_target_encode", "c42_feature_hash", "c34_bursts",
+        "c34_bursts_stream", "c9_allen", "c38_eccentricity",
+        "c37_aqe_coalesce", "c31_dominant_color", "c12_runs", "c16_sla",
+        "c29_centroid_shift",
+    ]},
 }
 
 # (historical r10 comment; realized verbatim as _ROUND11_PRIORITY above)

@@ -953,3 +953,35 @@ def cdc_state_stream(ops: DataFrame) -> DataFrame:
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+def daily_counts_stream(rows: DataFrame) -> DataFrame:
+    """C34 addendum (round 13) streaming twin core: per-(event_type,
+    day) event counting as a keyed running counter in the state store —
+    the KTable-count shape (the reference's most basic stateful
+    consumer: a compacted count per key) keyed on the (type, day) grid
+    so a calendar day whose rows straddle micro-batch boundaries
+    accumulates across them instead of double-counting. State is ONE
+    BIGINT per key; emissions are the cumulative count-so-far, strictly
+    monotone, so the read side recovers the final per-day counts as a
+    per-key max (the l28 monotone-emission discipline) and feeds the
+    SAME burst census + oracle as the batch c34_bursts."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        (cnt0,) = state.get if state.exists else (0,)
+        cnt = int(cnt0) + sum(len(pdf) for pdf in pdfs)
+        state.update((cnt,))
+        yield pd.DataFrame({
+            "event_type": [key[0]],
+            "day": [key[1]],
+            "cnt": pd.array([cnt], dtype="Int64")})
+
+    return (rows.groupBy("event_type", "day")
+            .applyInPandasWithState(
+                update,
+                outputStructType="event_type string, day date, cnt long",
+                stateStructType="cnt bigint",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
