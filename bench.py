@@ -231,6 +231,22 @@ HEADLINE = [
     "c12_seasonal",          # STL seasonal-strength gauge
     "c32_epoch_shuffle",     # epoch-salted shard/order projection
     "c31_snr",               # in-kernel active/quiet power ratio
+    # round-11 additions (r13 slate)
+    "c40_kanon",             # k-anonymity QI-class audit
+    "c40_ldiversity",        # l-diversity sensitive-value audit
+    "c40_generalize",        # generalization ladder, monotone-k verdict
+    "c30_pii",               # regex PII scan + md5-proved scrub
+    "c42_target_encode",     # smoothed target encoding, exact cents
+    "c42_feature_hash",      # FNV hash-trick bucket census
+    "c34_bursts",            # trailing-mean burst census
+    "c34_bursts_stream",     # (type, day) count state twin, 4 batches
+    "c9_allen",              # Allen interval-relation census
+    "c38_eccentricity",      # min-hop ecc/diameter/radius profile
+    "c37_aqe_coalesce",      # runtime partition-coalescing verdict
+    "c31_dominant_color",    # in-kernel color-cube argmax
+    "c12_runs",              # Wald-Wolfowitz runs test
+    "c16_sla",               # gap-derived availability ledger
+    "c29_centroid_shift",    # per-label centroid drift, exact rational
 ]
 
 
@@ -291,7 +307,7 @@ STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c34_throttle_stream", "c12_drawdown_stream",
                   "c33_flatline_stream", "c10_asof_stream",
                   "c34_interarrival_stream", "c34_l28_stream",
-                  "c35_cdc_stream"]
+                  "c35_cdc_stream", "c34_bursts_stream"]
 
 # Micro-batch count each twin's availableNow replay executes (the fixed
 # replay floor is ~batches × stream_overhead_sec); all the file-split

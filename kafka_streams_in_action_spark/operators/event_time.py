@@ -1529,29 +1529,67 @@ def sla_report(events: DataFrame, threshold_s: int = 3600) -> DataFrame:
 
     Exact end-to-end: timestamps ride unix MICROSECONDS (BIGINT in both
     engines — Spark unix_micros ↔ DuckDB epoch_us), so gaps, downtime,
-    and the single ppm integer division hash-match bitwise. One keyed
-    lag window + one rollup."""
-    us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    and the single ppm integer division hash-match bitwise.
+
+    Scale shape — the DAY-BUCKETED gap decomposition (the c33_anomaly2
+    discipline, but gateless because it is EXACTLY equivalent on any
+    input): every consecutive-event gap is either intra-day (a lag
+    window partitioned by (type, day) — parallelism |types|·|days|
+    instead of the 5-value-key window ceiling the one-level form probed
+    at 3.51× growth) or cross-day (first-of-day minus last-of-PREVIOUS-
+    OBSERVED-day over the bounded (type, day) rollup — missing calendar
+    days fold into one long gap exactly as the flat window sees them).
+    Two map-side-combinable aggregates + one broadcast join of the
+    bounded per-type day stats; no window ever spans more than one
+    (type, day)."""
     thr_us = threshold_s * 1_000_000
-    g = (events
-         .select("event_type", us.alias("us"), "event_id")
-         .withColumn("gap_us", F.col("us") - F.lag("us").over(w)))
+    us = F.unix_micros(F.col("ts"))
+    base = events.select("event_type", us.alias("us"), "event_id",
+                         F.to_date("ts").alias("day"))
+    w_day = Window.partitionBy("event_type", "day").orderBy("us",
+                                                            "event_id")
+    intra = (base
+             .withColumn("gap_us", F.col("us") - F.lag("us").over(w_day))
+             .filter(F.col("gap_us").isNotNull())
+             .select("event_type", "gap_us"))
+    days = (base.groupBy("event_type", "day")
+            .agg(F.min("us").alias("first_us"),
+                 F.max("us").alias("last_us"),
+                 F.count(F.lit(1)).alias("n")))
+    w_days = Window.partitionBy("event_type").orderBy("day")
+    cross = (days
+             .withColumn("gap_us", F.col("first_us")
+                         - F.lag("last_us").over(w_days))
+             .filter(F.col("gap_us").isNotNull())
+             .select("event_type", "gap_us"))
     over = F.col("gap_us") > thr_us
-    return (g.groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.count("gap_us").alias("n_gaps"),
-                 F.sum(F.when(over, 1).otherwise(0)).cast("long")
+    gap_stats = (intra.unionAll(cross)
+                 .groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n_gaps"),
+                      F.sum(F.when(over, 1).otherwise(0)).cast("long")
+                      .alias("n_gaps_over"),
+                      F.max("gap_us").alias("max_gap_us"),
+                      F.sum(F.when(over, F.col("gap_us") - thr_us)
+                            .otherwise(0)).cast("long")
+                      .alias("downtime_us")))
+    type_stats = (days.groupBy("event_type")
+                  .agg(F.sum("n").alias("n_events"),
+                       (F.max("last_us") - F.min("first_us"))
+                       .alias("span_us")))
+    j = (type_stats.join(F.broadcast(gap_stats), "event_type", "left")
+         .select("event_type", "n_events",
+                 F.coalesce("n_gaps", F.lit(0)).alias("n_gaps"),
+                 F.coalesce("n_gaps_over", F.lit(0).cast("long"))
                  .alias("n_gaps_over"),
-                 F.max("gap_us").alias("max_gap_us"),
-                 F.sum(F.when(over, F.col("gap_us") - thr_us)
-                       .otherwise(0)).cast("long").alias("downtime_us"),
-                 (F.max("us") - F.min("us")).alias("span_us"))
-            .select("event_type", "n_events", "n_gaps", "n_gaps_over",
-                    "max_gap_us", "downtime_us", "span_us",
-                    # a single-event feed has no span: NULL availability,
-                    # never an ANSI divide-by-zero (the hits() posture)
-                    F.when(F.col("span_us") > 0,
-                           F.expr("(span_us - downtime_us) * 1000000"
-                                  " div span_us"))
-                    .alias("availability_ppm")))
+                 "max_gap_us",
+                 F.coalesce("downtime_us", F.lit(0).cast("long"))
+                 .alias("downtime_us"),
+                 "span_us"))
+    return j.select(
+        "event_type", "n_events", "n_gaps", "n_gaps_over", "max_gap_us",
+        "downtime_us", "span_us",
+        # a single-event feed has no span: NULL availability,
+        # never an ANSI divide-by-zero (the hits() posture)
+        F.when(F.col("span_us") > 0,
+               F.expr("(span_us - downtime_us) * 1000000 div span_us"))
+        .alias("availability_ppm"))

@@ -325,6 +325,22 @@ PROBE_QUERIES = [
     "c12_seasonal",         # C12q pipeline + 5-row variance agg
     "c32_epoch_shuffle",    # narrow FNV projection, no shuffle
     "c31_snr",              # in-kernel decode+frame+reduce, 0 shuffle
+    # round-11 (r13 slate) rows
+    "c40_kanon",            # QI-class agg + 5-row segment rollup
+    "c40_ldiversity",       # keyed join + two-level distinct agg
+    "c40_generalize",       # three bounded grouped passes + 3-row union
+    "c30_pii",              # per-row regex scan/scrub, no shuffle
+    "c42_target_encode",    # keyed join + two map-side aggs
+    "c42_feature_hash",     # word explode + 64-bucket agg
+    "c34_bursts",           # (type, day) agg + keyed RANGE window
+    "c34_bursts_stream",    # keyed count state twin, 4 batches
+    "c9_allen",             # one keyed lead window + 8-row census
+    "c38_eccentricity",     # 4-table edge build + bounded BFS w/ dist
+    "c37_aqe_coalesce",     # oversized-shuffle coalesce verdict
+    "c31_dominant_color",   # in-kernel decode+bincount, 0 shuffle
+    "c12_runs",             # bounded day table, two lag passes
+    "c16_sla",              # one keyed lag window + rollup
+    "c29_centroid_shift",   # posexplode agg + bounded label fold
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

@@ -188,6 +188,11 @@ _BNLJ_ALLOWED = {
                             # self-exclusion (the c29_cosine_topk shape)
     "c34_l28",              # 1-row anchor-day + 1-row total broadcasts
     "c34_l28_stream",       # same 1-row total broadcast on the read side
+    "c40_generalize",       # 1-row monotone-verdict scalar broadcast
+    "c42_target_encode",    # 1-row (g_n, g_sum) global-stats broadcast
+    "c42_feature_hash",     # 1-row token-total scalar broadcast
+    "c9_allen",             # 1-row pair-total scalar broadcast
+    "c38_eccentricity",     # 1-row (diameter, radius) scalar broadcast
 }
 
 

@@ -1,0 +1,368 @@
+"""Differential tests for the round-13 operators: the arithmetic is
+replayed in pure Python on seeded random inputs and must agree with the
+Spark output EXACTLY (python ints are exact, int→double divisions are
+correctly rounded in python and both engines, so float comparisons are
+equality, not tolerance) — independent third implementations on
+adversarial shapes the fixed testdata doesn't contain (gap days in the
+burst window, tied interval starts, zero day-over-day deltas, lossy
+float32 embeddings, multi-component digraphs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+
+from kafka_streams_in_action_spark.operators import (
+    event_time, features, graph, joins, multimodal, similarity, windows,
+)
+
+TS0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+EPOCH = dt.date(1970, 1, 1)
+
+
+def _events_df(spark, rows):
+    """rows = [(event_id, user_id, seconds_offset, event_type, value)]"""
+    return spark.createDataFrame(
+        [(e, TS0 + dt.timedelta(seconds=s), u, t, v, "{}")
+         for e, u, s, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+
+
+def test_bursts_match_python_replay(spark):
+    """Random per-day activity WITH missing calendar days — the trailing
+    window must count absent days as zero activity (fixed denominator)
+    and mark short-history days ineligible."""
+    rnd = random.Random(13)
+    rows, eid = [], 0
+    daily: dict = {}
+    for ty in ("view", "click"):
+        d = 0
+        while d < 45:
+            if rnd.random() < 0.8:  # ~20% of days fully missing
+                n = rnd.randint(1, 40)
+                daily.setdefault(ty, {})[d] = n
+                for j in range(n):
+                    rows.append((eid, 1, d * 86400 + j, ty, 1.0))
+                    eid += 1
+            d += 1
+    got = {r.event_type: r for r in
+           event_time.burst_detect(_events_df(spark, rows)).collect()}
+    for ty, cnts in daily.items():
+        n_days = len(cnts)
+        n_elig = n_burst = 0
+        max_ratio, first_b, last_b = None, None, None
+        for d, c in sorted(cnts.items()):
+            trail = [cnts[d - i] for i in range(1, 8) if d - i in cnts]
+            if len(trail) != 7:
+                continue
+            n_elig += 1
+            ts_ = sum(trail)
+            ratio = c * 7 * 1000 // ts_
+            max_ratio = ratio if max_ratio is None else max(max_ratio,
+                                                            ratio)
+            if c * 7 * 1000 > 1100 * ts_:
+                n_burst += 1
+                day = (TS0 + dt.timedelta(days=d)).date()
+                first_b = day if first_b is None else first_b
+                last_b = day
+        r = got[ty]
+        assert (r.n_days, r.n_eligible_days, r.n_burst_days) == \
+            (n_days, n_elig, n_burst)
+        assert r.max_ratio_milli == max_ratio
+        assert r.first_burst_day == first_b and r.last_burst_day == last_b
+
+
+def test_runs_test_matches_python_replay(spark):
+    """Random daily values with deliberate repeats (zero deltas must
+    drop, not count as a sign)."""
+    rnd = random.Random(29)
+    rows, eid = [], 0
+    vals: dict = {}
+    for ty in ("a", "b"):
+        for d in range(30):
+            v = rnd.choice([1.25, 2.5, 2.5, 3.75, 0.5])
+            vals.setdefault(ty, []).append(v)
+            rows.append((eid, 1, d * 86400, ty, v))
+            eid += 1
+    got = {r.event_type: r for r in
+           windows.runs_test(_events_df(spark, rows)).collect()}
+    for ty, vs in vals.items():
+        micro = [int(math.floor(v * 1000000.0 + 0.5)) for v in vs]
+        signs = []
+        for i in range(1, len(micro)):
+            d = micro[i] - micro[i - 1]
+            if d:
+                signs.append(1 if d > 0 else -1)
+        n1 = signs.count(1)
+        n2 = signs.count(-1)
+        runs = 1 + sum(1 for i in range(1, len(signs))
+                       if signs[i] != signs[i - 1]) if signs else 0
+        r = got[ty]
+        assert (r.n_up, r.n_down, r.runs) == (n1, n2, runs)
+        n = n1 + n2
+        exp = 1.0 + (2 * n1 * n2) / n
+        assert r.expected_runs == exp
+        var_num = 2 * n1 * n2 * (2 * n1 * n2 - n)
+        if n1 > 0 and n2 > 0 and n > 1 and var_num > 0:
+            var = var_num / (n * n * (n - 1))
+            assert r.runs_z == (runs - exp) / math.sqrt(var)
+        else:
+            assert r.runs_z is None
+
+
+def test_sla_matches_python_replay(spark):
+    rnd = random.Random(41)
+    rows, eid = [], 0
+    times: dict = {}
+    for ty in ("x", "y"):
+        t = 0
+        for _ in range(60):
+            t += rnd.randint(1, 9000)  # gaps up to 2.5h
+            times.setdefault(ty, []).append(t)
+            rows.append((eid, 1, t, ty, 1.0))
+            eid += 1
+    got = {r.event_type: r for r in
+           event_time.sla_report(_events_df(spark, rows)).collect()}
+    thr = 3600 * 1_000_000
+    for ty, ts_ in times.items():
+        us = sorted(t * 1_000_000 for t in ts_)
+        gaps = [b - a for a, b in zip(us, us[1:])]
+        down = sum(g - thr for g in gaps if g > thr)
+        span = us[-1] - us[0]
+        r = got[ty]
+        assert r.n_gaps == len(gaps)
+        assert r.n_gaps_over == sum(1 for g in gaps if g > thr)
+        assert r.max_gap_us == max(gaps)
+        assert r.downtime_us == down
+        assert r.span_us == span
+        assert r.availability_ppm == (span - down) * 1_000_000 // span
+
+
+def test_allen_census_matches_python_replay(spark):
+    """Random intervals incl. forced shared-start pairs (the
+    starts/started_by/equals arms)."""
+    rnd = random.Random(7)
+    orders = []
+    ivs: dict = {}
+    ok = 0
+    for cust in range(1, 25):
+        n = rnd.randint(2, 6)
+        days = sorted(rnd.randint(0, 120) for _ in range(n))
+        if rnd.random() < 0.5:  # force a tied start
+            days[1] = days[0]
+        for d in days:
+            ok += 1
+            orders.append((ok, cust, "O", 1.0,
+                           dt.datetime(2020, 1, 1) + dt.timedelta(days=d),
+                           "p"))
+            dur = ok % 400 + 30
+            ivs.setdefault(cust, []).append((d, d + dur, ok))
+    df = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string")
+    got = {r.relation: r for r in joins.allen_census(df).collect()}
+
+    def classify(a, b):
+        (a_s, a_e, _), (b_s, b_e, _) = a, b
+        if a_s == b_s and a_e == b_e:
+            return "equals"
+        if a_s == b_s and a_e < b_e:
+            return "starts"
+        if a_s == b_s:
+            return "started_by"
+        if a_e < b_s:
+            return "precedes"
+        if a_e == b_s:
+            return "meets"
+        if b_s < a_e < b_e:
+            return "overlaps"
+        if a_e == b_e:
+            return "finished_by"
+        return "contains"
+
+    census: dict = {}
+    for cust, lst in ivs.items():
+        lst = sorted(lst, key=lambda t: (t[0], t[2]))
+        for a, b in zip(lst, lst[1:]):
+            rel = classify(a, b)
+            gap = b[0] - a[1]
+            cnt, lo, hi = census.get(rel, (0, None, None))
+            census[rel] = (cnt + 1,
+                           gap if lo is None else min(lo, gap),
+                           gap if hi is None else max(hi, gap))
+    total = sum(c for c, _, _ in census.values())
+    assert set(got) == set(census)
+    for rel, (cnt, lo, hi) in census.items():
+        r = got[rel]
+        assert (r.n_pairs, r.min_gap_days, r.max_gap_days) == (cnt, lo, hi)
+        assert r.share_ppm == cnt * 1_000_000 // total
+
+
+def test_target_encode_matches_python_replay(spark):
+    rnd = random.Random(3)
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", 1, 0.0, ["A", "B", "C"][i % 3]) for i in range(30)],
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string")
+    orows = [(i, rnd.randint(0, 29), "O", rnd.uniform(1.0, 99999.99),
+              TS0, "p") for i in range(400)]
+    orders = spark.createDataFrame(
+        orows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+               "o_totalprice double, o_orderdate timestamp, "
+               "o_orderpriority string")
+    got = {r.segment: r for r in
+           features.target_encode(orders, cust, m=100).collect()}
+    sums: dict = {}
+    for _, ck, _, p, _, _ in orows:
+        seg = ["A", "B", "C"][ck % 3]
+        c = int(math.floor(p * 100 + 0.5))
+        n, s = sums.get(seg, (0, 0))
+        sums[seg] = (n + 1, s + c)
+    gn = sum(n for n, _ in sums.values())
+    gs = sum(s for _, s in sums.values())
+    for seg, (n, s) in sums.items():
+        r = got[seg]
+        assert r.n_orders == n
+        assert r.sum_cents == float(s)
+        assert r.raw_mean_cents == s / n
+        assert r.encoded_mean_cents == (s * gn + 100 * gs) / (gn * (n + 100))
+        assert r.shrinkage_ppm == 100 * 1_000_000 // (n + 100)
+
+
+def test_feature_hash_matches_python_replay(spark):
+    rnd = random.Random(11)
+    vocab = ["tok%03d" % i for i in range(120)]
+    texts = [" ".join(rnd.choice(vocab)
+                      for _ in range(rnd.randint(3, 40)))
+             for _ in range(50)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "w", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    got = {r.bucket: r for r in
+           features.feature_hash_census(docs).collect()}
+
+    def fnv(s: str) -> int:
+        h = 2166136261
+        for b in s.encode():
+            h = ((h ^ b) * 16777619) % 2**32
+        return h
+
+    buckets: dict = {}
+    for t in texts:
+        for w in t.split():
+            b = fnv(w) % 64
+            cnt, words = buckets.get(b, (0, set()))
+            words.add(w)
+            buckets[b] = (cnt + 1, words)
+    total = sum(c for c, _ in buckets.values())
+    assert set(got) == set(buckets)
+    for b, (cnt, words) in buckets.items():
+        assert got[b].n_tokens == cnt
+        assert got[b].n_distinct_words == len(words)
+        assert got[b].load_ppm == cnt * 1_000_000 // total
+
+
+def test_centroid_shift_matches_python_replay(spark):
+    """float32 ingestion is lossy — the replay must quantize the
+    float32-rounded value, exactly like both engines do."""
+    import numpy as np
+
+    rnd = random.Random(23)
+    dims, labels = 4, ["p", "q", "r"]
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(dims)],
+             labels[i % 3]) for i in range(30)]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label string")
+    got = {r.label: r for r in similarity.centroid_shift(emb).collect()}
+    q: dict = {}
+    for _, v, lab in vecs:
+        qs = [int(math.floor(float(np.float32(x)) * 1000000.0 + 0.5))
+              for x in v]
+        n, s = q.get(lab, (0, [0] * dims))
+        q[lab] = (n + 1, [a + b for a, b in zip(s, qs)])
+    n_g = sum(n for n, _ in q.values())
+    s_g = [sum(q[lab][1][d] for lab in q) for d in range(dims)]
+    for lab, (n_l, s_l) in q.items():
+        num = sum((s_l[d] * n_g - s_g[d] * n_l) ** 2 for d in range(dims))
+        den = (n_l * n_g) ** 2
+        r = got[lab]
+        assert r.n_vecs == n_l
+        assert r.share_ppm == n_l * 1_000_000 // n_g
+        assert r.shift_micro2 == num / den
+
+
+def test_eccentricity_matches_python_replay(spark):
+    """Random multi-component digraph — unreachable pairs excluded,
+    top-3-by-weight sparsification applied first."""
+    rnd = random.Random(5)
+    n = 9
+    nation = spark.createDataFrame(
+        [(i, f"N{i}", 0) for i in range(n)],
+        "n_nationkey long, n_name string, n_regionkey long")
+    raw = {}
+    for s in range(n):
+        for d in rnd.sample([x for x in range(n) if x != s],
+                            rnd.randint(0, 5)):
+            raw[(s, d)] = rnd.randint(1, 50)
+    edges = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in raw.items()],
+        "src long, dst long, w long")
+    got = {r.nationkey: r for r in graph.eccentricity_trade(
+        None, None, None, None, nation, edges=edges).collect()}
+
+    adj: dict = {}
+    for s in range(n):
+        outs = sorted(((w, d) for (ss, d), w in raw.items() if ss == s),
+                      key=lambda t: (-t[0], t[1]))[:3]
+        adj[s] = [d for _, d in outs]
+    eccs, reach_n = {}, {}
+    for s in range(n):
+        dist = {s: 0}
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nxt.append(v)
+            frontier = nxt
+        eccs[s] = max(dist.values())
+        reach_n[s] = len(dist)
+    dia, rad = max(eccs.values()), min(eccs.values())
+    for s in range(n):
+        r = got[s]
+        assert (r.ecc, r.n_reachable) == (eccs[s], reach_n[s])
+        assert (r.diameter, r.radius) == (dia, rad)
+        assert r.is_peripheral == (eccs[s] == dia)
+        assert r.is_central == (eccs[s] == rad)
+
+
+def test_dominant_color_matches_formula_replay(spark):
+    """The kernel decodes REAL BMP bytes; the replay recomputes the
+    histogram from the fixture pixel formula alone."""
+    docs = spark.createDataFrame(
+        [(i, "x" * (7 + 13 * i), "en", "w", 0) for i in range(12)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    got = {r.doc_id: r for r in multimodal.dominant_colors(
+        multimodal.to_bmp_media(docs)).collect()}
+    for i in range(12):
+        nb = 7 + 13 * i
+        w, h = (nb % 29) + 4, (i % 13) + 3
+        hist = [0] * 64
+        for p in range(w * h):
+            b = (i * 31 + (3 * p + 0) * 7) % 256
+            g = (i * 31 + (3 * p + 1) * 7) % 256
+            rr = (i * 31 + (3 * p + 2) * 7) % 256
+            hist[(b // 64) * 16 + (g // 64) * 4 + (rr // 64)] += 1
+        dom = hist.index(max(hist))
+        r = got[i]
+        assert (r.width, r.height) == (w, h)
+        assert (r.dom_code, r.dom_count, r.n_pixels) == \
+            (dom, hist[dom], w * h)
+        assert r.dom_share == hist[dom] / (w * h)
