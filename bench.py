@@ -247,6 +247,9 @@ HEADLINE = [
     "c12_runs",              # Wald-Wolfowitz runs test
     "c16_sla",               # gap-derived availability ledger
     "c29_centroid_shift",    # per-label centroid drift, exact rational
+    "c33_jsd",               # time-split Jensen-Shannon drift
+    "c42_woe",               # WoE / IV feature screening
+    "c34_absence",           # churn-risk absence histogram
 ]
 
 

@@ -1593,3 +1593,41 @@ def sla_report(events: DataFrame, threshold_s: int = 3600) -> DataFrame:
         F.when(F.col("span_us") > 0,
                F.expr("(span_us - downtime_us) * 1000000 div span_us"))
         .alias("availability_ppm"))
+
+
+def absence_histogram(events: DataFrame) -> DataFrame:
+    """C34 addendum (round 13, second slate): churn-risk absence
+    histogram — users bucketed by days since their LAST event relative
+    to the corpus anchor (active ≤3d, cooling 4-7d, at_risk 8-14d,
+    churned 15+d), the re-engagement segmentation read beside C34s's
+    L28 intensity curve (L28 asks "how often while here"; this asks
+    "are they still here"). Anchor = corpus max day (a bounded 1-row
+    broadcast, the l28 discipline — replay-only knowledge).
+
+    Exact: one per-user max agg (map-side combinable), integer day
+    arithmetic, one ≤4-row bucket rollup, shares by exact ppm
+    division."""
+    anchor = events.agg(F.max(F.to_date("ts")).alias("d_end"))
+    per_user = (events.groupBy("user_id")
+                .agg(F.max(F.to_date("ts")).alias("last_day")))
+    absent = F.datediff(F.col("d_end"), F.col("last_day"))
+    bucketed = (per_user.crossJoin(F.broadcast(anchor))
+                .select(absent.alias("absent_days"))
+                .select("absent_days",
+                        F.when(F.col("absent_days") <= 3, "active")
+                        .when(F.col("absent_days") <= 7, "cooling")
+                        .when(F.col("absent_days") <= 14, "at_risk")
+                        .otherwise("churned").alias("bucket")))
+    hist = (bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.min("absent_days").alias("min_absent_days"),
+                 F.max("absent_days").alias("max_absent_days")))
+    total = hist.agg(F.sum("n_users").alias("n_total"))
+    return (hist.crossJoin(F.broadcast(total))
+            .select("bucket", "n_users",
+                    F.col("min_absent_days").cast("int")
+                    .alias("min_absent_days"),
+                    F.col("max_absent_days").cast("int")
+                    .alias("max_absent_days"),
+                    F.expr("n_users * 1000000 div n_total")
+                    .alias("share_ppm")))

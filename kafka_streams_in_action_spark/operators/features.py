@@ -108,3 +108,51 @@ def feature_hash_census(documents: DataFrame,
                     .alias("n_distinct_words"),
                     F.expr("n_tokens * 1000000 div n_total")
                     .alias("load_ppm")))
+
+
+def woe_iv(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """C42c (round 13, second slate): Weight of Evidence + Information
+    Value of a categorical predictor (market segment) against a binary
+    target (urgent-or-high order priority) — the feature-screening
+    pair credit-scoring and tabular-ML pipelines run before committing
+    an encoder (|WoE| ranks a bin's separation; IV ≤ 0.02 means drop
+    the feature). WoE_bin = ln((good_bin/G)/(bad_bin/B)),
+    IV = Σ (good_bin/G − bad_bin/B)·WoE_bin.
+
+    Exactness: the ratios are fixed IEEE trees over exact BIGINT
+    counts; each bin's WoE and IV term are micro-quantized BEFORE the
+    exact integer IV sum (the c33_entropy discipline), so both engines
+    hash-match bitwise. A bin with zero goods or zero bads emits NULL
+    WoE and contributes nothing to IV (fail-visible, not fail-infinite;
+    smoothing is a caller decision, not a silent default). Shape: one
+    keyed join + one bounded agg + two 1-row broadcasts."""
+    good = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    fact = (orders.join(F.broadcast(customer),
+                        orders.o_custkey == customer.c_custkey)
+            .select(F.col("c_mktsegment").alias("segment"),
+                    good.alias("good")))
+    bins = (fact.groupBy("segment")
+            .agg(F.sum(F.when(F.col("good"), 1).otherwise(0))
+                 .cast("long").alias("n_good"),
+                 F.sum(F.when(F.col("good"), 0).otherwise(1))
+                 .cast("long").alias("n_bad")))
+    tot = bins.agg(F.sum("n_good").alias("g"), F.sum("n_bad").alias("b"))
+    j = bins.crossJoin(F.broadcast(tot))
+    pg = F.col("n_good").cast("double") / F.col("g").cast("double")
+    pb = F.col("n_bad").cast("double") / F.col("b").cast("double")
+    ok = (F.col("n_good") > 0) & (F.col("n_bad") > 0)
+    woe_micro = F.when(ok, F.floor(F.log(pg / pb) * 1000000.0 + 0.5)
+                 .cast("long"))
+    scored = j.select(
+        "segment", "n_good", "n_bad",
+        woe_micro.alias("woe_micro"),
+        F.when(ok, F.floor((pg - pb) * F.log(pg / pb) * 1000000.0 + 0.5)
+               .cast("long")).otherwise(F.lit(0).cast("long"))
+        .alias("iv_micro"))
+    iv = scored.agg(F.sum("iv_micro").alias("iv_sum"))
+    return (scored.crossJoin(F.broadcast(iv))
+            .select("segment", "n_good", "n_bad",
+                    (F.col("woe_micro").cast("double") / 1000000.0)
+                    .alias("woe"),
+                    (F.col("iv_sum").cast("double") / 1000000.0)
+                    .alias("iv_total")))

@@ -2223,3 +2223,64 @@ def fd_audit(part: DataFrame, customer: DataFrame) -> DataFrame:
                              "c_custkey", "c_mktsegment"))
             .unionByName(one(customer, "c_mktsegment->c_nationkey",
                              "c_mktsegment", "c_nationkey")))
+
+
+def jsd_drift(events: DataFrame, band_width: int = 50) -> DataFrame:
+    """C33 addendum (round 13, second slate): Jensen–Shannon divergence
+    between the FIRST and SECOND half of each type's time window — the
+    did-the-feed-drift-over-time gauge beside C33f's PSI (which compares
+    a parity-split baseline to a synthetic shift on a per-type grid).
+    JSD is symmetric and bounded [0, 1] bits, so one threshold works for
+    every column, and zero-count bands stay finite WITHOUT smoothing
+    (the mixture m = (p+q)/2 is nonzero wherever either side is) — the
+    reason monitoring stacks prefer it over raw KL.
+
+    Split is event-time (before/after the per-type midpoint, a bounded
+    1-row-per-type broadcast); bands are a fixed global value grid
+    (`band_width` units), NOT per-type min/max, so the two halves are
+    binned identically by construction. Exactness: both halves' counts
+    come from ONE scan (conditional sums); p, q, m and the log2 terms
+    are fixed IEEE trees over exact BIGINT ratios, micro-quantized
+    PER BAND before the exact integer sum (the c33_entropy discipline),
+    and jsd_bits is one division by a constant. Shape: one
+    map-side-combinable agg + a bounded ≤|types|·bands window."""
+    day_us = F.unix_micros(F.col("ts"))
+    # floor((min+max)/2): the sum stays under 2^53 so the halving is an
+    # exact IEEE op and floor() (NOT a bare cast — Spark's double→long
+    # truncates while DuckDB's CAST rounds) lands both engines on the
+    # same microsecond.
+    mid = (events.groupBy("event_type")
+           .agg(F.floor((F.min(day_us) + F.max(day_us)) / 2)
+                .cast("long").alias("mid_us")))
+    banded = (events
+              .join(F.broadcast(mid), "event_type")
+              .select("event_type",
+                      F.floor(F.col("value") / band_width).cast("long")
+                      .alias("band"),
+                      (day_us < F.col("mid_us")).alias("is_first")))
+    counts = (banded.groupBy("event_type", "band")
+              .agg(F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+                   .cast("long").alias("a"),
+                   F.sum(F.when(F.col("is_first"), 0).otherwise(1))
+                   .cast("long").alias("b")))
+    w = Window.partitionBy("event_type")
+    t = (counts
+         .withColumn("ta", F.sum("a").over(w))
+         .withColumn("tb", F.sum("b").over(w)))
+    p = F.col("a").cast("double") / F.col("ta").cast("double")
+    q = F.col("b").cast("double") / F.col("tb").cast("double")
+    m = (p + q) / 2
+    tp = F.when(F.col("a") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+    tq = F.when(F.col("b") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    micro = (F.floor(tp * 1000000.0 + 0.5)
+             + F.floor(tq * 1000000.0 + 0.5)).cast("long")
+    return (t.withColumn("micro", micro)
+            .groupBy("event_type")
+            .agg(F.max("ta").alias("n_first"),
+                 F.max("tb").alias("n_second"),
+                 F.count(F.lit(1)).alias("n_bands"),
+                 F.sum("micro").alias("sm"))
+            .select("event_type", "n_first", "n_second",
+                    F.col("n_bands").cast("long").alias("n_bands"),
+                    (F.col("sm").cast("double") / 2000000.0)
+                    .alias("jsd_bits")))

@@ -9176,6 +9176,132 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                                AS VARCHAR) AS DOUBLE) AS shift_micro2
         FROM f
         """),
+    "c33_jsd": QuerySpec(
+        # C33 addendum (r13 second slate): time-split Jensen–Shannon
+        # drift — symmetric, bounded, smoothing-free; per-band micro
+        # quantization before the exact sum (the c33_entropy
+        # discipline).
+        _t("events")(relational.jsd_drift),
+        """
+        WITH mid AS (
+            SELECT event_type,
+                   CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts)))
+                              / 2.0) AS BIGINT) AS mid_us
+            FROM events GROUP BY 1),
+        banded AS (
+            SELECT e.event_type,
+                   CAST(floor(value / 50) AS BIGINT) AS band,
+                   epoch_us(ts) < mid_us AS is_first
+            FROM events e JOIN mid USING (event_type)),
+        counts AS (
+            SELECT event_type, band,
+                   CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END)
+                        AS BIGINT) AS b
+            FROM banded GROUP BY 1, 2),
+        t AS (
+            SELECT event_type, band, a, b,
+                   CAST(sum(a) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS ta,
+                   CAST(sum(b) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS tb
+            FROM counts),
+        m AS (
+            SELECT event_type, ta, tb,
+                   CAST(CASE WHEN a > 0 THEN
+                       floor((CAST(a AS DOUBLE) / ta)
+                             * log2((CAST(a AS DOUBLE) / ta)
+                                    / (((CAST(a AS DOUBLE) / ta)
+                                        + (CAST(b AS DOUBLE) / tb)) / 2))
+                             * 1000000.0 + 0.5)
+                   ELSE 0 END
+                   + CASE WHEN b > 0 THEN
+                       floor((CAST(b AS DOUBLE) / tb)
+                             * log2((CAST(b AS DOUBLE) / tb)
+                                    / (((CAST(a AS DOUBLE) / ta)
+                                        + (CAST(b AS DOUBLE) / tb)) / 2))
+                             * 1000000.0 + 0.5)
+                   ELSE 0 END AS BIGINT) AS micro
+            FROM t)
+        SELECT event_type, max(ta) AS n_first, max(tb) AS n_second,
+               CAST(count(*) AS BIGINT) AS n_bands,
+               CAST(sum(micro) AS DOUBLE) / 2000000.0 AS jsd_bits
+        FROM m GROUP BY 1
+        """),
+    "c42_woe": QuerySpec(
+        # C42c: Weight of Evidence + Information Value — per-bin micro
+        # quantization before the exact IV sum; zero-count bins emit
+        # NULL WoE and contribute nothing.
+        _t("orders customer")(features.woe_iv),
+        """
+        WITH fact AS (
+            SELECT c_mktsegment AS segment,
+                   o_orderpriority IN ('1-URGENT', '2-HIGH') AS good
+            FROM orders JOIN customer ON o_custkey = c_custkey),
+        bins AS (
+            SELECT segment,
+                   CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_good,
+                   CAST(sum(CASE WHEN good THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_bad
+            FROM fact GROUP BY 1),
+        tot AS (
+            SELECT CAST(sum(n_good) AS BIGINT) AS g,
+                   CAST(sum(n_bad) AS BIGINT) AS b
+            FROM bins),
+        scored AS (
+            SELECT segment, n_good, n_bad,
+                   CASE WHEN n_good > 0 AND n_bad > 0 THEN
+                       CAST(floor(ln((CAST(n_good AS DOUBLE) / g)
+                                     / (CAST(n_bad AS DOUBLE) / b))
+                                  * 1000000.0 + 0.5) AS BIGINT)
+                   END AS woe_micro,
+                   CASE WHEN n_good > 0 AND n_bad > 0 THEN
+                       CAST(floor((CAST(n_good AS DOUBLE) / g
+                                   - CAST(n_bad AS DOUBLE) / b)
+                                  * ln((CAST(n_good AS DOUBLE) / g)
+                                       / (CAST(n_bad AS DOUBLE) / b))
+                                  * 1000000.0 + 0.5) AS BIGINT)
+                   ELSE 0 END AS iv_micro
+            FROM bins CROSS JOIN tot),
+        iv AS (SELECT CAST(sum(iv_micro) AS BIGINT) AS iv_sum
+               FROM scored)
+        SELECT segment, n_good, n_bad,
+               CAST(woe_micro AS DOUBLE) / 1000000.0 AS woe,
+               CAST(iv_sum AS DOUBLE) / 1000000.0 AS iv_total
+        FROM scored CROSS JOIN iv
+        """),
+    "c34_absence": QuerySpec(
+        # C34 addendum (r13 second slate): churn-risk absence histogram
+        # — per-user max agg + bounded bucket rollup, exact ppm shares.
+        _t("events")(event_time.absence_histogram),
+        """
+        WITH anchor AS (
+            SELECT max(CAST(ts AS DATE)) AS d_end FROM events),
+        per_user AS (
+            SELECT user_id, max(CAST(ts AS DATE)) AS last_day
+            FROM events GROUP BY 1),
+        b AS (
+            SELECT date_diff('day', last_day, d_end) AS absent_days
+            FROM per_user CROSS JOIN anchor),
+        b2 AS (
+            SELECT absent_days,
+                   CASE WHEN absent_days <= 3 THEN 'active'
+                        WHEN absent_days <= 7 THEN 'cooling'
+                        WHEN absent_days <= 14 THEN 'at_risk'
+                        ELSE 'churned' END AS bucket
+            FROM b),
+        hist AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(min(absent_days) AS INTEGER) AS min_absent_days,
+                   CAST(max(absent_days) AS INTEGER) AS max_absent_days
+            FROM b2 GROUP BY 1),
+        t AS (SELECT CAST(sum(n_users) AS BIGINT) AS n_total FROM hist)
+        SELECT bucket, n_users, min_absent_days, max_absent_days,
+               n_users * 1000000 // n_total AS share_ppm
+        FROM hist CROSS JOIN t
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -9423,23 +9549,23 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c42_target_encode", "c42_feature_hash", "c34_bursts",
         "c34_bursts_stream", "c9_allen", "c38_eccentricity",
         "c37_aqe_coalesce", "c31_dominant_color", "c12_runs", "c16_sla",
-        "c29_centroid_shift",
+        "c29_centroid_shift", "c33_jsd", "c42_woe", "c34_absence",
     ]},
 }
 
 # Round-12 window plan (to become _ROUND12_PRIORITY next round): the
-# 15-row r13 slate registered this session — c40_kanon, c40_ldiversity,
+# 18-row r13 slate registered this session — c40_kanon, c40_ldiversity,
 # c40_generalize, c30_pii, c42_target_encode, c42_feature_hash,
 # c34_bursts, c34_bursts_stream, c9_allen, c38_eccentricity,
 # c37_aqe_coalesce, c31_dominant_color, c12_runs, c16_sla,
-# c29_centroid_shift — leads the window (every row already three-scale
-# sim-green and float-bit-exact); the 24 remaining r5-checked rows
-# follow, completing the r5 rotation begun in round 11
-# (c31_media_metadata, c31_resize_image, c34_funnel_stream,
+# c29_centroid_shift, c33_jsd, c42_woe, c34_absence — leads the window
+# (every row already three-scale sim-green and float-bit-exact); the 24
+# remaining r5-checked rows follow, completing the r5 rotation begun in
+# round 11 (c31_media_metadata, c31_resize_image, c34_funnel_stream,
 # c34_funnel_windowed, c34_rolling, c35_upsert_stream,
 # c36_interval_join, c37_skipping, c37_zorder, c4_approx_distinct,
 # c4_approx_quantiles, and the 13 r5 SQL rows sql_q2/q4/q7/q8/q9/q10/
-# q12/q14/q15/q16/q19/q21/q22); the remaining ~11 slots go to round-12
+# q12/q14/q15/q16/q19/q21/q22); the remaining ~8 slots go to round-12
 # judge items and the oldest r6-checked rows in name order. Judge items
 # displace from the rotation tail only, never the r13 rows.
 

@@ -339,8 +339,11 @@ PROBE_QUERIES = [
     "c37_aqe_coalesce",     # oversized-shuffle coalesce verdict
     "c31_dominant_color",   # in-kernel decode+bincount, 0 shuffle
     "c12_runs",             # bounded day table, two lag passes
-    "c16_sla",              # one keyed lag window + rollup
+    "c16_sla",              # day-bucketed gap windows + bounded cross
     "c29_centroid_shift",   # posexplode agg + bounded label fold
+    "c33_jsd",              # one conditional-sum agg + bounded window
+    "c42_woe",              # keyed join + bounded agg + 1-row folds
+    "c34_absence",          # per-user max agg + 4-row rollup
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

@@ -193,6 +193,8 @@ _BNLJ_ALLOWED = {
     "c42_feature_hash",     # 1-row token-total scalar broadcast
     "c9_allen",             # 1-row pair-total scalar broadcast
     "c38_eccentricity",     # 1-row (diameter, radius) scalar broadcast
+    "c42_woe",              # 1-row (G, B) totals + 1-row IV broadcasts
+    "c34_absence",          # 1-row anchor-day + 1-row total broadcasts
 }
 
 

@@ -359,3 +359,95 @@ def test_centroid_shift_rejects_ragged_embeddings(spark):
         "vec_id long, embedding array<float>, label string")
     with pytest.raises(Exception, match="ragged"):
         similarity.centroid_shift(emb).collect()
+
+
+# ------------------------------------------------------------- jsd drift
+
+def test_jsd_zero_for_identical_halves(spark):
+    """Same distribution in both halves → JSD exactly 0 (every band has
+    p == q == m, log2(1) = 0)."""
+    from kafka_streams_in_action_spark.operators import relational
+    rows = []
+    for d in range(10):  # day 0-4 = first half, 5-9 = second
+        for j, v in enumerate([10.0, 60.0, 110.0]):
+            rows.append((d * 10 + j, TS0 + dt.timedelta(days=d),
+                         1, "view", v, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    row = relational.jsd_drift(ev).collect()[0]
+    assert row.jsd_bits == 0.0
+    assert row.n_first == 15 and row.n_second == 15
+    assert row.n_bands == 3
+
+
+def test_jsd_one_for_disjoint_halves(spark):
+    """Disjoint supports → JSD = 1 bit exactly (every term is
+    p·log2(2))."""
+    from kafka_streams_in_action_spark.operators import relational
+    rows = []
+    for d in range(4):
+        v = 10.0 if d < 2 else 210.0  # bands 0 vs 4, no overlap
+        for j in range(5):
+            rows.append((d * 10 + j, TS0 + dt.timedelta(days=d),
+                         1, "view", v, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    row = relational.jsd_drift(ev).collect()[0]
+    assert row.jsd_bits == 1.0
+    assert row.n_bands == 2
+
+
+# ----------------------------------------------------------------- woe
+
+def test_woe_signs_and_iv(spark):
+    """A segment with a higher urgent share than the corpus gets
+    positive WoE; zero-bad bins emit NULL and don't poison IV."""
+    from kafka_streams_in_action_spark.operators import features
+    cust = _customers(spark, [
+        (1, "a", 1, 0.0, "HOT"), (2, "b", 1, 0.0, "COLD"),
+        (3, "c", 1, 0.0, "PURE")])
+    orders = _orders(spark, [
+        # HOT: 3 good, 1 bad; COLD: 1 good, 3 bad; PURE: 2 good, 0 bad
+        (1, 1, "O", 1.0, TS0, "1-URGENT"),
+        (2, 1, "O", 1.0, TS0, "2-HIGH"),
+        (3, 1, "O", 1.0, TS0, "1-URGENT"),
+        (4, 1, "O", 1.0, TS0, "5-LOW"),
+        (5, 2, "O", 1.0, TS0, "1-URGENT"),
+        (6, 2, "O", 1.0, TS0, "5-LOW"),
+        (7, 2, "O", 1.0, TS0, "4-NOT SPECIFIED"),
+        (8, 2, "O", 1.0, TS0, "3-MEDIUM"),
+        (9, 3, "O", 1.0, TS0, "1-URGENT"),
+        (10, 3, "O", 1.0, TS0, "2-HIGH"),
+    ])
+    out = {r.segment: r for r in features.woe_iv(orders, cust).collect()}
+    assert out["HOT"].woe > 0 > out["COLD"].woe
+    assert out["PURE"].woe is None  # zero bads → NULL, not +inf
+    ivs = {r.iv_total for r in out.values()}
+    assert len(ivs) == 1 and ivs.pop() > 0
+
+
+# -------------------------------------------------------------- absence
+
+def test_absence_buckets_users_by_staleness(spark):
+    from kafka_streams_in_action_spark.operators import event_time
+    rows = []
+    # anchor day = day 20; user 1 active at 20, user 2 last at day 15
+    # (5 absent → cooling), user 3 last at day 10 (10 → at_risk),
+    # user 4 last at day 1 (19 → churned)
+    for u, d in [(1, 20), (2, 15), (3, 10), (4, 1), (1, 0)]:
+        rows.append((len(rows), TS0 + dt.timedelta(days=d), u,
+                     "view", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r.bucket: r for r in
+           event_time.absence_histogram(ev).collect()}
+    assert out["active"].n_users == 1
+    assert out["cooling"].n_users == 1
+    assert out["cooling"].min_absent_days == 5
+    assert out["at_risk"].n_users == 1
+    assert out["churned"].n_users == 1
+    assert out["churned"].max_absent_days == 19
+    assert sum(r.n_users for r in out.values()) == 4

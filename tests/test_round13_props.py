@@ -366,3 +366,123 @@ def test_dominant_color_matches_formula_replay(spark):
         assert (r.dom_code, r.dom_count, r.n_pixels) == \
             (dom, hist[dom], w * h)
         assert r.dom_share == hist[dom] / (w * h)
+
+
+def test_jsd_matches_python_replay(spark):
+    """Random two-type series with different value mixes per half —
+    replay the banded JSD term-by-term with the same IEEE tree."""
+    from kafka_streams_in_action_spark.operators import relational
+
+    rnd = random.Random(19)
+    rows, eid = [], 0
+    for ty in ("m", "n"):
+        for d in range(20):
+            for _ in range(rnd.randint(1, 6)):
+                hi = 300.0 if (ty == "m" and d >= 10) else 150.0
+                rows.append((eid, 1, d * 86400 + rnd.randint(0, 3600),
+                             ty, rnd.uniform(0.0, hi)))
+                eid += 1
+    got = {r.event_type: r for r in
+           relational.jsd_drift(_events_df(spark, rows)).collect()}
+    by_ty: dict = {}
+    for e, u, s, ty, v in rows:
+        by_ty.setdefault(ty, []).append((s, v))
+    for ty, evs in by_ty.items():
+        us = [s * 1_000_000 for s, _ in evs]
+        mid = math.floor((min(us) + max(us)) / 2)
+        bands: dict = {}
+        for (s, v) in evs:
+            first = s * 1_000_000 < mid
+            band = math.floor(v / 50)
+            a, b = bands.get(band, (0, 0))
+            bands[band] = (a + (1 if first else 0), b + (0 if first else 1))
+        ta = sum(a for a, _ in bands.values())
+        tb = sum(b for _, b in bands.values())
+        sm = 0
+        for a, b in bands.values():
+            p, q = a / ta, b / tb
+            m = (p + q) / 2
+            if a > 0:
+                sm += math.floor(p * math.log2(p / m) * 1000000.0 + 0.5)
+            if b > 0:
+                sm += math.floor(q * math.log2(q / m) * 1000000.0 + 0.5)
+        r = got[ty]
+        assert (r.n_first, r.n_second, r.n_bands) == (ta, tb, len(bands))
+        assert r.jsd_bits == sm / 2000000.0
+        assert 0.0 <= r.jsd_bits <= 1.0
+
+
+def test_woe_matches_python_replay(spark):
+    rnd = random.Random(31)
+    segs = ["S0", "S1", "S2", "S3"]
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", 1, 0.0, segs[i % 4]) for i in range(40)],
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orows = [(i, rnd.randint(0, 39), "O", 1.0, TS0, rnd.choice(prios))
+             for i in range(300)]
+    orders = spark.createDataFrame(
+        orows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+               "o_totalprice double, o_orderdate timestamp, "
+               "o_orderpriority string")
+    got = {r.segment: r for r in
+           features.woe_iv(orders, cust).collect()}
+    bins: dict = {}
+    for _, ck, _, _, _, pr in orows:
+        seg = segs[ck % 4]
+        g, b = bins.get(seg, (0, 0))
+        good = pr in ("1-URGENT", "2-HIGH")
+        bins[seg] = (g + (1 if good else 0), b + (0 if good else 1))
+    G = sum(g for g, _ in bins.values())
+    B = sum(b for _, b in bins.values())
+    iv_sum = 0
+    woes = {}
+    for seg, (g, b) in bins.items():
+        if g > 0 and b > 0:
+            pg, pb = g / G, b / B
+            wm = math.floor(math.log(pg / pb) * 1000000.0 + 0.5)
+            iv_sum += math.floor((pg - pb) * math.log(pg / pb)
+                                 * 1000000.0 + 0.5)
+            woes[seg] = wm / 1000000.0
+        else:
+            woes[seg] = None
+    for seg, (g, b) in bins.items():
+        r = got[seg]
+        assert (r.n_good, r.n_bad) == (g, b)
+        assert r.woe == woes[seg]
+        assert r.iv_total == iv_sum / 1000000.0
+
+
+def test_absence_matches_python_replay(spark):
+    rnd = random.Random(37)
+    rows, eid = [], 0
+    last: dict = {}
+    for u in range(1, 40):
+        for _ in range(rnd.randint(1, 5)):
+            d = rnd.randint(0, 30)
+            last[u] = max(last.get(u, -1), d)
+            rows.append((eid, u, d * 86400 + rnd.randint(0, 80000),
+                         "view", 1.0))
+            eid += 1
+    from kafka_streams_in_action_spark.operators import event_time
+    got = {r.bucket: r for r in
+           event_time.absence_histogram(_events_df(spark, rows))
+           .collect()}
+    anchor = max(last.values())
+    hist: dict = {}
+    for u, d in last.items():
+        a = anchor - d
+        bk = ("active" if a <= 3 else "cooling" if a <= 7
+              else "at_risk" if a <= 14 else "churned")
+        cnt, lo, hi = hist.get(bk, (0, None, None))
+        hist[bk] = (cnt + 1,
+                    a if lo is None else min(lo, a),
+                    a if hi is None else max(hi, a))
+    total = sum(c for c, _, _ in hist.values())
+    assert set(got) == set(hist)
+    for bk, (cnt, lo, hi) in hist.items():
+        r = got[bk]
+        assert (r.n_users, r.min_absent_days, r.max_absent_days) == \
+            (cnt, lo, hi)
+        assert r.share_ppm == cnt * 1_000_000 // total
