@@ -250,6 +250,8 @@ HEADLINE = [
     "c33_jsd",               # time-split Jensen-Shannon drift
     "c42_woe",               # WoE / IV feature screening
     "c34_absence",           # churn-risk absence histogram
+    "c34_absence_stream",    # last-seen max-fold state twin, 4 batches
+    "c12_vratio",            # Lo-MacKinlay variance ratio VR(7)
 ]
 
 
@@ -310,7 +312,8 @@ STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c34_throttle_stream", "c12_drawdown_stream",
                   "c33_flatline_stream", "c10_asof_stream",
                   "c34_interarrival_stream", "c34_l28_stream",
-                  "c35_cdc_stream", "c34_bursts_stream"]
+                  "c35_cdc_stream", "c34_bursts_stream",
+                  "c34_absence_stream"]
 
 # Micro-batch count each twin's availableNow replay executes (the fixed
 # replay floor is ~batches × stream_overhead_sec); all the file-split

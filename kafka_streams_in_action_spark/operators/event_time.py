@@ -1611,13 +1611,21 @@ def absence_histogram(events: DataFrame) -> DataFrame:
     per_user = (events.groupBy("user_id")
                 .agg(F.max(F.to_date("ts")).alias("last_day")))
     absent = F.datediff(F.col("d_end"), F.col("last_day"))
-    bucketed = (per_user.crossJoin(F.broadcast(anchor))
-                .select(absent.alias("absent_days"))
-                .select("absent_days",
-                        F.when(F.col("absent_days") <= 3, "active")
-                        .when(F.col("absent_days") <= 7, "cooling")
-                        .when(F.col("absent_days") <= 14, "at_risk")
-                        .otherwise("churned").alias("bucket")))
+    return absence_buckets(per_user.crossJoin(F.broadcast(anchor))
+                           .select(absent.alias("absent_days")))
+
+
+def absence_buckets(absent: DataFrame) -> DataFrame:
+    """Shared C34w rollup: a DataFrame with one `absent_days` column per
+    user → the bucketed histogram with exact ppm shares. Both the batch
+    operator and the streaming twin reduce to this table, so one oracle
+    covers both (the bursts_from_daily pattern)."""
+    bucketed = absent.select(
+        "absent_days",
+        F.when(F.col("absent_days") <= 3, "active")
+        .when(F.col("absent_days") <= 7, "cooling")
+        .when(F.col("absent_days") <= 14, "at_risk")
+        .otherwise("churned").alias("bucket"))
     hist = (bucketed.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_users"),
                  F.min("absent_days").alias("min_absent_days"),

@@ -963,3 +963,67 @@ def runs_test(events: DataFrame) -> DataFrame:
         "event_type", "n_up", "n_down", "runs",
         F.when(n > 0, exp_r).alias("expected_runs"),
         z.alias("runs_z"))
+
+
+def variance_ratio(events: DataFrame, k: int = 7) -> DataFrame:
+    """C12 addendum (round 13, second slate): Lo–MacKinlay variance
+    ratio on the daily value series — VR(k) = Var(x_t − x_{t−k}) /
+    (k · Var(x_t − x_{t−1})). A random walk reads VR ≈ 1; mean-reverting
+    series < 1; trending/momentum series > 1 — the
+    difference-before-you-forecast gauge beside C12t's runs test (runs
+    asks "are moves independent"; VR asks "does variance scale
+    linearly with horizon", which is what differencing assumes).
+
+    Exactness: daily sums ride half-up micro-units; both difference
+    series' variance sufficient stats (n, Σd, Σd²) are exact
+    DECIMAL(38,0)/HUGEINT integers from ONE keyed window pass (two lags
+    share it), each variance is ONE string-bridged division of the
+    cleared form (n·Σd² − (Σd)²)/(n·(n−1)), and VR is a single final
+    division. Lag-k rows are matched on the day INDEX (datediff), so a
+    missing calendar day yields no pair rather than a silently
+    misaligned one. Shape: bounded (type, day) rollup + one keyed
+    window + a ≤|types|-row report."""
+    dec = "decimal(38,0)"
+    vm = F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(vm).alias("s"))
+             .withColumn("idx", F.datediff(F.col("day"),
+                                           F.lit("1970-01-01"))))
+    w = Window.partitionBy("event_type").orderBy("idx")
+    lagged = (daily
+              .withColumn("p1_idx", F.lag("idx", 1).over(w))
+              .withColumn("p1", F.lag("s", 1).over(w))
+              .withColumn("pk_idx", F.lag("idx", k).over(w))
+              .withColumn("pk", F.lag("s", k).over(w)))
+    d1 = F.when(F.col("p1_idx") == F.col("idx") - 1,
+                F.col("s") - F.col("p1"))
+    dk = F.when(F.col("pk_idx") == F.col("idx") - k,
+                F.col("s") - F.col("pk"))
+    g = (lagged
+         .select("event_type", d1.alias("d1"), dk.alias("dk"))
+         .groupBy("event_type")
+         .agg(F.count("d1").alias("n1"),
+              F.sum(F.col("d1").cast(dec)).alias("s1"),
+              # cast BEFORE squaring: micro-unit diffs reach ~1e10 at
+              # sf0.1, so the square overflows BIGINT long before the
+              # decimal sum would
+              F.sum(F.col("d1").cast(dec) * F.col("d1")).alias("ss1"),
+              F.count("dk").alias("nk"),
+              F.sum(F.col("dk").cast(dec)).alias("sk"),
+              F.sum(F.col("dk").cast(dec) * F.col("dk")).alias("ssk")))
+
+    def xd(c):
+        return c.cast("string").cast("double")
+
+    n1d, nkd = F.col("n1").cast(dec), F.col("nk").cast(dec)
+    var1 = F.when(F.col("n1") > 1,
+                  xd(n1d * F.col("ss1") - F.col("s1") * F.col("s1"))
+                  / xd(n1d * (n1d - 1)))
+    vark = F.when(F.col("nk") > 1,
+                  xd(nkd * F.col("ssk") - F.col("sk") * F.col("sk"))
+                  / xd(nkd * (nkd - 1)))
+    return g.select(
+        "event_type", "n1", "nk",
+        var1.alias("var_1"), vark.alias("var_k"),
+        F.when(var1 > 0, vark / (k * var1)).alias("vr"))

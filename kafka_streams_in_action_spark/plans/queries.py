@@ -2137,6 +2137,46 @@ def _bursts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_time.bursts_from_daily(daily)
 
 
+def _absence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34w streaming twin, driver-visible: the per-user LAST-SEEN day
+    rides the state store as ONE BIGINT max fold
+    (streaming/stateful.py:last_seen_stream) across a REAL 4-batch time
+    split — the TTL/presence state shape. Emissions are the monotone
+    max-so-far; the read side takes the per-key max, derives the anchor
+    from the emitted table (the corpus max day is attained by some
+    user), and feeds the SAME absence-bucket rollup + oracle as the
+    batch c34_absence — the buckets only match if the max survives
+    three micro-batch boundaries exactly."""
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import last_seen_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c34_absence_stream_src_")
+    _write_time_slices(ev, src)
+    sink = f"c34_absence_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .select("user_id",
+                          F.datediff(F.to_date("ts"),
+                                     F.lit("1970-01-01")).alias("day_off")))
+        q = (last_seen_stream(stream)
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    per_user = (spark.table(sink)
+                .groupBy("user_id")
+                .agg(F.max("day_off").alias("last_off")))
+    end_off = per_user.agg(F.max("last_off").alias("end_off"))
+    return event_time.absence_buckets(
+        per_user.crossJoin(F.broadcast(end_off))
+        .select((F.col("end_off") - F.col("last_off")).cast("int")
+                .alias("absent_days")))
+
+
 _QUERY_DEFS: dict[str, QuerySpec] = {
     # ------------------------------------------------------------------
     # Reference operators (SURVEY §2A)
@@ -9302,6 +9342,92 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                n_users * 1000000 // n_total AS share_ppm
         FROM hist CROSS JOIN t
         """),
+    "c34_absence_stream": QuerySpec(
+        # C34w streaming twin: per-user last-seen max fold in the state
+        # store across a real 4-batch replay; SAME oracle as the batch
+        # row.
+        _absence_stream,
+        """
+        WITH anchor AS (
+            SELECT max(CAST(ts AS DATE)) AS d_end FROM events),
+        per_user AS (
+            SELECT user_id, max(CAST(ts AS DATE)) AS last_day
+            FROM events GROUP BY 1),
+        b AS (
+            SELECT date_diff('day', last_day, d_end) AS absent_days
+            FROM per_user CROSS JOIN anchor),
+        b2 AS (
+            SELECT absent_days,
+                   CASE WHEN absent_days <= 3 THEN 'active'
+                        WHEN absent_days <= 7 THEN 'cooling'
+                        WHEN absent_days <= 14 THEN 'at_risk'
+                        ELSE 'churned' END AS bucket
+            FROM b),
+        hist AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(min(absent_days) AS INTEGER) AS min_absent_days,
+                   CAST(max(absent_days) AS INTEGER) AS max_absent_days
+            FROM b2 GROUP BY 1),
+        t AS (SELECT CAST(sum(n_users) AS BIGINT) AS n_total FROM hist)
+        SELECT bucket, n_users, min_absent_days, max_absent_days,
+               n_users * 1000000 // n_total AS share_ppm
+        FROM hist CROSS JOIN t
+        """),
+    "c12_vratio": QuerySpec(
+        # C12 addendum (r13 second slate): Lo–MacKinlay variance ratio —
+        # exact integer sufficient stats from ONE keyed window pass,
+        # string-bridged variances, one final division; lag pairs
+        # matched on the day INDEX so missing days never misalign.
+        _t("events")(windows.variance_ratio),
+        """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS s
+            FROM events GROUP BY 1, 2),
+        d2 AS (
+            SELECT event_type, s,
+                   date_diff('day', DATE '1970-01-01', day) AS idx
+            FROM daily),
+        lagged AS (
+            SELECT event_type, idx, s,
+                   lag(idx, 1) OVER w AS p1_idx, lag(s, 1) OVER w AS p1,
+                   lag(idx, 7) OVER w AS pk_idx, lag(s, 7) OVER w AS pk
+            FROM d2
+            WINDOW w AS (PARTITION BY event_type ORDER BY idx)),
+        diffs AS (
+            SELECT event_type,
+                   CASE WHEN p1_idx = idx - 1 THEN s - p1 END AS d1,
+                   CASE WHEN pk_idx = idx - 7 THEN s - pk END AS dk
+            FROM lagged),
+        g AS (
+            SELECT event_type,
+                   CAST(count(d1) AS BIGINT) AS n1,
+                   sum(CAST(d1 AS HUGEINT)) AS s1,
+                   sum(CAST(d1 AS HUGEINT) * d1) AS ss1,
+                   CAST(count(dk) AS BIGINT) AS nk,
+                   sum(CAST(dk AS HUGEINT)) AS sk,
+                   sum(CAST(dk AS HUGEINT) * dk) AS ssk
+            FROM diffs GROUP BY 1),
+        v AS (
+            SELECT event_type, n1, nk,
+                   CASE WHEN n1 > 1 THEN
+                       CAST(CAST(n1 * ss1 - s1 * s1 AS VARCHAR)
+                            AS DOUBLE)
+                       / CAST(CAST(CAST(n1 AS HUGEINT) * (n1 - 1)
+                                   AS VARCHAR) AS DOUBLE)
+                   END AS var_1,
+                   CASE WHEN nk > 1 THEN
+                       CAST(CAST(nk * ssk - sk * sk AS VARCHAR)
+                            AS DOUBLE)
+                       / CAST(CAST(CAST(nk AS HUGEINT) * (nk - 1)
+                                   AS VARCHAR) AS DOUBLE)
+                   END AS var_k
+            FROM g)
+        SELECT event_type, n1, nk, var_1, var_k,
+               CASE WHEN var_1 > 0 THEN var_k / (7 * var_1) END AS vr
+        FROM v
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -9550,6 +9676,7 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c34_bursts_stream", "c9_allen", "c38_eccentricity",
         "c37_aqe_coalesce", "c31_dominant_color", "c12_runs", "c16_sla",
         "c29_centroid_shift", "c33_jsd", "c42_woe", "c34_absence",
+        "c34_absence_stream", "c12_vratio",
     ]},
 }
 

@@ -985,3 +985,36 @@ def daily_counts_stream(rows: DataFrame) -> DataFrame:
                 stateStructType="cnt bigint",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def last_seen_stream(rows: DataFrame) -> DataFrame:
+    """C34 addendum (round 13) streaming twin core: per-user LAST-SEEN
+    day as a keyed max fold in the state store — the TTL/presence shape
+    (session liveness, heartbeat freshness, GDPR inactivity clocks)
+    beside l28's set-bitmask and the burst twin's counter. Input rows
+    carry (user_id, day_off INT — days since epoch, computed
+    stream-side); state is ONE BIGINT max per key; emissions are the
+    max-so-far, strictly monotone, so the read side recovers the final
+    last-seen day as a per-key max (the l28 discipline) and feeds the
+    SAME absence-bucket rollup + oracle as the batch c34_absence."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        (mx0,) = state.get if state.exists else (-1,)
+        mx = int(mx0)
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, int(pdf["day_off"].max()))
+        state.update((mx,))
+        yield pd.DataFrame({
+            "user_id": pd.array([key[0]], dtype="Int64"),
+            "day_off": pd.array([mx], dtype="Int64")})
+
+    return (rows.groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, day_off long",
+                stateStructType="day_off bigint",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -344,6 +344,8 @@ PROBE_QUERIES = [
     "c33_jsd",              # one conditional-sum agg + bounded window
     "c42_woe",              # keyed join + bounded agg + 1-row folds
     "c34_absence",          # per-user max agg + 4-row rollup
+    "c34_absence_stream",   # last-seen max state twin, 4 batches
+    "c12_vratio",           # bounded day table, two lags, one pass
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

@@ -195,6 +195,7 @@ _BNLJ_ALLOWED = {
     "c38_eccentricity",     # 1-row (diameter, radius) scalar broadcast
     "c42_woe",              # 1-row (G, B) totals + 1-row IV broadcasts
     "c34_absence",          # 1-row anchor-day + 1-row total broadcasts
+    "c34_absence_stream",   # same 1-row folds on the read side
 }
 
 

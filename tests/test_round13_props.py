@@ -486,3 +486,63 @@ def test_absence_matches_python_replay(spark):
         assert (r.n_users, r.min_absent_days, r.max_absent_days) == \
             (cnt, lo, hi)
         assert r.share_ppm == cnt * 1_000_000 // total
+
+
+def test_vratio_matches_python_replay(spark):
+    """Random daily series with missing days — lag pairs must match on
+    the day INDEX (a gap yields no pair, never a misaligned one)."""
+    rnd = random.Random(43)
+    rows, eid = [], 0
+    series: dict = {}
+    for ty in ("u", "w"):
+        for d in range(40):
+            if rnd.random() < 0.85:  # ~15% missing days
+                v = rnd.uniform(1.0, 9.0)
+                series.setdefault(ty, {})[d] = \
+                    series.setdefault(ty, {}).get(d, 0) + \
+                    int(math.floor(v * 1000000.0 + 0.5))
+                rows.append((eid, 1, d * 86400, ty, v))
+                eid += 1
+    got = {r.event_type: r for r in
+           windows.variance_ratio(_events_df(spark, rows)).collect()}
+    for ty, days in series.items():
+        idxs = sorted(days)
+        d1, dk = [], []
+        for pos, d in enumerate(idxs):
+            if pos >= 1 and idxs[pos - 1] == d - 1:
+                d1.append(days[d] - days[idxs[pos - 1]])
+            if pos >= 7 and idxs[pos - 7] == d - 7:
+                dk.append(days[d] - days[idxs[pos - 7]])
+
+        def var(xs):
+            n = len(xs)
+            if n <= 1:
+                return None
+            return (n * sum(x * x for x in xs) - sum(xs) ** 2) \
+                / (n * (n - 1))
+
+        r = got[ty]
+        assert (r.n1, r.nk) == (len(d1), len(dk))
+        assert r.var_1 == var(d1)
+        assert r.var_k == var(dk)
+        if var(d1) and var(d1) > 0:
+            assert r.vr == var(dk) / (7 * var(d1))
+
+
+def test_vratio_separates_momentum_from_oscillation(spark):
+    """Persistent same-sign increments accumulate over 7 days (VR ≫ 1);
+    a period-2 oscillation cancels (VR ≪ 1). A perfectly LINEAR trend
+    has zero 1-day variance and must read NULL, not a crash."""
+    rows, eid = [], 0
+    for d in range(42):
+        # triangle wave, period 14: increments are +1 for 7 days then
+        # -1 for 7 — strong positive increment autocorrelation
+        rows.append((eid, 1, d * 86400, "momentum",
+                     float(abs((d % 14) - 7)))); eid += 1
+        rows.append((eid, 1, d * 86400, "osc",
+                     5.0 if d % 2 == 0 else 1.0)); eid += 1
+        rows.append((eid, 1, d * 86400, "linear", float(d))); eid += 1
+    got = {r.event_type: r for r in
+           windows.variance_ratio(_events_df(spark, rows)).collect()}
+    assert got["momentum"].vr > 1.0 > got["osc"].vr
+    assert got["linear"].vr is None and got["linear"].var_1 == 0.0
