@@ -399,7 +399,15 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c34_markov",
                     # executes the exact returned plan once at build
                     # for the earned AQE skew verdict (r10)
-                    "c37_aqe_skew"):
+                    "c37_aqe_skew",
+                    # replays the availableNow stream at build (r13)
+                    "c34_bursts_stream", "c34_absence_stream",
+                    # executes the exact returned plan once at build
+                    # for the earned AQE coalesce verdict (r13)
+                    "c37_aqe_coalesce",
+                    # all-sources BFS loop checkpoints bounded frames +
+                    # node-count + empty-frontier probe at build (r13)
+                    "c38_eccentricity"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)
