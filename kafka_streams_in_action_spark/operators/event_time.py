@@ -1491,7 +1491,13 @@ def bursts_from_daily(daily: DataFrame, window_days: int = 7,
               .withColumn("trail_sum", F.sum("cnt").over(w))
               .withColumn("trail_days", F.count(F.lit(1)).over(w)))
     eligible = F.col("trail_days") == window_days
-    ratio = F.expr(f"cnt * {window_days} * 1000 div trail_sum")
+    # observed daily rows always carry cnt >= 1, so an eligible row's
+    # trail_sum is >= window_days — but the shared core is also fed by
+    # the streaming twin and future callers, so guard the division
+    # instead of trusting the contract (the hits() posture: a 0-count
+    # day must never become an ANSI divide-by-zero)
+    ratio = F.when(F.col("trail_sum") > 0,
+                   F.expr(f"cnt * {window_days} * 1000 div trail_sum"))
     burst = eligible & (F.col("cnt") * window_days * 1000
                         > ratio_milli * F.col("trail_sum"))
     return (scored

@@ -2267,8 +2267,17 @@ def jsd_drift(events: DataFrame, band_width: int = 50) -> DataFrame:
     t = (counts
          .withColumn("ta", F.sum("a").over(w))
          .withColumn("tb", F.sum("b").over(w)))
-    p = F.col("a").cast("double") / F.col("ta").cast("double")
-    q = F.col("b").cast("double") / F.col("tb").cast("double")
+    # a degenerate half (a type whose events all share one timestamp
+    # puts every row in the second half) makes ta = 0 and a bare a/ta
+    # a 0/0 NaN that poisons the OTHER half's term through the mixture
+    # m — guard each ratio at zero (a > 0 implies ta > 0); the oracle
+    # carries the same CASE so the IEEE trees stay identical
+    p = F.when(F.col("a") > 0,
+               F.col("a").cast("double") / F.col("ta").cast("double")
+               ).otherwise(F.lit(0.0))
+    q = F.when(F.col("b") > 0,
+               F.col("b").cast("double") / F.col("tb").cast("double")
+               ).otherwise(F.lit(0.0))
     m = (p + q) / 2
     tp = F.when(F.col("a") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
     tq = F.when(F.col("b") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))

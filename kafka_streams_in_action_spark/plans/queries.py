@@ -9252,15 +9252,23 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                    CAST(CASE WHEN a > 0 THEN
                        floor((CAST(a AS DOUBLE) / ta)
                              * log2((CAST(a AS DOUBLE) / ta)
-                                    / (((CAST(a AS DOUBLE) / ta)
-                                        + (CAST(b AS DOUBLE) / tb)) / 2))
+                                    / (((CASE WHEN a > 0 THEN
+                                            CAST(a AS DOUBLE) / ta
+                                        ELSE 0.0 END)
+                                        + (CASE WHEN b > 0 THEN
+                                            CAST(b AS DOUBLE) / tb
+                                        ELSE 0.0 END)) / 2))
                              * 1000000.0 + 0.5)
                    ELSE 0 END
                    + CASE WHEN b > 0 THEN
                        floor((CAST(b AS DOUBLE) / tb)
                              * log2((CAST(b AS DOUBLE) / tb)
-                                    / (((CAST(a AS DOUBLE) / ta)
-                                        + (CAST(b AS DOUBLE) / tb)) / 2))
+                                    / (((CASE WHEN a > 0 THEN
+                                            CAST(a AS DOUBLE) / ta
+                                        ELSE 0.0 END)
+                                        + (CASE WHEN b > 0 THEN
+                                            CAST(b AS DOUBLE) / tb
+                                        ELSE 0.0 END)) / 2))
                              * 1000000.0 + 0.5)
                    ELSE 0 END AS BIGINT) AS micro
             FROM t)

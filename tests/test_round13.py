@@ -451,3 +451,31 @@ def test_absence_buckets_users_by_staleness(spark):
     assert out["churned"].n_users == 1
     assert out["churned"].max_absent_days == 19
     assert sum(r.n_users for r in out.values()) == 4
+
+
+def test_jsd_single_timestamp_type_does_not_crash(spark):
+    """A type whose events share ONE timestamp puts every row in the
+    second half (us < mid is false at mid == us): the empty first half
+    must read as a clean jsd with zero first-half mass, never a
+    NaN→long ANSI cast error."""
+    from kafka_streams_in_action_spark.operators import relational
+    rows = [(i, TS0, 1, "mono", 10.0, "{}") for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    row = relational.jsd_drift(ev).collect()[0]
+    assert row.n_first == 0 and row.n_second == 5
+    assert row.jsd_bits == 0.5  # all mass one-sided: ½·1·log2(2)
+
+
+def test_bursts_zero_count_rows_do_not_divide_by_zero(spark):
+    """The shared census core must tolerate cnt = 0 rows (a future
+    caller materializing a dense day grid) — ineligible arithmetic can
+    still evaluate the ratio's denominator."""
+    from kafka_streams_in_action_spark.operators import event_time
+    daily = spark.createDataFrame(
+        [("t", dt.date(2024, 1, 1 + d), 0) for d in range(9)],
+        "event_type string, day date, cnt long")
+    row = event_time.bursts_from_daily(daily).collect()[0]
+    assert row.n_burst_days == 0
+    assert row.max_ratio_milli is None
