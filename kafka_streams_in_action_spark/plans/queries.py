@@ -9689,18 +9689,20 @@ _REGISTERED_ROUND: dict[str, int] = {
 }
 
 # Round-12 window plan (to become _ROUND12_PRIORITY next round): the
-# 18-row r13 slate registered this session — c40_kanon, c40_ldiversity,
+# 20-row r13 slate registered this session — c40_kanon, c40_ldiversity,
 # c40_generalize, c30_pii, c42_target_encode, c42_feature_hash,
 # c34_bursts, c34_bursts_stream, c9_allen, c38_eccentricity,
 # c37_aqe_coalesce, c31_dominant_color, c12_runs, c16_sla,
-# c29_centroid_shift, c33_jsd, c42_woe, c34_absence — leads the window
-# (every row already three-scale sim-green and float-bit-exact); the 24
-# remaining r5-checked rows follow, completing the r5 rotation begun in
-# round 11 (c31_media_metadata, c31_resize_image, c34_funnel_stream,
+# c29_centroid_shift, c33_jsd, c42_woe, c34_absence,
+# c34_absence_stream, c12_vratio — leads the window (every row already
+# three-scale sim-green and float-bit-exact; the WHOLE registry is
+# three-scale sim-green this session); the 24 remaining r5-checked rows
+# follow, completing the r5 rotation begun in round 11
+# (c31_media_metadata, c31_resize_image, c34_funnel_stream,
 # c34_funnel_windowed, c34_rolling, c35_upsert_stream,
 # c36_interval_join, c37_skipping, c37_zorder, c4_approx_distinct,
 # c4_approx_quantiles, and the 13 r5 SQL rows sql_q2/q4/q7/q8/q9/q10/
-# q12/q14/q15/q16/q19/q21/q22); the remaining ~8 slots go to round-12
+# q12/q14/q15/q16/q19/q21/q22); the remaining ~6 slots go to round-12
 # judge items and the oldest r6-checked rows in name order. Judge items
 # displace from the rotation tail only, never the r13 rows.
 
