@@ -9621,6 +9621,51 @@ assert len(_ROUND11_PRIORITY) == 50, len(_ROUND11_PRIORITY)
 assert len(set(_ROUND11_PRIORITY)) == 50, "duplicate row in window"
 
 # ---------------------------------------------------------------------------
+# Round-12 frozen window (verdict r11 items 1-2), realizing the drafted
+# round-12 plan verbatim. The 20-row r13 slate — the only registered
+# queries that have never held a driver CORRECTNESS row — leads in
+# registration order (after this window lands, every §2 row is behind
+# the hard driver signal for the first time); the 24 remaining
+# r5-checked rows follow, completing the r5 rotation begun in round 11
+# (freshness floor moves to r6); the last 6 slots take the oldest
+# r6-checked rows in name order. Round-11 judge items need no
+# re-records: the two operator-touching ADVICE fixes (coalesce_audit
+# robustness, eccentricity oracle bound) land on c37_aqe_coalesce and
+# c38_eccentricity, which are already in-window as slate rows.
+# Frozen BEFORE any round-12 registration; judge items displace nothing.
+# ---------------------------------------------------------------------------
+_ROUND12_PRIORITY = [
+    # (1) the 20-row r13 slate (registered round 11, after that window
+    # froze), registration order — never driver-checked until now
+    "c40_kanon", "c40_ldiversity", "c40_generalize", "c30_pii",
+    "c42_target_encode", "c42_feature_hash", "c34_bursts",
+    "c34_bursts_stream", "c9_allen", "c38_eccentricity",
+    "c37_aqe_coalesce", "c31_dominant_color", "c12_runs", "c16_sla",
+    "c29_centroid_shift", "c33_jsd", "c42_woe", "c34_absence",
+    "c34_absence_stream", "c12_vratio",
+    # (2) the 24 remaining r5-checked rows (name order), completing the
+    # r5 rotation begun in round 11 — after this window no query's last
+    # driver check predates r6
+    "c31_media_metadata", "c31_resize_image", "c34_funnel_stream",
+    "c34_funnel_windowed", "c34_rolling", "c35_upsert_stream",
+    "c36_interval_join", "c37_skipping", "c37_zorder",
+    "c4_approx_distinct", "c4_approx_quantiles",
+    "sql_q10_returned_items", "sql_q12_priority_lines",
+    "sql_q14_promo_share", "sql_q15_top_supplier",
+    "sql_q16_supplier_parts", "sql_q19_disjunctive_rev",
+    "sql_q21_waiting_supplier", "sql_q22_prospects",
+    "sql_q2_min_acctbal", "sql_q4_order_priority",
+    "sql_q7_nation_volume", "sql_q8_market_share", "sql_q9_profit",
+    # (3) the 6 oldest r6-checked rows (name order) open the r6
+    # rotation that rounds 13-14 will complete
+    "a11_avro_roundtrip", "a19_route_events", "a20_key_fallback",
+    "a5_fnv_partitioner", "a9_wire_roundtrip", "c10_pit_join",
+]
+
+assert len(_ROUND12_PRIORITY) == 50, len(_ROUND12_PRIORITY)
+assert len(set(_ROUND12_PRIORITY)) == 50, "duplicate row in window"
+
+# ---------------------------------------------------------------------------
 # Window-freshness ledger (verdict r7 item 6). CURRENT_ROUND is bumped
 # when each round's window freezes. _REGISTERED_ROUND records the round
 # in which every not-yet-driver-windowed query was registered; queries
@@ -9631,7 +9676,7 @@ assert len(set(_ROUND11_PRIORITY)) == 50, "duplicate row in window"
 # in the current frozen window — the CI form of the r7 judge finding
 # that 69 queries outran the 50-row verification window.
 # ---------------------------------------------------------------------------
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 
 _REGISTERED_ROUND: dict[str, int] = {
     # r8 slate (registered during the round-7 session)
@@ -9688,6 +9733,9 @@ _REGISTERED_ROUND: dict[str, int] = {
     ]},
 }
 
+# (historical r11 comment; realized verbatim as _ROUND12_PRIORITY above —
+# the ~6 spare slots went to the oldest r6 rows; no judge item needed a
+# displacement since both operator-touching ADVICE fixes land on slate rows)
 # Round-12 window plan (to become _ROUND12_PRIORITY next round): the
 # 20-row r13 slate registered this session — c40_kanon, c40_ldiversity,
 # c40_generalize, c30_pii, c42_target_encode, c42_feature_hash,
@@ -9828,7 +9876,7 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c35_merkle, c34_streaks — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
-QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND11_PRIORITY}
+QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND12_PRIORITY}
 QUERIES.update(
     {n: s for n, s in _QUERY_DEFS.items() if n not in QUERIES})
 assert len(QUERIES) == len(_QUERY_DEFS)
