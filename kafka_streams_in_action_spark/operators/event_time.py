@@ -1472,10 +1472,11 @@ def bursts_from_daily(daily: DataFrame, window_days: int = 7,
     per-(event_type, day) count table — a day is a burst when its count
     exceeds `ratio_milli`/1000 × the trailing `window_days`-day mean
     (Kleinberg-style rate bursts reduced to the exact-integer gate
-    cnt·window·1000 > ratio_milli·trail_sum; missing calendar days
-    count as zero activity via the fixed denominator, and days without
-    a FULL trailing window are ineligible rather than silently
-    compared against a short mean).
+    cnt·window·1000 > ratio_milli·trail_sum; a day is eligible only
+    when all `window_days` trailing calendar days are OBSERVED in the
+    input — any missing trailing day makes the row ineligible rather
+    than counting as zero, so a day after a gap never gets compared
+    against a short or zero-padded mean).
 
     Input contract: `daily` has (event_type, day DATE, cnt BIGINT), one
     row per observed (type, day). Both the batch operator and the

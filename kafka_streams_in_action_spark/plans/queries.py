@@ -9029,7 +9029,11 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
             UNION
             SELECT r.src, e.dst, r.d + 1
             FROM reach r JOIN edges e ON e.src = r.node
-            WHERE r.d < 25),
+            -- depth bound derived from the node universe (advice r11):
+            -- any simple shortest path over n nodes has <= n-1 hops,
+            -- so the bound tracks the operator's live-node-count bound
+            -- instead of hardcoding TPC-H's 25-nation universe
+            WHERE r.d < (SELECT count(*) FROM nation)),
         md AS (
             SELECT src, node, CAST(min(d) AS INTEGER) AS d
             FROM reach GROUP BY 1, 2),
@@ -9048,8 +9052,10 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),
     "c37_aqe_coalesce": QuerySpec(
         # C37 addendum: runtime partition-coalescing verdict — earned on
-        # the exact returned plan after a real execution; the aggregate
-        # itself is oracle-hashed as usual.
+        # the exact aggregate plan after a real execution and emitted as
+        # the coalesce_planned boolean the oracle pins to TRUE (advice
+        # r11: fail one row, never abort the run); the aggregate itself
+        # is oracle-hashed as usual.
         lambda spark, sf_dir: layout.coalesce_audit(
             spark, load_table(spark, "events", sf_dir)),
         """
