@@ -341,6 +341,37 @@ def _calibrate() -> dict[str, float]:
     blas = time.time() - t0
     return {"calib_python_sec": round(py, 3), "calib_blas_sec": round(blas, 3)}
 
+
+def _calibrate_contention(spark) -> dict[str, float]:
+    """32-thread contention sentinel (verdict r11 item 5): a fixed-work
+    parallel shuffle+agg micro-benchmark recorded beside the single-thread
+    calibrations. The r10→r11 +8% drift sat ONLY on 32-thread parallel
+    paths while calib_python/calib_blas stayed flat, so attributing it to
+    instance scheduler/NUMA behavior took cross-file forensics; this probe
+    makes that drift self-evident in one file — if calib_shuffle32_sec
+    moves with the query totals while the single-thread probes hold,
+    the instance (not a plan) moved. Fixed work regardless of sf: 32 M
+    synthetic rows, 32 input slices, one 100k-key hash shuffle + agg,
+    best-of-2 warm."""
+    from pyspark.sql import functions as F
+
+    def run():
+        (spark.range(0, 32_000_000, 1, 32)
+         .select((F.col("id") % 100_003).alias("k"),
+                 ((F.col("id") * 2654435761) % 1_000_003).alias("v"))
+         .groupBy("k")
+         .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("c"))
+         .select(F.sum("sv"), F.sum("c"))
+         .collect())
+
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return {"calib_shuffle32_sec": round(best, 3)}
+
 # The registered c29_minhash_lsh / c29_ivf_ann queries are VERDICT forms
 # (they run an in-query exact reference alongside the approximate path for
 # the correctness gate). The bench times the raw scale paths a production
@@ -501,6 +532,7 @@ def main() -> None:
         "stream_queries": STREAM_QUERIES,
         "stream_sections": stream_sections,
         **_calibrate(),
+        **_calibrate_contention(spark),
     }
     # Committed local copy (r8 verdict item 4): the driver's BENCH_r{N}
     # artifact truncated two rounds running; this file preserves the full
@@ -522,7 +554,7 @@ def main() -> None:
     slim = {k: report[k] for k in (
         "metric", "value", "unit", "sf", "batch_total_sec",
         "stream_total_sec", "stream_overhead_sec", "calib_python_sec",
-        "calib_blas_sec") if k in report}
+        "calib_blas_sec", "calib_shuffle32_sec") if k in report}
     slim["n_queries"] = len(timings)
     slim["queries_full"] = os.path.basename(local)
     ordered = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
