@@ -252,6 +252,16 @@ HEADLINE = [
     "c34_absence",           # churn-risk absence histogram
     "c34_absence_stream",    # last-seen max-fold state twin, 4 batches
     "c12_vratio",            # Lo-MacKinlay variance ratio VR(7)
+    # round-12 additions (the r14 slate)
+    "c4_tdigest",            # mergeable t-digest, rank-audited
+    "c13_decay_topk",        # dyadic-decay leaderboard top-k
+    "c13_decay_topk_stream", # (user, day) count state twin, 4 batches
+    "c35_scd1",              # latest-wins SCD1 MERGE
+    "c40_tcloseness",        # ordered-EMD t-closeness audit
+    "c42_binning",           # equal-frequency binning, no global sort
+    "c42_onehot",            # top-N one-hot vocab + OOV
+    "c34_peak",              # sweep-line peak concurrency
+    "c34_peak_stream",       # heap-state sweep twin, 4 batches
 ]
 
 
@@ -313,7 +323,8 @@ STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c33_flatline_stream", "c10_asof_stream",
                   "c34_interarrival_stream", "c34_l28_stream",
                   "c35_cdc_stream", "c34_bursts_stream",
-                  "c34_absence_stream"]
+                  "c34_absence_stream", "c13_decay_topk_stream",
+                  "c34_peak_stream"]
 
 # Micro-batch count each twin's availableNow replay executes (the fixed
 # replay floor is ~batches × stream_overhead_sec); all the file-split

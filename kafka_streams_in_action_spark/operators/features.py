@@ -156,3 +156,92 @@ def woe_iv(orders: DataFrame, customer: DataFrame) -> DataFrame:
                     .alias("woe"),
                     (F.col("iv_sum").cast("double") / 1000000.0)
                     .alias("iv_total")))
+
+
+def quantile_binning(customer: DataFrame, n_bins: int = 10) -> DataFrame:
+    """C42d (round 14): equal-frequency (quantile) binning of the
+    account balance — the discretizer tabular pipelines run before WoE
+    scoring, monotonic-binning credit models, or feature crossing.
+    Emits one row per bin: row count, exact cent bounds, the exact mean
+    (string-bridged division of a DECIMAL(38,0) cent sum), and the bin's
+    row share in exact ppm.
+
+    Scale path — NO global sort, NO per-row row_number: the corpus is
+    aggregated to its DISTINCT cent values first (bounded by the VALUE
+    DOMAIN — acctbal spans ~1.1e6 possible cents — not by the data), a
+    window cumsum over that bounded value histogram assigns every
+    distinct value its exact rank interval, and the bin index is
+      bin(v) = min(n_bins-1, cum_before(v) · n_bins div N)
+    — the ntile() boundary rule, computed without ever ordering the
+    fact table. Ties (equal cents) land in ONE bin by construction, so
+    the result is deterministic under any partitioning; classic ntile
+    would split ties across bins by physical order instead. Per-bin
+    stats then come from the same value histogram, so the fact table is
+    scanned once and shuffled once (on the cent value)."""
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    hist = (customer.select(cents.alias("cents"))
+            .groupBy("cents")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.orderBy("cents")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    tot = hist.agg(F.sum("cnt").alias("n_total"))
+    binned = (hist
+              .withColumn("cum_before", F.coalesce(F.sum("cnt").over(w),
+                                                   F.lit(0)))
+              .crossJoin(F.broadcast(tot))
+              .withColumn(
+                  "bin",
+                  F.least(F.lit(n_bins - 1),
+                          F.expr(f"cum_before * {n_bins} div n_total"))
+                  .cast("int")))
+    return (binned.groupBy("bin")
+            .agg(F.sum("cnt").alias("n_rows"),
+                 F.min("cents").alias("lo_cents"),
+                 F.max("cents").alias("hi_cents"),
+                 F.sum((F.col("cents") * F.col("cnt")).cast(_DEC))
+                 .alias("s"),
+                 F.max("n_total").alias("n_total"))
+            .select("bin", "n_rows", "lo_cents", "hi_cents",
+                    (_sb(F.col("s")) / F.col("n_rows").cast("double"))
+                    .alias("mean_cents"),
+                    F.expr("n_rows * 1000000 div n_total")
+                    .alias("share_ppm")))
+
+
+def onehot_vocab(part: DataFrame, top_n: int = 5) -> DataFrame:
+    """C42e (round 14): top-N one-hot vocabulary spec with an explicit
+    OOV bucket — the dictionary-building half of categorical encoding
+    (feature hashing's complement: when the cardinality is LOW enough
+    to afford real columns, you pin the vocabulary and route the tail
+    to __OOV__). Emits the encoder spec a feature store persists: per
+    retained value its column index (frequency rank, ties broken by
+    value — deterministic under any partitioning), its row count and
+    coverage in exact ppm, plus the single OOV row carrying everything
+    else.
+
+    Shape: one map-side-combinable value count (vocabulary cardinality
+    is bounded — brands, countries, priorities — so the ranked window
+    runs over a dimension-sized frame), then a 1-row total broadcast."""
+    from pyspark.sql import Window
+
+    counts = (part.groupBy(F.col("p_brand").alias("value"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    ranked = counts.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.col("n_rows").desc(), F.col("value"))))
+    vocab = (ranked.filter(F.col("rk") <= top_n)
+             .select((F.col("rk") - 1).cast("int").alias("col_index"),
+                     "value", "n_rows", F.lit(True).alias("in_vocab")))
+    oov = (ranked.filter(F.col("rk") > top_n)
+           .agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows"))
+           .select(F.lit(top_n).cast("int").alias("col_index"),
+                   F.lit("__OOV__").alias("value"), "n_rows",
+                   F.lit(False).alias("in_vocab")))
+    tot = counts.agg(F.sum("n_rows").alias("n_total"))
+    return (vocab.unionByName(oov)
+            .crossJoin(F.broadcast(tot))
+            .select("col_index", "value", "n_rows", "in_vocab",
+                    F.expr("n_rows * 1000000 div n_total")
+                    .alias("coverage_ppm")))

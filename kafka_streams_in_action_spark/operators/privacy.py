@@ -163,3 +163,91 @@ def generalization_ladder(customer: DataFrame, nation: DataFrame,
         verdict.select((F.col("m01") & F.col("m12")).alias("monotone"))))
         .select("level", "n_classes", "k_min", "rows_at_risk",
                 (F.col("k_min") >= k).alias("k_anonymous"), "monotone"))
+
+
+def t_closeness_audit(customer: DataFrame,
+                      t_ppm: int = 200_000) -> DataFrame:
+    """C40d (round 14): t-closeness audit (Li, Li & Venkatasubramanian
+    2007) — the third rung of the privacy ladder: a QI class can be
+    k-anonymous AND l-diverse yet still leak through its sensitive-value
+    DISTRIBUTION (the skewness attack: "every account in this class is
+    in the top balance band" discloses plenty even with k distinct
+    values). t-closeness bounds, per class, the Earth Mover's Distance
+    between the class's sensitive distribution and the global one; for
+    an ORDERED sensitive attribute the EMD reduces to the normalized
+    cumulative-difference sum  D = (1/(m-1))·Σ_i |CumP_i − CumQ_i|.
+
+    QI class = (market segment, nation); ordered sensitive attribute =
+    the 1000-unit account-balance band (bounded ordered domain, the
+    k-anonymity audit's band function). Emits one row per segment: the
+    worst class EMD in exact ppm, how many classes (and how much row
+    mass) breach the `t_ppm` contract, and the earned verdict.
+
+    Exactness: EMD is computed over a COMMON denominator —
+    |cum_class·N − cum_global·n_class| summed as BIGINTs, then one
+    floor-division to ppm with the accumulator in DECIMAL(38,0)
+    (HUGEINT in DuckDB) so the ×1e6 scaling cannot overflow at 100×
+    data. Zero float ops anywhere.
+
+    Scale: one map-side-combinable (class × band) count agg; the dense
+    per-class band grid is bounded by the VALUE DOMAIN (≤ a dozen
+    bands), not the data; one window cumsum over ≤ classes·m rows; the
+    global band histogram broadcasts at ≤ m rows."""
+    from pyspark.sql import Window
+
+    qi = customer.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+        _acct_band(F.col("c_acctbal"), 100_000).cast("long").alias("band"))
+    cls_band = (qi.groupBy("segment", "nationkey", "band")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    glob = (qi.groupBy("band").agg(F.count(F.lit(1)).alias("g_cnt")))
+    m_tot = glob.agg(F.count(F.lit(1)).alias("m"),
+                     F.sum("g_cnt").alias("n_total"))
+    classes = (cls_band.groupBy("segment", "nationkey")
+               .agg(F.sum("cnt").alias("n_class")))
+    # dense (class × global-band) grid: a band the class never attains
+    # still carries the running cumulative difference into the sum
+    grid = (classes.crossJoin(F.broadcast(glob))
+            .join(cls_band, ["segment", "nationkey", "band"], "left")
+            .select("segment", "nationkey", "band", "n_class", "g_cnt",
+                    F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")))
+    w = (Window.partitionBy("segment", "nationkey").orderBy("band")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (grid
+           .withColumn("cum_c", F.sum("cnt").over(w))
+           .withColumn("cum_g", F.sum("g_cnt").over(w)))
+    dec = "decimal(38,0)"
+    per_class = (cum.crossJoin(F.broadcast(m_tot))
+                 .withColumn(
+                     "adiff",
+                     F.abs(F.col("cum_c") * F.col("n_total")
+                           - F.col("cum_g") * F.col("n_class")))
+                 .groupBy("segment", "nationkey", "n_class", "m", "n_total")
+                 .agg(F.sum(F.col("adiff").cast(dec)).alias("s")))
+    # m == 1 → every value identical → every class trivially matches the
+    # global distribution (EMD 0); guard the (m-1) divisor (ANSI mode).
+    # Integer `div`, NOT decimal `/`: Spark's decimal division rounds
+    # HALF_UP at the result scale while DuckDB's `//` truncates — both
+    # operands are positive, so div == floor on both engines.
+    emd_ppm = F.when(
+        F.col("m") > 1,
+        F.expr(
+            "CAST((s * CAST(1000000 AS DECIMAL(38,0))) div "
+            "(CAST(m - 1 AS DECIMAL(38,0))"
+            " * CAST(n_class AS DECIMAL(38,0))"
+            " * CAST(n_total AS DECIMAL(38,0))) AS BIGINT)")
+    ).otherwise(F.lit(0)).cast("long")
+    scored = per_class.select("segment", "nationkey", "n_class",
+                              emd_ppm.alias("emd_ppm"))
+    breach = F.col("emd_ppm") > t_ppm
+    return (scored.groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_classes"),
+                 F.max("emd_ppm").alias("t_max_ppm"),
+                 F.sum(F.when(breach, 1).otherwise(0)).cast("long")
+                 .alias("n_breach_classes"),
+                 F.sum(F.when(breach, F.col("n_class")).otherwise(0))
+                 .cast("long").alias("rows_in_breach"))
+            .select("segment", "n_classes", "t_max_ppm",
+                    "n_breach_classes", "rows_in_breach",
+                    (F.col("t_max_ppm") <= t_ppm).alias("t_close")))

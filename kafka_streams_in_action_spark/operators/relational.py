@@ -2293,3 +2293,194 @@ def jsd_drift(events: DataFrame, band_width: int = 50) -> DataFrame:
                     F.col("n_bands").cast("long").alias("n_bands"),
                     (F.col("sm").cast("double") / 2000000.0)
                     .alias("jsd_bits")))
+
+
+def _tdigest_compress(x, w, delta: int):
+    """Uniform-cap (k0 scale) t-digest compression of a mean-sorted
+    centroid list: split at every `ceil(W/delta)` of cumulative weight
+    (vectorized — cluster id = exclusive-prefix-weight div cap), then
+    weight-average each cluster. A cluster absorbs at most cap + max_w
+    weight, so interpolation error stays O(W/delta) ranks — the k0
+    variant of Dunning & Ertl's merging digest, chosen because it needs
+    no per-element Python loop."""
+    import numpy as np
+
+    W = int(w.sum())
+    cap = max(1, -(-W // delta))
+    ids = ((np.cumsum(w) - w) // cap).astype(np.int64)
+    sw = np.bincount(ids, weights=w.astype(np.float64))
+    sm = np.bincount(ids, weights=x * w)
+    nz = sw > 0
+    return sm[nz] / sw[nz], sw[nz].astype(np.int64)
+
+
+def tdigest_price_quantiles(lineitem: DataFrame, delta: int = 100,
+                            tol_ppm: int = 20_000) -> DataFrame:
+    """C4t (round 14): mergeable t-digest quantile sketch — the fifth
+    sketch leg beside HLL (C4s), CMS (C4c), GK (C4), and the fixed
+    histogram (C4q), and the one production stacks reach for when the
+    quantile set isn't known at scan time (SLO percentiles, latency
+    digests). Build is the honest cluster shape: one Arrow kernel per
+    input partition emits ≤ `delta` (mean, weight) centroids
+    (mapInPandas — the payload never shuffles), the ≤ partitions·delta
+    centroid rows merge in ONE bounded task (applyInPandas over a
+    constant key), and the merged digest re-compresses to `delta`
+    centroids — t-digests are closed under this merge, which is the
+    property the row certifies.
+
+    The verdict is EARNED, not asserted: each digest estimate's true
+    rank is measured against the full column (one conditional count
+    under a 5-row broadcast) and must sit within `tol_ppm` of the
+    target rank — k0 compression bounds the error at O(1/delta) ≈ 1%,
+    half the default gate. Alongside, the row emits the EXACT type-1
+    quantiles (rank ceil(q·n), pure integer selection over the bounded
+    cent-value histogram — no interpolation floats), which the DuckDB
+    oracle recomputes independently: the hashed columns are all
+    integers/booleans, the c4_approx_* discipline.
+
+    Scale: digest build is embarrassingly parallel and the merge input
+    is bounded by partitions·delta, not data; the exact-quantile arm's
+    histogram is bounded by the VALUE DOMAIN of 2-decimal prices; the
+    rank audit is one scan under a broadcast. At 100 TB you'd keep the
+    digest build + merge and sample the audit."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    qs = [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100)]
+    vals = lineitem.select(F.col("l_extendedprice").alias("x"))
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+        xs = [pdf["x"].to_numpy(np.float64) for pdf in batches]
+        v = np.concatenate(xs) if xs else np.empty(0)
+        if v.size == 0:
+            return
+        v.sort(kind="stable")
+        m, w = _tdigest_compress(v, np.ones(v.size, np.int64), delta)
+        yield pd.DataFrame({"mean": m, "weight": w})
+
+    centroids = vals.mapInPandas(build, "mean double, weight long")
+
+    def merge(pdf):
+        import numpy as np
+        import pandas as pd
+        order = np.argsort(pdf["mean"].to_numpy(np.float64), kind="stable")
+        m0 = pdf["mean"].to_numpy(np.float64)[order]
+        w0 = pdf["weight"].to_numpy(np.int64)[order]
+        m, w = _tdigest_compress(m0, w0, delta)
+        cum = np.cumsum(w)
+        mid = cum - w / 2.0
+        W = float(cum[-1])
+        out_q, out_e = [], []
+        for qn, qd in qs:
+            t = W * qn / qd
+            j = int(np.searchsorted(mid, t))
+            if j <= 0:
+                e = m[0]
+            elif j >= len(m):
+                e = m[-1]
+            else:
+                f = (t - mid[j - 1]) / (mid[j] - mid[j - 1])
+                e = m[j - 1] + f * (m[j] - m[j - 1])
+            out_q.append(qn * 1_000_000 // qd)
+            out_e.append(float(e))
+        return pd.DataFrame({"q_ppm": pd.array(out_q, dtype="Int64"),
+                             "est": out_e})
+
+    est = (centroids.groupBy(F.lit(0).alias("g"))
+           .applyInPandas(merge, "q_ppm long, est double")
+           .select("q_ppm", "est"))
+
+    audit = (vals.crossJoin(F.broadcast(est))
+             .groupBy("q_ppm", "est")
+             .agg(F.sum(F.when(F.col("x") <= F.col("est"), 1).otherwise(0))
+                  .cast("long").alias("n_le"),
+                  F.count(F.lit(1)).alias("n_rows"))
+             .select("q_ppm", "n_rows",
+                     (F.abs(F.expr("n_le * 1000000 div n_rows")
+                            - F.col("q_ppm")) <= tol_ppm)
+                     .alias("rank_ok")))
+
+    # exact type-1 quantiles: rank r = ceil(q·n) selected from the
+    # bounded cent-value histogram — integer-only, engine-identical
+    cents = F.floor(F.col("x") * 100 + F.lit(0.5)).cast("long")
+    hist = (vals.select(cents.alias("c"))
+            .groupBy("c").agg(F.count(F.lit(1)).alias("cnt")))
+    wv = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cumh = (hist.withColumn("cum", F.sum("cnt").over(wv))
+            .withColumn("prev", F.col("cum") - F.col("cnt")))
+    targets = (audit.select(
+        "q_ppm", "n_rows",
+        F.expr("CAST((q_ppm * n_rows + 999999) div 1000000 AS BIGINT)")
+        .alias("r")))
+    exact = (cumh.join(F.broadcast(targets),
+                       (F.col("prev") < F.col("r"))
+                       & (F.col("r") <= F.col("cum")))
+             .select("q_ppm", F.col("c").alias("exact_cents")))
+    return (audit.join(exact, "q_ppm")
+            .select("q_ppm", "n_rows", "exact_cents", "rank_ok"))
+
+
+def scd1_latest_merge(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """C35p (round 14): MERGE INTO-shaped SCD1 upsert with LATEST-WINS
+    version resolution — the piece the C35 family's single-version
+    merges (c35_upsert, c35_merge) leave open: a real CDC batch carries
+    MANY versions per key, and SCD1 keeps only the newest (no history,
+    unlike SCD2's validity intervals). The change feed is the order's
+    own lineitems — every line is a version, the latest by
+    (l_shipdate, l_linenumber) wins — deduplicated BEFORE the merge
+    with ONE max_by(struct) aggregate (no row_number sort, no
+    re-shuffle: the dedup and the merge share the order-key
+    partitioning), then applied through the standard full-outer +
+    coalesce plan a Delta/Iceberg MERGE compiles to. An INSERT arm
+    (every 997th feed key re-keyed above the base id space) keeps all
+    three MERGE arms live.
+
+    Emits the post-merge table: key, customer, the surviving price in
+    exact cents, the winning version's date and line number, the feed's
+    version count, and the arm applied ('U' updated / 'K' kept /
+    'I' inserted). All hashed columns integer/date/string-exact."""
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    # CDC window: only lines shipped from mid-1995 on feed the batch —
+    # orders whose shipments all predate it exercise the 'K' arm (every
+    # TPC-H order has lineitems, so an unfiltered feed would touch all)
+    # version order is (ship date, line number, price): the synthetic
+    # corpus carries duplicate (order, line) pairs, so the price joins
+    # the tiebreak to make the winning version a total order — every
+    # emitted field is then deterministic even among full-key ties
+    feed = (lineitem
+            .filter(F.col("l_shipdate")
+                    >= F.lit("1995-06-01").cast("timestamp"))
+            .groupBy("l_orderkey")
+            .agg(F.max_by(
+                F.struct("l_extendedprice", "l_shipdate", "l_linenumber"),
+                F.struct("l_shipdate", "l_linenumber", "l_extendedprice"))
+                .alias("v"),
+                F.count(F.lit(1)).alias("n_versions"))
+            .select("l_orderkey",
+                    F.col("v.l_extendedprice").alias("new_price"),
+                    F.to_date("v.l_shipdate").alias("version_date"),
+                    F.col("v.l_linenumber").alias("version_line"),
+                    "n_versions"))
+    ins = (feed.filter(F.col("l_orderkey") % 997 == 1)
+           .withColumn("l_orderkey", F.col("l_orderkey") + 30_000_000))
+    updates = feed.unionByName(ins)
+    b, u = base.alias("b"), updates.alias("u")
+    joined = b.join(u, F.col("b.o_orderkey") == F.col("u.l_orderkey"),
+                    "full_outer")
+    matched = F.col("b.o_orderkey").isNotNull() & \
+        F.col("u.l_orderkey").isNotNull()
+    price = F.when(F.col("u.l_orderkey").isNotNull(), F.col("u.new_price")) \
+        .otherwise(F.col("b.o_totalprice"))
+    return joined.select(
+        F.coalesce(F.col("b.o_orderkey"), F.col("u.l_orderkey"))
+        .alias("o_orderkey"),
+        F.col("b.o_custkey").alias("o_custkey"),
+        F.floor(price * 100 + F.lit(0.5)).cast("long").alias("price_cents"),
+        F.col("u.version_date").alias("version_date"),
+        F.col("u.version_line").alias("version_line"),
+        F.coalesce(F.col("u.n_versions"), F.lit(0).cast("long"))
+        .alias("n_versions"),
+        F.when(matched, F.lit("U"))
+        .when(F.col("b.o_orderkey").isNotNull(), F.lit("K"))
+        .otherwise(F.lit("I")).alias("op"))

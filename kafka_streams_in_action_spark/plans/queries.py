@@ -2177,6 +2177,159 @@ def _absence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("absent_days")))
 
 
+def _decay_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 addendum (round 14) streaming twin, driver-visible: each
+    user's daily-activity histogram rides the state store as two
+    parallel arrays (streaming/stateful.py:user_daily_counts_stream —
+    |users| state keys, array length bounded by the corpus day span)
+    across a REAL 4-batch time split; the read side selects each user's
+    final emission by its strictly monotone total (ONE max_by),
+    explodes the bounded arrays back to the (user, day, cnt) table, and
+    feeds the SAME dyadic-decay scoring rollup + oracle as the batch
+    c13_decay_topk — the leaderboard only matches if every histogram
+    survives the micro-batch boundaries exactly."""
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import user_daily_counts_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c13_decay_topk_stream_src_")
+    _write_time_slices(ev, src)
+    sink = f"c13_decay_topk_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .select("user_id",
+                          F.datediff(F.to_date("ts"),
+                                     F.lit("1970-01-01")).alias("day_off")))
+        q = (user_daily_counts_stream(stream)
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    final = (spark.table(sink)
+             .groupBy("user_id")
+             .agg(F.max_by(F.struct("days", "cnts"), F.col("total"))
+                  .alias("h")))
+    daily = (final
+             .select("user_id",
+                     F.explode(F.arrays_zip("h.days", "h.cnts"))
+                     .alias("z"))
+             .select("user_id",
+                     F.date_add(F.lit("1970-01-01"),
+                                F.col("z.days")).alias("day"),
+                     F.col("z.cnts").alias("cnt")))
+    return event_time.decayed_topk_from_daily(daily)
+
+
+def _peak_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34x streaming twin, driver-visible: the interval sweep line as
+    keyed HEAP state (streaming/stateful.py:peak_concurrency_stream —
+    open end-times as a sorted array, popped as event time advances)
+    across a REAL 4-batch time split. Emissions carry the running
+    (n_intervals, peak, first_peak_us, busy); n_intervals is strictly
+    monotone, so ONE max_by per key selects the final emission, and the
+    result must pass the SAME oracle as the batch c34_peak — which only
+    happens if the heap survives every micro-batch boundary with the
+    half-open close-before-open order intact."""
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import peak_concurrency_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c34_peak_stream_src_")
+    _write_time_slices(ev, src)
+    sink = f"c34_peak_stream_{uuid.uuid4().hex[:8]}"
+    dur_s = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .select("event_type", "event_id",
+                          F.unix_micros(F.col("ts")).alias("t"),
+                          (dur_s * 1_000_000).alias("dur_us")))
+        q = (peak_concurrency_stream(stream)
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    final = (spark.table(sink)
+             .groupBy("event_type")
+             .agg(F.max_by(
+                 F.struct("n_intervals", "peak", "first_peak_us",
+                          "busy_us"),
+                 F.col("n_intervals")).alias("s")))
+    return final.select(
+        "event_type", F.col("s.n_intervals").alias("n_intervals"),
+        F.col("s.peak").alias("peak"),
+        F.col("s.first_peak_us").alias("first_peak_us"),
+        F.expr("CAST(s.busy_us div 1000000 AS BIGINT)")
+        .alias("busy_seconds"))
+
+
+#: Shared C13-decay oracle (round 14): the batch operator and the
+#: streaming twin both reduce to the per-(user, day) count table, so one
+#: oracle covers both (the bursts_from_daily pattern). Dyadic decay:
+#: 1e6 >> (age div 7) — exact integer halving on both engines.
+_DECAY_TOPK_ORACLE = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+    FROM events GROUP BY 1, 2),
+a AS (SELECT max(day) AS anchor FROM daily),
+sc AS (
+    SELECT user_id, cnt, date_diff('day', day, anchor) AS age
+    FROM daily CROSS JOIN a),
+pu AS (
+    SELECT user_id,
+           CAST(sum(cnt * (1000000 // (CAST(1 AS BIGINT)
+                                       << least(age // 7, 62))))
+                AS BIGINT) AS score_micro,
+           CAST(sum(cnt) AS BIGINT) AS n_events
+    FROM sc GROUP BY 1),
+tk AS (
+    SELECT user_id, score_micro, n_events,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, user_id)
+                AS INTEGER) AS rank
+    FROM pu)
+SELECT user_id, score_micro, n_events, rank FROM tk WHERE rank <= 10
+"""
+
+#: Shared C34x oracle (round 14): the batch sweep line and the heap-state
+#: streaming twin emit the same final report, so one oracle covers both.
+#: Half-open intervals: the −1 boundary sorts before the +1 at an equal
+#: instant (ORDER BY t, delta, event_id).
+_PEAK_ORACLE = """
+WITH b AS (
+    SELECT event_type, event_id, epoch_us(ts) AS t, 1 AS delta,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS dur_s
+    FROM events
+    UNION ALL
+    SELECT event_type, event_id,
+           epoch_us(ts) + CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          * 1000000,
+           -1, 0
+    FROM events),
+s AS (
+    SELECT event_type, t, dur_s,
+           sum(delta) OVER (PARTITION BY event_type
+                            ORDER BY t, delta, event_id
+                            ROWS UNBOUNDED PRECEDING) AS cur
+    FROM b),
+p AS (
+    SELECT event_type, CAST(count(*) // 2 AS BIGINT) AS n_intervals,
+           CAST(max(cur) AS BIGINT) AS peak,
+           CAST(sum(dur_s) AS BIGINT) AS busy_seconds
+    FROM s GROUP BY 1),
+fp AS (
+    SELECT s.event_type, min(s.t) AS first_peak_us
+    FROM s JOIN p ON s.event_type = p.event_type AND s.cur = p.peak
+    GROUP BY 1)
+SELECT p.event_type, n_intervals, peak, first_peak_us, busy_seconds
+FROM p JOIN fp ON p.event_type = fp.event_type
+"""
+
+
 _QUERY_DEFS: dict[str, QuerySpec] = {
     # ------------------------------------------------------------------
     # Reference operators (SURVEY §2A)
@@ -9442,6 +9595,226 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                CASE WHEN var_1 > 0 THEN var_k / (7 * var_1) END AS vr
         FROM v
         """),
+    # ------------------------------------------------------------------
+    # Round-14 slate (registered during the round-12 session, AFTER the
+    # round-12 window froze — they enter the round-13 window)
+    # ------------------------------------------------------------------
+    "c4_tdigest": QuerySpec(
+        # C4t: mergeable t-digest quantile sketch (5th sketch leg) —
+        # rank verdicts EARNED in-query against the full column; the
+        # exact type-1 quantiles (integer rank selection, no floats)
+        # recomputed independently by DuckDB.
+        _t("lineitem")(relational.tdigest_price_quantiles),
+        """
+        WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+        qs(q_ppm) AS (VALUES (CAST(10000 AS BIGINT)), (250000),
+                             (500000), (750000), (990000)),
+        r AS (
+            SELECT q_ppm, n AS n_rows,
+                   (q_ppm * n + 999999) // 1000000 AS r
+            FROM qs CROSS JOIN t),
+        h AS (
+            SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS c,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1),
+        ch AS (
+            SELECT c,
+                   sum(cnt) OVER (ORDER BY c
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   coalesce(sum(cnt) OVER (ORDER BY c
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS prev
+            FROM h)
+        SELECT q_ppm, n_rows, c AS exact_cents, TRUE AS rank_ok
+        FROM r JOIN ch ON ch.prev < r.r AND r.r <= ch.cum
+        """),
+    "c13_decay_topk": QuerySpec(
+        # C13 addendum: top-k users by dyadic-decayed activity — exact
+        # integer halving per whole half-life, ties broken by user_id.
+        _t("events")(event_time.decayed_topk),
+        _DECAY_TOPK_ORACLE),
+    "c13_decay_topk_stream": QuerySpec(
+        # C13 streaming twin: per-(user, day) running counters in the
+        # state store; SAME oracle as the batch row.
+        _decay_topk_stream,
+        _DECAY_TOPK_ORACLE),
+    "c35_scd1": QuerySpec(
+        # C35p: MERGE-shaped SCD1 upsert with latest-wins version
+        # resolution (one max_by dedup before the full-outer merge).
+        _t("orders lineitem")(relational.scd1_latest_merge),
+        """
+        WITH v AS (
+            SELECT l_orderkey, l_extendedprice,
+                   CAST(l_shipdate AS DATE) AS version_date,
+                   l_linenumber,
+                   row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_shipdate DESC, l_linenumber DESC,
+                                l_extendedprice DESC)
+                       AS rn,
+                   CAST(count(*) OVER (PARTITION BY l_orderkey)
+                        AS BIGINT) AS nv
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-06-01'),
+        feed AS (
+            SELECT l_orderkey, l_extendedprice AS new_price,
+                   version_date, l_linenumber AS version_line, nv
+            FROM v WHERE rn = 1),
+        u AS (
+            SELECT * FROM feed
+            UNION ALL
+            SELECT l_orderkey + 30000000, new_price, version_date,
+                   version_line, nv
+            FROM feed WHERE l_orderkey % 997 = 1)
+        SELECT coalesce(b.o_orderkey, u.l_orderkey) AS o_orderkey,
+               b.o_custkey AS o_custkey,
+               CAST(floor(CASE WHEN u.l_orderkey IS NOT NULL
+                               THEN u.new_price
+                               ELSE b.o_totalprice END * 100 + 0.5)
+                    AS BIGINT) AS price_cents,
+               u.version_date AS version_date,
+               u.version_line AS version_line,
+               coalesce(u.nv, 0) AS n_versions,
+               CASE WHEN b.o_orderkey IS NOT NULL
+                         AND u.l_orderkey IS NOT NULL THEN 'U'
+                    WHEN b.o_orderkey IS NOT NULL THEN 'K'
+                    ELSE 'I' END AS op
+        FROM orders b FULL OUTER JOIN u ON b.o_orderkey = u.l_orderkey
+        """),
+    "c40_tcloseness": QuerySpec(
+        # C40d: t-closeness — ordered-EMD per QI class vs the global
+        # sensitive distribution, exact common-denominator integers,
+        # ppm accumulator in HUGEINT/DECIMAL(38,0).
+        _t("customer")(privacy.t_closeness_audit),
+        """
+        WITH qi AS (
+            SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
+                   CAST(floor(CAST(CAST(floor(c_acctbal * 100 + 0.5)
+                                        AS BIGINT) AS DOUBLE) / 100000)
+                        AS BIGINT) AS band
+            FROM customer),
+        cls_band AS (
+            SELECT segment, nationkey, band,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM qi GROUP BY 1, 2, 3),
+        gband AS (
+            SELECT band, CAST(count(*) AS BIGINT) AS g_cnt
+            FROM qi GROUP BY 1),
+        mt AS (
+            SELECT CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(g_cnt) AS BIGINT) AS n_total
+            FROM gband),
+        classes AS (
+            SELECT segment, nationkey, CAST(sum(cnt) AS BIGINT)
+                       AS n_class
+            FROM cls_band GROUP BY 1, 2),
+        grid AS (
+            SELECT c.segment, c.nationkey, g.band, c.n_class, g.g_cnt,
+                   coalesce(cb.cnt, 0) AS cnt
+            FROM classes c CROSS JOIN gband g
+            LEFT JOIN cls_band cb
+              ON cb.segment = c.segment AND cb.nationkey = c.nationkey
+             AND cb.band = g.band),
+        cum AS (
+            SELECT segment, nationkey, n_class,
+                   sum(cnt) OVER w AS cum_c,
+                   sum(g_cnt) OVER w AS cum_g
+            FROM grid
+            WINDOW w AS (PARTITION BY segment, nationkey ORDER BY band
+                         ROWS UNBOUNDED PRECEDING)),
+        per_class AS (
+            SELECT segment, nationkey, n_class, m, n_total,
+                   sum(CAST(abs(cum_c * n_total - cum_g * n_class)
+                            AS HUGEINT)) AS s
+            FROM cum CROSS JOIN mt
+            GROUP BY 1, 2, 3, 4, 5),
+        scored AS (
+            SELECT segment, nationkey, n_class,
+                   CASE WHEN m > 1 THEN
+                       CAST((s * 1000000) //
+                            (CAST(m - 1 AS HUGEINT) * n_class * n_total)
+                            AS BIGINT)
+                   ELSE 0 END AS emd_ppm
+            FROM per_class)
+        SELECT segment, CAST(count(*) AS BIGINT) AS n_classes,
+               max(emd_ppm) AS t_max_ppm,
+               CAST(sum(CASE WHEN emd_ppm > 200000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_breach_classes,
+               CAST(sum(CASE WHEN emd_ppm > 200000 THEN n_class
+                             ELSE 0 END) AS BIGINT) AS rows_in_breach,
+               max(emd_ppm) <= 200000 AS t_close
+        FROM scored GROUP BY 1
+        """),
+    "c42_binning": QuerySpec(
+        # C42d: equal-frequency binning via the bounded cent-value
+        # histogram — the ntile boundary rule with ties kept together,
+        # no global sort of the fact table.
+        _t("customer")(features.quantile_binning),
+        """
+        WITH h AS (
+            SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   count(*) AS cnt
+            FROM customer GROUP BY 1),
+        c AS (
+            SELECT cents, cnt,
+                   coalesce(sum(cnt) OVER (ORDER BY cents
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_before
+            FROM h),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM h),
+        b AS (
+            SELECT CAST(least(9, cum_before * 10 // n_total)
+                        AS INTEGER) AS bin,
+                   cents, cnt, n_total
+            FROM c CROSS JOIN t)
+        SELECT bin, CAST(sum(cnt) AS BIGINT) AS n_rows,
+               min(cents) AS lo_cents, max(cents) AS hi_cents,
+               CAST(CAST(sum(CAST(cents AS HUGEINT) * cnt) AS VARCHAR)
+                    AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS mean_cents,
+               CAST(sum(cnt) AS BIGINT) * 1000000 // max(n_total)
+                   AS share_ppm
+        FROM b GROUP BY 1
+        """),
+    "c42_onehot": QuerySpec(
+        # C42e: top-N one-hot vocabulary spec with an OOV bucket —
+        # frequency-ranked indices, ties broken by value.
+        _t("part")(features.onehot_vocab),
+        """
+        WITH counts AS (
+            SELECT p_brand AS value, CAST(count(*) AS BIGINT) AS n_rows
+            FROM part GROUP BY 1),
+        ranked AS (
+            SELECT value, n_rows,
+                   row_number() OVER (ORDER BY n_rows DESC, value)
+                       AS rk
+            FROM counts),
+        vocab AS (
+            SELECT CAST(rk - 1 AS INTEGER) AS col_index, value, n_rows,
+                   TRUE AS in_vocab
+            FROM ranked WHERE rk <= 5),
+        oov AS (
+            SELECT CAST(5 AS INTEGER) AS col_index,
+                   '__OOV__' AS value,
+                   CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS n_rows,
+                   FALSE AS in_vocab
+            FROM ranked WHERE rk > 5),
+        t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM counts)
+        SELECT col_index, value, n_rows, in_vocab,
+               n_rows * 1000000 // n_total AS coverage_ppm
+        FROM (SELECT * FROM vocab UNION ALL SELECT * FROM oov)
+        CROSS JOIN t
+        """),
+    "c34_peak": QuerySpec(
+        # C34x: peak concurrency — the half-open sweep line over
+        # payload-derived intervals, one keyed running sum.
+        _t("events")(event_time.peak_concurrency),
+        _PEAK_ORACLE),
+    "c34_peak_stream": QuerySpec(
+        # C34x streaming twin: the sweep line as keyed HEAP state
+        # (sorted open-end array); SAME oracle as the batch row.
+        _peak_stream,
+        _PEAK_ORACLE),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -9737,7 +10110,36 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c29_centroid_shift", "c33_jsd", "c42_woe", "c34_absence",
         "c34_absence_stream", "c12_vratio",
     ]},
+    # r14 slate (registered during the round-12 session, AFTER the r12
+    # window froze): every new registration this round goes here.
+    **{n: 12 for n in [
+        "c4_tdigest", "c13_decay_topk", "c13_decay_topk_stream",
+        "c35_scd1", "c40_tcloseness", "c42_binning", "c42_onehot",
+        "c34_peak", "c34_peak_stream",
+    ]},
 }
+
+# Round-13 window plan (to become _ROUND13_PRIORITY next round): the
+# 9-row r14 slate registered this session — c4_tdigest, c13_decay_topk,
+# c13_decay_topk_stream, c35_scd1, c40_tcloseness, c42_binning,
+# c42_onehot, c34_peak, c34_peak_stream — leads the window (every row
+# three-scale sim-green and float-audited this session); the 39
+# remaining r6-checked rows follow, completing the r6 rotation begun in
+# round 12 (name order: c11_rank, c12_analytic_frames, c14_except,
+# c16_date_fns, c18_array_fns, c19_json_fns, c1_filter,
+# c28_edit_verify, c29_ivf_ingest, c29_triplets, c30_chunk,
+# c30_decontaminate, c31_phash_dedup, c31_shot_detect, c32_group_split,
+# c32_pack, c32_stratified, c33_fingerprint, c33_ndv_sketch, c34_cep,
+# c35_diff, c35_scd2, c36_outer_join, c37_skew_advisor,
+# c37_zorder_files, c3_pricing_summary, c4_cms_join_card,
+# c4_cms_stream, c4_cms_topk, c4_hist_quantiles, c4_sketch_inter,
+# c5_cube, c6_bloom_join, c6_broadcast_join, c7_multiway_join,
+# c8_left_join, sql_q17_small_qty_revenue, sql_q18_top_quantity,
+# sql_q3_top_revenue — after them no row's last driver check predates
+# r7); the last ~2 slots go to round-12 judge items and the oldest
+# r7-checked rows in name order (a13_proto_roundtrip,
+# a15_partition_ordered). Judge items displace from the rotation tail
+# only, never the r14 rows.
 
 # (historical r11 comment; realized verbatim as _ROUND12_PRIORITY above —
 # the ~6 spare slots went to the oldest r6 rows; no judge item needed a

@@ -1018,3 +1018,127 @@ def last_seen_stream(rows: DataFrame) -> DataFrame:
                 stateStructType="day_off bigint",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def user_daily_counts_stream(rows: DataFrame) -> DataFrame:
+    """C13 addendum (round 14) streaming twin core: the per-user DAILY
+    ACTIVITY HISTOGRAM as keyed array state — two parallel arrays
+    (day offsets, counts) per user, merged batch-vectorized (one pandas
+    value_counts per key per batch), feeding the decayed-top-k read
+    side (decay weights depend only on the DAY, so per-day counts are
+    the exact sufficient statistic for the dyadic-decay score). Keying
+    on the USER — not the (user, day) grid — keeps the state-store key
+    count at |users| (the grid form costs days× more keys, which the
+    10× probe showed dominating wall time in per-key Python overhead);
+    the array length is bounded by the corpus day span, not by events.
+
+    Input rows carry (user_id, day_off INT — days since epoch, computed
+    stream-side). Emissions are the full histogram-so-far plus its
+    strictly monotone total; the read side selects each user's final
+    emission with ONE max_by, explodes the bounded arrays, and feeds
+    the SAME scoring rollup + oracle as the batch c13_decay_topk."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        if state.exists:
+            days0, cnts0 = state.get
+            acc = dict(zip(days0, cnts0))
+        else:
+            acc = {}
+        batch = pd.concat(list(pdfs))
+        for d, c in batch["day_off"].value_counts().items():
+            acc[int(d)] = acc.get(int(d), 0) + int(c)
+        days = sorted(acc)
+        cnts = [acc[d] for d in days]
+        state.update((days, cnts))
+        yield pd.DataFrame({
+            "user_id": pd.array([key[0]], dtype="Int64"),
+            "days": [days],
+            "cnts": [cnts],
+            "total": pd.array([sum(cnts)], dtype="Int64")})
+
+    return (rows.groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=("user_id long, days array<int>, "
+                                  "cnts array<long>, total long"),
+                stateStructType="days array<int>, cnts array<bigint>",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def _sweep_batch(ends: list, peak: int, peak_t: int, n: int, busy: int,
+                 items) -> tuple:
+    """Pure heap-sweep kernel shared by peak_concurrency_stream and its
+    unit tests: fold one micro-batch of (t, dur_us) interval starts —
+    already sorted by (t, event_id) — into the carried state. Lazy pops
+    close every interval ending at or before the incoming start
+    (half-open: an end AT t closes before the open at t), matching the
+    batch sweep's (t, delta, event_id) boundary order exactly."""
+    import bisect
+
+    for t, dur in items:
+        t, dur = int(t), int(dur)
+        lo = bisect.bisect_right(ends, t)
+        del ends[:lo]
+        bisect.insort(ends, t + dur)
+        n += 1
+        busy += dur
+        if len(ends) > peak:
+            peak, peak_t = len(ends), t
+    return ends, peak, peak_t, n, busy
+
+
+def peak_concurrency_stream(rows: DataFrame) -> DataFrame:
+    """C34x (round 14) streaming twin: the sweep line as KEYED HEAP
+    STATE — open interval end-times ride the state store as a sorted
+    array, closed ends pop as event time advances, and the peak is
+    checked at every interval start (a peak can only be attained at a
+    start, so processing starts in time order with lazy pops replays
+    the batch sweep exactly, including the half-open close-before-open
+    rule at equal instants). A new state SHAPE beside the counters,
+    bitmasks, and snapshot structs the other twins carry: the state is
+    a bounded PRIORITY QUEUE — bounded by the true concurrency, the
+    quantity under measurement, never by event count.
+
+    Input rows carry (event_type, event_id, t epoch-micros, dur_us);
+    micro-batches arrive in event-time order (the availableNow time
+    slices), and rows are re-sorted by (t, event_id) inside each batch,
+    so cross-batch ordering holds end to end. Emissions per batch are
+    the running (n_intervals, peak, first_peak_us, busy) — n_intervals
+    strictly monotone, so the read side selects each key's final
+    emission with ONE max_by and feeds the SAME rollup + oracle as the
+    batch c34_peak."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        if state.exists:
+            ends_b, peak, peak_t, n, busy = state.get
+            ends = list(ends_b) if ends_b is not None else []
+        else:
+            ends, peak, peak_t, n, busy = [], 0, -1, 0, 0
+        batch = pd.concat(list(pdfs))
+        batch = batch.sort_values(["t", "event_id"], kind="stable")
+        ends, peak, peak_t, n, busy = _sweep_batch(
+            ends, int(peak), int(peak_t), int(n), int(busy),
+            zip(batch["t"].astype("int64"), batch["dur_us"].astype("int64")))
+        state.update((ends, peak, peak_t, n, busy))
+        yield pd.DataFrame({
+            "event_type": [key[0]],
+            "n_intervals": pd.array([n], dtype="Int64"),
+            "peak": pd.array([peak], dtype="Int64"),
+            "first_peak_us": pd.array([peak_t], dtype="Int64"),
+            "busy_us": pd.array([busy], dtype="Int64")})
+
+    return (rows.groupBy("event_type")
+            .applyInPandasWithState(
+                update,
+                outputStructType=("event_type string, n_intervals long, "
+                                  "peak long, first_peak_us long, "
+                                  "busy_us long"),
+                stateStructType=("ends array<bigint>, peak bigint, "
+                                 "peak_t bigint, n bigint, busy bigint"),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

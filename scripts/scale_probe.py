@@ -346,6 +346,16 @@ PROBE_QUERIES = [
     "c34_absence",          # per-user max agg + 4-row rollup
     "c34_absence_stream",   # last-seen max state twin, 4 batches
     "c12_vratio",           # bounded day table, two lags, one pass
+    # round-12 additions (r14 slate)
+    "c4_tdigest",           # per-partition digests + bounded merge + audit
+    "c13_decay_topk",       # (user, day) agg + TakeOrdered top-k
+    "c13_decay_topk_stream",  # keyed counter state twin, 4 batches
+    "c35_scd1",             # max_by dedup + full-outer MERGE
+    "c40_tcloseness",       # class×band grid EMD, bounded window
+    "c42_binning",          # bounded cent-histogram cumsum
+    "c42_onehot",           # bounded vocab rank + 1-row total
+    "c34_peak",             # 2-rows/event sweep, keyed running sum
+    "c34_peak_stream",      # heap-state sweep twin, 4 batches
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

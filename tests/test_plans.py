@@ -196,6 +196,15 @@ _BNLJ_ALLOWED = {
     "c42_woe",              # 1-row (G, B) totals + 1-row IV broadcasts
     "c34_absence",          # 1-row anchor-day + 1-row total broadcasts
     "c34_absence_stream",   # same 1-row folds on the read side
+    "c4_tdigest",           # 5-row digest-estimate broadcast (rank
+                            # audit) + 5-row rank-target range join
+                            # into the bounded cent histogram
+    "c13_decay_topk",       # 1-row anchor-day scalar broadcast
+    "c13_decay_topk_stream",  # same 1-row anchor on the read side
+    "c40_tcloseness",       # ≤|bands| global-histogram grid + 1-row
+                            # (m, n_total) scalar broadcast
+    "c42_binning",          # 1-row corpus-total scalar broadcast
+    "c42_onehot",           # 1-row corpus-total scalar broadcast
 }
 
 
@@ -250,6 +259,11 @@ _BOUNDED_FRAME_WINDOWS = {
     "c34_survival",                      # bounded day-product table
     "c34_transitions",                   # bounded type-pair matrix
     "c37_compact", "c37_zorder_files",   # per-file span tables
+    "c4_tdigest",                        # bounded cent-value histogram
+    "c42_binning",                       # bounded cent-value histogram
+    "c42_onehot",                        # ≤|brands| vocab rank
+    "c13_decay_topk",                    # k-row final rank window
+    "c13_decay_topk_stream",             # same k-row rank on read side
 }
 
 
@@ -402,6 +416,8 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c37_aqe_skew",
                     # replays the availableNow stream at build (r13)
                     "c34_bursts_stream", "c34_absence_stream",
+                    # replays the availableNow stream at build (r14)
+                    "c13_decay_topk_stream", "c34_peak_stream",
                     # executes the exact returned plan once at build
                     # for the earned AQE coalesce verdict (r13)
                     "c37_aqe_coalesce",
