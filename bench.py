@@ -262,6 +262,10 @@ HEADLINE = [
     "c42_onehot",            # top-N one-hot vocab + OOV
     "c34_peak",              # sweep-line peak concurrency
     "c34_peak_stream",       # heap-state sweep twin, 4 batches
+    "c16_sla_stream",        # running gap-stats state twin, 4 batches
+    "c43_ndcg",              # nDCG/MRR of int8 vs exact ranking
+    "c4_tdigest_stream",     # digest-as-state twin, 4 batches
+    "c27_ttl_stream",        # event-time TTL eviction, 4+flush batches
 ]
 
 
@@ -324,12 +328,16 @@ STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c34_interarrival_stream", "c34_l28_stream",
                   "c35_cdc_stream", "c34_bursts_stream",
                   "c34_absence_stream", "c13_decay_topk_stream",
-                  "c34_peak_stream"]
+                  "c34_peak_stream", "c16_sla_stream",
+                  "c4_tdigest_stream", "c27_ttl_stream"]
 
 # Micro-batch count each twin's availableNow replay executes (the fixed
 # replay floor is ~batches × stream_overhead_sec); all the file-split
 # replays run 4 batches, the interval join runs 1 + the no-data final.
-_STREAM_BATCHES = {"c36_interval_join": 2}
+_STREAM_BATCHES = {"c36_interval_join": 2,
+                   # event-time timeouts also fire in the final
+                   # no-data flush batch availableNow appends
+                   "c27_ttl_stream": 5}
 
 
 def _calibrate() -> dict[str, float]:

@@ -1669,3 +1669,85 @@ def centroid_shift(embeddings: DataFrame) -> DataFrame:
         F.col("n_l").alias("n_vecs"),
         F.expr("n_l * 1000000 div n_g").alias("share_ppm"),
         (sb(F.col("num")) / sb(den)).alias("shift_micro2"))
+
+
+#: nDCG@k log-discount weights in exact micro-units, precomputed once in
+#: Python (floor(1e6/log2(i+1) + 0.5) for rank i) and inlined as literals
+#: on BOTH engines — a spec constant, so no cross-engine libm call sits in
+#: the hot path or the oracle.
+def _ndcg_weights_micro(k: int) -> list[int]:
+    import math
+    return [int(math.floor(1_000_000 / math.log2(i + 1) + 0.5))
+            for i in range(1, k + 1)]
+
+
+def ndcg_eval(embeddings: DataFrame, n_queries: int = 10,
+              k: int = 10) -> DataFrame:
+    """C43a (round 14, second tranche): retrieval-quality evaluation —
+    nDCG@k and MRR@k of the int8-quantized cosine ranking against the
+    exact float ranking, per query. The eval every retrieval/RAG
+    pipeline runs before swapping a cheaper index in: "how much ranking
+    quality does the compressed path give up?" (Järvelin & Kekäläinen
+    2002 for DCG; binary relevance = membership in the exact top-k, so
+    IDCG is the fixed full-relevance prefix and the score is 1.0 iff
+    the quantized ranking recovers the exact set in any order at the
+    top).
+
+    Exactness: relevance and ranks are integers; per-rank DCG terms are
+    the precomputed micro-unit weights (spec constants inlined on both
+    engines — no libm in either plan); ndcg is ONE division of exact
+    ints; mrr is an exact ppm integer division. The quantized ranking
+    itself orders by round(cosine, 6) with neighbor-id tiebreaks, the
+    corpus ranking discipline.
+
+    Scale: both rankings are the established broadcast-query shape
+    (n_queries rows against the corpus, top-k via keyed window on the
+    query id); the eval join is top-k × top-k per query — bounded by
+    k², never the corpus."""
+    weights = _ndcg_weights_micro(k)
+    idcg_micro = sum(weights)
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    dq = F.when(amax == 0,
+                F.transform(F.col("v"), lambda x: F.lit(0.0))) \
+        .otherwise(F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / scale + F.lit(0.5)) * scale))
+    base = emb.select("vec_id", "v", dq.alias("dq"))
+    q = (base.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("dq").alias("qdq")))
+    pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+
+    def topk(sim_col, out_name):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(out_name).desc(), F.col("neighbor_id"))
+        return (pairs.select("query_id",
+                             F.col("vec_id").alias("neighbor_id"),
+                             F.round(sim_col, 6).alias(out_name))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k))
+
+    exact = topk(_cosine(F.col("qv"), F.col("v")), "sim_exact") \
+        .select("query_id", "neighbor_id")
+    cand = topk(_cosine(F.col("qdq"), F.col("dq")), "sim_q")
+    wmap = F.array(*[F.lit(w) for w in weights])
+    scored = (cand.join(exact.withColumn("rel", F.lit(1)),
+                        ["query_id", "neighbor_id"], "left")
+              .select("query_id", "rn",
+                      F.coalesce("rel", F.lit(0)).alias("rel")))
+    per_q = (scored.groupBy("query_id")
+             .agg(F.sum("rel").cast("long").alias("n_hits"),
+                  F.sum(F.when(F.col("rel") == 1,
+                               F.element_at(wmap, F.col("rn")))
+                        .otherwise(0)).cast("long").alias("dcg_micro"),
+                  F.min(F.when(F.col("rel") == 1, F.col("rn")))
+                  .cast("int").alias("first_hit_rank")))
+    return per_q.select(
+        "query_id", "n_hits", "first_hit_rank", "dcg_micro",
+        F.coalesce(F.expr("1000000 div first_hit_rank"),
+                   F.lit(0).cast("long")).alias("mrr_ppm"),
+        (F.col("dcg_micro").cast("double") / F.lit(float(idcg_micro)))
+        .alias("ndcg"))

@@ -2330,6 +2330,397 @@ FROM p JOIN fp ON p.event_type = fp.event_type
 """
 
 
+def _sla_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16k streaming twin, driver-visible: the gap-derived SLA ledger
+    as seven BIGINTs of keyed running stats
+    (streaming/stateful.py:sla_gap_stream) across a REAL 4-batch time
+    split. The slices are cut by ntile over (ts, event_id) — the exact
+    ordering key of the batch oracle's lag window — so the carried
+    boundary gap reproduces the batch gap sequence identically; the
+    read side selects each type's final emission (strictly monotone
+    n_events) and applies the same span/availability arithmetic as the
+    batch c16_sla, against the SAME oracle."""
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import sla_gap_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c16_sla_stream_src_")
+    _write_time_slices(ev, src)
+    sink = f"c16_sla_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .select("event_type", "event_id",
+                          F.unix_micros(F.col("ts")).alias("us")))
+        q = (sla_gap_stream(stream)
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    final = (spark.table(sink)
+             .groupBy("event_type")
+             .agg(F.max_by(
+                 F.struct("first_us", "last_us", "n_events", "n_gaps",
+                          "n_gaps_over", "max_gap_us", "downtime_us"),
+                 F.col("n_events")).alias("s")))
+    span = F.col("s.last_us") - F.col("s.first_us")
+    return final.select(
+        "event_type", F.col("s.n_events").alias("n_events"),
+        F.col("s.n_gaps").alias("n_gaps"),
+        F.col("s.n_gaps_over").alias("n_gaps_over"),
+        # a gapless single-event feed has no max gap: NULL, like batch
+        F.when(F.col("s.n_gaps") > 0, F.col("s.max_gap_us"))
+        .alias("max_gap_us"),
+        F.col("s.downtime_us").alias("downtime_us"),
+        span.alias("span_us"),
+        F.when(span > 0,
+               F.expr("(s.last_us - s.first_us - s.downtime_us) "
+                      "* 1000000 div (s.last_us - s.first_us)"))
+        .alias("availability_ppm"))
+
+
+def _tdigest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4t streaming twin, driver-visible: each event type's t-digest
+    rides the state store as (means, weights) arrays
+    (streaming/stateful.py:tdigest_stream) across a REAL 4-batch time
+    split — sketch-as-state. The read side selects each key's final
+    digest (strictly monotone n), answers the quantile queries from it
+    in one bounded Arrow kernel, and EARNS the rank verdicts against
+    the full batch table (each estimate's true rank must sit within
+    `tol` of target — the same 2% audit as the batch c4_tdigest; the
+    worst measured deviation is 3,440 ppm, 5.8x inside the gate even
+    with the 4 sequential re-compressions); the exact type-1
+    quantiles beside them are integer-selected and recomputed
+    independently by DuckDB."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import tdigest_stream
+
+    qs = [(1, 2), (9, 10), (99, 100)]
+    # measured headroom: worst observed deviation 3,440 ppm across both
+    # gate scales — the batch-level 2% tolerance keeps 5.8x margin even
+    # with the 4 sequential re-compressions
+    tol_ppm = 20_000
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c4_tdigest_stream_src_")
+    _write_time_slices(ev, src)
+    sink = f"c4_tdigest_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .select("event_type", F.col("value").alias("x")))
+        q = (tdigest_stream(stream)
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    final = (spark.table(sink)
+             .groupBy("event_type")
+             .agg(F.max_by(F.struct("means", "weights"), F.col("n"))
+                  .alias("s"))
+             .select("event_type", "s.means", "s.weights"))
+
+    def estimate(pdf):
+        import numpy as np
+        import pandas as pd
+        out_t, out_q, out_e = [], [], []
+        for _, row in pdf.iterrows():
+            m = np.asarray(row["means"], np.float64)
+            w = np.asarray(row["weights"], np.int64)
+            cum = np.cumsum(w)
+            mid = cum - w / 2.0
+            tot = float(cum[-1])
+            for qn, qd in qs:
+                t = tot * qn / qd
+                j = int(np.searchsorted(mid, t))
+                if j <= 0:
+                    e = m[0]
+                elif j >= len(m):
+                    e = m[-1]
+                else:
+                    f = (t - mid[j - 1]) / (mid[j] - mid[j - 1])
+                    e = m[j - 1] + f * (m[j] - m[j - 1])
+                out_t.append(row["event_type"])
+                out_q.append(qn * 1_000_000 // qd)
+                out_e.append(float(e))
+        return pd.DataFrame({"event_type": out_t,
+                             "q_ppm": pd.array(out_q, dtype="Int64"),
+                             "est": out_e})
+
+    est = (final.groupBy("event_type")
+           .applyInPandas(estimate, "event_type string, q_ppm long, "
+                                    "est double"))
+    vals = ev.select("event_type", F.col("value").alias("x"))
+    audit = (vals.join(F.broadcast(est), "event_type")
+             .groupBy("event_type", "q_ppm", "est")
+             .agg(F.sum(F.when(F.col("x") <= F.col("est"), 1)
+                        .otherwise(0)).cast("long").alias("n_le"),
+                  F.count(F.lit(1)).alias("n_rows"))
+             .select("event_type", "q_ppm", "n_rows",
+                     (F.abs(F.expr("n_le * 1000000 div n_rows")
+                            - F.col("q_ppm")) <= tol_ppm)
+                     .alias("rank_ok")))
+    milli = F.floor(F.col("x") * 1000 + F.lit(0.5)).cast("long")
+    hist = (vals.select("event_type", milli.alias("c"))
+            .groupBy("event_type", "c")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    wv = (Window.partitionBy("event_type").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cumh = (hist.withColumn("cum", F.sum("cnt").over(wv))
+            .withColumn("prev", F.col("cum") - F.col("cnt")))
+    targets = audit.select(
+        "event_type", "q_ppm", "n_rows",
+        F.expr("CAST((q_ppm * n_rows + 999999) div 1000000 AS BIGINT)")
+        .alias("r"))
+    exact = (cumh.alias("h")
+             .join(targets.alias("g"),
+                   (F.col("h.event_type") == F.col("g.event_type"))
+                   & (F.col("h.prev") < F.col("g.r"))
+                   & (F.col("g.r") <= F.col("h.cum")))
+             .select(F.col("g.event_type").alias("event_type"), "g.q_ppm",
+                     F.col("h.c").alias("exact_milli")))
+    return (audit.join(exact, ["event_type", "q_ppm"])
+            .select("event_type", "q_ppm", "n_rows", "exact_milli",
+                    "rank_ok"))
+
+
+#: C4t-s oracle (round 14 second tranche): exact per-type type-1
+#: quantiles in milli-units, integer rank selection; the digest rank
+#: verdicts arrive TRUE (earned in-query against the batch table).
+_TDIGEST_STREAM_ORACLE = """
+WITH t AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1),
+qs(q_ppm) AS (VALUES (CAST(500000 AS BIGINT)), (900000), (990000)),
+r AS (
+    SELECT event_type, q_ppm, n AS n_rows,
+           (q_ppm * n + 999999) // 1000000 AS r
+    FROM t CROSS JOIN qs),
+h AS (
+    SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS c,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2),
+ch AS (
+    SELECT event_type, c,
+           sum(cnt) OVER w AS cum,
+           coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS prev
+    FROM h
+    WINDOW w AS (PARTITION BY event_type ORDER BY c
+                 ROWS UNBOUNDED PRECEDING))
+SELECT r.event_type, q_ppm, n_rows, c AS exact_milli, TRUE AS rank_ok
+FROM r JOIN ch ON ch.event_type = r.event_type
+              AND ch.prev < r.r AND r.r <= ch.cum
+"""
+
+
+def _ttl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27t, driver-visible: the event-time-TTL presence store
+    (streaming/stateful.py:ttl_presence_stream) replayed across the 4
+    data batches + the final flush batch; the read side selects each
+    user's LAST emission — ordered by (last_ms, n_events, evicted):
+    resurrection snapshots carry strictly later activity, and an
+    eviction record outranks the snapshot it freezes — and returns the
+    final presence table the oracle's recursive state-machine replay
+    must reproduce exactly (slices, per-batch watermarks, firings,
+    resurrections)."""
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import ttl_presence_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    src = tempfile.mkdtemp(prefix="c27_ttl_stream_src_")
+    _write_time_slices(ev, src)
+    sink = f"c27_ttl_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .withWatermark("ts", "0 seconds")
+                  # keep the watermarked ts column through the
+                  # projection — event-time timeout requires it
+                  .select("user_id", "ts",
+                          F.unix_micros("ts").alias("us")))
+        q = (ttl_presence_stream(stream)
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    return (spark.table(sink)
+            .groupBy("user_id")
+            .agg(F.max_by(
+                F.struct("n_events", "last_ms", "evicted"),
+                F.struct("last_ms", "n_events", "evicted")).alias("s"))
+            .select("user_id", F.col("s.n_events").alias("n_events"),
+                    F.col("s.last_ms").alias("last_ms"),
+                    F.col("s.evicted").alias("evicted")))
+
+
+#: C27t oracle (round 14 second tranche): a bounded recursive CTE
+#: replays the EXACT state machine the availableNow run executes — the
+#: ntile(4) time slices, the per-batch watermark (max event-time ms of
+#: all PRIOR batches, delay 0), the timeout rule (fires in a batch
+#: where the key has no data — including the final flush batch — once
+#: the watermark passes last_ms + TTL), state removal, and
+#: resurrection with counts reset. 5 steps per user, grid-bounded.
+_TTL_ORACLE = """
+WITH RECURSIVE sliced AS (
+    SELECT user_id, epoch_us(ts) // 1000 AS ms,
+           ntile(4) OVER (ORDER BY ts, event_id) AS b
+    FROM events),
+batch_max AS (SELECT b, max(ms) AS bmax FROM sliced GROUP BY 1),
+wm AS (
+    SELECT k,
+           coalesce((SELECT max(bmax) FROM batch_max WHERE b < k), 0)
+               AS wm_ms
+    FROM (VALUES (1), (2), (3), (4), (5)) AS t(k)),
+ub AS (
+    SELECT user_id, b, CAST(count(*) AS BIGINT) AS cnt,
+           max(ms) AS last_ms
+    FROM sliced GROUP BY 1, 2),
+steps(user_id, k, ex, n, last_ms, em_n, em_last, em_ev) AS (
+    SELECT DISTINCT user_id, 0, FALSE, CAST(0 AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
+    FROM ub
+    UNION ALL
+    SELECT s.user_id, s.k + 1,
+           -- state exists after this step
+           CASE WHEN d.cnt IS NOT NULL THEN TRUE
+                WHEN s.ex AND d.cnt IS NULL
+                     AND s.last_ms + 172800000 < w.wm_ms THEN FALSE
+                ELSE s.ex END,
+           -- running count since state creation
+           CASE WHEN d.cnt IS NOT NULL THEN
+                    (CASE WHEN s.ex THEN s.n ELSE 0 END) + d.cnt
+                ELSE s.n END,
+           CASE WHEN d.cnt IS NOT NULL THEN d.last_ms
+                ELSE s.last_ms END,
+           -- latest emission (snapshot on data; eviction on firing)
+           CASE WHEN d.cnt IS NOT NULL THEN
+                    (CASE WHEN s.ex THEN s.n ELSE 0 END) + d.cnt
+                WHEN s.ex AND d.cnt IS NULL
+                     AND s.last_ms + 172800000 < w.wm_ms THEN s.n
+                ELSE s.em_n END,
+           CASE WHEN d.cnt IS NOT NULL THEN d.last_ms
+                WHEN s.ex AND d.cnt IS NULL
+                     AND s.last_ms + 172800000 < w.wm_ms THEN s.last_ms
+                ELSE s.em_last END,
+           CASE WHEN d.cnt IS NOT NULL THEN FALSE
+                WHEN s.ex AND d.cnt IS NULL
+                     AND s.last_ms + 172800000 < w.wm_ms THEN TRUE
+                ELSE s.em_ev END
+    FROM steps s
+    JOIN wm w ON w.k = s.k + 1
+    LEFT JOIN ub d ON d.user_id = s.user_id AND d.b = s.k + 1
+    WHERE s.k < 5)
+SELECT user_id, em_n AS n_events, em_last AS last_ms,
+       em_ev AS evicted
+FROM steps WHERE k = 5
+"""
+
+
+#: C43a oracle (round 14 second tranche): both rankings recomputed by
+#: DuckDB over the SAME IEEE trees (the _cosine fold and the int8
+#: dequant formula), with the nDCG discount weights inlined as the same
+#: precomputed micro-unit spec constants the Spark plan carries.
+def _ndcg_oracle() -> str:
+    ws = similarity._ndcg_weights_micro(10)
+    idcg = sum(ws)
+    vals = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(ws))
+    dq_list = ("list_transform(v, x -> floor(x / (list_max("
+               "list_transform(v, y -> abs(y))) / 127.0) + 0.5)"
+               " * (list_max(list_transform(v, y -> abs(y))) / 127.0))")
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        dqe AS (
+            SELECT vec_id, v,
+                   CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                        THEN list_transform(v, x -> 0.0)
+                        ELSE {dq_list} END AS dq
+            FROM emb),
+        q AS (SELECT vec_id AS query_id, v AS qv, dq AS qdq
+              FROM dqe WHERE vec_id < 10),
+        pairs AS (
+            SELECT query_id, e.vec_id AS neighbor_id, e.v, e.dq, qv, qdq
+            FROM dqe e, q WHERE e.vec_id <> query_id),
+        ex AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY {_cosine_sql('qv', 'v')} DESC,
+                                    neighbor_id) AS rn
+                FROM pairs) WHERE rn <= 10),
+        cd AS (
+            SELECT query_id, neighbor_id, rn FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY {_cosine_sql('qdq', 'dq')} DESC,
+                                    neighbor_id)::INTEGER AS rn
+                FROM pairs) WHERE rn <= 10),
+        wts(rn, w) AS (VALUES {vals}),
+        sc AS (
+            SELECT cd.query_id, cd.rn, wts.w,
+                   CASE WHEN ex.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END AS rel
+            FROM cd
+            JOIN wts ON wts.rn = cd.rn
+            LEFT JOIN ex ON ex.query_id = cd.query_id
+                        AND ex.neighbor_id = cd.neighbor_id)
+        SELECT query_id,
+               CAST(sum(rel) AS BIGINT) AS n_hits,
+               CAST(min(CASE WHEN rel = 1 THEN rn END) AS INTEGER)
+                   AS first_hit_rank,
+               CAST(sum(CASE WHEN rel = 1 THEN w ELSE 0 END) AS BIGINT)
+                   AS dcg_micro,
+               CAST(coalesce(
+                   1000000 // min(CASE WHEN rel = 1 THEN rn END), 0)
+                   AS BIGINT) AS mrr_ppm,
+               CAST(sum(CASE WHEN rel = 1 THEN w ELSE 0 END) AS DOUBLE)
+                   / {float(idcg)} AS ndcg
+        FROM sc GROUP BY 1
+        """
+
+
+_NDCG_ORACLE = _ndcg_oracle()
+
+
+#: Shared C16k oracle (round 14 second tranche): the batch gap report
+#: and the running-stats streaming twin emit the same ledger, so one
+#: oracle covers both.
+_SLA_ORACLE = """
+        WITH g AS (
+            SELECT event_type, epoch_us(ts) AS us,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY epoch_us(ts), event_id) AS gap_us
+            FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(gap_us) AS BIGINT) AS n_gaps,
+               CAST(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_gaps_over,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(sum(CASE WHEN gap_us > 3600000000
+                             THEN gap_us - 3600000000 ELSE 0 END)
+                    AS BIGINT) AS downtime_us,
+               CAST(max(us) - min(us) AS BIGINT) AS span_us,
+               CAST(CASE WHEN max(us) - min(us) > 0 THEN
+                   (max(us) - min(us)
+                    - sum(CASE WHEN gap_us > 3600000000
+                               THEN gap_us - 3600000000 ELSE 0 END))
+                   * 1000000 // (max(us) - min(us))
+               END AS BIGINT) AS availability_ppm
+        FROM g GROUP BY 1
+        """
+
+
 _QUERY_DEFS: dict[str, QuerySpec] = {
     # ------------------------------------------------------------------
     # Reference operators (SURVEY §2A)
@@ -9311,32 +9702,15 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         """),
     "c16_sla": QuerySpec(
         # C16 addendum: gap-derived availability — unix-microsecond
-        # BIGINTs end to end, one exact ppm division.
+        # BIGINTs end to end, one exact ppm division. Oracle shared
+        # with the c16_sla_stream twin (round 14 second tranche).
         _t("events")(event_time.sla_report),
-        """
-        WITH g AS (
-            SELECT event_type, epoch_us(ts) AS us,
-                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                       PARTITION BY event_type
-                       ORDER BY epoch_us(ts), event_id) AS gap_us
-            FROM events)
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-               CAST(count(gap_us) AS BIGINT) AS n_gaps,
-               CAST(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_gaps_over,
-               CAST(max(gap_us) AS BIGINT) AS max_gap_us,
-               CAST(sum(CASE WHEN gap_us > 3600000000
-                             THEN gap_us - 3600000000 ELSE 0 END)
-                    AS BIGINT) AS downtime_us,
-               CAST(max(us) - min(us) AS BIGINT) AS span_us,
-               CAST(CASE WHEN max(us) - min(us) > 0 THEN
-                   (max(us) - min(us)
-                    - sum(CASE WHEN gap_us > 3600000000
-                               THEN gap_us - 3600000000 ELSE 0 END))
-                   * 1000000 // (max(us) - min(us))
-               END AS BIGINT) AS availability_ppm
-        FROM g GROUP BY 1
-        """),
+        _SLA_ORACLE),
+    "c16_sla_stream": QuerySpec(
+        # C16k streaming twin: seven-BIGINT running gap stats per type
+        # in the state store; SAME oracle as the batch row.
+        _sla_stream,
+        _SLA_ORACLE),
     "c29_centroid_shift": QuerySpec(
         # C29 addendum: per-label centroid shift — the exact rational
         # identity over HUGEINT/DECIMAL(38,0) sums, ONE string-bridged
@@ -9810,6 +10184,24 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # payload-derived intervals, one keyed running sum.
         _t("events")(event_time.peak_concurrency),
         _PEAK_ORACLE),
+    "c43_ndcg": QuerySpec(
+        # C43a: retrieval-quality eval — nDCG@10 + MRR of the int8-
+        # quantized ranking vs the exact ranking; integer DCG terms
+        # from precomputed spec-constant weights, one final division.
+        _t("embeddings")(similarity.ndcg_eval),
+        _NDCG_ORACLE),
+    "c4_tdigest_stream": QuerySpec(
+        # C4t streaming twin: the digest itself as keyed state (means/
+        # weights arrays, constant bytes per key); rank verdicts earned
+        # against the batch table, exact quantiles replayed by DuckDB.
+        _tdigest_stream,
+        _TDIGEST_STREAM_ORACLE),
+    "c27_ttl_stream": QuerySpec(
+        # C27t: event-time TTL eviction — the timeout arm of the state
+        # API; oracle replays the slice/watermark state machine as a
+        # bounded recursive CTE (firings, removals, resurrections).
+        _ttl_stream,
+        _TTL_ORACLE),
     "c34_peak_stream": QuerySpec(
         # C34x streaming twin: the sweep line as keyed HEAP state
         # (sorted open-end array); SAME oracle as the batch row.
@@ -10116,16 +10508,20 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c4_tdigest", "c13_decay_topk", "c13_decay_topk_stream",
         "c35_scd1", "c40_tcloseness", "c42_binning", "c42_onehot",
         "c34_peak", "c34_peak_stream",
+        # second tranche (same session)
+        "c16_sla_stream", "c43_ndcg", "c4_tdigest_stream",
+        "c27_ttl_stream",
     ]},
 }
 
 # Round-13 window plan (to become _ROUND13_PRIORITY next round): the
-# 9-row r14 slate registered this session — c4_tdigest, c13_decay_topk,
-# c13_decay_topk_stream, c35_scd1, c40_tcloseness, c42_binning,
-# c42_onehot, c34_peak, c34_peak_stream — leads the window (every row
-# three-scale sim-green and float-audited this session); the 39
-# remaining r6-checked rows follow, completing the r6 rotation begun in
-# round 12 (name order: c11_rank, c12_analytic_frames, c14_except,
+# 13-row r14 slate registered this session — c4_tdigest,
+# c13_decay_topk, c13_decay_topk_stream, c35_scd1, c40_tcloseness,
+# c42_binning, c42_onehot, c34_peak, c34_peak_stream, c16_sla_stream,
+# c43_ndcg, c4_tdigest_stream, c27_ttl_stream — leads the window
+# (every row three-scale sim-green this session); the first 37 of the
+# 39 remaining r6-checked rows follow (name order: c11_rank,
+# c12_analytic_frames, c14_except,
 # c16_date_fns, c18_array_fns, c19_json_fns, c1_filter,
 # c28_edit_verify, c29_ivf_ingest, c29_triplets, c30_chunk,
 # c30_decontaminate, c31_phash_dedup, c31_shot_detect, c32_group_split,
@@ -10134,12 +10530,11 @@ _REGISTERED_ROUND: dict[str, int] = {
 # c37_zorder_files, c3_pricing_summary, c4_cms_join_card,
 # c4_cms_stream, c4_cms_topk, c4_hist_quantiles, c4_sketch_inter,
 # c5_cube, c6_bloom_join, c6_broadcast_join, c7_multiway_join,
-# c8_left_join, sql_q17_small_qty_revenue, sql_q18_top_quantity,
-# sql_q3_top_revenue — after them no row's last driver check predates
-# r7); the last ~2 slots go to round-12 judge items and the oldest
-# r7-checked rows in name order (a13_proto_roundtrip,
-# a15_partition_ordered). Judge items displace from the rotation tail
-# only, never the r14 rows.
+# c8_left_join, sql_q17_small_qty_revenue, sql_q18_top_quantity —
+# the last two r6 rows (sql_q3_top_revenue plus one spare slot for a
+# round-12 judge item, else it also rotates) complete in round 14.
+# Judge items displace from the rotation tail only, never the r14
+# rows.
 
 # (historical r11 comment; realized verbatim as _ROUND12_PRIORITY above —
 # the ~6 spare slots went to the oldest r6 rows; no judge item needed a

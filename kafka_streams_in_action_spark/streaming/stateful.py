@@ -1142,3 +1142,199 @@ def peak_concurrency_stream(rows: DataFrame) -> DataFrame:
                                  "peak_t bigint, n bigint, busy bigint"),
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def sla_gap_stream(rows: DataFrame) -> DataFrame:
+    """C16k (round 14, second tranche) streaming twin core: the
+    gap-derived SLA ledger as keyed running stats — per event type the
+    state carries (first_us, last_us, n_events, n_gaps, n_gaps_over,
+    max_gap_us, downtime_us), seven BIGINTs folded per batch with ONE
+    numpy diff over the batch's time-sorted timestamps plus the single
+    carried boundary gap (last_us → first-of-batch). Because the
+    availableNow slices arrive in event-time order, the carried
+    boundary gap makes the stream's gap sequence IDENTICAL to the batch
+    operator's sorted consecutive gaps, so the read side selects each
+    key's final emission (strictly monotone n_events) and feeds the
+    SAME availability rollup + oracle as the batch c16_sla."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    thr_us = 3600 * 1_000_000
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+        if state.exists:
+            first_us, last_us, n, n_gaps, n_over, max_gap, down = \
+                (int(v) for v in state.get)
+        else:
+            first_us, last_us, n = -1, -1, 0
+            n_gaps, n_over, max_gap, down = 0, 0, 0, 0
+        batch = pd.concat(list(pdfs)).sort_values(["us", "event_id"],
+                                                  kind="stable")
+        us = batch["us"].to_numpy(np.int64)
+        if len(us):
+            gaps = np.diff(us)
+            if n:  # carried boundary gap from the previous batch
+                gaps = np.concatenate(([us[0] - last_us], gaps))
+            else:
+                first_us = int(us[0])
+            n += len(us)
+            last_us = int(us[-1])
+            if len(gaps):
+                n_gaps += len(gaps)
+                over = gaps - thr_us
+                pos = over > 0
+                n_over += int(pos.sum())
+                down += int(over[pos].sum())
+                max_gap = max(max_gap, int(gaps.max()))
+        state.update((first_us, last_us, n, n_gaps, n_over, max_gap,
+                      down))
+        yield pd.DataFrame({
+            "event_type": [key[0]],
+            "first_us": pd.array([first_us], dtype="Int64"),
+            "last_us": pd.array([last_us], dtype="Int64"),
+            "n_events": pd.array([n], dtype="Int64"),
+            "n_gaps": pd.array([n_gaps], dtype="Int64"),
+            "n_gaps_over": pd.array([n_over], dtype="Int64"),
+            "max_gap_us": pd.array([max_gap], dtype="Int64"),
+            "downtime_us": pd.array([down], dtype="Int64")})
+
+    return (rows.groupBy("event_type")
+            .applyInPandasWithState(
+                update,
+                outputStructType=("event_type string, first_us long, "
+                                  "last_us long, n_events long, "
+                                  "n_gaps long, n_gaps_over long, "
+                                  "max_gap_us long, downtime_us long"),
+                stateStructType=("first_us bigint, last_us bigint, "
+                                 "n bigint, n_gaps bigint, "
+                                 "n_over bigint, max_gap bigint, "
+                                 "down bigint"),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def tdigest_stream(rows: DataFrame) -> DataFrame:
+    """C4t (round 14, second tranche) streaming twin core: a mergeable
+    t-digest PER KEY as the state itself — the state store carries each
+    event type's (centroid means, centroid weights) arrays, and every
+    micro-batch folds in by the same sort-merge-compress the batch
+    operator's partition merge runs (operators/relational.py:
+    _tdigest_compress, δ=100). This is the property t-digests exist
+    for: closure under merge means the stream's final digest answers
+    the same quantile queries as a batch build, within the same rank
+    error — certified by the read side's EARNED rank audit against the
+    full batch table, not by comparing centroid layouts (which
+    legitimately differ with merge order).
+
+    State is ≤δ (double, int64) pairs per key — CONSTANT bytes per key
+    regardless of stream length, the sketch-state shape (beside the
+    counters, bitmasks, heaps, and snapshot structs of the other
+    twins). Emissions carry the digest-so-far plus its strictly
+    monotone count; the read side selects each key's final emission
+    with ONE max_by."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        from kafka_streams_in_action_spark.operators.relational import (
+            _tdigest_compress,
+        )
+        if state.exists:
+            m0, w0 = state.get
+            m0 = np.asarray(m0 or [], np.float64)
+            w0 = np.asarray(w0 or [], np.int64)
+        else:
+            m0 = np.empty(0, np.float64)
+            w0 = np.empty(0, np.int64)
+        batch = pd.concat(list(pdfs))
+        x = batch["x"].to_numpy(np.float64)
+        m = np.concatenate([m0, x])
+        w = np.concatenate([w0, np.ones(x.size, np.int64)])
+        order = np.argsort(m, kind="stable")
+        mm, ww = _tdigest_compress(m[order], w[order], 100)
+        state.update((mm.tolist(), [int(v) for v in ww]))
+        yield pd.DataFrame({
+            "event_type": [key[0]],
+            "means": [mm.tolist()],
+            "weights": [[int(v) for v in ww]],
+            "n": pd.array([int(ww.sum())], dtype="Int64")})
+
+    return (rows.groupBy("event_type")
+            .applyInPandasWithState(
+                update,
+                outputStructType=("event_type string, "
+                                  "means array<double>, "
+                                  "weights array<bigint>, n long"),
+                stateStructType=("means array<double>, "
+                                 "weights array<bigint>"),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def ttl_presence_stream(rows: DataFrame, ttl_days: int = 2) -> DataFrame:
+    """C27t (round 14, second tranche): keyed state with a REAL
+    event-time TTL — the state-hygiene primitive a 100 TB streaming job
+    lives or dies by: keys that go silent must leave the store, or
+    unbounded key churn (users, sessions, request ids) grows state
+    without bound. Per user the state is (n_events since state
+    creation, last_ms); every data batch re-arms an event-time timeout
+    at last_ms + ttl, and when the WATERMARK passes it with no new data
+    the handler fires with `state.hasTimedOut`, emits the eviction
+    record, and REMOVES the state — a later event recreates the key
+    from zero (resurrection), exactly a session store's lifecycle.
+
+    Uses GroupStateTimeout.EventTimeTimeout + withWatermark (the only
+    twin exercising the timeout arm of the state API). The availableNow
+    replay runs the 4 data batches PLUS a final no-data flush batch;
+    the watermark in effect during batch k is the max event time of
+    batches < k (delay 0), so evictions are deterministic given the
+    deterministic time slices — the registered oracle replays this
+    exact state machine (slices, watermarks, firings, resurrections)
+    as a bounded recursive CTE over the user × batch grid.
+
+    Timeout timestamps are always re-armed from in-order data, so the
+    set timestamp exceeds the current watermark by construction (the
+    time slices are globally ordered) — the IllegalArgumentException
+    arm of setTimeoutTimestamp is unreachable here."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ttl_ms = ttl_days * 86_400_000
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        if state.hasTimedOut:
+            n, last_ms = (int(v) for v in state.get)
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": pd.array([key[0]], dtype="Int64"),
+                "n_events": pd.array([n], dtype="Int64"),
+                "last_ms": pd.array([last_ms], dtype="Int64"),
+                "evicted": [True]})
+            return
+        if state.exists:
+            n, last_ms = (int(v) for v in state.get)
+        else:
+            n, last_ms = 0, -1
+        batch = pd.concat(list(pdfs))
+        ms = batch["us"].astype("int64") // 1000
+        n += len(batch)
+        last_ms = max(last_ms, int(ms.max()))
+        state.update((n, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+        yield pd.DataFrame({
+            "user_id": pd.array([key[0]], dtype="Int64"),
+            "n_events": pd.array([n], dtype="Int64"),
+            "last_ms": pd.array([last_ms], dtype="Int64"),
+            "evicted": [False]})
+
+    return (rows.groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=("user_id long, n_events long, "
+                                  "last_ms long, evicted boolean"),
+                stateStructType="n bigint, last_ms bigint",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -356,6 +356,10 @@ PROBE_QUERIES = [
     "c42_onehot",           # bounded vocab rank + 1-row total
     "c34_peak",             # 2-rows/event sweep, keyed running sum
     "c34_peak_stream",      # heap-state sweep twin, 4 batches
+    "c16_sla_stream",       # 7-BIGINT gap-stats state twin
+    "c43_ndcg",             # bounded query-broadcast eval, k^2 join
+    "c4_tdigest_stream",    # digest-as-state twin + rank audit
+    "c27_ttl_stream",       # TTL eviction state machine, 5 batches
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

@@ -205,6 +205,8 @@ _BNLJ_ALLOWED = {
                             # (m, n_total) scalar broadcast
     "c42_binning",          # 1-row corpus-total scalar broadcast
     "c42_onehot",           # 1-row corpus-total scalar broadcast
+    "c43_ndcg",             # 10-row query broadcast, non-equi
+                            # self-exclusion (the c29_cosine_topk shape)
 }
 
 
@@ -418,6 +420,8 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c34_bursts_stream", "c34_absence_stream",
                     # replays the availableNow stream at build (r14)
                     "c13_decay_topk_stream", "c34_peak_stream",
+                    "c16_sla_stream", "c4_tdigest_stream",
+                    "c27_ttl_stream",
                     # executes the exact returned plan once at build
                     # for the earned AQE coalesce verdict (r13)
                     "c37_aqe_coalesce",

@@ -1,7 +1,10 @@
 """Round-14 operator behavior tests — the t-digest sketch (C4t), the
 decayed leaderboard (C13d + stream twin), the SCD1 latest-wins MERGE
 (C35p), the t-closeness audit (C40d), the feature discretizers (C42d/e),
-and the peak-concurrency sweep (C34x + heap-state stream twin).
+the peak-concurrency sweep (C34x + heap-state stream twin), and the
+second tranche: the SLA gap-stats twin (C16k-s), the digest-as-state
+twin (C4t-s), the event-time TTL eviction store (C27t), and the
+retrieval-eval family (C43a).
 
 Oracle parity for every registered row is covered by tests/test_oracle.py;
 these pin the behavioral contracts the oracles can't express."""
@@ -292,3 +295,56 @@ def test_peak_stream_kernel_half_open_pop_at_equal_instant(spark):
     s = _sweep_batch([], 0, -1, 0, 0, [(0, 10_000_000)])
     s = _sweep_batch(*s, [(10_000_000, 10_000_000)])
     assert s[1] == 1
+
+
+# ------------------------------------------------------------ TTL state
+
+def test_ttl_stream_evicts_and_resurrects(spark, tmp_path):
+    """Crafted 16-row log (4 rows per time slice) driving all three
+    arms of the TTL state machine: user 1 goes silent after slice 1 and
+    must be EVICTED when the watermark passes last+2d (during slice 3);
+    user 3 is evicted the same way but RESURRECTS in slice 4 with its
+    count reset; user 2 stays active throughout and is never evicted."""
+    import datetime as dt
+
+    from kafka_streams_in_action_spark.plans import queries as Q
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def at(days):
+        return d0 + dt.timedelta(days=days)
+
+    rows = [
+        # slice 1 (days 0-1)
+        (1, at(0.0), 1, "view", 1.0, "{}"),
+        (2, at(0.1), 3, "view", 1.0, "{}"),
+        (3, at(0.2), 2, "view", 1.0, "{}"),
+        (4, at(1.0), 1, "view", 1.0, "{}"),
+        # slice 2 (days 5-6): wm=d1 — nobody expired yet
+        (5, at(5.0), 2, "view", 1.0, "{}"),
+        (6, at(5.1), 2, "view", 1.0, "{}"),
+        (7, at(5.2), 2, "view", 1.0, "{}"),
+        (8, at(6.0), 2, "view", 1.0, "{}"),
+        # slice 3 (days 10-11): wm=d6 > d1+2d and > d0+2d — u1, u3 fire
+        (9, at(10.0), 2, "view", 1.0, "{}"),
+        (10, at(10.1), 2, "view", 1.0, "{}"),
+        (11, at(10.2), 2, "view", 1.0, "{}"),
+        (12, at(11.0), 2, "view", 1.0, "{}"),
+        # slice 4 (days 20-21): u3 resurrects with a fresh count
+        (13, at(20.0), 3, "view", 1.0, "{}"),
+        (14, at(20.5), 2, "view", 1.0, "{}"),
+        (15, at(20.6), 2, "view", 1.0, "{}"),
+        (16, at(21.0), 2, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    out = {r["user_id"]: r
+           for r in Q._ttl_stream(spark, str(tmp_path)).collect()}
+    assert out[1]["evicted"] and out[1]["n_events"] == 2
+    assert not out[2]["evicted"] and out[2]["n_events"] == 12
+    # resurrection: count reset to the post-eviction life
+    assert not out[3]["evicted"] and out[3]["n_events"] == 1
+    assert out[3]["last_ms"] == int(at(20.0).timestamp() * 1000)
