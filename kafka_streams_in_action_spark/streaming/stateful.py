@@ -1082,11 +1082,15 @@ def _sweep_batch(ends: list, peak: int, peak_t: int, n: int, busy: int,
         t, dur = int(t), int(dur)
         lo = bisect.bisect_right(ends, t)
         del ends[:lo]
-        bisect.insort(ends, t + dur)
         n += 1
         busy += dur
-        if len(ends) > peak:
-            peak, peak_t = len(ends), t
+        # a zero-length interval nets to 0 in the batch sweep (its −1
+        # sorts before its own +1 at the same instant), so it never
+        # joins the heap and never sets a peak
+        if dur > 0:
+            bisect.insort(ends, t + dur)
+            if len(ends) > peak:
+                peak, peak_t = len(ends), t
     return ends, peak, peak_t, n, busy
 
 

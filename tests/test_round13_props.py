@@ -31,9 +31,10 @@ def _events_df(spark, rows):
 
 
 def test_bursts_match_python_replay(spark):
-    """Random per-day activity WITH missing calendar days — the trailing
-    window must count absent days as zero activity (fixed denominator)
-    and mark short-history days ineligible."""
+    """Random per-day activity WITH missing calendar days — a day is
+    eligible only when all 7 trailing calendar days are OBSERVED (any
+    missing trailing day makes it ineligible; the replay's
+    len(trail) != 7 skip is exactly the operator's gate)."""
     rnd = random.Random(13)
     rows, eid = [], 0
     daily: dict = {}
