@@ -995,3 +995,39 @@ def test_survey_row_index():
     assert not extra, f"§2Z names unregistered queries: {extra}"
     bad = sorted({l for l in indexed.values() if l not in set(labels)})
     assert not bad, f"§2Z labels with no §2 table row: {bad}"
+
+
+def test_r14_decay_topk_uses_take_ordered(spark):
+    """C13d: the global decayed top-k must compile to
+    TakeOrderedAndProject (per-partition heads + k-row driver merge),
+    never a global sort, and nothing in the plan may shuffle-join."""
+    plan = plan_of(_q(spark, "c13_decay_topk"))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_r14_peak_sweep_carry_is_broadcast(spark):
+    """C34x: the two-level sweep's day-carry table (bounded
+    |types|·|days| rows) must join back via BroadcastHashJoin — a
+    SortMergeJoin here would mean the bounded carry got shuffled at
+    data scale."""
+    plan = plan_of(_q(spark, "c34_peak"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_r14_scd1_single_shuffle_merge(spark):
+    """C35p: exactly ONE SortMergeJoin — the intended fact-fact
+    full-outer MERGE; the latest-wins dedup must ride the same
+    order-key partitioning, not add a second shuffle join."""
+    plan = plan_of(_q(spark, "c35_scd1"))
+    assert plan.count("SortMergeJoin") == 1
+
+
+def test_r14_binning_sorts_only_the_bounded_histogram(spark):
+    """C42d: the only Sort in the plan is the domain-bounded cent
+    histogram's window order — the fact table itself is never sorted
+    (the no-global-sort claim that distinguishes this from ntile)."""
+    import re
+    plan = plan_of(_q(spark, "c42_binning"))
+    assert len(re.findall(r"\bSort\b", plan)) == 1
