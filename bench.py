@@ -266,6 +266,7 @@ HEADLINE = [
     "c43_ndcg",              # nDCG/MRR of int8 vs exact ranking
     "c4_tdigest_stream",     # digest-as-state twin, 4 batches
     "c27_ttl_stream",        # event-time TTL eviction, 4+flush batches
+    "c43_kappa",             # int8-vs-float classifier agreement (kappa)
 ]
 
 

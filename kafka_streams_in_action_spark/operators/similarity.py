@@ -1751,3 +1751,115 @@ def ndcg_eval(embeddings: DataFrame, n_queries: int = 10,
                    F.lit(0).cast("long")).alias("mrr_ppm"),
         (F.col("dcg_micro").cast("double") / F.lit(float(idcg_micro)))
         .alias("ndcg"))
+
+
+def kappa_quantization_eval(embeddings: DataFrame) -> DataFrame:
+    """C43b (round 14): Cohen's-kappa agreement between the
+    full-precision nearest-label-centroid classifier and its
+    int8-quantized twin — "does compressed storage change labels beyond
+    chance?", the companion gate to C43a's ranking eval (Cohen 1960;
+    kappa corrects raw agreement for the agreement two raters would
+    reach by their marginals alone, so a skewed label mix can't buy a
+    free pass). Rater A assigns each vector to the nearest label
+    centroid; rater B assigns its int8-dequantized form to the SAME
+    centroids.
+
+    Exactness: centroids are string-bridged exact divisions of
+    micro-quantized DECIMAL(38,0) sums (the c29_centroid_shift
+    machinery), distances are the same sequential fold both engines run
+    (the _cosine discipline, ties broken by label), and kappa =
+    (n·agree − Σ_k mA_k·mB_k) / (n² − Σ_k mA_k·mB_k) is ONE division of
+    exact BIGINTs — emitted as the numerator/denominator pair plus the
+    double quotient, so no floor-division sign trap exists for a
+    negative kappa.
+
+    Scale: one posexplode agg builds the ≤|labels|·dims centroid table
+    (broadcast at ≤|labels| rows); assignment is a bounded-broadcast
+    non-equi join scored in column algebra; everything after is
+    ≤|labels|-row arithmetic."""
+    dec = "decimal(38,0)"
+
+    def sb(col):
+        return col.cast("string").cast("double")
+
+    emb = embeddings.select(
+        "vec_id", F.col("label").alias("true_label"),
+        F.col("embedding").cast("array<double>").alias("v"))
+    per = (emb.select("true_label",
+                      F.posexplode("v").alias("dim", "x"))
+           .select("true_label", "dim",
+                   F.floor(F.col("x") * 1_000_000 + F.lit(0.5))
+                   .cast("long").alias("q")))
+    sums = (per.groupBy("true_label", "dim")
+            .agg(F.sum(F.col("q").cast(dec)).alias("s"),
+                 F.count(F.lit(1)).alias("n_l")))
+    cent = sums.select(
+        F.col("true_label").alias("label"), "dim",
+        (sb(F.col("s")) / F.col("n_l").cast("double") / F.lit(1e6))
+        .alias("c"))
+    cent_arr = (cent.groupBy("label")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s["c"]).alias("cvec")))
+
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    dq = F.when(amax == 0,
+                F.transform(F.col("v"), lambda x: F.lit(0.0))) \
+        .otherwise(F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / scale + F.lit(0.5)) * scale))
+    base = emb.select("vec_id", "v", dq.alias("dq"))
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    pairs = base.crossJoin(F.broadcast(cent_arr))
+    assigned = (pairs
+                .select("vec_id",
+                        F.col("label"),
+                        l2(F.col("v"), F.col("cvec")).alias("da"),
+                        l2(F.col("dq"), F.col("cvec")).alias("db"))
+                .groupBy("vec_id")
+                .agg(F.min_by("label", F.struct("da", "label"))
+                     .alias("a"),
+                     F.min_by("label", F.struct("db", "label"))
+                     .alias("b")))
+    tot = assigned.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("long").alias("n_agree"))
+    ma = assigned.groupBy(F.col("a").alias("label")) \
+        .agg(F.count(F.lit(1)).alias("n_rater_a"))
+    mb = assigned.groupBy(F.col("b").alias("label")) \
+        .agg(F.count(F.lit(1)).alias("n_rater_b"))
+    diag = (assigned.filter(F.col("a") == F.col("b"))
+            .groupBy(F.col("a").alias("label"))
+            .agg(F.count(F.lit(1)).alias("n_diag")))
+    marg = (ma.join(mb, "label", "full_outer")
+            .join(diag, "label", "left")
+            .select("label",
+                    F.coalesce("n_rater_a", F.lit(0).cast("long"))
+                    .alias("n_rater_a"),
+                    F.coalesce("n_rater_b", F.lit(0).cast("long"))
+                    .alias("n_rater_b"),
+                    F.coalesce("n_diag", F.lit(0).cast("long"))
+                    .alias("n_diag")))
+    pe_sum = marg.agg(
+        F.sum(F.col("n_rater_a") * F.col("n_rater_b")).alias("pe_s"))
+    g = (tot.crossJoin(F.broadcast(pe_sum))
+         .select("n_vecs", "n_agree",
+                 (F.col("n_vecs") * F.col("n_agree") - F.col("pe_s"))
+                 .alias("kappa_num"),
+                 (F.col("n_vecs") * F.col("n_vecs") - F.col("pe_s"))
+                 .alias("kappa_den")))
+    return (marg.crossJoin(F.broadcast(g))
+            .select("label", "n_rater_a", "n_rater_b", "n_diag",
+                    "n_vecs", "n_agree", "kappa_num", "kappa_den",
+                    # pe = 1 (single label both raters) → undefined
+                    F.when(F.col("kappa_den") != 0,
+                           F.col("kappa_num").cast("double")
+                           / F.col("kappa_den").cast("double"))
+                    .alias("kappa")))

@@ -2638,6 +2638,98 @@ FROM steps WHERE k = 5
 """
 
 
+def _l2_sql(a: str, b: str) -> str:
+    """Squared-L2 as the SAME left fold the Spark side runs (the
+    _cosine_sql discipline) — identical IEEE trees on both engines."""
+    return _FOLD.format(
+        lst=f"list_transform(range(1, len({a})+1),"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))")
+
+
+#: Shared int8 dequantization list expression (C43a/C43b oracles) —
+#: the exact floor(x/scale + 0.5)·scale tree quantize_embeddings_int8
+#: and the Spark eval paths compute.
+_DQ_LIST_SQL = ("list_transform(v, x -> floor(x / (list_max("
+                "list_transform(v, y -> abs(y))) / 127.0) + 0.5)"
+                " * (list_max(list_transform(v, y -> abs(y))) / 127.0))")
+
+#: C43b oracle (round 14): Cohen's kappa between the full-precision and
+#: int8 nearest-centroid classifiers — centroids, assignments, and the
+#: exact-integer kappa fraction all recomputed independently.
+_KAPPA_ORACLE = f"""
+WITH emb AS (
+    SELECT vec_id, label AS true_label, embedding::DOUBLE[] AS v
+    FROM embeddings),
+per AS (
+    SELECT true_label, u.i AS dim,
+           CAST(floor(v[u.i] * 1000000 + 0.5) AS BIGINT) AS q
+    FROM emb, LATERAL unnest(generate_series(1, len(v))) AS u(i)),
+sums AS (
+    SELECT true_label, dim, sum(CAST(q AS HUGEINT)) AS s,
+           CAST(count(*) AS BIGINT) AS n_l
+    FROM per GROUP BY 1, 2),
+cent AS (
+    SELECT true_label AS label, dim,
+           CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_l AS DOUBLE)
+               / 1000000.0 AS c
+    FROM sums),
+carr AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cent GROUP BY 1),
+dqe AS (
+    SELECT vec_id, v,
+           CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                THEN list_transform(v, x -> 0.0)
+                ELSE {_DQ_LIST_SQL} END AS dq
+    FROM emb),
+pairs AS (
+    SELECT vec_id, label,
+           {_l2_sql('v', 'cvec')} AS da,
+           {_l2_sql('dq', 'cvec')} AS db
+    FROM dqe CROSS JOIN carr),
+aa AS (
+    SELECT vec_id, label AS a FROM (
+        SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY da, label) AS rn
+        FROM pairs) WHERE rn = 1),
+bb AS (
+    SELECT vec_id, label AS b FROM (
+        SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY db, label) AS rn
+        FROM pairs) WHERE rn = 1),
+asg AS (SELECT aa.vec_id, a, b FROM aa JOIN bb ON aa.vec_id = bb.vec_id),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+    FROM asg),
+ma AS (SELECT a AS label, CAST(count(*) AS BIGINT) AS n_rater_a
+       FROM asg GROUP BY 1),
+mb AS (SELECT b AS label, CAST(count(*) AS BIGINT) AS n_rater_b
+       FROM asg GROUP BY 1),
+diag AS (SELECT a AS label, CAST(count(*) AS BIGINT) AS n_diag
+         FROM asg WHERE a = b GROUP BY 1),
+marg AS (
+    SELECT coalesce(ma.label, mb.label) AS label,
+           coalesce(n_rater_a, 0) AS n_rater_a,
+           coalesce(n_rater_b, 0) AS n_rater_b,
+           coalesce(n_diag, 0) AS n_diag
+    FROM ma FULL OUTER JOIN mb ON ma.label = mb.label
+    LEFT JOIN diag ON coalesce(ma.label, mb.label) = diag.label),
+pe AS (SELECT CAST(sum(n_rater_a * n_rater_b) AS BIGINT) AS pe_s
+       FROM marg),
+g AS (
+    SELECT n_vecs, n_agree,
+           n_vecs * n_agree - pe_s AS kappa_num,
+           n_vecs * n_vecs - pe_s AS kappa_den
+    FROM tot CROSS JOIN pe)
+SELECT label, n_rater_a, n_rater_b, n_diag, n_vecs, n_agree,
+       kappa_num, kappa_den,
+       CASE WHEN kappa_den <> 0 THEN
+           CAST(kappa_num AS DOUBLE) / CAST(kappa_den AS DOUBLE)
+       END AS kappa
+FROM marg CROSS JOIN g
+"""
+
+
 #: C43a oracle (round 14 second tranche): both rankings recomputed by
 #: DuckDB over the SAME IEEE trees (the _cosine fold and the int8
 #: dequant formula), with the nDCG discount weights inlined as the same
@@ -2646,9 +2738,7 @@ def _ndcg_oracle() -> str:
     ws = similarity._ndcg_weights_micro(10)
     idcg = sum(ws)
     vals = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(ws))
-    dq_list = ("list_transform(v, x -> floor(x / (list_max("
-               "list_transform(v, y -> abs(y))) / 127.0) + 0.5)"
-               " * (list_max(list_transform(v, y -> abs(y))) / 127.0))")
+    dq_list = _DQ_LIST_SQL
     return f"""
         WITH emb AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -10208,6 +10298,12 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # against the batch table, exact quantiles replayed by DuckDB.
         _tdigest_stream,
         _TDIGEST_STREAM_ORACLE),
+    "c43_kappa": QuerySpec(
+        # C43b: Cohen's kappa between the full-precision and int8
+        # nearest-centroid classifiers — the quantization-safety gate;
+        # kappa emitted as an exact integer fraction + double quotient.
+        _t("embeddings")(similarity.kappa_quantization_eval),
+        _KAPPA_ORACLE),
     "c27_ttl_stream": QuerySpec(
         # C27t: event-time TTL eviction — the timeout arm of the state
         # API; oracle replays the slice/watermark state machine as a
@@ -10522,7 +10618,7 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c34_peak", "c34_peak_stream",
         # second tranche (same session)
         "c16_sla_stream", "c43_ndcg", "c4_tdigest_stream",
-        "c27_ttl_stream",
+        "c27_ttl_stream", "c43_kappa",
     ]},
 }
 

@@ -207,6 +207,8 @@ _BNLJ_ALLOWED = {
     "c42_onehot",           # 1-row corpus-total scalar broadcast
     "c43_ndcg",             # 10-row query broadcast, non-equi
                             # self-exclusion (the c29_cosine_topk shape)
+    "c43_kappa",            # ≤|labels|-row centroid broadcast + 1-row
+                            # (n, agree) and pe-sum scalar broadcasts
 }
 
 
