@@ -348,3 +348,40 @@ def test_ttl_stream_evicts_and_resurrects(spark, tmp_path):
     # resurrection: count reset to the post-eviction life
     assert not out[3]["evicted"] and out[3]["n_events"] == 1
     assert out[3]["last_ms"] == int(at(20.0).timestamp() * 1000)
+
+
+# ----------------------------------------------------------------- kappa
+
+def _emb(spark, rows):
+    """rows: (vec_id, label, embedding list)"""
+    return spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>")
+
+
+def test_kappa_perfect_agreement_when_quantization_is_lossless(spark):
+    # components are exact multiples of amax/127 → dequantization is
+    # the identity → both raters assign identically → kappa = 1
+    rows = []
+    for i in range(6):
+        lab = i % 2
+        v = [127.0, 0.0] if lab == 0 else [0.0, 127.0]
+        rows.append((i, lab, v))
+    out = similarity_mod().kappa_quantization_eval(_emb(spark, rows)) \
+        .collect()
+    assert all(r["kappa"] == 1.0 for r in out)
+    assert all(r["n_agree"] == 6 and r["n_vecs"] == 6 for r in out)
+    assert {(r["label"], r["n_diag"]) for r in out} == {(0, 3), (1, 3)}
+
+
+def test_kappa_undefined_when_both_raters_single_label(spark):
+    # one label only → pe = 1 → kappa_den = 0 → NULL kappa, not a crash
+    rows = [(i, 0, [127.0, 0.0]) for i in range(4)]
+    out = similarity_mod().kappa_quantization_eval(_emb(spark, rows)) \
+        .collect()
+    assert len(out) == 1
+    assert out[0]["kappa"] is None and out[0]["kappa_den"] == 0
+
+
+def similarity_mod():
+    from kafka_streams_in_action_spark.operators import similarity
+    return similarity
