@@ -267,6 +267,7 @@ HEADLINE = [
     "c4_tdigest_stream",     # digest-as-state twin, 4 batches
     "c27_ttl_stream",        # event-time TTL eviction, 4+flush batches
     "c43_kappa",             # int8-vs-float classifier agreement (kappa)
+    "c37_split_tuning",      # input-split sizing verdict (plan proof)
 ]
 
 

@@ -1234,6 +1234,18 @@ def _cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_deletes") > 0).alias("resurrected")))
 
 
+def _split_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C37k driver run: stage events as ONE parquet file, plan the scan
+    under small vs large spark.sql.files.maxPartitionBytes, and emit
+    the fail-soft split_scales verdict beside the oracle-hashed
+    aggregate (operators/layout.py:split_tuning_audit)."""
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir)
+    base = tempfile.mkdtemp(prefix="c37_split_")
+    return layout.split_tuning_audit(spark, ev, base)
+
+
 def _compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C37g driver run: fragment the events table into 64 small files,
     compact with an ordering column, verdict on the REAL compacted
@@ -9711,6 +9723,17 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                TRUE AS coalesce_planned
         FROM events GROUP BY 1
         """),
+    "c37_split_tuning": QuerySpec(
+        # C37k: input-split sizing verdict — the fifth plan-proof row;
+        # fail-soft boolean the oracle pins to TRUE, aggregate hashed.
+        _split_tuning,
+        """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value_cents,
+               TRUE AS split_scales
+        FROM events GROUP BY 1
+        """),
     "c31_dominant_color": QuerySpec(
         # C31 addendum: in-kernel decode + 64-cell color-cube argmax;
         # oracle recomputes the histogram from the fixture pixel
@@ -10618,7 +10641,7 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c34_peak", "c34_peak_stream",
         # second tranche (same session)
         "c16_sla_stream", "c43_ndcg", "c4_tdigest_stream",
-        "c27_ttl_stream", "c43_kappa",
+        "c27_ttl_stream", "c43_kappa", "c37_split_tuning",
     ]},
 }
 

@@ -361,6 +361,7 @@ PROBE_QUERIES = [
     "c4_tdigest_stream",    # digest-as-state twin + rank audit
     "c27_ttl_stream",       # TTL eviction state machine, 5 batches
     "c43_kappa",            # centroid classifiers + exact kappa fraction
+    "c37_split_tuning",     # one staged write + two planned scans
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

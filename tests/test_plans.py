@@ -427,6 +427,9 @@ def test_no_driver_side_collect_in_queries(spark):
                     # executes the exact returned plan once at build
                     # for the earned AQE coalesce verdict (r13)
                     "c37_aqe_coalesce",
+                    # stages one file + plans two scans at build for
+                    # the split-sizing verdict (r14)
+                    "c37_split_tuning",
                     # all-sources BFS loop checkpoints bounded frames +
                     # node-count + empty-frontier probe at build (r13)
                     "c38_eccentricity"):
