@@ -10646,13 +10646,13 @@ _REGISTERED_ROUND: dict[str, int] = {
 }
 
 # Round-13 window plan (to become _ROUND13_PRIORITY next round): the
-# 13-row r14 slate registered this session — c4_tdigest,
+# 15-row r14 slate registered this session — c4_tdigest,
 # c13_decay_topk, c13_decay_topk_stream, c35_scd1, c40_tcloseness,
 # c42_binning, c42_onehot, c34_peak, c34_peak_stream, c16_sla_stream,
-# c43_ndcg, c4_tdigest_stream, c27_ttl_stream — leads the window
-# (every row three-scale sim-green this session); the first 37 of the
-# 39 remaining r6-checked rows follow (name order: c11_rank,
-# c12_analytic_frames, c14_except,
+# c43_ndcg, c4_tdigest_stream, c27_ttl_stream, c43_kappa,
+# c37_split_tuning — leads the window (every row three-scale sim-green
+# this session); the first 35 of the 39 remaining r6-checked rows
+# follow (name order: c11_rank, c12_analytic_frames, c14_except,
 # c16_date_fns, c18_array_fns, c19_json_fns, c1_filter,
 # c28_edit_verify, c29_ivf_ingest, c29_triplets, c30_chunk,
 # c30_decontaminate, c31_phash_dedup, c31_shot_detect, c32_group_split,
@@ -10660,10 +10660,10 @@ _REGISTERED_ROUND: dict[str, int] = {
 # c35_diff, c35_scd2, c36_outer_join, c37_skew_advisor,
 # c37_zorder_files, c3_pricing_summary, c4_cms_join_card,
 # c4_cms_stream, c4_cms_topk, c4_hist_quantiles, c4_sketch_inter,
-# c5_cube, c6_bloom_join, c6_broadcast_join, c7_multiway_join,
-# c8_left_join, sql_q17_small_qty_revenue, sql_q18_top_quantity —
-# the last two r6 rows (sql_q3_top_revenue plus one spare slot for a
-# round-12 judge item, else it also rotates) complete in round 14.
+# c5_cube, c6_bloom_join, c6_broadcast_join, c7_multiway_join);
+# the last four r6 rows (c8_left_join, sql_q17_small_qty_revenue,
+# sql_q18_top_quantity, sql_q3_top_revenue) complete the r6 rotation
+# in round 14, absorbing any round-12 judge-item displacements first.
 # Judge items displace from the rotation tail only, never the r14
 # rows.
 
