@@ -2434,7 +2434,11 @@ def scd1_latest_merge(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     partitioning), then applied through the standard full-outer +
     coalesce plan a Delta/Iceberg MERGE compiles to. An INSERT arm
     (every 997th feed key re-keyed above the base id space) keeps all
-    three MERGE arms live.
+    three MERGE arms live; the re-key offset is DERIVED from the data
+    (greatest key across base and feed, +1, via two 1-row aggregates
+    and a broadcast) so the insert arm stays disjoint from the base id
+    space at ANY corpus scale — a fixed constant collided with the
+    scale probe's shifted-copy key space (r12 ADVICE).
 
     Emits the post-merge table: key, customer, the surviving price in
     exact cents, the winning version's date and line number, the feed's
@@ -2462,8 +2466,15 @@ def scd1_latest_merge(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
                     F.to_date("v.l_shipdate").alias("version_date"),
                     F.col("v.l_linenumber").alias("version_line"),
                     "n_versions"))
+    off = (base.select(F.max("o_orderkey").alias("m_base"))
+           .crossJoin(feed.select(F.max("l_orderkey").alias("m_feed")))
+           .select((F.greatest("m_base", "m_feed") + 1)
+                   .alias("ins_offset")))
     ins = (feed.filter(F.col("l_orderkey") % 997 == 1)
-           .withColumn("l_orderkey", F.col("l_orderkey") + 30_000_000))
+           .crossJoin(F.broadcast(off))
+           .withColumn("l_orderkey",
+                       F.col("l_orderkey") + F.col("ins_offset"))
+           .drop("ins_offset"))
     updates = feed.unionByName(ins)
     b, u = base.alias("b"), updates.alias("u")
     joined = b.join(u, F.col("b.o_orderkey") == F.col("u.l_orderkey"),

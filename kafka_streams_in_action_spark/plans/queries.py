@@ -826,23 +826,34 @@ def _await_bounded(q, timeout_sec: int = 300) -> None:
             f"within {timeout_sec}s; sink is partial")
 
 
-#: Shared staged-slice directories, keyed by (sf_dir, n) — the round-14
-#: twins read ONE staged copy of the time-sliced event log per process
-#: instead of each re-sorting and re-writing the same immutable table
-#: (a production replay stages the log once; per-twin staging was pure
-#: harness overhead). Earlier twins keep their per-call staging so their
-#: driver-verified execution is byte-identical; they adopt the shared
-#: path when their rows next rotate through a verification window.
+#: Shared staged-slice directories, keyed by (sf_dir, n, events mtime,
+#: events size) — the round-14 twins read ONE staged copy of the
+#: time-sliced event log per process instead of each re-sorting and
+#: re-writing the same immutable table (a production replay stages the
+#: log once; per-twin staging was pure harness overhead). The mtime/size
+#: key components invalidate the cache if the same sf_dir's events
+#: parquet is rewritten within one process (r12 ADVICE: a fixture
+#: reusing a directory would otherwise replay stale slices), and every
+#: staged dir is registered for atexit removal so the mkdtemp dirs
+#: don't accumulate past process exit. Earlier twins keep their
+#: per-call staging so their driver-verified execution is
+#: byte-identical; they adopt the shared path when their rows next
+#: rotate through a verification window.
 _SLICE_CACHE: dict[tuple, str] = {}
 
 
 def _staged_event_slices(spark: SparkSession, sf_dir: str,
                          n: int = 4) -> str:
-    key = (sf_dir, n)
+    import os
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = (sf_dir, n, st.st_mtime_ns, st.st_size)
     src = _SLICE_CACHE.get(key)
     if src is None:
+        import atexit
+        import shutil
         import tempfile
         src = tempfile.mkdtemp(prefix=f"events_slices_{n}_")
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
         _write_time_slices(load_table(spark, "events", sf_dir), src, n)
         _SLICE_CACHE[key] = src
     return src
@@ -850,24 +861,69 @@ def _staged_event_slices(spark: SparkSession, sf_dir: str,
 
 def _write_time_slices(ev: DataFrame, src: str, n: int = 4) -> None:
     """Stage `ev` as n time-ordered parquet slice files under `src` for
-    a maxFilesPerTrigger=1 availableNow replay. ntile once, checkpoint,
-    then n cheap filtered writes — without the checkpoint each slice
-    write re-runs the global time sort (n× cost). FileStreamSource
-    orders files by MODIFICATION TIME; sequential appends make the
-    slices' mtimes monotone but not necessarily DISTINCT on filesystems
-    with coarse mtime granularity (advice r10: two tied slices could
-    replay out of time order and break every cross-batch state fold) —
-    so after the writes each slice's data file is re-stamped with a
-    strictly increasing mtime, making batch order deterministic
-    everywhere. Output-identical to the bare appends whenever the
-    appends' mtimes already ordered correctly."""
+    a maxFilesPerTrigger=1 availableNow replay. Slice assignment is
+    EXACT ntile(n) over the global (ts, event_id) order, but computed
+    WITHOUT a single-partition global sort (verdict r12 item 5: the
+    slicer's `Window.orderBy` was the one global sort left in the twin
+    harness and dominated c27_ttl_stream's 100× cost): the log is
+    range-partitioned and sorted within partitions, each row's global
+    rank is assembled JVM-side from `monotonically_increasing_id()`
+    (documented layout: partition id in the upper 31 bits, record
+    number within the partition in the lower 33) plus broadcast
+    cumulative partition offsets from one bounded 32-row count pass —
+    the offsets pull is the allowlisted partition-count class. The
+    contiguity of the per-partition record numbers is asserted against
+    the same count pass, so a layout change in a future Spark fails
+    loudly instead of mis-slicing. Integer-only tile arithmetic
+    (`div`), so the slice contents are bit-identical to the previous
+    ntile plan at any size; checkpoint once, then n cheap filtered
+    writes. FileStreamSource orders files by MODIFICATION TIME;
+    sequential appends make the slices' mtimes monotone but not
+    necessarily DISTINCT on filesystems with coarse mtime granularity
+    (advice r10: two tied slices could replay out of time order and
+    break every cross-batch state fold) — so after the writes each
+    slice's data file is re-stamped with a strictly increasing mtime,
+    making batch order deterministic everywhere. Output-identical to
+    the bare appends whenever the appends' mtimes already ordered
+    correctly."""
     import os
 
-    from pyspark.sql import Window
-
-    sliced = ev.withColumn(
-        "slice", F.ntile(n).over(Window.orderBy("ts", "event_id"))) \
-        .localCheckpoint()
+    mask = (1 << 33) - 1
+    base = (ev.repartitionByRange(32, "ts", "event_id")
+            .sortWithinPartitions("ts", "event_id")
+            .withColumn("mono", F.monotonically_increasing_id())
+            .localCheckpoint())
+    stats = (base.groupBy(F.shiftright("mono", 33).alias("pid"))
+             .agg(F.count(F.lit(1)).alias("c"),
+                  F.max(F.col("mono").bitwiseAND(F.lit(mask))).alias("mx"))
+             .collect())  # bounded: one row per partition (≤32)
+    for r in stats:
+        assert r["mx"] + 1 == r["c"], \
+            "monotonically_increasing_id layout changed; slicer unsafe"
+    sizes = {r["pid"]: r["c"] for r in stats}
+    total = sum(sizes.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_map = F.create_map(
+        *[F.lit(v).cast("long") for pid in sorted(offsets)
+          for v in (pid, offsets[pid])])
+    rank = (F.element_at(off_map, F.shiftright("mono", 33))
+            + F.col("mono").bitwiseAND(F.lit(mask)) + 1)
+    # exact ntile(n): the first rem tiles carry q+1 rows, the rest q;
+    # ceil divisions as integer `div` so no double rounding at any rank
+    q, rem = divmod(total, n)
+    cut = (q + 1) * rem
+    qd = max(q, 1)  # q=0 → the otherwise-branch is unreachable
+    sliced = (base.withColumn("rk", rank)
+              .withColumn(
+                  "slice",
+                  F.when(F.col("rk") <= cut,
+                         F.expr(f"(rk + {q}) div {q + 1}"))
+                  .otherwise(F.lit(rem)
+                             + F.expr(f"(rk - {cut} + {qd - 1}) div {qd}")))
+              .drop("mono", "rk"))
     seen: set = set()
     per_slice: list = []
     for s in range(1, n + 1):
@@ -10159,11 +10215,17 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
             SELECT l_orderkey, l_extendedprice AS new_price,
                    version_date, l_linenumber AS version_line, nv
             FROM v WHERE rn = 1),
+        off AS (
+            -- insert-arm offset derived from the data (mirrors the
+            -- operator's greatest(max base, max feed)+1 broadcast)
+            SELECT greatest((SELECT max(o_orderkey) FROM orders),
+                            (SELECT max(l_orderkey) FROM feed)) + 1
+                   AS ins_offset),
         u AS (
             SELECT * FROM feed
             UNION ALL
-            SELECT l_orderkey + 30000000, new_price, version_date,
-                   version_line, nv
+            SELECT l_orderkey + (SELECT ins_offset FROM off), new_price,
+                   version_date, version_line, nv
             FROM feed WHERE l_orderkey % 997 = 1)
         SELECT coalesce(b.o_orderkey, u.l_orderkey) AS o_orderkey,
                b.o_custkey AS o_custkey,
@@ -10568,6 +10630,48 @@ assert len(_ROUND12_PRIORITY) == 50, len(_ROUND12_PRIORITY)
 assert len(set(_ROUND12_PRIORITY)) == 50, "duplicate row in window"
 
 # ---------------------------------------------------------------------------
+# Round-13 frozen window (verdict r12 items 1-2), realizing the drafted
+# round-13 plan verbatim. The 15-row r14 slate — the only registered
+# queries that have never held a driver CORRECTNESS row — leads in
+# registration order (after this window lands, every §2 row is again
+# behind the hard driver signal); the 35 oldest r6-checked rows follow
+# in name order, shrinking the r6 freshness cohort 39 → 4 (the last
+# four — c8_left_join, sql_q17_small_qty_revenue, sql_q18_top_quantity,
+# sql_q3_top_revenue — complete the rotation in round 14). Round-12
+# judge items need no displacement: all three ADVICE fixes are
+# contract/hygiene fixes landing on slate rows already in-window
+# (c35_scd1 insert-offset derivation, c34_peak_stream duration
+# contract, the r14 twins' slice-cache invalidation).
+# Frozen BEFORE any round-13 registration; judge items displace nothing.
+# ---------------------------------------------------------------------------
+_ROUND13_PRIORITY = [
+    # (1) the 15-row r14 slate (registered round 12, after that window
+    # froze), registration order — never driver-checked until now; the
+    # three stateful twins with new state shapes (heap, sketch-as-state,
+    # timeout arm) sit at the positions their batch anchors give them
+    "c4_tdigest", "c13_decay_topk", "c13_decay_topk_stream",
+    "c35_scd1", "c40_tcloseness", "c42_binning", "c42_onehot",
+    "c34_peak", "c34_peak_stream", "c16_sla_stream", "c43_ndcg",
+    "c4_tdigest_stream", "c27_ttl_stream", "c43_kappa",
+    "c37_split_tuning",
+    # (2) the 35 oldest r6-checked rows (name order), opening the bulk
+    # of the r6 rotation
+    "c11_rank", "c12_analytic_frames", "c14_except", "c16_date_fns",
+    "c18_array_fns", "c19_json_fns", "c1_filter", "c28_edit_verify",
+    "c29_ivf_ingest", "c29_triplets", "c30_chunk", "c30_decontaminate",
+    "c31_phash_dedup", "c31_shot_detect", "c32_group_split", "c32_pack",
+    "c32_stratified", "c33_fingerprint", "c33_ndv_sketch", "c34_cep",
+    "c35_diff", "c35_scd2", "c36_outer_join", "c37_skew_advisor",
+    "c37_zorder_files", "c3_pricing_summary", "c4_cms_join_card",
+    "c4_cms_stream", "c4_cms_topk", "c4_hist_quantiles",
+    "c4_sketch_inter", "c5_cube", "c6_bloom_join", "c6_broadcast_join",
+    "c7_multiway_join",
+]
+
+assert len(_ROUND13_PRIORITY) == 50, len(_ROUND13_PRIORITY)
+assert len(set(_ROUND13_PRIORITY)) == 50, "duplicate row in window"
+
+# ---------------------------------------------------------------------------
 # Window-freshness ledger (verdict r7 item 6). CURRENT_ROUND is bumped
 # when each round's window freezes. _REGISTERED_ROUND records the round
 # in which every not-yet-driver-windowed query was registered; queries
@@ -10578,7 +10682,7 @@ assert len(set(_ROUND12_PRIORITY)) == 50, "duplicate row in window"
 # in the current frozen window — the CI form of the r7 judge finding
 # that 69 queries outran the 50-row verification window.
 # ---------------------------------------------------------------------------
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 
 _REGISTERED_ROUND: dict[str, int] = {
     # r8 slate (registered during the round-7 session)
@@ -10645,6 +10749,9 @@ _REGISTERED_ROUND: dict[str, int] = {
     ]},
 }
 
+# (historical r12 comment; realized verbatim as _ROUND13_PRIORITY above —
+# all three r12 ADVICE items were contract fixes on in-window slate rows,
+# so no rotation row was displaced)
 # Round-13 window plan (to become _ROUND13_PRIORITY next round): the
 # 15-row r14 slate registered this session — c4_tdigest,
 # c13_decay_topk, c13_decay_topk_stream, c35_scd1, c40_tcloseness,
@@ -10810,7 +10917,7 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c35_merkle, c34_streaks — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
-QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND12_PRIORITY}
+QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND13_PRIORITY}
 QUERIES.update(
     {n: s for n, s in _QUERY_DEFS.items() if n not in QUERIES})
 assert len(QUERIES) == len(_QUERY_DEFS)

@@ -1080,6 +1080,12 @@ def _sweep_batch(ends: list, peak: int, peak_t: int, n: int, busy: int,
 
     for t, dur in items:
         t, dur = int(t), int(dur)
+        # input contract (r12 ADVICE): durations are non-negative — a
+        # negative dur would place the batch sweep's −1 boundary BEFORE
+        # its own start, a shape the lazy-pop heap cannot replay; fail
+        # loudly here instead of as a stream-only hash mismatch
+        if dur < 0:
+            raise ValueError(f"negative interval duration {dur} at t={t}")
         lo = bisect.bisect_right(ends, t)
         del ends[:lo]
         n += 1

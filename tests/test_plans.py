@@ -209,6 +209,8 @@ _BNLJ_ALLOWED = {
                             # self-exclusion (the c29_cosine_topk shape)
     "c43_kappa",            # ≤|labels|-row centroid broadcast + 1-row
                             # (n, agree) and pe-sum scalar broadcasts
+    "c35_scd1",             # 1-row derived insert-offset scalar
+                            # broadcast (greatest key + 1; r12 ADVICE)
 }
 
 

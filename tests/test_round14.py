@@ -124,7 +124,9 @@ def test_scd1_latest_version_wins_and_arms_route(spark):
     assert out[1]["version_line"] == 2 and out[1]["n_versions"] == 2
     assert out[2]["op"] == "K" and out[2]["price_cents"] == 20000
     assert out[2]["version_date"] is None
-    ins = out[997 * 3 + 1 + 30_000_000]
+    # insert offset = greatest key across base and feed, +1 (derived,
+    # not a constant — r12 ADVICE); here both maxima are 997*3+1
+    ins = out[(997 * 3 + 1) + (997 * 3 + 1 + 1)]
     assert ins["op"] == "I" and ins["price_cents"] == 4400
     assert ins["o_custkey"] is None
 
@@ -295,6 +297,20 @@ def test_peak_stream_kernel_half_open_pop_at_equal_instant(spark):
     s = _sweep_batch([], 0, -1, 0, 0, [(0, 10_000_000)])
     s = _sweep_batch(*s, [(10_000_000, 10_000_000)])
     assert s[1] == 1
+
+
+def test_peak_stream_kernel_rejects_negative_duration():
+    """r12 ADVICE: a negative duration would place the batch sweep's −1
+    boundary before its own start — a shape the lazy-pop heap cannot
+    replay, so the kernel must fail loudly, not diverge silently."""
+    import pytest
+
+    from kafka_streams_in_action_spark.streaming.stateful import (
+        _sweep_batch,
+    )
+
+    with pytest.raises(ValueError, match="negative interval duration"):
+        _sweep_batch([], 0, -1, 0, 0, [(5, -1)])
 
 
 # ------------------------------------------------------------ TTL state

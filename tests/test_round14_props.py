@@ -341,9 +341,12 @@ def test_scd1_matches_python_replay(spark):
         else:
             assert r["op"] == "K"
             assert r["price_cents"] == int(round(p * 100))
+    # derived insert offset: every order key appears in orders, so the
+    # base max dominates the feed max
+    off = max(k for k, _c, _p in orders) + 1
     for k in feed:
         if k % 997 == 1:
-            r = got[k + 30_000_000]
+            r = got[k + off]
             assert r["op"] == "I" and r["o_custkey"] is None
 
 
