@@ -268,6 +268,18 @@ HEADLINE = [
     "c27_ttl_stream",        # event-time TTL eviction, 4+flush batches
     "c43_kappa",             # int8-vs-float classifier agreement (kappa)
     "c37_split_tuning",      # input-split sizing verdict (plan proof)
+    # round-13 additions (the r15 slate)
+    "c24_session_stream",    # session-window merge state twin, 4 batches
+    "c6_bloom_index",        # persisted bloom index: write/reload/probe
+    "c37_zorder_maintain",   # incremental OPTIMIZE after appends
+    "c35_restore",           # version rollback re-publish
+    "c43_map",               # AP@10 of int8 vs exact ranking
+    "c43_auc",               # Mann-Whitney ROC-AUC, centroid detector
+    "c42_scaler",            # scaler fit stats, one exact pass
+    "c33_moments",           # skew/kurtosis from decimal power sums
+    "c38_sssp",              # weighted Bellman-Ford over trade graph
+    "c30_code_detect",       # structural code-vs-prose detector
+    "c31_tile",              # ViT-style patch grid, in-kernel sums
 ]
 
 
@@ -331,7 +343,8 @@ STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c35_cdc_stream", "c34_bursts_stream",
                   "c34_absence_stream", "c13_decay_topk_stream",
                   "c34_peak_stream", "c16_sla_stream",
-                  "c4_tdigest_stream", "c27_ttl_stream"]
+                  "c4_tdigest_stream", "c27_ttl_stream",
+                  "c24_session_stream"]
 
 # Micro-batch count each twin's availableNow replay executes (the fixed
 # replay floor is ~batches × stream_overhead_sec); all the file-split

@@ -245,3 +245,64 @@ def onehot_vocab(part: DataFrame, top_n: int = 5) -> DataFrame:
             .select("col_index", "value", "n_rows", "in_vocab",
                     F.expr("n_rows * 1000000 div n_total")
                     .alias("coverage_ppm")))
+
+
+def scaler_stats(lineitem: DataFrame) -> DataFrame:
+    """C42f (round 15): standard-scaler + min-max-scaler FIT statistics
+    per group — the fit/transform split every feature pipeline
+    persists: the transform is a per-row projection anywhere (training
+    job, serving path, another engine entirely), but only if the FIT
+    artifact (mean, variance, min, max per feature per segment) is
+    exact and engine-portable. One pass computes all of it per
+    (l_returnflag) segment over the extended price.
+
+    Exactness: prices quantize to exact cents; Σx and Σx² accumulate in
+    DECIMAL(38,0) — the sum of squared cents reaches ~1e28·rows, far
+    past BIGINT (the r11 lesson: cast BEFORE squaring) — and
+    mean/variance leave integer space only in the terminal closed forms
+    (population variance n·Σx² − (Σx)² over n², computed on
+    string-bridged doubles). The z-range columns (min/max standardized
+    value, in milli-units) prove the fit artifact actually standardizes
+    its own fit data — the sanity check a feature store runs before
+    publishing the scaler.
+
+    Scale: ONE map-side-combinable aggregate over the fact table;
+    output is |segments| rows. No window, no join, no second pass."""
+    dec = "decimal(38,0)"
+
+    def sb(col):
+        return col.cast("string").cast("double")
+
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) \
+        .cast("long")
+    per = (lineitem
+           .select(F.col("l_returnflag").alias("segment"),
+                   cents.alias("x"))
+           .groupBy("segment")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("x").cast(dec)).alias("s1"),
+                F.sum((F.col("x").cast(dec) * F.col("x").cast(dec)))
+                .alias("s2"),
+                F.min("x").alias("min_cents"),
+                F.max("x").alias("max_cents")))
+    n = F.col("n_rows").cast("double")
+    mean = sb(F.col("s1")) / n
+    var = (sb(F.col("s2")) * n - sb(F.col("s1")) * sb(F.col("s1"))) \
+        / (n * n)
+    std = F.sqrt(var)
+    def z_milli(col):
+        # guard the degenerate constant segment: std = 0 would float to
+        # ±Inf and ANSI-error at the long cast (lazy CASE skips it)
+        return F.when(var > 0,
+                      F.floor((col - mean) / std * 1000 + F.lit(0.5))
+                      .cast("long"))
+
+    return per.select(
+        "segment", "n_rows", "min_cents", "max_cents",
+        mean.alias("mean_cents"),
+        var.alias("var_cents2"),
+        # z-extremes of the fit data under the fit artifact, milli-z
+        z_milli(F.col("min_cents")).alias("zmin_milli"),
+        z_milli(F.col("max_cents")).alias("zmax_milli"),
+        # min-max scaler range width (the transform's denominator)
+        (F.col("max_cents") - F.col("min_cents")).alias("range_cents"))

@@ -633,6 +633,87 @@ def scc_trade(customer: DataFrame, orders: DataFrame,
                     "scc_label", "scc_size"))
 
 
+def sssp_trade(customer: DataFrame, orders: DataFrame,
+               lineitem: DataFrame, supplier: DataFrame,
+               nation: DataFrame, source: int = 0, top_edges: int = 3,
+               edges: DataFrame = None) -> DataFrame:
+    """C38 addendum (round 15): single-source WEIGHTED shortest paths
+    (Bellman-Ford relaxation) over the sparsified trade digraph — the
+    one frontier shape the C38 family lacked: every BFS row here
+    (reach, closeness, scc, eccentricity) measures HOPS; real routing,
+    cost attribution, and dependency-latency questions measure summed
+    EDGE COSTS, and the relaxation loop is the distributed primitive
+    for them (Bellman-Ford, 1958 — hop-bounded relaxation is exact for
+    non-negative integer costs and needs no priority queue, which is
+    why it distributes where Dijkstra does not).
+
+    Edge costs are small integers derived from the data
+    (1 + w mod 4 with w the lineitem-count edge weight — derived, not
+    assigned, so the DuckDB twin replays them from the same 4-table
+    join). Small costs bound the oracle too: its recursive CTE grows
+    DISTINCT (node, d) tuples with d ≤ (|nations|−1)·4, so the working
+    set stays ≤ |nations|·(4|nations|−3) rows — domain-bounded, never
+    path-enumeration-shaped.
+
+    Distributed shape: the eccentricity loop, but carrying min-cost
+    instead of first-reach round — each round joins the bounded
+    ≤|nations|-row distance vector to the bounded sparsified edge list,
+    takes the keyed min, and exits early when no distance improved
+    (checked via one bounded anti-join + one bounded inequality join —
+    both frames ≤|nations| rows). The 4-table edge build remains the
+    only data-scale work. Unreachable nations are excluded by
+    definition; the farthest/nearest verdicts are earned from the data
+    via a 1-row broadcast fold (the eccentricity discipline)."""
+    edges_all = (edges if edges is not None
+                 else trade_edges(customer, orders, lineitem, supplier))
+    w_rank = Window.partitionBy("src").orderBy(
+        F.col("w").desc(), F.col("dst"))
+    e = (edges_all
+         .withColumn("_rn", F.row_number().over(w_rank))
+         .filter(F.col("_rn") <= top_edges)
+         .select("src", "dst",
+                 (F.lit(1) + F.pmod(F.col("w"), F.lit(4)))
+                 .cast("long").alias("cost"))
+         .localCheckpoint())
+
+    spark = nation.sparkSession
+    n_nodes = nation.count()  # bounded: relaxation needs ≤ n-1 rounds
+    dist = (nation.filter(F.col("n_nationkey") == source)
+            .select(F.col("n_nationkey").alias("node"))
+            .withColumn("d", F.lit(0).cast("long")))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        dist = dist.localCheckpoint()
+        for _rnd in range(1, n_nodes):
+            cand = (dist.join(e, dist.node == e.src)
+                    .select(F.col("dst").alias("node"),
+                            (dist.d + F.col("cost")).alias("d")))
+            new = (dist.unionAll(cand)
+                   .groupBy("node").agg(F.min("d").alias("d"))
+                   .localCheckpoint())
+            grew = new.join(dist, "node", "left_anti")
+            better = (new.alias("n")
+                      .join(dist.alias("o"), "node")
+                      .filter(F.col("n.d") < F.col("o.d")))
+            improved = bool(grew.take(1)) or bool(better.take(1))
+            dist = new
+            if not improved:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    bounds = dist.agg(F.max("d").alias("max_cost"),
+                      F.count(F.lit(1)).alias("n_reached"))
+    return (dist
+            .join(F.broadcast(nation), dist.node == nation.n_nationkey)
+            .crossJoin(F.broadcast(bounds))
+            .select(F.col("node").alias("nationkey"),
+                    F.col("n_name").alias("nation"),
+                    F.col("d").alias("dist_cost"),
+                    "n_reached",
+                    (F.col("d") == F.col("max_cost")).alias("is_farthest")))
+
+
 def eccentricity_trade(customer: DataFrame, orders: DataFrame,
                        lineitem: DataFrame, supplier: DataFrame,
                        nation: DataFrame, top_edges: int = 3,

@@ -1080,3 +1080,49 @@ def dominant_colors(bmp_media: DataFrame) -> DataFrame:
         "doc_id", "width", "height", "dom_code", "dom_count", "n_pixels",
         (F.col("dom_count").cast("double")
          / F.col("n_pixels").cast("double")).alias("dom_share"))
+
+
+def tile_stats(bmp_media: DataFrame, gx: int = 4, gy: int = 3) -> DataFrame:
+    """C31 addendum (round 15): patch/tile grid extraction — the
+    ViT-style preprocessing step (image → fixed gx×gy patch grid →
+    per-patch statistics) that precedes any visual encoder in a
+    multimodal training pipeline. Decodes the REAL BMP pixel matrix
+    in the Arrow kernel, assigns each pixel column x to tile
+    tx = x·gx div w and row y to ty = y·gy div h (pure integer
+    monotone partition — both engines replay it), and emits per tile
+    the byte count, the exact BGR byte sum, and the milli-mean as ONE
+    integer division.
+
+    Scale: in-kernel fan-out of 1 → gx·gy bounded rows per image, zero
+    shuffle (the c31_exposure posture); payload bytes never leave the
+    kernel. The oracle recomputes every tile sum from the fixture
+    pixel formula with the same tile-index arithmetic."""
+    def tiles(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "tile_x": [], "tile_y": [],
+                   "n_bytes": [], "sum_val": [], "mean_milli": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = parse_bmp(bytes(payload))
+                px = rows.reshape(h, w, 3).astype(np.int64)
+                tx = (np.arange(w) * gx) // w
+                ty = (np.arange(h) * gy) // h
+                for t_y in range(gy):
+                    ys = ty == t_y
+                    for t_x in range(gx):
+                        xs = tx == t_x
+                        tile = px[np.ix_(ys, xs)]
+                        n = int(tile.size)
+                        s = int(tile.sum())
+                        out["doc_id"].append(doc_id)
+                        out["tile_x"].append(t_x)
+                        out["tile_y"].append(t_y)
+                        out["n_bytes"].append(n)
+                        out["sum_val"].append(s)
+                        out["mean_milli"].append(s * 1000 // n)
+            yield pd.DataFrame(out)
+
+    return bmp_media.select("doc_id", "payload").mapInPandas(
+        tiles, schema="doc_id long, tile_x int, tile_y int, "
+                      "n_bytes long, sum_val long, mean_milli long")

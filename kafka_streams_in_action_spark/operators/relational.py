@@ -2495,3 +2495,58 @@ def scd1_latest_merge(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.when(matched, F.lit("U"))
         .when(F.col("b.o_orderkey").isNotNull(), F.lit("K"))
         .otherwise(F.lit("I")).alias("op"))
+
+
+def group_moments(lineitem: DataFrame) -> DataFrame:
+    """C33 addendum (round 15): exact higher-moment group profile —
+    skewness and excess kurtosis per segment from ONE pass of raw
+    power sums, completing the C33 statistics ladder (mean/stddev/corr
+    landed in round 2; drift monitors compare precisely these shape
+    moments between corpus snapshots, because mean/variance alone miss
+    a fattening tail). Population formulas (Fisher g1, g2 − 3).
+
+    Exactness: prices quantize to exact cents; S1..S4 accumulate in
+    DECIMAL(38,0) — x⁴ ≈ 1e28 per row demands decimal BEFORE the first
+    multiply (the r11 overflow lesson), and headroom holds to ~1e9
+    rows per group — then the central-moment closed forms run on
+    string-bridged doubles, identical IEEE trees on both engines. The
+    raw sums ride along as DECIMAL→string columns so the hashed row
+    pins the exact integers, not just the folded doubles.
+
+    Scale: ONE map-side-combinable aggregate; |segments| output rows;
+    no window, no join, no second pass."""
+    dec = "decimal(38,0)"
+
+    def sb(col):
+        return col.cast("string").cast("double")
+
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) \
+        .cast("long")
+    xd = F.col("x").cast(dec)
+    x2 = xd * xd
+    per = (lineitem
+           .select(F.col("l_returnflag").alias("segment"),
+                   cents.alias("x"))
+           .groupBy("segment")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum(xd).alias("s1"),
+                F.sum(x2).alias("s2"),
+                F.sum(x2 * xd).alias("s3"),
+                F.sum(x2 * x2).alias("s4")))
+    n = F.col("n_rows").cast("double")
+    m = sb(F.col("s1")) / n
+    e2 = sb(F.col("s2")) / n
+    e3 = sb(F.col("s3")) / n
+    e4 = sb(F.col("s4")) / n
+    m2 = e2 - m * m
+    m3 = e3 - F.lit(3.0) * m * e2 + F.lit(2.0) * m * m * m
+    m4 = (e4 - F.lit(4.0) * m * e3 + F.lit(6.0) * m * m * e2
+          - F.lit(3.0) * m * m * m * m)
+    return per.select(
+        "segment", "n_rows",
+        F.col("s1").cast("string").alias("s1_cents"),
+        F.col("s2").cast("string").alias("s2_cents2"),
+        m.alias("mean_cents"),
+        m2.alias("var_cents2"),
+        F.when(m2 > 0, m3 / F.sqrt(m2 * m2 * m2)).alias("skewness"),
+        F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0)).alias("ex_kurtosis"))

@@ -1863,3 +1863,159 @@ def kappa_quantization_eval(embeddings: DataFrame) -> DataFrame:
                            F.col("kappa_num").cast("double")
                            / F.col("kappa_den").cast("double"))
                     .alias("kappa")))
+
+
+#: LCM(1..10) — the common denominator that makes every precision@i
+#: term (hits_i / i, i ≤ 10) an exact integer after scaling.
+_AP_LCM = 2520
+
+
+def map_eval(embeddings: DataFrame, n_queries: int = 10,
+             k: int = 10) -> DataFrame:
+    """C43c (round 15): average precision @k of the int8-quantized
+    cosine ranking against the exact float ranking, per query — the
+    order-sensitive companion to C43a's nDCG (nDCG discounts by log
+    rank; AP averages the precision AT each relevant hit, so it
+    punishes a single early miss harder — the metric TREC-style
+    retrieval evals report as MAP when averaged over queries). Binary
+    relevance = membership in the exact top-k, the C43a discipline.
+
+    Exactness: precision@i = hits_i / i with i ≤ k; every term scales
+    to an exact integer by the constant LCM(1..k) = 2520 (k = 10), so
+    ap_num = Σ rel_i·hits_i·(2520 div i) and ap_den = 2520·k are exact
+    BIGINTs and `ap` is ONE terminal division — no libm, no float
+    accumulation on either engine. The rankings themselves reuse the
+    C43a machinery (round(cos,6), neighbor-id tiebreaks).
+
+    Scale: broadcast-query shape (n_queries rows against the corpus);
+    the per-query window runs over ≤k rows; the eval join is bounded
+    by k² per query — never the corpus."""
+    assert k <= 10, "AP LCM constant covers ranks 1..10"
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    dq = F.when(amax == 0,
+                F.transform(F.col("v"), lambda x: F.lit(0.0))) \
+        .otherwise(F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / scale + F.lit(0.5)) * scale))
+    base = emb.select("vec_id", "v", dq.alias("dq"))
+    q = (base.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("dq").alias("qdq")))
+    pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+
+    def topk(sim_col, out_name):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(out_name).desc(), F.col("neighbor_id"))
+        return (pairs.select("query_id",
+                             F.col("vec_id").alias("neighbor_id"),
+                             F.round(sim_col, 6).alias(out_name))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k))
+
+    exact = topk(_cosine(F.col("qv"), F.col("v")), "sim_exact") \
+        .select("query_id", "neighbor_id")
+    cand = topk(_cosine(F.col("qdq"), F.col("dq")), "sim_q")
+    scored = (cand.join(exact.withColumn("rel", F.lit(1)),
+                        ["query_id", "neighbor_id"], "left")
+              .select("query_id", "rn",
+                      F.coalesce("rel", F.lit(0)).alias("rel")))
+    wk = Window.partitionBy("query_id").orderBy("rn") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    terms = (scored
+             .withColumn("hits", F.sum("rel").over(wk))
+             .select("query_id", "rel",
+                     (F.col("rel") * F.col("hits")
+                      * (F.lit(_AP_LCM) / F.col("rn")).cast("long"))
+                     .alias("term")))
+    per_q = (terms.groupBy("query_id")
+             .agg(F.sum("rel").cast("long").alias("n_hits"),
+                  F.sum("term").cast("long").alias("ap_num")))
+    return per_q.select(
+        "query_id", "n_hits", "ap_num",
+        F.lit(_AP_LCM * k).cast("long").alias("ap_den"),
+        (F.col("ap_num").cast("double") / F.lit(float(_AP_LCM * k)))
+        .alias("ap"),
+        F.expr(f"n_hits * 1000000 div {k}").alias("p_at_k_ppm"))
+
+
+def auc_eval(embeddings: DataFrame) -> DataFrame:
+    """C43d (round 15): exact ROC-AUC of the nearest-centroid similarity
+    score as a per-label detector — "how well does cosine-to-the-label-
+    centroid separate that label from the rest?", the threshold-free
+    classifier eval that completes the C43 family (ranking quality
+    C43a/C43c, label agreement C43b, detector quality here). AUC is
+    computed as the Mann-Whitney U statistic (AUC = P(score_pos >
+    score_neg) + ½·P(tie)), never by trapezoid integration — exact and
+    engine-identical.
+
+    Exactness and scale share one trick: scores round to 6dp (the
+    corpus ranking discipline), so the per-label score HISTOGRAM is
+    domain-bounded (≤ 2e6+1 distinct values in [-1, 1]) and U folds
+    over it without ever ranking the corpus: with the histogram ordered
+    by score, U2 = Σ_s n_pos(s)·(2·Σ_{s'<s} n_neg(s') + n_neg(s)) — the
+    2× carries the ½-tie credit as an integer. The cumulative window is
+    PARTITIONED by label and runs over the bounded histogram, and
+    auc = U2 / (2·n_pos·n_neg) is ONE terminal division, emitted beside
+    its exact numerator/denominator pair (the kappa discipline).
+
+    Scale: centroids via one posexplode agg (≤|labels|·dims rows,
+    broadcast); scoring is a bounded-broadcast non-equi join in column
+    algebra; everything after runs on the bounded histogram."""
+    dec = "decimal(38,0)"
+
+    def sb(col):
+        return col.cast("string").cast("double")
+
+    emb = embeddings.select(
+        "vec_id", F.col("label").alias("true_label"),
+        F.col("embedding").cast("array<double>").alias("v"))
+    per = (emb.select("true_label",
+                      F.posexplode("v").alias("dim", "x"))
+           .select("true_label", "dim",
+                   F.floor(F.col("x") * 1_000_000 + F.lit(0.5))
+                   .cast("long").alias("q")))
+    sums = (per.groupBy("true_label", "dim")
+            .agg(F.sum(F.col("q").cast(dec)).alias("s"),
+                 F.count(F.lit(1)).alias("n_l")))
+    cent = sums.select(
+        F.col("true_label").alias("label"), "dim",
+        (sb(F.col("s")) / F.col("n_l").cast("double") / F.lit(1e6))
+        .alias("c"))
+    cent_arr = (cent.groupBy("label")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s["c"]).alias("cvec")))
+
+    scored = (emb.crossJoin(F.broadcast(cent_arr))
+              .select(F.col("label"),
+                      F.round(_cosine(F.col("v"), F.col("cvec")), 6)
+                      .alias("score"),
+                      (F.col("true_label") == F.col("label"))
+                      .cast("long").alias("is_pos")))
+    hist = (scored.groupBy("label", "score")
+            .agg(F.sum("is_pos").cast("long").alias("n_pos"),
+                 F.sum(F.lit(1) - F.col("is_pos")).cast("long")
+                 .alias("n_neg")))
+    wcum = Window.partitionBy("label").orderBy("score") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    u2 = (hist
+          .withColumn("neg_below",
+                      F.coalesce(F.sum("n_neg").over(wcum),
+                                 F.lit(0).cast("long")))
+          .groupBy("label")
+          .agg(F.sum(F.col("n_pos")
+                     * (F.lit(2) * F.col("neg_below") + F.col("n_neg")))
+               .cast("long").alias("auc_num"),
+               F.sum("n_pos").cast("long").alias("n_pos"),
+               F.sum("n_neg").cast("long").alias("n_neg")))
+    return u2.select(
+        "label", "n_pos", "n_neg", "auc_num",
+        (F.lit(2) * F.col("n_pos") * F.col("n_neg")).alias("auc_den"),
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+               F.col("auc_num").cast("double")
+               / (F.lit(2.0) * F.col("n_pos").cast("double")
+                  * F.col("n_neg").cast("double")))
+        .alias("auc"))

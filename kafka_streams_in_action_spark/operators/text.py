@@ -1021,3 +1021,49 @@ def pii_scan(documents: DataFrame) -> DataFrame:
         .alias("n_phones"),
         F.length(scrubbed).alias("scrubbed_len"),
         F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"))
+
+
+def code_detect(documents: DataFrame) -> DataFrame:
+    """C30 addendum (round 15): code-vs-prose detection — the cheap
+    structural classifier every pretraining pipeline runs before
+    routing documents to the code or prose pipeline (symbol density,
+    digit density, statement punctuation — the deterministic first
+    stage that gates the expensive learned classifier). The fixture
+    corpus is prose, so code-shaped text is PLANTED first (every 11th
+    document gains a code block with braces/semicolons/assignments,
+    the c30_pii prove-it-detects discipline) and the detector must
+    fire on exactly the planted rows.
+
+    Features are exact integers from pure per-row string algebra in
+    whole-stage codegen (no shuffle, no UDF): character-class counts
+    via regexp_replace length deltas, the statement-punctuation count
+    via replace, token count by the corpus split discipline. The
+    score is an integer ppm blend — 3·symbols + digits + 10·semicolons
+    per character — with the decision threshold at 40000 ppm; both
+    engines replay the identical arithmetic."""
+    code = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.col("text"),
+                 F.lit(" int f(int x) { int y = x * 31; return y; }")),
+    ).otherwise(F.col("text"))
+    d = documents.select("doc_id", "source", code.alias("t"))
+    n_chars = F.length("t")
+    n_sym = n_chars - F.length(
+        F.regexp_replace(F.col("t"), "[^a-zA-Z0-9 ]", ""))
+    n_digit = n_chars - F.length(
+        F.regexp_replace(F.col("t"), "[0-9]", ""))
+    n_semi = n_chars - F.length(F.replace(F.col("t"), F.lit(";")))
+    n_tokens = F.size(F.split(F.trim(F.col("t")), " "))
+    return d.select(
+        "doc_id", "source",
+        n_chars.cast("long").alias("n_chars"),
+        n_sym.cast("long").alias("n_sym"),
+        n_digit.cast("long").alias("n_digit"),
+        n_semi.cast("long").alias("n_semi"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.expr("(3 * (length(t) - length(regexp_replace(t,"
+               " '[^a-zA-Z0-9 ]', '')))"
+               " + (length(t) - length(regexp_replace(t, '[0-9]', '')))"
+               " + 10 * (length(t) - length(replace(t, ';', ''))))"
+               " * 1000000 div length(t)").alias("code_score_ppm"),
+    ).withColumn("is_code", F.col("code_score_ppm") >= 40000)

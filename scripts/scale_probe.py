@@ -362,6 +362,18 @@ PROBE_QUERIES = [
     "c27_ttl_stream",       # TTL eviction state machine, 5 batches
     "c43_kappa",            # centroid classifiers + exact kappa fraction
     "c37_split_tuning",     # one staged write + two planned scans
+    # round-13 additions (r15 slate)
+    "c24_session_stream",   # session_window merge state, 4 batches
+    "c6_bloom_index",       # index write/reload + pruned probe
+    "c37_zorder_maintain",  # base write + append + bounded OPTIMIZE
+    "c35_restore",          # 4 version writes + serving read-back
+    "c43_map",              # bounded query-broadcast eval, k^2 join
+    "c43_auc",              # centroid scoring + bounded histogram fold
+    "c42_scaler",           # one decimal power-sum agg
+    "c33_moments",          # one decimal power-sum agg (to x^4)
+    "c38_sssp",             # 4-table edge build + bounded relaxation
+    "c30_code_detect",      # per-row string algebra, no shuffle
+    "c31_tile",             # in-kernel decode + 12-tile sums, 0 shuffle
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

@@ -211,6 +211,16 @@ _BNLJ_ALLOWED = {
                             # (n, agree) and pe-sum scalar broadcasts
     "c35_scd1",             # 1-row derived insert-offset scalar
                             # broadcast (greatest key + 1; r12 ADVICE)
+    "c43_map",              # 10-row query broadcast, non-equi
+                            # self-exclusion (the c29_cosine_topk shape)
+    "c43_auc",              # ≤|labels|-row centroid broadcast + the
+                            # bounded per-label histogram fold
+    "c6_bloom_index",       # 1-row verdict-count scalar broadcasts
+                            # (the c6_bloom_join shape + roundtrip agg)
+    "c37_zorder_maintain",  # 1-row audit-count scalar crossjoins
+    "c35_restore",          # 1-row audit-count scalar crossjoin
+    "c38_sssp",             # 1-row (max_cost, n_reached) scalar
+                            # broadcast (the eccentricity shape)
 }
 
 
@@ -434,7 +444,16 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c37_split_tuning",
                     # all-sources BFS loop checkpoints bounded frames +
                     # node-count + empty-frontier probe at build (r13)
-                    "c38_eccentricity"):
+                    "c38_eccentricity",
+                    # replays the availableNow stream at build (r15)
+                    "c24_session_stream",
+                    # writes + reloads the index / table / version
+                    # files at build by design (r15)
+                    "c6_bloom_index", "c37_zorder_maintain",
+                    "c35_restore",
+                    # relaxation loop checkpoints bounded distance
+                    # frames + improvement probes at build (r15)
+                    "c38_sssp"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)
