@@ -11224,6 +11224,27 @@ _REGISTERED_ROUND: dict[str, int] = {
     ]},
 }
 
+# Round-14 window plan (to become _ROUND14_PRIORITY next round): the
+# 11-row r15 slate registered this session — c24_session_stream,
+# c6_bloom_index, c37_zorder_maintain, c35_restore, c43_map, c43_auc,
+# c42_scaler, c33_moments, c38_sssp, c30_code_detect, c31_tile — leads
+# the window (every row three-scale sim-green and float-bit-exact this
+# session); the 4 remaining r6-checked rows follow, completing the r6
+# rotation (c8_left_join, sql_q17_small_qty_revenue,
+# sql_q18_top_quantity, sql_q3_top_revenue); the last 35 slots take the
+# 35 oldest r7-checked rows in name order (a13_proto_roundtrip,
+# a15_partition_ordered, a16_commit_offsets, a2_kafka_surface,
+# a6_derive_total, c12_ewma, c13_topk, c14_union_all, c15_string_fns,
+# c16_resample, c17_math_fns, c18_explode, c25_late_data,
+# c29_clusters_lsh, c29_ivf_ann, c29_lsh_ann, c29_matryoshka,
+# c29_minhash_clusters, c29_minhash_lsh, c29_minhash_reingest,
+# c29_quantize_int8, c29_simhash, c2_project_scalar, c30_novelty,
+# c30_rake, c32_mix_report, c32_sample, c32_shard_shuffle, c32_split,
+# c32_split_summary, c32_winsorize, c33_anomaly, c33_anomaly_stream,
+# c33_benford, c33_drift); the remaining 15 r7 rows
+# (c33_expectations … sql_q20_promo_suppliers) rotate in round 15.
+# Judge items displace from the rotation tail only, never the r15 rows.
+
 # (historical r12 comment; realized verbatim as _ROUND13_PRIORITY above —
 # all three r12 ADVICE items were contract fixes on in-window slate rows,
 # so no rotation row was displaced)
