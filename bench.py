@@ -270,6 +270,8 @@ HEADLINE = [
     "c37_split_tuning",      # input-split sizing verdict (plan proof)
     # round-13 additions (the r15 slate)
     "c24_session_stream",    # session-window merge state twin, 4 batches
+    "c22_tumbling_stream",   # tumbling append-mode twin, 4 batches
+    "c23_sliding_stream",    # sliding append-mode twin, 4 batches
     "c6_bloom_index",        # persisted bloom index: write/reload/probe
     "c37_zorder_maintain",   # incremental OPTIMIZE after appends
     "c35_restore",           # version rollback re-publish
@@ -344,7 +346,8 @@ STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c34_absence_stream", "c13_decay_topk_stream",
                   "c34_peak_stream", "c16_sla_stream",
                   "c4_tdigest_stream", "c27_ttl_stream",
-                  "c24_session_stream"]
+                  "c24_session_stream", "c22_tumbling_stream",
+                  "c23_sliding_stream"]
 
 # Micro-batch count each twin's availableNow replay executes (the fixed
 # replay floor is ~batches × stream_overhead_sec); all the file-split

@@ -2354,6 +2354,85 @@ def _peak_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("busy_seconds"))
 
 
+def _sentinel_windowed_stream(spark: SparkSession, sf_dir: str,
+                              stream_fn, name: str) -> DataFrame:
+    """Shared harness for the windowed-agg streaming twins (C22-s/C23-s/
+    C24-s): stage the events plus ONE far-future sentinel row (non-user
+    key −1, ts = max + 90 min) into 4 time slices, run `stream_fn` over
+    them in availableNow APPEND mode with a delay-0 watermark, and read
+    the memory sink. The sentinel advances the final no-data batch's
+    watermark past every real window's end (tumble/slide ends ≤
+    ceil-boundary(max) ≤ max + 60 min; session ends ≤ max + gap), so
+    append flushes ALL real windows exactly once, while every window
+    containing the sentinel starts strictly after max(ts) (90 > any
+    window span) — holds no real events, never closes, never emits.
+    Cross-batch safety: slices are time-ordered, so any event that could
+    still enter a window arrives while the window's end exceeds the
+    watermark — early emission is impossible."""
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value")
+    bound = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts"))
+    sentinel = bound.select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        "ts",
+        F.lit(0.0).alias("value"))
+    staged = ev.unionByName(sentinel)
+    src = tempfile.mkdtemp(prefix=f"{name}_")
+    _write_time_slices(staged, src)   # max ts → sentinel rides slice 4
+    sink = f"{name}_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        q = (stream_fn(spark.readStream.schema(staged.schema)
+                       .option("maxFilesPerTrigger", 1).parquet(src))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    return spark.table(sink)
+
+
+def _tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22 streaming twin, driver-visible (round 15): the watermarked
+    tumbling aggregation across 4 real micro-batches in APPEND mode —
+    each hour window emits exactly once, when the watermark passes its
+    end; the sentinel flushes the tail (see _sentinel_windowed_stream).
+    SAME oracle as the batch c22_tumbling_window; the sentinel's own
+    window never emits (filtered defensively anyway)."""
+    from ..streaming.stateful import tumbling_counts_stream
+
+    return _sentinel_windowed_stream(
+        spark, sf_dir,
+        lambda s: tumbling_counts_stream(s, watermark="0 seconds"),
+        "c22_tumbling_stream").filter(F.col("event_type") != "sentinel")
+
+
+def _sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23 streaming twin, driver-visible (round 15): the watermarked
+    1h/15m sliding aggregation in APPEND mode — every event lands in 4
+    overlapping windows held in the state store until the watermark
+    closes each; the sentinel's four windows all start after max(ts),
+    hold no real events, and never emit, so the sink rows are exactly
+    the batch expansion. SAME oracle as the batch c23_sliding_window;
+    windows strictly after max(ts) are excluded defensively (only the
+    sentinel's could live there, and only if a future Spark changed
+    append-mode flush semantics)."""
+    from ..streaming.stateful import sliding_counts_stream
+
+    out = _sentinel_windowed_stream(
+        spark, sf_dir,
+        lambda s: sliding_counts_stream(s, watermark="0 seconds"),
+        "c23_sliding_stream")
+    ev_max = load_table(spark, "events", sf_dir).agg(
+        F.max("ts").alias("mx"))
+    return (out.crossJoin(F.broadcast(ev_max))
+            .filter(F.col("win_start") <= F.col("mx")).drop("mx"))
+
+
 def _session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C24 streaming twin, driver-visible (round 15; judge r12 item 7
     named the gap): the built-in session_window MERGING sessions in the
@@ -2372,35 +2451,12 @@ def _session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-batch safety: slices are time-ordered (the staging contract),
     so a session that an incoming batch-boundary event could merge into
     must still have end > watermark and cannot have emitted early."""
-    import tempfile
-    import uuid
-
     from ..streaming.stateful import session_counts_stream
 
-    ev = load_table(spark, "events", sf_dir).select(
-        "event_id", "user_id", "event_type", "ts", "value")
-    bound = ev.agg(
-        (F.max("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts"))
-    sentinel = bound.select(
-        F.lit(-1).cast("long").alias("event_id"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("sentinel").alias("event_type"),
-        "ts",
-        F.lit(0.0).alias("value"))
-    staged = ev.unionByName(sentinel)
-    src = tempfile.mkdtemp(prefix="c24_session_stream_")
-    _write_time_slices(staged, src)   # max ts → sentinel rides slice 4
-    sink = f"c24_session_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
-        q = (session_counts_stream(
-                spark.readStream.schema(staged.schema)
-                .option("maxFilesPerTrigger", 1).parquet(src),
-                watermark="0 seconds")
-             .writeStream.format("memory").queryName(sink)
-             .outputMode("append").trigger(availableNow=True)
-             .start())
-        _await_bounded(q)
-    return spark.table(sink).filter(F.col("user_id") >= 0)
+    return _sentinel_windowed_stream(
+        spark, sf_dir,
+        lambda s: session_counts_stream(s, watermark="0 seconds"),
+        "c24_session_stream").filter(F.col("user_id") >= 0)
 
 
 def _bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10614,6 +10670,28 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                {DSUM.format(x='value')} AS sum_value
         FROM sessioned GROUP BY user_id, sid
         """),
+    "c22_tumbling_stream": QuerySpec(
+        # C22 streaming twin: watermarked tumbling agg in APPEND mode
+        # across 4 micro-batches, sentinel-flushed; SAME oracle as the
+        # batch row.
+        _tumbling_stream,
+        f"""
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               count(*) AS n, {DSUM.format(x='value')} AS sum_value
+        FROM events GROUP BY 1, 2
+        """),
+    "c23_sliding_stream": QuerySpec(
+        # C23 streaming twin: 1h/15m sliding agg in APPEND mode —
+        # 4 overlapping windows per event in the state store; SAME
+        # oracle as the batch row.
+        _sliding_stream,
+        f"""
+        SELECT (to_timestamp(floor(epoch(ts) / 900) * 900 - k * 900))::TIMESTAMP
+                   AS win_start,
+               count(*) AS n, {DSUM.format(x='value')} AS sum_value
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) expand
+        GROUP BY 1
+        """),
     "c6_bloom_index": QuerySpec(
         # C6b addendum: persisted bloom index files — build, write,
         # reload, probe; exact counts replayed, invariants earned.
@@ -11221,28 +11299,30 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c24_session_stream", "c6_bloom_index", "c37_zorder_maintain",
         "c35_restore", "c43_map", "c43_auc", "c42_scaler",
         "c33_moments", "c38_sssp", "c30_code_detect", "c31_tile",
+        # second tranche (same session)
+        "c22_tumbling_stream", "c23_sliding_stream",
     ]},
 }
 
 # Round-14 window plan (to become _ROUND14_PRIORITY next round): the
-# 11-row r15 slate registered this session — c24_session_stream,
+# 13-row r15 slate registered this session — c24_session_stream,
 # c6_bloom_index, c37_zorder_maintain, c35_restore, c43_map, c43_auc,
-# c42_scaler, c33_moments, c38_sssp, c30_code_detect, c31_tile — leads
-# the window (every row three-scale sim-green and float-bit-exact this
-# session); the 4 remaining r6-checked rows follow, completing the r6
-# rotation (c8_left_join, sql_q17_small_qty_revenue,
-# sql_q18_top_quantity, sql_q3_top_revenue); the last 35 slots take the
-# 35 oldest r7-checked rows in name order (a13_proto_roundtrip,
-# a15_partition_ordered, a16_commit_offsets, a2_kafka_surface,
-# a6_derive_total, c12_ewma, c13_topk, c14_union_all, c15_string_fns,
-# c16_resample, c17_math_fns, c18_explode, c25_late_data,
-# c29_clusters_lsh, c29_ivf_ann, c29_lsh_ann, c29_matryoshka,
-# c29_minhash_clusters, c29_minhash_lsh, c29_minhash_reingest,
-# c29_quantize_int8, c29_simhash, c2_project_scalar, c30_novelty,
-# c30_rake, c32_mix_report, c32_sample, c32_shard_shuffle, c32_split,
-# c32_split_summary, c32_winsorize, c33_anomaly, c33_anomaly_stream,
-# c33_benford, c33_drift); the remaining 15 r7 rows
-# (c33_expectations … sql_q20_promo_suppliers) rotate in round 15.
+# c42_scaler, c33_moments, c38_sssp, c30_code_detect, c31_tile,
+# c22_tumbling_stream, c23_sliding_stream — leads the window (every
+# row three-scale sim-green and float-bit-exact this session); the 4
+# remaining r6-checked rows follow, completing the r6 rotation
+# (c8_left_join, sql_q17_small_qty_revenue, sql_q18_top_quantity,
+# sql_q3_top_revenue); the last 33 slots take the 33 oldest r7-checked
+# rows in name order (a13_proto_roundtrip, a15_partition_ordered,
+# a16_commit_offsets, a2_kafka_surface, a6_derive_total, c12_ewma,
+# c13_topk, c14_union_all, c15_string_fns, c16_resample, c17_math_fns,
+# c18_explode, c25_late_data, c29_clusters_lsh, c29_ivf_ann,
+# c29_lsh_ann, c29_matryoshka, c29_minhash_clusters, c29_minhash_lsh,
+# c29_minhash_reingest, c29_quantize_int8, c29_simhash,
+# c2_project_scalar, c30_novelty, c30_rake, c32_mix_report,
+# c32_sample, c32_shard_shuffle, c32_split, c32_split_summary,
+# c32_winsorize, c33_anomaly, c33_anomaly_stream); the remaining 17 r7
+# rows (c33_benford … sql_q20_promo_suppliers) rotate in round 15.
 # Judge items displace from the rotation tail only, never the r15 rows.
 
 # (historical r12 comment; realized verbatim as _ROUND13_PRIORITY above —

@@ -364,6 +364,8 @@ PROBE_QUERIES = [
     "c37_split_tuning",     # one staged write + two planned scans
     # round-13 additions (r15 slate)
     "c24_session_stream",   # session_window merge state, 4 batches
+    "c22_tumbling_stream",  # tumbling append-mode twin, 4 batches
+    "c23_sliding_stream",   # sliding append-mode twin, 4 batches
     "c6_bloom_index",       # index write/reload + pruned probe
     "c37_zorder_maintain",  # base write + append + bounded OPTIMIZE
     "c35_restore",          # 4 version writes + serving read-back

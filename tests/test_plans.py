@@ -221,6 +221,8 @@ _BNLJ_ALLOWED = {
     "c35_restore",          # 1-row audit-count scalar crossjoin
     "c38_sssp",             # 1-row (max_cost, n_reached) scalar
                             # broadcast (the eccentricity shape)
+    "c23_sliding_stream",   # 1-row max-event-time scalar on the read
+                            # side (the c25_late_data class)
 }
 
 
@@ -446,7 +448,8 @@ def test_no_driver_side_collect_in_queries(spark):
                     # node-count + empty-frontier probe at build (r13)
                     "c38_eccentricity",
                     # replays the availableNow stream at build (r15)
-                    "c24_session_stream",
+                    "c24_session_stream", "c22_tumbling_stream",
+                    "c23_sliding_stream",
                     # writes + reloads the index / table / version
                     # files at build by design (r15)
                     "c6_bloom_index", "c37_zorder_maintain",

@@ -277,3 +277,28 @@ def test_tile_stats_match_pixel_formula(spark):
         assert out[key]["n_bytes"] == n
         assert out[key]["sum_val"] == s
         assert out[key]["mean_milli"] == s * 1000 // n
+
+
+def test_tumbling_and_sliding_streams_match_batch_in_append_mode(spark):
+    """C22-s/C23-s: the shared sentinel harness must flush every real
+    window in append mode — equality with the batch forms, including
+    the windows near the corpus end."""
+    from kafka_streams_in_action_spark.operators.event_time import (
+        sliding_counts, tumbling_counts,
+    )
+    from kafka_streams_in_action_spark.plans.queries import QUERIES
+    from kafka_streams_in_action_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, "events", sf)
+    b_t = {(r["hour_start"], r["event_type"], r["n"]):
+           round(r["sum_value"], 6) for r in tumbling_counts(ev).collect()}
+    s_t = {(r["hour_start"], r["event_type"], r["n"]):
+           round(r["sum_value"], 6)
+           for r in QUERIES["c22_tumbling_stream"].fn(spark, sf).collect()}
+    assert s_t == b_t and len(s_t) > 0
+    b_s = {(r["win_start"], r["n"]): round(r["sum_value"], 6)
+           for r in sliding_counts(ev).collect()}
+    s_s = {(r["win_start"], r["n"]): round(r["sum_value"], 6)
+           for r in QUERIES["c23_sliding_stream"].fn(spark, sf).collect()}
+    assert s_s == b_s and len(s_s) > 0
