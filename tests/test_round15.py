@@ -302,3 +302,40 @@ def test_tumbling_and_sliding_streams_match_batch_in_append_mode(spark):
     s_s = {(r["win_start"], r["n"]): round(r["sum_value"], 6)
            for r in QUERIES["c23_sliding_stream"].fn(spark, sf).collect()}
     assert s_s == b_s and len(s_s) > 0
+
+
+# ----------------------------------------------------- slicer ranks
+
+
+def test_write_time_slices_exact_ntile_without_global_sort(spark, tmp_path):
+    """The distributed-rank slicer must reproduce EXACT ntile(4) over
+    (ts, event_id): 17 rows → slice sizes 5,4,4,4, every slice a
+    contiguous time range, file mtimes strictly increasing."""
+    import os
+
+    from kafka_streams_in_action_spark.plans.queries import (
+        _write_time_slices,
+    )
+
+    rows = [(i, TS0 + dt.timedelta(minutes=i), 1, "view", 1.0)
+            for i in range(17)]
+    src = str(tmp_path / "slices")
+    os.makedirs(src)
+    _write_time_slices(_events(spark, rows), src)
+    files = sorted(
+        (os.path.getmtime(os.path.join(src, f)), f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    mtimes = [m for m, _ in files]
+    assert mtimes == sorted(set(mtimes)), "mtimes must strictly increase"
+    seen = []
+    sizes = []
+    for _m, f in files:
+        ids = sorted(r["event_id"] for r in
+                     spark.read.parquet(os.path.join(src, f)).collect())
+        if ids:
+            seen.append(ids)
+            sizes.append(len(ids))
+    assert sizes == [5, 4, 4, 4]
+    flat = [i for ids in seen for i in ids]
+    assert flat == list(range(17)), "slices must partition the time order"
