@@ -2354,6 +2354,38 @@ def _peak_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("busy_seconds"))
 
 
+#: Shared sentinel-staged slice directories (C22-s/C23-s/C24-s), keyed
+#: like _SLICE_CACHE on (sf_dir, events mtime, size) so a rewritten
+#: source invalidates the cache; dirs registered for atexit cleanup.
+_SENTINEL_SLICE_CACHE: dict[tuple, str] = {}
+
+
+def _staged_sentinel_slices(spark: SparkSession, sf_dir: str,
+                            ev: DataFrame) -> str:
+    import os
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    src = _SENTINEL_SLICE_CACHE.get(key)
+    if src is None:
+        import atexit
+        import shutil
+        import tempfile
+        bound = ev.agg(
+            (F.max("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts"))
+        sentinel = bound.select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            "ts",
+            F.lit(0.0).alias("value"))
+        src = tempfile.mkdtemp(prefix="sentinel_slices_")
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+        # max ts → the sentinel rides the last slice
+        _write_time_slices(ev.unionByName(sentinel), src)
+        _SENTINEL_SLICE_CACHE[key] = src
+    return src
+
+
 def _sentinel_windowed_stream(spark: SparkSession, sf_dir: str,
                               stream_fn, name: str) -> DataFrame:
     """Shared harness for the windowed-agg streaming twins (C22-s/C23-s/
@@ -2368,23 +2400,18 @@ def _sentinel_windowed_stream(spark: SparkSession, sf_dir: str,
     window span) — holds no real events, never closes, never emits.
     Cross-batch safety: slices are time-ordered, so any event that could
     still enter a window arrives while the window's end exceeds the
-    watermark — early emission is impossible."""
-    import tempfile
+    watermark — early emission is impossible.
+
+    The three twins stage IDENTICAL content (events + the one sentinel
+    row), so the staged directory is shared per process through the
+    same mtime/size-keyed cache discipline as _SLICE_CACHE — the
+    sentinel staging is paid once, not once per twin."""
     import uuid
 
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "user_id", "event_type", "ts", "value")
-    bound = ev.agg(
-        (F.max("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts"))
-    sentinel = bound.select(
-        F.lit(-1).cast("long").alias("event_id"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("sentinel").alias("event_type"),
-        "ts",
-        F.lit(0.0).alias("value"))
-    staged = ev.unionByName(sentinel)
-    src = tempfile.mkdtemp(prefix=f"{name}_")
-    _write_time_slices(staged, src)   # max ts → sentinel rides slice 4
+    src = _staged_sentinel_slices(spark, sf_dir, ev)
+    staged = ev  # schema reference only (sentinel shares it)
     sink = f"{name}_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
         q = (stream_fn(spark.readStream.schema(staged.schema)
