@@ -1060,3 +1060,23 @@ def test_r14_binning_sorts_only_the_bounded_histogram(spark):
     import re
     plan = plan_of(_q(spark, "c42_binning"))
     assert len(re.findall(r"\bSort\b", plan)) == 1
+
+
+def test_r15_one_pass_aggs_stay_one_exchange(spark):
+    """C42f/C33z: the scaler-fit and higher-moment profiles are ONE
+    map-side-combinable aggregate — exactly one Exchange (partial →
+    final), no Join, no Sort anywhere."""
+    for name in ("c42_scaler", "c33_moments"):
+        plan = plan_of(_q(spark, name))
+        assert plan.count("Exchange") == 1, (name, plan)
+        assert "Join" not in plan, name
+        assert "Sort" not in plan, name
+
+
+def test_r15_row_local_scans_never_shuffle(spark):
+    """C30ab/C31s: the code detector is a pure per-row projection and
+    the patch tiler an in-kernel 1→12 fan-out — ZERO Exchange nodes;
+    text/payload bytes never shuffle."""
+    for name in ("c30_code_detect", "c31_tile"):
+        plan = plan_of(_q(spark, name))
+        assert "Exchange" not in plan, (name, plan)
