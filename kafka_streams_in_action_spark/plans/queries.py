@@ -11245,6 +11245,48 @@ assert len(_ROUND13_PRIORITY) == 50, len(_ROUND13_PRIORITY)
 assert len(set(_ROUND13_PRIORITY)) == 50, "duplicate row in window"
 
 # ---------------------------------------------------------------------------
+# Round-14 frozen window (verdict r13 item 1), realizing the drafted
+# round-14 plan verbatim. The 13-row r15 slate — the only registered
+# queries that have never held a driver CORRECTNESS row (judge-sim
+# green + float-bit-exact at r13 judging, but the driver hash is the
+# only hard signal) — leads in registration order; the last 4
+# r6-checked rows follow, making the r6 freshness cohort extinct; the
+# remaining 33 slots take the 33 oldest r7-checked rows in name order
+# (the other 17 r7 rows rotate in round 15). Frozen BEFORE any
+# round-14 registration; r13 judge items (bloom m_bits scaling,
+# earned restore verdict, assert→raise, mkdtemp cleanup) are
+# contract/hygiene fixes landing on slate rows already in-window
+# (c6_bloom_index, c35_restore, c37_zorder_maintain, the twins'
+# slice writer), so no rotation row is displaced.
+# ---------------------------------------------------------------------------
+_ROUND14_PRIORITY = [
+    # (1) the 13-row r15 slate (registered round 13, after that window
+    # froze), registration order — never driver-checked until now
+    "c24_session_stream", "c6_bloom_index", "c37_zorder_maintain",
+    "c35_restore", "c43_map", "c43_auc", "c42_scaler", "c33_moments",
+    "c38_sssp", "c30_code_detect", "c31_tile",
+    "c22_tumbling_stream", "c23_sliding_stream",
+    # (2) the last 4 r6-checked rows — r6 cohort extinct after this
+    "c8_left_join", "sql_q17_small_qty_revenue", "sql_q18_top_quantity",
+    "sql_q3_top_revenue",
+    # (3) the 33 oldest r7-checked rows (name order), opening the r7
+    # rotation; the remaining 17 r7 rows rotate in round 15
+    "a13_proto_roundtrip", "a15_partition_ordered", "a16_commit_offsets",
+    "a2_kafka_surface", "a6_derive_total", "c12_ewma", "c13_topk",
+    "c14_union_all", "c15_string_fns", "c16_resample", "c17_math_fns",
+    "c18_explode", "c25_late_data", "c29_clusters_lsh", "c29_ivf_ann",
+    "c29_lsh_ann", "c29_matryoshka", "c29_minhash_clusters",
+    "c29_minhash_lsh", "c29_minhash_reingest", "c29_quantize_int8",
+    "c29_simhash", "c2_project_scalar", "c30_novelty", "c30_rake",
+    "c32_mix_report", "c32_sample", "c32_shard_shuffle", "c32_split",
+    "c32_split_summary", "c32_winsorize", "c33_anomaly",
+    "c33_anomaly_stream",
+]
+
+assert len(_ROUND14_PRIORITY) == 50, len(_ROUND14_PRIORITY)
+assert len(set(_ROUND14_PRIORITY)) == 50, "duplicate row in window"
+
+# ---------------------------------------------------------------------------
 # Window-freshness ledger (verdict r7 item 6). CURRENT_ROUND is bumped
 # when each round's window freezes. _REGISTERED_ROUND records the round
 # in which every not-yet-driver-windowed query was registered; queries
@@ -11255,7 +11297,7 @@ assert len(set(_ROUND13_PRIORITY)) == 50, "duplicate row in window"
 # in the current frozen window — the CI form of the r7 judge finding
 # that 69 queries outran the 50-row verification window.
 # ---------------------------------------------------------------------------
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 
 _REGISTERED_ROUND: dict[str, int] = {
     # r8 slate (registered during the round-7 session)
@@ -11331,6 +11373,9 @@ _REGISTERED_ROUND: dict[str, int] = {
     ]},
 }
 
+# (historical r13 comment; realized verbatim as _ROUND14_PRIORITY above —
+# all four r13 ADVICE/judge items were contract/hygiene fixes landing on
+# in-window slate rows, so no rotation row was displaced)
 # Round-14 window plan (to become _ROUND14_PRIORITY next round): the
 # 13-row r15 slate registered this session — c24_session_stream,
 # c6_bloom_index, c37_zorder_maintain, c35_restore, c43_map, c43_auc,
@@ -11520,7 +11565,7 @@ assert len(_ROUND7_PRIORITY) == 50, len(_ROUND7_PRIORITY)
 # c35_merkle, c34_streaks — same gates)
 # takes whatever r8 slots judge items leave free and rotates into the
 # r9 window otherwise.
-QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND13_PRIORITY}
+QUERIES: dict[str, QuerySpec] = {n: _QUERY_DEFS[n] for n in _ROUND14_PRIORITY}
 QUERIES.update(
     {n: s for n, s in _QUERY_DEFS.items() if n not in QUERIES})
 assert len(QUERIES) == len(_QUERY_DEFS)
