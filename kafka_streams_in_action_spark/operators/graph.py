@@ -31,6 +31,30 @@ from pyspark.sql import functions as F
 NANO = 1_000_000_000
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _few_shuffle_partitions(spark, n: int = 4):
+    """Scoped shuffle-partition override for the bounded iteration
+    loops (r13 verdict hygiene item): the loops' shuffles move only
+    O(#nodes) frames, so 32 ambient partitions just multiply
+    task-launch overhead. The override is a SESSION conf — restoring
+    it in finally makes it exception-safe, but a concurrently-built
+    query in the same session would still compile under n=4 while the
+    loop runs. The package's build contract is single-threaded (the
+    bench, driver, and tests all build queries sequentially); this
+    manager is the one place that contract is load-bearing, and
+    tests/test_round16.py pins that the ambient value is restored on
+    both the normal and the raising path."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def trade_edges(customer: DataFrame, orders: DataFrame,
                 lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
     """The weighted nation→nation trade graph: one edge per (customer
@@ -86,9 +110,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
     # an earlier sequential A/B claimed 30%, confounded by JVM warmup).
     # Same conf-swap discipline as the streaming rows' _stream_partitions.
     spark = nodes.sparkSession
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _few_shuffle_partitions(spark):
         ranks = nodes.select(
             "node", F.lit(NANO // n_nodes).cast("long").alias("r"))
         for _ in range(iterations):
@@ -115,8 +137,6 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
                              f"85 * (dang div {n_nodes})) div 100 AS BIGINT)"
                          ).alias("r"))
                      .localCheckpoint())
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return ranks.select("node", F.col("r").alias("rank_nano"),
                         F.round(F.col("r").cast("double") / NANO, 6)
                         .alias("rank"))
@@ -227,9 +247,7 @@ def khop_reachability(customer: DataFrame, orders: DataFrame,
                      F.lit(0).alias("hops")))
 
     spark = nation.sparkSession
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _few_shuffle_partitions(spark):
         reached = seeds.localCheckpoint()
         frontier = reached
         for i in range(1, k + 1):
@@ -241,8 +259,6 @@ def khop_reachability(customer: DataFrame, orders: DataFrame,
             frontier = (nxt.join(reached, "node", "left_anti")
                         .localCheckpoint())
             reached = reached.unionAll(frontier).localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return (reached
             .join(nation, reached.node == nation.n_nationkey)
             .select(F.col("node").alias("nationkey"),
@@ -377,9 +393,7 @@ def copurchase_kcore(lineitem: DataFrame, k: int = 2,
     # window the pair groupBy ran on 4 tasks and was the probe's 3.16×
     # growth — measured 9.3 s vs 5.1 s at 10× for the build alone).
     edges = edges.localCheckpoint()
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _few_shuffle_partitions(spark):
         alive = (edges.select(F.col("pa").alias("n"))
                  .unionAll(edges.select(F.col("pb").alias("n")))
                  .distinct().localCheckpoint())
@@ -405,8 +419,6 @@ def copurchase_kcore(lineitem: DataFrame, k: int = 2,
             if n_next == n_alive:
                 break
             n_alive = n_next
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     core_e = (edges
               .join(alive.withColumnRenamed("n", "pa"), "pa", "left_semi")
               .join(alive.withColumnRenamed("n", "pb"), "pb", "left_semi"))
@@ -452,9 +464,7 @@ def closeness_centrality(customer: DataFrame, orders: DataFrame,
              .withColumn("hops", F.lit(0)))
 
     spark = nation.sparkSession
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _few_shuffle_partitions(spark):
         reached = seeds.localCheckpoint()
         frontier = reached
         for i in range(1, max_hops + 1):
@@ -469,8 +479,6 @@ def closeness_centrality(customer: DataFrame, orders: DataFrame,
             if not frontier.take(1):
                 break
             reached = reached.unionAll(frontier).localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     agg = (reached.groupBy("src")
            .agg(F.count(F.lit(1)).alias("n_reached"),
                 F.sum("hops").alias("sum_hops"),
@@ -518,9 +526,7 @@ def hits(nodes: DataFrame, edges: DataFrame,
         # max() over an empty edge aggregate is NULL and NULL division
         # propagates silently — degenerate input fails loudly instead
         raise ValueError("hits() needs a non-empty edge list")
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _few_shuffle_partitions(spark):
         h = nodes.select("node", F.lit(1_000_000).cast("long").alias("h"))
         a = None
         for _ in range(iterations):
@@ -542,8 +548,6 @@ def hits(nodes: DataFrame, edges: DataFrame,
                      "CAST((coalesce(hr, CAST(0 AS BIGINT)) * 1000000) "
                      "div hm AS BIGINT)").alias("h"))
                  .localCheckpoint())
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return (a.join(h, "node")
             .select("node", F.col("a").alias("auth_ppm"),
                     F.col("h").alias("hub_ppm")))
@@ -600,9 +604,7 @@ def scc_trade(customer: DataFrame, orders: DataFrame,
              .withColumn("node", F.col("src")))
     spark = nation.sparkSession
     n_nodes = seeds.count()  # bounded: closure needs ≤ n-1 rounds
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _few_shuffle_partitions(spark):
         reached = seeds.localCheckpoint()
         frontier = reached
         for _ in range(n_nodes - 1):
@@ -616,8 +618,6 @@ def scc_trade(customer: DataFrame, orders: DataFrame,
             if not frontier.take(1):
                 break
             reached = reached.unionAll(frontier).localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     rev = reached.select(F.col("node").alias("src"),
                          F.col("src").alias("node"))
     mutual = reached.join(rev, ["src", "node"])
@@ -681,9 +681,7 @@ def sssp_trade(customer: DataFrame, orders: DataFrame,
     dist = (nation.filter(F.col("n_nationkey") == source)
             .select(F.col("n_nationkey").alias("node"))
             .withColumn("d", F.lit(0).cast("long")))
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _few_shuffle_partitions(spark):
         dist = dist.localCheckpoint()
         for _rnd in range(1, n_nodes):
             cand = (dist.join(e, dist.node == e.src)
@@ -700,8 +698,6 @@ def sssp_trade(customer: DataFrame, orders: DataFrame,
             dist = new
             if not improved:
                 break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     bounds = dist.agg(F.max("d").alias("max_cost"),
                       F.count(F.lit(1)).alias("n_reached"))
     return (dist
@@ -753,9 +749,7 @@ def eccentricity_trade(customer: DataFrame, orders: DataFrame,
              .withColumn("d", F.lit(0)))
     spark = nation.sparkSession
     n_nodes = seeds.count()  # bounded: closure needs ≤ n-1 rounds
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _few_shuffle_partitions(spark):
         reached = seeds.localCheckpoint()
         frontier = reached
         for rnd in range(1, n_nodes):
@@ -770,8 +764,6 @@ def eccentricity_trade(customer: DataFrame, orders: DataFrame,
             if not frontier.take(1):
                 break
             reached = reached.unionAll(frontier).localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     per_node = (reached.groupBy("src")
                 .agg(F.count(F.lit(1)).alias("n_reachable"),
                      F.max("d").cast("int").alias("ecc")))

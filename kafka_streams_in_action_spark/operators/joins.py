@@ -526,7 +526,7 @@ def allen_census(orders: DataFrame) -> DataFrame:
 
 
 def bloom_index_persist(spark, orders: DataFrame, customer: DataFrame,
-                        index_dir: str, m_bits: int = 1 << 14,
+                        index_dir: str, m_bits: int | None = None,
                         k: int = 3, segment: str = "BUILDING") -> DataFrame:
     """C6 addendum (round 15): PERSISTED bloom-filter index — the
     on-disk form of C6b's runtime filter: a lakehouse ships the bloom
@@ -544,12 +544,26 @@ def bloom_index_persist(spark, orders: DataFrame, customer: DataFrame,
     from the LOADED filter verify to exactly the true semi-join count;
     pruned — the persisted filter still prunes.
 
-    Scale: the index is ≤ m_bits/64 rows (256 here) — the write/reload
-    is a metadata-sized IO; probes broadcast the loaded relation. At
-    100 TB the build side is scanned ONCE per index refresh instead of
-    once per probe job — that is the entire point of persisting it."""
+    Scale: m_bits is DERIVED from the build side — next power of two
+    ≥ 16× the key count (~0.5% FP at k=3), floor 2^14, cap 2^28 — so
+    the filter stays sub-saturated at any scale factor: a fixed size
+    saturates once keys ≫ m_bits/16, every probe then passes all k
+    bits, and the pruned verdict flips false. The sizing count is one
+    bounded 1-row action per index BUILD (an index refresh already
+    scans the build side; the count rides the same scan budget). The
+    index is ≤ m_bits/64 rows (≤4M at the cap = 32 MB of words —
+    still broadcastable; past that a lakehouse shards the index per
+    file/partition, which is C37's skipping row, not this one).
+    Probes broadcast the loaded relation. At 100 TB the build side is
+    scanned ONCE per index refresh instead of once per probe job —
+    that is the entire point of persisting it."""
     keys = (customer.filter(F.col("c_mktsegment") == segment)
             .select(F.col("c_custkey").alias("key")))
+    if m_bits is None:
+        n_keys = keys.count()
+        m_bits = 1 << 14
+        while m_bits < 16 * n_keys and m_bits < 1 << 28:
+            m_bits <<= 1
 
     def positions(col):
         h1 = F.pmod(F.xxhash64(col, F.lit(0x9E3779)), F.lit(m_bits))

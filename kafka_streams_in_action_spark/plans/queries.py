@@ -898,8 +898,12 @@ def _write_time_slices(ev: DataFrame, src: str, n: int = 4) -> None:
                   F.max(F.col("mono").bitwiseAND(F.lit(mask))).alias("mx"))
              .collect())  # bounded: one row per partition (≤32)
     for r in stats:
-        assert r["mx"] + 1 == r["c"], \
-            "monotonically_increasing_id layout changed; slicer unsafe"
+        # correctness-critical invariant for every streaming twin's
+        # replay log: raise (not assert) so it survives `python -O`
+        if r["mx"] + 1 != r["c"]:
+            raise RuntimeError(
+                "monotonically_increasing_id layout changed; "
+                "slicer unsafe")
     sizes = {r["pid"]: r["c"] for r in stats}
     total = sum(sizes.values())
     offsets, acc = {}, 0
@@ -2486,36 +2490,45 @@ def _session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c24_session_stream").filter(F.col("user_id") >= 0)
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit rmtree (r13 ADVICE: the file-layout rows write
+    real table copies — _restore ~3.7×, _zorder_maintain ~2× the
+    events table per run — and repeated bench/probe runs would
+    otherwise accumulate orphaned temp data; same discipline as
+    _SLICE_CACHE/_SENTINEL_SLICE_CACHE)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6b addendum driver run: build → persist → reload → probe the
     bloom index on real files (joins.bloom_index_persist)."""
-    import tempfile
-
     return joins.bloom_index_persist(
         spark,
         load_table(spark, "orders", sf_dir),
         load_table(spark, "customer", sf_dir),
-        tempfile.mkdtemp(prefix="c6_bloom_index_"))
+        _scratch_dir("c6_bloom_index_"))
 
 
 def _zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C37 addendum driver run: incremental OPTIMIZE after appends on
     real files (layout.zorder_maintain_verdict)."""
-    import tempfile
-
     return layout.zorder_maintain_verdict(
         spark, load_table(spark, "events", sf_dir),
-        tempfile.mkdtemp(prefix="c37_zorder_maintain_"))
+        _scratch_dir("c37_zorder_maintain_"))
 
 
 def _restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C35 addendum driver run: detect the regressed version and
     re-publish the last good snapshot (layout.restore_version)."""
-    import tempfile
-
     return layout.restore_version(
         spark, load_table(spark, "events", sf_dir),
-        tempfile.mkdtemp(prefix="c35_restore_"))
+        _scratch_dir("c35_restore_"))
 
 
 #: Shared C13-decay oracle (round 14): the batch operator and the
