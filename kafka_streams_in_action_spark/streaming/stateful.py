@@ -1348,3 +1348,28 @@ def ttl_presence_stream(rows: DataFrame, ttl_days: int = 2) -> DataFrame:
                 stateStructType="n bigint, last_ms bigint",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def dedup_ids_stream(events: DataFrame,
+                     watermark: str = "1 hour") -> DataFrame:
+    """C26 streaming twin (round 16): watermark-bounded streaming
+    deduplication via the built-in `dropDuplicatesWithinWatermark` —
+    the at-least-once→exactly-once repair every Kafka-fed pipeline
+    runs first (the reference replays records on rebalance/retry;
+    reference behavior anchor: the consumer's at-least-once delivery,
+    golang/chapter_4/sales/sales_consumer_client.go:41-55): the FIRST
+    arrival of each event_id passes through and later copies are
+    suppressed, with per-id state retained only within the watermark
+    horizon — the property that makes streaming dedup viable at all
+    (state tracks horizon × arrival rate, not stream length; batch
+    dedup of an unbounded stream would need unbounded state).
+
+    Determinism contract for the replay: duplicate copies carry the
+    SAME event time as their original (retries do not re-stamp), so
+    every copy is within ANY watermark delay of its first arrival and
+    is always suppressed — the sink is exactly one row per distinct
+    event_id, which is what the batch oracle checks row-for-row."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id", "event_type", "value"))
