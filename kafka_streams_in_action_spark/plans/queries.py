@@ -3249,6 +3249,49 @@ _AUC_ORACLE = f"""
         """
 
 
+#: C43e oracle (round 16): same centroid/score CTEs as _AUC_ORACLE,
+#: folded into the bins reliability table instead of the Mann-Whitney
+#: histogram. All-integer tail (see similarity.calibration_eval).
+_CALIB_ORACLE = f"""
+        WITH emb AS (
+            SELECT vec_id, label AS true_label, embedding::DOUBLE[] AS v
+            FROM embeddings),
+        per AS (
+            SELECT true_label, u.i AS dim,
+                   CAST(floor(v[u.i] * 1000000 + 0.5) AS BIGINT) AS q
+            FROM emb, LATERAL unnest(generate_series(1, len(v))) AS u(i)),
+        sums AS (
+            SELECT true_label, dim, sum(CAST(q AS HUGEINT)) AS s,
+                   CAST(count(*) AS BIGINT) AS n_l
+            FROM per GROUP BY 1, 2),
+        cent AS (
+            SELECT true_label AS label, dim,
+                   CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_l AS DOUBLE)
+                       / 1000000.0 AS c
+            FROM sums),
+        carr AS (SELECT label, list(c ORDER BY dim) AS cvec
+                 FROM cent GROUP BY 1),
+        scored AS (
+            SELECT carr.label, {_cosine_sql('v', 'cvec')} AS score,
+                   CASE WHEN true_label = carr.label THEN 1 ELSE 0 END
+                       AS is_pos
+            FROM emb CROSS JOIN carr),
+        b AS (
+            SELECT label,
+                   CAST(least(9, ((CAST(round(score * 1000000) AS BIGINT)
+                                   + 1000000) * 10) // 2000000)
+                        AS INTEGER) AS bin,
+                   CAST(round(score * 1000000) AS BIGINT) AS sm, is_pos
+            FROM scored)
+        SELECT label, bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(is_pos) AS BIGINT) AS n_pos,
+               CAST(sum(sm) AS BIGINT) AS sum_score_micro,
+               CAST((1000000 * sum(is_pos)) // count(*) AS BIGINT)
+                   AS pos_rate_ppm
+        FROM b GROUP BY 1, 2
+        """
+
+
 #: Shared C16k oracle (round 14 second tranche): the batch gap report
 #: and the running-stats streaming twin emit the same ledger, so one
 #: oracle covers both.
@@ -11086,6 +11129,158 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                CAST(sum(val) * 1000 // count(*) AS BIGINT) AS mean_milli
         FROM tiles GROUP BY 1, 2, 3
         """),
+
+    # ------------------------------------------------------------------
+    # r16 slate (registered round 14, AFTER the r14 window froze)
+    # ------------------------------------------------------------------
+    "c36_window_join": QuerySpec(
+        # C36c: stream-stream INNER join keyed on (user, tumbling
+        # window) — whole-window state eviction; inner emission is
+        # watermark-independent, so the batch join is the full oracle.
+        _window_join_stream,
+        """
+        SELECT c.user_id, date_trunc('hour', c.ts) AS window_start,
+               c.event_id AS click_id, v.event_id AS view_id
+        FROM events c JOIN events v
+          ON c.user_id = v.user_id
+         AND date_trunc('hour', c.ts) = date_trunc('hour', v.ts)
+        WHERE c.event_type = 'click' AND v.event_type = 'view'
+        """),
+    "c26_dedup_stream": QuerySpec(
+        # C26 streaming twin: dropDuplicatesWithinWatermark over a
+        # replay with every 3rd event_id re-delivered — the sink is
+        # exactly one row per distinct id.
+        _dedup_stream,
+        """
+        SELECT event_id, user_id, event_type, value FROM events
+        """),
+    "c37_codec": QuerySpec(
+        # C37m: compression-codec advisor — the same sample written
+        # uncompressed + once per codec; readback and size verdicts
+        # earned from the real files.
+        _codec_advisor,
+        """
+        WITH t AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS vm
+            FROM events)
+        SELECT c.codec, t.n AS n_rows, t.vm AS value_milli,
+               TRUE AS readback_exact, TRUE AS beats_uncompressed
+        FROM t, (VALUES ('snappy'), ('gzip'), ('zstd'), ('lz4'))
+               AS c(codec)
+        """),
+    "c35_clone": QuerySpec(
+        # C35r: manifest-based zero-copy shallow clone + post-clone
+        # append; snapshot isolation earned from the pinned file set.
+        _shallow_clone,
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value_milli,
+               TRUE AS zero_copy,
+               TRUE AS snapshot_isolated,
+               TRUE AS clone_complete
+        FROM events
+        """),
+    "c21_ols_fit": QuerySpec(
+        # C21c: grouped-map Arrow UDAF at data scale — per-customer
+        # integer-exact OLS slope of order totals over time.
+        _t("orders")(udx.grouped_ols_fit),
+        """
+        WITH b AS (
+            SELECT o_custkey AS custkey,
+                   date_diff('day', DATE '1992-01-01',
+                             CAST(o_orderdate AS DATE)) AS x,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders),
+        m AS (SELECT custkey, min(x) AS x0 FROM b GROUP BY 1),
+        c AS (SELECT b.custkey,
+                     CAST(b.x - m.x0 AS HUGEINT) AS x,
+                     CAST(b.cents AS HUGEINT) AS y
+              FROM b JOIN m ON b.custkey = m.custkey),
+        s AS (SELECT custkey, CAST(count(*) AS HUGEINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM c GROUP BY 1)
+        SELECT custkey, CAST(n AS BIGINT) AS n_orders,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    WHEN (1000000 * (n * sxy - sx * sy) >= 0)
+                         = (n * sxx - sx * sx > 0)
+                    THEN CAST(abs(1000000 * (n * sxy - sx * sy))
+                              // abs(n * sxx - sx * sx) AS BIGINT)
+                    ELSE -CAST(abs(1000000 * (n * sxy - sx * sy))
+                               // abs(n * sxx - sx * sx) AS BIGINT)
+               END AS slope_ppm
+        FROM s
+        """),
+    "c40_dp_hist": QuerySpec(
+        # C40e: DP-release-shaped noisy histogram — sensitivity-1 cell
+        # counts + seeded bounded noise + non-negativity clamp; only
+        # the noisy values are emitted.
+        _t("events")(privacy.dp_noisy_counts),
+        f"""
+        WITH cells AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        k AS (SELECT *, event_type || '|' ||
+                        strftime(day, '%Y-%m-%d') || ':dp' AS kk
+              FROM cells)
+        SELECT event_type, day,
+               CAST(greatest(0, n + (({_FNV_SQL.format(col='kk')} % 7)
+                                     - 3)) AS BIGINT) AS released_n,
+               3 AS noise_bound
+        FROM k
+        """),
+    "c31_augment": QuerySpec(
+        # C31t: seeded random-crop + flip augmentation over real
+        # decoded BMPs; oracle replays crop/flip features from the
+        # fixture pixel formula + the same md5 arithmetic.
+        lambda spark, sf_dir: multimodal.augment_crops(
+            multimodal.to_bmp_media(load_table(spark, "documents",
+                                               sf_dir))),
+        """
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                   FROM documents),
+        dims AS (SELECT doc_id, (nb % 29) + 4 AS w, (doc_id % 13) + 3 AS h
+                 FROM d),
+        seed AS (
+            SELECT doc_id, w, h,
+                   greatest(1, w // 2) AS cw, greatest(1, h // 2) AS ch,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       AS h1,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT
+                       AS h2
+            FROM dims),
+        aug AS (
+            SELECT doc_id, w, h, cw, ch,
+                   h1 % (w - cw + 1) AS x0,
+                   h2 % (h - ch + 1) AS y0,
+                   h1 % 2 = 1 AS flip
+            FROM seed)
+        SELECT doc_id, w::INTEGER AS width, h::INTEGER AS height,
+               x0::INTEGER AS crop_x, y0::INTEGER AS crop_y,
+               cw::INTEGER AS crop_w, ch::INTEGER AS crop_h,
+               flip AS flipped,
+               list_reduce(list_prepend(0::BIGINT,
+                   list_transform(range(0, cw * ch * 3),
+                       j -> (doc_id * 31
+                             + ((y0 + j // (cw * 3)) * w * 3
+                                + x0 * 3 + (j % (cw * 3))) * 7) % 256)),
+                   (a, b) -> a + b) AS crop_sum,
+               ((doc_id * 31
+                 + (y0 * w * 3
+                    + 3 * (CASE WHEN flip THEN x0 + cw - 1 ELSE x0 END))
+                   * 7) % 256)::INTEGER AS corner_px
+        FROM aug
+        """),
+    "c43_calibration": QuerySpec(
+        # C43e: reliability-bin calibration table of the centroid
+        # detector — all-integer bins over the 6dp score domain.
+        _t("embeddings")(similarity.calibration_eval),
+        _CALIB_ORACLE),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -11483,6 +11678,12 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c33_moments", "c38_sssp", "c30_code_detect", "c31_tile",
         # second tranche (same session)
         "c22_tumbling_stream", "c23_sliding_stream",
+    ]},
+    # r16 slate (registered during the round-14 session, AFTER the r14
+    # window froze): every new registration this round goes here.
+    **{n: 14 for n in [
+        "c36_window_join", "c26_dedup_stream", "c37_codec", "c35_clone",
+        "c21_ols_fit", "c40_dp_hist", "c31_augment", "c43_calibration",
     ]},
 }
 
