@@ -282,6 +282,15 @@ HEADLINE = [
     "c38_sssp",              # weighted Bellman-Ford over trade graph
     "c30_code_detect",       # structural code-vs-prose detector
     "c31_tile",              # ViT-style patch grid, in-kernel sums
+    # round-14 additions (the r16 slate)
+    "c36_window_join",       # (user, window)-keyed stream-stream join
+    "c26_dedup_stream",      # dropDuplicatesWithinWatermark twin
+    "c37_codec",             # compression-codec advisor, real files
+    "c35_clone",             # zero-copy shallow clone + divergence
+    "c21_ols_fit",           # per-customer Arrow OLS UDAF, data scale
+    "c40_dp_hist",           # DP-release-shaped noisy histogram
+    "c31_augment",           # seeded crop/flip augmentation kernel
+    "c43_calibration",       # reliability bins, centroid detector
 ]
 
 
@@ -347,7 +356,8 @@ STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c34_peak_stream", "c16_sla_stream",
                   "c4_tdigest_stream", "c27_ttl_stream",
                   "c24_session_stream", "c22_tumbling_stream",
-                  "c23_sliding_stream"]
+                  "c23_sliding_stream", "c36_window_join",
+                  "c26_dedup_stream"]
 
 # Micro-batch count each twin's availableNow replay executes (the fixed
 # replay floor is ~batches × stream_overhead_sec); all the file-split

@@ -376,6 +376,15 @@ PROBE_QUERIES = [
     "c38_sssp",             # 4-table edge build + bounded relaxation
     "c30_code_detect",      # per-row string algebra, no shuffle
     "c31_tile",             # in-kernel decode + 12-tile sums, 0 shuffle
+    # r16 slate (round 14)
+    "c36_window_join",      # windowed stream-stream join, keyed state
+    "c26_dedup_stream",     # watermarked dedup twin, per-id state
+    "c37_codec",            # k+1 linear sample writes + readback aggs
+    "c35_clone",            # table write + manifest + audit aggs
+    "c21_ols_fit",          # grouped-map Arrow agg, |customers| groups
+    "c40_dp_hist",          # one keyed agg + per-cell noise algebra
+    "c31_augment",          # in-kernel decode+crop, 0 shuffle
+    "c43_calibration",      # centroid scoring + bounded bins fold
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

@@ -223,6 +223,12 @@ _BNLJ_ALLOWED = {
                             # broadcast (the eccentricity shape)
     "c23_sliding_stream",   # 1-row max-event-time scalar on the read
                             # side (the c25_late_data class)
+    "c37_codec",            # 1-row source-total scalar broadcast per
+                            # codec readback verdict
+    "c35_clone",            # 1-row clone/live/source audit-count
+                            # scalar crossjoins
+    "c43_calibration",      # ≤|labels|-row centroid broadcast (the
+                            # c43_auc shape, shared scoring block)
 }
 
 
@@ -456,7 +462,12 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c35_restore",
                     # relaxation loop checkpoints bounded distance
                     # frames + improvement probes at build (r15)
-                    "c38_sssp"):
+                    "c38_sssp",
+                    # replays the availableNow stream at build (r16)
+                    "c36_window_join", "c26_dedup_stream",
+                    # writes + reloads the per-codec / clone-manifest
+                    # files at build by design (r16)
+                    "c37_codec", "c35_clone"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)

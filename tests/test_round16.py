@@ -97,3 +97,193 @@ def test_restore_verdict_earned_from_post_restore_read(spark, tmp_path):
     assert out2["regression_detected"]
     assert not out2["restored"], "partial v4 must not report restored=True"
     assert not out2["serving_complete"]
+
+
+# ------------------------------------------- r16 slate behavior tests
+
+
+def _run_available_now(spark, stream_df, name):
+    import uuid
+
+    sink = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (stream_df.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not finish"
+    return spark.table(sink)
+
+
+def test_window_join_pairs_across_batches(spark, tmp_path):
+    """A click arriving in batch 1 must still pair with a same-hour view
+    arriving in batch 2 — the buffered-state contract of the windowed
+    stream-stream join."""
+    from kafka_streams_in_action_spark.streaming.joins import (
+        windowed_click_view_join)
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [(1, 7, "click", TS0), (2, 7, "view", TS0.replace(minute=50)),
+         (3, 8, "view", TS0)], schema)
+    b2 = spark.createDataFrame(
+        [(4, 7, "view", TS0.replace(minute=20)),
+         (5, 8, "click", TS0.replace(hour=2))], schema)
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    import time
+    time.sleep(0.05)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    out = _run_available_now(
+        spark,
+        windowed_click_view_join(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)),
+        "winjoin_t")
+    pairs = {(r["user_id"], r["click_id"], r["view_id"])
+             for r in out.collect()}
+    # click 1 pairs with views 2 (same batch) and 4 (later batch);
+    # user 8's click is in hour 2, its view in hour 0 — no pair
+    assert pairs == {(7, 1, 2), (7, 1, 4)}
+
+
+def test_dedup_stream_suppresses_cross_batch_duplicate(spark, tmp_path):
+    from kafka_streams_in_action_spark.streaming.stateful import (
+        dedup_ids_stream)
+
+    schema = ("event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+    b1 = spark.createDataFrame(
+        [(1, 7, "view", TS0, 1.0), (2, 7, "click", TS0, 2.0)], schema)
+    b2 = spark.createDataFrame(
+        [(1, 7, "view", TS0, 1.0),                       # retry of id 1
+         (3, 8, "view", TS0.replace(minute=30), 3.0)], schema)
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    import time
+    time.sleep(0.05)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    out = _run_available_now(
+        spark,
+        dedup_ids_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)),
+        "dedup_t")
+    rows = sorted((r["event_id"], r["value"]) for r in out.collect())
+    assert rows == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_codec_advisor_verdicts(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [(i, TS0, i % 5, "view", 1.5, '{"k":"abcdefabcdef"}')
+         for i in range(2000)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    out = {r["codec"]: r for r in layout.codec_advisor(
+        spark, ev, str(tmp_path)).collect()}
+    assert set(out) == {"snappy", "gzip", "zstd", "lz4"}
+    for c, r in out.items():
+        assert r["n_rows"] == 2000 and r["readback_exact"], c
+        assert r["beats_uncompressed"], c
+
+
+def test_shallow_clone_isolated_from_append(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [(i, TS0, i % 3, "view", 1.0, "{}") for i in range(100)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    out = layout.shallow_clone_verdict(
+        spark, ev, str(tmp_path)).collect()[0]
+    assert out["n_rows"] == 100
+    assert out["zero_copy"] and out["snapshot_isolated"]
+    assert out["clone_complete"]
+
+
+def test_grouped_ols_fit_exact_slope(spark):
+    from kafka_streams_in_action_spark.operators import udx
+
+    # y = 200 + 300x cents on days 0,1,2 -> slope 300 cents/day
+    rows = [(1, "1992-01-01", 2.00), (1, "1992-01-02", 5.00),
+            (1, "1992-01-03", 8.00),
+            # degenerate: single day
+            (2, "1992-01-05", 4.00), (2, "1992-01-05", 9.00)]
+    orders = spark.createDataFrame(
+        [(c, F"{d} 00:00:00", p) for (c, d, p) in rows],
+        "o_custkey long, o_orderdate string, o_totalprice double") \
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    out = {r["custkey"]: r for r in udx.grouped_ols_fit(orders).collect()}
+    assert out[1]["slope_ppm"] == 300 * 1_000_000
+    assert out[2]["slope_ppm"] is None
+    assert out[1]["n_orders"] == 3 and out[2]["n_orders"] == 2
+
+
+def test_dp_hist_noise_bounded_and_clamped(spark):
+    from kafka_streams_in_action_spark.operators import privacy
+
+    ev = spark.createDataFrame(
+        [(i, TS0, i % 4, "view" if i % 2 else "click", 1.0, "{}")
+         for i in range(40)]
+        + [(100 + j, TS0, 1, f"rare{j}", 1.0, "{}") for j in range(8)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    true = {(r["event_type"], r["day"]): r["n"] for r in
+            ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = privacy.dp_noisy_counts(ev).collect()
+    assert {"event_type", "day", "released_n", "noise_bound"} == set(
+        out[0].asDict())
+    for r in out:
+        n = true[(r["event_type"], r["day"])]
+        assert max(0, n - 3) <= r["released_n"] <= n + 3
+        assert r["released_n"] >= 0
+
+
+def test_augment_crop_matches_brute_force(spark):
+    import hashlib
+
+    from kafka_streams_in_action_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (20 + i), "en", "src0", 20 + i) for i in range(30)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r["doc_id"]: r for r in multimodal.augment_crops(
+        multimodal.to_bmp_media(docs)).collect()}
+    flips = set()
+    for i in range(30):
+        r = out[i]
+        nb = 20 + i
+        w, h = (nb % 29) + 4, (i % 13) + 3
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        h1, h2 = int(hx[:8], 16), int(hx[8:16], 16)
+        cw, ch = max(1, w // 2), max(1, h // 2)
+        x0, y0 = h1 % (w - cw + 1), h2 % (h - ch + 1)
+        flip = h1 % 2 == 1
+        flips.add(flip)
+        assert (r["crop_x"], r["crop_y"], r["crop_w"], r["crop_h"],
+                r["flipped"]) == (x0, y0, cw, ch, flip)
+        s = sum((i * 31 + ((y0 + j // (cw * 3)) * w * 3
+                           + x0 * 3 + (j % (cw * 3))) * 7) % 256
+                for j in range(cw * ch * 3))
+        assert r["crop_sum"] == s
+        cx = x0 + cw - 1 if flip else x0
+        assert r["corner_px"] == (i * 31 + (y0 * w * 3 + 3 * cx) * 7) % 256
+    assert flips == {True, False}, "fixture must exercise both flip arms"
+
+
+def test_calibration_bins_consistent(spark):
+    from kafka_streams_in_action_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5), 1.0], i % 3)
+         for i in range(60)],
+        "vec_id long, embedding array<double>, label int")
+    out = similarity.calibration_eval(emb).collect()
+    assert all(0 <= r["bin"] <= 9 for r in out)
+    # total support per label = corpus size (every vector scores
+    # against every label centroid)
+    per_label = {}
+    for r in out:
+        per_label[r["label"]] = per_label.get(r["label"], 0) + r["n"]
+        assert 0 <= r["n_pos"] <= r["n"]
+        assert r["pos_rate_ppm"] == (1_000_000 * r["n_pos"]) // r["n"]
+    assert set(per_label.values()) == {60}
