@@ -11687,6 +11687,28 @@ _REGISTERED_ROUND: dict[str, int] = {
     ]},
 }
 
+# Round-15 window plan (to become _ROUND15_PRIORITY next round): the
+# 8-row r16 slate registered this session — c36_window_join,
+# c26_dedup_stream, c37_codec, c35_clone, c21_ols_fit, c40_dp_hist,
+# c31_augment, c43_calibration — leads the window (every row
+# three-scale sim-green, float-bit-exact, and 10×-probed this
+# session); the 17 remaining r7-checked rows follow, making the r7
+# cohort extinct (name order: c33_benford, c33_drift,
+# c33_expectations, c33_group_stats, c33_referential,
+# c34_attribution, c34_sessionize, c35_scd2_stream, c37_compact,
+# c38_pagerank, c38_triangles, c5_grouping_sets, c5_rollup,
+# c8_anti_join, sql_q11_important_value, sql_q13_order_distribution,
+# sql_q20_promo_suppliers); the last 25 slots take the 25 oldest
+# r8-checked rows in name order (c12_crossover, c12_drawdown,
+# c12_drawdown_stream, c12_holt, c12_holt_stream, c12_trend,
+# c12_xcorr, c16_gaps, c16_interp, c16_ohlc, c16_seasonality,
+# c28_par_dedup, c29_mmr, c29_recall_curve, c30_lexdiv, c30_phrase,
+# c30_pmi, c31_resample_audio, c31_vad, c32_oversample, c32_quota,
+# c32_systematic, c32_temporal_split, c33_chisq, c33_cusum); the
+# remaining 24 r8 rows (c33_gini … c39_golden class) rotate in round
+# 16. Judge items displace from the rotation tail only, never the r16
+# rows.
+
 # (historical r13 comment; realized verbatim as _ROUND14_PRIORITY above —
 # all four r13 ADVICE/judge items were contract/hygiene fixes landing on
 # in-window slate rows, so no rotation row was displaced)
