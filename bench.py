@@ -291,6 +291,9 @@ HEADLINE = [
     "c40_dp_hist",           # DP-release-shaped noisy histogram
     "c31_augment",           # seeded crop/flip augmentation kernel
     "c43_calibration",       # reliability bins, centroid detector
+    "c35_constraints",       # CHECK-constraint gate, real files
+    "c40_pseudonymize",      # keyed tokens, referential integrity
+    "c43_regression",        # MAE/MSE of the group-mean baseline
 ]
 
 

@@ -306,3 +306,53 @@ def scaler_stats(lineitem: DataFrame) -> DataFrame:
         z_milli(F.col("max_cents")).alias("zmax_milli"),
         # min-max scaler range width (the transform's denominator)
         (F.col("max_cents") - F.col("min_cents")).alias("range_cents"))
+
+
+def regression_eval(orders: DataFrame) -> DataFrame:
+    """C43f (round 16, second tranche): regression-metric evaluation —
+    MAE and MSE of a persisted baseline predictor, completing the C43
+    eval family's metric kinds (ranking C43a/C43c, agreement C43b,
+    separation C43d, calibration C43e; this is the REGRESSION gauge a
+    feature/model pipeline publishes beside its predictions). The
+    predictor is the classic group-mean baseline: per order priority,
+    predict the integer-floor mean order total (what a model registry
+    stores as the fallback/champion-challenger floor); the metrics are
+    what any scorer emits.
+
+    Integer-exact end to end: y = exact cents; pred = Σy div n per
+    group (integer floor mean — the persisted artifact); residual =
+    y − pred is an exact BIGINT; mae_milli = 1000·Σ|r| div n and
+    mse_cents2 = Σr² div n (sums in DECIMAL(38,0) — cast BEFORE
+    squaring, the r11 overflow lesson; DuckDB replays in HUGEINT). No
+    libm, no float accumulation; one terminal integer division each.
+
+    Scale: two map-side-combinable aggs over the fact table (fit pass,
+    score pass) joined on the ≤|priorities| group key — the
+    fit/transform split every feature pipeline runs, same shape as
+    c42_scaler."""
+    dec = "decimal(38,0)"
+    y = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long").alias("cents"))
+    fit = (y.groupBy("priority")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("cents").cast(dec)).alias("s1")))
+    model = fit.select(
+        "priority", "n",
+        F.expr("CAST(s1 div n AS BIGINT)").alias("pred_cents"))
+    scored = (y.join(F.broadcast(model), "priority")
+              .withColumn("r", (F.col("cents")
+                                - F.col("pred_cents")).cast(dec)))
+    return (scored.groupBy("priority")
+            .agg(F.max("n").alias("n"),
+                 F.max("pred_cents").alias("pred_cents"),
+                 F.sum(F.abs(F.col("r"))).alias("sae"),
+                 F.sum(F.col("r") * F.col("r")).alias("sse"))
+            .select("priority",
+                    F.col("n").cast("long").alias("n"),
+                    "pred_cents",
+                    F.expr("CAST((1000 * sae) div n AS BIGINT)")
+                    .alias("mae_milli"),
+                    F.expr("CAST(sse div n AS BIGINT)")
+                    .alias("mse_cents2")))

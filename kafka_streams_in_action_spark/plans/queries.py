@@ -2547,6 +2547,15 @@ def _shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scratch_dir("c35_clone_"))
 
 
+def _constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35s driver run: CHECK-constraint gate on real files — plant
+    violations, publish/quarantine, earn the audit verdicts
+    (layout.constraint_enforce)."""
+    return layout.constraint_enforce(
+        spark, load_table(spark, "events", sf_dir),
+        _scratch_dir("c35_constraints_"))
+
+
 def _window_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C36c driver-visible run: the (user, tumbling window)-keyed
     stream-stream INNER join (streaming/joins.py:
@@ -11281,6 +11290,74 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # detector — all-integer bins over the 6dp score domain.
         _t("embeddings")(similarity.calibration_eval),
         _CALIB_ORACLE),
+    "c35_constraints": QuerySpec(
+        # C35s: CHECK-constraint enforcement at write — planted
+        # violations quarantined to real files, audit verdicts earned
+        # from the readbacks.
+        _constraints,
+        """
+        WITH p AS (
+            SELECT event_id, ts, user_id,
+                   CASE WHEN event_id % 13 = 0 THEN -(value + 1)
+                        ELSE value END AS value
+            FROM events),
+        f AS (SELECT *, (value >= 0 AND ts IS NOT NULL AND user_id >= 0)
+                        AS ok
+              FROM p)
+        SELECT CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_published,
+               CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_quarantined,
+               CAST(sum(CASE WHEN ok THEN
+                        CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS value_milli_published,
+               TRUE AS split_complete,
+               TRUE AS clean_verified,
+               TRUE AS quarantine_exact
+        FROM f
+        """),
+    "c40_pseudonymize": QuerySpec(
+        # C40f: keyed pseudonymization with referential integrity —
+        # token join reproduces the raw-key join, injectivity earned.
+        _t("customer orders")(privacy.pseudonymize_join),
+        """
+        SELECT c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT c.c_custkey) AS BIGINT)
+                   AS n_active_tokens,
+               TRUE AS token_injective
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        """),
+    "c43_regression": QuerySpec(
+        # C43f: MAE/MSE of the persisted group-mean baseline — the
+        # regression gauge completing the C43 metric kinds.
+        _t("orders")(features.regression_eval),
+        """
+        WITH y AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders),
+        fit AS (
+            SELECT priority, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(cents AS HUGEINT)) AS s1
+            FROM y GROUP BY 1),
+        model AS (
+            SELECT priority, n, CAST(s1 // n AS BIGINT) AS pred_cents
+            FROM fit),
+        scored AS (
+            SELECT y.priority,
+                   CAST(y.cents - m.pred_cents AS HUGEINT) AS r,
+                   m.n, m.pred_cents
+            FROM y JOIN model m ON y.priority = m.priority)
+        SELECT priority, max(n) AS n,
+               max(pred_cents) AS pred_cents,
+               CAST((1000 * sum(abs(r))) // max(n) AS BIGINT)
+                   AS mae_milli,
+               CAST(sum(r * r) // max(n) AS BIGINT) AS mse_cents2
+        FROM scored GROUP BY 1
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -11684,30 +11761,31 @@ _REGISTERED_ROUND: dict[str, int] = {
     **{n: 14 for n in [
         "c36_window_join", "c26_dedup_stream", "c37_codec", "c35_clone",
         "c21_ols_fit", "c40_dp_hist", "c31_augment", "c43_calibration",
+        # second tranche (same session)
+        "c35_constraints", "c40_pseudonymize", "c43_regression",
     ]},
 }
 
 # Round-15 window plan (to become _ROUND15_PRIORITY next round): the
-# 8-row r16 slate registered this session — c36_window_join,
+# 11-row r16 slate registered this session — c36_window_join,
 # c26_dedup_stream, c37_codec, c35_clone, c21_ols_fit, c40_dp_hist,
-# c31_augment, c43_calibration — leads the window (every row
-# three-scale sim-green, float-bit-exact, and 10×-probed this
-# session); the 17 remaining r7-checked rows follow, making the r7
-# cohort extinct (name order: c33_benford, c33_drift,
-# c33_expectations, c33_group_stats, c33_referential,
-# c34_attribution, c34_sessionize, c35_scd2_stream, c37_compact,
-# c38_pagerank, c38_triangles, c5_grouping_sets, c5_rollup,
-# c8_anti_join, sql_q11_important_value, sql_q13_order_distribution,
-# sql_q20_promo_suppliers); the last 25 slots take the 25 oldest
-# r8-checked rows in name order (c12_crossover, c12_drawdown,
-# c12_drawdown_stream, c12_holt, c12_holt_stream, c12_trend,
-# c12_xcorr, c16_gaps, c16_interp, c16_ohlc, c16_seasonality,
-# c28_par_dedup, c29_mmr, c29_recall_curve, c30_lexdiv, c30_phrase,
-# c30_pmi, c31_resample_audio, c31_vad, c32_oversample, c32_quota,
-# c32_systematic, c32_temporal_split, c33_chisq, c33_cusum); the
-# remaining 24 r8 rows (c33_gini … c39_golden class) rotate in round
-# 16. Judge items displace from the rotation tail only, never the r16
-# rows.
+# c31_augment, c43_calibration, c35_constraints, c40_pseudonymize,
+# c43_regression — leads the window (every row three-scale sim-green,
+# float-bit-exact, and 10×-probed this session); the 17 remaining
+# r7-checked rows follow, making the r7 cohort extinct (name order:
+# c33_benford, c33_drift, c33_expectations, c33_group_stats,
+# c33_referential, c34_attribution, c34_sessionize, c35_scd2_stream,
+# c37_compact, c38_pagerank, c38_triangles, c5_grouping_sets,
+# c5_rollup, c8_anti_join, sql_q11_important_value,
+# sql_q13_order_distribution, sql_q20_promo_suppliers); the last 22
+# slots take the 22 oldest r8-checked rows in name order
+# (c12_crossover, c12_drawdown, c12_drawdown_stream, c12_holt,
+# c12_holt_stream, c12_trend, c12_xcorr, c16_gaps, c16_interp,
+# c16_ohlc, c16_seasonality, c28_par_dedup, c29_mmr, c29_recall_curve,
+# c30_lexdiv, c30_phrase, c30_pmi, c31_resample_audio, c31_vad,
+# c32_oversample, c32_quota, c32_systematic); the remaining 27 r8 rows
+# (c32_temporal_split … c39_golden class) rotate in round 16. Judge
+# items displace from the rotation tail only, never the r16 rows.
 
 # (historical r13 comment; realized verbatim as _ROUND14_PRIORITY above —
 # all four r13 ADVICE/judge items were contract/hygiene fixes landing on

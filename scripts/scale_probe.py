@@ -385,6 +385,9 @@ PROBE_QUERIES = [
     "c40_dp_hist",          # one keyed agg + per-cell noise algebra
     "c31_augment",          # in-kernel decode+crop, 0 shuffle
     "c43_calibration",      # centroid scoring + bounded bins fold
+    "c35_constraints",      # linear scan -> two filtered writes
+    "c40_pseudonymize",     # per-row tokenization + keyed join
+    "c43_regression",       # two map-side-combinable aggs
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

@@ -229,6 +229,9 @@ _BNLJ_ALLOWED = {
                             # scalar crossjoins
     "c43_calibration",      # ≤|labels|-row centroid broadcast (the
                             # c43_auc shape, shared scoring block)
+    "c35_constraints",      # 1-row publish/quarantine/source
+                            # audit-count scalar crossjoins
+    "c40_pseudonymize",     # 1-row injectivity-audit scalar broadcast
 }
 
 
@@ -465,9 +468,9 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c38_sssp",
                     # replays the availableNow stream at build (r16)
                     "c36_window_join", "c26_dedup_stream",
-                    # writes + reloads the per-codec / clone-manifest
-                    # files at build by design (r16)
-                    "c37_codec", "c35_clone"):
+                    # writes + reloads the per-codec / clone-manifest /
+                    # publish+quarantine files at build by design (r16)
+                    "c37_codec", "c35_clone", "c35_constraints"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)

@@ -287,3 +287,54 @@ def test_calibration_bins_consistent(spark):
         assert 0 <= r["n_pos"] <= r["n"]
         assert r["pos_rate_ppm"] == (1_000_000 * r["n_pos"]) // r["n"]
     assert set(per_label.values()) == {60}
+
+
+def test_constraint_enforce_quarantines_exactly_planted(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [(i, TS0, i % 3, "view", 0.0 if i == 13 else 2.5, "{}")
+         for i in range(40)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    out = layout.constraint_enforce(spark, ev, str(tmp_path)).collect()[0]
+    planted = len([i for i in range(40) if i % 13 == 0])
+    assert out["n_quarantined"] == planted      # incl. the 0.0 row at 13
+    assert out["n_published"] == 40 - planted
+    assert out["split_complete"] and out["clean_verified"]
+    assert out["quarantine_exact"]
+
+
+def test_pseudonymize_preserves_join_and_injectivity(spark):
+    from kafka_streams_in_action_spark.operators import privacy
+
+    cust = spark.createDataFrame(
+        [(i, "SEG" + str(i % 2)) for i in range(50)],
+        "c_custkey long, c_mktsegment string")
+    orders = spark.createDataFrame(
+        [(i, i % 60) for i in range(300)],   # custkeys 50-59 dangle
+        "o_orderkey long, o_custkey long")
+    out = {r["segment"]: r for r in
+           privacy.pseudonymize_join(cust, orders).collect()}
+    raw = {r["c_mktsegment"]: (r["n"], r["d"]) for r in
+           orders.join(cust, orders.o_custkey == cust.c_custkey)
+           .groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.countDistinct("c_custkey").alias("d")).collect()}
+    for seg, (n, d) in raw.items():
+        assert out[seg]["n_orders"] == n
+        assert out[seg]["n_active_tokens"] == d
+        assert out[seg]["token_injective"]
+
+
+def test_regression_eval_exact_metrics(spark):
+    from kafka_streams_in_action_spark.operators import features
+
+    # one priority, cents 100/200/600 -> pred = 300, r = -200,-100,300
+    # mae_milli = 1000*600//3 = 200000; mse = (40000+10000+90000)//3
+    orders = spark.createDataFrame(
+        [("P1", 1.00), ("P1", 2.00), ("P1", 6.00)],
+        "o_orderpriority string, o_totalprice double")
+    out = features.regression_eval(orders).collect()[0]
+    assert out["pred_cents"] == 300
+    assert out["mae_milli"] == 200_000
+    assert out["mse_cents2"] == (40000 + 10000 + 90000) // 3
+    assert out["n"] == 3
