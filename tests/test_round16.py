@@ -338,3 +338,48 @@ def test_regression_eval_exact_metrics(spark):
     assert out["mae_milli"] == 200_000
     assert out["mse_cents2"] == (40000 + 10000 + 90000) // 3
     assert out["n"] == 3
+
+
+# --------------------------------------------- plan-shape pins (r16)
+
+
+def _n_exchanges(df) -> int:
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"\bExchange\b", plan))
+
+
+def test_augment_plan_is_scan_local(spark):
+    """c31_augment is a 1→1 Arrow kernel over the scan — ZERO Exchange
+    nodes; the payload bytes never shuffle."""
+    from kafka_streams_in_action_spark.plans.queries import QUERIES
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    df = QUERIES["c31_augment"].fn(spark, sf)
+    assert _n_exchanges(df) == 0
+
+
+def test_dp_hist_plan_is_single_exchange(spark):
+    """c40_dp_hist is ONE map-side-combinable keyed agg; the noise is
+    post-agg column algebra — exactly one Exchange."""
+    from kafka_streams_in_action_spark.plans.queries import QUERIES
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    df = QUERIES["c40_dp_hist"].fn(spark, sf)
+    assert _n_exchanges(df) == 1
+
+
+def test_ols_fit_plan_is_single_exchange_grouped_map(spark):
+    """c21_ols_fit shuffles ONCE on the shard key into the grouped-map;
+    no second shuffle may appear (the fit emits final rows)."""
+    from kafka_streams_in_action_spark.plans.queries import QUERIES
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    df = QUERIES["c21_ols_fit"].fn(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert _n_exchanges(df) == 1
