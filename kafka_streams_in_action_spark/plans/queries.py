@@ -2559,23 +2559,29 @@ def _constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _window_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C36c driver-visible run: the (user, tumbling window)-keyed
     stream-stream INNER join (streaming/joins.py:
-    windowed_click_view_join) over the events table in availableNow
-    mode. Inner-join emission is watermark-independent (watermarks only
-    bound state GC), so the full batch SQL oracle checks the sink
-    row-for-row — the c36_interval_join discipline with window-equality
-    state keying instead of the time-range predicate."""
+    windowed_click_view_join) replayed across 4 REAL micro-batches
+    (the shared time-sliced staging, maxFilesPerTrigger=1) in
+    availableNow mode — clicks near a slice boundary must pair with
+    same-hour views arriving in LATER batches, so the driver hash
+    checks cross-batch join-state retention, not just a single-pass
+    join. Inner-join emission is watermark-independent (watermarks
+    only bound state GC), so the full batch SQL oracle checks the sink
+    row-for-row — the c36_interval_join discipline with
+    window-equality state keying instead of the time-range
+    predicate."""
     import uuid
 
     from ..streaming.joins import windowed_click_view_join
 
     ev = load_table(spark, "events", sf_dir).select(
-        "event_id", "user_id", "event_type", "ts")
-    src = _scratch_dir("c36_window_join_src_")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
+        "event_id", "user_id", "event_type", "ts", "value")
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c36_window_join_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
         q = (windowed_click_view_join(
-                spark.readStream.schema(ev.schema).parquet(src))
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .drop("value"))
              .writeStream.format("memory").queryName(sink)
              .outputMode("append").trigger(availableNow=True)
              .start())
