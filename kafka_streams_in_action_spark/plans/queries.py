@@ -760,7 +760,7 @@ def _cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipelines import cms_stream_mv
 
     docs = load_table(spark, "documents", sf_dir)
-    base = tempfile.mkdtemp(prefix="c4_cms_stream_")
+    base = _scratch_dir("c4_cms_stream_")
     src = f"{base}/src"
     docs.select("doc_id", "text").repartition(4) \
         .write.mode("overwrite").parquet(src)
@@ -780,7 +780,7 @@ def _zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = load_table(spark, "events", sf_dir)
-    path = tempfile.mkdtemp(prefix="c37_zorder_files_")
+    path = _scratch_dir("c37_zorder_files_")
     return layout.zorder_files_verdict(spark, ev, path)
 
 
@@ -968,7 +968,7 @@ def _funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", "event_type", "ts")
-    src = tempfile.mkdtemp(prefix="c34_funnel_stream_src_")
+    src = _scratch_dir("c34_funnel_stream_src_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     sink = f"c34_funnel_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -1022,7 +1022,7 @@ def _interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "user_id", "event_type", "ts")
-    src = tempfile.mkdtemp(prefix="c36_interval_join_src_")
+    src = _scratch_dir("c36_interval_join_src_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     sink = f"c36_interval_join_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -1056,7 +1056,7 @@ def _outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "user_id", "event_type", "ts")
-    src = tempfile.mkdtemp(prefix="c36_outer_join_src_")
+    src = _scratch_dir("c36_outer_join_src_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     sink = f"c36_outer_join_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -1084,7 +1084,7 @@ def _mv_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipelines import user_activity_mv
 
     ev = load_table(spark, "events", sf_dir).select("user_id", "value")
-    base = tempfile.mkdtemp(prefix="c35_mv_")
+    base = _scratch_dir("c35_mv_")
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
     ev.repartition(4).write.mode("overwrite").parquet(src)
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -1128,7 +1128,7 @@ def _kafka_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(f"A3 WaitForAll mapping drifted: {snk_all}")
 
     ev = load_table(spark, "events", sf_dir)
-    base = tempfile.mkdtemp(prefix="a2_kafka_surface_")
+    base = _scratch_dir("a2_kafka_surface_")
     src = f"{base}/src"
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -1169,7 +1169,7 @@ def _registry_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = [r[0] for r in load_table(spark, "events", sf_dir)
              .select("event_type").distinct().orderBy("event_type")
              .collect()]
-    path = os.path.join(tempfile.mkdtemp(prefix="a14_registry_"),
+    path = os.path.join(_scratch_dir("a14_registry_"),
                         "registry.json")
     reg = SchemaRegistry(path)
     fields_v1 = [{"name": "id", "type": "long"}]
@@ -1235,7 +1235,7 @@ def _scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import scd2_changes_stream, stitch_versions
 
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c35_scd2_stream_src_")
+    src = _scratch_dir("c35_scd2_stream_src_")
     _write_time_slices(ev, src)
     sink = f"c35_scd2_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -1267,7 +1267,7 @@ def _cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import cdc_state_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c35_cdc_stream_src_")
+    src = _scratch_dir("c35_cdc_stream_src_")
     _write_time_slices(ev, src)
     sink = f"c35_cdc_stream_{uuid.uuid4().hex[:8]}"
     op = (F.when(F.col("event_type") == "signup", "I")
@@ -1302,7 +1302,7 @@ def _split_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = load_table(spark, "events", sf_dir)
-    base = tempfile.mkdtemp(prefix="c37_split_")
+    base = _scratch_dir("c37_split_")
     return layout.split_tuning_audit(spark, ev, base)
 
 
@@ -1313,7 +1313,7 @@ def _compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = load_table(spark, "events", sf_dir)
-    base = tempfile.mkdtemp(prefix="c37_compact_")
+    base = _scratch_dir("c37_compact_")
     return layout.compact_files_verdict(spark, ev, base,
                                         target_rows_per_file=4000)
 
@@ -1362,7 +1362,7 @@ def _anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import zscore_anomaly_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c33_anomaly_stream_src_")
+    src = _scratch_dir("c33_anomaly_stream_src_")
     _write_time_slices(ev, src)
     sink = f"c33_anomaly_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -1392,7 +1392,7 @@ def _interarrival_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import interarrival_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c34_interarrival_stream_src_")
+    src = _scratch_dir("c34_interarrival_stream_src_")
     _write_time_slices(ev, src)
     sink = f"c34_interarrival_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -1467,7 +1467,7 @@ def _partition_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = load_table(spark, "events", sf_dir)
-    base = tempfile.mkdtemp(prefix="c35_partition_evo_")
+    base = _scratch_dir("c35_partition_evo_")
     return layout.partition_evolution_audit(spark, ev, base)
 
 
@@ -1478,7 +1478,7 @@ def _schema_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = load_table(spark, "events", sf_dir)
-    base = tempfile.mkdtemp(prefix="c35_schema_evo_")
+    base = _scratch_dir("c35_schema_evo_")
     return layout.schema_evolution_audit(spark, ev, base)
 
 
@@ -1509,7 +1509,7 @@ def _asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = (asof_tag_union(ev, od)
               .join(ev.select("user_id").distinct(), "user_id",
                     "left_semi"))
-    src = tempfile.mkdtemp(prefix="c10_asof_stream_src_")
+    src = _scratch_dir("c10_asof_stream_src_")
     sliced = tagged.withColumn(
         "slice", F.ntile(4).over(
             Window.orderBy("t", "is_event", "ord_key"))) \
@@ -1559,7 +1559,7 @@ def _throttle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import rate_throttle_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c34_throttle_stream_src_")
+    src = _scratch_dir("c34_throttle_stream_src_")
     _write_time_slices(ev, src)
     sink = f"c34_throttle_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -1673,7 +1673,7 @@ def _flatline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import flatline_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c33_flatline_stream_src_")
+    src = _scratch_dir("c33_flatline_stream_src_")
     _write_time_slices(ev, src)
     sink = f"c33_flatline_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -1712,7 +1712,7 @@ def _l28_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     d_end = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
-    src = tempfile.mkdtemp(prefix="c34_l28_stream_src_")
+    src = _scratch_dir("c34_l28_stream_src_")
     _write_time_slices(ev, src)
     sink = f"c34_l28_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -1764,7 +1764,7 @@ def _drawdown_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import drawdown_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c12_drawdown_stream_src_")
+    src = _scratch_dir("c12_drawdown_stream_src_")
     _write_time_slices(ev, src)
     sink = f"c12_drawdown_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -1798,7 +1798,7 @@ def _holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import holt_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c12_holt_stream_src_")
+    src = _scratch_dir("c12_holt_stream_src_")
     _write_time_slices(ev, src)
     sink = f"c12_holt_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -2213,7 +2213,7 @@ def _bursts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import daily_counts_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c34_bursts_stream_src_")
+    src = _scratch_dir("c34_bursts_stream_src_")
     _write_time_slices(ev, src)
     sink = f"c34_bursts_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
@@ -2247,7 +2247,7 @@ def _absence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import last_seen_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = tempfile.mkdtemp(prefix="c34_absence_stream_src_")
+    src = _scratch_dir("c34_absence_stream_src_")
     _write_time_slices(ev, src)
     sink = f"c34_absence_stream_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark, _parts_for(ev.count())):
