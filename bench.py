@@ -294,6 +294,11 @@ HEADLINE = [
     "c35_constraints",       # CHECK-constraint gate, real files
     "c40_pseudonymize",      # keyed tokens, referential integrity
     "c43_regression",        # MAE/MSE of the group-mean baseline
+    # round-14 continuation additions (r16 slate at the 15-row cap)
+    "c36_left_join_stream",  # windowed outer twin, eviction-path emit
+    "c35_mv_refresh",        # incremental MV delta merge, real files
+    "c42_imputer",           # fit/transform median impute, histogram
+    "c37_join_advisor",      # stats-driven strategy + plan confirm
 ]
 
 
@@ -360,7 +365,7 @@ STREAM_QUERIES = ["c36_interval_join", "c35_upsert_stream",
                   "c4_tdigest_stream", "c27_ttl_stream",
                   "c24_session_stream", "c22_tumbling_stream",
                   "c23_sliding_stream", "c36_window_join",
-                  "c26_dedup_stream"]
+                  "c26_dedup_stream", "c36_left_join_stream"]
 
 # Micro-batch count each twin's availableNow replay executes (the fixed
 # replay floor is ~batches × stream_overhead_sec); all the file-split

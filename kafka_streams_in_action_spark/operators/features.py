@@ -356,3 +356,65 @@ def regression_eval(orders: DataFrame) -> DataFrame:
                     .alias("mae_milli"),
                     F.expr("CAST(sse div n AS BIGINT)")
                     .alias("mse_cents2")))
+
+
+def median_impute(events: DataFrame) -> DataFrame:
+    """C42g (round 14 session, r17 slate): fit/transform MEDIAN
+    imputation — the missing-value step every tabular pipeline runs
+    before scaling/encoding (sklearn SimpleImputer(strategy='median'),
+    Spark ML Imputer): fit the per-group median on the PRESENT rows,
+    transform every missing cell to its group's statistic. Missingness
+    is PLANTED deterministically (the c30_pii / c35_constraints
+    prove-it-detects discipline): value goes missing where
+    md5(event_id) % 7 == 0 — the seeded-augmentation idiom, replayable
+    in SQL as ('0x' || substr(md5(k),1,8))::BIGINT.
+
+    Exact, histogram-reduced median (the c43_auc discipline): rather
+    than sorting the corpus per key (a 5-key partitioned window over
+    every row — the parallelism ceiling c16_sla/c33_anomaly2 document),
+    the present rows first reduce to the (event_type, value_milli)
+    COUNT histogram; the low median (the (n+1)//2-th smallest, an
+    actual observed value — no interpolation, engine-exact) is then a
+    cumulative-count threshold over histogram rows, which are bounded
+    by the milli-value domain, not the corpus. Spark ML's Imputer fits
+    an approxQuantile median; this row is the exact-replay variant the
+    oracle can hash.
+
+    Output: per event_type, the fitted statistic + the transform audit
+    (present/missing counts, post-impute exact milli sum over ALL
+    rows). The transform itself is a broadcast join of the ≤|groups|
+    model + coalesce — a projection at any scale.
+
+    Scale: one corpus scan → histogram groupBy (map-side combinable,
+    keyed shuffle); window over histogram rows only; one broadcast
+    join back. No corpus-sized sort, no Python."""
+    from pyspark.sql import Window
+
+    h32 = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+        16, 10).cast("long")
+    vm = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    masked = events.select(
+        "event_type", "event_id",
+        F.when(h32 % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(vm).alias("vm"))
+
+    hist = (masked.filter(F.col("vm").isNotNull())
+            .groupBy("event_type", "vm")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    w_cum = Window.partitionBy("event_type").orderBy("vm")
+    w_tot = Window.partitionBy("event_type")
+    model = (hist
+             .withColumn("cum", F.sum("cnt").over(w_cum))
+             .withColumn("tot", F.sum("cnt").over(w_tot))
+             .filter(F.col("cum") >= F.expr("(tot + 1) div 2"))
+             .groupBy("event_type")
+             .agg(F.min("vm").alias("median_milli")))
+
+    return (masked.join(F.broadcast(model), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("vm").alias("n_present"),
+                 (F.count(F.lit(1)) - F.count("vm")).alias("n_missing"),
+                 F.max("median_milli").alias("median_milli"),
+                 F.sum(F.coalesce(F.col("vm"), F.col("median_milli")))
+                 .alias("imputed_sum_milli")))

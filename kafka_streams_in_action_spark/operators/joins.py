@@ -621,3 +621,103 @@ def bloom_index_persist(spark, orders: DataFrame, customer: DataFrame,
         .alias("no_false_negatives"),
         (F.col("n_cand") < F.col("n_orders")).alias("pruned"),
     )
+
+
+def join_strategy_advisor(spark, lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, nation: DataFrame,
+                          threshold_bytes: int = 256 * 1024) -> DataFrame:
+    """C37n (round 14 session, r17 slate): stats-driven JOIN-STRATEGY
+    advisor with an EARNED plan confirmation — the decision a CBO (or
+    the engineer reading `ANALYZE TABLE` output) makes before every
+    join at 100 TB: broadcast the build side if its estimated bytes fit
+    the broadcast budget, otherwise shuffle both sides. Spark's own
+    planner makes this call from file-size statistics that are often
+    stale, missing (post-transformation sizes), or compressed-size
+    skewed; a pipeline that KNOWS its dimension sizes pins the strategy
+    with hints — this operator is that advisor, and it proves the hint
+    plumbing takes effect instead of trusting it.
+
+    Size estimation is exact and engine-replayable (never a guess the
+    oracle can't hash): one linear pass per build table computes
+    rows × 8 bytes per fixed-width column + the exact octet sum of the
+    string columns — in-memory row width, deliberately independent of
+    on-disk compression (a snappy parquet file 4× smaller than its
+    broadcast hash table is exactly how 10-GB-broadcast OOMs happen).
+
+    Candidates cover both verdict branches at the test scales:
+    orders⋈customer and customer⋈nation stay under the budget
+    (broadcast); lineitem⋈orders' build side crosses it at sf0.1
+    (shuffle). The 256 KiB budget is the default 10 MiB
+    autoBroadcastJoinThreshold scaled to the test corpus so BOTH
+    branches execute in the gate; the CASE logic is scale-invariant.
+
+    `plan_confirmed` is EARNED per candidate: the recommended join is
+    actually constructed — broadcast via the hint, shuffle under a
+    scoped autoBroadcastJoinThreshold=-1 (restored in finally, the
+    skew_join_audit discipline) — and the physical plan must contain
+    the recommended operator (BroadcastHashJoin, or SortMerge/
+    ShuffledHash with no broadcast). A hint silently ignored, or a
+    conf that leaks, flips the boolean and fails the oracle.
+
+    Scale: the advisor costs one map-side-combinable agg per build
+    table; the confirmation is plan construction only (no join
+    executes); output is 3 metadata rows."""
+    fixed = {"customer": 3 * 8, "nation": 2 * 8, "orders": 4 * 8}
+    strings = {
+        "customer": ["c_name", "c_mktsegment"],
+        "nation": ["n_name"],
+        "orders": ["o_orderstatus", "o_orderpriority"],
+    }
+    tables = {"customer": customer, "nation": nation, "orders": orders}
+    candidates = [
+        ("orders_customer", "customer", orders, "o_custkey", "c_custkey"),
+        ("customer_nation", "nation", customer, "c_nationkey",
+         "n_nationkey"),
+        ("lineitem_orders", "orders", lineitem, "l_orderkey",
+         "o_orderkey"),
+    ]
+
+    def stats(tname):
+        oct_sum = sum((F.sum(F.octet_length(F.col(c))) for c in
+                       strings[tname][1:]),
+                      F.sum(F.octet_length(F.col(strings[tname][0]))))
+        return tables[tname].agg(
+            F.count(F.lit(1)).alias("build_rows"),
+            (F.count(F.lit(1)) * fixed[tname] + oct_sum)
+            .cast("long").alias("build_bytes_est"))
+
+    out = []
+    for join_name, build_name, probe, pkey, bkey in candidates:
+        st = stats(build_name)
+        bytes_est = st.collect()[0]["build_bytes_est"]  # bounded 1-row
+        build = tables[build_name]
+        if bytes_est < threshold_bytes:
+            strategy = "broadcast"
+            joined = probe.join(F.broadcast(build),
+                                probe[pkey] == build[bkey])
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            confirmed = "BroadcastHashJoin" in plan
+        else:
+            strategy = "shuffle"
+            key = "spark.sql.autoBroadcastJoinThreshold"
+            prev = spark.conf.get(key)
+            try:
+                spark.conf.set(key, "-1")
+                joined = probe.join(build, probe[pkey] == build[bkey])
+                plan = (joined._jdf.queryExecution()
+                        .executedPlan().toString())
+            finally:
+                spark.conf.set(key, prev)
+            confirmed = (("SortMergeJoin" in plan
+                          or "ShuffledHashJoin" in plan)
+                         and "BroadcastHashJoin" not in plan)
+        out.append(st.select(
+            F.lit(join_name).alias("join_name"),
+            F.lit(build_name).alias("build_table"),
+            "build_rows", "build_bytes_est",
+            F.lit(strategy).alias("strategy"),
+            F.lit(bool(confirmed)).alias("plan_confirmed")))
+    res = out[0]
+    for nxt in out[1:]:
+        res = res.unionByName(nxt)
+    return res

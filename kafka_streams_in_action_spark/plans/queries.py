@@ -2556,6 +2556,28 @@ def _constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scratch_dir("c35_constraints_"))
 
 
+def _join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C37n driver run: exact-stats join-strategy advisor; the
+    recommended plan is constructed per candidate and plan_confirmed
+    is earned from the physical plan (joins.join_strategy_advisor)."""
+    return joins.join_strategy_advisor(
+        spark,
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "nation", sf_dir))
+
+
+def _mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35t driver run: persisted-MV delta refresh on real files — build
+    v1 from the old days, merge only the delta partials, earn the
+    full-recompute and untouched-partition verdicts from the v2
+    readback (layout.mv_incremental_refresh)."""
+    return layout.mv_incremental_refresh(
+        spark, load_table(spark, "events", sf_dir),
+        _scratch_dir("c35_mv_refresh_"))
+
+
 def _window_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C36c driver-visible run: the (user, tumbling window)-keyed
     stream-stream INNER join (streaming/joins.py:
@@ -2588,6 +2610,25 @@ def _window_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _await_bounded(q)
     return spark.table(sink).select(
         "user_id", "window_start", "click_id", "view_id")
+
+
+def _left_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C36d driver-visible run: the (user, tumbling window)-keyed
+    stream-stream LEFT OUTER join (streaming/joins.py:
+    windowed_click_view_left_join) replayed across 4 REAL micro-batches
+    via the shared sentinel staging — unlike the inner twin
+    (c36_window_join), null-extended rows emit only on watermark-driven
+    STATE EVICTION, so the driver hash checks the eviction path: the
+    sentinel (rides both sides, self-matches on user −1, filtered
+    here) advances the final no-data batch's watermark past every real
+    window end (delay 0, window ends ≤ max+60min < sentinel at
+    max+90min), flushing every unmatched click exactly once. Final
+    sink == batch LEFT JOIN row-for-row — the full SQL oracle."""
+    from ..streaming.joins import windowed_click_view_left_join
+
+    return _sentinel_windowed_stream(
+        spark, sf_dir, windowed_click_view_left_join,
+        "c36_left_join_stream").filter(F.col("user_id") >= 0)
 
 
 #: Staged 4-slice replay of the DUPLICATED event log (every 3rd
@@ -11364,6 +11405,109 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
                CAST(sum(r * r) // max(n) AS BIGINT) AS mse_cents2
         FROM scored GROUP BY 1
         """),
+    "c36_left_join_stream": QuerySpec(
+        # C36d: stream-stream LEFT OUTER join keyed on (user, tumbling
+        # window) — null rows emit on watermark-driven state eviction;
+        # the sentinel flushes every window, so the batch LEFT JOIN is
+        # the full oracle (matched pairs + one null row per unmatched
+        # click).
+        _left_join_stream,
+        """
+        WITH c AS (SELECT event_id AS click_id, user_id,
+                          date_trunc('hour', ts) AS window_start
+                   FROM events WHERE event_type = 'click'),
+             v AS (SELECT event_id AS view_id, user_id,
+                          date_trunc('hour', ts) AS w
+                   FROM events WHERE event_type = 'view')
+        SELECT c.user_id, c.window_start, c.click_id, v.view_id
+        FROM c LEFT JOIN v
+          ON c.user_id = v.user_id AND c.window_start = v.w
+        """),
+    "c35_mv_refresh": QuerySpec(
+        # C35t: incremental materialized-view maintenance — v1 from the
+        # old days + delta-partials merge on real files; refresh_exact
+        # and untouched_identical EARNED from the v2 readback against
+        # the full recompute, which is also the oracle.
+        _mv_refresh,
+        """
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value_milli,
+               TRUE AS refresh_exact,
+               TRUE AS untouched_identical
+        FROM events GROUP BY 1, 2
+        """),
+    "c42_imputer": QuerySpec(
+        # C42g: fit/transform median imputation — planted missingness
+        # (md5(event_id) % 7), exact histogram-reduced low median per
+        # group, transform audited by the post-impute milli sum.
+        _t("events")(features.median_impute),
+        """
+        WITH m AS (
+            SELECT event_type, event_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(event_id
+                                  AS VARCHAR)), 1, 8))::BIGINT % 7 = 0
+                        THEN NULL
+                        ELSE CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                   END AS vm
+            FROM events),
+        h AS (SELECT event_type, vm, count(*) AS cnt
+              FROM m WHERE vm IS NOT NULL GROUP BY 1, 2),
+        c AS (SELECT event_type, vm,
+                     sum(cnt) OVER (PARTITION BY event_type
+                                    ORDER BY vm) AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type) AS tot
+              FROM h),
+        med AS (SELECT event_type, min(vm) AS median_milli
+                FROM c WHERE cum >= (tot + 1) // 2 GROUP BY 1)
+        SELECT m.event_type,
+               CAST(count(m.vm) AS BIGINT) AS n_present,
+               CAST(count(*) - count(m.vm) AS BIGINT) AS n_missing,
+               max(med.median_milli) AS median_milli,
+               CAST(sum(coalesce(m.vm, med.median_milli)) AS BIGINT)
+                   AS imputed_sum_milli
+        FROM m JOIN med ON m.event_type = med.event_type
+        GROUP BY 1
+        """),
+    "c37_join_advisor": QuerySpec(
+        # C37n: stats-driven broadcast-vs-shuffle advisor — exact
+        # in-memory byte estimates (8 B per fixed-width column + exact
+        # string octets), 256 KiB budget (the 10 MiB default scaled to
+        # the test corpus), plan_confirmed EARNED from the physical
+        # plan of the recommended join.
+        _join_advisor,
+        """
+        WITH bs AS (
+            SELECT 'customer' AS t, CAST(count(*) AS BIGINT) AS n,
+                   CAST(24 * count(*)
+                        + sum(octet_length(encode(c_name))
+                              + octet_length(encode(c_mktsegment))) AS BIGINT)
+                       AS b
+            FROM customer
+            UNION ALL
+            SELECT 'nation', CAST(count(*) AS BIGINT),
+                   CAST(16 * count(*) + sum(octet_length(encode(n_name)))
+                        AS BIGINT)
+            FROM nation
+            UNION ALL
+            SELECT 'orders', CAST(count(*) AS BIGINT),
+                   CAST(32 * count(*)
+                        + sum(octet_length(encode(o_orderstatus))
+                              + octet_length(encode(o_orderpriority)))
+                        AS BIGINT)
+            FROM orders)
+        SELECT c.join_name, bs.t AS build_table, bs.n AS build_rows,
+               bs.b AS build_bytes_est,
+               CASE WHEN bs.b < 262144 THEN 'broadcast'
+                    ELSE 'shuffle' END AS strategy,
+               TRUE AS plan_confirmed
+        FROM (VALUES ('orders_customer', 'customer'),
+                     ('customer_nation', 'nation'),
+                     ('lineitem_orders', 'orders'))
+             AS c(join_name, t)
+        JOIN bs ON bs.t = c.t
+        """),
 }
 
 _QUERY_DEFS.update({name: _tpch_spec(name) for name in _TPCH_SHARED})
@@ -11769,28 +11913,34 @@ _REGISTERED_ROUND: dict[str, int] = {
         "c21_ols_fit", "c40_dp_hist", "c31_augment", "c43_calibration",
         # second tranche (same session)
         "c35_constraints", "c40_pseudonymize", "c43_regression",
+        # third tranche (round-14 continuation session; slate at the
+        # 15-row cap): the C36 outer-eviction twin, incremental MV
+        # maintenance, median imputation, join-strategy advisor
+        "c36_left_join_stream", "c35_mv_refresh", "c42_imputer",
+        "c37_join_advisor",
     ]},
 }
 
 # Round-15 window plan (to become _ROUND15_PRIORITY next round): the
-# 11-row r16 slate registered this session — c36_window_join,
+# 15-row r16 slate registered this round — c36_window_join,
 # c26_dedup_stream, c37_codec, c35_clone, c21_ols_fit, c40_dp_hist,
 # c31_augment, c43_calibration, c35_constraints, c40_pseudonymize,
-# c43_regression — leads the window (every row three-scale sim-green,
-# float-bit-exact, and 10×-probed this session); the 17 remaining
-# r7-checked rows follow, making the r7 cohort extinct (name order:
-# c33_benford, c33_drift, c33_expectations, c33_group_stats,
-# c33_referential, c34_attribution, c34_sessionize, c35_scd2_stream,
-# c37_compact, c38_pagerank, c38_triangles, c5_grouping_sets,
-# c5_rollup, c8_anti_join, sql_q11_important_value,
-# sql_q13_order_distribution, sql_q20_promo_suppliers); the last 22
-# slots take the 22 oldest r8-checked rows in name order
+# c43_regression, c36_left_join_stream, c35_mv_refresh, c42_imputer,
+# c37_join_advisor — leads the window (every row three-scale
+# sim-green, float-bit-exact, and 10×-probed this round); the 17
+# remaining r7-checked rows follow, making the r7 cohort extinct
+# (name order: c33_benford, c33_drift, c33_expectations,
+# c33_group_stats, c33_referential, c34_attribution, c34_sessionize,
+# c35_scd2_stream, c37_compact, c38_pagerank, c38_triangles,
+# c5_grouping_sets, c5_rollup, c8_anti_join, sql_q11_important_value,
+# sql_q13_order_distribution, sql_q20_promo_suppliers); the last 18
+# slots take the 18 oldest r8-checked rows in name order
 # (c12_crossover, c12_drawdown, c12_drawdown_stream, c12_holt,
 # c12_holt_stream, c12_trend, c12_xcorr, c16_gaps, c16_interp,
 # c16_ohlc, c16_seasonality, c28_par_dedup, c29_mmr, c29_recall_curve,
-# c30_lexdiv, c30_phrase, c30_pmi, c31_resample_audio, c31_vad,
-# c32_oversample, c32_quota, c32_systematic); the remaining 27 r8 rows
-# (c32_temporal_split … c39_golden class) rotate in round 16. Judge
+# c30_lexdiv, c30_phrase, c30_pmi, c31_resample_audio); the remaining
+# 31 r8 rows (c31_vad, c32_oversample, c32_quota, c32_systematic, then
+# the c32_temporal_split … c39_golden class) rotate in round 16. Judge
 # items displace from the rotation tail only, never the r16 rows.
 
 # (historical r13 comment; realized verbatim as _ROUND14_PRIORITY above —

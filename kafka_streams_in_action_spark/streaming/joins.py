@@ -218,3 +218,63 @@ def windowed_click_view_join(events: DataFrame,
                 F.col("c_win.start").alias("window_start"),
                 "click_id", "view_id")
     )
+
+
+def windowed_click_view_left_join(events: DataFrame,
+                                  window: str = "1 hour") -> DataFrame:
+    """C36d (round 14 session, r17 slate): stream-stream LEFT OUTER
+    join keyed on (user, tumbling time window) — the completion of the
+    C36 streaming-join matrix (interval inner, interval outer batch,
+    windowed inner twin → windowed OUTER twin): every click emits
+    exactly once, paired with each same-user same-hour view if any
+    exist, else null-extended ONCE the watermark proves no future view
+    can land in its window. Unlike the inner form (emission
+    watermark-independent), outer null emission is gated on state
+    eviction: Spark holds the unmatched click in the left state store
+    until the watermark passes its window end, then emits the null row
+    as it evicts — so a driver replay across REAL micro-batches checks
+    the eviction path itself, not just the match path.
+
+    Batch equality contract: with a delay-0 watermark and a replay
+    whose final no-data batch sees a watermark past EVERY real window
+    end (the caller stages one far-future sentinel row, the
+    _sentinel_windowed_stream discipline), the sink is exactly the
+    batch LEFT JOIN: matched pairs from the match path + one
+    null-extended row per unmatched click from the eviction path.
+
+    The sentinel rides BOTH sides (its event_type passes neither the
+    click nor the view filter — the caller routes it explicitly) so
+    both state stores' watermarks advance; callers filter its
+    user_id < 0 rows from the sink.
+
+    Scale: identical state posture to the inner form — per-side state
+    ≤ watermark horizon × arrival rate keyed by (user, window),
+    whole-window eviction; the outer path adds no state, only the
+    null-emission at eviction time. Output bounded by clicks +
+    per-(user, hour) match products."""
+    clicks = (
+        events.filter(F.col("event_type").isin("click", "sentinel"))
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "0 seconds")
+        .withColumn("c_win", F.window("c_ts", window))
+    )
+    views = (
+        events.filter(F.col("event_type").isin("view", "sentinel"))
+        .select(F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "0 seconds")
+        .withColumn("v_win", F.window("v_ts", window))
+    )
+    return (
+        clicks.join(
+            views,
+            (F.col("c_user") == F.col("v_user"))
+            & (F.col("c_win") == F.col("v_win")),
+            "leftOuter")
+        .select(F.col("c_user").alias("user_id"),
+                F.col("c_win.start").alias("window_start"),
+                "click_id", "view_id")
+    )

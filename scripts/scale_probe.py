@@ -388,6 +388,10 @@ PROBE_QUERIES = [
     "c35_constraints",      # linear scan -> two filtered writes
     "c40_pseudonymize",     # per-row tokenization + keyed join
     "c43_regression",       # two map-side-combinable aggs
+    "c36_left_join_stream",  # outer twin: eviction-path state flush
+    "c35_mv_refresh",       # delta partials + |MV keys| merge shuffle
+    "c42_imputer",          # histogram median + broadcast transform
+    "c37_join_advisor",     # one exact stats agg per build table
     # a14_registry is deliberately NOT probed: it drives constant-size
     # registry metadata (≤|event_type| subjects) — no data-scale path.
     # c32_leakage is deliberately NOT probed: it runs the exact

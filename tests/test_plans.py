@@ -470,7 +470,15 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c36_window_join", "c26_dedup_stream",
                     # writes + reloads the per-codec / clone-manifest /
                     # publish+quarantine files at build by design (r16)
-                    "c37_codec", "c35_clone", "c35_constraints"):
+                    "c37_codec", "c35_clone", "c35_constraints",
+                    # replays the availableNow stream at build (r16,
+                    # third tranche)
+                    "c36_left_join_stream",
+                    # writes + reloads the MV generations at build (r16)
+                    "c35_mv_refresh",
+                    # bounded 1-row stats pulls drive the strategy pick
+                    # + plan realization for the earned verdict (r16)
+                    "c37_join_advisor"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)

@@ -383,3 +383,109 @@ def test_ols_fit_plan_is_single_exchange_grouped_map(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
     assert _n_exchanges(df) == 1
+
+
+# ------------------------- round-14 continuation: third r16 tranche
+
+
+def test_left_outer_window_join_column_algebra(spark):
+    """C36d: batch-apply the streaming operator (withWatermark is a
+    no-op on batch frames) — matched pairs + null-extension per
+    unmatched click, keyed on (user, hour window)."""
+    from kafka_streams_in_action_spark.streaming.joins import (
+        windowed_click_view_left_join)
+    rows = [
+        # user 1: click+view same hour -> matched pair
+        (1, 1, "click", dt.datetime(2024, 1, 1, 10, 5), 0.0),
+        (2, 1, "view", dt.datetime(2024, 1, 1, 10, 50), 0.0),
+        # user 1: click in the NEXT hour, no view there -> null row
+        (3, 1, "click", dt.datetime(2024, 1, 1, 11, 5), 0.0),
+        # user 2: view only -> contributes nothing (left side empty)
+        (4, 2, "view", dt.datetime(2024, 1, 1, 10, 10), 0.0),
+        # user 3: one click, two same-hour views -> two pairs
+        (5, 3, "click", dt.datetime(2024, 1, 1, 9, 0), 0.0),
+        (6, 3, "view", dt.datetime(2024, 1, 1, 9, 30), 0.0),
+        (7, 3, "view", dt.datetime(2024, 1, 1, 9, 59), 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+    got = sorted(
+        (r.user_id, r.click_id, r.view_id)
+        for r in windowed_click_view_left_join(ev).collect())
+    assert got == [(1, 1, 2), (1, 3, None), (3, 5, 6), (3, 5, 7)]
+
+
+def test_mv_refresh_verdicts_earned_and_exact(spark, tmp_path):
+    """C35t: the refreshed MV must equal the full recompute with both
+    verdicts earned; totals reconcile against the source."""
+    base = dt.datetime(2024, 3, 1)
+    rows = [(i, base + dt.timedelta(days=i % 5, hours=i % 7),
+             i % 3, "t%d" % (i % 2), float(i) / 8) for i in range(400)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = layout.mv_incremental_refresh(
+        spark, ev, str(tmp_path / "mv")).collect()
+    assert all(r["refresh_exact"] for r in out)
+    assert all(r["untouched_identical"] for r in out)
+    # 2 types x 5 days, counts cover the source exactly
+    assert len(out) == 10
+    assert sum(r["n_events"] for r in out) == 400
+    exp_vm = sum(int(i / 8 * 1000 + 0.5) for i in range(400))
+    assert sum(r["value_milli"] for r in out) == exp_vm
+
+
+def test_median_imputer_matches_python_reference(spark):
+    """C42g: planted mask + low median + post-impute sum against a
+    pure-Python replay of the same md5 mask."""
+    import hashlib
+
+    from kafka_streams_in_action_spark.operators.features import (
+        median_impute)
+    rows = [(i, "a" if i % 2 == 0 else "b", (i * 37) % 100 / 10.0)
+            for i in range(300)]
+    ev = spark.createDataFrame(
+        [(i, t, dt.datetime(2024, 1, 1), v) for i, t, v in rows],
+        "event_id long, event_type string, ts timestamp, value double")
+    got = {r.event_type: r for r in median_impute(ev).collect()}
+
+    def masked(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                   16) % 7 == 0
+
+    for t in ("a", "b"):
+        vals = {i: int(v * 1000 + 0.5) for i, tt, v in rows if tt == t}
+        present = sorted(v for i, v in vals.items() if not masked(i))
+        med = present[(len(present) + 1) // 2 - 1]
+        imputed = sum(med if masked(i) else v for i, v in vals.items())
+        assert got[t].n_present == len(present)
+        assert got[t].n_missing == len(vals) - len(present)
+        assert got[t].median_milli == med
+        assert got[t].imputed_sum_milli == imputed
+
+
+def test_join_advisor_confirms_both_branches_and_restores_conf(spark):
+    """C37n: force both branches with a tiny threshold split; the
+    recommended plan must be confirmed and the broadcast conf must
+    survive the scoped override."""
+    li = spark.range(2000).selectExpr("id AS l_orderkey")
+    orders = spark.range(500).selectExpr(
+        "id AS o_orderkey", "id % 50 AS o_custkey",
+        "'F' AS o_orderstatus", "'1-URGENT' AS o_orderpriority")
+    cust = spark.range(50).selectExpr(
+        # a varying key — a constant would be folded into a filter and
+        # degrade the equi-join to a BNLJ (fixture artifact, not a plan)
+        "id AS c_custkey", "CAST(id % 5 AS INT) AS c_nationkey",
+        "concat('name-', id) AS c_name", "'BUILDING' AS c_mktsegment")
+    nat = spark.range(5).selectExpr(
+        "CAST(id AS INT) AS n_nationkey", "concat('N', id) AS n_name")
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    out = {r.join_name: r for r in joins.join_strategy_advisor(
+        spark, li, orders, cust, nat,
+        threshold_bytes=5000).collect()}
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    assert out["customer_nation"].strategy == "broadcast"   # ~100s of B
+    assert out["lineitem_orders"].strategy == "shuffle"     # 500*32+B > 5k
+    assert all(r.plan_confirmed for r in out.values())
+    assert out["lineitem_orders"].build_rows == 500
