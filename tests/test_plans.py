@@ -157,6 +157,7 @@ _BNLJ_ALLOWED = {
     "c37_skew_advisor",     # 1-row mean-frequency scalar broadcast
     "c4_cms_join_card",     # 1-row sketch-estimate scalar broadcast
     "c37_compact",          # 1-row overlap/missing/total verdict scalars
+    "c35_mv_refresh",       # four 1-row anti-join-count verdict scalars
     "c33_referential",      # four 1-row per-edge count crossjoins
     "c38_triangles",        # 1-row edge/wedge/triangle verdict scalars
     "c33_benford",          # 1-row total-count scalar broadcast
