@@ -489,3 +489,40 @@ def test_join_advisor_confirms_both_branches_and_restores_conf(spark):
     assert out["lineitem_orders"].strategy == "shuffle"     # 500*32+B > 5k
     assert all(r.plan_confirmed for r in out.values())
     assert out["lineitem_orders"].build_rows == 500
+
+
+def test_imputer_plan_shape_histogram_reduced(spark):
+    """C42g plan pin: the corpus shuffles only as the (event_type,
+    value_milli) histogram + final partial aggs — 3 hash exchanges, a
+    broadcast model join-back, and no sort-merge join / corpus sort."""
+    import os
+
+    from kafka_streams_in_action_spark.operators.features import (
+        median_impute)
+    from kafka_streams_in_action_spark.sources.parquet import load_table
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                        "/root/testdata/sf0.001")
+    plan = (median_impute(load_table(spark, "events", sf))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mv_refresh_delta_filter_pushes_to_scan(spark):
+    """C35t contract pin: the day-cast delta predicate must reach the
+    parquet scan as a ts pushdown (Spark's cast-unwrapping) — the
+    file-prune posture the docstring claims. A Spark upgrade that
+    stops unwrapping the cast would fail here, loudly."""
+    import datetime as _dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_in_action_spark.sources.parquet import load_table
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                        "/root/testdata/sf0.001")
+    ev = load_table(spark, "events", sf)
+    flt = ev.filter(F.col("ts").cast("date") >= F.lit(_dt.date(2024, 1, 30)))
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan, plan
