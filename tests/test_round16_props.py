@@ -153,3 +153,36 @@ def test_join_advisor_byte_estimate_matches_reference(spark):
     assert out["lineitem_orders"].strategy == (
         "broadcast" if exp_orders < 4000 else "shuffle")
     assert all(r.plan_confirmed for r in out.values())
+
+
+def test_mv_refresh_single_day_table_empty_v1(spark, tmp_path):
+    """Edge: every row within the delta horizon (max day − 2 < min day)
+    — v1 is an EMPTY MV and the refresh must still equal the full
+    recompute (the bootstrap case of incremental maintenance)."""
+    rows = [(i, TS0 + dt.timedelta(hours=i % 24), i % 3, "t", 1.0)
+            for i in range(50)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = layout.mv_incremental_refresh(
+        spark, ev, str(tmp_path / "mv")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.refresh_exact and r.untouched_identical
+    assert r.n_events == 50 and r.value_milli == 50000
+
+
+def test_median_imputer_all_masked_group_dropped(spark):
+    """Edge: a group whose every row is planted missing has no fittable
+    statistic — it must be absent from the output on BOTH engines (the
+    oracle's inner join drops it too)."""
+    all_masked = [3, 7, 14, 18, 19, 26, 37, 48]  # md5 % 7 == 0
+    rows = [(i, "gone", TS0, 1.0) for i in all_masked]
+    rows += [(1, "kept", TS0, 2.0), (2, "kept", TS0, 4.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, "
+              "value double")
+    got = {r.event_type: r for r in
+           features.median_impute(ev).collect()}
+    assert "gone" not in got
+    assert got["kept"].median_milli == 2000  # low median of {2000,4000}
