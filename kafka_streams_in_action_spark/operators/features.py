@@ -268,10 +268,7 @@ def scaler_stats(lineitem: DataFrame) -> DataFrame:
 
     Scale: ONE map-side-combinable aggregate over the fact table;
     output is |segments| rows. No window, no join, no second pass."""
-    dec = "decimal(38,0)"
-
-    def sb(col):
-        return col.cast("string").cast("double")
+    dec, sb = _DEC, _sb  # the module's exactness-critical cast idiom
 
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) \
         .cast("long")
@@ -330,7 +327,7 @@ def regression_eval(orders: DataFrame) -> DataFrame:
     score pass) joined on the ≤|priorities| group key — the
     fit/transform split every feature pipeline runs, same shape as
     c42_scaler."""
-    dec = "decimal(38,0)"
+    dec = _DEC  # the module's exactness-critical decimal type
     y = orders.select(
         F.col("o_orderpriority").alias("priority"),
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))

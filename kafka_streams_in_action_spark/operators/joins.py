@@ -264,6 +264,53 @@ def asof_join_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+#: shared (p → bit-mask) projection of the bloom construction — one
+#: definition so the in-memory filter (bloom_semi_join) and the
+#: persisted index (bloom_index_persist) can never drift apart on the
+#: hash/bit arithmetic
+_BLOOM_MASK_EXPR = ("shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(pmod(p, 64) AS INT))")
+
+
+def _bloom_positions(col, m_bits: int, k: int):
+    """k double-hashed bit positions p_i = pmod(h1 + i·h2, m) over two
+    xxhash64 seeds; each hash reduced mod m BEFORE combining (ANSI mode
+    throws on the long overflow h1 + i·h2 would hit)."""
+    h1 = F.pmod(F.xxhash64(col, F.lit(0x9E3779)), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(col, F.lit(0x85EBCA)), F.lit(m_bits))
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+                     for i in range(k)])
+
+
+def _bloom_words(keys: DataFrame, m_bits: int, k: int) -> DataFrame:
+    """Build the ≤ m_bits/64-row (word → bits) filter relation from the
+    key set with one map-side bit_or aggregation."""
+    return (keys.select(F.explode(
+                _bloom_positions(F.col("key"), m_bits, k)).alias("p"))
+            .select(F.shiftright("p", 6).alias("word"),
+                    F.expr(_BLOOM_MASK_EXPR).alias("mask"))
+            .groupBy("word").agg(F.bit_or("mask").alias("bits")))
+
+
+def _bloom_candidates(orders: DataFrame, filt: DataFrame,
+                      m_bits: int, k: int) -> DataFrame:
+    """Probe the filter relation: each order re-derives its k positions
+    and survives only if ALL k bits are set (count == k after the
+    broadcast equi-join on word)."""
+    probe = (orders.select("o_orderkey", F.col("o_custkey").alias("key"))
+             .select("o_orderkey", "key",
+                     F.explode(_bloom_positions(F.col("key"), m_bits, k))
+                     .alias("p"))
+             .select("o_orderkey", "key",
+                     F.shiftright("p", 6).alias("word"),
+                     F.expr(_BLOOM_MASK_EXPR).alias("mask")))
+    return (probe.join(F.broadcast(filt), "word")
+            .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
+            .groupBy("o_orderkey", "key")
+            .agg(F.count(F.lit(1)).alias("n_set"))
+            .filter(F.col("n_set") == k))
+
+
 def bloom_semi_join(orders: DataFrame, customer: DataFrame,
                     m_bits: int = 1 << 14, k: int = 3,
                     segment: str = "BUILDING") -> DataFrame:
@@ -294,32 +341,8 @@ def bloom_semi_join(orders: DataFrame, customer: DataFrame,
     these key counts is < 1e-3, so pruning is certain at every SF)."""
     keys = (customer.filter(F.col("c_mktsegment") == segment)
             .select(F.col("c_custkey").alias("key")))
-
-    def positions(col):
-        # reduce each hash mod m BEFORE combining: ANSI mode (Spark 4
-        # default) throws on the long overflow h1 + i·h2 would hit
-        h1 = F.pmod(F.xxhash64(col, F.lit(0x9E3779)), F.lit(m_bits))
-        h2 = F.pmod(F.xxhash64(col, F.lit(0x85EBCA)), F.lit(m_bits))
-        return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
-                         for i in range(k)])
-
-    words = (keys.select(F.explode(positions(F.col("key"))).alias("p"))
-             .select(F.shiftright("p", 6).alias("word"),
-                     F.expr("shiftleft(CAST(1 AS BIGINT), "
-                            "CAST(pmod(p, 64) AS INT))").alias("mask"))
-             .groupBy("word").agg(F.bit_or("mask").alias("bits")))
-    probe = (orders.select("o_orderkey", F.col("o_custkey").alias("key"))
-             .select("o_orderkey", "key",
-                     F.explode(positions(F.col("key"))).alias("p"))
-             .select("o_orderkey", "key",
-                     F.shiftright("p", 6).alias("word"),
-                     F.expr("shiftleft(CAST(1 AS BIGINT), "
-                            "CAST(pmod(p, 64) AS INT))").alias("mask")))
-    candidates = (probe.join(F.broadcast(words), "word")
-                  .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
-                  .groupBy("o_orderkey", "key")
-                  .agg(F.count(F.lit(1)).alias("n_set"))
-                  .filter(F.col("n_set") == k))
+    words = _bloom_words(keys, m_bits, k)
+    candidates = _bloom_candidates(orders, words, m_bits, k)
     verified = candidates.join(keys, "key", "semi")
     truth = (orders.join(
         customer.filter(F.col("c_mktsegment") == segment),
@@ -433,7 +456,11 @@ def asof_join_tolerance(events: DataFrame, orders: DataFrame,
     """C10t: as-of join with a STALENESS BOUND — pandas
     merge_asof(tolerance=...) semantics: each event gets the latest
     order at/before its time ONLY if that order is within
-    `tolerance_days`; staler state is treated as missing (the feature-
+    `tolerance_days` — evaluated at DAY granularity (the lower bound is
+    midnight of event_date − tolerance_days, matching the date-typed
+    o_orderdate and the oracle's date_sub; merge_asof with a
+    sub-day-exact Timedelta would reject up to one extra day of
+    staleness); staler state is treated as missing (the feature-
     freshness rule every real-time feature store enforces: serving a
     6-month-old account balance as "current" is worse than a null).
 
@@ -565,17 +592,7 @@ def bloom_index_persist(spark, orders: DataFrame, customer: DataFrame,
         while m_bits < 16 * n_keys and m_bits < 1 << 28:
             m_bits <<= 1
 
-    def positions(col):
-        h1 = F.pmod(F.xxhash64(col, F.lit(0x9E3779)), F.lit(m_bits))
-        h2 = F.pmod(F.xxhash64(col, F.lit(0x85EBCA)), F.lit(m_bits))
-        return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
-                         for i in range(k)])
-
-    words = (keys.select(F.explode(positions(F.col("key"))).alias("p"))
-             .select(F.shiftright("p", 6).alias("word"),
-                     F.expr("shiftleft(CAST(1 AS BIGINT), "
-                            "CAST(pmod(p, 64) AS INT))").alias("mask"))
-             .groupBy("word").agg(F.bit_or("mask").alias("bits")))
+    words = _bloom_words(keys, m_bits, k)
     words.write.mode("overwrite").parquet(index_dir)
     loaded = spark.read.parquet(index_dir)
 
@@ -586,18 +603,7 @@ def bloom_index_persist(spark, orders: DataFrame, customer: DataFrame,
                             1).otherwise(0)).alias("n_mismatch"),
                F.count(F.lit(1)).alias("n_words")))
 
-    probe = (orders.select("o_orderkey", F.col("o_custkey").alias("key"))
-             .select("o_orderkey", "key",
-                     F.explode(positions(F.col("key"))).alias("p"))
-             .select("o_orderkey", "key",
-                     F.shiftright("p", 6).alias("word"),
-                     F.expr("shiftleft(CAST(1 AS BIGINT), "
-                            "CAST(pmod(p, 64) AS INT))").alias("mask")))
-    candidates = (probe.join(F.broadcast(loaded), "word")
-                  .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
-                  .groupBy("o_orderkey", "key")
-                  .agg(F.count(F.lit(1)).alias("n_set"))
-                  .filter(F.col("n_set") == k))
+    candidates = _bloom_candidates(orders, loaded, m_bits, k)
     verified = candidates.join(keys, "key", "semi")
     truth = (orders.join(
         customer.filter(F.col("c_mktsegment") == segment),

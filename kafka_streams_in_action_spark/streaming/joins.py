@@ -242,10 +242,11 @@ def windowed_click_view_left_join(events: DataFrame,
     batch LEFT JOIN: matched pairs from the match path + one
     null-extended row per unmatched click from the eviction path.
 
-    The sentinel rides BOTH sides (its event_type passes neither the
-    click nor the view filter — the caller routes it explicitly) so
-    both state stores' watermarks advance; callers filter its
-    user_id < 0 rows from the sink.
+    The sentinel rides BOTH sides: each side's filter admits
+    event_type IN (its own, 'sentinel'), so the one staged sentinel
+    row advances BOTH state stores' watermarks (and self-matches on
+    user −1 — one inner pair); callers filter user_id < 0 rows from
+    the sink.
 
     Scale: identical state posture to the inner form — per-side state
     ≤ watermark horizon × arrival rate keyed by (user, window),

@@ -526,3 +526,49 @@ def test_mv_refresh_delta_filter_pushes_to_scan(spark):
     flt = ev.filter(F.col("ts").cast("date") >= F.lit(_dt.date(2024, 1, 30)))
     plan = flt._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan, plan
+
+
+# ------------------- review fixes: version-sort and re-publish bugs
+
+
+def test_vacuum_many_versions_serves_numeric_newest(spark, tmp_path):
+    """Latent bug fix: with n_versions >= 11 a lexicographic sort ranks
+    v9 above v10/v11, vacuums the TRUE newest snapshot and serves a
+    stale partial one. Numeric ordering must keep the full v11 snapshot
+    serving and complete."""
+    ev = spark.createDataFrame(
+        [(i, TS0, i % 3, "view", 1.0) for i in range(120)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double")
+    out = layout.vacuum_versions(
+        spark, ev, str(tmp_path / "t"), n_versions=12, keep=2).collect()[0]
+    # v11 holds event_id % 12 <= 11 == ALL rows; lexicographic order
+    # would have served v9 (id % 12 <= 9) and failed completeness
+    assert out["serving_rows"] == 120
+    assert out["serving_unchanged"] and out["serving_complete"]
+    assert out["n_removed"] == 10 and out["n_kept"] == 2
+
+
+def test_wap_republish_same_base_dir(spark, tmp_path):
+    """Latent bug fix: a second publish into the same base_dir used to
+    crash on rename-onto-existing (ENOTEMPTY); re-publishing must swap
+    the serving snapshot like a table-pointer update."""
+    ev1 = spark.createDataFrame(
+        [(i, TS0, 0, "view", 1.0) for i in range(10)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double")
+    ev2 = spark.createDataFrame(
+        [(i, TS0, 0, "view", 2.0) for i in range(25)],
+        ev1.schema)
+    d = str(tmp_path / "wap")
+    r1 = layout.wap_publish(spark, ev1, d).collect()[0]
+    assert r1["published"] and r1["n_rows"] == 10
+    r2 = layout.wap_publish(spark, ev2, d).collect()[0]
+    assert r2["published"] and r2["n_rows"] == 25 and r2["readback_complete"]
+
+
+def test_interleave_width_overflow_raises(spark):
+    """Review fix: the 63-bit Morton-width guard must survive python -O
+    (raise, not assert) — a wrapped shift silently corrupts Z-values."""
+    with pytest.raises(ValueError, match="overflows"):
+        layout.interleave_sql_n(["a", "b", "c", "d"], bits=16)
