@@ -11942,6 +11942,19 @@ _REGISTERED_ROUND: dict[str, int] = {
 # 31 r8 rows (c31_vad, c32_oversample, c32_quota, c32_systematic, then
 # the c32_temporal_split … c39_golden class) rotate in round 16. Judge
 # items displace from the rotation tail only, never the r16 rows.
+#
+# r17-slate candidate themes (for the round-15 session to weigh against
+# that round's verdict): a FULL-outer windowed stream-stream twin
+# (left-outer landed this round — c36_left_join_stream — with the
+# sentinel advancing both sides; full-outer adds right-eviction null
+# rows, same harness); per-group reservoir/bootstrap sampling with a
+# seeded hash-rank oracle; MV refresh for NON-self-maintainable aggs
+# (min/max under deletes needs a per-key rebuild set — the other half
+# of c35_mv_refresh's monoid story); a RocksDB-state-provider twin if
+# the env ships the native lib (gate behind import-try); quantile
+# (pinball-loss) eval completing C43; and an ANALYZE-style multi-column
+# stats collector feeding c37_join_advisor's estimates from persisted
+# stats instead of a live scan.
 
 # (historical r13 comment; realized verbatim as _ROUND14_PRIORITY above —
 # all four r13 ADVICE/judge items were contract/hygiene fixes landing on
