@@ -852,6 +852,7 @@ def _staged_event_slices(spark: SparkSession, sf_dir: str,
         import atexit
         import shutil
         import tempfile
+        _reap_stale_scratch(f"events_slices_{n}_")
         src = tempfile.mkdtemp(prefix=f"events_slices_{n}_")
         atexit.register(shutil.rmtree, src, ignore_errors=True)
         _write_time_slices(load_table(spark, "events", sf_dir), src, n)
@@ -2382,6 +2383,7 @@ def _staged_sentinel_slices(spark: SparkSession, sf_dir: str,
             F.lit("sentinel").alias("event_type"),
             "ts",
             F.lit(0.0).alias("value"))
+        _reap_stale_scratch("sentinel_slices_")
         src = tempfile.mkdtemp(prefix="sentinel_slices_")
         atexit.register(shutil.rmtree, src, ignore_errors=True)
         # max ts → the sentinel rides the last slice
@@ -2490,16 +2492,42 @@ def _session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c24_session_stream").filter(F.col("user_id") >= 0)
 
 
+def _reap_stale_scratch(prefix: str, max_age_s: int = 2 * 3600) -> None:
+    """Best-effort removal of ORPHANED scratch dirs a previous process
+    leaked under this prefix: atexit cannot run on SIGKILL, so
+    timeout-killed probes and driver restarts strand their staging
+    (observed: three 645 MB `c35_restore_*` copies after one round of
+    killed runs). Only dirs older than `max_age_s` are reaped — safe
+    under the sequential bench/driver contract (a live process's dirs
+    are younger; nothing else runs concurrently by the r13 bench
+    lesson)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    cutoff = time.time() - max_age_s
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        try:
+            if os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def _scratch_dir(prefix: str) -> str:
     """mkdtemp + atexit rmtree (r13 ADVICE: the file-layout rows write
     real table copies — _restore ~3.7×, _zorder_maintain ~2× the
     events table per run — and repeated bench/probe runs would
     otherwise accumulate orphaned temp data; same discipline as
-    _SLICE_CACHE/_SENTINEL_SLICE_CACHE)."""
+    _SLICE_CACHE/_SENTINEL_SLICE_CACHE), plus a reap of stale orphans
+    the atexit path could not remove (SIGKILLed processes)."""
     import atexit
     import shutil
     import tempfile
 
+    _reap_stale_scratch(prefix)
     d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
@@ -2648,6 +2676,7 @@ def _staged_dup_slices(spark: SparkSession, sf_dir: str) -> str:
         import atexit
         import shutil
         import tempfile
+        _reap_stale_scratch("events_dup_slices_")
         src = tempfile.mkdtemp(prefix="events_dup_slices_")
         atexit.register(shutil.rmtree, src, ignore_errors=True)
         ev = load_table(spark, "events", sf_dir).select(
@@ -6478,7 +6507,7 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # rename; a failing audit never publishes).
         lambda spark, sf_dir: layout.wap_publish(
             spark, load_table(spark, "events", sf_dir),
-            __import__("tempfile").mkdtemp(prefix="c35_wap_")),
+            _scratch_dir("c35_wap_")),
         """
         SELECT count(*) AS n_rows, TRUE AS audit_pass,
                TRUE AS published, TRUE AS readback_complete
@@ -7432,7 +7461,7 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # filesystem and post-vacuum read-back.
         lambda spark, sf_dir: layout.vacuum_versions(
             spark, load_table(spark, "events", sf_dir),
-            __import__("tempfile").mkdtemp(prefix="c35_vacuum_")),
+            _scratch_dir("c35_vacuum_")),
         """
         SELECT CAST(5 AS INTEGER) AS n_versions_before,
                CAST(3 AS INTEGER) AS n_removed,
@@ -7885,7 +7914,7 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # exactness booleans are earned from exceptAll read-backs.
         lambda spark, sf_dir: layout.format_roundtrip_audit(
             spark, load_table(spark, "events", sf_dir),
-            __import__("tempfile").mkdtemp(prefix="c37_formats_")),
+            _scratch_dir("c37_formats_")),
         """
         SELECT fmt AS format,
                CAST((SELECT count(*) FROM events) AS BIGINT) AS n_rows,
@@ -9292,7 +9321,7 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # DataFrame's queryExecution in-build (earned, not declared).
         lambda spark, sf_dir: layout.partition_pruning_audit(
             spark, load_table(spark, "events", sf_dir),
-            __import__("tempfile").mkdtemp(prefix="c37_pruning_")),
+            _scratch_dir("c37_pruning_")),
         """
         WITH days AS (
             SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
@@ -9320,7 +9349,7 @@ _QUERY_DEFS: dict[str, QuerySpec] = {
         # from the executed plan and carried in the hashed row.
         lambda spark, sf_dir: layout.dpp_join_audit(
             spark, load_table(spark, "events", sf_dir),
-            __import__("tempfile").mkdtemp(prefix="c6_dpp_")),
+            _scratch_dir("c6_dpp_")),
         """
         WITH days AS (
             SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),

@@ -572,3 +572,22 @@ def test_interleave_width_overflow_raises(spark):
     (raise, not assert) — a wrapped shift silently corrupts Z-values."""
     with pytest.raises(ValueError, match="overflows"):
         layout.interleave_sql_n(["a", "b", "c", "d"], bits=16)
+
+
+def test_scratch_dir_reaps_stale_orphans_only(tmp_path, monkeypatch):
+    """SIGKILLed processes strand their scratch dirs (atexit never
+    runs); _scratch_dir must reap same-prefix orphans older than the
+    age cutoff and leave fresh (possibly live) ones alone."""
+    import os
+    import tempfile
+    import time
+
+    from kafka_streams_in_action_spark.plans import queries as Q
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    stale = tempfile.mkdtemp(prefix="reaptest_")
+    os.utime(stale, (time.time() - 3 * 3600, time.time() - 3 * 3600))
+    fresh = tempfile.mkdtemp(prefix="reaptest_")
+    new = Q._scratch_dir("reaptest_")
+    assert not os.path.exists(stale), "3h-old orphan must be reaped"
+    assert os.path.exists(fresh), "fresh dir must be preserved"
+    assert os.path.exists(new)
