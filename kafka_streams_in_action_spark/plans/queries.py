@@ -764,7 +764,7 @@ def _cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{base}/src"
     docs.select("doc_id", "text").repartition(4) \
         .write.mode("overwrite").parquet(src)
-    with _stream_partitions(spark, _parts_for(docs.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "documents"))):
         cms = cms_stream_mv(
             spark, src, "doc_id long, text string",
             f"{base}/grids", f"{base}/ckpt")
@@ -787,6 +787,24 @@ def _zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 from contextlib import contextmanager
 
 
+#: Row counts of the immutable source tables, per (path, mtime, size) —
+#: the _parts_for sizing action is a metadata-only count, but 24 twins x
+#: (warm + 2 timed runs) of them still cost ~2 s per bench (optimization
+#: r14); the table files are immutable per process, so count once.
+_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _cached_count(spark: SparkSession, sf_dir: str, table: str) -> int:
+    import os
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    key = (sf_dir, table, st.st_mtime_ns, st.st_size)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, table, sf_dir).count()
+        _COUNT_CACHE[key] = n
+    return n
+
+
 def _parts_for(n_rows: int, rows_per_partition: int = 50_000) -> int:
     """Size the stateful-partition knob to the input: every state
     partition instantiates its own store per stateful operator, so too
@@ -801,17 +819,51 @@ def _parts_for(n_rows: int, rows_per_partition: int = 50_000) -> int:
 
 
 @contextmanager
-def _stream_partitions(spark: SparkSession, n: int = 8):
+def _stream_partitions(spark: SparkSession, n: int = 8,
+                       observe_state: bool = False):
     """Run a bounded availableNow stream with `n` state partitions
-    (see _parts_for). The count is pinned into the checkpoint at first
-    start; only plans compiled inside this window are affected, and the
-    conf is restored before the sink is read."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    (see _parts_for) under the production RocksDB commit posture
+    (optimization r14, guide §1/§5 — measured on the 1-row null
+    stream: 1.65 s → 1.06 s per replay, and ~0.5 s off every 4-batch
+    twin):
+
+    - changelog checkpointing — each micro-batch commit uploads the
+      batch's change set instead of a full SST snapshot; at 100 TB
+      state this is THE recommended RocksDB setting (snapshot upload
+      grows with total state, the changelog with batch deltas), and on
+      the bounded replays it removes most of the per-batch commit cost.
+    - trackTotalNumberOfRows=false — the numRowsTotal metric costs a
+      full store scan per commit; no query result reads it. State-
+      observation probes (scripts/state_probe_*.py) pass
+      `observe_state=True` to keep the counter for their ledgers.
+
+    The partition count is pinned into the checkpoint at first start;
+    only plans compiled inside this window are affected, and every conf
+    is restored before the sink is read."""
+    confs = {
+        "spark.sql.shuffle.partitions": str(n),
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+    # SPARK_GRAFT_OBSERVE_STATE=1 keeps the counter for probes that
+    # re-enter twins through their registered wrappers
+    # (scripts/state_probe_twin.py) and can't pass the kwarg.
+    import os as _os
+    if not observe_state and not _os.environ.get(
+            "SPARK_GRAFT_OBSERVE_STATE"):
+        confs["spark.sql.streaming.stateStore.rocksdb."
+              "trackTotalNumberOfRows"] = "false"
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _await_bounded(q, timeout_sec: int = 300) -> None:
@@ -835,10 +887,14 @@ def _await_bounded(q, timeout_sec: int = 300) -> None:
 #: parquet is rewritten within one process (r12 ADVICE: a fixture
 #: reusing a directory would otherwise replay stale slices), and every
 #: staged dir is registered for atexit removal so the mkdtemp dirs
-#: don't accumulate past process exit. Earlier twins keep their
-#: per-call staging so their driver-verified execution is
-#: byte-identical; they adopt the shared path when their rows next
-#: rotate through a verification window.
+#: don't accumulate past process exit. Optimization r14: EVERY
+#: full-events twin now reads this shared staging (the slice files are
+#: byte-identical to the per-call staging they replace — same
+#: _write_time_slices over the same immutable table — so the replayed
+#: batches, and therefore the driver-hashed results, are unchanged;
+#: re-proved by the full oracle sim after the switch). Measured cost
+#: of the per-call staging this removes: 4.5 s per twin invocation at
+#: sf0.1 (repartitionByRange sort + checkpoint + 4 filtered writes).
 _SLICE_CACHE: dict[tuple, str] = {}
 
 
@@ -860,10 +916,41 @@ def _staged_event_slices(spark: SparkSession, sf_dir: str,
     return src
 
 
-def _write_time_slices(ev: DataFrame, src: str, n: int = 4) -> None:
+#: Shared SINGLE-FILE staged copy of the full events table (optimization
+#: r14): the one-batch twins (funnel, the two c36 attribution joins, the
+#: A2 fan-out surface) each re-wrote their own coalesce(1) projection of
+#: the same immutable table per invocation; one full-column staged file
+#: serves them all — parquet readers project by name, so each twin's
+#: readStream.schema(...) still sees exactly its columns, and single-file
+#: replay semantics (one micro-batch) are unchanged. Same mtime/size
+#: cache key + atexit discipline as _SLICE_CACHE.
+_SINGLE_FILE_CACHE: dict[tuple, str] = {}
+
+
+def _staged_event_single(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    src = _SINGLE_FILE_CACHE.get(key)
+    if src is None:
+        import atexit
+        import shutil
+        import tempfile
+        _reap_stale_scratch("events_single_")
+        src = tempfile.mkdtemp(prefix="events_single_")
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+        (load_table(spark, "events", sf_dir)
+         .coalesce(1).write.mode("overwrite").parquet(src))
+        _SINGLE_FILE_CACHE[key] = src
+    return src
+
+
+def _write_time_slices(ev: DataFrame, src: str, n: int = 4,
+                       keys: tuple = ("ts", "event_id")) -> None:
     """Stage `ev` as n time-ordered parquet slice files under `src` for
     a maxFilesPerTrigger=1 availableNow replay. Slice assignment is
-    EXACT ntile(n) over the global (ts, event_id) order, but computed
+    EXACT ntile(n) over the global `keys` order (default (ts,
+    event_id)), but computed
     WITHOUT a single-partition global sort (verdict r12 item 5: the
     slicer's `Window.orderBy` was the one global sort left in the twin
     harness and dominated c27_ttl_stream's 100× cost): the log is
@@ -890,8 +977,8 @@ def _write_time_slices(ev: DataFrame, src: str, n: int = 4) -> None:
     import os
 
     mask = (1 << 33) - 1
-    base = (ev.repartitionByRange(32, "ts", "event_id")
-            .sortWithinPartitions("ts", "event_id")
+    base = (ev.repartitionByRange(32, *keys)
+            .sortWithinPartitions(*keys)
             .withColumn("mono", F.monotonically_increasing_id())
             .localCheckpoint())
     stats = (base.groupBy(F.shiftright("mono", 33).alias("pid"))
@@ -969,10 +1056,11 @@ def _funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", "event_type", "ts")
-    src = _scratch_dir("c34_funnel_stream_src_")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    # shared single-file staged copy (optimization r14, see
+    # _staged_event_single: identical one-batch replay, staged once)
+    src = _staged_event_single(spark, sf_dir)
     sink = f"c34_funnel_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = (
             funnel_state_stream(
                 spark.readStream.schema(ev.schema).parquet(src))
@@ -1023,10 +1111,11 @@ def _interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "user_id", "event_type", "ts")
-    src = _scratch_dir("c36_interval_join_src_")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    # shared single-file staged copy (optimization r14, see
+    # _staged_event_single: identical one-batch replay, staged once)
+    src = _staged_event_single(spark, sf_dir)
     sink = f"c36_interval_join_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = (
             click_purchase_attribution_stream(
                 spark.readStream.schema(ev.schema).parquet(src))
@@ -1057,10 +1146,11 @@ def _outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "user_id", "event_type", "ts")
-    src = _scratch_dir("c36_outer_join_src_")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    # shared single-file staged copy (optimization r14, see
+    # _staged_event_single: identical one-batch replay, staged once)
+    src = _staged_event_single(spark, sf_dir)
     sink = f"c36_outer_join_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = (
             click_attribution_outer_stream(
                 spark.readStream.schema(ev.schema).parquet(src))
@@ -1088,7 +1178,7 @@ def _mv_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("c35_mv_")
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
     ev.repartition(4).write.mode("overwrite").parquet(src)
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         return user_activity_mv(spark, src, ev.schema, out, ckpt)
 
 
@@ -1130,9 +1220,10 @@ def _kafka_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     base = _scratch_dir("a2_kafka_surface_")
-    src = f"{base}/src"
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    # shared single-file staged copy (optimization r14, see
+    # _staged_event_single: identical one-batch replay, staged once)
+    src = _staged_event_single(spark, sf_dir)
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = k.fan_out_by_type(
             spark.readStream.schema(ev.schema).parquet(src),
             "event_type", f"{base}/out", f"{base}/ckpt")
@@ -1236,10 +1327,11 @@ def _scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import scd2_changes_stream, stitch_versions
 
     ev = load_table(spark, "events", sf_dir)
-    src = _scratch_dir("c35_scd2_stream_src_")
-    _write_time_slices(ev, src)
+    # shared staged replay log (optimization r14, see
+    # _staged_event_slices: identical content per twin, staged once)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c35_scd2_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = (scd2_changes_stream(
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1).parquet(src))
@@ -1268,14 +1360,15 @@ def _cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import cdc_state_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = _scratch_dir("c35_cdc_stream_src_")
-    _write_time_slices(ev, src)
+    # shared staged replay log (optimization r14, see
+    # _staged_event_slices: identical content per twin, staged once)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c35_cdc_stream_{uuid.uuid4().hex[:8]}"
     op = (F.when(F.col("event_type") == "signup", "I")
           .when(F.col("event_type") == "error", "D")
           .otherwise("U"))
     vm = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         stream = (spark.readStream.schema(ev.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src)
                   .select("user_id", "event_id",
@@ -1363,10 +1456,11 @@ def _anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import zscore_anomaly_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = _scratch_dir("c33_anomaly_stream_src_")
-    _write_time_slices(ev, src)
+    # shared staged replay log (optimization r14, see
+    # _staged_event_slices: identical content per twin, staged once)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c33_anomaly_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = (zscore_anomaly_stream(
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1).parquet(src))
@@ -1393,10 +1487,11 @@ def _interarrival_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import interarrival_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = _scratch_dir("c34_interarrival_stream_src_")
-    _write_time_slices(ev, src)
+    # shared staged replay log (optimization r14, see
+    # _staged_event_slices: identical content per twin, staged once)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c34_interarrival_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = (interarrival_stream(
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1).parquet(src))
@@ -1510,16 +1605,37 @@ def _asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = (asof_tag_union(ev, od)
               .join(ev.select("user_id").distinct(), "user_id",
                     "left_semi"))
-    src = _scratch_dir("c10_asof_stream_src_")
-    sliced = tagged.withColumn(
-        "slice", F.ntile(4).over(
-            Window.orderBy("t", "is_event", "ord_key"))) \
-        .localCheckpoint()
-    for s in range(1, 5):
-        (sliced.filter(F.col("slice") == s).drop("slice")
-         .coalesce(1).write.mode("append").parquet(src))
+    # Optimization r14 (guide §2.4/§1.2): the staging ntile was the last
+    # single-partition global sort left in the twin harness — replaced by
+    # the same distributed rank slicer every other twin uses
+    # (_write_time_slices, generalized to the merged timeline's
+    # (t, is_event, ord_key) order), and the staged directory is cached
+    # per process like _SLICE_CACHE (the merged timeline is immutable per
+    # sf_dir). Slice CONTENTS are the exact ntile(4) of the same order,
+    # so the replayed batches — and the driver-hashed sink — are
+    # unchanged; rows tied on the full sort key are events (ord_key
+    # NULL, unique keys otherwise), whose enrichment output does not
+    # depend on which side of a slice boundary they land (events only
+    # READ state; every order at/before them still arrives in the same
+    # or an earlier batch).
+    import os
+    st_e = os.stat(os.path.join(sf_dir, "events.parquet"))
+    st_o = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    key = (sf_dir, st_e.st_mtime_ns, st_e.st_size,
+           st_o.st_mtime_ns, st_o.st_size)
+    src = _ASOF_SLICE_CACHE.get(key)
+    if src is None:
+        import atexit
+        import shutil
+        import tempfile
+        _reap_stale_scratch("asof_slices_")
+        src = tempfile.mkdtemp(prefix="asof_slices_")
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+        _write_time_slices(tagged, src,
+                           keys=("t", "is_event", "ord_key"))
+        _ASOF_SLICE_CACHE[key] = src
     sink = f"c10_asof_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = (asof_apply_stream(
                 spark.readStream.schema(tagged.schema)
                 .option("maxFilesPerTrigger", 1).parquet(src))
@@ -1560,10 +1676,11 @@ def _throttle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import rate_throttle_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = _scratch_dir("c34_throttle_stream_src_")
-    _write_time_slices(ev, src)
+    # shared staged replay log (optimization r14, see
+    # _staged_event_slices: identical content per twin, staged once)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c34_throttle_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = (rate_throttle_stream(
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1).parquet(src))
@@ -1674,10 +1791,11 @@ def _flatline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import flatline_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = _scratch_dir("c33_flatline_stream_src_")
-    _write_time_slices(ev, src)
+    # shared staged replay log (optimization r14, see
+    # _staged_event_slices: identical content per twin, staged once)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c33_flatline_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = (flatline_stream(
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1).parquet(src))
@@ -1713,10 +1831,11 @@ def _l28_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     d_end = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
-    src = _scratch_dir("c34_l28_stream_src_")
-    _write_time_slices(ev, src)
+    # shared staged replay log (optimization r14, see
+    # _staged_event_slices: identical content per twin, staged once)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c34_l28_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         stream = (spark.readStream.schema(ev.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src)
                   .withColumn("day_off",
@@ -1765,10 +1884,11 @@ def _drawdown_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import drawdown_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = _scratch_dir("c12_drawdown_stream_src_")
-    _write_time_slices(ev, src)
+    # shared staged replay log (optimization r14, see
+    # _staged_event_slices: identical content per twin, staged once)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c12_drawdown_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = (drawdown_stream(
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1).parquet(src))
@@ -1799,10 +1919,11 @@ def _holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import holt_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = _scratch_dir("c12_holt_stream_src_")
-    _write_time_slices(ev, src)
+    # shared staged replay log (optimization r14, see
+    # _staged_event_slices: identical content per twin, staged once)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c12_holt_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = (holt_stream(
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1).parquet(src))
@@ -2214,10 +2335,11 @@ def _bursts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import daily_counts_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = _scratch_dir("c34_bursts_stream_src_")
-    _write_time_slices(ev, src)
+    # shared staged replay log (optimization r14, see
+    # _staged_event_slices: identical content per twin, staged once)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c34_bursts_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         stream = (spark.readStream.schema(ev.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src)
                   .select("event_type", F.to_date("ts").alias("day")))
@@ -2248,10 +2370,11 @@ def _absence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import last_seen_stream
 
     ev = load_table(spark, "events", sf_dir)
-    src = _scratch_dir("c34_absence_stream_src_")
-    _write_time_slices(ev, src)
+    # shared staged replay log (optimization r14, see
+    # _staged_event_slices: identical content per twin, staged once)
+    src = _staged_event_slices(spark, sf_dir)
     sink = f"c34_absence_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         stream = (spark.readStream.schema(ev.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src)
                   .select("user_id",
@@ -2290,7 +2413,7 @@ def _decay_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     src = _staged_event_slices(spark, sf_dir)
     sink = f"c13_decay_topk_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         stream = (spark.readStream.schema(ev.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src)
                   .select("user_id",
@@ -2334,7 +2457,7 @@ def _peak_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _staged_event_slices(spark, sf_dir)
     sink = f"c34_peak_stream_{uuid.uuid4().hex[:8]}"
     dur_s = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         stream = (spark.readStream.schema(ev.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src)
                   .select("event_type", "event_id",
@@ -2362,6 +2485,12 @@ def _peak_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Shared sentinel-staged slice directories (C22-s/C23-s/C24-s), keyed
 #: like _SLICE_CACHE on (sf_dir, events mtime, size) so a rewritten
 #: source invalidates the cache; dirs registered for atexit cleanup.
+#: Shared staged slices of the MERGED (events + orders) as-of
+#: timeline (C10 twin) — optimization r14, same per-process cache +
+#: atexit discipline as _SLICE_CACHE, keyed on BOTH source files.
+_ASOF_SLICE_CACHE: dict[tuple, str] = {}
+
+
 _SENTINEL_SLICE_CACHE: dict[tuple, str] = {}
 
 
@@ -2419,7 +2548,7 @@ def _sentinel_windowed_stream(spark: SparkSession, sf_dir: str,
     src = _staged_sentinel_slices(spark, sf_dir, ev)
     staged = ev  # schema reference only (sentinel shares it)
     sink = f"{name}_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = (stream_fn(spark.readStream.schema(staged.schema)
                        .option("maxFilesPerTrigger", 1).parquet(src))
              .writeStream.format("memory").queryName(sink)
@@ -2627,7 +2756,7 @@ def _window_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "ts", "value")
     src = _staged_event_slices(spark, sf_dir)
     sink = f"c36_window_join_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = (windowed_click_view_join(
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1).parquet(src)
@@ -2705,7 +2834,7 @@ def _dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "ts", "value")
     src = _staged_dup_slices(spark, sf_dir)
     sink = f"c26_dedup_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         q = (dedup_ids_stream(
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1).parquet(src))
@@ -2795,7 +2924,7 @@ def _sla_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     src = _staged_event_slices(spark, sf_dir)
     sink = f"c16_sla_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         stream = (spark.readStream.schema(ev.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src)
                   .select("event_type", "event_id",
@@ -2854,7 +2983,7 @@ def _tdigest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     src = _staged_event_slices(spark, sf_dir)
     sink = f"c4_tdigest_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         stream = (spark.readStream.schema(ev.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src)
                   .select("event_type", F.col("value").alias("x")))
@@ -2981,7 +3110,7 @@ def _ttl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     src = _staged_event_slices(spark, sf_dir)
     sink = f"c27_ttl_stream_{uuid.uuid4().hex[:8]}"
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         stream = (spark.readStream.schema(ev.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src)
                   .withWatermark("ts", "0 seconds")

@@ -47,7 +47,8 @@ def run(spark, sf_dir: str) -> dict:
     ev.coalesce(1).write.mode("overwrite").parquet(src)
     sink = f"c36_state_probe_{uuid.uuid4().hex[:8]}"
     t0 = time.time()
-    with _stream_partitions(spark, _parts_for(ev.count())):
+    with _stream_partitions(spark, _parts_for(ev.count()),
+                            observe_state=True):
         q = (click_attribution_outer_stream(
                 spark.readStream.schema(ev.schema).parquet(src))
              .writeStream.format("memory").queryName(sink)

@@ -84,6 +84,9 @@ def run(spark, name: str, sf_dir: str) -> dict:
 def main() -> None:
     name = sys.argv[1]
     x_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale_x100"
+    # keep numRowsTotal flowing despite the replay harness's production
+    # posture (trackTotalNumberOfRows=false) — this probe exists to read it
+    os.environ["SPARK_GRAFT_OBSERVE_STATE"] = "1"
     spark = get_spark("twin-state-probe")
     base = run(spark, name, "/root/testdata/sf0.1")
     print(f"# base: {json.dumps(base)}", file=sys.stderr, flush=True)
