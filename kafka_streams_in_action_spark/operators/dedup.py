@@ -402,8 +402,13 @@ def minhash_lsh_verdict(documents: DataFrame, threshold: float = 0.1,
     headline times the raw scale path (`minhash_lsh_pairs`) and this form
     exists for the correctness gate."""
     lsh = minhash_lsh_pairs(documents, threshold=threshold, n=n)
-    exact = ngram_jaccard_pairs(documents, threshold=threshold, n=n) \
-        .withColumnRenamed("jaccard", "j_exact")
+    # the exact pair set feeds BOTH the precision join and the
+    # n_exact_pairs count — materialize once instead of replaying the
+    # inverted-index self-join per consumer (optimization r14, guide §1.2;
+    # bounded: near-dup pairs only)
+    exact = (ngram_jaccard_pairs(documents, threshold=threshold, n=n)
+             .withColumnRenamed("jaccard", "j_exact")
+             .localCheckpoint(eager=True))
     m = (lsh.withColumnRenamed("jaccard", "j_lsh")
          .join(exact, ["doc_a", "doc_b"], "left"))
     stats = m.agg(
@@ -634,7 +639,11 @@ def minhash_clusters_lsh_verdict(documents: DataFrame,
 
     exact = labels("exact", "cluster_id")
     lsh = labels("lsh", "lsh_cluster")
-    both = exact.join(lsh, "doc_id")
+    # `both` feeds FOUR consumers (two size rollups, the doc stats, the
+    # refinement max) — materialize the bounded per-doc label frame once
+    # instead of re-running both rep-collapse joins per consumer
+    # (optimization r14, guide §1.2)
+    both = exact.join(lsh, "doc_id").localCheckpoint(eager=True)
     ex_sz = both.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("ex_sz"))
     lsh_sz = (both.groupBy("lsh_cluster")
               .agg(F.count(F.lit(1)).alias("lsh_sz")))
@@ -817,7 +826,12 @@ def edit_verified_pairs(documents: DataFrame, threshold: float = 0.6,
     """
     keep = exact_dedup(documents).select(
         F.col("keep_doc_id").alias("doc_id"))
-    reps = documents.join(keep, "doc_id", "left_semi")
+    # reps feeds THREE consumers (candidate generation + both text pulls);
+    # materialize the deduped corpus once instead of re-running the
+    # md5-collapse semi-join per consumer (optimization r14, guide §1.2 —
+    # at 100 TB this is two saved corpus scans)
+    reps = (documents.join(keep, "doc_id", "left_semi")
+            .localCheckpoint(eager=True))
     pairs = ngram_containment_pairs(reps, threshold=threshold, n=n)
     ta = reps.select(F.col("doc_id").alias("doc_a"),
                      F.col("text").alias("text_a"))
@@ -904,10 +918,17 @@ def lsh_recall_curve(documents: DataFrame,
     identical exact jaccard; recall_ok asserts the banding curve stays
     above the pytest-pinned floor at every point."""
     t0 = thresholds[0]
+    # both pair sets feed TWO consumers below (the recall join and the
+    # per-threshold exact counts); without materialization Spark replays
+    # the full shingle self-join / banded-LSH pipeline per consumer
+    # (optimization r14, guide §1.2 — measured ~2 s of pure recompute at
+    # sf0.1). Bounded: near-dup pairs, never the corpus.
     lsh = (minhash_lsh_pairs(documents, threshold=t0, n=n)
-           .withColumnRenamed("jaccard", "j_lsh"))
+           .withColumnRenamed("jaccard", "j_lsh")
+           .localCheckpoint(eager=True))
     exact = (ngram_jaccard_pairs(documents, threshold=t0, n=n)
-             .withColumnRenamed("jaccard", "j_exact"))
+             .withColumnRenamed("jaccard", "j_exact")
+             .localCheckpoint(eager=True))
     tcol = F.explode(F.array(*[F.lit(float(t)) for t in thresholds]))
     lsh_t = (lsh.join(exact, ["doc_a", "doc_b"], "left")
              .withColumn("threshold", tcol)

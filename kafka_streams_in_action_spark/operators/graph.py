@@ -322,14 +322,20 @@ def link_prediction(lineitem: DataFrame, top_k: int = 3) -> DataFrame:
     semantics and gate-scale lists are short. Degrees are distinct
     counts; the pair aggregate and the per-source rank are the only
     shuffles."""
+    # sp feeds the degree agg and BOTH self-join sides; pairs feeds both
+    # halves of its symmetric union — materialize each once instead of
+    # re-running the distinct / the posting-list self-join per consumer
+    # (optimization r14, guide §1.2: 3 scans + 2 pair joins → 1 + 1)
     sp = lineitem.select(F.col("l_suppkey").alias("s"),
-                         F.col("l_partkey").alias("p")).distinct()
+                         F.col("l_partkey").alias("p")).distinct() \
+        .localCheckpoint(eager=True)
     deg = sp.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     a = sp.select(F.col("s").alias("sa"), "p")
     b = sp.select(F.col("s").alias("sb"), F.col("p").alias("pb"))
     pairs = (a.join(b, (a.p == b.pb) & (a.sa < b.sb))
              .groupBy("sa", "sb")
-             .agg(F.count(F.lit(1)).alias("common")))
+             .agg(F.count(F.lit(1)).alias("common"))
+             .localCheckpoint(eager=True))
     sym = pairs.unionAll(pairs.select(F.col("sb").alias("sa"),
                                       F.col("sa").alias("sb"),
                                       "common"))

@@ -1826,7 +1826,13 @@ def kappa_quantization_eval(embeddings: DataFrame) -> DataFrame:
                 .agg(F.min_by("label", F.struct("da", "label"))
                      .alias("a"),
                      F.min_by("label", F.struct("db", "label"))
-                     .alias("b")))
+                     .alias("b"))
+                # four consumers below (totals, both marginals, the
+                # diagonal) — materialize the bounded (vec_id, a, b)
+                # frame once instead of re-running the centroid-scoring
+                # crossJoin per consumer (optimization r14, guide §1.2;
+                # measured: 68 → 30 Exchanges in the physical plan)
+                .localCheckpoint(eager=True))
     tot = assigned.agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))

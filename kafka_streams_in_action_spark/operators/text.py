@@ -739,12 +739,23 @@ def dup_ngram_coverage(documents: DataFrame, n: int = 8) -> DataFrame:
                              lambda i: F.md5(F.concat_ws(
                                  " ", F.slice(toks, i + 1, n)))))
                      .alias("g")))
-    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
-    tagged = grams.join(freq, "g")
+    # Optimization r14 (guide §2.3 "aggregate before you shuffle" + §1.2):
+    # the old shape consumed `grams` twice (corpus-wide freq + the tagged
+    # join), re-running the 8-gram explode+md5 per consumer AND shuffling
+    # every gram INSTANCE into the join. Partial-aggregate to (g, source,
+    # c) first — map-side combine collapses duplicate instances before
+    # the exchange — then a corpus-total window over g replaces the
+    # instance-level join. Identical aggregates: n_instances = Σc per
+    # source, n_duplicated = Σc over grams whose corpus total > 1 (the
+    # same instance-weighted rule), one explode pass instead of two.
+    per_sg = grams.groupBy("g", "source").agg(
+        F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("g")
+    tagged = per_sg.withColumn("cnt", F.sum("c").over(w))
     return (tagged.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_instances"),
-                 F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
-                 .alias("n_duplicated"))
+            .agg(F.sum("c").alias("n_instances"),
+                 F.sum(F.when(F.col("cnt") > 1, F.col("c"))
+                       .otherwise(F.lit(0))).alias("n_duplicated"))
             .withColumn("dup_frac",
                         F.col("n_duplicated").cast("double")
                         / F.col("n_instances").cast("double")))

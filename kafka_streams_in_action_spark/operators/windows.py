@@ -217,33 +217,56 @@ def holt_smoothing(events: DataFrame) -> DataFrame:
 
     A coupled two-term recurrence has no prefix-sum form (unlike the
     frame-array EWMA above), so this is the one legitimately sequential
-    batch kernel: an Arrow-batched applyInPandas per user. Parallelism
-    = key cardinality (the production shape: millions of short
-    per-entity series); per-group cost is O(series length), and only
-    (user_id, event_id, value, ordering keys) shuffle."""
+    batch kernel. Optimization r14 (guide §4.1/§4.5): the per-user
+    applyInPandas form paid one Python kernel invocation PER KEY —
+    ~10k Arrow-framed calls on 2-3-row groups at sf0.1, with the
+    per-call overhead dominating the arithmetic (measured: the same
+    machinery with a no-op kernel costs as much as the full query).
+    Now ONE MapInPandas kernel per partition walks the
+    (user_id, ts, event_id)-sorted rows sequentially, resetting state
+    at user boundaries and carrying (level, trend) across Arrow batch
+    boundaries — the identical IEEE ops in the identical order, so the
+    emitted series is bit-for-bit the applyInPandas result (the
+    float-audit discipline), with invocations = partitions, not keys.
+    Parallelism = the one keyed exchange (same shuffle bytes); per-row
+    cost is the recurrence itself."""
+    import numpy as np
     import pandas as pd
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        x = pdf["value"].to_numpy()  # float64: IEEE ops below are exact
-        n = len(x)
-        lev = [0.0] * n
-        trd = [0.0] * n
-        lev[0], trd[0] = x[0], 0.0
-        for i in range(1, n):
-            l_new = 0.5 * x[i] + 0.5 * (lev[i - 1] + trd[i - 1])
-            trd[i] = 0.5 * (l_new - lev[i - 1]) + 0.5 * trd[i - 1]
-            lev[i] = l_new
-        return pd.DataFrame({
-            "user_id": pdf["user_id"].to_numpy(),
-            "event_id": pdf["event_id"].to_numpy(),
-            "level": lev, "trend": trd,
-            "forecast": [a + b for a, b in zip(lev, trd)]})
+    def kernel(batches):
+        cur_user = None
+        lev = trd = 0.0
+        started = False
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            users = pdf["user_id"].to_numpy()
+            x = pdf["value"].to_numpy()   # float64: IEEE ops are exact
+            levs = np.empty(n)
+            trds = np.empty(n)
+            for i in range(n):
+                u = users[i]
+                if u != cur_user:
+                    cur_user, started = u, False
+                if not started:
+                    lev, trd, started = x[i], 0.0, True
+                else:
+                    l_new = 0.5 * x[i] + 0.5 * (lev + trd)
+                    trd = 0.5 * (l_new - lev) + 0.5 * trd
+                    lev = l_new
+                levs[i], trds[i] = lev, trd
+            yield pd.DataFrame({
+                "user_id": users,
+                "event_id": pdf["event_id"].to_numpy(),
+                "level": levs, "trend": trds,
+                "forecast": levs + trds})
 
     return (events
             .select("user_id", "event_id", "ts", "value")
-            .groupBy("user_id")
-            .applyInPandas(
+            .repartition("user_id")
+            .sortWithinPartitions("user_id", "ts", "event_id")
+            .mapInPandas(
                 kernel,
                 "user_id long, event_id long, level double, "
                 "trend double, forecast double"))

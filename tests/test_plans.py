@@ -891,12 +891,14 @@ def test_paragraph_dedup_first_occurrence_is_partial_agg(spark):
     assert "RunningWindowFunction" not in plan
 
 
-def test_holt_kernel_is_arrow_grouped_map(spark):
-    """C12f: the sequential recurrence must run as ONE Arrow grouped-map
-    kernel (FlatMapGroupsInPandas) behind a single keyed exchange —
-    no per-row Python, no self-joins."""
+def test_holt_kernel_is_arrow_partition_map(spark):
+    """C12f: the sequential recurrence must run as ONE Arrow kernel per
+    PARTITION (MapInPandas over the keyed-sorted exchange — optimization
+    r14: the per-key grouped-map form paid one Python call per user) —
+    no per-row Python, no per-key Python, no self-joins, one exchange."""
     plan = plan_of(_q(spark, "c12_holt"))
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange") == 1
 

@@ -62,6 +62,53 @@ def test_holt_matches_python_replay(spark):
     assert got == want
 
 
+def test_holt_carries_state_across_arrow_batch_boundaries(spark):
+    """Optimization r14 pin: the MapInPandas kernel walks each partition
+    in (user, ts, event_id) order and must CARRY (level, trend) across
+    Arrow batch boundaries — with maxRecordsPerBatch forced tiny, every
+    user's series straddles several batches, and the doubles must still
+    equal the pure-Python replay bit-for-bit."""
+    rnd = random.Random(13)
+    rows = []
+    eid = 0
+    for u in range(3):
+        t = 0
+        for _ in range(50):  # 50-row series vs 3-row Arrow batches
+            t += rnd.randint(0, 5)
+            rows.append((eid, u, t, rnd.uniform(-50, 50)))
+            eid += 1
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = {(r["user_id"], r["event_id"]):
+               (r["level"], r["trend"], r["forecast"])
+               for r in windows.holt_smoothing(
+                   _events_df(spark, rows)).collect()}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    series = {}
+    for e, u, s, v in sorted(rows, key=lambda r: (r[2], r[0])):
+        series.setdefault(u, []).append((e, v))
+    want = {}
+    for u, obs in series.items():
+        lev, trd = None, 0.0
+        for i, (e, x) in enumerate(obs):
+            if i == 0:
+                lev, trd = x, 0.0
+            else:
+                l_new = 0.5 * x + 0.5 * (lev + trd)
+                trd = 0.5 * (l_new - lev) + 0.5 * trd
+                lev = l_new
+            want[(u, e)] = (lev, trd, lev + trd)
+    assert got == want
+
+
 def test_throttle_matches_python_replay_across_hour_edges(spark):
     """Events placed AT hour boundaries: seq resets exactly on the
     boundary and the admitted set equals the replay."""
