@@ -822,28 +822,31 @@ def _parts_for(n_rows: int, rows_per_partition: int = 50_000) -> int:
 def _stream_partitions(spark: SparkSession, n: int = 8,
                        observe_state: bool = False):
     """Run a bounded availableNow stream with `n` state partitions
-    (see _parts_for) under the production RocksDB commit posture
-    (optimization r14, guide §1/§5 — measured on the 1-row null
-    stream: 1.65 s → 1.06 s per replay, and ~0.5 s off every 4-batch
-    twin):
+    (see _parts_for) with trackTotalNumberOfRows=false (optimization
+    r14, guide §1/§5): the numRowsTotal metric costs a full store scan
+    per commit, and no query result reads it — measured on the 1-row
+    null stream, 1.65 s → 1.12 s per replay. State-observation probes
+    (scripts/state_probe_*.py) pass `observe_state=True` (or set
+    SPARK_GRAFT_OBSERVE_STATE=1) to keep the counter for their ledgers.
 
-    - changelog checkpointing — each micro-batch commit uploads the
-      batch's change set instead of a full SST snapshot; at 100 TB
-      state this is THE recommended RocksDB setting (snapshot upload
-      grows with total state, the changelog with batch deltas), and on
-      the bounded replays it removes most of the per-batch commit cost.
-    - trackTotalNumberOfRows=false — the numRowsTotal metric costs a
-      full store scan per commit; no query result reads it. State-
-      observation probes (scripts/state_probe_*.py) pass
-      `observe_state=True` to keep the counter for their ledgers.
+    RocksDB changelog checkpointing was measured here too (1.06 s on
+    the null stream — and it IS the right production setting, where
+    snapshot upload grows with total state and the changelog only with
+    batch deltas) but is deliberately NOT enabled for these bounded
+    replays: it defers snapshot construction to the background
+    maintenance thread, and with ~90 short-lived availableNow replays
+    sharing one JVM per bench run the deferred work accumulates — the
+    store-heaviest twin (c36_window_join, 4 stores × 8 partitions ×
+    4 batches) measured 5.6 s in isolation but 44 s late in a full
+    bench run with changelog on, and reverted to ~6 s without it. A
+    long-lived production stream keeps a stable provider set and does
+    not hit this; a fleet of bounded replays in one process does.
 
     The partition count is pinned into the checkpoint at first start;
     only plans compiled inside this window are affected, and every conf
     is restored before the sink is read."""
     confs = {
         "spark.sql.shuffle.partitions": str(n),
-        "spark.sql.streaming.stateStore.rocksdb."
-        "changelogCheckpointing.enabled": "true",
     }
     # SPARK_GRAFT_OBSERVE_STATE=1 keeps the counter for probes that
     # re-enter twins through their registered wrappers
