@@ -408,7 +408,7 @@ def minhash_lsh_verdict(documents: DataFrame, threshold: float = 0.1,
     # bounded: near-dup pairs only)
     exact = (ngram_jaccard_pairs(documents, threshold=threshold, n=n)
              .withColumnRenamed("jaccard", "j_exact")
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     m = (lsh.withColumnRenamed("jaccard", "j_lsh")
          .join(exact, ["doc_a", "doc_b"], "left"))
     stats = m.agg(
@@ -643,7 +643,7 @@ def minhash_clusters_lsh_verdict(documents: DataFrame,
     # refinement max) — materialize the bounded per-doc label frame once
     # instead of re-running both rep-collapse joins per consumer
     # (optimization r14, guide §1.2)
-    both = exact.join(lsh, "doc_id").localCheckpoint(eager=True)
+    both = exact.join(lsh, "doc_id").localCheckpoint(eager=False)
     ex_sz = both.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("ex_sz"))
     lsh_sz = (both.groupBy("lsh_cluster")
               .agg(F.count(F.lit(1)).alias("lsh_sz")))
@@ -831,7 +831,7 @@ def edit_verified_pairs(documents: DataFrame, threshold: float = 0.6,
     # md5-collapse semi-join per consumer (optimization r14, guide §1.2 —
     # at 100 TB this is two saved corpus scans)
     reps = (documents.join(keep, "doc_id", "left_semi")
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
     pairs = ngram_containment_pairs(reps, threshold=threshold, n=n)
     ta = reps.select(F.col("doc_id").alias("doc_a"),
                      F.col("text").alias("text_a"))
@@ -925,10 +925,10 @@ def lsh_recall_curve(documents: DataFrame,
     # sf0.1). Bounded: near-dup pairs, never the corpus.
     lsh = (minhash_lsh_pairs(documents, threshold=t0, n=n)
            .withColumnRenamed("jaccard", "j_lsh")
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
     exact = (ngram_jaccard_pairs(documents, threshold=t0, n=n)
              .withColumnRenamed("jaccard", "j_exact")
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     tcol = F.explode(F.array(*[F.lit(float(t)) for t in thresholds]))
     lsh_t = (lsh.join(exact, ["doc_a", "doc_b"], "left")
              .withColumn("threshold", tcol)

@@ -328,14 +328,14 @@ def link_prediction(lineitem: DataFrame, top_k: int = 3) -> DataFrame:
     # (optimization r14, guide §1.2: 3 scans + 2 pair joins → 1 + 1)
     sp = lineitem.select(F.col("l_suppkey").alias("s"),
                          F.col("l_partkey").alias("p")).distinct() \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     deg = sp.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     a = sp.select(F.col("s").alias("sa"), "p")
     b = sp.select(F.col("s").alias("sb"), F.col("p").alias("pb"))
     pairs = (a.join(b, (a.p == b.pb) & (a.sa < b.sb))
              .groupBy("sa", "sb")
              .agg(F.count(F.lit(1)).alias("common"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     sym = pairs.unionAll(pairs.select(F.col("sb").alias("sa"),
                                       F.col("sa").alias("sb"),
                                       "common"))

@@ -1832,7 +1832,7 @@ def kappa_quantization_eval(embeddings: DataFrame) -> DataFrame:
                 # frame once instead of re-running the centroid-scoring
                 # crossJoin per consumer (optimization r14, guide §1.2;
                 # measured: 68 → 30 Exchanges in the physical plan)
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     tot = assigned.agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))

@@ -479,7 +479,14 @@ def test_no_driver_side_collect_in_queries(spark):
                     "c35_mv_refresh",
                     # bounded 1-row stats pulls drive the strategy pick
                     # + plan realization for the earned verdict (r16)
-                    "c37_join_advisor"):
+                    "c37_join_advisor",
+                    # optimization r14: bounded shared intermediates
+                    # (pair sets / rep corpus / assignment frames) are
+                    # localCheckpointed so 2-4 downstream consumers stop
+                    # re-running the expensive subtree; with AQE the
+                    # checkpoint realizes its upstream stages at build
+                    "c29_recall_curve", "c29_minhash_lsh",
+                    "c28_edit_verify", "c43_kappa", "c38_linkpred"):
             continue
         spec.fn(spark, SF_DIR)
     after = tracker.getJobIdsForGroup(None)
