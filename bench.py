@@ -589,6 +589,17 @@ def main() -> None:
         **_calibrate(),
         **_calibrate_contention(spark),
     }
+    # Drift self-defense (r14 verdict item 9): the sandbox's 32-thread
+    # throughput swings ±50% between runs while single-thread calibration
+    # holds, which makes raw round-over-round per-query diffs mostly
+    # measure the instance. Emit each query's time in units of the
+    # fixed-work 32-thread shuffle sentinel — FULL ledger only (the
+    # headline JSON line is unchanged), additive per the bench contract —
+    # so the next PERF comparison can separate drift from code.
+    c32 = report["calib_shuffle32_sec"]
+    if c32 > 0:
+        report["queries_norm_shuffle32"] = {
+            k: round(v / c32, 2) for k, v in timings.items()}
     # Committed local copy (r8 verdict item 4): the driver's BENCH_r{N}
     # artifact truncated two rounds running; this file preserves the full
     # per-query table for round-over-round regression attribution.

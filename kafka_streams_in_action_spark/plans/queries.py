@@ -754,16 +754,24 @@ def _cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff sum-of-deltas is bit-identical to the batch-built sketch: the
     mergeability property, asserted end-to-end through a real
     incremental-maintenance topology."""
-    import tempfile
-
     from ..operators.relational import cms_estimate_topk
     from ..streaming.pipelines import cms_stream_mv
 
     docs = load_table(spark, "documents", sf_dir)
     base = _scratch_dir("c4_cms_stream_")
-    src = f"{base}/src"
-    docs.select("doc_id", "text").repartition(4) \
-        .write.mode("overwrite").parquet(src)
+    # shared staged 4-file replay source (optimization r15 — the
+    # _staged_mv_src pattern: the CMS delta-grid fold is batch-split-
+    # invariant by the mergeability contract, and a fixed staged copy
+    # replays identical batches anyway); grids/ckpt stay per-call
+    import os as _o
+    st = _o.stat(_o.path.join(sf_dir, "documents.parquet"))
+    key = ("cms_src", sf_dir, st.st_mtime_ns, st.st_size)
+    src = _MV_SRC_CACHE.get(key)
+    if src is None:
+        src = _scratch_dir("c4_cmssrc_")
+        docs.select("doc_id", "text").repartition(4) \
+            .write.mode("overwrite").parquet(src)
+        _MV_SRC_CACHE[key] = src
     with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "documents"))):
         cms = cms_stream_mv(
             spark, src, "doc_id long, text string",
@@ -795,6 +803,14 @@ _COUNT_CACHE: dict[tuple, int] = {}
 
 
 def _cached_count(spark: SparkSession, sf_dir: str, table: str) -> int:
+    # Cache key = os.stat of the DATASET DIRECTORY (mtime_ns, size) —
+    # the same convention as _SLICE_CACHE/_SINGLE_FILE_CACHE/
+    # _ASOF_SLICE_CACHE. Load-bearing immutability assumption (r14
+    # ADVICE item 3): a part file rewritten IN PLACE under the same
+    # name changes neither component, so the stale value would be
+    # served. The testdata contract writes each table once per
+    # directory; any fixture that regenerates data must write a new
+    # file/dir (all of ours do — mkdtemp per generation).
     import os
     st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
     key = (sf_dir, table, st.st_mtime_ns, st.st_size)
@@ -829,29 +845,41 @@ def _stream_partitions(spark: SparkSession, n: int = 8,
     (scripts/state_probe_*.py) pass `observe_state=True` (or set
     SPARK_GRAFT_OBSERVE_STATE=1) to keep the counter for their ledgers.
 
-    RocksDB changelog checkpointing was measured here too (1.06 s on
-    the null stream — and it IS the right production setting, where
-    snapshot upload grows with total state and the changelog only with
-    batch deltas) but is deliberately NOT enabled for these bounded
-    replays: it defers snapshot construction to the background
-    maintenance thread, and with ~90 short-lived availableNow replays
-    sharing one JVM per bench run the deferred work accumulates — the
-    store-heaviest twin (c36_window_join, 4 stores × 8 partitions ×
-    4 batches) measured 5.6 s in isolation but 44 s late in a full
-    bench run with changelog on, and reverted to ~6 s without it. A
-    long-lived production stream keeps a stable provider set and does
-    not hit this; a fleet of bounded replays in one process does.
+    Optimization r15: RocksDB CHANGELOG CHECKPOINTING is now ON, paired
+    with spark.sql.streaming.stateStore.unloadOnCommit. r14 measured
+    changelog as the right production setting outright (snapshot upload
+    grows with total state, the changelog only with batch deltas) but
+    backed it out because deferred snapshot maintenance accumulated
+    across the ~90 short-lived availableNow replays sharing one bench
+    JVM (c36_window_join: 5.6 s isolated → 44 s late in the run).
+    unloadOnCommit (Spark 4.1) is the missing piece: maintenance runs
+    synchronously and each store CLOSES at task completion, so nothing
+    accumulates — exactly the documented posture for short-lived /
+    resource-bounded stateful queries. Per-batch commits drop from a
+    full snapshot zip + fsync (measured r15: 7.6 s fsync + 5.9 s zip of
+    c36_window_join's 18 s cumulative commit time) to an O(delta)
+    changelog append. Interleaved fleet A/B over all 24 twins (r15,
+    scripts/ab_fleet_r15.py): baseline 207.6 s / changelog-only
+    174.1 s / changelog+unload 158.0 s, store-heaviest twin after the
+    fleet 7.97 → 5.90 s, no late-run inflation. A long-lived production
+    stream would keep unloadOnCommit off (stable provider set, reload
+    cost dominates) — SPARK_GRAFT_STREAM_UNLOAD=0 restores that
+    posture; the bounded-replay default is on.
 
     The partition count is pinned into the checkpoint at first start;
     only plans compiled inside this window are affected, and every conf
     is restored before the sink is read."""
     confs = {
         "spark.sql.shuffle.partitions": str(n),
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
     }
+    import os as _os
+    if _os.environ.get("SPARK_GRAFT_STREAM_UNLOAD", "1") != "0":
+        confs["spark.sql.streaming.stateStore.unloadOnCommit"] = "true"
     # SPARK_GRAFT_OBSERVE_STATE=1 keeps the counter for probes that
     # re-enter twins through their registered wrappers
     # (scripts/state_probe_twin.py) and can't pass the kwarg.
-    import os as _os
     if not observe_state and not _os.environ.get(
             "SPARK_GRAFT_OBSERVE_STATE"):
         confs["spark.sql.streaming.stateStore.rocksdb."
@@ -953,7 +981,14 @@ def _write_time_slices(ev: DataFrame, src: str, n: int = 4,
     """Stage `ev` as n time-ordered parquet slice files under `src` for
     a maxFilesPerTrigger=1 availableNow replay. Slice assignment is
     EXACT ntile(n) over the global `keys` order (default (ts,
-    event_id)), but computed
+    event_id)). DETERMINISM CONTRACT on `keys` (r14 ADVICE item 1):
+    batch assignment of rows TIED on the full `keys` tuple is
+    partitioning-dependent, so either `keys` must be a total order
+    (unique per row — the default (ts, event_id) is), or every caller
+    whose handler is tie-sensitive (watermark/timeout eviction keyed on
+    batch boundaries) must prove its ties are state-read-only, the way
+    _asof_stream's (t, is_event, ord_key) caller does for its read-only
+    event rows. Computed
     WITHOUT a single-partition global sort (verdict r12 item 5: the
     slicer's `Window.orderBy` was the one global sort left in the twin
     harness and dominated c27_ttl_stream's 100× cost): the log is
@@ -1166,6 +1201,32 @@ def _outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "click_id", "purchase_id", "lag_us")
 
 
+#: Shared staged 4-file source for the C35 MV twin (optimization r15):
+#: the twin re-wrote the same repartition(4) copy of the immutable
+#: events projection per invocation — pure replay-harness staging, the
+#: same class _SLICE_CACHE already covers (the declared semantics are
+#: batch-split-INVARIANT, and a fixed staged copy replays the identical
+#: batches anyway). Same mtime/size key + atexit discipline; the upsert
+#: sink and checkpoint stay per-call (the write IS the operator).
+_MV_SRC_CACHE: dict[tuple, str] = {}
+
+
+def _staged_mv_src(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    src = _MV_SRC_CACHE.get(key)
+    if src is None:
+        # prefix must NOT glob-match _scratch_dir("c35_mv_")'s reap
+        # pattern ("c35_mv_*"): a later per-call reap would delete the
+        # long-lived cached staging out from under the cache
+        src = _scratch_dir("c35_mvsrc_")
+        (load_table(spark, "events", sf_dir).select("user_id", "value")
+         .repartition(4).write.mode("overwrite").parquet(src))
+        _MV_SRC_CACHE[key] = src
+    return src
+
+
 def _mv_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C35 streaming twin, driver-visible: events split into 4 source
     files → 4 real micro-batches (maxFilesPerTrigger=1) → update-mode
@@ -1173,14 +1234,12 @@ def _mv_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins view (streaming/pipelines.py:user_activity_mv). The oracle is
     the plain batch GROUP BY: incremental maintenance must be exactly
     invariant to the batch split."""
-    import tempfile
-
     from ..streaming.pipelines import user_activity_mv
 
     ev = load_table(spark, "events", sf_dir).select("user_id", "value")
+    src = _staged_mv_src(spark, sf_dir)
     base = _scratch_dir("c35_mv_")
-    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
-    ev.repartition(4).write.mode("overwrite").parquet(src)
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
     with _stream_partitions(spark, _parts_for(_cached_count(spark, sf_dir, "events"))):
         return user_activity_mv(spark, src, ev.schema, out, ckpt)
 
@@ -11993,7 +12052,7 @@ assert len(set(_ROUND14_PRIORITY)) == 50, "duplicate row in window"
 # in the current frozen window — the CI form of the r7 judge finding
 # that 69 queries outran the 50-row verification window.
 # ---------------------------------------------------------------------------
-CURRENT_ROUND = 14
+CURRENT_ROUND = 15
 
 _REGISTERED_ROUND: dict[str, int] = {
     # r8 slate (registered during the round-7 session)

@@ -484,7 +484,9 @@ def test_no_driver_side_collect_in_queries(spark):
                     # (pair sets / rep corpus / assignment frames) are
                     # localCheckpointed so 2-4 downstream consumers stop
                     # re-running the expensive subtree; with AQE the
-                    # checkpoint realizes its upstream stages at build
+                    # checkpoint realizes its upstream stages at build —
+                    # these five are job-BUDGETED below (r14 ADVICE
+                    # item 4), not skipped
                     "c29_recall_curve", "c29_minhash_lsh",
                     "c28_edit_verify", "c43_kappa", "c38_linkpred"):
             continue
@@ -492,6 +494,23 @@ def test_no_driver_side_collect_in_queries(spark):
     after = tracker.getJobIdsForGroup(None)
     assert len(after) == len(before), \
         "plan construction launched Spark jobs (driver-side materialization)"
+
+    # The five checkpoint-sharing queries DO realize their checkpointed
+    # subtrees at build (AQE materializes each localCheckpoint's upstream
+    # stages when the plan is built). Budget the job count per query so a
+    # future driver-side collect added to one of them still trips this
+    # test instead of hiding behind a blanket exemption (r14 ADVICE
+    # item 4). Budgets = observed build jobs + slack for AQE stage-count
+    # jitter; a genuine collect-per-row regression blows far past these.
+    budgets = {"c29_recall_curve": 24, "c29_minhash_lsh": 24,
+               "c28_edit_verify": 16, "c43_kappa": 24, "c38_linkpred": 16}
+    for name, budget in budgets.items():
+        start = tracker.getJobIdsForGroup(None)
+        QUERIES[name].fn(spark, SF_DIR)
+        grown = len(tracker.getJobIdsForGroup(None)) - len(start)
+        assert grown <= budget, (
+            f"{name}: {grown} build jobs exceeds its checkpoint budget "
+            f"{budget} — a driver-side materialization crept in")
 
 
 def test_bucketed_join_is_exchange_free(spark, tmp_path):
