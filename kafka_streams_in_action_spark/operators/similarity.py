@@ -1389,39 +1389,48 @@ def mmr_rerank(embeddings: DataFrame, n_queries: int = 5,
                     F.col("cosine_sim").alias("rel"), "vec")
             .localCheckpoint())
 
+    # Optimization r15: the greedy loop moves only the bounded candidate
+    # frame (n_queries × n_cand rows) and the ≤ n_queries·k selected
+    # set — run its per-step shuffles/windows at a handful of partitions
+    # instead of the ambient width sized for the data-scale candidate
+    # generation above (the c38/_min_label_components loop discipline);
+    # picks are bit-identical, only task counts change.
+    from .graph import _few_shuffle_partitions
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("_score").desc(), "neighbor_id")
-    selected = (cand
-                .withColumn("_score", F.lit(0.5) * F.col("rel"))
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select("query_id", "neighbor_id", "rel",
-                        F.col("_score").alias("mmr_score"),
-                        F.lit(1).alias("pick"), "vec")
-                .localCheckpoint())
-    for step in range(2, k + 1):
-        rem = cand.join(selected.select("query_id", "neighbor_id"),
-                        ["query_id", "neighbor_id"], "left_anti")
-        sims = (rem.join(selected.select("query_id",
-                                         F.col("vec").alias("svec")),
-                         "query_id")
-                .withColumn("_sim",
-                            F.round(_cosine(F.col("vec"),
-                                            F.col("svec")), 6))
-                .groupBy("query_id", "neighbor_id", "rel")
-                .agg(F.max("_sim").alias("_ms")))
-        pick = (sims
-                .withColumn("_score", F.lit(0.5) * F.col("rel")
-                            - F.lit(0.5) * F.col("_ms"))
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1))
-        pick_v = (pick
-                  .join(cand.select("query_id", "neighbor_id", "vec"),
-                        ["query_id", "neighbor_id"])
-                  .select("query_id", "neighbor_id", "rel",
-                          F.col("_score").alias("mmr_score"),
-                          F.lit(step).alias("pick"), "vec"))
-        selected = selected.unionByName(pick_v).localCheckpoint()
+    with _few_shuffle_partitions(cand.sparkSession):
+        selected = (cand
+                    .withColumn("_score", F.lit(0.5) * F.col("rel"))
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select("query_id", "neighbor_id", "rel",
+                            F.col("_score").alias("mmr_score"),
+                            F.lit(1).alias("pick"), "vec")
+                    .localCheckpoint())
+        for step in range(2, k + 1):
+            rem = cand.join(selected.select("query_id", "neighbor_id"),
+                            ["query_id", "neighbor_id"], "left_anti")
+            sims = (rem.join(selected.select("query_id",
+                                             F.col("vec").alias("svec")),
+                             "query_id")
+                    .withColumn("_sim",
+                                F.round(_cosine(F.col("vec"),
+                                                F.col("svec")), 6))
+                    .groupBy("query_id", "neighbor_id", "rel")
+                    .agg(F.max("_sim").alias("_ms")))
+            pick = (sims
+                    .withColumn("_score", F.lit(0.5) * F.col("rel")
+                                - F.lit(0.5) * F.col("_ms"))
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1))
+            pick_v = (pick
+                      .join(cand.select("query_id", "neighbor_id", "vec"),
+                            ["query_id", "neighbor_id"])
+                      .select("query_id", "neighbor_id", "rel",
+                              F.col("_score").alias("mmr_score"),
+                              F.lit(step).alias("pick"), "vec"))
+            selected = selected.unionByName(pick_v).localCheckpoint()
     return selected.select("query_id", "pick", "neighbor_id", "rel",
                            "mmr_score")
 

@@ -18,6 +18,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def pytest_collection_modifyitems(config, items):
+    """Apply the `slow` marker from tests/slow_tests.txt (optimization
+    r15, verdict r14 item 6): the full suite is ~35 min wall and the
+    driver's test gate times out mid-run, so the 116 heavyweight
+    end-to-end tests (>= 3 s call time in the committed full-run
+    durations, /tmp-independent) are excluded from the default run by
+    pytest.ini's `-m "not slow"`. The list is a committed data file so
+    re-tiering is a one-line diff, and matching is by
+    file::test suffix so the split works from any invocation cwd."""
+    slow_path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(slow_path) as f:
+            slow = {ln.strip() for ln in f
+                    if ln.strip() and not ln.startswith("#")}
+    except OSError:
+        return
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        suffix = nodeid.rsplit("/", 1)[-1]
+        if suffix in slow:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests")
